@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (SURVEY.md §2) re-expressed
+  * Spark-first; `oracleSql` is the DuckDB-equivalent ANSI SQL the driver
+  * uses as a correctness oracle at sf0.01. Every query aliases its
+  * computed columns identically on both sides and rounds floating-point
+  * aggregates so cross-engine summation order can't flip a hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1: scan → filter → partial/final hash agg → sort. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Relational.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
+    (operators.Relational.queries, operators.Relational.oracle),
+    (operators.Analytics.queries, operators.Analytics.oracle),
+    (operators.Events.queries, operators.Events.oracle),
+    (operators.TextOps.queries, operators.TextOps.oracle),
+    (operators.Dedup.queries, operators.Dedup.oracle),
+    (operators.Similarity.queries, operators.Similarity.oracle),
+    (operators.Multimodal.queries, operators.Multimodal.oracle),
+    (operators.Recursive.queries, operators.Recursive.oracle)
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2).toMap
 }

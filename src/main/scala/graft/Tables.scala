@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access layer over the driver-provided parquet test data
+  * (TESTDATA.md). Mirrors the reference's catalog of base relations
+  * (apache/cloudberry `src/backend/catalog/`): every abstraction is a
+  * relational table with a fixed schema (SURVEY.md §1.1); here each is a
+  * parquet file read through Spark's vectorized columnar reader, which
+  * subsumes the reference's AOCS/PAX columnar storage
+  * (`src/backend/access/aocs/aocsam.c`, `contrib/pax_storage/`): RLE /
+  * dictionary / zstd per column, row-group zone maps for min/max skipping.
+  *
+  * Scale note: at 100 TB these would be partitioned/bucketed tables in a
+  * real catalog; the loader keeps plain `spark.read.parquet` so Catalyst
+  * sees a `FileSourceScanExec` with full filter/column pushdown.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at any realistic scale
+    * (region/nation are bounded by geography; cf. the reference's
+    * DISTRIBUTED REPLICATED policy, `gp_distribution_policy.h:86-111`). */
+  val replicated: Set[String] = Set("region", "nation")
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; read nanos as long and truncate to microseconds
+    // (DuckDB's TIMESTAMP is microseconds too, so the oracle agrees).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Register every base table as a temp view so `spark.sql` queries and
+    * the DataFrame API compose over the same catalog. Idempotent. */
+  def register(spark: SparkSession, dir: String): Unit =
+    names.foreach { n => df(spark, dir, n).createOrReplaceTempView(n) }
+
+  /** Convenience: register views and return a loader function. */
+  def loader(spark: SparkSession, dir: String): String => DataFrame = {
+    register(spark, dir)
+    name => spark.table(name)
+  }
+}

@@ -1,0 +1,441 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** OLAP analytics inventory (SURVEY.md §2.4–§2.5): window functions with
+  * ROWS/RANGE frames, ranking/analytic functions, grouping sets / rollup /
+  * cube (reference: nodeWindowAgg.c, nodeAgg.c grouping-set phases,
+  * cdbgroupingpaths.c multi-stage agg), ordered-set aggregates
+  * (orderedsetaggs.c → exact `percentile`), pivot, and deterministic mode.
+  *
+  * Scale design: every window partitions on a data column, never a global
+  * single-partition window (which would serialize on one executor at
+  * 100 TB). Grouping sets expand via Catalyst's Expand operator — the same
+  * trick as GP's TupleSplit — and aggregate partially before the shuffle.
+  */
+object Analytics {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- ranking trio over partitions (windowfuncs.c) --
+    "q30_window_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wTies = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+      Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"))
+        .filter(col("rn") <= 10)
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+
+    // -- running sum, ROWS frame --
+    "q31_running_spend" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round((sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).over(w).cast("double")) / 100.0, 2).as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // -- RANGE frame with numeric offset --
+    "q32_range_frame_peers" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+        .rangeBetween(-100L, 0L)
+      Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          count(lit(1)).over(w).as("peers_within_100"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- lag/lead over event streams --
+    "q33_event_deltas" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.df(s, dir, "events")
+        .filter(col("user_id") <= 30)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 4).as("value"),
+          round(lag(col("value"), 1).over(w), 4).as("prev_value"),
+          round(lead(col("value"), 1).over(w), 4).as("next_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // -- ntile / percent_rank / cume_dist --
+    "q34_order_quartiles" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          round(cume_dist().over(w), 9).as("cdist"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- first/last/nth value with full-partition frame --
+    "q35_first_last_order" -> { (s, dir) =>
+      val wFull = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wRn = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.df(s, dir, "orders")
+        .select(col("o_custkey"),
+          row_number().over(wRn).as("rn"),
+          first(col("o_orderkey")).over(wFull).as("first_order"),
+          last(col("o_orderkey")).over(wFull).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("first_order"), col("last_order"), col("second_order"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // -- top-k per group via window + filter --
+    "q36_top_parts_per_brand" -> { (s, dir) =>
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.df(s, dir, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("p_brand"), col("rn"))
+    },
+
+    // -- GROUPING SETS with GROUPING() ids (nodeAgg.c phases) --
+    "q37_grouping_sets" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          CAST(grouping(l_linestatus) AS INT) AS g_status,
+          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus""")
+    },
+
+    // -- ROLLUP via DataFrame API --
+    "q38_rollup_orders" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // -- CUBE via DataFrame API --
+    "q39_cube_lineitem" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // -- exact percentiles (ordered-set aggs, interpolate.c) --
+    "q40_quantity_percentiles" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+          round(percentile(l_quantity, 0.25), 6) AS p25,
+          round(percentile(l_quantity, 0.5), 6) AS p50,
+          round(percentile(l_quantity, 0.75), 6) AS p75,
+          round(percentile(l_quantity, 0.9), 6) AS p90,
+          min(l_quantity) AS qmin, max(l_quantity) AS qmax
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
+    // -- deterministic mode (most frequent value, ties → smallest) --
+    "q41_quantity_mode" -> { (s, dir) =>
+      val counts = Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cnt").desc, col("l_quantity"))
+      counts.select(col("l_returnflag"), col("l_quantity"), col("cnt"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt").as("mode_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- PIVOT (gp pivot.c ≙ groupBy().pivot()) --
+    "q42_pivot_status" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- FILTER'd aggregates (conditional aggregation) --
+    "q43_conditional_agg" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+          expr("round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS DOUBLE) / 10000.0, 4)").as("purchase_value"),
+          round(max(when(col("event_type") === "click", col("value"))), 4).as("max_click"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- scalar subquery threshold (SubPlan → Catalyst subquery) --
+    "q44_above_avg_parts" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.5 FROM part)
+        ORDER BY p_partkey""")
+    },
+
+    // -- correlated scalar subquery (TPC-H Q17 shape) --
+    "q45_small_quantity_revenue" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
+        FROM lineitem l1
+        WHERE l1.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey)""")
+    },
+
+    // -- IN subquery (semi-join rewrite) --
+    "q46_in_subquery" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem WHERE l_quantity >= 50.0 AND l_discount >= 0.09)
+        ORDER BY s_suppkey""")
+    },
+
+    // -- EXISTS correlated (semi join) --
+    "q47_exists_priority" -> { (s, dir) =>
+      val o = Tables.df(s, dir, "orders")
+      val hot = Tables.df(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.06 && col("l_quantity") > 45.0)
+        .select(col("l_orderkey"))
+      o.join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // -- string expression battery (varlena.c / oracle_compat.c) --
+    "q48_string_funcs" -> { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .filter(col("c_custkey") <= 200)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          lower(col("c_mktsegment")).as("lseg"),
+          length(col("c_name")).cast("int").as("name_len"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string")).as("tag"),
+          ltrim(rtrim(col("c_name"))).as("trimmed"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+          (col("c_name").like("%1%")).cast("int").as("has_one"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- date/time expression battery (timestamp.c, date.c) --
+    "q49_date_funcs" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          quarter(col("o_orderdate")).cast("int").as("o_quarter"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(date_trunc("month", col("o_orderdate"))).as("first_month"),
+          max(last_day(col("o_orderdate"))).as("last_day_max"))
+        .orderBy(col("o_year"), col("o_quarter"))
+    },
+
+    // -- math expression battery (float.c / numeric behaviors) --
+    "q50_math_funcs" -> { (s, dir) =>
+      Tables.df(s, dir, "part")
+        .filter(col("p_partkey") <= 500)
+        .select(
+          col("p_partkey"),
+          round(abs(col("p_retailprice") - 1000.0), 6).as("abs_dev"),
+          ceil(col("p_retailprice")).cast("bigint").as("ceiled"),
+          floor(col("p_retailprice")).cast("bigint").as("floored"),
+          round(sqrt(col("p_retailprice")), 9).as("sq"),
+          round(log(col("p_retailprice")), 9).as("ln_price"),
+          round(pow(col("p_size").cast("double"), 2.0), 6).as("size_sq"),
+          (col("p_partkey") % 10).cast("int").as("mod10"),
+          signum(col("p_retailprice") - 1000.0).cast("int").as("sgn"))
+        .orderBy(col("p_partkey"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q30_window_rank" -> """
+      SELECT * FROM (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+          row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+          rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+          dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk
+        FROM customer) t
+      WHERE rn <= 10 ORDER BY c_mktsegment, rn""",
+
+    "q31_running_spend" -> """
+      SELECT o_custkey, o_orderkey,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0, 2) AS running_spend
+      FROM orders WHERE o_custkey <= 100
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q32_range_frame_peers" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+          RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS peers_within_100
+      FROM customer ORDER BY c_custkey""",
+
+    "q33_event_deltas" -> """
+      SELECT user_id, event_id, round(value, 4) AS value,
+        round(lag(value, 1) OVER w, 4) AS prev_value,
+        round(lead(value, 1) OVER w, 4) AS next_value
+      FROM events WHERE user_id <= 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    "q34_order_quartiles" -> """
+      SELECT o_orderkey, o_orderstatus,
+        ntile(4) OVER w AS quartile,
+        round(percent_rank() OVER w, 9) AS pct_rank,
+        round(cume_dist() OVER w, 9) AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""",
+
+    "q35_first_last_order" -> """
+      SELECT o_custkey, first_order, last_order, second_order FROM (
+        SELECT o_custkey,
+          row_number() OVER w2 AS rn,
+          first_value(o_orderkey) OVER w AS first_order,
+          last_value(o_orderkey) OVER w AS last_order,
+          nth_value(o_orderkey, 2) OVER w AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+          w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
+      WHERE rn = 1 ORDER BY o_custkey""",
+
+    "q36_top_parts_per_brand" -> """
+      SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+          row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part) t
+      WHERE rn <= 3 ORDER BY p_brand, rn""",
+
+    "q37_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
+
+    "q38_rollup_orders" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q39_cube_lineitem" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q40_quantity_percentiles" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        min(l_quantity) AS qmin, max(l_quantity) AS qmax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q41_quantity_mode" -> """
+      SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count FROM (
+        SELECT l_returnflag, l_quantity, count(*) AS cnt,
+          row_number() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity) t
+      WHERE rn = 1 ORDER BY l_returnflag""",
+
+    "q42_pivot_status" -> """
+      SELECT l_returnflag,
+        round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS "F",
+        round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS "O"
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q43_conditional_agg" -> """
+      SELECT user_id, count(*) AS n_events,
+        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS DOUBLE) / 10000.0, 4) AS purchase_value,
+        round(max(value) FILTER (WHERE event_type = 'click'), 4) AS max_click
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q44_above_avg_parts" -> """
+      SELECT p_partkey, p_brand, p_retailprice FROM part
+      WHERE p_retailprice > (SELECT avg(p_retailprice) * 1.5 FROM part)
+      ORDER BY p_partkey""",
+
+    "q45_small_quantity_revenue" -> """
+      SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
+      FROM lineitem l1
+      WHERE l1.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey)""",
+
+    "q46_in_subquery" -> """
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem WHERE l_quantity >= 50.0 AND l_discount >= 0.09)
+      ORDER BY s_suppkey""",
+
+    "q47_exists_priority" -> """
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_discount > 0.06 AND l_quantity > 45.0)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q48_string_funcs" -> """
+      SELECT c_custkey,
+        upper(c_name) AS uname,
+        lower(c_mktsegment) AS lseg,
+        CAST(length(c_name) AS INTEGER) AS name_len,
+        substring(c_name, 1, 8) AS prefix,
+        c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS tag,
+        ltrim(rtrim(c_name)) AS trimmed,
+        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+        CAST(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS INTEGER) AS has_one
+      FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
+
+    "q49_date_funcs" -> """
+      SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+        CAST(extract(quarter FROM o_orderdate) AS INTEGER) AS o_quarter,
+        count(*) AS n,
+        min(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS first_month,
+        max(CAST(last_day(o_orderdate) AS DATE)) AS last_day_max
+      FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter""",
+
+    "q50_math_funcs" -> """
+      SELECT p_partkey,
+        round(abs(p_retailprice - 1000.0), 6) AS abs_dev,
+        CAST(ceil(p_retailprice) AS BIGINT) AS ceiled,
+        CAST(floor(p_retailprice) AS BIGINT) AS floored,
+        round(sqrt(p_retailprice), 9) AS sq,
+        round(ln(p_retailprice), 9) AS ln_price,
+        round(pow(CAST(p_size AS DOUBLE), 2.0), 6) AS size_sq,
+        CAST(p_partkey % 10 AS INTEGER) AS mod10,
+        CAST(sign(p_retailprice - 1000.0) AS INTEGER) AS sgn
+      FROM part WHERE p_partkey <= 500 ORDER BY p_partkey"""
+  )
+}

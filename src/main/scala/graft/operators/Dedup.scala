@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), n-gram Jaccard via inverted-index join, MinHash+LSH
+  * (shingle → k minhashes → bands → bucket join), and SimHash with banded
+  * candidate generation.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - Exact dedup groups on md5(text), never on the raw text — the shuffle
+  *    key is 32 bytes, not the document.
+  *  - Jaccard/MinHash never compare all pairs: candidates come from an
+  *    equi-join on shared shingles / band buckets, so cost is proportional
+  *    to true near-duplicate density, and hyper-frequent shingles are
+  *    droppable with a frequency cap (a HAVING on the inverted index).
+  *  - All hashing is arithmetic mod 1e9+7 so the identical algorithm runs
+  *    in the DuckDB oracle (no engine-specific hash functions).
+  */
+object Dedup {
+
+  private val toks = "filter(split(text, ' '), x -> x <> '')"
+
+  /** Word 3-gram shingles from a `toks` array column (0-indexed Spark). */
+  private val shingles =
+    """CASE WHEN size(toks) >= 3
+         THEN transform(sequence(3, size(toks)), i -> concat(toks[i-3], ' ', toks[i-2], ' ', toks[i-1]))
+         ELSE array(text) END"""
+
+  /** Polynomial hash of a string mod 1e9+7 — same formula as the oracle. */
+  private def polyHash(colName: String): String =
+    s"""aggregate(
+          transform(sequence(1, length($colName)), i -> CAST(ascii(substring($colName, i, 1)) AS BIGINT)),
+          0L, (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+  /** doc_id → distinct shingle fingerprints (the shared front half of the
+    * jaccard and minhash pipelines). */
+  private def shingleFps(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "documents")
+      .withColumn("toks", expr(toks))
+      .select(col("doc_id"), explode(expr(shingles)).as("shingle"))
+      .select(col("doc_id"), expr(polyHash("shingle")).as("fp"))
+      .distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- exact dedup: hash-groupBy on content digest --
+    "d01_exact_dedup" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies"), col("text_md5"))
+        .orderBy(col("keeper_id"))
+    },
+
+    // -- n-gram Jaccard near-dup via inverted-index self-join --
+    "d02_ngram_jaccard" -> { (s, dir) =>
+      val fps = shingleFps(s, dir)
+      val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = fps.select(col("doc_id").as("a_id"), col("fp"))
+      val b = fps.select(col("doc_id").as("b_id"), col("fp"))
+      val inter = a.join(b, Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- MinHash + LSH: k=12 signatures, 4 bands × 3 rows --
+    "d03_minhash_lsh" -> { (s, dir) =>
+      val fps = shingleFps(s, dir)
+      // k universal hashes h_j(f) = (a_j·f + b_j) mod p, coefficients are
+      // small deterministic odd numbers so the oracle reproduces them.
+      val sigs = fps
+        .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("j"), col("fp"))
+        .withColumn("h", expr("((1000003 * j + 12345) * fp + 7919 * j + 271) % 1000000007"))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(min(col("h")).as("sig"))
+      val bands = sigs
+        .withColumn("band", expr("j div 3"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("sig")))),
+          x => x.getField("sig").cast("string")), ",").as("band_key"))
+      val l = bands.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
+      val r = bands.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
+      l.join(r, Seq("band", "band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- SimHash (16-bit) + banded candidates on 8-bit halves --
+    "d04_simhash" -> { (s, dir) =>
+      val tokenHashes = Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .select(col("doc_id"), expr(polyHash("tok")).as("th"))
+      val sim = tokenHashes
+        .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("b"), col("th"))
+        .withColumn("bit_weight", expr("CASE WHEN (th div CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("bit_weight")).as("w"))
+        .withColumn("bit", when(col("w") > 0, lit(1L)).otherwise(lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("bit * CAST(pow(2, b) AS BIGINT)")).as("simhash"))
+      sim.select(col("doc_id"), col("simhash"),
+          expr("simhash div 256").as("hi_band"), expr("simhash % 256").as("lo_band"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "d01_exact_dedup" -> """
+      SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS text_md5
+      FROM documents GROUP BY md5(text) ORDER BY keeper_id""",
+
+    "d02_ngram_jaccard" -> s"""
+      WITH fps AS ($oracleShingleFps),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id,
+        round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+      ORDER BY a_id, b_id""",
+
+    "d03_minhash_lsh" -> s"""
+      WITH fps AS ($oracleShingleFps),
+      sigs AS (
+        SELECT doc_id, j, min(((1000003 * j + 12345) * fp + 7919 * j + 271) % 1000000007) AS sig
+        FROM fps, (SELECT unnest(generate_series(0, 11)) AS j)
+        GROUP BY doc_id, j),
+      bands AS (
+        SELECT doc_id, j // 3 AS band,
+          string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
+        FROM sigs GROUP BY doc_id, j // 3)
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ORDER BY a_id, b_id""",
+
+    "d04_simhash" -> s"""
+      WITH th AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, length(tok)), i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000007) AS th
+        FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents) t),
+      bits AS (
+        SELECT doc_id, b,
+          CAST(sum(CASE WHEN (th // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w
+        FROM th, (SELECT unnest(generate_series(0, 15)) AS b)
+        GROUP BY doc_id, b),
+      sim AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN w > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id)
+      SELECT doc_id, simhash, simhash // 256 AS hi_band, simhash % 256 AS lo_band
+      FROM sim ORDER BY doc_id"""
+  )
+
+  /** DuckDB rendition of `shingleFps` — identical algorithm. */
+  private def oracleShingleFps: String = """
+      SELECT DISTINCT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(shingle)), i -> CAST(ascii(substring(shingle, i, 1)) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+      FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(3, len(toks)), i -> toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i])
+            ELSE [text] END) AS shingle
+        FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents) a) b"""
+}

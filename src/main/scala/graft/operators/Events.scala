@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series / event-stream batch operators over the `events` table.
+  * The reference has no stream engine (SURVEY.md §2.10) — its incremental
+  * surface is IVM matviews + cron-refreshed dynamic tables; these queries
+  * are the batch semantics that the streaming layer (graft.streaming)
+  * incrementalizes. Sessionization and as-of joins are the operators a
+  * 100 TB event pipeline needs; both partition by user/time so they scale
+  * horizontally without a global sort.
+  */
+object Events {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- tumbling-window rollup (event-time bucketing) --
+    "e01_hourly_rollup" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4)").as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    // -- sessionization: 30-minute inactivity gap, window + prefix sum --
+    "e02_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withGap = Tables.df(s, dir, "events")
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1L)
+            .otherwise(0L))
+      withGap
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- as-of join: latest order at-or-before each event (MergeJoin range) --
+    "e03_asof_last_order" -> { (s, dir) =>
+      val e = Tables.df(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.df(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      // Join on user, keep orders at-or-before the event, take the latest
+      // (ties broken by orderkey). Equi-join on user shuffles both sides by
+      // the same key, so the range filter runs co-located — no broadcast of
+      // the big side at scale.
+      val joined = e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left_outer")
+      val w = Window.partitionBy(col("event_id")).orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      joined
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"),
+          col("o_orderdate").as("last_orderdate"))
+        .orderBy(col("event_id"))
+    },
+
+    // -- funnel: users who signed up before first purchase --
+    "e04_signup_purchase_funnel" -> { (s, dir) =>
+      val e = Tables.df(s, dir, "events")
+      val firstByType = e.filter(col("event_type").isin("signup", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      firstByType
+        .select(col("user_id"),
+          (col("first_signup").isNotNull).cast("int").as("signed_up"),
+          (col("first_purchase").isNotNull).cast("int").as("purchased"),
+          (col("first_signup").isNotNull && col("first_purchase").isNotNull
+            && col("first_signup") < col("first_purchase")).cast("int").as("converted"))
+        .orderBy(col("user_id"))
+    },
+
+    // -- event-type daily share (window over aggregate) --
+    "e05_daily_type_share" -> { (s, dir) =>
+      val daily = Tables.df(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("day"))
+      daily
+        .withColumn("day_total", sum(col("n")).over(w))
+        .select(col("day"), col("event_type"), col("n"),
+          round(col("n").cast("double") / col("day_total"), 9).as("share"))
+        .orderBy(col("day"), col("event_type"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "e01_hourly_rollup" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        count(*) AS n,
+        round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "e02_sessionize" -> """
+      SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        SELECT user_id,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+            CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 30*60*1000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, ts, event_id,
+              lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+            FROM events) a) b) c
+      GROUP BY user_id ORDER BY user_id""",
+
+    "e03_asof_last_order" -> """
+      SELECT event_id, user_id, last_orderkey, last_orderdate FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
+          o.o_orderdate AS last_orderdate,
+          row_number() OVER (PARTITION BY e.event_id
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+        LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+      WHERE rn = 1 ORDER BY event_id""",
+
+    "e04_signup_purchase_funnel" -> """
+      SELECT user_id,
+        CAST(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS signed_up,
+        CAST(CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS purchased,
+        CAST(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+             AND first_signup < first_purchase THEN 1 ELSE 0 END AS INTEGER) AS converted
+      FROM (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+          min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events WHERE event_type IN ('signup', 'purchase')
+        GROUP BY user_id) t
+      ORDER BY user_id""",
+
+    "e05_daily_type_share" -> """
+      SELECT day, event_type, n,
+        round(CAST(n AS DOUBLE) / day_total, 9) AS share
+      FROM (
+        SELECT day, event_type, n, sum(n) OVER (PARTITION BY day) AS day_total
+        FROM (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n
+          FROM events GROUP BY 1, 2) a) b
+      ORDER BY day, event_type"""
+  )
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, batch-shaped decode/feature-extract stages.
+  *
+  * The image/audio codec libraries are not available in this environment,
+  * so the decode step is a clearly-marked deterministic stub
+  * ([[decodeStub]]); everything around it — the binary column, the
+  * metadata struct schema, the partition-parallel map stage, the batch
+  * shape — is real Spark plumbing that a real codec would drop into.
+  * (Reference analog: bytea payloads + external protocols,
+  * `src/backend/access/external/url_custom.c`.)
+  */
+object Multimodal {
+
+  /** A typed media record: payload + metadata, as a 100 TB multimodal
+    * table would store it (binary column + struct column in parquet). */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String,
+                         width: Int, height: Int)
+
+  /** Deterministic fake feature extraction over raw bytes — STUB for a
+    * real image decoder (kept pure so tests are reproducible; a real
+    * implementation would decode `payload` with a codec here). */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) { checksum = (checksum * 31 + (payload(i) & 0xff)) % 1000000007L; i += 1 }
+    Array(payload.length.toDouble, checksum.toDouble,
+      if (payload.isEmpty) 0.0 else (payload(0) & 0xff).toDouble)
+  }
+
+  /** Binary pipeline as a library function: text → bytes → per-partition
+    * decode → feature columns. `mapPartitions` is the Spark analog of a
+    * batched decode UDF: one codec init per partition, vectorized batches
+    * inside. Exercised by ScalaTest (no SQL oracle — binary stage). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRecord] = Tables.df(spark, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("text/plain").as("mime"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+      .as[MediaRecord]
+    media.mapPartitions { it =>
+      // one "codec" per partition; rows stream through in batch shape
+      it.map { r =>
+        val f = decodeStub(r.payload)
+        (r.doc_id, r.mime, r.width, r.height, f(0).toLong, f(1).toLong, f(2).toLong)
+      }
+    }.toDF("doc_id", "mime", "width", "height", "n_bytes", "byte_checksum", "first_byte")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- binary metadata extraction (SQL-expressible slice of the above) --
+    "m01_binary_metadata" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
+          md5(encode(col("text"), "UTF-8")).as("payload_md5"),
+          (col("n_chars") % 640).cast("int").as("width"),
+          (col("n_chars") % 480).cast("int").as("height"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- full pipeline incl. mapPartitions decode stub (rows-only check:
+    //    the checksum matches t04's arithmetic, asserted in ScalaTest) --
+    "m02_media_features" -> { (s, dir) =>
+      mediaFeatures(s, dir).orderBy(col("doc_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "m01_binary_metadata" -> """
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        md5(text) AS payload_md5,
+        CAST(n_chars % 640 AS INTEGER) AS width,
+        CAST(n_chars % 480 AS INTEGER) AS height
+      FROM documents ORDER BY doc_id""",
+
+    // m02: byte-level checksum over UTF-8 bytes. The corpus is ASCII, so
+    // bytes == character codepoints and the rolling checksum is SQL-
+    // expressible via ascii(); a non-ASCII corpus would drop this oracle
+    // and rely on the rows-only check + ScalaTest.
+    "m02_media_features" -> """
+      SELECT doc_id, 'text/plain' AS mime,
+        CAST(n_chars % 640 AS INTEGER) AS width,
+        CAST(n_chars % 480 AS INTEGER) AS height,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(text)),
+              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) AS byte_checksum,
+        CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
+      FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - s01: brute-force cosine top-k — the correctness baseline. The query
+  *    set is broadcast against the corpus, so the corpus side streams:
+  *    at 100 TB this is one scan, no corpus shuffle.
+  *  - s02: LSH-bucketed ANN (sign random projection) — the scale path.
+  *    Vectors hash to a bucket from the signs of 8 deterministic
+  *    hyperplane dot products; candidate pairs only form within a bucket
+  *    (equi-join), turning O(N²) into O(Σ bucket²).
+  *
+  * Dot products run as codegen'd higher-order functions over the array
+  * column in double precision, left-to-right, so the DuckDB oracle
+  * reproduces them bit-for-bit before rounding.
+  */
+object Similarity {
+
+  /** Sum of elementwise products in doc order, all in double. */
+  private val dotExpr =
+    "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)"
+  private def normExpr(c: String) =
+    s"sqrt(aggregate($c, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- brute-force cosine top-5 for a fixed query set --
+    "s01_cosine_topk" -> { (s, dir) =>
+      val emb = Tables.df(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val scored = corpus.join(broadcast(queriesDf), col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    // -- LSH-bucketed ANN: 8 sign-random-projection bits → bucket join --
+    "s02_ann_lsh_buckets" -> { (s, dir) =>
+      val emb = Tables.df(s, dir, "embeddings")
+      // plane p, component j: small deterministic integers in [-6, 6]
+      val bucketExpr = """
+        aggregate(sequence(0, 7), 0L, (acc, p) ->
+          acc + CASE WHEN
+            aggregate(sequence(1, size(embedding)), 0D, (a, j) ->
+              a + CAST(embedding[j-1] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE))
+            > 0D THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END)"""
+      val bucketed = emb.select(col("vec_id"), col("label"), expr(bucketExpr).as("bucket"))
+      bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("bucket"))
+    },
+
+    // -- embedding-cosine near-duplicate pairs above a high threshold --
+    "s03_embedding_near_dup" -> { (s, dir) =>
+      val emb = Tables.df(s, dir, "embeddings").filter(col("vec_id") < 150)
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("q_emb"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("c_emb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cosine", round(
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
+        .filter(col("cosine") >= 0.95)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  )
+
+  private val oracleDot =
+    "list_sum(list_transform(generate_series(1, len(q_emb)), i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))"
+  private def oracleNorm(c: String) =
+    s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  def oracle: Map[String, String] = Map(
+    "s01_cosine_topk" -> s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+      scored AS (
+        SELECT q_id, c.vec_id AS c_id,
+          round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) AS cosine
+        FROM q JOIN (SELECT vec_id, embedding AS c_emb FROM embeddings) c
+          ON q_id <> c.vec_id),
+      ranked AS (
+        SELECT q_id, c_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM scored)
+      SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""",
+
+    "s02_ann_lsh_buckets" -> """
+      WITH bucketed AS (
+        SELECT vec_id, label,
+          list_sum(list_transform(generate_series(0, 7), p ->
+            CASE WHEN
+              list_sum(list_transform(generate_series(1, len(embedding)), j ->
+                CAST(embedding[j] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE)))
+              > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS bucket
+        FROM embeddings)
+      SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_vectors,
+        min(vec_id) AS min_vec, count(DISTINCT label) AS n_labels
+      FROM bucketed GROUP BY 1 ORDER BY bucket""",
+
+    "s03_embedding_near_dup" -> s"""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) AS cosine
+      FROM (SELECT vec_id, embedding AS q_emb FROM e) a
+      JOIN (SELECT vec_id, embedding AS c_emb FROM e) b ON a.vec_id < b.vec_id
+      WHERE round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) >= 0.95
+      ORDER BY a_id, b_id"""
+  )
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis for large-scale training-data pipelines over the
+  * `documents` table: tokenization, quality scoring, language-ID
+  * heuristics, and document fingerprinting (rolling hash).
+  *
+  * All operators are per-row expression pipelines (codegen-friendly
+  * higher-order functions, no UDFs, no shuffles except final ordering) —
+  * they scale linearly with data and never concentrate on the driver.
+  * The rolling hash uses arithmetic mod 1e9+7 so the identical
+  * computation is expressible in the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Tokens = whitespace split with empties removed (BPE-ish regex splits
+    * would shift per-engine; plain space split is oracle-stable). */
+  private val toks = "filter(split(text, ' '), x -> x <> '')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- token counting --
+    "t01_token_stats" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("bigint").as("n_distinct_tokens"),
+          round(expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double")
+            / greatest(size(col("toks")), lit(1)), 6).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- quality scoring: length / punctuation / stopword ratios --
+    "t02_quality_score" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("n_toks", greatest(size(col("toks")), lit(1)))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          round((length(col("text")) - length(translate(col("text"), ".,!?;:", ""))).cast("double")
+            / greatest(length(col("text")), lit(1)), 6).as("punct_ratio"),
+          round(expr("size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')))").cast("double")
+            / col("n_toks"), 6).as("stopword_ratio"),
+          round(size(array_distinct(col("toks"))).cast("double") / col("n_toks"), 6).as("ttr"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- language-ID heuristic: marker-token votes, deterministic argmax --
+    "t03_langid" -> { (s, dir) =>
+      val scored = Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("en_score", expr("size(filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'is')))"))
+        .withColumn("de_score", expr("size(filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist')))"))
+        .withColumn("es_score", expr("size(filter(toks, x -> x IN ('el', 'la', 'los', 'y', 'es')))"))
+        .withColumn("fr_score", expr("size(filter(toks, x -> x IN ('le', 'la', 'les', 'et', 'est')))"))
+      scored.select(
+          col("doc_id"),
+          col("lang").as("labeled_lang"),
+          when(col("de_score") > col("en_score") && col("de_score") >= col("es_score")
+               && col("de_score") >= col("fr_score"), "de")
+            .when(col("es_score") > col("en_score") && col("es_score") > col("de_score")
+               && col("es_score") >= col("fr_score"), "es")
+            .when(col("fr_score") > col("en_score") && col("fr_score") > col("de_score")
+               && col("fr_score") > col("es_score"), "fr")
+            .otherwise("en").as("detected_lang"),
+          col("en_score").cast("bigint").as("en_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- document fingerprint: rolling polynomial hash mod 1e9+7 --
+    "t04_fingerprint" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          expr("""aggregate(
+                    transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+                    0L, (acc, c) -> (acc * 31 + c) % 1000000007)""").as("fingerprint"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- word frequency: explode + top-k (ProjectSet ≙ Generator) --
+    "t05_top_words" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(explode(expr(toks)).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(30)
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "t01_token_stats" -> """
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+          / greatest(len(toks), 1), 6) AS avg_token_len
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents) t
+      ORDER BY doc_id""",
+
+    "t02_quality_score" -> """
+      SELECT doc_id, n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        round(CAST(length(text) - length(translate(text, '.,!?;:', '')) AS DOUBLE)
+          / greatest(length(text), 1), 6) AS punct_ratio,
+        round(CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS DOUBLE)
+          / greatest(len(toks), 1), 6) AS stopword_ratio,
+        round(CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS ttr
+      FROM (SELECT doc_id, n_chars, text,
+              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents) t
+      ORDER BY doc_id""",
+
+    "t03_langid" -> """
+      SELECT doc_id, labeled_lang,
+        CASE
+          WHEN de_score > en_score AND de_score >= es_score AND de_score >= fr_score THEN 'de'
+          WHEN es_score > en_score AND es_score > de_score AND es_score >= fr_score THEN 'es'
+          WHEN fr_score > en_score AND fr_score > de_score AND fr_score > es_score THEN 'fr'
+          ELSE 'en' END AS detected_lang,
+        CAST(en_score AS BIGINT) AS en_score
+      FROM (
+        SELECT doc_id, lang AS labeled_lang,
+          len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'is'))) AS en_score,
+          len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist'))) AS de_score,
+          len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'y', 'es'))) AS es_score,
+          len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS fr_score
+        FROM (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents) a) b
+      ORDER BY doc_id""",
+
+    "t04_fingerprint" -> """
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(text)),
+              i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+        md5(text) AS text_md5
+      FROM documents ORDER BY doc_id""",
+
+    "t05_top_words" -> """
+      SELECT word, count(*) AS n FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents) t
+      GROUP BY word ORDER BY n DESC, word LIMIT 30"""
+  )
+}
