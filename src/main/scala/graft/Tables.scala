@@ -25,11 +25,26 @@ object Tables {
     * DISTRIBUTED REPLICATED policy, `gp_distribution_policy.h:86-111`). */
   val replicated: Set[String] = Set("region", "nation")
 
+  /** Session confs every graft session needs. Applied once per session
+    * (guarded), not per-read — a reader function must not mutate global
+    * session state on every call.
+    *  - nanosAsLong: `events.ts` is parquet TIMESTAMP(NANOS), which the
+    *    vectorized reader rejects; read nanos as long and truncate to
+    *    microseconds (DuckDB's TIMESTAMP is microseconds too, so the
+    *    oracle agrees).
+    *  - runtime bloom filter: the reference's RuntimeFilter operator
+    *    (`src/backend/executor/nodeRuntimeFilter.c:134-305`) builds a
+    *    bloom filter on the hash-join build side and pushes it below the
+    *    probe scan; Spark's row-level runtime filter is the same design. */
+  def configure(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.graft.configured").contains("true")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.graft.configured", "true")
+    }
+
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read nanos as long and truncate to microseconds
-    // (DuckDB's TIMESTAMP is microseconds too, so the oracle agrees).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    configure(spark)
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

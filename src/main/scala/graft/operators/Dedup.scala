@@ -22,6 +22,10 @@ import graft.Tables
   */
 object Dedup {
 
+  /** Max document frequency for a shingle to stay in the inverted index
+    * (d02). Shared between the Spark query and the DuckDB oracle. */
+  val StopShingleCap = 50
+
   private val toks = "filter(split(text, ' '), x -> x <> '')"
 
   /** Word 3-gram shingles from a `toks` array column (0-indexed Spark). */
@@ -35,6 +39,23 @@ object Dedup {
     s"""aggregate(
           transform(sequence(1, length($colName)), i -> CAST(ascii(substring($colName, i, 1)) AS BIGINT)),
           0L, (acc, c) -> (acc * 31 + c) % 1000000007)"""
+
+  /** doc_id → 16-bit simhash + its two 8-bit bands (shared by d04/d05).
+    * Per-token polynomial hashes vote on each bit; bands are the halves. */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "documents")
+      .withColumn("toks", expr(toks))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), expr(polyHash("tok")).as("th"))
+      .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("b"), col("th"))
+      .withColumn("bit_weight", expr("CASE WHEN (th div CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("bit_weight")).as("w"))
+      .withColumn("bit", when(col("w") > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("bit * CAST(pow(2, b) AS BIGINT)")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        expr("simhash div 256").as("hi_band"), expr("simhash % 256").as("lo_band"))
 
   /** doc_id → distinct shingle fingerprints (the shared front half of the
     * jaccard and minhash pipelines). */
@@ -56,8 +77,18 @@ object Dedup {
     },
 
     // -- n-gram Jaccard near-dup via inverted-index self-join --
+    // Scale guard: a HAVING on the inverted index drops hyper-frequent
+    // ("stop") shingles BEFORE the self-join — one shingle shared by f docs
+    // contributes f² candidate pairs, so an uncapped hot shingle is a
+    // quadratic blowup at 100 TB (reference analog: stop-token handling in
+    // full-text ranking, `src/backend/utils/adt/tsrank.c`). Jaccard is then
+    // defined over the capped shingle universe: sizes and intersections
+    // both exclude stop-shingles, identically in the DuckDB oracle.
     "d02_ngram_jaccard" -> { (s, dir) =>
-      val fps = shingleFps(s, dir)
+      val all = shingleFps(s, dir)
+      val rare = all.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= StopShingleCap).select(col("fp"))
+      val fps = all.join(rare, Seq("fp"))
       val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = fps.select(col("doc_id").as("a_id"), col("fp"))
       val b = fps.select(col("doc_id").as("b_id"), col("fp"))
@@ -98,23 +129,38 @@ object Dedup {
         .orderBy(col("a_id"), col("b_id"))
     },
 
-    // -- SimHash (16-bit) + banded candidates on 8-bit halves --
+    // -- SimHash (16-bit) + band columns for candidate generation --
     "d04_simhash" -> { (s, dir) =>
-      val tokenHashes = Tables.df(s, dir, "documents")
-        .withColumn("toks", expr(toks))
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .select(col("doc_id"), expr(polyHash("tok")).as("th"))
-      val sim = tokenHashes
-        .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("b"), col("th"))
-        .withColumn("bit_weight", expr("CASE WHEN (th div CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("bit_weight")).as("w"))
-        .withColumn("bit", when(col("w") > 0, lit(1L)).otherwise(lit(0L)))
-        .groupBy(col("doc_id"))
-        .agg(sum(expr("bit * CAST(pow(2, b) AS BIGINT)")).as("simhash"))
-      sim.select(col("doc_id"), col("simhash"),
-          expr("simhash div 256").as("hi_band"), expr("simhash % 256").as("lo_band"))
-        .orderBy(col("doc_id"))
+      simhashDf(s, dir).orderBy(col("doc_id"))
+    },
+
+    // -- SimHash banded candidate pairs + Hamming verification --
+    // The scale path the d04 header promises: candidates only form where a
+    // full 8-bit band collides (two equi-joins, no all-pairs), then the
+    // 16-bit Hamming distance verifies candidates. At 100 TB the simhash
+    // widens to 64 bits with 16-bit bands so band buckets stay small; the
+    // plan shape (band equi-join → distinct → per-pair verify) is the same.
+    "d05_simhash_pairs" -> { (s, dir) =>
+      val sim = simhashDf(s, dir)
+      def side(idPre: String) = sim.select(
+        col("doc_id").as(idPre + "_id"), col("simhash").as(idPre + "_sim"),
+        col("hi_band"), col("lo_band"))
+      val l = side("a")
+      val r = side("b")
+      val hi = l.drop("lo_band").join(r.drop("lo_band"), Seq("hi_band"))
+      val lo = l.drop("hi_band").join(r.drop("hi_band"), Seq("lo_band"))
+      val cols = Seq(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
+      hi.select(cols: _*).union(lo.select(cols: _*))
+        .filter(col("a_id") < col("b_id"))
+        .distinct()
+        .withColumn("hamming", expr(
+          """aggregate(sequence(0, 15), 0L, (acc, b) ->
+               acc + CASE WHEN (a_sim div CAST(pow(2, b) AS BIGINT)) % 2
+                         <> (b_sim div CAST(pow(2, b) AS BIGINT)) % 2
+                     THEN 1L ELSE 0L END)"""))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 
@@ -124,7 +170,9 @@ object Dedup {
       FROM documents GROUP BY md5(text) ORDER BY keeper_id""",
 
     "d02_ngram_jaccard" -> s"""
-      WITH fps AS ($oracleShingleFps),
+      WITH all_fps AS ($oracleShingleFps),
+      rare AS (SELECT fp FROM all_fps GROUP BY fp HAVING count(*) <= $StopShingleCap),
+      fps AS (SELECT doc_id, fp FROM all_fps JOIN rare USING (fp)),
       sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
@@ -154,7 +202,31 @@ object Dedup {
       ORDER BY a_id, b_id""",
 
     "d04_simhash" -> s"""
-      WITH th AS (
+      WITH $oracleSimhashCtes
+      SELECT doc_id, simhash, hi_band, lo_band FROM banded ORDER BY doc_id""",
+
+    "d05_simhash_pairs" -> s"""
+      WITH $oracleSimhashCtes,
+      cands AS (
+        SELECT DISTINCT a_id, b_id, a_sim, b_sim FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
+          FROM banded a JOIN banded b ON a.hi_band = b.hi_band AND a.doc_id < b.doc_id
+          UNION ALL
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
+          FROM banded a JOIN banded b ON a.lo_band = b.lo_band AND a.doc_id < b.doc_id) u),
+      verified AS (
+        SELECT a_id, b_id,
+          CAST(list_sum(list_transform(generate_series(0, 15), b ->
+            CASE WHEN (a_sim // CAST(pow(2, b) AS BIGINT)) % 2
+                   <> (b_sim // CAST(pow(2, b) AS BIGINT)) % 2
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        FROM cands)
+      SELECT a_id, b_id, hamming FROM verified WHERE hamming <= 3
+      ORDER BY a_id, b_id"""
+  )
+
+  /** DuckDB rendition of `simhashDf` as chained CTEs ending in `banded`. */
+  private def oracleSimhashCtes: String = """th AS (
         SELECT doc_id,
           list_reduce(
             list_prepend(CAST(0 AS BIGINT),
@@ -170,10 +242,10 @@ object Dedup {
       sim AS (
         SELECT doc_id,
           CAST(sum(CASE WHEN w > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id)
-      SELECT doc_id, simhash, simhash // 256 AS hi_band, simhash % 256 AS lo_band
-      FROM sim ORDER BY doc_id"""
-  )
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, simhash, simhash // 256 AS hi_band, simhash % 256 AS lo_band
+        FROM sim)"""
 
   /** DuckDB rendition of `shingleFps` — identical algorithm. */
   private def oracleShingleFps: String = """

@@ -52,14 +52,19 @@ object Events {
       // Join on user, keep orders at-or-before the event, take the latest
       // (ties broken by orderkey). Equi-join on user shuffles both sides by
       // the same key, so the range filter runs co-located — no broadcast of
-      // the big side at scale.
+      // the big side at scale. The "latest" pick is a lexicographic
+      // max(struct) aggregate — map-side partial max collapses the pair
+      // explosion inside the join stage, and there is no second
+      // sort-shuffle (round-1 used row_number over a window, which added
+      // one). struct(null,null) from unmatched left rows sorts below any
+      // real order, preserving left-outer semantics.
       val joined = e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left_outer")
-      val w = Window.partitionBy(col("event_id")).orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       joined
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("o_orderkey").as("last_orderkey"),
-          col("o_orderdate").as("last_orderdate"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+        .select(col("event_id"), col("user_id"),
+          col("best.o_orderkey").as("last_orderkey"),
+          col("best.o_orderdate").as("last_orderdate"))
         .orderBy(col("event_id"))
     },
 

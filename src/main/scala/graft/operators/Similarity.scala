@@ -10,10 +10,12 @@ import graft.Tables
   *  - s01: brute-force cosine top-k — the correctness baseline. The query
   *    set is broadcast against the corpus, so the corpus side streams:
   *    at 100 TB this is one scan, no corpus shuffle.
-  *  - s02: LSH-bucketed ANN (sign random projection) — the scale path.
-  *    Vectors hash to a bucket from the signs of 8 deterministic
-  *    hyperplane dot products; candidate pairs only form within a bucket
-  *    (equi-join), turning O(N²) into O(Σ bucket²).
+  *  - s02: LSH bucketing (sign random projection) — bucket occupancy
+  *    stats. Vectors hash to a bucket from the signs of 8 deterministic
+  *    hyperplane dot products.
+  *  - s03: the scale path exercised end to end — candidate pairs form
+  *    ONLY within a bucket (equi-join on the s02 bucket key), then cosine
+  *    verifies candidates, turning O(N²) into O(Σ bucket²).
   *
   * Dot products run as codegen'd higher-order functions over the array
   * column in double precision, left-to-right, so the DuckDB oracle
@@ -45,29 +47,29 @@ object Similarity {
         .orderBy(col("q_id"), col("rn"))
     },
 
-    // -- LSH-bucketed ANN: 8 sign-random-projection bits → bucket join --
+    // -- LSH-bucketed ANN: 8 sign-random-projection bits → bucket stats --
     "s02_ann_lsh_buckets" -> { (s, dir) =>
-      val emb = Tables.df(s, dir, "embeddings")
-      // plane p, component j: small deterministic integers in [-6, 6]
-      val bucketExpr = """
-        aggregate(sequence(0, 7), 0L, (acc, p) ->
-          acc + CASE WHEN
-            aggregate(sequence(1, size(embedding)), 0D, (a, j) ->
-              a + CAST(embedding[j-1] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE))
-            > 0D THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END)"""
-      val bucketed = emb.select(col("vec_id"), col("label"), expr(bucketExpr).as("bucket"))
+      val bucketed = bucketedDf(s, dir)
       bucketed.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"),
           countDistinct(col("label")).as("n_labels"))
         .orderBy(col("bucket"))
     },
 
-    // -- embedding-cosine near-duplicate pairs above a high threshold --
+    // -- embedding near-dup: LSH-bucket candidates, cosine-verified --
+    // Candidate pairs only form inside an LSH bucket (equi-join on the s02
+    // bucket key), then cosine ≥ 0.95 verifies candidates — O(Σ bucket²)
+    // instead of the all-pairs O(N²) cartesian round 1 shipped. The oracle
+    // reproduces the identical deterministic bucketing, so this is the ANN
+    // semantics (near-dups whose 8 projection signs all agree), hash-checked
+    // end to end. At 100 TB the bucket key widens (more planes / multiple
+    // band tables) to keep buckets small; the plan shape is unchanged.
     "s03_embedding_near_dup" -> { (s, dir) =>
-      val emb = Tables.df(s, dir, "embeddings").filter(col("vec_id") < 150)
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("q_emb"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("c_emb"))
-      a.join(b, col("a_id") < col("b_id"))
+      val bucketed = bucketedDf(s, dir)
+      val a = bucketed.select(col("vec_id").as("a_id"), col("embedding").as("q_emb"), col("bucket"))
+      val b = bucketed.select(col("vec_id").as("b_id"), col("embedding").as("c_emb"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
         .withColumn("cosine", round(
           expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
         .filter(col("cosine") >= 0.95)
@@ -75,6 +77,20 @@ object Similarity {
         .orderBy(col("a_id"), col("b_id"))
     }
   )
+
+  /** vec_id, label, embedding + deterministic 8-bit sign-projection bucket
+    * (plane p, component j: pseudo-random weights in [-6, 6]). Shared by
+    * s02 (bucket stats) and s03 (bucket-join candidate generation). */
+  private def bucketedDf(s: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = """
+      aggregate(sequence(0, 7), 0L, (acc, p) ->
+        acc + CASE WHEN
+          aggregate(sequence(1, size(embedding)), 0D, (a, j) ->
+            a + CAST(embedding[j-1] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE))
+          > 0D THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END)"""
+    Tables.df(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"), expr(bucketExpr).as("bucket"))
+  }
 
   private val oracleDot =
     "list_sum(list_transform(generate_series(1, len(q_emb)), i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))"
@@ -109,12 +125,21 @@ object Similarity {
       FROM bucketed GROUP BY 1 ORDER BY bucket""",
 
     "s03_embedding_near_dup" -> s"""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
-      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) AS cosine
-      FROM (SELECT vec_id, embedding AS q_emb FROM e) a
-      JOIN (SELECT vec_id, embedding AS c_emb FROM e) b ON a.vec_id < b.vec_id
-      WHERE round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) >= 0.95
+      WITH bucketed AS (
+        SELECT vec_id, embedding,
+          list_sum(list_transform(generate_series(0, 7), p ->
+            CASE WHEN
+              list_sum(list_transform(generate_series(1, len(embedding)), j ->
+                CAST(embedding[j] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE)))
+              > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS bucket
+        FROM embeddings)
+      SELECT a_id, b_id, cosine FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) AS cosine
+        FROM (SELECT vec_id, embedding AS q_emb, bucket FROM bucketed) a
+        JOIN (SELECT vec_id, embedding AS c_emb, bucket FROM bucketed) b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+      WHERE cosine >= 0.95
       ORDER BY a_id, b_id"""
   )
 }
