@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Cross-query semantic invariants — relations that must hold between
+  * independent pipelines over the same base data. These catch logic bugs
+  * a per-query snapshot can't (e.g. a dedup grouping that silently drops
+  * rows still reproduces ITS OWN wrong count). */
+class InvariantsSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  test("d01: copies partition the corpus (sum of n_copies == total docs)") {
+    val total = Tables.df(spark, Sf, "documents").count()
+    val summed = q("d01_exact_dedup").agg(sum("n_copies")).head.getLong(0)
+    assert(summed == total)
+  }
+
+  test("e02: session events partition the event stream") {
+    val total = Tables.df(spark, Sf, "events").count()
+    val summed = q("e02_sessionize").agg(sum("n_events")).head.getLong(0)
+    assert(summed == total)
+  }
+
+  test("e02: session counts are positive and bounded by event counts") {
+    assert(q("e02_sessionize")
+      .filter(col("n_sessions") < 1 || col("n_sessions") > col("n_events"))
+      .count() == 0)
+  }
+
+  test("e04: funnel flags are monotone (converted implies both stages)") {
+    assert(q("e04_signup_purchase_funnel")
+      .filter(col("converted") === 1 && (col("signed_up") === 0 || col("purchased") === 0))
+      .count() == 0)
+  }
+
+  test("q38: rollup grand total equals orders count") {
+    val total = Tables.df(spark, Sf, "orders").count()
+    val grand = q("q38_rollup_orders")
+      .filter(col("o_orderstatus").isNull && col("o_orderpriority").isNull)
+      .select("n").head.getLong(0)
+    assert(grand == total)
+  }
+
+  test("q39: cube grand total equals lineitem count") {
+    val total = Tables.df(spark, Sf, "lineitem").count()
+    val grand = q("q39_cube_lineitem")
+      .filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+      .select("n").head.getLong(0)
+    assert(grand == total)
+  }
+
+  test("t01: distinct tokens never exceed total tokens") {
+    assert(q("t01_token_stats")
+      .filter(col("n_distinct_tokens") > col("n_tokens")).count() == 0)
+  }
+
+  test("t02: ratios live in [0, 1]") {
+    assert(q("t02_quality_score")
+      .filter(col("punct_ratio") < 0 || col("punct_ratio") > 1
+        || col("stopword_ratio") < 0 || col("stopword_ratio") > 1
+        || col("ttr") < 0 || col("ttr") > 1).count() == 0)
+  }
+
+  test("s01: exactly 5 ranked neighbors per query vector, rn dense in 1..5") {
+    val bad = q("s01_cosine_topk").groupBy("q_id")
+      .agg(count(lit(1)).as("n"), min("rn").as("lo"), max("rn").as("hi"))
+      .filter(col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5)
+    assert(bad.count() == 0)
+    assert(q("s01_cosine_topk").select("q_id").distinct().count() == 20)
+  }
+
+  test("s03 near-dup pairs are a subset of same-bucket candidates with high cosine") {
+    // every returned pair must be ordered and carry cosine >= 0.95
+    assert(q("s03_embedding_near_dup")
+      .filter(col("a_id") >= col("b_id") || col("cosine") < 0.95).count() == 0)
+  }
+
+  test("d05: hamming distances are within the 16-bit band bound") {
+    assert(q("d05_simhash_pairs")
+      .filter(col("hamming") < 0 || col("hamming") > 3).count() == 0)
+  }
+
+  test("q17/q18: intersect and except partition customer nations consistently") {
+    // EXCEPT result and INTERSECT result of the same inputs are disjoint
+    val except = q("q18_except_nations").select(col("nationkey"))
+    val cust = Tables.df(spark, Sf, "customer")
+      .select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+    val supp = Tables.df(spark, Sf, "supplier")
+      .select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+    val inter = cust.intersect(supp)
+    assert(except.intersect(inter).count() == 0)
+  }
+
+  test("r01: every collatz chain terminates at 1 or at the depth cap") {
+    val r = q("r01_recursive_collatz")
+    val finals = r.groupBy(col("seed"))
+      .agg(max_by(col("val"), col("step")).as("final_val"),
+        max(col("step")).as("final_step"))
+      .filter(col("final_val") > 1L && col("final_step") < 10)
+    assert(finals.count() == 0,
+      "a chain stopped early without reaching 1 or the recursion depth cap")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the Spark analog of ORCA's plan
+  * unit tests (`src/backend/gporca/server/src/unittest/gpopt/`, 381 DXL
+  * minidumps asserting the chosen plan). Correct rows are not enough:
+  * these pin the *scale* properties — pushdown reaching the scan,
+  * broadcast joins where a side is dimension-sized, null-aware anti
+  * semantics, and above all NO all-pairs joins in the dedup/similarity
+  * pipelines (the round-1 scale-killers).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def plan(name: String): String =
+    finalPlan(SparkEntry.queries(name)(spark, Sf))
+
+  test("q02: filters are pushed down to the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan") || p.contains("GreaterThanOrEqual"),
+      s"expected pushed comparison filters in:\n$p")
+  }
+
+  test("q02: scan reads only the projected+filtered columns") {
+    val p = plan("q02_filter_pushdown")
+    // ReadSchema must not include unreferenced wide columns like l_comment
+    assert(!p.contains("l_comment"), s"column pruning failed:\n$p")
+  }
+
+  test("q03: dimension side is broadcast (BroadcastHashJoin)") {
+    assert(plan("q03_shipping_priority").contains("BroadcastHashJoin"))
+  }
+
+  test("q05: star join uses broadcast hash joins, no sort-merge on dims") {
+    val p = plan("q05_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q08: NOT IN compiles to a null-aware anti join") {
+    val p = plan("q08_notin_suppliers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.toLowerCase.contains("null-aware") || p.contains("NAAJ")
+      || p.contains("isnull"), s"expected null-aware anti join in:\n$p")
+  }
+
+  test("q01: aggregation is split partial/final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), s"expected partial aggregate in:\n$p")
+  }
+
+  for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_pairs",
+    "s02_ann_lsh_buckets", "s03_embedding_near_dup")) {
+    test(s"$name: no all-pairs join (CartesianProduct / BroadcastNestedLoop)") {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in $name:\n$p")
+    }
+  }
+
+  test("s01: corpus side streams — only the 20-row query set is broadcast") {
+    val p = plan("s01_cosine_topk")
+    // the theta join (q_id != c_id) must be a broadcast NLJ with the tiny
+    // query side built, never a cartesian of corpus x corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e03: as-of join has no window operator (single-shuffle max_by plan)") {
+    val p = plan("e03_asof_last_order")
+    assert(!p.contains("Window"), s"expected no WindowExec in e03:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      s"expected map-side partial max in e03:\n$p")
+  }
+
+  test("q21: global sort+limit compiles to TakeOrderedAndProject") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("base scans expose row-group statistics filters (zone-map analog)") {
+    // reference: PAX sparse filters / AOCS block directory; in Spark the
+    // parquet scan itself must carry the pushed predicates
+    val df = Tables.df(spark, Sf, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
+    assert(finalPlan(df).contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression gate for every `SparkEntry.queries` entry: each query runs
+  * at sf0.001 and must reproduce its snapshotted row count and column
+  * names (the driver's DuckDB hash-compare sorts columns by name, so a
+  * renamed column is as fatal as a wrong value). Snapshot counts were
+  * captured from the DuckDB-oracle-verified run of 2026-08-12.
+  *
+  * Analog of the reference's golden-output regress layer
+  * (`src/test/regress/`, 623 suites driven by pg_regress + atmsort).
+  */
+class QueriesSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  // name -> (expected rows at sf0.001, expected column names in order)
+  val expected: Map[String, (Long, Seq[String])] = Map(
+    "d01_exact_dedup" -> (500L, Seq("keeper_id", "n_copies", "text_md5")),
+    "d02_ngram_jaccard" -> (28L, Seq("a_id", "b_id", "jaccard")),
+    "d03_minhash_lsh" -> (40L, Seq("a_id", "b_id")),
+    "d04_simhash" -> (500L, Seq("doc_id", "simhash", "hi_band", "lo_band")),
+    "d05_simhash_pairs" -> (11992L, Seq("a_id", "b_id", "hamming")),
+    "e01_hourly_rollup" -> (868L, Seq("hour", "event_type", "n", "total_value")),
+    "e02_sessionize" -> (15L, Seq("user_id", "n_sessions", "n_events")),
+    "e03_asof_last_order" -> (202L, Seq("event_id", "user_id", "last_orderkey", "last_orderdate")),
+    "e04_signup_purchase_funnel" -> (15L, Seq("user_id", "signed_up", "purchased", "converted")),
+    "e05_daily_type_share" -> (150L, Seq("day", "event_type", "n", "share")),
+    "m01_binary_metadata" -> (500L, Seq("doc_id", "n_bytes", "payload_md5", "width", "height")),
+    "m02_media_features" -> (500L, Seq("doc_id", "mime", "width", "height", "n_bytes", "byte_checksum", "first_byte")),
+    "q01_pricing_summary" -> (6L, Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order")),
+    "q02_filter_pushdown" -> (12L, Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+    "q03_shipping_priority" -> (10L, Seq("l_orderkey", "o_orderdate", "revenue")),
+    "q05_local_supplier_volume" -> (1L, Seq("n_name", "revenue")),
+    "q06_revenue_delta" -> (1L, Seq("revenue")),
+    "q07_customers_without_orders" -> (0L, Seq("c_nationkey", "n_customers")),
+    "q08_notin_suppliers" -> (0L, Seq("s_suppkey", "s_name")),
+    "q09_profit_by_nation_year" -> (70L, Seq("nation", "o_year", "profit")),
+    "q10_nation_customer_counts" -> (25L, Seq("n_nationkey", "n_name", "n_rich_customers")),
+    "q11_right_join_suppliers" -> (25L, Seq("n_nationkey", "n_name", "n_suppliers")),
+    "q12_full_outer_activity" -> (150L, Seq("custkey", "n_fulfilled", "n_open")),
+    "q13_region_nation_matrix" -> (125L, Seq("r_name", "n_name", "is_home")),
+    "q14_segment_distinct" -> (5L, Seq("c_mktsegment", "n_nations", "n_customers", "total_balance")),
+    "q15_multi_distinct" -> (3L, Seq("l_returnflag", "n_parts", "n_suppliers", "n_orders", "avg_qty")),
+    "q16_union_all_parties" -> (35L, Seq("nationkey", "party", "n")),
+    "q17_intersect_buyers" -> (34L, Seq("custkey")),
+    "q18_except_nations" -> (15L, Seq("nationkey")),
+    "q19_except_all_flags" -> (3L, Seq("flag", "n")),
+    "q20_distinct_pairs" -> (6L, Seq("l_returnflag", "l_linestatus")),
+    "q21_limit_offset" -> (100L, Seq("o_orderkey", "o_custkey", "o_totalprice")),
+    "q22_frequent_buyers" -> (1L, Seq("o_custkey", "n_orders", "spend")),
+    "q23_priority_weights" -> (5L, Seq("priority", "weight", "n_orders", "weight_sum")),
+    "q24_series_buckets" -> (7L, Seq("bucket", "n", "total")),
+    "q25_systematic_sample" -> (16L, Seq("o_orderkey", "o_custkey", "o_orderstatus")),
+    "q30_window_rank" -> (50L, Seq("c_custkey", "c_mktsegment", "c_acctbal", "rn", "rnk", "drnk")),
+    "q31_running_spend" -> (1021L, Seq("o_custkey", "o_orderkey", "running_spend")),
+    "q32_range_frame_peers" -> (150L, Seq("c_custkey", "c_mktsegment", "c_acctbal", "peers_within_100")),
+    "q33_event_deltas" -> (1000L, Seq("user_id", "event_id", "value", "prev_value", "next_value")),
+    "q34_order_quartiles" -> (1500L, Seq("o_orderkey", "o_orderstatus", "quartile", "pct_rank", "cdist")),
+    "q35_first_last_order" -> (150L, Seq("o_custkey", "first_order", "last_order", "second_order")),
+    "q36_top_parts_per_brand" -> (75L, Seq("p_brand", "p_partkey", "p_retailprice", "rn")),
+    "q37_grouping_sets" -> (10L, Seq("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")),
+    "q38_rollup_orders" -> (19L, Seq("o_orderstatus", "o_orderpriority", "n", "total")),
+    "q39_cube_lineitem" -> (12L, Seq("l_returnflag", "l_linestatus", "n", "sum_qty")),
+    "q40_quantity_percentiles" -> (3L, Seq("l_returnflag", "p25", "p50", "p75", "p90", "qmin", "qmax")),
+    "q41_quantity_mode" -> (3L, Seq("l_returnflag", "mode_qty", "mode_count")),
+    "q42_pivot_status" -> (3L, Seq("l_returnflag", "F", "O")),
+    "q43_conditional_agg" -> (15L, Seq("user_id", "n_events", "n_purchases", "purchase_value", "max_click")),
+    "q44_above_avg_parts" -> (0L, Seq("p_partkey", "p_brand", "p_retailprice")),
+    "q45_small_quantity_revenue" -> (1L, Seq("avg_yearly")),
+    "q46_in_subquery" -> (10L, Seq("s_suppkey", "s_name")),
+    "q47_exists_priority" -> (5L, Seq("o_orderpriority", "n_orders")),
+    "q48_string_funcs" -> (150L, Seq("c_custkey", "uname", "lseg", "name_len", "prefix", "tag", "trimmed", "padded", "masked", "has_one")),
+    "q49_date_funcs" -> (27L, Seq("o_year", "o_quarter", "n", "first_month", "last_day_max")),
+    "q50_math_funcs" -> (200L, Seq("p_partkey", "abs_dev", "ceiled", "floored", "sq", "ln_price", "size_sq", "mod10", "sgn")),
+    "r01_recursive_collatz" -> (1023L, Seq("seed", "step", "val")),
+    "s01_cosine_topk" -> (100L, Seq("q_id", "c_id", "cosine", "rn")),
+    "s02_ann_lsh_buckets" -> (161L, Seq("bucket", "n_vectors", "min_vec", "n_labels")),
+    "s03_embedding_near_dup" -> (0L, Seq("a_id", "b_id", "cosine")),
+    "t01_token_stats" -> (500L, Seq("doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len")),
+    "t02_quality_score" -> (500L, Seq("doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "ttr")),
+    "t03_langid" -> (500L, Seq("doc_id", "labeled_lang", "detected_lang", "en_score")),
+    "t04_fingerprint" -> (500L, Seq("doc_id", "fingerprint", "text_md5")),
+    "t05_top_words" -> (30L, Seq("word", "n"))
+  )
+
+  test("every declared query has a snapshot and vice versa") {
+    val qs = SparkEntry.queries.keySet
+    val missingSnapshot = qs -- expected.keySet
+    val extraSnapshot = expected.keySet -- qs
+    assert(missingSnapshot.isEmpty, s"queries without a snapshot: $missingSnapshot")
+    assert(extraSnapshot.isEmpty, s"snapshots without a query: $extraSnapshot")
+  }
+
+  test("every query with an oracle entry, and no orphan oracle entries") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql entries with no query: $orphans")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, (rows, cols)) <- expected.toSeq.sortBy(_._1)) {
+    test(s"$name: schema and row count at sf0.001") {
+      val df = SparkEntry.queries(name)(spark, Sf)
+      assert(df.columns.toSeq == cols, s"$name columns changed")
+      assert(df.count() == rows, s"$name row count changed")
+    }
+  }
+}
