@@ -26,7 +26,9 @@ object SparkEntry {
     (operators.Dedup.queries, operators.Dedup.oracle),
     (operators.Similarity.queries, operators.Similarity.oracle),
     (operators.Multimodal.queries, operators.Multimodal.oracle),
-    (operators.Recursive.queries, operators.Recursive.oracle)
+    (operators.Recursive.queries, operators.Recursive.oracle),
+    (operators.Partitioned.queries, operators.Partitioned.oracle),
+    (operators.PgCompat.queries, operators.PgCompat.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+
+/** PG function-compat layer (SURVEY.md §2.9): the reference's scalar
+  * surface (`src/backend/utils/adt/` — formatting.c, timestamp.c,
+  * varlena.c) re-expressed as native Catalyst expressions and
+  * registrations, never UDFs, so everything stays codegen'd.
+  *
+  * Functions are registered into the session's FunctionRegistry (the
+  * `CREATE FUNCTION` catalog analog); `register` is idempotent and safe
+  * to call from every query entry.
+  */
+object PgFunctions {
+
+  /** PG `string_to_array(str, delim)` nuances on top of `split`:
+    * empty input → empty array (Spark/DuckDB split would give [""]). */
+  private def stringToArray(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "string_to_array(str, delim)")
+    val Seq(str, delim) = args
+    CaseWhen(
+      Seq((EqualTo(str, Literal.create("", org.apache.spark.sql.types.StringType)),
+        Literal.create(Array.empty[String],
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))),
+      Some(StringSplit(str, delim, Literal(-1))))
+  }
+
+  /** PG `generate_series(start, stop[, step])` as a generator (SRF in the
+    * target list, reference nodeFunctionscan.c/nodeProjectSet.c):
+    * explode over a codegen'd Sequence — rows stream, nothing collects. */
+  private def generateSeries(args: Seq[Expression]): Expression = {
+    val seq = args match {
+      case Seq(start, stop) => new Sequence(start, stop)
+      case Seq(start, stop, step) => new Sequence(start, stop, step)
+      case _ => throw new IllegalArgumentException("generate_series(start, stop[, step])")
+    }
+    Explode(seq)
+  }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // explicit input casts (the expressions skip Spark's private
+    // ImplicitCastInputTypes machinery)
+    "pg_to_char" -> { args =>
+      PgToChar(Cast(args(0), org.apache.spark.sql.types.DoubleType), args(1)) },
+    "pg_age" -> { args =>
+      PgAge(Cast(args(0), org.apache.spark.sql.types.TimestampType),
+        Cast(args(1), org.apache.spark.sql.types.TimestampType)) },
+    "string_to_array" -> stringToArray,
+    "generate_series" -> generateSeries
+  )
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.graft.pgfunctions").contains("true")) {
+      val registry = spark.sessionState.functionRegistry
+      builders.foreach { case (name, builder) =>
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      spark.conf.set("spark.graft.pgfunctions", "true")
+    }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Partitioned tables + dynamic partition pruning (DPP).
+  *
+  * Reference: GP's defining scan family — a partitioned table is scanned
+  * through DynamicSeqScan with the surviving partitions computed at
+  * runtime by a PartitionSelector on the join's other side
+  * (`src/backend/executor/nodeDynamicSeqscan.c:1-315`,
+  * `nodePartitionSelector.c:1-20`, exercised by
+  * `src/test/regress/sql/partition_pruning.sql`). Spark's native analog
+  * is hive-style directory partitioning + DynamicPruningExpression: the
+  * dimension side's filter result is broadcast and used as a runtime IN
+  * filter on the fact scan's partition column, so only surviving
+  * directories are read.
+  *
+  * At 100 TB the fact table IS partitioned (by day/month) — this module
+  * materializes that layout once per SF under target/derived (build-once
+  * derived data, the repo's scratch space) and runs the canonical
+  * star-join against it. Static pruning (p01) and dynamic pruning (p02)
+  * both produce plans that read a fraction of the partitions; the
+  * ScalaTest plan asserts pin DynamicPruningExpression presence.
+  */
+object Partitioned {
+
+  /** Root for derived partitioned copies, keyed by SF so sf0.001 tests
+    * and sf0.01 verification don't collide. */
+  private def derivedDir(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"target/derived/$tag"
+  }
+
+  /** Build-once: orders partitioned by month (hive-style directories).
+    * o_month is a derived partition column, the GP
+    * `PARTITION BY RANGE (o_orderdate) (START ... EVERY '1 month')`
+    * translation (`src/backend/parser/gram.y:6610,6652`). */
+  def ordersByMonth(s: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${derivedDir(sfDir)}/orders_by_month"
+    val marker = new java.io.File(path + "/_SUCCESS")
+    if (!marker.exists()) {
+      Tables.df(s, sfDir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Build-once month dimension (parquet-backed so filters survive to the
+    * physical plan and can seed DPP). */
+  def monthDimTable(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${derivedDir(sfDir)}/month_dim"
+    val marker = new java.io.File(path + "/_SUCCESS")
+    if (!marker.exists()) {
+      (1 to 12).map { m =>
+        (f"1997-$m%02d", if (m >= 6 && m <= 8) "peak" else "offpeak")
+      }.toDF("m_month", "season")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- static partition pruning: filter on the partition column --
+    "p01_partition_pruning" -> { (s, dir) =>
+      ordersByMonth(s, dir)
+        .filter(col("o_month") >= "1997-01" && col("o_month") <= "1997-03")
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)").as("total"))
+        .orderBy(col("o_month"))
+    },
+
+    // -- dynamic partition pruning: surviving months come from a joined,
+    //    filtered dimension at runtime (PartitionSelector ≙ DPP) --
+    "p02_dynamic_pruning" -> { (s, dir) =>
+      // dimension: month → season, only "peak" months survive the filter;
+      // the fact scan must prune to those months AT RUNTIME. The dim is
+      // file-backed: Spark's DPP rule keys on a selective Filter over a
+      // scan — a LocalRelation would constant-fold the filter away and
+      // never trigger pruning.
+      val monthDim = monthDimTable(s, dir)
+      val fact = ordersByMonth(s, dir)
+      fact.join(monthDim.filter(col("season") === "peak"),
+          col("o_month") === col("m_month"))
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("o_month"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "p01_partition_pruning" -> """
+      SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1997-01' AND '1997-03'
+      GROUP BY 1 ORDER BY o_month""",
+
+    "p02_dynamic_pruning" -> """
+      SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,
+        count(DISTINCT o_custkey) AS n_customers
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') IN ('1997-06', '1997-07', '1997-08')
+      GROUP BY 1 ORDER BY o_month"""
+  )
+}

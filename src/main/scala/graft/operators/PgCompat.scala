@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.PgFunctions
+
+/** PG function-compat queries exercising the custom Catalyst expressions
+  * in graft.functions (SURVEY.md §2.9, build-plan step 3): numeric
+  * to_char templates, calendar age(), string_to_array, and
+  * generate_series as a SQL-visible SRF. Each runs fully codegen'd —
+  * `.explain` shows a single WholeStageCodegen span over the project.
+  */
+object PgCompat {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- to_char numeric templates (formatting.c) --
+    "q51_to_char" -> { (s, dir) =>
+      PgFunctions.register(s)
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          pg_to_char(o_totalprice, '0000000000.00') AS padded,
+          pg_to_char(o_totalprice, 'FM9999999990.00') AS plain
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
+    },
+
+    // -- age(): symbolic calendar interval (timestamp.c timestamp_age) --
+    "q52_age" -> { (s, dir) =>
+      PgFunctions.register(s)
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          pg_age(TIMESTAMP '1998-12-31 00:00:00', o_orderdate).years AS age_years,
+          pg_age(TIMESTAMP '1998-12-31 00:00:00', o_orderdate).months AS age_months,
+          pg_age(TIMESTAMP '1998-12-31 00:00:00', o_orderdate).days AS age_days
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
+    },
+
+    // -- generate_series as an SRF in the target list (nodeProjectSet.c) --
+    "q53_generate_series" -> { (s, dir) =>
+      PgFunctions.register(s)
+      s.sql("""
+        SELECT i, i * i AS sq
+        FROM (SELECT generate_series(1L, 1000L) AS i)
+        WHERE i % 7 = 0 ORDER BY i""")
+    },
+
+    // -- string_to_array with the PG empty-input nuance --
+    "q54_string_to_array" -> { (s, dir) =>
+      PgFunctions.register(s)
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          string_to_array(o_orderpriority, '-')[0] AS prio_code,
+          size(string_to_array(o_orderpriority, '-')) AS n_parts,
+          size(string_to_array('', '-')) AS empty_sz
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    // cents-integer mirror of the to_char templates: non-FM reserves a
+    // leading sign column (space for positives), FM suppresses it
+    "q51_to_char" -> """
+      SELECT o_orderkey,
+        ' ' || lpad(CAST(cents // 100 AS VARCHAR), 10, '0') || '.' ||
+          lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS padded,
+        CAST(cents // 100 AS VARCHAR) || '.' ||
+          lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS plain
+      FROM (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey <= 2000)
+      ORDER BY o_orderkey""",
+
+    "q52_age" -> """
+      SELECT o_orderkey,
+        CAST(date_part('year', age(TIMESTAMP '1998-12-31', o_orderdate)) AS INTEGER) AS age_years,
+        CAST(date_part('month', age(TIMESTAMP '1998-12-31', o_orderdate)) AS INTEGER) AS age_months,
+        CAST(date_part('day', age(TIMESTAMP '1998-12-31', o_orderdate)) AS INTEGER) AS age_days
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+    "q53_generate_series" -> """
+      SELECT i, i * i AS sq
+      FROM (SELECT unnest(generate_series(1, 1000)) AS i) t
+      WHERE i % 7 = 0 ORDER BY i""",
+
+    "q54_string_to_array" -> """
+      SELECT o_orderkey,
+        string_split(o_orderpriority, '-')[1] AS prio_code,
+        CAST(len(string_split(o_orderpriority, '-')) AS INTEGER) AS n_parts,
+        0 AS empty_sz
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""
+  )
+}

@@ -79,6 +79,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("p01: static partition pruning — scan carries PartitionFilters") {
+    val p = plan("p01_partition_pruning")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("o_month"), p)
+  }
+
+  test("p02: dynamic partition pruning — DynamicPruningExpression in scan") {
+    val p = plan("p02_dynamic_pruning")
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      s"expected a DPP filter on the fact scan (nodePartitionSelector analog):\n$p")
+  }
+
+  test("q51/q52: custom pg expressions stay inside WholeStageCodegen") {
+    // codegen'd stages print as `*(n)` in the physical plan; the custom
+    // expression must sit inside one (no CodegenFallback eval in the
+    // projection hot path)
+    val p1 = plan("q51_to_char")
+    assert(p1.contains("*(1) Project") && p1.contains("pg_to_char"), p1)
+    val p2 = plan("q52_age")
+    assert(p2.contains("*(1) Project") && p2.contains("pg_age"), p2)
+  }
+
   test("base scans expose row-group statistics filters (zone-map analog)") {
     // reference: PAX sparse filters / AOCS block directory; in Spark the
     // parquet scan itself must carry the pushed predicates

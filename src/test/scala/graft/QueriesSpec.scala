@@ -28,6 +28,12 @@ class QueriesSpec extends AnyFunSuite {
     "e05_daily_type_share" -> (150L, Seq("day", "event_type", "n", "share")),
     "m01_binary_metadata" -> (500L, Seq("doc_id", "n_bytes", "payload_md5", "width", "height")),
     "m02_media_features" -> (500L, Seq("doc_id", "mime", "width", "height", "n_bytes", "byte_checksum", "first_byte")),
+    "p01_partition_pruning" -> (3L, Seq("o_month", "n_orders", "total")),
+    "p02_dynamic_pruning" -> (3L, Seq("o_month", "n_orders", "n_customers")),
+    "q51_to_char" -> (1500L, Seq("o_orderkey", "padded", "plain")),
+    "q52_age" -> (1500L, Seq("o_orderkey", "age_years", "age_months", "age_days")),
+    "q53_generate_series" -> (142L, Seq("i", "sq")),
+    "q54_string_to_array" -> (1500L, Seq("o_orderkey", "prio_code", "n_parts", "empty_sz")),
     "q01_pricing_summary" -> (6L, Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order")),
     "q02_filter_pushdown" -> (12L, Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
     "q03_shipping_priority" -> (10L, Seq("l_orderkey", "o_orderdate", "revenue")),
