@@ -28,7 +28,11 @@ object SparkEntry {
     (operators.Multimodal.queries, operators.Multimodal.oracle),
     (operators.Recursive.queries, operators.Recursive.oracle),
     (operators.Partitioned.queries, operators.Partitioned.oracle),
-    (operators.PgCompat.queries, operators.PgCompat.oracle)
+    (operators.PgCompat.queries, operators.PgCompat.oracle),
+    (operators.Json.queries, operators.Json.oracle),
+    (operators.Ingest.queries, operators.Ingest.oracle),
+    (operators.OrderedSet.queries, operators.OrderedSet.oracle),
+    (operators.Extras.queries, operators.Extras.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

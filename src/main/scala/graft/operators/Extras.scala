@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Remaining native-API inventory rows (VERDICT round-1 "small gaps"):
+  * INTERSECT ALL (nodeSetOp.c multiset mode), FETCH ... WITH TIES
+  * (nodeLimit.c LIMIT_OPTION_WITH_TIES), HLL distinct estimation
+  * (gp_hyperloglog.c ≙ approx_count_distinct), TABLESAMPLE
+  * (nodeSamplescan.c), GROUPS window frames and EXCLUDE clauses
+  * (parsenodes.h:631-658) as SQL-standard rewrites, and cross-consumer
+  * subtree reuse (ShareInputScan ≙ ReuseExchange).
+  */
+object Extras {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- INTERSECT ALL (multiset semantics) --
+    "q59_intersect_all" -> { (s, dir) =>
+      val l = Tables.df(s, dir, "lineitem")
+      val odd = l.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      val even = l.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      odd.intersectAll(even)
+        .groupBy(col("flag"), col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("flag"), col("status"))
+    },
+
+    // -- FETCH FIRST 10 ROWS WITH TIES (rank-rewrite, nodeLimit.c) --
+    "q60_with_ties" -> { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice").desc)
+      Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), rank().over(w).as("rnk"))
+        .filter(col("rnk") <= 10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // -- HLL++ distinct estimation, audited against the exact count --
+    "q61_approx_distinct" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey")).as("approx_raw"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx_raw") - col("n_exact")) * 100 <= col("n_exact") * 5)
+            .cast("int").as("approx_within_5pct"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // -- TABLESAMPLE BERNOULLI (nodeSamplescan.c). Sampling is engine-
+    //    specific randomness, so no cross-engine oracle: the driver takes
+    //    the rows-only check and ScalaTest bounds the fraction. --
+    "q62_tablesample" -> { (s, dir) =>
+      Tables.df(s, dir, "orders").sample(withReplacement = false, 0.1, seed = 42)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- GROUPS frame (GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW):
+    //    no native Spark API → dense_rank + RANGE on the rank key.
+    //    Peer groups = equal order-key values. --
+    "q63_groups_frame" -> { (s, dir) =>
+      val byDate = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderdate"))
+      val grpRange = Window.partitionBy(col("o_orderpriority")).orderBy(col("grp"))
+        .rangeBetween(-1, 0)
+      Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("grp", dense_rank().over(byDate))
+        .withColumn("grp_sum",
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).over(grpRange))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("grp_sum").cast("double") / 100.0, 2).as("grp_sum_dollars"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- EXCLUDE CURRENT ROW: full-frame aggregate minus current row --
+    "q64_exclude_current" -> { (s, dir) =>
+      val wFull = Window.partitionBy(col("o_orderstatus"))
+      Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round((sum(col("cents")).over(wFull) - col("cents")).cast("double") / 100.0, 2)
+            .as("others_total"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- shared producer subtree consumed twice (ShareInputScan,
+    //    `nodeShareInputScan.c:1-50`: one producer materializes a
+    //    tuplestore, N consumers scan it). Spark analog: persist() the
+    //    aggregate — CacheManager dedups identical plans, so both join
+    //    sides read the same materialized spool and the fact table is
+    //    scanned ONCE (asserted in PlanShapeSpec via InMemoryTableScan) --
+    "q65_shared_subtree" -> { (s, dir) =>
+      val monthly = Tables.df(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+        .persist()
+      val prev = monthly.select(add_months(col("month"), 1).as("month"),
+        col("cents").as("prev_cents"))
+      monthly.join(prev, Seq("month"))
+        .select(col("month"),
+          round(col("cents").cast("double") / 100.0, 2).as("total"),
+          round((col("cents") - col("prev_cents")).cast("double") / 100.0, 2).as("mom_delta"))
+        .orderBy(col("month"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q59_intersect_all" -> """
+      SELECT flag, status, count(*) AS n FROM (
+        SELECT l_returnflag AS flag, l_linestatus AS status
+        FROM lineitem WHERE l_orderkey % 2 = 1
+        INTERSECT ALL
+        SELECT l_returnflag AS flag, l_linestatus AS status
+        FROM lineitem WHERE l_orderkey % 2 = 0)
+      GROUP BY flag, status ORDER BY flag, status""",
+
+    "q60_with_ties" -> """
+      SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice,
+          rank() OVER (ORDER BY o_totalprice DESC) AS rnk
+        FROM orders) t
+      WHERE rnk <= 10 ORDER BY o_totalprice DESC, o_orderkey""",
+
+    // both engines must agree their own HLL estimate is within 5% of the
+    // exact count; the exact count is hash-compared directly
+    "q61_approx_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        CAST(CASE WHEN abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 100
+                    <= count(DISTINCT l_partkey) * 5 THEN 1 ELSE 0 END AS INTEGER) AS approx_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q63_groups_frame" -> """
+      SELECT o_orderkey, o_orderpriority,
+        round(CAST(grp_sum AS DOUBLE) / 100.0, 2) AS grp_sum_dollars
+      FROM (
+        SELECT o_orderkey, o_orderpriority,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+            PARTITION BY o_orderpriority ORDER BY grp
+            RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS grp_sum
+        FROM (
+          SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate,
+            dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS grp
+          FROM orders WHERE o_custkey <= 50) g) t
+      ORDER BY o_orderkey""",
+
+    "q64_exclude_current" -> """
+      SELECT o_orderkey, o_orderstatus,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+          PARTITION BY o_orderstatus
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+          EXCLUDE CURRENT ROW) AS DOUBLE) / 100.0, 2) AS others_total
+      FROM orders WHERE o_custkey <= 50 ORDER BY o_orderkey""",
+
+    "q65_shared_subtree" -> """
+      WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1)
+      SELECT m.month, round(CAST(m.cents AS DOUBLE) / 100.0, 2) AS total,
+        round(CAST(m.cents - p.cents AS DOUBLE) / 100.0, 2) AS mom_delta
+      FROM monthly m JOIN monthly p ON m.month = p.month + INTERVAL 1 MONTH
+      ORDER BY m.month"""
+  )
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Ordered-set + hypothetical-set aggregates
+  * (`src/backend/utils/adt/orderedsetaggs.c`): percentile_cont /
+  * percentile_disc via the SQL-standard WITHIN GROUP syntax, mode() as a
+  * real aggregate (deterministic tie-break = lowest value, PG's
+  * documented behavior), and hypothetical rank as a custom Aggregator
+  * (graft.functions.HypRank) registered through the UDAF surface.
+  */
+object OrderedSet {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- WITHIN GROUP ordered-set aggregates + real mode() --
+    "q57_within_group" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+          round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 6) AS pc25,
+          round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity), 6) AS pc50,
+          percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS pd50,
+          percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS pd90,
+          mode(l_quantity, true) AS mode_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
+    // -- hypothetical rank(25) WITHIN GROUP (ORDER BY l_quantity) --
+    "q58_hypothetical_rank" -> { (s, dir) =>
+      if (!s.conf.getOption("spark.graft.hyprank").contains("true")) {
+        s.udf.register("hyp_rank", udaf(graft.functions.HypRank))
+        s.conf.set("spark.graft.hyprank", "true")
+      }
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+          hyp_rank(l_quantity, 25.0D) AS rank_of_25,
+          hyp_rank(l_quantity, 49.5D) AS rank_of_49_5,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q57_within_group" -> """
+      WITH modes AS (
+        SELECT l_returnflag, min(l_quantity) AS mode_qty FROM (
+          SELECT l_returnflag, l_quantity,
+            rank() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC) AS r
+          FROM lineitem GROUP BY l_returnflag, l_quantity) t
+        WHERE r = 1 GROUP BY l_returnflag)
+      SELECT l.l_returnflag,
+        round(quantile_cont(l_quantity, 0.25), 6) AS pc25,
+        round(quantile_cont(l_quantity, 0.5), 6) AS pc50,
+        quantile_disc(l_quantity, 0.5) AS pd50,
+        quantile_disc(l_quantity, 0.9) AS pd90,
+        min(m.mode_qty) AS mode_qty
+      FROM lineitem l JOIN modes m ON l.l_returnflag = m.l_returnflag
+      GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+
+    // hypothetical rank(h) == 1 + count of values strictly below h
+    "q58_hypothetical_rank" -> """
+      SELECT l_returnflag,
+        1 + count(CASE WHEN l_quantity < 25.0 THEN 1 END) AS rank_of_25,
+        1 + count(CASE WHEN l_quantity < 49.5 THEN 1 END) AS rank_of_49_5,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.CsvSreh
+
+/** File-based COPY/sreh semantics (`copy.c:412-434`, `cdbsreh.c`):
+  * PERMISSIVE load diverts malformed rows, reject limit aborts. Drives a
+  * real CSV on disk through graft.sources.CsvSreh. */
+class IngestSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  private def writeCsv(lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "data.csv")
+    val w = new java.io.PrintWriter(f)
+    lines.foreach(w.println)
+    w.close()
+    f.getAbsolutePath
+  }
+
+  test("good and bad rows are split; counts are exact") {
+    val path = writeCsv(Seq(
+      "1,100,en", "2,200,de", "3,notanumber,fr", "4,400,en", "5,,en", "6,xx,de"))
+    val r = CsvSreh.load(spark, path, "id BIGINT, n BIGINT, lang STRING", rejectLimit = 3)
+    // empty field parses as NULL (valid); non-numeric text is malformed
+    assert(r.nGood == 4 && r.nBad == 2)
+    assert(r.good.columns.toSeq == Seq("id", "n", "lang"))
+    assert(r.good.agg(sum("n")).head.getLong(0) == 700L)
+    // diverted rows retain the raw line for the error table
+    val badRaw = r.bad.select("_corrupt").collect().map(_.getString(0)).sorted
+    assert(badRaw.sameElements(Array("3,notanumber,fr", "6,xx,de")))
+  }
+
+  test("reject limit exceeded aborts the load (SEGMENT REJECT LIMIT)") {
+    val path = writeCsv(Seq("1,a,x", "2,b,y", "3,c,z", "4,400,en"))
+    val e = intercept[CsvSreh.RejectLimitExceeded] {
+      CsvSreh.load(spark, path, "id BIGINT, n BIGINT, lang STRING", rejectLimit = 2)
+    }
+    assert(e.nBad == 3 && e.limit == 2)
+  }
+
+  test("fully clean file loads with zero rejects") {
+    val path = writeCsv(Seq("1,10,aa", "2,20,bb"))
+    val r = CsvSreh.load(spark, path, "id BIGINT, n BIGINT, lang STRING", rejectLimit = 0)
+    assert(r.nGood == 2 && r.nBad == 0)
+  }
+}

@@ -101,6 +101,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p2.contains("*(1) Project") && p2.contains("pg_age"), p2)
   }
 
+  test("q65: shared subtree is materialized once (ShareInputScan spool)") {
+    val p = plan("q65_shared_subtree")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"expected both consumers to read the persisted aggregate:\n$p")
+  }
+
+  test("q58: custom Aggregator splits partial/final across the shuffle") {
+    val p = plan("q58_hypothetical_rank")
+    assert(p.contains("partial_hyprank") || p.contains("partial_HypRank")
+      || p.toLowerCase.contains("partial_hyp_rank"),
+      s"expected partial aggregation of the UDAF (combinefunc analog):\n$p")
+  }
+
+  test("q61: HLL sketch aggregates partially before the shuffle") {
+    val p = plan("q61_approx_distinct")
+    assert(p.contains("partial_approx_count_distinct"), p)
+  }
+
   test("base scans expose row-group statistics filters (zone-map analog)") {
     // reference: PAX sparse filters / AOCS block directory; in Spark the
     // parquet scan itself must carry the pushed predicates

@@ -34,6 +34,18 @@ class QueriesSpec extends AnyFunSuite {
     "q52_age" -> (1500L, Seq("o_orderkey", "age_years", "age_months", "age_days")),
     "q53_generate_series" -> (142L, Seq("i", "sq")),
     "q54_string_to_array" -> (1500L, Seq("o_orderkey", "prio_code", "n_parts", "empty_sz")),
+    "c01_csv_sreh" -> (1L, Seq("n_loaded", "n_rejected", "within_limit")),
+    "q55_json_extract" -> (1500L, Seq("o_orderkey", "k", "status", "tag1", "n_tags")),
+    "q56_json_table" -> (2002L, Seq("o_orderkey", "pos", "val")),
+    "q57_within_group" -> (3L, Seq("l_returnflag", "pc25", "pc50", "pd50", "pd90", "mode_qty")),
+    "q58_hypothetical_rank" -> (3L, Seq("l_returnflag", "rank_of_25", "rank_of_49_5", "n")),
+    "q59_intersect_all" -> (6L, Seq("flag", "status", "n")),
+    "q60_with_ties" -> (10L, Seq("o_orderkey", "o_totalprice")),
+    "q61_approx_distinct" -> (3L, Seq("l_returnflag", "n_exact", "approx_within_5pct")),
+    "q62_tablesample" -> (169L, Seq("o_orderkey", "o_custkey")),
+    "q63_groups_frame" -> (508L, Seq("o_orderkey", "o_orderpriority", "grp_sum_dollars")),
+    "q64_exclude_current" -> (508L, Seq("o_orderkey", "o_orderstatus", "others_total")),
+    "q65_shared_subtree" -> (79L, Seq("month", "total", "mom_delta")),
     "q01_pricing_summary" -> (6L, Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order")),
     "q02_filter_pushdown" -> (12L, Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
     "q03_shipping_priority" -> (10L, Seq("l_orderkey", "o_orderdate", "revenue")),
