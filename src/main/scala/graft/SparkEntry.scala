@@ -32,7 +32,8 @@ object SparkEntry {
     (operators.Json.queries, operators.Json.oracle),
     (operators.Ingest.queries, operators.Ingest.oracle),
     (operators.OrderedSet.queries, operators.OrderedSet.oracle),
-    (operators.Extras.queries, operators.Extras.oracle)
+    (operators.Extras.queries, operators.Extras.oracle),
+    (operators.Incremental.queries, operators.Incremental.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

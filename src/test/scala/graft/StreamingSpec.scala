@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming rendition of the incremental layer (SURVEY.md
+  * §2.10): the reference has no stream engine — its dynamic tables are
+  * cron-refreshed batch queries — so `Trigger.AvailableNow` is the exact
+  * analog: drain all available input, update the materialization, stop.
+  * Correctness condition, same as IVM: streaming result ≡ batch result.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("AvailableNow streaming hourly rollup matches the batch aggregate") {
+    Tables.configure(spark)
+    // stage the event file into a landing directory (file stream sources
+    // watch directories, the COPY-from-gpfdist analog)
+    val landing = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"),
+      landing.resolve("batch0.parquet"))
+    val schema = spark.read.parquet(s"$Sf/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+    val qname = "stream_hourly_rollup"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow query did not drain and stop in time")
+
+    val streamed = spark.table(qname)
+    val batch = Tables.df(spark, Sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming aggregate diverged from batch")
+  }
+
+  test("IVM state merge is associative: 2-batch and 4-batch folds agree") {
+    import graft.streaming.IvmMatview._
+    val events = Tables.df(spark, Sf, "events")
+    val two = (0 to 1).map(k => events.filter(col("event_id") % 2 === k))
+    val four = (0 to 3).map(k => events.filter(col("event_id") % 4 === k))
+    def fold(bs: Seq[org.apache.spark.sql.DataFrame]) =
+      finalizeState(bs.tail.foldLeft(partialState(bs.head)) {
+        (st, d) => applyDelta(st, partialState(d))
+      })
+    val a = fold(two)
+    val b = fold(four)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("dynamic table refresh is idempotent and atomic-overwrite") {
+    import graft.streaming.DynamicTable
+    val path = java.nio.file.Files.createTempDirectory("graft_dt").toString + "/dt"
+    val dt = new DynamicTable(spark, path,
+      () => Tables.df(spark, Sf, "nation").groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n")))
+    dt.refresh()
+    val first = dt.read().collect().toSet
+    dt.refresh() // second cycle must not duplicate or corrupt
+    val second = dt.read().collect().toSet
+    assert(first == second && first.nonEmpty)
+  }
+}
