@@ -47,6 +47,8 @@ object PgFunctions {
     "pg_age" -> { args =>
       PgAge(Cast(args(0), org.apache.spark.sql.types.TimestampType),
         Cast(args(1), org.apache.spark.sql.types.TimestampType)) },
+    "pg_to_char_ts" -> { args =>
+      PgToCharTs(Cast(args(0), org.apache.spark.sql.types.TimestampType), args(1)) },
     "string_to_array" -> stringToArray,
     "generate_series" -> generateSeries
   )

@@ -37,8 +37,8 @@ object Dedup {
   /** Polynomial hash of a string mod 1e9+7 — same formula as the oracle. */
   private def polyHash(colName: String): String =
     s"""aggregate(
-          transform(sequence(1, length($colName)), i -> CAST(ascii(substring($colName, i, 1)) AS BIGINT)),
-          0L, (acc, c) -> (acc * 31 + c) % 1000000007)"""
+          filter(split($colName, ''), c -> c <> ''),
+          0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""
 
   /** doc_id → 16-bit simhash + its two 8-bit bands (shared by d04/d05).
     * Per-token polynomial hashes vote on each bit; bands are the halves. */
@@ -85,7 +85,10 @@ object Dedup {
     // defined over the capped shingle universe: sizes and intersections
     // both exclude stop-shingles, identically in the DuckDB oracle.
     "d02_ngram_jaccard" -> { (s, dir) =>
-      val all = shingleFps(s, dir)
+      // materialized spool (ShareInputScan): the fingerprint set feeds 4
+      // consumers (frequency cap, both self-join sides, sizes); without
+      // it Spark recomputes the shingle pipeline per consumer
+      val all = shingleFps(s, dir).localCheckpoint()
       val rare = all.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= StopShingleCap).select(col("fp"))
       val fps = all.join(rare, Seq("fp"))
@@ -121,6 +124,8 @@ object Dedup {
         .groupBy(col("doc_id"), col("band"))
         .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("sig")))),
           x => x.getField("sig").cast("string")), ",").as("band_key"))
+        // spool: both self-join sides read the same materialized bands
+        .localCheckpoint()
       val l = bands.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
       val r = bands.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
       l.join(r, Seq("band", "band_key"))
@@ -141,18 +146,22 @@ object Dedup {
     // widens to 64 bits with 16-bit bands so band buckets stay small; the
     // plan shape (band equi-join → distinct → per-pair verify) is the same.
     "d05_simhash_pairs" -> { (s, dir) =>
-      val sim = simhashDf(s, dir)
+      // spool: one row per doc, read by 2 bands x 2 join sides — without
+      // it the whole token-hash pipeline runs 4x
+      val sim = simhashDf(s, dir).localCheckpoint()
       def side(idPre: String) = sim.select(
         col("doc_id").as(idPre + "_id"), col("simhash").as(idPre + "_sim"),
-        col("hi_band"), col("lo_band"))
+        col("hi_band").as(idPre + "_hi"), col("lo_band").as(idPre + "_lo"))
       val l = side("a")
       val r = side("b")
-      val hi = l.drop("lo_band").join(r.drop("lo_band"), Seq("hi_band"))
-      val lo = l.drop("hi_band").join(r.drop("hi_band"), Seq("lo_band"))
+      // disjoint banded union: the lo-band join only emits pairs whose hi
+      // bands differ, so hi ∪ lo is exact with NO dedup shuffle (the
+      // standard LSH multi-band trick)
+      val hi = l.join(r, col("a_hi") === col("b_hi"))
+      val lo = l.join(r, col("a_lo") === col("b_lo") && col("a_hi") =!= col("b_hi"))
       val cols = Seq(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
       hi.select(cols: _*).union(lo.select(cols: _*))
         .filter(col("a_id") < col("b_id"))
-        .distinct()
         .withColumn("hamming", expr(
           """aggregate(sequence(0, 15), 0L, (acc, b) ->
                acc + CASE WHEN (a_sim div CAST(pow(2, b) AS BIGINT)) % 2
@@ -208,12 +217,12 @@ object Dedup {
     "d05_simhash_pairs" -> s"""
       WITH $oracleSimhashCtes,
       cands AS (
-        SELECT DISTINCT a_id, b_id, a_sim, b_sim FROM (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
-          FROM banded a JOIN banded b ON a.hi_band = b.hi_band AND a.doc_id < b.doc_id
-          UNION ALL
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
-          FROM banded a JOIN banded b ON a.lo_band = b.lo_band AND a.doc_id < b.doc_id) u),
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
+        FROM banded a JOIN banded b ON a.hi_band = b.hi_band AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
+        FROM banded a JOIN banded b
+          ON a.lo_band = b.lo_band AND a.hi_band <> b.hi_band AND a.doc_id < b.doc_id),
       verified AS (
         SELECT a_id, b_id,
           CAST(list_sum(list_transform(generate_series(0, 15), b ->

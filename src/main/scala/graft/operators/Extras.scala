@@ -106,10 +106,43 @@ object Extras {
           round(col("cents").cast("double") / 100.0, 2).as("total"),
           round((col("cents") - col("prev_cents")).cast("double") / 100.0, 2).as("mom_delta"))
         .orderBy(col("month"))
+    },
+
+    // -- TidScan (`nodeTidscan.c`: fetch by physical tuple id). Spark's
+    //    ctid analog is the file-source `_metadata` column: (file_path,
+    //    row_index) addresses a physical row. Engine-physical ordering
+    //    has no cross-engine oracle → rows-only + InvariantsSpec asserts
+    //    the tid semantics (dense, zero-based, unique). --
+    "q66_tid_scan" -> { (s, dir) =>
+      graft.Tables.configure(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("_metadata.row_index").as("tid"))
+        .filter(col("tid") < 100)
+        .orderBy(col("tid"))
+    },
+
+    // -- external table (readable): JSON-lines landing file read through
+    //    schema-on-read (`url_file.c` / gpfdist analog; FDW surface) --
+    "q67_external_json" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"target/derived/$tag/docs_external_json"
+      if (!new java.io.File(path + "/_SUCCESS").exists()) {
+        Tables.df(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").json(path)
+      }
+      s.read.json(path) // schema inferred from the external file
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q67_external_json" -> """
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY lang ORDER BY lang""",
     "q59_intersect_all" -> """
       SELECT flag, status, count(*) AS n FROM (
         SELECT l_returnflag AS flag, l_linestatus AS status

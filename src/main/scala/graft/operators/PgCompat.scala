@@ -46,6 +46,19 @@ object PgCompat {
         WHERE i % 7 = 0 ORDER BY i""")
     },
 
+    // -- to_char datetime templates (formatting.c DCH keywords) --
+    "q68_to_char_date" -> { (s, dir) =>
+      PgFunctions.register(s)
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          pg_to_char_ts(o_orderdate, 'YYYY-MM-DD HH24:MI:SS') AS iso,
+          pg_to_char_ts(o_orderdate, 'Dy DD Mon YYYY') AS pretty,
+          pg_to_char_ts(o_orderdate, 'Q') AS qtr,
+          pg_to_char_ts(o_orderdate, 'DDD') AS doy
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
+    },
+
     // -- string_to_array with the PG empty-input nuance --
     "q54_string_to_array" -> { (s, dir) =>
       PgFunctions.register(s)
@@ -83,6 +96,14 @@ object PgCompat {
       SELECT i, i * i AS sq
       FROM (SELECT unnest(generate_series(1, 1000)) AS i) t
       WHERE i % 7 = 0 ORDER BY i""",
+
+    "q68_to_char_date" -> """
+      SELECT o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso,
+        strftime(o_orderdate, '%a %d %b %Y') AS pretty,
+        CAST(extract(quarter FROM o_orderdate) AS VARCHAR) AS qtr,
+        strftime(o_orderdate, '%j') AS doy
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
 
     "q54_string_to_array" -> """
       SELECT o_orderkey,

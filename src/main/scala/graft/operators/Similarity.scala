@@ -65,7 +65,8 @@ object Similarity {
     // end to end. At 100 TB the bucket key widens (more planes / multiple
     // band tables) to keep buckets small; the plan shape is unchanged.
     "s03_embedding_near_dup" -> { (s, dir) =>
-      val bucketed = bucketedDf(s, dir)
+      // spool: both candidate-join sides read the same bucketed vectors
+      val bucketed = bucketedDf(s, dir).localCheckpoint()
       val a = bucketed.select(col("vec_id").as("a_id"), col("embedding").as("q_emb"), col("bucket"))
       val b = bucketed.select(col("vec_id").as("b_id"), col("embedding").as("c_emb"), col("bucket"))
       a.join(b, Seq("bucket"))

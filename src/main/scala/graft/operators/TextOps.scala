@@ -78,9 +78,11 @@ object TextOps {
       Tables.df(s, dir, "documents")
         .select(
           col("doc_id"),
+          // O(n) char extraction: split-to-chars, not substring-per-index
+          // (which is O(n^2) per document); same hash value, oracle intact
           expr("""aggregate(
-                    transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
-                    0L, (acc, c) -> (acc * 31 + c) % 1000000007)""").as("fingerprint"),
+                    filter(split(text, ''), c -> c <> ''),
+                    0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""").as("fingerprint"),
           md5(col("text")).as("text_md5"))
         .orderBy(col("doc_id"))
     },

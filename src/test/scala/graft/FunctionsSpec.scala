@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{PgToChar, PgToCharTs}
+
+/** Unit coverage for the pg-compat expression layer + the runtime bloom
+  * filter and UDF-registration surfaces. */
+class FunctionsSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("PgToChar numeric templates (formatting.c cases)") {
+    assert(PgToChar.format(1234.5, "0000000000.00") == " 0000001234.50")
+    assert(PgToChar.format(1234.5, "FM9999999990.00") == "1234.50")
+    assert(PgToChar.format(-42.125, "FM990.00") == "-42.13") // half-up
+    assert(PgToChar.format(0.0, "FM0.00") == "0.00")
+    assert(PgToChar.format(1234567.0, "9,999,999") == " 1,234,567")
+    assert(PgToChar.format(1234.0, "99") == " ##") // overflow → hashes
+  }
+
+  test("PgToCharTs datetime templates") {
+    // 1997-03-02 14:05:09 UTC
+    val micros = java.time.LocalDateTime.of(1997, 3, 2, 14, 5, 9)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(PgToCharTs.format(micros, "YYYY-MM-DD HH24:MI:SS") == "1997-03-02 14:05:09")
+    assert(PgToCharTs.format(micros, "Dy DD Mon YYYY") == "Sun 02 Mar 1997")
+    assert(PgToCharTs.format(micros, "Q") == "1")
+    assert(PgToCharTs.format(micros, "DDD") == "061")
+    assert(PgToCharTs.format(micros, "HH12 AM") == "02 PM")
+  }
+
+  test("pg_age borrows calendar-correctly across month ends") {
+    import graft.functions.PgAge
+    def age(a: String, b: String): (Int, Int, Int) = {
+      def micros(s: String) =
+        java.time.LocalDateTime.parse(s).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      val r = PgAge.unpack(PgAge.agePacked(micros(a), micros(b)))
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    }
+    assert(age("2000-03-13T00:00:00", "1998-12-31T00:00:00") == ((1, 2, 13)))
+    assert(age("1998-12-31T00:00:00", "2000-03-13T00:00:00") == ((-1, -2, -13)))
+    assert(age("2000-03-01T00:00:00", "2000-01-31T00:00:00") == ((0, 1, 1)))
+    assert(age("2000-01-01T00:00:00", "2000-01-01T00:00:00") == ((0, 0, 0)))
+  }
+
+  test("runtime bloom filter injects below the probe scan (nodeRuntimeFilter.c)") {
+    Tables.configure(spark)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = Tables.df(spark, Sf, "lineitem")
+      val filteredOrders = Tables.df(spark, Sf, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+      val joined = li.join(filteredOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter")
+        || optimized.contains("might_contain"),
+        s"expected a runtime bloom filter in the optimized plan:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("UDF registration passthrough (CREATE FUNCTION surface)") {
+    spark.udf.register("graft_cents", (d: Double) => math.round(d * 100))
+    Tables.register(spark, Sf)
+    val r = spark.sql(
+      "SELECT graft_cents(o_totalprice) AS c, CAST(round(o_totalprice * 100) AS BIGINT) AS e FROM orders")
+    assert(r.filter(col("c") =!= col("e")).count() == 0)
+  }
+
+  test("q66 tids are dense, zero-based, unique (ctid semantics)") {
+    val df = SparkEntry.queries("q66_tid_scan")(spark, Sf)
+    val tids = df.select("tid").collect().map(_.getLong(0))
+    assert(tids.toSeq == (0L until 100L))
+  }
+}
