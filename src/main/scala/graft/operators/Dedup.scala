@@ -40,14 +40,16 @@ object Dedup {
           filter(split($colName, ''), c -> c <> ''),
           0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""
 
-  /** doc_id → 16-bit simhash + its two 8-bit bands (shared by d04/d05).
+  /** doc_id → 24-bit simhash + its two 12-bit bands (shared by d04/d05).
+    * Width: the modulus 1e9+7 ≈ 2^30 keeps bits 0..23 unbiased; 12-bit
+    * bands give 4096 buckets so candidate volume stays near-linear.
     * Per-token polynomial hashes vote on each bit; bands are the halves. */
   private def simhashDf(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "documents")
       .withColumn("toks", expr(toks))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), expr(polyHash("tok")).as("th"))
-      .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("b"), col("th"))
+      .select(col("doc_id"), explode(expr("sequence(0, 23)")).as("b"), col("th"))
       .withColumn("bit_weight", expr("CASE WHEN (th div CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END"))
       .groupBy(col("doc_id"), col("b"))
       .agg(sum(col("bit_weight")).as("w"))
@@ -55,7 +57,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(expr("bit * CAST(pow(2, b) AS BIGINT)")).as("simhash"))
       .select(col("doc_id"), col("simhash"),
-        expr("simhash div 256").as("hi_band"), expr("simhash % 256").as("lo_band"))
+        expr("simhash div 4096").as("hi_band"), expr("simhash % 4096").as("lo_band"))
 
   /** doc_id → distinct shingle fingerprints (the shared front half of the
     * jaccard and minhash pipelines). */
@@ -134,18 +136,23 @@ object Dedup {
         .orderBy(col("a_id"), col("b_id"))
     },
 
-    // -- SimHash (16-bit) + band columns for candidate generation --
+    // -- SimHash (24-bit) + band columns for candidate generation --
     "d04_simhash" -> { (s, dir) =>
       simhashDf(s, dir).orderBy(col("doc_id"))
     },
 
-    // -- SimHash banded candidate pairs + Hamming verification --
+    // -- SimHash banded dedup: candidate pairs + Hamming verify + keeper --
     // The scale path the d04 header promises: candidates only form where a
-    // full 8-bit band collides (two equi-joins, no all-pairs), then the
-    // 16-bit Hamming distance verifies candidates. At 100 TB the simhash
-    // widens to 64 bits with 16-bit bands so band buckets stay small; the
-    // plan shape (band equi-join → distinct → per-pair verify) is the same.
-    "d05_simhash_pairs" -> { (s, dir) =>
+    // full 12-bit band collides (two equi-joins, no all-pairs), the 24-bit
+    // Hamming distance (one bit_count(xor), codegen'd) verifies candidates,
+    // and the output is the DEDUP ASSIGNMENT — (doc, keeper=min smaller
+    // near-dup) — not the pair list: this test corpus contains clusters of
+    // 50+ near-identical docs, so pair output is O(cluster²) no matter how
+    // it's computed, while the assignment stays linear in docs. (Greedy
+    // first-wins dedup; full transitive clustering = the r01-style driver
+    // fixpoint over these edges.) At 100 TB the simhash widens to 64 bits
+    // with 16-bit bands so band buckets stay small; plan shape unchanged.
+    "d05_simhash_dedup" -> { (s, dir) =>
       // spool: one row per doc, read by 2 bands x 2 join sides — without
       // it the whole token-hash pipeline runs 4x
       val sim = simhashDf(s, dir).localCheckpoint()
@@ -162,14 +169,10 @@ object Dedup {
       val cols = Seq(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
       hi.select(cols: _*).union(lo.select(cols: _*))
         .filter(col("a_id") < col("b_id"))
-        .withColumn("hamming", expr(
-          """aggregate(sequence(0, 15), 0L, (acc, b) ->
-               acc + CASE WHEN (a_sim div CAST(pow(2, b) AS BIGINT)) % 2
-                         <> (b_sim div CAST(pow(2, b) AS BIGINT)) % 2
-                     THEN 1L ELSE 0L END)"""))
-        .filter(col("hamming") <= 3)
-        .select(col("a_id"), col("b_id"), col("hamming"))
-        .orderBy(col("a_id"), col("b_id"))
+        .filter(expr("bit_count(a_sim ^ b_sim) <= 3"))
+        .groupBy(col("b_id").as("doc_id"))
+        .agg(min(col("a_id")).as("keeper_id"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -214,7 +217,7 @@ object Dedup {
       WITH $oracleSimhashCtes
       SELECT doc_id, simhash, hi_band, lo_band FROM banded ORDER BY doc_id""",
 
-    "d05_simhash_pairs" -> s"""
+    "d05_simhash_dedup" -> s"""
       WITH $oracleSimhashCtes,
       cands AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
@@ -222,16 +225,10 @@ object Dedup {
         UNION ALL
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
         FROM banded a JOIN banded b
-          ON a.lo_band = b.lo_band AND a.hi_band <> b.hi_band AND a.doc_id < b.doc_id),
-      verified AS (
-        SELECT a_id, b_id,
-          CAST(list_sum(list_transform(generate_series(0, 15), b ->
-            CASE WHEN (a_sim // CAST(pow(2, b) AS BIGINT)) % 2
-                   <> (b_sim // CAST(pow(2, b) AS BIGINT)) % 2
-                 THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-        FROM cands)
-      SELECT a_id, b_id, hamming FROM verified WHERE hamming <= 3
-      ORDER BY a_id, b_id"""
+          ON a.lo_band = b.lo_band AND a.hi_band <> b.hi_band AND a.doc_id < b.doc_id)
+      SELECT b_id AS doc_id, min(a_id) AS keeper_id
+      FROM cands WHERE bit_count(xor(a_sim, b_sim)) <= 3
+      GROUP BY b_id ORDER BY doc_id"""
   )
 
   /** DuckDB rendition of `simhashDf` as chained CTEs ending in `banded`. */
@@ -246,14 +243,14 @@ object Dedup {
       bits AS (
         SELECT doc_id, b,
           CAST(sum(CASE WHEN (th // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS w
-        FROM th, (SELECT unnest(generate_series(0, 15)) AS b)
+        FROM th, (SELECT unnest(generate_series(0, 23)) AS b)
         GROUP BY doc_id, b),
       sim AS (
         SELECT doc_id,
           CAST(sum(CASE WHEN w > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id),
       banded AS (
-        SELECT doc_id, simhash, simhash // 256 AS hi_band, simhash % 256 AS lo_band
+        SELECT doc_id, simhash, simhash // 4096 AS hi_band, simhash % 4096 AS lo_band
         FROM sim)"""
 
   /** DuckDB rendition of `shingleFps` — identical algorithm. */

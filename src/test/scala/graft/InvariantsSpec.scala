@@ -78,9 +78,9 @@ class InvariantsSpec extends AnyFunSuite {
       .filter(col("a_id") >= col("b_id") || col("cosine") < 0.95).count() == 0)
   }
 
-  test("d05: hamming distances are within the 16-bit band bound") {
-    assert(q("d05_simhash_pairs")
-      .filter(col("hamming") < 0 || col("hamming") > 3).count() == 0)
+  test("d05: dedup assignment always keeps a strictly smaller doc id") {
+    assert(q("d05_simhash_dedup")
+      .filter(col("keeper_id") >= col("doc_id")).count() == 0)
   }
 
   test("q17/q18: intersect and except partition customer nations consistently") {

@@ -50,7 +50,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"expected partial aggregate in:\n$p")
   }
 
-  for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_pairs",
+  for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_dedup",
     "s02_ann_lsh_buckets", "s03_embedding_near_dup")) {
     test(s"$name: no all-pairs join (CartesianProduct / BroadcastNestedLoop)") {
       val p = plan(name)

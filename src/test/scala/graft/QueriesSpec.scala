@@ -20,7 +20,7 @@ class QueriesSpec extends AnyFunSuite {
     "d02_ngram_jaccard" -> (28L, Seq("a_id", "b_id", "jaccard")),
     "d03_minhash_lsh" -> (40L, Seq("a_id", "b_id")),
     "d04_simhash" -> (500L, Seq("doc_id", "simhash", "hi_band", "lo_band")),
-    "d05_simhash_pairs" -> (11992L, Seq("a_id", "b_id", "hamming")),
+    "d05_simhash_dedup" -> (421L, Seq("doc_id", "keeper_id")),
     "e01_hourly_rollup" -> (868L, Seq("hour", "event_type", "n", "total_value")),
     "e02_sessionize" -> (15L, Seq("user_id", "n_sessions", "n_events")),
     "e03_asof_last_order" -> (202L, Seq("event_id", "user_id", "last_orderkey", "last_orderdate")),
