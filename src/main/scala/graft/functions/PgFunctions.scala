@@ -39,7 +39,7 @@ object PgFunctions {
     Explode(seq)
   }
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // explicit input casts (the expressions skip Spark's private
     // ImplicitCastInputTypes machinery)
     "pg_to_char" -> { args =>

@@ -37,8 +37,42 @@ object Incremental {
         .select(col("day"), col("n_orders"),
           round(col("cents").cast("double") / 100.0, 2).as("revenue"))
         .orderBy(col("day"))
+    },
+
+    // -- AQUMV: the optimizer answers the aggregate from the matview --
+    "i03_aqumv" -> { (s, dir) =>
+      val defDf = aqumvDefinition(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"target/derived/$tag/mv_status_revenue"
+      if (!new java.io.File(path + "/_SUCCESS").exists())
+        defDf.write.mode("overwrite").parquet(path)
+      graft.rules.AqumvRule.install(s)
+      graft.rules.AqumvRule.register(defDf, path)
+      s.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
+      // the user's query: the matching aggregate + post-processing; the
+      // AqumvRule swaps the aggregate for the matview scan at optimize
+      // time (asserted in PlanShapeSpec)
+      defDf
+        .select(col("o_orderstatus"), col("n_orders"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
     }
   )
+
+  /** The matview definition, memoized per (session, dir): AQUMV matching
+    * is canonicalized-subtree equality, and separate `spark.read` calls
+    * produce relations that never canonicalize equal (HadoopFsRelation
+    * has identity equality) — a catalog-table implementation would match
+    * by table identity instead. */
+  private val defCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def aqumvDefinition(s: SparkSession, dir: String): DataFrame =
+    defCache.computeIfAbsent((s, dir), { _ =>
+      Tables.df(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+    })
 
   def oracle: Map[String, String] = Map(
     "i01_ivm_matview" -> """
@@ -53,6 +87,11 @@ object Incremental {
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
         count(*) AS n_orders,
         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
-      FROM orders GROUP BY 1 ORDER BY day"""
+      FROM orders GROUP BY 1 ORDER BY day""",
+
+    "i03_aqumv" -> """
+      SELECT o_orderstatus, count(*) AS n_orders,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }

@@ -1,0 +1,162 @@
+package graft.rules
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** AQUMV — Answer Query Using Materialized Views
+  * (`src/backend/optimizer/plan/aqumv.c:20`): when a query aggregates the
+  * base table of a registered matview and every aggregate/grouping
+  * expression is computable from the matview's outputs, replace the
+  * aggregation with a scan of the materialization. At 100 TB this turns a
+  * full fact-table aggregate into a read of a |groups|-row table — the
+  * highest-leverage rewrite a warehouse has.
+  *
+  * A custom `Rule[LogicalPlan]` (injected via [[graft.GraftExtensions]]
+  * or `spark.experimental.extraOptimizations`). It runs AFTER the main
+  * optimizer batches, so it must match the *optimized* shape: projections
+  * are collapsed into the Aggregate and columns are pruned. Matching is
+  * therefore containment-based —
+  *  1. the aggregate's input (through column-pruning projects) is the
+  *     matview's base relation (compared by file-source root paths);
+  *  2. every subexpression that equals a registered matview output (up
+  *     to attribute ids — compared on a name-normalized shape) is
+  *     replaced by the matview column;
+  *  3. the rewrite only applies if no aggregate function survives the
+  *     substitution (i.e. the query is fully answerable from the view).
+  * Output attribute ids are preserved via aliases, so parent operators
+  * are untouched — the exprId-stability contract PG's aqumv keeps by
+  * editing the target list in place.
+  */
+class AqumvRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import AqumvRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.getOption(EnabledConf).contains("true")) return plan
+    plan.transformUp {
+      case agg @ Aggregate(_, _, child, _) =>
+        (for {
+          basePaths <- baseRelationPaths(child)
+          entry <- { import scala.jdk.CollectionConverters._
+            entries.values.asScala.find(_.relPaths == basePaths) }
+          rewritten <- tryRewrite(agg, entry)
+        } yield rewritten).getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(agg: Aggregate, entry: MvEntry): Option[LogicalPlan] = {
+    // the candidate must group EXACTLY like the matview — a pruned
+    // sub-aggregate with different keys can share aggregate shapes (e.g.
+    // count(1)) while meaning something else entirely
+    if (agg.groupingExpressions.map(AqumvRule.shapeOf).toSet != entry.groupShapes)
+      return None
+    val mvPlan = spark.read.parquet(entry.path).queryExecution.analyzed
+    val mvOut = mvPlan.output
+    if (mvOut.length != entry.outShapes.length) return None
+    val byShape: Map[String, Attribute] = entry.outShapes.zip(mvOut).toMap
+    var failed = false
+    def rewriteOne(e: NamedExpression): NamedExpression = {
+      val replaced = e.transformDown {
+        case t if byShape.contains(shapeOf(t)) => byShape(shapeOf(t))
+      }
+      // fully answerable = no aggregate functions and no base-table
+      // attributes survive the substitution
+      val clean = replaced.collectFirst {
+        case _: AggregateExpression => ()
+        case a: AttributeReference if !mvOut.exists(_.exprId == a.exprId) => ()
+      }.isEmpty
+      if (!clean) { failed = true; e }
+      else replaced match {
+        case a: Alias => Alias(a.child, a.name)(exprId = e.exprId, qualifier = e.qualifier)
+        case other => Alias(other, e.name)(exprId = e.exprId, qualifier = e.qualifier)
+      }
+    }
+    val newOutputs = agg.aggregateExpressions.map(rewriteOne)
+    if (failed) None else Some(Project(newOutputs, mvPlan))
+  }
+}
+
+object AqumvRule {
+  val EnabledConf = "spark.graft.aqumv.enabled"
+
+  private[rules] final case class MvEntry(relPaths: String,
+                                          groupShapes: Set[String],
+                                          outShapes: Seq[String], path: String)
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, MvEntry]()
+
+  /** Register a matview: `definition` is the aggregate query the matview
+    * materializes (its output order == the parquet column order at
+    * `path`). */
+  def register(definition: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    // register the OPTIMIZED definition: candidates are matched after the
+    // main optimizer batches (constants folded, casts simplified), so the
+    // registered shapes must be in the same normal form. The rule is
+    // disabled while optimizing the definition so it can't self-rewrite.
+    val spark = definition.sparkSession
+    val saved = spark.conf.getOption(EnabledConf)
+    spark.conf.set(EnabledConf, "false")
+    val optimized =
+      try spark.sessionState.executePlan(definition.queryExecution.analyzed).optimizedPlan
+      finally saved match {
+        case Some(v) => spark.conf.set(EnabledConf, v)
+        case None => spark.conf.unset(EnabledConf)
+      }
+    optimized match {
+      case agg @ Aggregate(_, _, child, _) =>
+        val rel = baseRelationPaths(child).getOrElse(
+          throw new IllegalArgumentException(
+            "matview definition must aggregate a file-source relation"))
+        val shapes = agg.aggregateExpressions.map {
+          case a: Alias => shapeOf(a.child)
+          case other => shapeOf(other)
+        }
+        entries.put(path,
+          MvEntry(rel, agg.groupingExpressions.map(shapeOf).toSet, shapes, path))
+      case _ => throw new IllegalArgumentException(
+        "matview definition must be a plain aggregate")
+    }
+  }
+
+  def clear(): Unit = entries.clear()
+
+  private[rules] def debugEntries(): Seq[MvEntry] = {
+    import scala.jdk.CollectionConverters._
+    entries.values.asScala.toSeq
+  }
+
+  /** The file-source root paths under an aggregate input, looking through
+    * column-pruning projections. */
+  private[graft] def baseRelationPaths(plan: LogicalPlan): Option[String] =
+    plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some(fs.location.rootPaths.mkString(","))
+      case Project(projectList, child) if projectList.forall(_.isInstanceOf[Attribute]) =>
+        baseRelationPaths(child)
+      case _ => None
+    }
+
+  /** Name-normalized expression shape: attribute ids are erased (kept by
+    * name) so the same expression over two reads of one table compares
+    * equal; everything else keeps its exact printed form. */
+  private[graft] def shapeOf(e: Expression): String =
+    e.transformUp {
+      // no-op casts are stripped so analyzed (registered) and optimized
+      // (candidate) forms compare equal — SimplifyCasts runs before us
+      case c: Cast if c.child.dataType == c.dataType => c.child
+      case a: AttributeReference =>
+        AttributeReference(a.name, a.dataType, a.nullable)(exprId = ExprId(0))
+    }.toString
+
+  /** Idempotently attach the rule to a session's optimizer. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AqumvRule])) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new AqumvRule(spark)
+    }
+}

@@ -77,6 +77,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.filter(col("c") =!= col("e")).count() == 0)
   }
 
+  test("GraftExtensions wires functions + optimizer rule into a builder") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext) // must register without throwing
+    // the extension-built function resolves to the same expression class
+    val e = graft.functions.PgFunctions
+    assert(e.builders.map(_._1).toSet ==
+      Set("pg_to_char", "pg_age", "pg_to_char_ts", "string_to_array", "generate_series"))
+  }
+
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
     val df = SparkEntry.queries("q66_tid_scan")(spark, Sf)
     val tids = df.select("tid").collect().map(_.getLong(0))

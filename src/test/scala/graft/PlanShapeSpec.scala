@@ -119,6 +119,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_approx_count_distinct"), p)
   }
 
+  test("i03: AQUMV rule answers the aggregate from the matview scan") {
+    val df = SparkEntry.queries("i03_aqumv")(spark, Sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // rewritten plan reads the matview schema (cents), no aggregate, no
+    // base-table column
+    assert(optimized.contains("cents#") && !optimized.contains("Aggregate")
+      && !optimized.contains("o_totalprice"),
+      s"expected the matview scan to replace the aggregate (aqumv.c rewrite):\n$optimized")
+    // and with the rule disabled, the base table is aggregated
+    spark.conf.set(graft.rules.AqumvRule.EnabledConf, "false")
+    try {
+      val off = SparkEntry.queries("i03_aqumv")(spark, Sf)
+      // i03 re-enables the conf; disable again before optimizing
+      spark.conf.set(graft.rules.AqumvRule.EnabledConf, "false")
+      val offPlan = off.queryExecution.optimizedPlan.toString
+      assert(offPlan.contains("Aggregate") && offPlan.contains("o_totalprice"), offPlan)
+    } finally spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
+  }
+
   test("base scans expose row-group statistics filters (zone-map analog)") {
     // reference: PAX sparse filters / AOCS block directory; in Spark the
     // parquet scan itself must carry the pushed predicates

@@ -37,6 +37,7 @@ class QueriesSpec extends AnyFunSuite {
     "c01_csv_sreh" -> (1L, Seq("n_loaded", "n_rejected", "within_limit")),
     "i01_ivm_matview" -> (75L, Seq("user_id", "event_type", "n", "total_value", "avg_value")),
     "i02_dynamic_table" -> (1094L, Seq("day", "n_orders", "revenue")),
+    "i03_aqumv" -> (3L, Seq("o_orderstatus", "n_orders", "revenue")),
     "q55_json_extract" -> (1500L, Seq("o_orderkey", "k", "status", "tag1", "n_tags")),
     "q56_json_table" -> (2002L, Seq("o_orderkey", "pos", "val")),
     "q57_within_group" -> (3L, Seq("l_returnflag", "pc25", "pc50", "pd50", "pd90", "mode_qty")),
