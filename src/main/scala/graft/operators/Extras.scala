@@ -135,10 +135,51 @@ object Extras {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))
+    },
+
+    // -- POSIX regex family (`src/backend/utils/adt/regexp.c`): patterns
+    //    restricted to the POSIX-ERE subset both engines agree on --
+    "q69_regex" -> { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .filter(col("c_custkey") <= 500)
+        .select(
+          col("c_custkey"),
+          col("c_name").rlike("[0-9]+").cast("int").as("has_digits"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("first_num"),
+          regexp_count(col("c_name"), lit("[0-9]")).as("n_digits"),
+          regexp_replace(col("c_name"), "[aeiou]", "_").as("devoweled"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- Z-order clustering key (PAX `zorder_clustering.cc`): bit-
+    //    interleave two dimensions so range queries on either column skip
+    //    row groups. The key build is pure arithmetic (oracle-stable);
+    //    ZOrderSpec asserts the locality property and the write path --
+    "q70_zorder" -> { (s, dir) =>
+      Tables.df(s, dir, "part")
+        .filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"), col("p_size"),
+          expr(graft.functions.ZOrder.interleaveExpr("p_partkey % 256", "p_size % 256", 8))
+            .as("zval"))
+        .orderBy(col("zval"), col("p_partkey"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q69_regex" -> """
+      SELECT c_custkey,
+        CAST(CASE WHEN regexp_matches(c_name, '[0-9]+') THEN 1 ELSE 0 END AS INTEGER) AS has_digits,
+        regexp_extract(c_name, '([0-9]+)', 1) AS first_num,
+        CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INTEGER) AS n_digits,
+        regexp_replace(c_name, '[aeiou]', '_', 'g') AS devoweled
+      FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+
+    "q70_zorder" -> s"""
+      SELECT p_partkey, p_size,
+        ${graft.functions.ZOrder.duckdbInterleave("p_partkey % 256", "p_size % 256", 8)} AS zval
+      FROM part WHERE p_partkey <= 500
+      ORDER BY zval, p_partkey""",
+
     "q67_external_json" -> """
       SELECT lang, count(*) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS total_chars

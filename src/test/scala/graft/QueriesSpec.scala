@@ -52,6 +52,8 @@ class QueriesSpec extends AnyFunSuite {
     "q66_tid_scan" -> (100L, Seq("doc_id", "tid")),
     "q67_external_json" -> (5L, Seq("lang", "n_docs", "total_chars")),
     "q68_to_char_date" -> (1500L, Seq("o_orderkey", "iso", "pretty", "qtr", "doy")),
+    "q69_regex" -> (150L, Seq("c_custkey", "has_digits", "first_num", "n_digits", "devoweled")),
+    "q70_zorder" -> (200L, Seq("p_partkey", "p_size", "zval")),
     "q01_pricing_summary" -> (6L, Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order")),
     "q02_filter_pushdown" -> (12L, Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
     "q03_shipping_priority" -> (10L, Seq("l_orderkey", "o_orderdate", "revenue")),

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrder
+import graft.operators.SkewUtils
+
+/** Scale-machinery specs: Z-order clustering, salted skew joins, and
+  * stateful streaming sessionization (the operators whose value only
+  * shows at 100 TB, tested here for correctness of the machinery). */
+class ScaleSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("z-order interleave: reference values and engine agreement") {
+    // x=3 (011) into odd bit positions, y=5 (101) into even ones -> 27
+    assert(ZOrder.interleave(3, 5, 8) == 27L)
+    assert(ZOrder.interleave(0, 0, 8) == 0L)
+    assert(ZOrder.interleave(255, 255, 8) == 65535L)
+    val row = spark.sql(
+      s"SELECT ${ZOrder.interleaveExpr("3", "5", 8)} AS z").head
+    assert(row.getLong(0) == 27L)
+  }
+
+  test("z-order clustered write: files cover disjoint compact z-ranges") {
+    val path = java.nio.file.Files.createTempDirectory("graft_z").toString + "/parts"
+    ZOrder.clusteredWrite(
+      Tables.df(spark, Sf, "part").select(col("p_partkey"), col("p_size")),
+      "p_partkey % 256", "p_size % 256", 8, path, numFiles = 4)
+    val back = spark.read.parquet(path)
+      .withColumn("z", expr(ZOrder.interleaveExpr("p_partkey % 256", "p_size % 256", 8)))
+      .withColumn("f", col("_metadata.file_path"))
+    // range-partitioned by z: per-file z-ranges must not overlap
+    val ranges = back.groupBy("f")
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping z-ranges: $ranges")
+      case _ =>
+    }
+    assert(back.count() == Tables.df(spark, Sf, "part").count())
+  }
+
+  test("salted join equals the unsalted join exactly (multiset)") {
+    val li = Tables.df(spark, Sf, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o = Tables.df(spark, Sf, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    val plain = li.join(o, Seq("k"))
+    val salted = SkewUtils.saltedJoin(li, o, "k", salts = 7)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted left join preserves unmatched left rows") {
+    import spark.implicits._
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val r = Seq((1, "x")).toDF("k", "w")
+    val res = SkewUtils.saltedJoin(l, r, "k", salts = 4, joinType = "left_outer")
+    assert(res.count() == 3)
+    assert(res.filter(col("w").isNull).count() == 2)
+  }
+
+  test("stateful streaming sessionization matches the batch gap logic") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    import spark.implicits._
+    Tables.configure(spark)
+    val landing = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"),
+      landing.resolve("batch0.parquet"))
+    val schema = spark.read.parquet(s"$Sf/events.parquet").schema
+    // KeyValueGroupedDataset + flatMapGroupsWithState: custom session
+    // state per user (GP TableFunction/SRF analog with state)
+    val sessions = spark.readStream.schema(schema).parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id").as[Long], unix_millis(col("ts")).as[Long], col("event_id").as[Long])
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[(Long, Long, Long)], state: GroupState[(Long, Long)]) =>
+          val sorted = events.toSeq.sortBy(e => (e._2, e._3))
+          var nSessions = 0L
+          var prev = Long.MinValue
+          sorted.foreach { e =>
+            if (prev == Long.MinValue || e._2 - prev > 30L * 60 * 1000) nSessions += 1
+            prev = e._2
+          }
+          Iterator.single((user, nSessions, sorted.size.toLong))
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+    val q = sessions.writeStream.format("memory").queryName("sess_state")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    val streamed = spark.table("sess_state")
+    val batch = SparkEntry.queries("e02_sessionize")(spark, Sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stateful streaming sessionization diverged from batch e02")
+  }
+}
