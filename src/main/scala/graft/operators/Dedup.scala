@@ -44,20 +44,26 @@ object Dedup {
     * Width: the modulus 1e9+7 ≈ 2^30 keeps bits 0..23 unbiased; 12-bit
     * bands give 4096 buckets so candidate volume stays near-linear.
     * Per-token polynomial hashes vote on each bit; bands are the halves. */
-  private def simhashDf(s: SparkSession, dir: String): DataFrame =
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    // 24 per-bit vote sums fold in ONE aggregation pass (24 sum()
+    // columns over the token rows) instead of exploding tokens ×24 —
+    // the map-side partial sums collapse each partition to |docs| rows.
+    val voteCols = (0 to 23).map { b =>
+      sum(expr(s"CASE WHEN (th div ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"w$b")
+    }
+    val simExpr = (0 to 23).map { b =>
+      s"CASE WHEN w$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0L END"
+    }.mkString(" + ")
     Tables.df(s, dir, "documents")
       .withColumn("toks", expr(toks))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), expr(polyHash("tok")).as("th"))
-      .select(col("doc_id"), explode(expr("sequence(0, 23)")).as("b"), col("th"))
-      .withColumn("bit_weight", expr("CASE WHEN (th div CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("bit_weight")).as("w"))
-      .withColumn("bit", when(col("w") > 0, lit(1L)).otherwise(lit(0L)))
       .groupBy(col("doc_id"))
-      .agg(sum(expr("bit * CAST(pow(2, b) AS BIGINT)")).as("simhash"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), expr(simExpr).as("simhash"))
       .select(col("doc_id"), col("simhash"),
         expr("simhash div 4096").as("hi_band"), expr("simhash % 4096").as("lo_band"))
+  }
 
   /** doc_id → distinct shingle fingerprints (the shared front half of the
     * jaccard and minhash pipelines). */
@@ -116,16 +122,22 @@ object Dedup {
       val fps = shingleFps(s, dir)
       // k universal hashes h_j(f) = (a_j·f + b_j) mod p, coefficients are
       // small deterministic odd numbers so the oracle reproduces them.
-      val sigs = fps
-        .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("j"), col("fp"))
-        .withColumn("h", expr("((1000003 * j + 12345) * fp + 7919 * j + 271) % 1000000007"))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(min(col("h")).as("sig"))
+      // All 12 minhashes fold in ONE aggregation pass (12 min() columns)
+      // instead of exploding fps ×12 and shuffling 12× the rows — the
+      // map-side partial min collapses each partition to |docs| rows.
+      val sigCols = (0 to 11).map { j =>
+        min(expr(s"((1000003 * $j + 12345) * fp + 7919 * $j + 271) % 1000000007")).as(s"s$j")
+      }
+      val sigs = fps.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      // band key = the 3 signatures of the band, comma-joined in j order
+      // (identical string the oracle's string_agg ... ORDER BY j builds)
+      val bandStructs = (0 to 3).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", col(s"s${3 * b}"), col(s"s${3 * b + 1}"), col(s"s${3 * b + 2}")).as("band_key"))
+      }
       val bands = sigs
-        .withColumn("band", expr("j div 3"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("sig")))),
-          x => x.getField("sig").cast("string")), ",").as("band_key"))
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
         // spool: both self-join sides read the same materialized bands
         .localCheckpoint()
       val l = bands.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
