@@ -36,6 +36,7 @@ object Bench {
       // the timed loop, like any CREATE TABLE
       operators.Partitioned.ordersByMonth(spark, sfDir)
       operators.Partitioned.monthDimTable(spark, sfDir)
+      operators.Bucketed.ensure(spark, sfDir)
     } catch { case _: Throwable => () } // warmup only; the measured loop reports errors
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

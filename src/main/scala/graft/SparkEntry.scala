@@ -33,7 +33,8 @@ object SparkEntry {
     (operators.Ingest.queries, operators.Ingest.oracle),
     (operators.OrderedSet.queries, operators.OrderedSet.oracle),
     (operators.Extras.queries, operators.Extras.oracle),
-    (operators.Incremental.queries, operators.Incremental.oracle)
+    (operators.Incremental.queries, operators.Incremental.oracle),
+    (operators.Bucketed.queries, operators.Bucketed.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distribution metadata — `DISTRIBUTED BY` ≙ bucketed tables
+  * (`src/include/catalog/gp_distribution_policy.h:86-111`, SURVEY §1.2,
+  * build-plan step 4). Cloudberry hash-distributes every table on its
+  * distribution key so equi-joins on that key run co-located with NO
+  * motion; Spark's persisted analog is `bucketBy(n, key)`: both sides
+  * pre-hashed into the same number of buckets, so the join plans with no
+  * Exchange on either side (asserted in PlanShapeSpec with broadcast
+  * disabled). At 100 TB this removes the two largest shuffles of the
+  * canonical orders⋈lineitem join — the single biggest motion saving the
+  * reference's distribution policies buy.
+  */
+object Bucketed {
+
+  private val NumBuckets = 8
+
+  private def tag(dir: String) = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build-once per session: register orders/lineitem bucketed by their
+    * join key (the session catalog is in-memory, so each JVM re-writes
+    * into the shared warehouse directory — CREATE TABLE ... DISTRIBUTED
+    * BY re-run per session). */
+  def ensure(s: SparkSession, dir: String): (String, String) = {
+    val (ot, lt) = (s"orders_bucketed_${tag(dir)}", s"lineitem_bucketed_${tag(dir)}")
+    def create(table: String, src: String, key: String): Unit =
+      if (!s.catalog.tableExists(table)) {
+        // a previous JVM may have left the managed location behind while
+        // the in-memory catalog entry died with it — clear the location
+        // so CREATE TABLE succeeds (re-running the DDL)
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = new java.io.File(wh, table.toLowerCase)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+        Tables.df(s, dir, src)
+          .write.mode("overwrite").bucketBy(NumBuckets, key)
+          .sortBy(key).format("parquet").saveAsTable(table)
+      }
+    create(ot, "orders", "o_orderkey")
+    create(lt, "lineitem", "l_orderkey")
+    (ot, lt)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- co-located join on the distribution key (no exchange) --
+    "b01_bucketed_join" -> { (s, dir) =>
+      val (ot, lt) = ensure(s, dir)
+      val o = s.table(ot)
+      val l = s.table(lt)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2)").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "b01_bucketed_join" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+        round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  )
+}

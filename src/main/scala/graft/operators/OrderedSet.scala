@@ -40,10 +40,57 @@ object OrderedSet {
           hyp_rank(l_quantity, 49.5D) AS rank_of_49_5,
           count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
+    // -- multi-DQA combined with grouping sets (qp_olap_mdqa.sql
+    //    territory, SURVEY §7.4 #2: Expand ×(distinct aggs × grouping
+    //    sets) — the plan-blowup case the reference splits with
+    //    TupleSplit + multi-stage agg) --
+    "q71_mdqa_rollup" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          count(DISTINCT l_partkey) AS n_parts,
+          count(DISTINCT l_suppkey) AS n_supps,
+          count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    },
+
+    // -- EXCLUDE GROUP: full-frame aggregate minus the peer group
+    //    (peers = rows equal under the window ORDER BY) --
+    "q72_exclude_group" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wFull = Window.partitionBy(col("o_orderstatus"))
+      val wPeers = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderdate"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round((sum(col("cents")).over(wFull) - sum(col("cents")).over(wPeers))
+            .cast("double") / 100.0, 2).as("non_peer_total"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q71_mdqa_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps,
+        count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q72_exclude_group" -> """
+      SELECT o_orderkey, o_orderstatus,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+          PARTITION BY o_orderstatus ORDER BY o_orderdate
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+          EXCLUDE GROUP) AS DOUBLE) / 100.0, 2) AS non_peer_total
+      FROM orders WHERE o_custkey <= 50 ORDER BY o_orderkey""",
     "q57_within_group" -> """
       WITH modes AS (
         SELECT l_returnflag, min(l_quantity) AS mode_qty FROM (

@@ -138,6 +138,21 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
   }
 
+  test("b01: bucketed join runs co-located — no shuffle exchange (DISTRIBUTED BY)") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (ot, lt) = operators.Bucketed.ensure(spark, Sf)
+      val joined = spark.table(lt).join(spark.table(ot),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = finalPlan(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed sides must join without any motion (gp_distribution_policy):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("base scans expose row-group statistics filters (zone-map analog)") {
     // reference: PAX sparse filters / AOCS block directory; in Spark the
     // parquet scan itself must carry the pushed predicates
