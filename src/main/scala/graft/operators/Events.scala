@@ -96,10 +96,43 @@ object Events {
         .select(col("day"), col("event_type"), col("n"),
           round(col("n").cast("double") / col("day_total"), 9).as("share"))
         .orderBy(col("day"), col("event_type"))
+    },
+
+    // -- native session windows: gap-merged event-time sessions --
+    // Spark's session_window (batch + streaming) IS the e02 gap logic as
+    // a first-class operator: windows merge while events arrive within
+    // the 30-minute gap; window end = last event + gap.
+    "e06_session_window" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "e06_session_window" -> """
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+            CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 30*60*1000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, ts, event_id,
+              lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+            FROM events) a) b) c
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start""",
     "e01_hourly_rollup" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type,
         count(*) AS n,

@@ -76,6 +76,43 @@ object Similarity {
         .filter(col("cosine") >= 0.95)
         .select(col("a_id"), col("b_id"), col("cosine"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- IVF ANN: coarse quantization, probe one inverted list --
+    // The other standard ANN scale path next to LSH: a small centroid
+    // table partitions the corpus into inverted lists (assignment =
+    // argmin L2 to a broadcast centroid set — one corpus scan); a query
+    // probes ONLY its own centroid's list, so search cost is
+    // |list| ≈ N/k instead of N. Centroids here are a deterministic
+    // sample (first 8 corpus vectors) so the oracle reproduces the
+    // training-free IVF exactly; at 100 TB they come from k-means and k
+    // scales with sqrt(N), but the plan (broadcast assign → equi-join on
+    // list id → per-list top-k) is unchanged.
+    "s04_ivf_ann" -> { (s, dir) =>
+      val emb = Tables.df(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      // assignment: argmin squared-L2, ties to lowest centroid id
+      def assigned(idCol: String, embCol: String) = emb
+        .select(col("vec_id").as(idCol), col("embedding").as(embCol))
+        .join(broadcast(centroids))
+        .withColumn("d2", expr(
+          s"aggregate(zip_with($embCol, cent_emb, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (a, x) -> a + x)"))
+        .withColumn("best", min(struct(col("d2"), col("cent_id")))
+          .over(Window.partitionBy(col(idCol))))
+        .filter(col("d2") === col("best.d2") && col("cent_id") === col("best.cent_id"))
+        .select(col(idCol), col(embCol), col("cent_id").as(idCol + "_list"))
+      val queries = assigned("q_id", "q_emb").filter(col("q_id") < 20)
+      val corpus = assigned("c_id", "c_emb")
+      val scored = queries.join(corpus,
+          col("q_id_list") === col("c_id_list") && col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
     }
   )
 
@@ -141,6 +178,33 @@ object Similarity {
         JOIN (SELECT vec_id, embedding AS c_emb, bucket FROM bucketed) b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
       WHERE cosine >= 0.95
-      ORDER BY a_id, b_id"""
+      ORDER BY a_id, b_id""",
+
+    "s04_ivf_ann" -> s"""
+      WITH centroids AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, embedding, cent_id AS list_id FROM (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_sum(list_transform(generate_series(1, len(e.embedding)), i ->
+                (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE)))),
+              c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN centroids c) t
+        WHERE rn = 1),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) AS cosine
+        FROM (SELECT vec_id, embedding AS q_emb, list_id FROM assigned WHERE vec_id < 20) q
+        JOIN (SELECT vec_id, embedding AS c_emb, list_id FROM assigned) c
+          ON q.list_id = c.list_id AND q.vec_id <> c.vec_id),
+      ranked AS (
+        SELECT q_id, c_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM scored)
+      SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 3
+      ORDER BY q_id, rn"""
   )
 }

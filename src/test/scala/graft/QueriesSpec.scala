@@ -26,6 +26,7 @@ class QueriesSpec extends AnyFunSuite {
     "e03_asof_last_order" -> (202L, Seq("event_id", "user_id", "last_orderkey", "last_orderdate")),
     "e04_signup_purchase_funnel" -> (15L, Seq("user_id", "signed_up", "purchased", "converted")),
     "e05_daily_type_share" -> (150L, Seq("day", "event_type", "n", "share")),
+    "e06_session_window" -> (946L, Seq("user_id", "session_start", "session_end", "n_events")),
     "m01_binary_metadata" -> (500L, Seq("doc_id", "n_bytes", "payload_md5", "width", "height")),
     "m02_media_features" -> (500L, Seq("doc_id", "mime", "width", "height", "n_bytes", "byte_checksum", "first_byte")),
     "p01_partition_pruning" -> (3L, Seq("o_month", "n_orders", "total")),
@@ -106,6 +107,7 @@ class QueriesSpec extends AnyFunSuite {
     "s01_cosine_topk" -> (100L, Seq("q_id", "c_id", "cosine", "rn")),
     "s02_ann_lsh_buckets" -> (161L, Seq("bucket", "n_vectors", "min_vec", "n_labels")),
     "s03_embedding_near_dup" -> (0L, Seq("a_id", "b_id", "cosine")),
+    "s04_ivf_ann" -> (60L, Seq("q_id", "c_id", "cosine", "rn")),
     "t01_token_stats" -> (500L, Seq("doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len")),
     "t02_quality_score" -> (500L, Seq("doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "ttr")),
     "t03_langid" -> (500L, Seq("doc_id", "labeled_lang", "detected_lang", "en_score")),
