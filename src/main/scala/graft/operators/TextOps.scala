@@ -87,6 +87,43 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // -- BPE-ish regex tokenization: letter runs / digit runs / single
+    //    punctuation, the pre-tokenizer split LLM tokenizers apply
+    //    before BPE merges; per-row regexp_extract_all, codegen'd --
+    "t06_bpe_tokens" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("pieces",
+          expr("""regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"""))
+        .select(
+          col("doc_id"),
+          size(col("pieces")).cast("bigint").as("n_pieces"),
+          size(expr("filter(pieces, x -> x rlike '^[A-Za-z]+$')")).cast("bigint").as("n_word_pieces"),
+          size(expr("filter(pieces, x -> x rlike '^[0-9]+$')")).cast("bigint").as("n_num_pieces"),
+          round(expr("aggregate(pieces, 0L, (a, x) -> a + length(x))").cast("double")
+            / greatest(size(col("pieces")), lit(1)), 6).as("avg_piece_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- quality-filter decision: the keep/drop gate a training-data
+    //    pipeline derives from the t02 signals --
+    "t07_quality_filter" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("n_toks", greatest(size(col("toks")), lit(1)))
+        .withColumn("punct_ratio",
+          (length(col("text")) - length(translate(col("text"), ".,!?;:", ""))).cast("double")
+            / greatest(length(col("text")), lit(1)))
+        .withColumn("ttr", size(array_distinct(col("toks"))).cast("double") / col("n_toks"))
+        .select(
+          col("doc_id"),
+          (col("n_toks") >= 10).cast("int").as("len_ok"),
+          (col("punct_ratio") <= 0.1).cast("int").as("punct_ok"),
+          (col("ttr") >= 0.3).cast("int").as("diversity_ok"),
+          (col("n_toks") >= 10 && col("punct_ratio") <= 0.1 && col("ttr") >= 0.3)
+            .cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- word frequency: explode + top-k (ProjectSet ≙ Generator) --
     "t05_top_words" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
@@ -99,6 +136,36 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "t06_bpe_tokens" -> """
+      SELECT doc_id,
+        CAST(len(pieces) AS BIGINT) AS n_pieces,
+        CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS BIGINT) AS n_word_pieces,
+        CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_num_pieces,
+        round(CAST(list_sum(list_transform(pieces, x -> length(x))) AS DOUBLE)
+          / greatest(len(pieces), 1), 6) AS avg_piece_len
+      FROM (SELECT doc_id,
+              regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS pieces
+            FROM documents) t
+      ORDER BY doc_id""",
+
+    "t07_quality_filter" -> """
+      SELECT doc_id,
+        CAST(CASE WHEN n_toks >= 10 THEN 1 ELSE 0 END AS INTEGER) AS len_ok,
+        CAST(CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END AS INTEGER) AS punct_ok,
+        CAST(CASE WHEN ttr >= 0.3 THEN 1 ELSE 0 END AS INTEGER) AS diversity_ok,
+        CAST(CASE WHEN n_toks >= 10 AND punct_ratio <= 0.1 AND ttr >= 0.3
+             THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM (
+        SELECT doc_id,
+          greatest(len(toks), 1) AS n_toks,
+          CAST(length(text) - length(translate(text, '.,!?;:', '')) AS DOUBLE)
+            / greatest(length(text), 1) AS punct_ratio,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS ttr
+        FROM (SELECT doc_id, text,
+                list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents) a) b
+      ORDER BY doc_id""",
+
     "t01_token_stats" -> """
       SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_tokens,

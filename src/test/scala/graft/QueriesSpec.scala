@@ -112,7 +112,9 @@ class QueriesSpec extends AnyFunSuite {
     "t02_quality_score" -> (500L, Seq("doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "ttr")),
     "t03_langid" -> (500L, Seq("doc_id", "labeled_lang", "detected_lang", "en_score")),
     "t04_fingerprint" -> (500L, Seq("doc_id", "fingerprint", "text_md5")),
-    "t05_top_words" -> (30L, Seq("word", "n"))
+    "t05_top_words" -> (30L, Seq("word", "n")),
+    "t06_bpe_tokens" -> (500L, Seq("doc_id", "n_pieces", "n_word_pieces", "n_num_pieces", "avg_piece_len")),
+    "t07_quality_filter" -> (500L, Seq("doc_id", "len_ok", "punct_ok", "diversity_ok", "keep"))
   )
 
   test("every declared query has a snapshot and vice versa") {
