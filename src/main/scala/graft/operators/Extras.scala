@@ -154,7 +154,7 @@ object Extras {
     // -- Z-order clustering key (PAX `zorder_clustering.cc`): bit-
     //    interleave two dimensions so range queries on either column skip
     //    row groups. The key build is pure arithmetic (oracle-stable);
-    //    ZOrderSpec asserts the locality property and the write path --
+    //    ScaleSpec asserts the locality property and the write path --
     "q70_zorder" -> { (s, dir) =>
       Tables.df(s, dir, "part")
         .filter(col("p_partkey") <= 500)

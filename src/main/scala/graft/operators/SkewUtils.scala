@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * key, and replicates the right side once per salt value so every
   * (key, salt) pair finds its match. Row multiplicity is preserved
   * exactly — the join result equals the unsalted join (asserted in
-  * SkewSpec).
+  * ScaleSpec).
   */
 object SkewUtils {
 
