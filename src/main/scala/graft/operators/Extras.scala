@@ -162,10 +162,55 @@ object Extras {
           expr(graft.functions.ZOrder.interleaveExpr("p_partkey % 256", "p_size % 256", 8))
             .as("zval"))
         .orderBy(col("zval"), col("p_partkey"))
+    },
+
+    // -- interval arithmetic (timestamp.c interval_pl / CalendarInterval) --
+    "q73_interval_arith" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          // 100 days, not 90: DuckDB 1.0 CSE considers INTERVAL 90 DAY ==
+          // INTERVAL 3 MONTH (month≈30d) and merges the two additions
+          (col("o_orderdate") + expr("INTERVAL 100 DAYS")).as("due_date"),
+          (col("o_orderdate") - expr("INTERVAL 1 MONTH")).as("month_before"),
+          add_months(col("o_orderdate"), 3).cast("timestamp").as("plus_quarter"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+            .cast("int").as("days_to_eoy"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- null-handling scalar battery (COALESCE/NULLIF/LEAST/GREATEST) --
+    "q74_null_funcs" -> { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(default)")).as("seg_coalesced"),
+          least(col("c_acctbal"), lit(0.0)).as("neg_or_zero"),
+          greatest(col("c_acctbal"), lit(0.0)).as("pos_or_zero"),
+          when(col("c_acctbal") < 0, null).otherwise(col("c_acctbal")).as("pos_or_null"))
+        .orderBy(col("c_custkey"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q73_interval_arith" -> """
+      SELECT o_orderkey,
+        CAST(o_orderdate AS TIMESTAMP) + INTERVAL 100 DAY AS due_date,
+        CAST(o_orderdate AS TIMESTAMP) - INTERVAL 1 MONTH AS month_before,
+        CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 MONTH AS plus_quarter,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER) AS days_to_eoy
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+    "q74_null_funcs" -> """
+      SELECT c_custkey,
+        nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg_coalesced,
+        least(c_acctbal, 0.0) AS neg_or_zero,
+        greatest(c_acctbal, 0.0) AS pos_or_zero,
+        CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_or_null
+      FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+
     "q69_regex" -> """
       SELECT c_custkey,
         CAST(CASE WHEN regexp_matches(c_name, '[0-9]+') THEN 1 ELSE 0 END AS INTEGER) AS has_digits,

@@ -57,6 +57,8 @@ class QueriesSpec extends AnyFunSuite {
     "q70_zorder" -> (200L, Seq("p_partkey", "p_size", "zval")),
     "q71_mdqa_rollup" -> (10L, Seq("l_returnflag", "l_linestatus", "n_parts", "n_supps", "n")),
     "q72_exclude_group" -> (508L, Seq("o_orderkey", "o_orderstatus", "non_peer_total")),
+    "q73_interval_arith" -> (1500L, Seq("o_orderkey", "due_date", "month_before", "plus_quarter", "days_to_eoy")),
+    "q74_null_funcs" -> (150L, Seq("c_custkey", "seg_or_null", "seg_coalesced", "neg_or_zero", "pos_or_zero", "pos_or_null")),
     "b01_bucketed_join" -> (5L, Seq("o_orderpriority", "n_items", "revenue")),
     "q01_pricing_summary" -> (6L, Seq("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order")),
     "q02_filter_pushdown" -> (12L, Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
