@@ -74,7 +74,7 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected map-side partial max in e03:\n$p")
   }
 
-  test("q21: global sort+limit compiles to TakeOrderedAndProject") {
+  test("q03: top-k (sort+limit) compiles to TakeOrderedAndProject") {
     val p = plan("q03_shipping_priority")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
