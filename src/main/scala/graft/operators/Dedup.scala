@@ -93,18 +93,25 @@ object Dedup {
     // defined over the capped shingle universe: sizes and intersections
     // both exclude stop-shingles, identically in the DuckDB oracle.
     "d02_ngram_jaccard" -> { (s, dir) =>
-      // materialized spool (ShareInputScan): the fingerprint set feeds 4
-      // consumers (frequency cap, both self-join sides, sizes); without
-      // it Spark recomputes the shingle pipeline per consumer
-      val all = shingleFps(s, dir).localCheckpoint()
-      val rare = all.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= StopShingleCap).select(col("fp"))
-      val fps = all.join(rare, Seq("fp"))
-      val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val a = fps.select(col("doc_id").as("a_id"), col("fp"))
-      val b = fps.select(col("doc_id").as("b_id"), col("fp"))
-      val inter = a.join(b, Seq("fp"))
-        .filter(col("a_id") < col("b_id"))
+      // Posting-list formulation: one shuffle groups the index by
+      // fingerprint; the frequency cap is a size() filter on the posting
+      // list; candidate pairs are emitted PARTITION-LOCALLY from each
+      // list (sorted, so a_id < b_id by construction) instead of a
+      // self-join — one less shuffle of the widest data. The spool
+      // (ShareInputScan) feeds both the pair emit and the doc sizes.
+      val lists = shingleFps(s, dir)
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= StopShingleCap)
+        .localCheckpoint()
+      val sizes = lists.select(explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = lists.filter(size(col("ds")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ds) - 1), i ->
+               transform(slice(ds, i + 1, size(ds) - i), d ->
+                 struct(ds[i-1] AS a_id, d AS b_id))))""")).as("p"))
+        .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
         .groupBy(col("a_id"), col("b_id"))
         .agg(count(lit(1)).as("inter"))
       inter
