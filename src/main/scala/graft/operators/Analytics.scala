@@ -221,6 +221,33 @@ object Analytics {
         .orderBy(col("o_orderpriority"))
     },
 
+    // -- TPC-H Q21 shape: correlated EXISTS + NOT EXISTS on the same
+    //    fact (semi join + anti join stacked, nodeSubplan.c territory):
+    //    suppliers whose returned ('R') lineitems were the ONLY returns
+    //    of a multi-supplier order (this schema has no receipt/commit
+    //    dates, so returnflag plays the "late" role) --
+    "q75_waiting_suppliers" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")
+    },
+
     // -- string expression battery (varlena.c / oracle_compat.c) --
     "q48_string_funcs" -> { (s, dir) =>
       Tables.df(s, dir, "customer")
@@ -271,6 +298,25 @@ object Analytics {
   )
 
   def oracle: Map[String, String] = Map(
+    "q75_waiting_suppliers" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name""",
+
     "q30_window_rank" -> """
       SELECT * FROM (
         SELECT c_custkey, c_mktsegment, c_acctbal,

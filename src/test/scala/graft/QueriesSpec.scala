@@ -105,6 +105,7 @@ class QueriesSpec extends AnyFunSuite {
     "q48_string_funcs" -> (150L, Seq("c_custkey", "uname", "lseg", "name_len", "prefix", "tag", "trimmed", "padded", "masked", "has_one")),
     "q49_date_funcs" -> (27L, Seq("o_year", "o_quarter", "n", "first_month", "last_day_max")),
     "q50_math_funcs" -> (200L, Seq("p_partkey", "abs_dev", "ceiled", "floored", "sq", "ln_price", "size_sq", "mod10", "sgn")),
+    "q75_waiting_suppliers" -> (10L, Seq("s_name", "numwait")),
     "r01_recursive_collatz" -> (1023L, Seq("seed", "step", "val")),
     "s01_cosine_topk" -> (100L, Seq("q_id", "c_id", "cosine", "rn")),
     "s02_ann_lsh_buckets" -> (161L, Seq("bucket", "n_vectors", "min_vec", "n_labels")),
