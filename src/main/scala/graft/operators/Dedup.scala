@@ -26,6 +26,15 @@ object Dedup {
     * (d02). Shared between the Spark query and the DuckDB oracle. */
   val StopShingleCap = 50
 
+  /** Max occupancy for a simhash band bucket to emit ALL pairs (d05).
+    * Buckets above the cap emit STAR pairs only — every member against the
+    * bucket minimum — so a boilerplate cluster of k near-identical docs
+    * costs k-1 candidates, not k²/2. Star is the right degradation for
+    * dedup (unlike d02's drop): an over-full band bucket means the members
+    * are almost certainly duplicates of each other, so linking them all to
+    * one hub preserves recall while bounding cost. Shared with the oracle. */
+  val BandBucketCap = 50
+
   private val toks = "filter(split(text, ' '), x -> x <> '')"
 
   /** Word 3-gram shingles from a `toks` array column (0-indexed Spark). */
@@ -162,38 +171,60 @@ object Dedup {
 
     // -- SimHash banded dedup: candidate pairs + Hamming verify + keeper --
     // The scale path the d04 header promises: candidates only form where a
-    // full 12-bit band collides (two equi-joins, no all-pairs), the 24-bit
-    // Hamming distance (one bit_count(xor), codegen'd) verifies candidates,
-    // and the output is the DEDUP ASSIGNMENT — (doc, keeper=min smaller
-    // near-dup) — not the pair list: this test corpus contains clusters of
-    // 50+ near-identical docs, so pair output is O(cluster²) no matter how
-    // it's computed, while the assignment stays linear in docs. (Greedy
-    // first-wins dedup; full transitive clustering = the r01-style driver
-    // fixpoint over these edges.) At 100 TB the simhash widens to 64 bits
-    // with 16-bit bands so band buckets stay small; plan shape unchanged.
+    // full 12-bit band collides, the 24-bit Hamming distance (one
+    // bit_count(xor), codegen'd) verifies candidates, and the output is the
+    // DEDUP ASSIGNMENT — (doc, keeper=min smaller near-dup) — which stays
+    // linear in docs. Candidate generation is the d02 posting-list pattern
+    // with an occupancy cap (`BandBucketCap`): one shuffle groups docs by
+    // band value, pairs are emitted PARTITION-LOCALLY from each sorted
+    // list, and an over-full bucket degrades to star pairs against the
+    // bucket minimum — so a k-doc boilerplate cluster costs k-1 candidates
+    // instead of k²/2 (the r2-verdict scale-killer). ScaleSpec proves the
+    // bound on a synthetic 1,000-copy cluster.
     "d05_simhash_dedup" -> { (s, dir) =>
-      // spool: one row per doc, read by 2 bands x 2 join sides — without
-      // it the whole token-hash pipeline runs 4x
+      // spool: one row per doc, read by both band groupings — without it
+      // the whole token-hash pipeline runs twice
       val sim = simhashDf(s, dir).localCheckpoint()
-      def side(idPre: String) = sim.select(
-        col("doc_id").as(idPre + "_id"), col("simhash").as(idPre + "_sim"),
-        col("hi_band").as(idPre + "_hi"), col("lo_band").as(idPre + "_lo"))
-      val l = side("a")
-      val r = side("b")
-      // disjoint banded union: the lo-band join only emits pairs whose hi
-      // bands differ, so hi ∪ lo is exact with NO dedup shuffle (the
-      // standard LSH multi-band trick)
-      val hi = l.join(r, col("a_hi") === col("b_hi"))
-      val lo = l.join(r, col("a_lo") === col("b_lo") && col("a_hi") =!= col("b_hi"))
-      val cols = Seq(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
-      hi.select(cols: _*).union(lo.select(cols: _*))
-        .filter(col("a_id") < col("b_id"))
+      bandCandidates(sim)
         .filter(expr("bit_count(a_sim ^ b_sim) <= 3"))
         .groupBy(col("b_id").as("doc_id"))
         .agg(min(col("a_id")).as("keeper_id"))
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Capped candidate pairs from a simhash frame (doc_id, simhash,
+    * hi_band, lo_band): union of the two band posting lists, exact and
+    * disjoint (the lo list only emits pairs whose hi bands differ — the
+    * standard LSH multi-band trick, no dedup shuffle). Exposed so
+    * ScaleSpec can assert the candidate bound on a synthetic hot cluster. */
+  def bandCandidates(sim: DataFrame): DataFrame = {
+    val hi = bandPairs(sim, "hi_band")
+    val lo = bandPairs(sim, "lo_band")
+      .filter(expr("a_sim div 4096 <> b_sim div 4096"))
+    hi.union(lo)
+  }
+
+  /** Posting-list pair emission for one band column. One shuffle (the
+    * groupBy); pairs materialize inside a partition from the sorted list,
+    * so `a_id < b_id` by construction. Buckets over `BandBucketCap` emit
+    * star pairs (hub = list minimum) — k-1 rows instead of C(k,2). */
+  private def bandPairs(sim: DataFrame, bandCol: String): DataFrame = sim
+    .groupBy(col(bandCol).as("bv"))
+    .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+    .filter(size(col("ds")) >= 2)
+    .select(explode(expr(
+      s"""CASE WHEN size(ds) <= $BandBucketCap
+            THEN flatten(transform(sequence(1, size(ds) - 1), i ->
+                   transform(slice(ds, i + 1, size(ds) - i), d ->
+                     struct(ds[i-1].doc_id AS a_id, d.doc_id AS b_id,
+                            ds[i-1].simhash AS a_sim, d.simhash AS b_sim))))
+            ELSE transform(slice(ds, 2, size(ds) - 1), d ->
+                   struct(ds[0].doc_id AS a_id, d.doc_id AS b_id,
+                          ds[0].simhash AS a_sim, d.simhash AS b_sim))
+          END""")).as("p"))
+    .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+      col("p.a_sim").as("a_sim"), col("p.b_sim").as("b_sim"))
 
   def oracle: Map[String, String] = Map(
     "d01_exact_dedup" -> """
@@ -236,15 +267,23 @@ object Dedup {
       WITH $oracleSimhashCtes
       SELECT doc_id, simhash, hi_band, lo_band FROM banded ORDER BY doc_id""",
 
+    // Occupancy cap mirrored from bandPairs: a bucket over the cap keeps
+    // only the pairs whose smaller side is the bucket minimum (star).
     "d05_simhash_dedup" -> s"""
       WITH $oracleSimhashCtes,
+      hi_n AS (SELECT hi_band, count(*) AS n, min(doc_id) AS hub FROM banded GROUP BY hi_band),
+      lo_n AS (SELECT lo_band, count(*) AS n, min(doc_id) AS hub FROM banded GROUP BY lo_band),
       cands AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
         FROM banded a JOIN banded b ON a.hi_band = b.hi_band AND a.doc_id < b.doc_id
+        JOIN hi_n h ON h.hi_band = a.hi_band
+        WHERE h.n <= $BandBucketCap OR a.doc_id = h.hub
         UNION ALL
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
         FROM banded a JOIN banded b
-          ON a.lo_band = b.lo_band AND a.hi_band <> b.hi_band AND a.doc_id < b.doc_id)
+          ON a.lo_band = b.lo_band AND a.hi_band <> b.hi_band AND a.doc_id < b.doc_id
+        JOIN lo_n l ON l.lo_band = a.lo_band
+        WHERE l.n <= $BandBucketCap OR a.doc_id = l.hub)
       SELECT b_id AS doc_id, min(a_id) AS keeper_id
       FROM cands WHERE bit_count(xor(a_sim, b_sim)) <= 3
       GROUP BY b_id ORDER BY doc_id"""

