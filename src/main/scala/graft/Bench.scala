@@ -37,7 +37,11 @@ object Bench {
       operators.Partitioned.ordersByMonth(spark, sfDir)
       operators.Partitioned.monthDimTable(spark, sfDir)
       operators.Bucketed.ensure(spark, sfDir)
-    } catch { case _: Throwable => () } // warmup only; the measured loop reports errors
+    } catch { // warmup only; the measured loop reports errors — but say so,
+      // or a broken build-once step silently charges its cost to the
+      // first measured query
+      case e: Throwable => System.err.println(s"[bench] warmup failed (non-fatal): ${e.getMessage}")
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -25,6 +25,22 @@ class QueriesSpec extends AnyFunSuite {
     "e02_sessionize" -> (15L, Seq("user_id", "n_sessions", "n_events")),
     "e03_asof_last_order" -> (202L, Seq("event_id", "user_id", "last_orderkey", "last_orderdate")),
     "e04_signup_purchase_funnel" -> (15L, Seq("user_id", "signed_up", "purchased", "converted")),
+    "h02_min_cost_supplier" -> (5L, Seq("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")),
+    "h04_order_priority" -> (5L, Seq("o_orderpriority", "order_count")),
+    "h07_volume_shipping" -> (20L, Seq("supp_nation", "cust_nation", "l_year", "revenue")),
+    "h08_market_share" -> (2L, Seq("o_year", "mkt_share")),
+    "h10_returned_items" -> (20L, Seq("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")),
+    "h11_important_stock" -> (177L, Seq("partkey", "part_value")),
+    "h12_priority_shipclass" -> (3L, Seq("ship_class", "high_line_count", "low_line_count")),
+    "h13_customer_distribution" -> (15L, Seq("c_count", "custdist")),
+    "h14_promo_revenue" -> (1L, Seq("promo_revenue")),
+    "h15_top_supplier" -> (1L, Seq("s_suppkey", "s_name", "total_revenue")),
+    "h16_supplier_cnt" -> (25L, Seq("p_brand", "p_type", "p_size", "supplier_cnt")),
+    "h17_small_qty_revenue" -> (1L, Seq("avg_yearly")),
+    "h18_large_volume_cust" -> (100L, Seq("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")),
+    "h19_bracketed_revenue" -> (1L, Seq("revenue")),
+    "h20_promotion_suppliers" -> (1L, Seq("s_name", "s_suppkey")),
+    "h22_sales_opportunity" -> (2L, Seq("cntrycode", "numcust", "totacctbal")),
     "e05_daily_type_share" -> (150L, Seq("day", "event_type", "n", "share")),
     "e06_session_window" -> (946L, Seq("user_id", "session_start", "session_end", "n_events")),
     "m01_binary_metadata" -> (500L, Seq("doc_id", "n_bytes", "payload_md5", "width", "height")),
