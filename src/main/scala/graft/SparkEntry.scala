@@ -35,7 +35,8 @@ object SparkEntry {
     (operators.OrderedSet.queries, operators.OrderedSet.oracle),
     (operators.Extras.queries, operators.Extras.oracle),
     (operators.Incremental.queries, operators.Incremental.oracle),
-    (operators.Bucketed.queries, operators.Bucketed.oracle)
+    (operators.Bucketed.queries, operators.Bucketed.oracle),
+    (operators.Stats.queries, operators.Stats.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

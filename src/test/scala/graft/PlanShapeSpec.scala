@@ -153,6 +153,28 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("x01: ANALYZE stats + CBO reorder the bad-order join (ORCA CJoinOrderDPv2 analog)") {
+    // red/green on the STATS axis: identical twin tables, identical query,
+    // identical confs — the only difference is ANALYZE. The DP search
+    // requires rowCounts, so it can only repair the analyzed side.
+    val analyzed = operators.Stats.ensure(spark, Sf) // also turns CBO on
+    val nostats = operators.Stats.ensureUnanalyzed(spark, Sf)
+    def leafOrder(tables: (String, String, String)): Seq[String] = {
+      val plan = operators.Stats.badOrderJoin(spark, Sf, tables).queryExecution.optimizedPlan
+      plan.collectLeaves().map(_.toString).map { s =>
+        Seq("lineitem", "orders", "customer").find(s.contains).getOrElse("?")
+      }
+    }
+    val green = leafOrder(analyzed)
+    val red = leafOrder(nostats)
+    assert(red == Seq("customer", "orders", "lineitem"),
+      s"without stats the bad syntactic order must survive, got $red")
+    assert(green != red, s"CBO failed to repair the order with stats: $green")
+    // with stats the filtered fact (tiny per column stats) joins first
+    assert(green.take(2).contains("lineitem"),
+      s"the selective lineitem filter should join early, got $green")
+  }
+
   test("base scans expose row-group statistics filters (zone-map analog)") {
     // reference: PAX sparse filters / AOCS block directory; in Spark the
     // parquet scan itself must carry the pushed predicates

@@ -41,6 +41,7 @@ class QueriesSpec extends AnyFunSuite {
     "h19_bracketed_revenue" -> (1L, Seq("revenue")),
     "h20_promotion_suppliers" -> (1L, Seq("s_name", "s_suppkey")),
     "h22_sales_opportunity" -> (2L, Seq("cntrycode", "numcust", "totacctbal")),
+    "x01_cbo_reorder" -> (5L, Seq("o_orderpriority", "n_items", "revenue")),
     "e05_daily_type_share" -> (150L, Seq("day", "event_type", "n", "share")),
     "e06_session_window" -> (946L, Seq("user_id", "session_start", "session_end", "n_events")),
     "m01_binary_metadata" -> (500L, Seq("doc_id", "n_bytes", "payload_md5", "width", "height")),
