@@ -205,6 +205,15 @@ object Dedup {
     hi.union(lo)
   }
 
+  /** Hamming-verified near-dup edges (a_id < b_id, distinct) — d05's
+    * candidate pairs after the bit_count verify. r02 closes these into
+    * connected components (the transitive clustering the d05 greedy
+    * assignment defers). */
+  def verifiedEdges(s: SparkSession, dir: String): DataFrame =
+    bandCandidates(simhashDf(s, dir).localCheckpoint())
+      .filter(expr("bit_count(a_sim ^ b_sim) <= 3"))
+      .select(col("a_id"), col("b_id")).distinct()
+
   /** Posting-list pair emission for one band column. One shuffle (the
     * groupBy); pairs materialize inside a partition from the sorted list,
     * so `a_id < b_id` by construction. Buckets over `BandBucketCap` emit
@@ -271,7 +280,16 @@ object Dedup {
     // only the pairs whose smaller side is the bucket minimum (star).
     "d05_simhash_dedup" -> s"""
       WITH $oracleSimhashCtes,
-      hi_n AS (SELECT hi_band, count(*) AS n, min(doc_id) AS hub FROM banded GROUP BY hi_band),
+      $oracleCandCtes
+      SELECT b_id AS doc_id, min(a_id) AS keeper_id
+      FROM cands WHERE bit_count(xor(a_sim, b_sim)) <= 3
+      GROUP BY b_id ORDER BY doc_id"""
+  )
+
+  /** DuckDB rendition of `bandCandidates` (capped hi/lo posting lists) as
+    * CTEs ending in `cands`; requires `banded` in scope. Shared by d05
+    * and r02's recursive closure. */
+  private[operators] def oracleCandCtes: String = s"""hi_n AS (SELECT hi_band, count(*) AS n, min(doc_id) AS hub FROM banded GROUP BY hi_band),
       lo_n AS (SELECT lo_band, count(*) AS n, min(doc_id) AS hub FROM banded GROUP BY lo_band),
       cands AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.simhash AS a_sim, b.simhash AS b_sim
@@ -283,14 +301,10 @@ object Dedup {
         FROM banded a JOIN banded b
           ON a.lo_band = b.lo_band AND a.hi_band <> b.hi_band AND a.doc_id < b.doc_id
         JOIN lo_n l ON l.lo_band = a.lo_band
-        WHERE l.n <= $BandBucketCap OR a.doc_id = l.hub)
-      SELECT b_id AS doc_id, min(a_id) AS keeper_id
-      FROM cands WHERE bit_count(xor(a_sim, b_sim)) <= 3
-      GROUP BY b_id ORDER BY doc_id"""
-  )
+        WHERE l.n <= $BandBucketCap OR a.doc_id = l.hub)"""
 
   /** DuckDB rendition of `simhashDf` as chained CTEs ending in `banded`. */
-  private def oracleSimhashCtes: String = """th AS (
+  private[operators] def oracleSimhashCtes: String = """th AS (
         SELECT doc_id,
           list_reduce(
             list_prepend(CAST(0 AS BIGINT),

@@ -39,10 +39,57 @@ object Recursive {
     frames.reduce(_ union _)
   }
 
+  /** Max label-propagation rounds for r02 (components converge in
+    * O(diameter) rounds; the fixpoint check usually stops far earlier). */
+  private val maxCcIters = 20
+
+  /** General graph recursion with a cycle guard (the r2-verdict's missing
+    * item 7): connected components over d05's Hamming-verified near-dup
+    * edges — the transitive clustering the d05 greedy assignment defers.
+    * Spark-native rendition is iterative min-label propagation (the
+    * standard distributed CC algorithm — each round is one shuffle over
+    * the edge list, O(diameter) rounds): label(v) ← min(label(v),
+    * min_{u~v} label(u)) until a fixpoint. The convergence check (count of
+    * changed labels per round) IS the cycle guard — cyclic edges cannot
+    * loop forever because labels only decrease. The DuckDB oracle is a
+    * genuine WITH RECURSIVE reachability closure with UNION-distinct as
+    * its frontier dedup (nodeRecursiveunion.c semantics: the worktable
+    * only carries rows not yet seen). */
+  private def connectedDedup(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.verifiedEdges(s, dir).localCheckpoint()
+    val und = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .localCheckpoint()
+    // label_0(v) = min(v, min direct neighbor)
+    var labels = und.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("m"))
+      .select(col("doc_id"), least(col("doc_id"), col("m")).as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxCcIters) {
+      // propagate: the best label any neighbor carries
+      val prop = und
+        .join(labels.select(col("doc_id").as("u"), col("lbl").as("u_lbl")), Seq("u"))
+        .groupBy(col("v").as("doc_id")).agg(min(col("u_lbl")).as("n_lbl"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("n_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("doc_id"), col("lbl").as("old")), Seq("doc_id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.filter(col("lbl") < col("doc_id"))
+      .select(col("doc_id"), col("lbl").as("keeper_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_recursive_collatz" -> { (s, dir) =>
       collatzChain(s, dir).orderBy(col("seed"), col("step"))
-    }
+    },
+    "r02_connected_dedup" -> { (s, dir) => connectedDedup(s, dir) }
   )
 
   def oracle: Map[String, String] = Map(
@@ -54,6 +101,26 @@ object Recursive {
         SELECT seed, step + 1,
           CASE WHEN val % 2 = 0 THEN val // 2 ELSE val * 3 + 1 END
         FROM chain WHERE val > 1 AND step < $maxDepth)
-      SELECT seed, step, val FROM chain ORDER BY seed, step"""
+      SELECT seed, step, val FROM chain ORDER BY seed, step""",
+
+    // full-reachability closure over the same verified edge set; min over
+    // the reach set = the component minimum = the Spark fixpoint label
+    "r02_connected_dedup" -> s"""
+      WITH RECURSIVE ${Dedup.oracleSimhashCtes},
+      ${Dedup.oracleCandCtes},
+      edges AS (
+        SELECT DISTINCT a_id, b_id FROM cands
+        WHERE bit_count(xor(a_sim, b_sim)) <= 3),
+      und AS (
+        SELECT a_id AS u, b_id AS v FROM edges
+        UNION ALL
+        SELECT b_id AS u, a_id AS v FROM edges),
+      reach(doc_id, r) AS (
+        SELECT u, v FROM und
+        UNION
+        SELECT reach.doc_id, und.v FROM reach JOIN und ON und.u = reach.r)
+      SELECT doc_id, min(r) AS keeper_id
+      FROM reach GROUP BY doc_id HAVING min(r) < doc_id
+      ORDER BY doc_id"""
   )
 }

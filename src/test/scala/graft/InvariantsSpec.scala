@@ -86,6 +86,18 @@ class InvariantsSpec extends AnyFunSuite {
       .filter(col("keeper_id") >= col("doc_id")).count() == 0)
   }
 
+  test("r02: component keepers are transitively closed (keeper of a keeper is itself)") {
+    val cc = q("r02_connected_dedup")
+    assert(cc.filter(col("keeper_id") >= col("doc_id")).count() == 0)
+    // a keeper (component minimum) must never itself be assigned away —
+    // the property d05's greedy one-hop assignment does NOT have
+    val bad = cc.select(col("keeper_id").as("doc_id"))
+      .join(cc, Seq("doc_id"), "left_semi")
+    assert(bad.count() == 0, "a component minimum was itself reassigned")
+    // closure can only grow the d05 assignment set
+    assert(cc.count() >= q("d05_simhash_dedup").count())
+  }
+
   test("q17/q18: intersect and except partition customer nations consistently") {
     // EXCEPT result and INTERSECT result of the same inputs are disjoint
     val except = q("q18_except_nations").select(col("nationkey"))

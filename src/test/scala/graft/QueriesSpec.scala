@@ -124,6 +124,7 @@ class QueriesSpec extends AnyFunSuite {
     "q50_math_funcs" -> (200L, Seq("p_partkey", "abs_dev", "ceiled", "floored", "sq", "ln_price", "size_sq", "mod10", "sgn")),
     "q75_waiting_suppliers" -> (10L, Seq("s_name", "numwait")),
     "r01_recursive_collatz" -> (1023L, Seq("seed", "step", "val")),
+    "r02_connected_dedup" -> (444L, Seq("doc_id", "keeper_id")),
     "s01_cosine_topk" -> (100L, Seq("q_id", "c_id", "cosine", "rn")),
     "s02_ann_lsh_buckets" -> (161L, Seq("bucket", "n_vectors", "min_vec", "n_labels")),
     "s03_embedding_near_dup" -> (16L, Seq("a_id", "b_id", "cosine")),
