@@ -65,6 +65,30 @@ object Partitioned {
     s.read.parquet(path)
   }
 
+  /** Build-once: orders two-level partitioned — region LIST at level 1,
+    * month RANGE at level 2 (hive directories nest in declaration order).
+    * The GP grammar analog is `PARTITION BY LIST (region) SUBPARTITION BY
+    * RANGE (o_orderdate)` (`src/backend/parser/gram.y:6610,6652`); the
+    * region comes through customer→nation→region, denormalized into the
+    * layout exactly like a distribution-key choice at 100 TB. */
+  def ordersByRegionMonth(s: SparkSession, sfDir: String): DataFrame = {
+    val path = s"${derivedDir(sfDir)}/orders_by_region_month"
+    val marker = new java.io.File(path + "/_SUCCESS")
+    if (!marker.exists()) {
+      Tables.df(s, sfDir, "orders")
+        .join(Tables.df(s, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, sfDir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.df(s, sfDir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("r_name").as("o_region"), col("o_month"))
+        .write.mode("overwrite")
+        .partitionBy("o_region", "o_month")
+        .parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- static partition pruning: filter on the partition column --
     "p01_partition_pruning" -> { (s, dir) =>
@@ -92,6 +116,20 @@ object Partitioned {
         .agg(count(lit(1)).as("n_orders"),
           countDistinct(col("o_custkey")).as("n_customers"))
         .orderBy(col("o_month"))
+    },
+
+    // -- multi-level pruning: LIST prune (static, level 1) stacked with
+    //    RANGE prune via DPP (dynamic, level 2) on one scan --
+    "p03_multilevel_pruning" -> { (s, dir) =>
+      val fact = ordersByRegionMonth(s, dir)
+      val monthDim = monthDimTable(s, dir)
+      fact.filter(col("o_region").isin("ASIA", "EUROPE"))
+        .join(monthDim.filter(col("season") === "peak"),
+          col("o_month") === col("m_month"))
+        .groupBy(col("o_region"), col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)").as("total"))
+        .orderBy(col("o_region"), col("o_month"))
     }
   )
 
@@ -108,6 +146,18 @@ object Partitioned {
         count(DISTINCT o_custkey) AS n_customers
       FROM orders
       WHERE strftime(o_orderdate, '%Y-%m') IN ('1997-06', '1997-07', '1997-08')
-      GROUP BY 1 ORDER BY o_month"""
+      GROUP BY 1 ORDER BY o_month""",
+
+    "p03_multilevel_pruning" -> """
+      SELECT r_name AS o_region, strftime(o_orderdate, '%Y-%m') AS o_month,
+        count(*) AS n_orders,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+        AND strftime(o_orderdate, '%Y-%m') IN ('1997-06', '1997-07', '1997-08')
+      GROUP BY 1, 2 ORDER BY o_region, o_month"""
   )
 }

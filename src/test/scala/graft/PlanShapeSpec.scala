@@ -91,6 +91,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a DPP filter on the fact scan (nodePartitionSelector analog):\n$p")
   }
 
+  test("p03: both partition levels prune — static LIST filter + dynamic RANGE filter") {
+    val p = plan("p03_multilevel_pruning")
+    // level 1 (region list) prunes statically in PartitionFilters...
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("o_region IN") || p.contains("o_region#"),
+      s"expected a static o_region partition filter:\n$p")
+    // ...level 2 (month range) prunes at runtime from the dim join
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      s"expected DPP on o_month (SUBPARTITION selector analog):\n$p")
+  }
+
   test("q51/q52: custom pg expressions stay inside WholeStageCodegen") {
     // codegen'd stages print as `*(n)` in the physical plan; the custom
     // expression must sit inside one (no CodegenFallback eval in the

@@ -48,6 +48,7 @@ class QueriesSpec extends AnyFunSuite {
     "m02_media_features" -> (500L, Seq("doc_id", "mime", "width", "height", "n_bytes", "byte_checksum", "first_byte")),
     "p01_partition_pruning" -> (3L, Seq("o_month", "n_orders", "total")),
     "p02_dynamic_pruning" -> (3L, Seq("o_month", "n_orders", "n_customers")),
+    "p03_multilevel_pruning" -> (5L, Seq("o_region", "o_month", "n_orders", "total")),
     "q51_to_char" -> (1500L, Seq("o_orderkey", "padded", "plain")),
     "q52_age" -> (1500L, Seq("o_orderkey", "age_years", "age_months", "age_days")),
     "q53_generate_series" -> (142L, Seq("i", "sq")),
