@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Full-text search slice (the r2-verdict's missing item 4): tsvector /
+  * tsquery semantics over `documents`, reference
+  * `src/backend/utils/adt/tsvector_op.c` (match) and `tsrank.c`
+  * (calc_rank_and weighting).
+  *
+  *  - f01: AND-match (`'merge' & 'vector'` tsquery analog) + a
+  *    ts_rank-style score — per-term saturating term frequency
+  *    tf/(1+tf), summed over query terms, normalized by 1+ln(doclen)
+  *    (tsrank.c's word-count normalization option 1). Top 30.
+  *  - f02: phrase match (`'hash' <-> 'join'` followed-by tsquery) via
+  *    adjacent-position counting — the positional part of tsvector.
+  *
+  * Everything is per-row codegen'd higher-order-function arithmetic over
+  * the token array (no UDF, no shuffle except the final top-k): PG stores
+  * a tsvector per row and evaluates @@ and ts_rank rowwise the same way.
+  * The posting-list (GIN-index) rendition of the same representation is
+  * d02's inverted shingle index. The identical formula runs in the DuckDB
+  * oracle, so ranks hash-match end to end.
+  */
+object FullText {
+
+  private val toks = "filter(split(lower(text), ' '), x -> x <> '')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- tsquery AND match + ts_rank ordering --
+    "f01_fts_rank" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("tf_merge", expr("size(filter(toks, x -> x = 'merge'))"))
+        .withColumn("tf_vector", expr("size(filter(toks, x -> x = 'vector'))"))
+        .filter(col("tf_merge") > 0 && col("tf_vector") > 0)
+        .withColumn("rank", round(expr(
+          "(CAST(tf_merge AS DOUBLE) / (1.0 + tf_merge) + CAST(tf_vector AS DOUBLE) / (1.0 + tf_vector)) / (1.0 + ln(size(toks)))"), 6))
+        .select(col("doc_id"), col("tf_merge"), col("tf_vector"), col("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+        .limit(30)
+    },
+
+    // -- phrase (followed-by) match: adjacent positions --
+    "f02_fts_phrase" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        // Spark arrays are 0-based: positions i-1, i are adjacent
+        .withColumn("n_phrase", expr(
+          "size(filter(sequence(1, size(toks) - 1), i -> toks[i-1] = 'hash' AND toks[i] = 'join'))"))
+        .filter(col("n_phrase") > 0)
+        .select(col("doc_id"), col("n_phrase"))
+        .orderBy(col("n_phrase").desc, col("doc_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "f01_fts_rank" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, len(toks) AS n_toks,
+          len(list_filter(toks, x -> x = 'merge')) AS tf_merge,
+          len(list_filter(toks, x -> x = 'vector')) AS tf_vector
+        FROM toked)
+      SELECT doc_id, tf_merge, tf_vector,
+        round((CAST(tf_merge AS DOUBLE) / (1.0 + tf_merge) + CAST(tf_vector AS DOUBLE) / (1.0 + tf_vector))
+              / (1.0 + ln(n_toks)), 6) AS rank
+      FROM tf WHERE tf_merge > 0 AND tf_vector > 0
+      ORDER BY rank DESC, doc_id LIMIT 30""",
+
+    "f02_fts_phrase" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents)
+      SELECT doc_id,
+        len(list_filter(generate_series(1, len(toks) - 1),
+            i -> toks[i] = 'hash' AND toks[i+1] = 'join')) AS n_phrase
+      FROM toked
+      WHERE len(list_filter(generate_series(1, len(toks) - 1),
+            i -> toks[i] = 'hash' AND toks[i+1] = 'join')) > 0
+      ORDER BY n_phrase DESC, doc_id"""
+  )
+}

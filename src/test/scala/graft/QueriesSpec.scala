@@ -25,6 +25,8 @@ class QueriesSpec extends AnyFunSuite {
     "e02_sessionize" -> (15L, Seq("user_id", "n_sessions", "n_events")),
     "e03_asof_last_order" -> (202L, Seq("event_id", "user_id", "last_orderkey", "last_orderdate")),
     "e04_signup_purchase_funnel" -> (15L, Seq("user_id", "signed_up", "purchased", "converted")),
+    "f01_fts_rank" -> (30L, Seq("doc_id", "tf_merge", "tf_vector", "rank")),
+    "f02_fts_phrase" -> (24L, Seq("doc_id", "n_phrase")),
     "h02_min_cost_supplier" -> (5L, Seq("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")),
     "h04_order_priority" -> (5L, Seq("o_orderpriority", "order_count")),
     "h07_volume_shipping" -> (20L, Seq("supp_nation", "cust_nation", "l_year", "revenue")),
