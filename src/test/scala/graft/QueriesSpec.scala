@@ -61,6 +61,7 @@ class QueriesSpec extends AnyFunSuite {
     "i03_aqumv" -> (3L, Seq("o_orderstatus", "n_orders", "revenue")),
     "q55_json_extract" -> (1500L, Seq("o_orderkey", "k", "status", "tag1", "n_tags")),
     "q56_json_table" -> (2002L, Seq("o_orderkey", "pos", "val")),
+    "q76_jsonpath_filter" -> (120L, Seq("o_orderkey", "ln", "qty", "flag")),
     "q57_within_group" -> (3L, Seq("l_returnflag", "pc25", "pc50", "pd50", "pd90", "mode_qty")),
     "q58_hypothetical_rank" -> (3L, Seq("l_returnflag", "rank_of_25", "rank_of_49_5", "n")),
     "q59_intersect_all" -> (6L, Seq("flag", "status", "n")),
