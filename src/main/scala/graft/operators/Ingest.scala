@@ -36,8 +36,43 @@ object Ingest {
         count(when(col("r._corrupt").isNotNull, 1)).as("n_rejected"),
         (count(when(col("r._corrupt").isNotNull, 1)) * 100 <= count(lit(1)) * 15)
           .cast("int").as("within_limit"))
-    }
+    },
+
+    "c02_copy_to_sreh" -> { (s, dir) => copyToSreh(s, dir) }
   )
+
+  /** Writable external sink with error accounting (c02) — the write-side
+    * counterpart of c01 (`COPY TO` / writable external table, reference
+    * `src/backend/access/external/url_file.c` write path + cdbsreh error
+    * tables). Rows that violate the sink contract (dictionary-encoded
+    * lang column, max row width) divert to a reject file carrying the
+    * error reason; conforming rows write to the CSV sink. The audit reads
+    * BOTH files back — the counts come from the sink, not the source, so
+    * a silently dropped row would fail the oracle. */
+  def copyToSreh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/derived/$tag/copy_to"
+    val docs = Tables.df(s, dir, "documents")
+      .withColumn("err",
+        when(!col("lang").isin("en", "es", "fr", "de"), lit("lang_not_in_sink_dictionary"))
+          .when(col("n_chars") > 450, lit("row_too_wide")))
+    docs.filter(col("err").isNull)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .write.mode("overwrite").option("header", "true").csv(s"$base/out")
+    docs.filter(col("err").isNotNull)
+      .select(col("doc_id"), col("err"), col("text"))
+      .write.mode("overwrite").json(s"$base/rej")
+    val written = s.read.option("header", "true").csv(s"$base/out")
+      .agg(count(lit(1)).as("n_written"))
+    val diverted = s.read.json(s"$base/rej")
+      .agg(count(lit(1)).as("n_diverted"))
+    written.crossJoin(diverted)
+      .select(col("n_written"), col("n_diverted"),
+        (col("n_diverted") * 100 <= (col("n_written") + col("n_diverted")) * 40)
+          .cast("int").as("within_limit"))
+  }
+
 
   def oracle: Map[String, String] = Map(
     // the malformed-line rule is deterministic, so the oracle audits the
@@ -48,6 +83,16 @@ object Ingest {
         count(CASE WHEN doc_id % 10 = 3 THEN 1 END) AS n_rejected,
         CAST(CASE WHEN count(CASE WHEN doc_id % 10 = 3 THEN 1 END) * 100
                     <= count(*) * 15 THEN 1 ELSE 0 END AS INTEGER) AS within_limit
-      FROM documents"""
+      FROM documents""",
+
+    "c02_copy_to_sreh" -> """
+      WITH flagged AS (
+        SELECT CASE WHEN lang NOT IN ('en', 'es', 'fr', 'de') THEN 'lang_not_in_sink_dictionary'
+                    WHEN n_chars > 450 THEN 'row_too_wide' END AS err
+        FROM documents)
+      SELECT count(CASE WHEN err IS NULL THEN 1 END) AS n_written,
+             count(err) AS n_diverted,
+             CAST(CASE WHEN count(err) * 100 <= count(*) * 40 THEN 1 ELSE 0 END AS INTEGER) AS within_limit
+      FROM flagged"""
   )
 }

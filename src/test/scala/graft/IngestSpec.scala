@@ -45,4 +45,19 @@ class IngestSpec extends AnyFunSuite {
     val r = CsvSreh.load(spark, path, "id BIGINT, n BIGINT, lang STRING", rejectLimit = 0)
     assert(r.nGood == 2 && r.nBad == 0)
   }
+
+  test("c02 COPY TO: sink + reject files reconcile with the source exactly") {
+    import org.apache.spark.sql.functions._
+    val audit = operators.Ingest.copyToSreh(spark, SparkSuite.Sf).head
+    val total = Tables.df(spark, SparkSuite.Sf, "documents").count()
+    assert(audit.getLong(0) + audit.getLong(1) == total,
+      "written + diverted must equal source rows (no silent drops)")
+    assert(audit.getLong(1) > 0 && audit.getInt(2) == 1)
+    // the reject file carries machine-readable error reasons (cdbsreh
+    // error-table contract)
+    val tag = SparkSuite.Sf.replaceAll("[^A-Za-z0-9.]", "_")
+    val reasons = spark.read.json(s"target/derived/$tag/copy_to/rej")
+      .select("err").distinct().collect().map(_.getString(0)).toSet
+    assert(reasons == Set("lang_not_in_sink_dictionary", "row_too_wide"), reasons)
+  }
 }

@@ -56,6 +56,7 @@ class QueriesSpec extends AnyFunSuite {
     "q53_generate_series" -> (142L, Seq("i", "sq")),
     "q54_string_to_array" -> (1500L, Seq("o_orderkey", "prio_code", "n_parts", "empty_sz")),
     "c01_csv_sreh" -> (1L, Seq("n_loaded", "n_rejected", "within_limit")),
+    "c02_copy_to_sreh" -> (1L, Seq("n_written", "n_diverted", "within_limit")),
     "i01_ivm_matview" -> (75L, Seq("user_id", "event_type", "n", "total_value", "avg_value")),
     "i02_dynamic_table" -> (1094L, Seq("day", "n_orders", "revenue")),
     "i03_aqumv" -> (3L, Seq("o_orderstatus", "n_orders", "revenue")),
