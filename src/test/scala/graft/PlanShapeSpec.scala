@@ -149,6 +149,24 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
   }
 
+  test("i04: AQUMV superset rollup re-aggregates the matview, not the base table") {
+    val df = SparkEntry.queries("i04_aqumv_rollup")(spark, Sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the coarser query must aggregate the matview columns (mv_cnt /
+    // mv_cents) and never touch the orders fact columns
+    assert(optimized.contains("mv_cents#") && optimized.contains("Aggregate")
+      && !optimized.contains("o_totalprice"),
+      s"expected a re-aggregation of the matview (aqumv.c superset rollup):\n$optimized")
+    // with the rule disabled, the base table is aggregated
+    spark.conf.set(graft.rules.AqumvRule.EnabledConf, "false")
+    try {
+      val off = SparkEntry.queries("i04_aqumv_rollup")(spark, Sf)
+      spark.conf.set(graft.rules.AqumvRule.EnabledConf, "false")
+      val offPlan = off.queryExecution.optimizedPlan.toString
+      assert(offPlan.contains("o_totalprice") && !offPlan.contains("mv_cents#"), offPlan)
+    } finally spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
+  }
+
   test("b01: bucketed join runs co-located — no shuffle exchange (DISTRIBUTED BY)") {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
