@@ -28,12 +28,19 @@ object Extras {
         .orderBy(col("flag"), col("status"))
     },
 
-    // -- FETCH FIRST 10 ROWS WITH TIES (rank-rewrite, nodeLimit.c) --
+    // -- FETCH FIRST 10 ROWS WITH TIES (nodeLimit.c LIMIT_OPTION_TIES) --
+    // Two-pass plan, no global window (the r2-verdict's scale note: a
+    // partitionless rank funnels the whole table through one task): pass 1
+    // computes the k-th value via top-k (TakeOrderedAndProject, tiny);
+    // pass 2 broadcast-joins it and keeps rows >= it — ties included by
+    // construction. Both passes scan only the two projected columns.
     "q60_with_ties" -> { (s, dir) =>
-      val w = Window.orderBy(col("o_totalprice").desc)
-      Tables.df(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice"), rank().over(w).as("rnk"))
-        .filter(col("rnk") <= 10)
+      val orders = Tables.df(s, dir, "orders")
+      val kth = orders.select(col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc).limit(10)
+        .agg(min(col("o_totalprice")).as("kth"))
+      orders.select(col("o_orderkey"), col("o_totalprice"))
+        .join(broadcast(kth), col("o_totalprice") >= col("kth"))
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     },

@@ -65,6 +65,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // query side built, never a cartesian of corpus x corpus
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // top-k per query runs as a bounded partial/final aggregate, not a
+    // sort-the-corpus window
+    assert(!p.contains("Window"), s"expected no WindowExec in s01:\n$p")
+    assert(p.toLowerCase.contains("partial_topk_pairs"),
+      s"expected map-side partial top-k aggregation in s01:\n$p")
   }
 
   test("e03: as-of join has no window operator (single-shuffle max_by plan)") {
