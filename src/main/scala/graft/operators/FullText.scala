@@ -46,9 +46,12 @@ object FullText {
     "f02_fts_phrase" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
-        // Spark arrays are 0-based: positions i-1, i are adjacent
+        // single-pass pairwise zip (toks[i], toks[i+1]) — no per-index
+        // array lookups; zip_with pads the shorter slice with null, whose
+        // comparison is null and is dropped by the boolean filter
         .withColumn("n_phrase", expr(
-          "size(filter(sequence(1, size(toks) - 1), i -> toks[i-1] = 'hash' AND toks[i] = 'join'))"))
+          """size(filter(zip_with(toks, slice(toks, 2, size(toks)),
+               (a, b) -> a = 'hash' AND b = 'join'), x -> x))"""))
         .filter(col("n_phrase") > 0)
         .select(col("doc_id"), col("n_phrase"))
         .orderBy(col("n_phrase").desc, col("doc_id"))

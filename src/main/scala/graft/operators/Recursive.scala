@@ -67,17 +67,19 @@ object Recursive {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxCcIters) {
-      // propagate: the best label any neighbor carries
+      // propagate: the best label any neighbor carries; the previous label
+      // rides along so convergence is a filter on the checkpointed
+      // frontier, not an extra join
       val prop = und
         .join(labels.select(col("doc_id").as("u"), col("lbl").as("u_lbl")), Seq("u"))
         .groupBy(col("v").as("doc_id")).agg(min(col("u_lbl")).as("n_lbl"))
       val next = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("n_lbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("n_lbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("doc_id"), col("lbl").as("old")), Seq("doc_id"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("lbl"))
       iter += 1
     }
     labels.filter(col("lbl") < col("doc_id"))

@@ -101,6 +101,25 @@ object Similarity {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- vector matrix aggregate: per-label centroids --
+    // The gp_svec / MADlib matrix-agg analog (reference
+    // `gpcontrib/gp_sparse_vector`): element-wise mean of all embeddings
+    // per label — also the k-means UPDATE step that pairs with s04's
+    // assignment step. posexplode → skinny (label, dim, value) rows with
+    // map-side partial sums, so the shuffle carries |labels|×64 partial
+    // states per partition regardless of corpus size. Sums run over
+    // fixed-point micro-units (BIGINT) so summation order cannot change
+    // the result across engines or partitionings.
+    "s05_label_centroids" -> { (s, dir) =>
+      Tables.df(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(expr(
+          """round(CAST(sum(CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / count(*), 6)""").as("centroid"))
+        .orderBy(col("label"), col("pos"))
+    },
+
     // -- IVF ANN: coarse quantization, probe one inverted list --
     // The other standard ANN scale path next to LSH: a small centroid
     // table partitions the corpus into inverted lists (assignment =
@@ -230,6 +249,13 @@ object Similarity {
         WHERE occ.n <= $VecBucketCap OR a.vec_id = occ.hub) t
       WHERE cosine >= $NearDupCosine
       ORDER BY a_id, b_id""",
+
+    "s05_label_centroids" -> """
+      SELECT label, i - 1 AS pos,
+        round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+              / 1000000.0 / count(*), 6) AS centroid
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY label, i ORDER BY label, pos""",
 
     "s04_ivf_ann" -> s"""
       WITH centroids AS (

@@ -135,6 +135,7 @@ class QueriesSpec extends AnyFunSuite {
     "s02_ann_lsh_buckets" -> (161L, Seq("bucket", "n_vectors", "min_vec", "n_labels")),
     "s03_embedding_near_dup" -> (16L, Seq("a_id", "b_id", "cosine")),
     "s04_ivf_ann" -> (60L, Seq("q_id", "c_id", "cosine", "rn")),
+    "s05_label_centroids" -> (640L, Seq("label", "pos", "centroid")),
     "t01_token_stats" -> (500L, Seq("doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len")),
     "t02_quality_score" -> (500L, Seq("doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "ttr")),
     "t03_langid" -> (500L, Seq("doc_id", "labeled_lang", "detected_lang", "en_score")),
