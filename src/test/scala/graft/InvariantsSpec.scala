@@ -98,6 +98,21 @@ class InvariantsSpec extends AnyFunSuite {
     assert(cc.count() >= q("d05_simhash_dedup").count())
   }
 
+  test("h13: the order-count distribution accounts for every customer") {
+    val total = q("h13_customer_distribution")
+      .agg(sum(col("custdist"))).head.getLong(0)
+    assert(total == Tables.df(spark, Sf, "customer").count())
+  }
+
+  test("h14: promo revenue share is a percentage") {
+    val v = q("h14_promo_revenue").head.getDouble(0)
+    assert(v >= 0.0 && v <= 100.0, s"promo_revenue=$v")
+  }
+
+  test("h18: every large-volume order clears the quantity threshold") {
+    assert(q("h18_large_volume_cust").filter(col("total_qty") <= 150).count() == 0)
+  }
+
   test("q17/q18: intersect and except partition customer nations consistently") {
     // EXCEPT result and INTERSECT result of the same inputs are disjoint
     val except = q("q18_except_nations").select(col("nationkey"))

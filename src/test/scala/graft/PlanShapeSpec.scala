@@ -209,6 +209,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the selective lineitem filter should join early, got $green")
   }
 
+  test("TPC-H battery: no cartesian products anywhere") {
+    for (name <- SparkEntry.queries.keys.filter(_.startsWith("h")).toSeq.sorted) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
+    }
+  }
+
+  test("h04: correlated EXISTS decorrelates to a semi join") {
+    assert(plan("h04_order_priority").contains("Semi"))
+  }
+
+  test("h22: NOT EXISTS decorrelates to an anti join") {
+    assert(plan("h22_sales_opportunity").contains("Anti"))
+  }
+
+  test("h19: the OR-of-ANDs bracket still pushes per-table filters to the scans") {
+    val p = plan("h19_bracketed_revenue")
+    // Catalyst extracts a per-side disjunction from the cross-table OR —
+    // both scans must carry a pushed Or(Or(And(...))) bracket
+    assert(p.contains("Or(Or(And("), s"expected a pushed Or filter:\n$p")
+  }
+
   test("base scans expose row-group statistics filters (zone-map analog)") {
     // reference: PAX sparse filters / AOCS block directory; in Spark the
     // parquet scan itself must carry the pushed predicates
