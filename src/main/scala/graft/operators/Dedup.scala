@@ -49,29 +49,44 @@ object Dedup {
           filter(split($colName, ''), c -> c <> ''),
           0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""
 
-  /** doc_id → 24-bit simhash + its two 12-bit bands (shared by d04/d05).
-    * Width: the modulus 1e9+7 ≈ 2^30 keeps bits 0..23 unbiased; 12-bit
-    * bands give 4096 buckets so candidate volume stays near-linear.
-    * Per-token polynomial hashes vote on each bit; bands are the halves. */
-  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
-    // 24 per-bit vote sums fold in ONE aggregation pass (24 sum()
-    // columns over the token rows) instead of exploding tokens ×24 —
+  /** Independently-seeded second polynomial hash — supplies simhash bits
+    * 24..47 when the width is raised past one hash's unbiased range. */
+  private def polyHash2(colName: String): String =
+    s"""aggregate(
+          filter(split($colName, ''), c -> c <> ''),
+          7L, (acc, c) -> (acc * 131 + ascii(c)) % 1000000007)"""
+
+  /** doc_id → `bits`-bit simhash + its two (bits/2)-bit bands (shared by
+    * d04/d05). Default 24 bits / 12-bit bands = 4096 buckets per band; at
+    * larger corpus scale the width RISES (ScaleSpec runs the full pipeline
+    * at 48/24 — the widening the d05 header promises, as code) so bucket
+    * population stays near-linear. The modulus 1e9+7 ≈ 2^30 keeps only
+    * bits 0..23 of one polynomial hash unbiased, so widths over 24 draw
+    * their upper bits from a second, independently-seeded hash.
+    * Per-token hashes vote on each bit; bands are the halves. */
+  private[graft] def simhashDf(s: SparkSession, dir: String, bits: Int = 24): DataFrame = {
+    require(bits % 2 == 0 && bits >= 2 && bits <= 48, s"unsupported simhash width $bits")
+    // per-bit vote sums fold in ONE aggregation pass (`bits` sum()
+    // columns over the token rows) instead of exploding tokens ×bits —
     // the map-side partial sums collapse each partition to |docs| rows.
-    val voteCols = (0 to 23).map { b =>
-      sum(expr(s"CASE WHEN (th div ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"w$b")
+    val voteCols = (0 until bits).map { b =>
+      val (src, shift) = if (b < 24) ("th", b) else ("th2", b - 24)
+      sum(expr(s"CASE WHEN ($src div ${1L << shift}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"w$b")
     }
-    val simExpr = (0 to 23).map { b =>
+    val simExpr = (0 until bits).map { b =>
       s"CASE WHEN w$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0L END"
     }.mkString(" + ")
+    val half = 1L << (bits / 2)
     Tables.df(s, dir, "documents")
       .withColumn("toks", expr(toks))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), expr(polyHash("tok")).as("th"))
+      .select(col("doc_id"), expr(polyHash("tok")).as("th"),
+        expr(polyHash2("tok")).as("th2"))
       .groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"), expr(simExpr).as("simhash"))
       .select(col("doc_id"), col("simhash"),
-        expr("simhash div 4096").as("hi_band"), expr("simhash % 4096").as("lo_band"))
+        expr(s"simhash div $half").as("hi_band"), expr(s"simhash % $half").as("lo_band"))
   }
 
   /** doc_id → distinct shingle fingerprints (the shared front half of the
@@ -196,12 +211,15 @@ object Dedup {
   /** Capped candidate pairs from a simhash frame (doc_id, simhash,
     * hi_band, lo_band): union of the two band posting lists, exact and
     * disjoint (the lo list only emits pairs whose hi bands differ — the
-    * standard LSH multi-band trick, no dedup shuffle). Exposed so
-    * ScaleSpec can assert the candidate bound on a synthetic hot cluster. */
-  def bandCandidates(sim: DataFrame): DataFrame = {
+    * standard LSH multi-band trick, no dedup shuffle). `bandBits` must
+    * match the frame's band width (simhash bits / 2). Exposed so
+    * ScaleSpec can assert the candidate bound on a synthetic hot cluster
+    * and run the widened 48/24 layout end to end. */
+  def bandCandidates(sim: DataFrame, bandBits: Int = 12): DataFrame = {
+    val half = 1L << bandBits
     val hi = bandPairs(sim, "hi_band")
     val lo = bandPairs(sim, "lo_band")
-      .filter(expr("a_sim div 4096 <> b_sim div 4096"))
+      .filter(expr(s"a_sim div $half <> b_sim div $half"))
     hi.union(lo)
   }
 

@@ -67,6 +67,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(cands.filter(col("a_id") === 1L).count() == 999L)
   }
 
+  test("d05 widens to a 48-bit simhash with 24-bit bands (same plan, finer buckets)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val sim48 = operators.Dedup.simhashDf(spark, Sf, bits = 48).localCheckpoint()
+    // band arithmetic is consistent at the wider layout
+    assert(sim48.filter(expr(s"hi_band * ${1L << 24} + lo_band <> simhash")).count() == 0)
+    assert(sim48.filter(col("simhash") < 0 || col("simhash") >= (1L << 48)).count() == 0)
+    // wider bands partition the corpus at least as finely as 24/12
+    val sim24 = operators.Dedup.simhashDf(spark, Sf).localCheckpoint()
+    val buckets48 = sim48.select("hi_band").distinct().count()
+    val buckets24 = sim24.select("hi_band").distinct().count()
+    assert(buckets48 >= buckets24, s"48-bit bands coarser than 24-bit: $buckets48 < $buckets24")
+    // the full capped candidate pipeline runs unchanged at the wider width
+    val cands = operators.Dedup.bandCandidates(sim48, bandBits = 24)
+      .filter(expr("bit_count(a_sim ^ b_sim) <= 6"))
+    val n = cands.count()
+    assert(n <= sim48.count() * operators.Dedup.BandBucketCap,
+      s"candidate bound violated at 48 bits: $n")
+  }
+
   test("s03 embedding candidates stay linear on a degenerate hot bucket") {
     import spark.implicits._
     val hotVec = Seq(1.0f, 0.0f, 0.0f)
