@@ -146,14 +146,17 @@ object Similarity {
         .select(col(idCol), col(embCol), col("cent_id").as(idCol + "_list"))
       val queries = assigned("q_id", "q_emb").filter(col("q_id") < 20)
       val corpus = assigned("c_id", "c_emb")
-      val scored = queries.join(corpus,
+      // per-list top-3 via the bounded aggregate (same rationale as s01)
+      s.udf.register("top3_pairs", udaf(new graft.functions.TopKPairs(3)))
+      queries.join(corpus,
           col("q_id_list") === col("c_id_list") && col("q_id") =!= col("c_id"))
         .withColumn("cosine", round(
           expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("q_id"), col("c_id"), col("cosine"), col("rn"))
+        .groupBy(col("q_id"))
+        .agg(expr("top3_pairs(cosine, c_id)").as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("c_id"), col("col._1").as("cosine"),
+          (col("pos") + 1).as("rn"))
         .orderBy(col("q_id"), col("rn"))
     }
   )
