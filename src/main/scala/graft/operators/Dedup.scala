@@ -195,7 +195,8 @@ object Dedup {
     // list, and an over-full bucket degrades to star pairs against the
     // bucket minimum — so a k-doc boilerplate cluster costs k-1 candidates
     // instead of k²/2 (the r2-verdict scale-killer). ScaleSpec proves the
-    // bound on a synthetic 1,000-copy cluster.
+    // bound on a synthetic 1,000-copy cluster. Greedy one-hop assignment;
+    // the full transitive clustering over the same edges is r02.
     "d05_simhash_dedup" -> { (s, dir) =>
       // spool: one row per doc, read by both band groupings — without it
       // the whole token-hash pipeline runs twice

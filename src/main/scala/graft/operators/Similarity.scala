@@ -9,13 +9,14 @@ import graft.Tables
   *
   *  - s01: brute-force cosine top-k — the correctness baseline. The query
   *    set is broadcast against the corpus, so the corpus side streams:
-  *    at 100 TB this is one scan, no corpus shuffle.
+  *    at 100 TB this is one scan, no corpus shuffle; per-key top-k runs
+  *    as a bounded aggregate (TopKPairs), not a window.
   *  - s02: LSH bucketing (sign random projection) — bucket occupancy
-  *    stats. Vectors hash to a bucket from the signs of 8 deterministic
-  *    hyperplane dot products.
-  *  - s03: the scale path exercised end to end — candidate pairs form
-  *    ONLY within a bucket (equi-join on the s02 bucket key), then cosine
-  *    verifies candidates, turning O(N²) into O(Σ bucket²).
+  *    stats over 8 deterministic hyperplane signs.
+  *  - s03: the scale path exercised end to end — candidates emit from
+  *    capped per-bucket posting lists (16-plane key, `NearDupPlanes`),
+  *    then cosine verifies them: ≤ min(C(cap,2), k−1) pairs per bucket.
+  *  - s04/s05: IVF assignment + probe, and the centroid update step.
   *
   * Dot products run as codegen'd higher-order functions over the array
   * column in double precision, left-to-right, so the DuckDB oracle
