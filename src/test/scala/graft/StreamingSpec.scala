@@ -49,6 +49,37 @@ class StreamingSpec extends AnyFunSuite {
       "streaming aggregate diverged from batch")
   }
 
+  test("watermark drops rows later than the threshold (append-mode windowed agg)") {
+    // the state-eviction contract: once the watermark passes a window's
+    // end and the window is emitted, a straggler for it is DROPPED, not
+    // double-counted — the semantics that bound state size at 100 TB
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((ts("2024-01-01 10:15:00"), 1L), (ts("2024-01-01 10:45:00"), 2L))
+      q.processAllAvailable()
+      // advance the watermark past 11:00 so the 10:00 window closes + emits
+      input.addData((ts("2024-01-01 13:00:00"), 3L))
+      q.processAllAvailable()
+      // straggler for the CLOSED 10:00 window — must be dropped
+      input.addData((ts("2024-01-01 10:50:00"), 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("late_test")
+      .select(col("window.start").cast("string").as("w"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(emitted("2024-01-01 10:00:00") == 2L,
+      s"late row was not dropped (or window re-emitted): $emitted")
+  }
+
   test("IVM state merge is associative: 2-batch and 4-batch folds agree") {
     import graft.streaming.IvmMatview._
     val events = Tables.df(spark, Sf, "events")
