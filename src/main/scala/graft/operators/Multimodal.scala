@@ -72,6 +72,28 @@ object Multimodal {
     //    the checksum matches t04's arithmetic, asserted in ScalaTest) --
     "m02_media_features" -> { (s, dir) =>
       mediaFeatures(s, dir).orderBy(col("doc_id"))
+    },
+
+    // -- frame sampling: every k-th fixed-size frame of a binary payload --
+    // The video-pipeline primitive (sample 1 frame in k for training
+    // data): the payload is treated as a sequence of 16-byte frames and
+    // every 4th is sliced out declaratively (sequence + binary substring
+    // + md5 — all codegen'd, no UDF), so the scan→explode→project plan
+    // parallelizes per frame with no shuffle at all. A real container
+    // format swaps the fixed stride for codec-reported frame offsets;
+    // the plan shape is unchanged.
+    "m03_frame_sample" -> { (s, dir) =>
+      val frameBytes = 16
+      val stride = 4
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .withColumn("n_frames", expr(s"octet_length(payload) div $frameBytes").cast("int"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"), col("payload"),
+          explode(expr(s"sequence(0, n_frames - 1, $stride)")).as("frame_no"))
+        .select(col("doc_id"), col("frame_no"),
+          md5(expr(s"substring(payload, frame_no * $frameBytes + 1, $frameBytes)")).as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_no"))
     }
   )
 
@@ -99,6 +121,18 @@ object Multimodal {
               i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
           (acc, c) -> (acc * 31 + c) % 1000000007) AS byte_checksum,
         CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+
+    // ASCII corpus: byte offsets == character offsets, so the oracle
+    // slices the text directly (same md5 input bytes)
+    "m03_frame_sample" -> """
+      SELECT doc_id, frame_no,
+        md5(substring(text, frame_no * 16 + 1, 16)) AS frame_md5
+      FROM (
+        SELECT doc_id, text,
+          unnest(generate_series(0, octet_length(encode(text)) // 16 - 1, 4)) AS frame_no
+        FROM documents
+        WHERE octet_length(encode(text)) >= 16)
+      ORDER BY doc_id, frame_no"""
   )
 }

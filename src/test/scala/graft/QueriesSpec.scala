@@ -48,6 +48,7 @@ class QueriesSpec extends AnyFunSuite {
     "e06_session_window" -> (946L, Seq("user_id", "session_start", "session_end", "n_events")),
     "m01_binary_metadata" -> (500L, Seq("doc_id", "n_bytes", "payload_md5", "width", "height")),
     "m02_media_features" -> (500L, Seq("doc_id", "mime", "width", "height", "n_bytes", "byte_checksum", "first_byte")),
+    "m03_frame_sample" -> (2520L, Seq("doc_id", "frame_no", "frame_md5")),
     "p01_partition_pruning" -> (3L, Seq("o_month", "n_orders", "total")),
     "p02_dynamic_pruning" -> (3L, Seq("o_month", "n_orders", "n_customers")),
     "p03_multilevel_pruning" -> (5L, Seq("o_region", "o_month", "n_orders", "total")),
