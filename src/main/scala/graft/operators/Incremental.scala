@@ -66,19 +66,23 @@ object Incremental {
     "i04_aqumv_rollup" -> { (s, dir) =>
       val defDf = aqumvRollupDefinition(s, dir)
       val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val path = s"target/derived/$tag/mv_status_prio_revenue"
+      // _v2: the layout gained the count component for avg decomposition
+      val path = s"target/derived/$tag/mv_status_prio_revenue_v2"
       if (!new java.io.File(path + "/_SUCCESS").exists())
         defDf.write.mode("overwrite").parquet(path)
       graft.rules.AqumvRule.install(s)
       graft.rules.AqumvRule.register(defDf, path)
       s.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
-      // the user's coarser query, written against the BASE table
+      // the user's coarser query, written against the BASE table; the avg
+      // is answerable only through the sum/count decomposition
       Tables.df(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"),
+          expr("avg(CAST(round(o_totalprice * 100) AS BIGINT))").as("avg_cents"))
         .select(col("o_orderpriority"), col("n_orders"),
-          round(col("cents").cast("double") / 100.0, 2).as("revenue"))
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+          round(col("avg_cents") / 100.0, 2).as("avg_revenue"))
         .orderBy(col("o_orderpriority"))
     }
   )
@@ -107,7 +111,10 @@ object Incremental {
       Tables.df(s, dir, "orders")
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("mv_cnt"),
-          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("mv_cents"))
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("mv_cents"),
+          // the count COMPONENT of avg(cents): count(expr), not count(1),
+          // so the decomposition preserves null semantics
+          expr("count(CAST(round(o_totalprice * 100) AS BIGINT))").as("mv_val_cnt"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -132,7 +139,8 @@ object Incremental {
 
     "i04_aqumv_rollup" -> """
       SELECT o_orderpriority, count(*) AS n_orders,
-        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
+        round(avg(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS avg_revenue
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

@@ -1,8 +1,9 @@
 package graft.rules
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, ExprId, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -107,6 +108,23 @@ class AqumvRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case _: Sum | _: Count => AggregateExpression(Sum(mvCol), Complete, isDistinct = false)
               case _: Min => AggregateExpression(Min(mvCol), Complete, isDistinct = false)
               case _: Max => AggregateExpression(Max(mvCol), Complete, isDistinct = false)
+              case _ => failed = true; ae
+            }
+          // avg(e) decomposes to sum(sum_e) / sum(count_e) when the
+          // matview registered BOTH components over the same expression
+          // (count(e), not count(1) — null semantics must match). Only
+          // for double-typed averages: a decimal avg changes scale under
+          // the decomposition.
+          case ae: AggregateExpression if !ae.isDistinct &&
+              ae.aggregateFunction.isInstanceOf[Average] && ae.dataType == DoubleType =>
+            val e = ae.aggregateFunction.asInstanceOf[Average].child
+            val sumCol = byShape.get(shapeOf(AggregateExpression(Sum(e), Complete, isDistinct = false)))
+            val cntCol = byShape.get(shapeOf(AggregateExpression(Count(Seq(e)), Complete, isDistinct = false)))
+            (sumCol, cntCol) match {
+              case (Some(sc), Some(cc)) =>
+                Divide(
+                  Cast(AggregateExpression(Sum(sc), Complete, isDistinct = false), DoubleType),
+                  Cast(AggregateExpression(Sum(cc), Complete, isDistinct = false), DoubleType))
               case _ => failed = true; ae
             }
           case t if byShape.contains(shapeOf(t)) => byShape(shapeOf(t))

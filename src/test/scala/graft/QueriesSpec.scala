@@ -61,7 +61,7 @@ class QueriesSpec extends AnyFunSuite {
     "i01_ivm_matview" -> (75L, Seq("user_id", "event_type", "n", "total_value", "avg_value")),
     "i02_dynamic_table" -> (1094L, Seq("day", "n_orders", "revenue")),
     "i03_aqumv" -> (3L, Seq("o_orderstatus", "n_orders", "revenue")),
-    "i04_aqumv_rollup" -> (5L, Seq("o_orderpriority", "n_orders", "revenue")),
+    "i04_aqumv_rollup" -> (5L, Seq("o_orderpriority", "n_orders", "revenue", "avg_revenue")),
     "q55_json_extract" -> (1500L, Seq("o_orderkey", "k", "status", "tag1", "n_tags")),
     "q56_json_table" -> (2002L, Seq("o_orderkey", "pos", "val")),
     "q76_jsonpath_filter" -> (120L, Seq("o_orderkey", "ln", "qty", "flag")),
