@@ -69,10 +69,56 @@ object PgCompat {
           size(string_to_array(o_orderpriority, '-')) AS n_parts,
           size(string_to_array('', '-')) AS empty_sz
         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
-    }
+    },
+
+    // -- range type algebra: @> / && / * over struct(lo, hi) --
+    "q77_range_ops" -> rangeQuery
   )
 
+  /** PG range-type semantics over struct(lo, hi) half-open ranges
+    * (`src/backend/utils/adt/rangetypes.c`: `@>` containment, `&&`
+    * overlap, `*` intersection): each order carries an activity range
+    * [o_orderdate, o_orderdate + priority-scaled days); the query range
+    * is fixed. All range algebra is plain struct-field arithmetic —
+    * codegen'd, pushdown-friendly, no UDF — which is exactly how a range
+    * type lowers onto a columnar engine. */
+  private val rangeQuery: (SparkSession, String) => DataFrame = { (s, dir) =>
+    Tables.df(s, dir, "orders")
+      .withColumn("r", struct(col("o_orderdate").as("lo"),
+        expr("o_orderdate + CAST(substring(o_orderpriority, 1, 1) AS INT) * 20 * INTERVAL 1 DAY").as("hi")))
+      .withColumn("q_lo", lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .withColumn("q_hi", lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+      // && overlap, @> point containment, * intersection width
+      .withColumn("overlaps", col("r.lo") < col("q_hi") && col("q_lo") < col("r.hi"))
+      .withColumn("contains_apr1",
+        col("r.lo") <= lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+          && lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")) < col("r.hi"))
+      .filter(col("overlaps"))
+      .withColumn("overlap_days",
+        datediff(least(col("r.hi"), col("q_hi")), greatest(col("r.lo"), col("q_lo"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_overlapping"),
+        sum(col("overlap_days")).as("total_overlap_days"),
+        count(when(col("contains_apr1"), 1)).as("n_contain_apr1"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   def oracle: Map[String, String] = Map(
+    "q77_range_ops" -> """
+      WITH ranged AS (
+        SELECT o_orderpriority,
+          o_orderdate AS lo,
+          o_orderdate + CAST(substring(o_orderpriority, 1, 1) AS INT) * 20 * INTERVAL 1 DAY AS hi
+        FROM orders)
+      SELECT o_orderpriority,
+        count(*) AS n_overlapping,
+        sum(datediff('day', greatest(lo, TIMESTAMP '1997-01-01'),
+                     least(hi, TIMESTAMP '1997-07-01'))) AS total_overlap_days,
+        count(CASE WHEN lo <= TIMESTAMP '1997-04-01' AND TIMESTAMP '1997-04-01' < hi THEN 1 END) AS n_contain_apr1
+      FROM ranged
+      WHERE lo < TIMESTAMP '1997-07-01' AND TIMESTAMP '1997-01-01' < hi
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     // cents-integer mirror of the to_char templates: non-FM reserves a
     // leading sign column (space for positives), FM suppresses it
     "q51_to_char" -> """
