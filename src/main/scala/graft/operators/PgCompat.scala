@@ -72,7 +72,30 @@ object PgCompat {
     },
 
     // -- range type algebra: @> / && / * over struct(lo, hi) --
-    "q77_range_ops" -> rangeQuery
+    "q77_range_ops" -> rangeQuery,
+
+    // -- complex number type (GP extension `src/backend/utils/adt/
+    //    complex_type.c`): struct(re, im) + the arithmetic function set --
+    // Components are small exact integers derived from keys, so +, ×,
+    // conjugate are integer-exact cross-engine; |z| and arg(z) go through
+    // the same IEEE sqrt/atan2 in both engines before rounding.
+    "q78_complex_arith" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          re1 + re2 AS add_re, im1 + im2 AS add_im,
+          re1 * re2 - im1 * im2 AS mul_re,
+          re1 * im2 + im1 * re2 AS mul_im,
+          -im1 AS conj_im,
+          round(sqrt(CAST(re1 * re1 + im1 * im1 AS DOUBLE)), 6) AS abs_z1,
+          round(atan2(CAST(im1 AS DOUBLE), CAST(re1 AS DOUBLE)), 6) AS arg_z1
+        FROM (
+          SELECT o_orderkey,
+            o_orderkey % 13 - 6 AS re1, o_custkey % 11 - 5 AS im1,
+            o_orderkey % 7 - 3 AS re2, (o_orderkey div 7) % 9 - 4 AS im2
+          FROM orders WHERE o_orderkey <= 2000)
+        ORDER BY o_orderkey""")
+    }
   )
 
   /** PG range-type semantics over struct(lo, hi) half-open ranges
@@ -118,6 +141,21 @@ object PgCompat {
       FROM ranged
       WHERE lo < TIMESTAMP '1997-07-01' AND TIMESTAMP '1997-01-01' < hi
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q78_complex_arith" -> """
+      SELECT o_orderkey,
+        re1 + re2 AS add_re, im1 + im2 AS add_im,
+        re1 * re2 - im1 * im2 AS mul_re,
+        re1 * im2 + im1 * re2 AS mul_im,
+        -im1 AS conj_im,
+        round(sqrt(CAST(re1 * re1 + im1 * im1 AS DOUBLE)), 6) AS abs_z1,
+        round(atan2(CAST(im1 AS DOUBLE), CAST(re1 AS DOUBLE)), 6) AS arg_z1
+      FROM (
+        SELECT o_orderkey,
+          o_orderkey % 13 - 6 AS re1, o_custkey % 11 - 5 AS im1,
+          o_orderkey % 7 - 3 AS re2, (o_orderkey // 7) % 9 - 4 AS im2
+        FROM orders WHERE o_orderkey <= 2000)
+      ORDER BY o_orderkey""",
 
     // cents-integer mirror of the to_char templates: non-FM reserves a
     // leading sign column (space for positives), FM suppresses it
