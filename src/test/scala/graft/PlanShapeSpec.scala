@@ -216,6 +216,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("h02: the twice-referenced cost CTE reuses one exchange (ShareInputScan analog)") {
+    val p = plan("h02_min_cost_supplier")
+    assert(p.contains("ReusedExchange"),
+      s"expected the shared cost aggregate to be computed once:\n$p")
+  }
+
   test("h04: correlated EXISTS decorrelates to a semi join") {
     assert(plan("h04_order_priority").contains("Semi"))
   }
