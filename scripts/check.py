@@ -18,7 +18,10 @@ def canon(v):
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        return "%.12g" % v
+        # str(), not %.12g: the driver's hash distinguishes 254 from 254.0
+        # (DuckDB HUGEINT sums surface as float64 via pandas), so an
+        # int-vs-float column-type skew must FAIL here too.
+        return str(v)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, bytes):

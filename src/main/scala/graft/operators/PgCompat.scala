@@ -135,8 +135,8 @@ object PgCompat {
         FROM orders)
       SELECT o_orderpriority,
         count(*) AS n_overlapping,
-        sum(datediff('day', greatest(lo, TIMESTAMP '1997-01-01'),
-                     least(hi, TIMESTAMP '1997-07-01'))) AS total_overlap_days,
+        CAST(sum(datediff('day', greatest(lo, TIMESTAMP '1997-01-01'),
+                          least(hi, TIMESTAMP '1997-07-01'))) AS BIGINT) AS total_overlap_days,
         count(CASE WHEN lo <= TIMESTAMP '1997-04-01' AND TIMESTAMP '1997-04-01' < hi THEN 1 END) AS n_contain_apr1
       FROM ranged
       WHERE lo < TIMESTAMP '1997-07-01' AND TIMESTAMP '1997-01-01' < hi
