@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.Analytics.queries, operators.Analytics.oracle),
     (operators.Events.queries, operators.Events.oracle),
     (operators.TextOps.queries, operators.TextOps.oracle),
+    (operators.Chunking.queries, operators.Chunking.oracle),
     (operators.FullText.queries, operators.FullText.oracle),
     (operators.Dedup.queries, operators.Dedup.oracle),
     (operators.Similarity.queries, operators.Similarity.oracle),

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Document chunking + corpus-level n-gram analyses for LLM training-data
+  * pipelines over the `documents` table.
+  *
+  * Three operators:
+  *  - ch01: overlapping token-window chunking (the pre-embedding /
+  *    pre-tokenization split every RAG or pretraining pipeline runs);
+  *  - d06: boilerplate detection — 8-grams occurring in many distinct
+  *    documents are template/boilerplate text; per-document boilerplate
+  *    ratio is a standard quality signal (C4/RefinedWeb-style filtering);
+  *  - x02: train/test contamination — the fraction of a held-out split's
+  *    8-grams that also appear anywhere in the training split.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - chunking is a pure per-row explode — linear, no shuffle, stays in
+  *    whole-stage codegen until the explode;
+  *  - n-gram work never self-joins documents: grams are reduced to md5
+  *    keys first (fixed 32-byte shuffle key, same trick as d01's exact
+  *    dedup), aggregated map-side, and the doc⋈gram-set joins are plain
+  *    equi-joins whose build side (distinct flagged grams) AQE can
+  *    broadcast when small;
+  *  - nothing here is quadratic in documents: candidate volume is
+  *    O(total tokens), the same bound the posting-list caps give d02/d05.
+  *
+  * Reference analogs: the reference ships the text-processing scaffolding
+  * (tsvector n-gram machinery, `src/backend/utils/adt/tsvector_op.c`;
+  * `contrib/pg_trgm/trgm_op.c` trigram extraction) but leaves corpus-level
+  * dedup/contamination to external jobs; these queries are that job
+  * expressed as declarative plans.
+  */
+object Chunking {
+
+  private val toks = "filter(split(text, ' '), x -> x <> '')"
+
+  /** Window of 32 tokens, stride 24 (8-token overlap) — chunk count per
+    * doc is floor((n-1)/24)+1, each emitted with a cross-engine md5 id. */
+  private val W = 32
+  private val S = 24
+
+  /** 8-gram md5 stream, one row per gram position. */
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "documents")
+      .withColumn("toks", expr(toks))
+      .withColumn("i", explode(expr("sequence(1, CAST(greatest(size(toks) - 7, 0) AS INT))")))
+      .select(col("doc_id"), md5(concat_ws(" ", expr("slice(toks, i, 8)"))).as("gram"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- ch01: overlapping token-window chunking --
+    "ch01_doc_chunking" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("chunk_no",
+          explode(expr(s"sequence(0, CAST(greatest(size(toks) - 1, 0) AS INT) DIV $S)")))
+        .withColumn("chunk", expr(s"slice(toks, chunk_no * $S + 1, $W)"))
+        .filter(size(col("chunk")) > 0)
+        .select(
+          col("doc_id"),
+          col("chunk_no").cast("bigint").as("chunk_no"),
+          size(col("chunk")).cast("bigint").as("chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_no"))
+    },
+
+    // -- d06: boilerplate 8-grams (≥5 distinct docs) + per-doc ratio --
+    "d06_boilerplate_ngrams" -> { (s, dir) =>
+      val g = grams(s, dir)
+      // distinct-doc frequency per gram; partial agg collapses repeats
+      // map-side, so the shuffle carries ≤ one row per (gram, doc).
+      val boiler = g.distinct()
+        .groupBy("gram").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 5)
+        .select(col("gram"), lit(1).as("is_boiler"))
+      g.join(boiler, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          count(col("is_boiler")).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          round(col("n_boiler").cast("double") / col("n_grams"), 6))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- x02: train/test 8-gram contamination (test = doc_id%10 ∈ {8,9}) --
+    "x02_contamination" -> { (s, dir) =>
+      val g = grams(s, dir)
+      val trainGrams = g.filter(pmod(col("doc_id"), lit(10)) < 8)
+        .select("gram").distinct()
+        .withColumn("in_train", lit(1))
+      g.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .join(trainGrams, Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_test_grams"),
+          count(col("in_train")).as("n_contaminated"))
+        .withColumn("contamination_ratio",
+          round(col("n_contaminated").cast("double") / col("n_test_grams"), 6))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ch01_doc_chunking" -> s"""
+      WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      c AS (SELECT doc_id, CAST(g AS BIGINT) AS chunk_no,
+                   toks[CAST(g*$S+1 AS INT) : CAST(g*$S+$W AS INT)] AS chunk
+            FROM t, LATERAL (SELECT unnest(generate_series(0,
+                   CAST(floor(greatest(len(toks)-1, 0) / $S.0) AS INT)))) AS u(g))
+      SELECT doc_id, chunk_no, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+             md5(array_to_string(chunk, ' ')) AS chunk_md5
+      FROM c WHERE len(chunk) > 0 ORDER BY doc_id, chunk_no""",
+
+    "d06_boilerplate_ngrams" -> """
+      WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id, md5(array_to_string(toks[CAST(i AS INT) : CAST(i+7 AS INT)], ' ')) AS gram
+            FROM t, LATERAL (SELECT unnest(generate_series(1,
+                   CAST(greatest(len(toks)-7, 0) AS INT)))) AS u(i)),
+      boiler AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                                   FROM g GROUP BY 1) WHERE nd >= 5)
+      SELECT doc_id,
+             count(*) AS n_grams,
+             count(CASE WHEN gram IN (SELECT gram FROM boiler) THEN 1 END) AS n_boiler,
+             round(CAST(count(CASE WHEN gram IN (SELECT gram FROM boiler) THEN 1 END) AS DOUBLE)
+                   / count(*), 6) AS boiler_ratio
+      FROM g GROUP BY doc_id ORDER BY doc_id""",
+
+    "x02_contamination" -> """
+      WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id, md5(array_to_string(toks[CAST(i AS INT) : CAST(i+7 AS INT)], ' ')) AS gram
+            FROM t, LATERAL (SELECT unnest(generate_series(1,
+                   CAST(greatest(len(toks)-7, 0) AS INT)))) AS u(i)),
+      train AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 < 8)
+      SELECT doc_id,
+             count(*) AS n_test_grams,
+             count(CASE WHEN gram IN (SELECT gram FROM train) THEN 1 END) AS n_contaminated,
+             round(CAST(count(CASE WHEN gram IN (SELECT gram FROM train) THEN 1 END) AS DOUBLE)
+                   / count(*), 6) AS contamination_ratio
+      FROM g WHERE doc_id % 10 >= 8
+      GROUP BY doc_id ORDER BY doc_id"""
+  )
+}

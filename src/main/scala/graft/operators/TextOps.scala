@@ -124,6 +124,43 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // -- PII scrubbing: regex redaction with an audit count (reference
+    //    regex engine: `src/backend/utils/adt/regexp.c`; the corpus has no
+    //    real PII, so deterministic synthetic contact strings are appended
+    //    per doc and then scrubbed — the op under test is the scrub) --
+    "t08_pii_scrub" -> { (s, dir) =>
+      val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      Tables.df(s, dir, "documents")
+        .withColumn("dirty", concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@mail"), pmod(col("doc_id"), lit(7)), lit(".com"),
+          lit(" tel 555-"), lpad(pmod(col("doc_id") * 37, lit(10000)).cast("string"), 4, "0")))
+        .select(
+          col("doc_id"),
+          regexp_count(col("dirty"), lit(email)).cast("bigint").as("n_emails"),
+          regexp_count(col("dirty"), lit(phone)).cast("bigint").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("dirty"), email, "[EMAIL]"),
+            phone, "[PHONE]")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // -- token-length histogram: PG width_bucket (`src/backend/utils/adt/
+    //    numeric.c` width_bucket_numeric) over per-doc token counts --
+    "t09_token_histogram" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("n_tokens", size(expr(toks)))
+        .withColumn("bucket", expr("width_bucket(CAST(n_tokens AS DOUBLE), 0D, 120D, 12)"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).cast("bigint").as("min_tokens"),
+          max(col("n_tokens")).cast("bigint").as("max_tokens"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy(col("bucket"))
+    },
+
     // -- word frequency: explode + top-k (ProjectSet ≙ Generator) --
     "t05_top_words" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
@@ -221,6 +258,34 @@ object TextOps {
       SELECT word, count(*) AS n FROM (
         SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
         FROM documents) t
-      GROUP BY word ORDER BY n DESC, word LIMIT 30"""
+      GROUP BY word ORDER BY n DESC, word LIMIT 30""",
+
+    "t08_pii_scrub" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(dirty, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '[EMAIL]', 'g'),
+            '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrub_md5
+      FROM (SELECT doc_id,
+              text || ' contact user' || doc_id || '@mail' || (doc_id % 7) || '.com'
+                   || ' tel 555-' || lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0') AS dirty
+            FROM documents) t
+      ORDER BY doc_id""",
+
+    "t09_token_histogram" -> """
+      SELECT bucket,
+        count(*) AS n_docs,
+        CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        round(avg(n_chars), 6) AS avg_chars
+      FROM (
+        SELECT doc_id, n_chars, n_tokens,
+          CASE WHEN n_tokens < 0 THEN 0
+               WHEN n_tokens >= 120 THEN 13
+               ELSE CAST(floor(n_tokens / 10.0) AS BIGINT) + 1 END AS bucket
+        FROM (SELECT doc_id, n_chars,
+                len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+              FROM documents) a) b
+      GROUP BY bucket ORDER BY bucket"""
   )
 }

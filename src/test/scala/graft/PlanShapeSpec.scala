@@ -50,8 +50,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"expected partial aggregate in:\n$p")
   }
 
+  test("ch01: chunking is a pure per-row pipeline (no hash shuffle)") {
+    val p = plan("ch01_doc_chunking")
+    // the only Exchange allowed is the presentation orderBy's range
+    // partitioning; a hashpartitioning shuffle would mean the explode
+    // stopped being per-row
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle in chunking:\n$p")
+  }
+
   for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_dedup",
-    "s02_ann_lsh_buckets", "s03_embedding_near_dup")) {
+    "s02_ann_lsh_buckets", "s03_embedding_near_dup",
+    "d06_boilerplate_ngrams", "x02_contamination")) {
     test(s"$name: no all-pairs join (CartesianProduct / BroadcastNestedLoop)") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")

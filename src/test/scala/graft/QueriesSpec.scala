@@ -16,6 +16,11 @@ class QueriesSpec extends AnyFunSuite {
 
   // name -> (expected rows at sf0.001, expected column names in order)
   val expected: Map[String, (Long, Seq[String])] = Map(
+    "ch01_doc_chunking" -> (1388L, Seq("doc_id", "chunk_no", "chunk_tokens", "chunk_md5")),
+    "d06_boilerplate_ngrams" -> (500L, Seq("doc_id", "n_grams", "n_boiler", "boiler_ratio")),
+    "x02_contamination" -> (100L, Seq("doc_id", "n_test_grams", "n_contaminated", "contamination_ratio")),
+    "t08_pii_scrub" -> (500L, Seq("doc_id", "n_emails", "n_phones", "scrub_md5")),
+    "t09_token_histogram" -> (9L, Seq("bucket", "n_docs", "min_tokens", "max_tokens", "avg_chars")),
     "d01_exact_dedup" -> (500L, Seq("keeper_id", "n_copies", "text_md5")),
     "d02_ngram_jaccard" -> (28L, Seq("a_id", "b_id", "jaccard")),
     "d03_minhash_lsh" -> (40L, Seq("a_id", "b_id")),
