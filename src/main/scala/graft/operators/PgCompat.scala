@@ -74,6 +74,40 @@ object PgCompat {
     // -- range type algebra: @> / && / * over struct(lo, hi) --
     "q77_range_ops" -> rangeQuery,
 
+    // -- LATERAL correlated subquery with per-row LIMIT (gram.y LATERAL;
+    //    top-n-per-group, the shape PG users reach for LATERAL most).
+    //    Catalyst decorrelates the limit into a per-key ranking — same
+    //    text runs on both engines --
+    "q79_lateral_topn" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(lateralSql)
+    },
+
+    // -- uuid type surface (`src/backend/utils/adt/uuid.c`): deterministic
+    //    v4-format ids minted from md5, bytewise (= lexicographic on the
+    //    hex text) comparison and min/max, version-nibble extraction --
+    "q80_uuid" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(uuidSql)
+    },
+
+    // -- date_bin (PG 14, `src/backend/utils/adt/timestamp.c`
+    //    timestamp_bin): 15-minute buckets anchored at an origin; the
+    //    oracle uses DuckDB's native time_bucket over the same origin --
+    "q81_date_bin" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .withColumn("bin", expr(
+          """timestampadd(SECOND,
+             CAST(floor((unix_timestamp(ts)
+                         - unix_timestamp(TIMESTAMP '2024-01-01 00:00:00')) / 900) * 900 AS BIGINT),
+             TIMESTAMP '2024-01-01 00:00:00')"""))
+        .groupBy(col("bin"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4)")
+            .as("total_value"))
+        .orderBy(col("bin"), col("event_type"))
+    },
+
     // -- complex number type (GP extension `src/backend/utils/adt/
     //    complex_type.c`): struct(re, im) + the arithmetic function set --
     // Components are small exact integers derived from keys, so +, ×,
@@ -97,6 +131,33 @@ object PgCompat {
         ORDER BY o_orderkey""")
     }
   )
+
+  /** Shared verbatim between the Spark run and the DuckDB oracle (both
+    * engines parse LATERAL + correlated LIMIT; Spark decorrelates it,
+    * `RewriteLateralSubquery`). */
+  private val lateralSql = """
+      SELECT n_name, c_name, c_acctbal
+      FROM nation, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+      ORDER BY n_name, c_acctbal DESC, c_name"""
+
+  /** Shared verbatim between the Spark run and the DuckDB oracle: md5 is
+    * bit-identical cross-engine, so the minted ids, their bytewise
+    * ordering, and min/max agree exactly. */
+  private val uuidSql = """
+      WITH u AS (
+        SELECT o_orderkey, o_orderpriority,
+          substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-4' || substr(h, 14, 3)
+            || '-8' || substr(h, 18, 3) || '-' || substr(h, 21, 12) AS uuid
+        FROM (SELECT o_orderkey, o_orderpriority,
+                md5('graft-' || CAST(o_orderkey AS STRING)) AS h
+              FROM orders WHERE o_orderkey <= 5000) t)
+      SELECT o_orderpriority, count(*) AS n,
+             min(uuid) AS min_uuid, max(uuid) AS max_uuid,
+             CAST(sum(CASE WHEN substr(uuid, 15, 1) = '4' THEN 1 ELSE 0 END) AS BIGINT) AS n_v4
+      FROM u GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   /** PG range-type semantics over struct(lo, hi) half-open ranges
     * (`src/backend/utils/adt/rangetypes.c`: `@>` containment, `&&`
@@ -127,6 +188,16 @@ object PgCompat {
   }
 
   def oracle: Map[String, String] = Map(
+    "q79_lateral_topn" -> lateralSql,
+
+    "q80_uuid" -> uuidSql,
+
+    "q81_date_bin" -> """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts, TIMESTAMP '2024-01-01 00:00:00') AS bin,
+             event_type, count(*) AS n,
+             round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q77_range_ops" -> """
       WITH ranged AS (
         SELECT o_orderpriority,

@@ -3,7 +3,7 @@ package graft.rules
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, ExprId, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -112,19 +112,30 @@ class AqumvRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
           // avg(e) decomposes to sum(sum_e) / sum(count_e) when the
           // matview registered BOTH components over the same expression
-          // (count(e), not count(1) — null semantics must match). Only
-          // for double-typed averages: a decimal avg changes scale under
-          // the decomposition.
+          // (count(e), not count(1) — null semantics must match).
+          // Double avgs divide as doubles; decimal avgs (PG numeric)
+          // re-cast the rolled-up sum back to the matview sum column's own
+          // type — the single-pass Average buffer type — so the Divide
+          // sees the exact operand types Spark's Average uses internally
+          // and rounds at the same scale (no double-rounding drift).
           case ae: AggregateExpression if !ae.isDistinct &&
-              ae.aggregateFunction.isInstanceOf[Average] && ae.dataType == DoubleType =>
+              ae.aggregateFunction.isInstanceOf[Average] &&
+              (ae.dataType == DoubleType || ae.dataType.isInstanceOf[DecimalType]) =>
             val e = ae.aggregateFunction.asInstanceOf[Average].child
             val sumCol = byShape.get(shapeOf(AggregateExpression(Sum(e), Complete, isDistinct = false)))
             val cntCol = byShape.get(shapeOf(AggregateExpression(Count(Seq(e)), Complete, isDistinct = false)))
             (sumCol, cntCol) match {
               case (Some(sc), Some(cc)) =>
-                Divide(
-                  Cast(AggregateExpression(Sum(sc), Complete, isDistinct = false), DoubleType),
-                  Cast(AggregateExpression(Sum(cc), Complete, isDistinct = false), DoubleType))
+                val sumAgg = AggregateExpression(Sum(sc), Complete, isDistinct = false)
+                val cntAgg = AggregateExpression(Sum(cc), Complete, isDistinct = false)
+                ae.dataType match {
+                  case DoubleType =>
+                    Divide(Cast(sumAgg, DoubleType), Cast(cntAgg, DoubleType))
+                  case dt: DecimalType =>
+                    Cast(Divide(
+                      Cast(sumAgg, sc.dataType), // decimal(p+10, s), the Average buffer type
+                      Cast(cntAgg, DecimalType(20, 0))), dt)
+                }
               case _ => failed = true; ae
             }
           case t if byShape.contains(shapeOf(t)) => byShape(shapeOf(t))

@@ -182,6 +182,34 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
   }
 
+  test("AQUMV rollup decomposes a DECIMAL avg through sum/count (numeric parity)") {
+    import org.apache.spark.sql.functions._
+    val dec = "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(18, 2))"
+    val mvDef = graft.Tables.df(spark, Sf, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(expr(s"sum($dec)").as("dmv_sum"), expr(s"count($dec)").as("dmv_cnt"))
+    val path = "target/derived/test/mv_decimal_avg"
+    mvDef.write.mode("overwrite").parquet(path)
+    graft.rules.AqumvRule.install(spark)
+    graft.rules.AqumvRule.register(mvDef, path)
+    spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
+    def query() = graft.Tables.df(spark, Sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr(s"avg($dec)").as("avg_dec"))
+      .orderBy(col("o_orderpriority"))
+    val on = query()
+    val onPlan = on.queryExecution.optimizedPlan.toString
+    assert(onPlan.contains("dmv_sum#") && !onPlan.contains("o_totalprice"),
+      s"expected the decimal avg to be answered from the matview:\n$onPlan")
+    val onRows = on.collect().map(_.toSeq).toSeq
+    spark.conf.set(graft.rules.AqumvRule.EnabledConf, "false")
+    try {
+      val offRows = query().collect().map(_.toSeq).toSeq
+      assert(onRows == offRows,
+        s"decimal avg decomposition drifted:\nmv : $onRows\nbase: $offRows")
+    } finally spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
+  }
+
   test("b01: bucketed join runs co-located — no shuffle exchange (DISTRIBUTED BY)") {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

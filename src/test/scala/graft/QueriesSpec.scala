@@ -16,6 +16,9 @@ class QueriesSpec extends AnyFunSuite {
 
   // name -> (expected rows at sf0.001, expected column names in order)
   val expected: Map[String, (Long, Seq[String])] = Map(
+    "q79_lateral_topn" -> (75L, Seq("n_name", "c_name", "c_acctbal")),
+    "q80_uuid" -> (5L, Seq("o_orderpriority", "n", "min_uuid", "max_uuid", "n_v4")),
+    "q81_date_bin" -> (960L, Seq("bin", "event_type", "n", "total_value")),
     "ch01_doc_chunking" -> (1388L, Seq("doc_id", "chunk_no", "chunk_tokens", "chunk_md5")),
     "d06_boilerplate_ngrams" -> (500L, Seq("doc_id", "n_grams", "n_boiler", "boiler_ratio")),
     "x02_contamination" -> (100L, Seq("doc_id", "n_test_grams", "n_contaminated", "contamination_ratio")),
