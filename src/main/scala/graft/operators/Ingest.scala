@@ -17,6 +17,21 @@ import graft.Tables
 object Ingest {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- DataSource V2 FunctionScan: generate_series as a real scan
+    //    operator (graft.sources.SeriesSource) with filter pushdown into
+    //    the generated range, column pruning, and partitioned planning.
+    //    The BETWEEN lands in the source (rows outside are never
+    //    generated); `label` is never computed (pruned) --
+    "c03_series_source" -> { (s, _) =>
+      s.read.format("graft.sources.SeriesSource")
+        .option("start", 1L).option("end", 1000000L).option("partitions", 8)
+        .load()
+        .filter(col("i") >= 250000L && col("i") <= 750000L)
+        .groupBy(pmod(col("i"), lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"))
+        .orderBy(col("bucket"))
+    },
+
     "c01_csv_sreh" -> { (s, dir) =>
       val lines = Tables.df(s, dir, "documents")
         .select(col("doc_id"),
@@ -75,6 +90,12 @@ object Ingest {
 
 
   def oracle: Map[String, String] = Map(
+    "c03_series_source" -> """
+      SELECT i % 10 AS bucket, count(*) AS n,
+             CAST(sum(i * i) AS BIGINT) AS sum_sq
+      FROM generate_series(250000, 750000) t(i)
+      GROUP BY 1 ORDER BY 1""",
+
     // the malformed-line rule is deterministic, so the oracle audits the
     // same load arithmetic directly
     "c01_csv_sreh" -> """

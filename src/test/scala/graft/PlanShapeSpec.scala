@@ -182,6 +182,30 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
   }
 
+  test("c03: DSv2 series source — filters pushed into the range, columns pruned") {
+    val p = plan("c03_series_source")
+    // the BETWEEN folded into the source's generation bounds
+    assert(p.contains("range=[250000, 750000]"),
+      s"expected the i-range filters pushed into the SeriesScan:\n$p")
+    // `label` is never computed: the scan's read schema is i,sq only
+    assert(p.contains("cols=i,sq") && !p.contains("label"),
+      s"expected column pruning to drop `label`:\n$p")
+    // and no Filter node survives above the scan (all predicates consumed)
+    assert(!p.contains("Filter ("), s"expected no post-scan filter:\n$p")
+  }
+
+  test("c03: DSv2 series source plans one input partition per slice") {
+    val df = spark.read.format("graft.sources.SeriesSource")
+      .option("start", 1L).option("end", 1000L).option("partitions", 8)
+      .load()
+    assert(df.rdd.getNumPartitions == 8)
+    // and the declined filter stays in the plan: label is not pushable
+    val filtered = df.filter(org.apache.spark.sql.functions.col("label") === "n7")
+    assert(filtered.count() == 10L) // 7, 107, ..., 907
+    val fp = finalPlan(filtered)
+    assert(fp.contains("Filter"), s"non-range filter must stay above the scan:\n$fp")
+  }
+
   test("AQUMV rollup decomposes a DECIMAL avg through sum/count (numeric parity)") {
     import org.apache.spark.sql.functions._
     val dec = "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(18, 2))"
