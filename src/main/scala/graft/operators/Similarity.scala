@@ -159,6 +159,51 @@ object Similarity {
         .select(col("q_id"), col("col._2").as("c_id"), col("col._1").as("cosine"),
           (col("pos") + 1).as("rn"))
         .orderBy(col("q_id"), col("rn"))
+    },
+
+    // -- int8 scalar quantization + quantized search with recall audit --
+    // The memory-bound scale path: per-vector symmetric int8 quantization
+    // (q_i = round(x_i / max|x| * 127)) shrinks a float corpus 4× (at
+    // 100 TB of embeddings, the difference between spilling and RAM).
+    // Quantized cosine needs NO dequantization — the per-vector scales
+    // cancel: cos_q = qdot / (‖qa‖·‖qb‖), pure integer-derived
+    // arithmetic, so the oracle reproduces it bit-for-bit. The query
+    // reports recall@3 of the quantized ranking against the exact float
+    // ranking per query — the audit every quantized ANN deployment runs.
+    "s06_quantized_ann" -> { (s, dir) =>
+      val quant = Tables.df(s, dir, "embeddings")
+        .withColumn("m", expr(
+          "greatest(aggregate(embedding, 0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), 1e-30)"))
+        .withColumn("qv", expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / m * 127) AS INT))"))
+        .withColumn("qnorm", expr(
+          "sqrt(CAST(aggregate(qv, 0L, (a, x) -> a + CAST(x AS BIGINT) * x) AS DOUBLE))"))
+      val q = quant.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("qv").as("q_qv"), col("qnorm").as("q_qnorm"))
+      val c = quant.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("qv").as("c_qv"), col("qnorm").as("c_qnorm"))
+      s.udf.register("topk3q_pairs", udaf(new graft.functions.TopKPairs(3)))
+      val pairs = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("qdot", expr(
+          "aggregate(zip_with(q_qv, c_qv, (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, x) -> a + x)"))
+        .withColumn("qcos", round(col("qdot") / (col("q_qnorm") * col("c_qnorm")), 9))
+        .withColumn("cosine", round(
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
+      val qtop = pairs.groupBy(col("q_id"))
+        .agg(expr("topk3q_pairs(qcos, c_id)").as("top"))
+        .select(col("q_id"),
+          col("top")(0).getField("_2").as("top1_c_id"),
+          col("top")(0).getField("_1").as("top1_qcos"),
+          expr("transform(top, t -> t._2)").as("q_ids3"))
+      val etop = pairs.groupBy(col("q_id"))
+        .agg(expr("topk3q_pairs(cosine, c_id)").as("etop"))
+        .select(col("q_id"), expr("transform(etop, t -> t._2)").as("e_ids3"))
+      qtop.join(etop, "q_id")
+        .select(col("q_id"),
+          expr("CAST(size(array_intersect(q_ids3, e_ids3)) AS BIGINT)").as("recall3"),
+          col("top1_c_id"), col("top1_qcos"))
+        .orderBy(col("q_id"))
     }
   )
 
@@ -205,6 +250,42 @@ object Similarity {
     s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   def oracle: Map[String, String] = Map(
+    "s06_quantized_ann" -> """
+      WITH quant AS (
+        SELECT vec_id, embedding,
+          greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS m
+        FROM embeddings),
+      qv AS (
+        SELECT vec_id, embedding,
+          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / m * 127) AS INT)) AS qv
+        FROM quant),
+      qn AS (
+        SELECT vec_id, embedding, qv,
+          sqrt(CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) AS qnorm
+        FROM qv),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          round(CAST(list_sum(list_transform(generate_series(1, len(q.qv)), i ->
+              CAST(q.qv[i] AS BIGINT) * c.qv[i])) AS DOUBLE) / (q.qnorm * c.qnorm), 9) AS qcos,
+          round(list_sum(list_transform(generate_series(1, len(q.embedding)), i ->
+              CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9) AS cosine
+        FROM qn q JOIN qn c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      qtop AS (SELECT q_id, c_id, qcos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id) AS rn FROM pairs),
+      etop AS (SELECT q_id, c_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn FROM pairs),
+      recall AS (
+        SELECT a.q_id, count(*) AS n
+        FROM (SELECT q_id, c_id FROM qtop WHERE rn <= 3) a
+        JOIN (SELECT q_id, c_id FROM etop WHERE rn <= 3) b USING (q_id, c_id)
+        GROUP BY a.q_id)
+      SELECT t.q_id, CAST(coalesce(r.n, 0) AS BIGINT) AS recall3,
+             t.c_id AS top1_c_id, t.qcos AS top1_qcos
+      FROM (SELECT q_id, c_id, qcos FROM qtop WHERE rn = 1) t
+      LEFT JOIN recall r USING (q_id) ORDER BY q_id""",
+
     "s01_cosine_topk" -> s"""
       WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
       scored AS (

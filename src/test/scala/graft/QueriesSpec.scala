@@ -17,6 +17,7 @@ class QueriesSpec extends AnyFunSuite {
   // name -> (expected rows at sf0.001, expected column names in order)
   val expected: Map[String, (Long, Seq[String])] = Map(
     "c03_series_source" -> (10L, Seq("bucket", "n", "sum_sq")),
+    "s06_quantized_ann" -> (10L, Seq("q_id", "recall3", "top1_c_id", "top1_qcos")),
     "q79_lateral_topn" -> (75L, Seq("n_name", "c_name", "c_acctbal")),
     "q80_uuid" -> (5L, Seq("o_orderpriority", "n", "min_uuid", "max_uuid", "n_v4")),
     "q81_date_bin" -> (960L, Seq("bin", "event_type", "n", "total_value")),

@@ -80,6 +80,44 @@ class StreamingSpec extends AnyFunSuite {
       s"late row was not dropped (or window re-emitted): $emitted")
   }
 
+  test("dropDuplicatesWithinWatermark dedupes retries, keeps distinct ids, bounds state") {
+    // streaming exact dedup — the incremental rendition of d01: an
+    // at-least-once source redelivers events; dedup state is evicted once
+    // the watermark passes, so state size is bounded by the delay window
+    // (without the watermark variant, dedup state grows forever)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // id 1 delivered twice in-batch, id 2 once
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 1L),
+        (ts("2024-01-01 10:02:00"), 2L))
+      q.processAllAvailable()
+      // cross-batch retry of id 1 while its state is still live — dropped
+      input.addData((ts("2024-01-01 10:10:00"), 1L))
+      q.processAllAvailable()
+      // advance the watermark far past the delay → id 1's state evicts;
+      // a redelivery AFTER eviction passes through (the documented
+      // bounded-state contract: dedup-within-watermark, not forever)
+      input.addData((ts("2024-01-01 14:00:00"), 3L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:05:00"), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_wm_test").groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids(2L) == 1L && ids(3L) == 1L, s"distinct ids must survive: $ids")
+    assert(ids(1L) == 2L,
+      s"id 1: expected exactly one emit per watermark window (2 total): $ids")
+  }
+
   test("IVM state merge is associative: 2-batch and 4-batch folds agree") {
     import graft.streaming.IvmMatview._
     val events = Tables.df(spark, Sf, "events")
