@@ -294,10 +294,75 @@ object Analytics {
           (col("p_partkey") % 10).cast("int").as("mod10"),
           signum(col("p_retailprice") - 1000.0).cast("int").as("sgn"))
         .orderBy(col("p_partkey"))
+    },
+
+    // -- linear-regression aggregate family (PG regr_slope / regr_intercept
+    //    / regr_r2 / corr, `src/backend/utils/adt/float.c` float8_regr_*).
+    //    The native FP aggregates are summation-order-dependent, so the
+    //    moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    //    DECIMAL(38,0) over integer-scaled inputs — order-independent
+    //    across engines and partitionings — and only the closed-form
+    //    formulas run in double, identically on both sides --
+    "q84_regr_family" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .withColumn("x", expr("CAST(round(l_quantity) AS BIGINT)"))
+        .withColumn("y", expr("CAST(round(l_extendedprice) AS BIGINT)"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("sum(CAST(x AS DECIMAL(38,0)))").as("sx"),
+          expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+          expr("sum(CAST(x * y AS DECIMAL(38,0)))").as("sxy"),
+          expr("sum(CAST(x * x AS DECIMAL(38,0)))").as("sxx"),
+          expr("sum(CAST(y * y AS DECIMAL(38,0)))").as("syy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""), 9)
+            .as("slope"),
+          round(expr("""(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+                        / CAST(n AS DOUBLE)"""), 6).as("intercept"),
+          round(expr("""pow((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 2)"""), 9)
+            .as("r2"),
+          round(expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""), 9)
+            .as("corr"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q84_regr_family" -> """
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+          sum(CAST(x AS DECIMAL(38,0))) AS sx,
+          sum(CAST(y AS DECIMAL(38,0))) AS sy,
+          sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+          sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+          sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+        FROM (SELECT l_returnflag,
+                CAST(round(l_quantity) AS BIGINT) AS x,
+                CAST(round(l_extendedprice) AS BIGINT) AS y
+              FROM lineitem) t
+        GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS slope,
+        round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+              / CAST(n AS DOUBLE), 6) AS intercept,
+        round(pow((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 2), 9) AS r2,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS corr
+      FROM m ORDER BY l_returnflag""",
+
     "q75_waiting_suppliers" -> """
       SELECT s_name, count(*) AS numwait
       FROM supplier, lineitem l1, orders

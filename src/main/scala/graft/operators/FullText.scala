@@ -42,6 +42,26 @@ object FullText {
         .limit(30)
     },
 
+    // -- weighted ts_rank: tsvector weight classes (setweight A..D,
+    //    tsrank.c `weights[]` — title terms count 1.0, body terms 0.1).
+    //    The "title" is the document's first 8 tokens, the standard
+    //    title-vs-body weighting a search pipeline applies at index time --
+    "f03_fts_weighted" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("title", expr("slice(toks, 1, 8)"))
+        .withColumn("tfa", expr("size(filter(title, x -> x = 'merge'))"))
+        .withColumn("tfd", expr("size(filter(toks, x -> x = 'merge')) - tfa"))
+        .filter(col("tfa") + col("tfd") > 0)
+        .withColumn("rank", round(expr(
+          """(1.0 * CAST(tfa AS DOUBLE) / (1.0 + tfa) + 0.1 * CAST(tfd AS DOUBLE) / (1.0 + tfd))
+             / (1.0 + ln(size(toks)))"""), 6))
+        .select(col("doc_id"), col("tfa").cast("bigint").as("tf_title"),
+          col("tfd").cast("bigint").as("tf_body"), col("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+        .limit(30)
+    },
+
     // -- phrase (followed-by) match: adjacent positions --
     "f02_fts_phrase" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
@@ -72,6 +92,21 @@ object FullText {
         round((CAST(tf_merge AS DOUBLE) / (1.0 + tf_merge) + CAST(tf_vector AS DOUBLE) / (1.0 + tf_vector))
               / (1.0 + ln(n_toks)), 6) AS rank
       FROM tf WHERE tf_merge > 0 AND tf_vector > 0
+      ORDER BY rank DESC, doc_id LIMIT 30""",
+
+    "f03_fts_weighted" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, len(toks) AS n_toks,
+          len(list_filter(toks[1:8], x -> x = 'merge')) AS tfa,
+          len(list_filter(toks, x -> x = 'merge')) - len(list_filter(toks[1:8], x -> x = 'merge')) AS tfd
+        FROM toked)
+      SELECT doc_id, CAST(tfa AS BIGINT) AS tf_title, CAST(tfd AS BIGINT) AS tf_body,
+        round((1.0 * CAST(tfa AS DOUBLE) / (1.0 + tfa) + 0.1 * CAST(tfd AS DOUBLE) / (1.0 + tfd))
+              / (1.0 + ln(n_toks)), 6) AS rank
+      FROM tf WHERE tfa + tfd > 0
       ORDER BY rank DESC, doc_id LIMIT 30""",
 
     "f02_fts_phrase" -> """

@@ -39,6 +39,39 @@ object Incremental {
         .orderBy(col("day"))
     },
 
+    // -- MERGE upsert (ModifyTable beyond CTAS: `src/backend/executor/
+    //    nodeModifyTable.c` MERGE; GP's SplitUpdate is the distributed
+    //    rendition). Spark parquet has no in-place MERGE, so the operator
+    //    is the standard lake-house rewrite: target ⟕⟖ source full-outer
+    //    on the key, per-row action = WHEN MATCHED THEN UPDATE / WHEN NOT
+    //    MATCHED THEN INSERT, with the untouched partition passed through,
+    //    then an atomic overwrite (here: returned for audit). Emits the
+    //    merged state tagged with the action taken per row --
+    "i06_merge_upsert" -> { (s, dir) =>
+      val orders = Tables.df(s, dir, "orders")
+      val cutoff = "TIMESTAMP '1997-01-01 00:00:00'"
+      val horizon = "TIMESTAMP '1997-07-01 00:00:00'"
+      // target: per-customer state as of the cutoff
+      val target = orders.filter(expr(s"o_orderdate < $cutoff"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+      // source: the delta batch since the cutoff
+      val source = orders.filter(expr(s"o_orderdate >= $cutoff AND o_orderdate < $horizon"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("d_orders"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("d_cents"))
+      target.join(source, Seq("o_custkey"), "full_outer")
+        .select(
+          col("o_custkey"),
+          (coalesce(col("n_orders"), lit(0L)) + coalesce(col("d_orders"), lit(0L))).as("n_orders"),
+          (coalesce(col("cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L))).as("cents"),
+          when(col("n_orders").isNull, "INSERT")
+            .when(col("d_orders").isNull, "KEEP")
+            .otherwise("UPDATE").as("action"))
+        .orderBy(col("o_custkey"))
+    },
+
     // -- AQUMV: the optimizer answers the aggregate from the matview --
     "i03_aqumv" -> { (s, dir) =>
       val defDf = aqumvDefinition(s, dir)
@@ -118,6 +151,27 @@ object Incremental {
     })
 
   def oracle: Map[String, String] = Map(
+    "i06_merge_upsert" -> """
+      WITH target AS (
+        SELECT o_custkey, count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_custkey),
+      source AS (
+        SELECT o_custkey, count(*) AS d_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS d_cents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY o_custkey)
+      SELECT coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+        coalesce(t.n_orders, 0) + coalesce(s.d_orders, 0) AS n_orders,
+        coalesce(t.cents, 0) + coalesce(s.d_cents, 0) AS cents,
+        CASE WHEN t.o_custkey IS NULL THEN 'INSERT'
+             WHEN s.o_custkey IS NULL THEN 'KEEP'
+             ELSE 'UPDATE' END AS action
+      FROM target t FULL OUTER JOIN source s ON t.o_custkey = s.o_custkey
+      ORDER BY o_custkey""",
+
     "i01_ivm_matview" -> """
       SELECT user_id, event_type, count(*) AS n,
         round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_value,

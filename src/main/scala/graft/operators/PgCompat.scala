@@ -71,6 +71,28 @@ object PgCompat {
         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
     },
 
+    // -- string_agg with ORDER BY (PG ordered-input aggregate,
+    //    `src/backend/utils/adt/varlena.c` string_agg_transfn; ordered
+    //    aggregates are an ORCA CLogicalGbAgg + sort property). Spark has
+    //    no ordered agg input — collect_list + array_sort on a sort-key
+    //    struct reproduces the deterministic order, then array_join
+    //    concatenates. Acctbal sorts as negated cents so the struct sort
+    //    is a plain ASC compare --
+    "q83_string_agg" -> { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("""array_join(
+                    transform(
+                      array_sort(collect_list(struct(
+                        CAST(-round(c_acctbal * 100) AS BIGINT) AS negcents,
+                        c_name))),
+                      s -> s.c_name), ',')""").as("names"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // -- range type algebra: @> / && / * over struct(lo, hi) --
     "q77_range_ops" -> rangeQuery,
 
@@ -188,6 +210,12 @@ object PgCompat {
   }
 
   def oracle: Map[String, String] = Map(
+    "q83_string_agg" -> """
+      SELECT c_nationkey, count(*) AS n,
+             string_agg(c_name, ',' ORDER BY -CAST(round(c_acctbal * 100) AS BIGINT), c_name) AS names
+      FROM customer WHERE c_acctbal > 9900
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
     "q79_lateral_topn" -> lateralSql,
 
     "q80_uuid" -> uuidSql,

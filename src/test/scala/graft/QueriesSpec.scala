@@ -18,6 +18,10 @@ class QueriesSpec extends AnyFunSuite {
   val expected: Map[String, (Long, Seq[String])] = Map(
     "c03_series_source" -> (10L, Seq("bucket", "n", "sum_sq")),
     "s06_quantized_ann" -> (10L, Seq("q_id", "recall3", "top1_c_id", "top1_qcos")),
+    "q83_string_agg" -> (1L, Seq("c_nationkey", "n", "names")),
+    "q84_regr_family" -> (3L, Seq("l_returnflag", "n", "slope", "intercept", "r2", "corr")),
+    "f03_fts_weighted" -> (30L, Seq("doc_id", "tf_title", "tf_body", "rank")),
+    "i06_merge_upsert" -> (147L, Seq("o_custkey", "n_orders", "cents", "action")),
     "q79_lateral_topn" -> (75L, Seq("n_name", "c_name", "c_acctbal")),
     "q80_uuid" -> (5L, Seq("o_orderpriority", "n", "min_uuid", "max_uuid", "n_v4")),
     "q81_date_bin" -> (960L, Seq("bin", "event_type", "n", "total_value")),
