@@ -4,6 +4,12 @@ run Verify's parquet dumps against DuckDB executing oracle_sql.json
 over the same base tables; compare column-name-sorted, canonicalized,
 row-sorted values.
 
+INVARIANT: float comparison is shortest-repr bit-exact (str(v), not a
+%.12g round-trip), mirroring the driver's hash. Every query that emits
+a DOUBLE column must therefore round() it explicitly (in BOTH the Spark
+code and the oracle SQL) — an un-rounded double will fail on last-ulp
+cross-engine drift even when semantically correct.
+
 Usage: python3 scripts/check.py <sfDir> <outDir> [query ...]
 """
 import duckdb, json, sys, glob, os

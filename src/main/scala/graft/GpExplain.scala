@@ -32,7 +32,10 @@ object GpExplain {
     * Executes the query first, since AQE only settles join strategies and
     * exchange elimination at runtime — same contract as EXPLAIN ANALYZE. */
   def explain(df: DataFrame): String = {
-    df.collect()
+    // settle AQE by executing on the executors only — counting the RDD
+    // never materializes result rows on the driver (a full collect() here
+    // would be a driver OOM on a large result set, for a plan rendering)
+    df.queryExecution.toRdd.count()
     val root = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p

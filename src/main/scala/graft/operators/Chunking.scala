@@ -46,7 +46,12 @@ object Chunking {
   private def grams(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "documents")
       .withColumn("toks", expr(toks))
-      .withColumn("i", explode(expr("sequence(1, CAST(greatest(size(toks) - 7, 0) AS INT))")))
+      // Guard short docs: sequence(1, 0) in Spark is DESCENDING [1, 0] (and the
+      // i=0 slice throws), while the oracle's generate_series(1, 0) is empty —
+      // emit an empty array for docs with < 8 tokens to match empty-series
+      // semantics on both engines.
+      .withColumn("i", explode(expr(
+        "if(size(toks) >= 8, sequence(1, CAST(size(toks) - 7 AS INT)), CAST(array() AS ARRAY<INT>))")))
       .select(col("doc_id"), md5(concat_ws(" ", expr("slice(toks, i, 8)"))).as("gram"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

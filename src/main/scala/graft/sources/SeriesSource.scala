@@ -46,11 +46,15 @@ class SeriesSource extends TableProvider {
     SeriesSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // DSv2 option semantics are case-insensitive (inferSchema already gets a
+    // CaseInsensitiveStringMap) — wrap the raw map so START/End are honored.
+    val opts = new CaseInsensitiveStringMap(properties)
     new SeriesTable(
-      properties.getOrDefault("start", "1").toLong,
-      properties.getOrDefault("end", "1000").toLong,
-      properties.getOrDefault("partitions", "8").toInt)
+      opts.getOrDefault("start", "1").toLong,
+      opts.getOrDefault("end", "1000").toLong,
+      opts.getOrDefault("partitions", "8").toInt)
+  }
 }
 
 object SeriesSource {

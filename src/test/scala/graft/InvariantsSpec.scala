@@ -124,6 +124,28 @@ class InvariantsSpec extends AnyFunSuite {
     assert(except.intersect(inter).count() == 0)
   }
 
+  test("chunking/gram queries survive docs shorter than one 8-gram") {
+    // sequence(1, 0) in Spark is DESCENDING [1, 0] — an unguarded gram
+    // generator crashes on any doc with < 8 tokens (the oracle's
+    // generate_series(1, 0) is empty). Real corpora are full of short docs.
+    val dir = "target/derived/test/shortdocs"
+    val docs = Seq(
+      (1L, ""), (2L, "one two three"), (3L, "a b c d e f g"),
+      (4L, "a b c d e f g h"), (5L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // ch01: every non-empty doc yields exactly one chunk at these lengths
+    val chunks = SparkEntry.queries("ch01_doc_chunking")(spark, dir)
+    assert(chunks.count() == 4 && chunks.select("doc_id").distinct().count() == 4)
+    // d06: only docs with >= 8 tokens produce gram rows; short docs are
+    // silently absent (empty-series semantics), not a runtime error
+    val boiler = SparkEntry.queries("d06_boilerplate_ngrams")(spark, dir)
+      .select("doc_id", "n_grams").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(boiler == Map(4L -> 1L, 5L -> 3L), s"got $boiler")
+    // x02: doc 4 is the only doc_id%10 in {8,9}... none here; just no crash
+    SparkEntry.queries("x02_contamination")(spark, dir).collect()
+  }
+
   test("r01: every collatz chain terminates at 1 or at the depth cap") {
     val r = q("r01_recursive_collatz")
     val finals = r.groupBy(col("seed"))

@@ -82,6 +82,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected map-side partial top-k aggregation in s01:\n$p")
   }
 
+  test("s06: quantized + exact top-3 come from ONE pass over the pairs subtree") {
+    // AQE prints final + initial sections; count joins in the final one only
+    val p = plan("s06_quantized_ann").split("== Initial Plan ==")(0)
+    // exactly one join in the whole plan: corpus ⋈ broadcast(queries); the
+    // old qtop ⋈ etop re-join (which forced the join + both dot products to
+    // compute twice) must be gone
+    val joins = "(BroadcastNestedLoopJoin|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|CartesianProduct)".r
+      .findAllIn(p).toSeq
+    assert(joins.count(_ == "BroadcastNestedLoopJoin") == 1
+      && joins.forall(_ == "BroadcastNestedLoopJoin"),
+      s"expected the single corpus x queries join, got $joins in:\n$p")
+    // and both TopKPairs buffers sit in the same partial aggregation
+    assert("partial_topk3q_pairs".r.findAllIn(p.toLowerCase).size >= 2,
+      s"expected both top-3 aggregates in one map-side pass:\n$p")
+  }
+
   test("e03: as-of join has no window operator (single-shuffle max_by plan)") {
     val p = plan("e03_asof_last_order")
     assert(!p.contains("Window"), s"expected no WindowExec in e03:\n$p")
