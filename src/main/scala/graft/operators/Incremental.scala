@@ -72,6 +72,33 @@ object Incremental {
         .orderBy(col("o_custkey"))
     },
 
+    // -- join-IVM: a two-table JOIN matview (orders ⋈ lineitem) maintained
+    //    under append deltas on BOTH sides via ΔJ = ΔA⋈B_new ∪ A_old⋈ΔB,
+    //    then aggregated at read time. The two sides are batched on
+    //    UNRELATED attributes (o_custkey vs l_linenumber), so every cross
+    //    term ΔA⋈B_old / ΔA⋈ΔB / A_old⋈ΔB is non-empty — the fold only
+    //    matches the one-shot oracle if the delta algebra is right --
+    "i07_ivm_join" -> { (s, dir) =>
+      import graft.streaming.JoinIvm
+      val a = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val b = Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice"))
+      def aBatch(k: Int) = a.filter(pmod(col("o_custkey"), lit(3)) === k)
+      def bBatch(k: Int) = b.filter(pmod(col("l_linenumber"), lit(3)) === k)
+      val st = (1 to 2).foldLeft(
+        JoinIvm.init(aBatch(0), bBatch(0), Seq("o_orderkey"))) {
+        (st, k) => JoinIvm.applyDelta(st, aBatch(k), bBatch(k), Seq("o_orderkey"))
+      }
+      st.j.groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+        .select(col("o_orderpriority"), col("l_returnflag"), col("n_items"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"))
+        .orderBy(col("o_orderpriority"), col("l_returnflag"))
+    },
+
     // -- AQUMV: the optimizer answers the aggregate from the matview --
     "i03_aqumv" -> { (s, dir) =>
       val defDf = aqumvDefinition(s, dir)
@@ -171,6 +198,14 @@ object Incremental {
              ELSE 'UPDATE' END AS action
       FROM target t FULL OUTER JOIN source s ON t.o_custkey = s.o_custkey
       ORDER BY o_custkey""",
+
+    // the IVM correctness condition: the incrementally-folded join view
+    // aggregates to exactly the one-shot batch join
+    "i07_ivm_join" -> """
+      SELECT o_orderpriority, l_returnflag, count(*) AS n_items,
+        round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "i01_ivm_matview" -> """
       SELECT user_id, event_type, count(*) AS n,

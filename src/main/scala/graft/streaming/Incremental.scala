@@ -43,6 +43,38 @@ object IvmMatview {
       round(col("cents").cast("double") / 10000.0 / col("n"), 6).as("avg_value"))
 }
 
+/** Join-IVM — incremental maintenance of a TWO-TABLE JOIN matview, the
+  * next semantic step past [[IvmMatview]]'s aggregate-over-append (the
+  * most-used IVM form in practice; reference `matview.c:96-151`
+  * IVM_ADD/IVM_SUB delta application through joins).
+  *
+  * Delta rule for J = A ⋈ B under append deltas ΔA, ΔB:
+  *
+  *   ΔJ = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+  *
+  * which expands to ΔA⋈B ∪ ΔA⋈ΔB ∪ A⋈ΔB — each join row involving a new
+  * tuple appears in exactly one term, so the union is disjoint and needs
+  * no dedup. Both terms are plain equi-joins: at 100 TB the dominant cost
+  * is |Δ|-proportional (a delta batch joins the accumulated side with the
+  * DELTA as the build/broadcast side — never a re-join of A with B), and
+  * J is maintained append-only, so a production refresh writes ΔJ as a
+  * new partition instead of rewriting the matview. */
+object JoinIvm {
+
+  /** Accumulated state: both base sides + the maintained join view. */
+  final case class State(a: DataFrame, b: DataFrame, j: DataFrame)
+
+  def init(a0: DataFrame, b0: DataFrame, keys: Seq[String]): State =
+    State(a0, b0, a0.join(b0, keys))
+
+  /** IVM_ADD through the join: fold one append delta batch per side. */
+  def applyDelta(st: State, dA: DataFrame, dB: DataFrame, keys: Seq[String]): State = {
+    val dJ = dA.join(st.b.unionByName(dB), keys)
+      .unionByName(st.a.join(dB, keys))
+    State(st.a.unionByName(dA), st.b.unionByName(dB), st.j.unionByName(dJ))
+  }
+}
+
 /** Dynamic tables (`CREATE DYNAMIC TABLE ... SCHEDULE '...' AS SELECT`,
   * grammar `gram.y:7615-7667`, impl `createas.c:1858-1887`): a
   * materialized query refreshed on a schedule by the integrated pg_cron
@@ -59,4 +91,38 @@ final class DynamicTable(spark: SparkSession, path: String,
   def read(): DataFrame = spark.read.parquet(path)
 
   def refreshAndRead(): DataFrame = { refresh(); read() }
+}
+
+/** The scheduler half of dynamic tables — the integrated pg_cron loop
+  * (`src/backend/task/pg_cron.c`; task registration `commands/taskcmds.c`;
+  * `SCHEDULE '...'` grammar `gram.y:7615-7667`). pg_cron semantics:
+  * a job fires when its next scheduled time has passed; a DOWNTIME that
+  * skips N scheduled firings produces ONE catch-up run, not N (the
+  * refresh is a full re-materialization, so one run reaches the current
+  * answer regardless of how many ticks were missed).
+  *
+  * The clock is an argument, not `System.currentTimeMillis`, so tests
+  * (and replays) drive logical time deterministically; [[runFor]] is the
+  * wall-clock convenience loop for production use. */
+final class RefreshScheduler(table: DynamicTable, intervalMs: Long) {
+  private var lastRun: Long = Long.MinValue
+  private var runs: Long = 0L
+  def refreshCount: Long = runs
+
+  /** Advance to `nowMs`; refresh iff a scheduled firing is due (first
+    * tick always fires). Returns whether a refresh ran. */
+  def tick(nowMs: Long): Boolean = {
+    val due = lastRun == Long.MinValue || nowMs - lastRun >= intervalMs
+    if (due) { table.refresh(); lastRun = nowMs; runs += 1 }
+    due
+  }
+
+  /** Wall-clock loop: tick every `pollMs` for `durationMs`. */
+  def runFor(durationMs: Long, pollMs: Long = 100L): Unit = {
+    val end = System.currentTimeMillis + durationMs
+    while (System.currentTimeMillis < end) {
+      tick(System.currentTimeMillis)
+      Thread.sleep(math.min(pollMs, math.max(1L, end - System.currentTimeMillis)))
+    }
+  }
 }

@@ -132,6 +132,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("scheduler drives dynamic-table refreshes; missed ticks catch up in one run") {
+    import graft.streaming.{DynamicTable, RefreshScheduler}
+    val base = java.nio.file.Files.createTempDirectory("graft_sched")
+    val src = base.toString + "/src"
+    val dst = base.toString + "/dt"
+    def appendBatch(tag: Int, rows: Seq[(Long, Long)]): Unit =
+      spark.createDataFrame(rows).toDF("k", "v")
+        .write.mode("append").parquet(src)
+    def batchAnswer() = spark.read.parquet(src)
+      .groupBy(col("k")).agg(sum(col("v")).as("total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    appendBatch(0, Seq((1L, 10L), (2L, 20L)))
+    val dt = new DynamicTable(spark, dst,
+      () => spark.read.parquet(src).groupBy(col("k")).agg(sum(col("v")).as("total")))
+    def materialized() = dt.read()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sched = new RefreshScheduler(dt, intervalMs = 1000L)
+    // tick 1 fires and converges to the batch answer
+    assert(sched.tick(0L) && materialized() == batchAnswer())
+    // mid-interval tick is NOT due — no refresh, stale data visible
+    appendBatch(1, Seq((1L, 5L)))
+    assert(!sched.tick(500L) && sched.refreshCount == 1L)
+    assert(materialized() == Map(1L -> 10L, 2L -> 20L), "refresh ran early")
+    // tick 2 at the boundary fires and converges again
+    assert(sched.tick(1000L) && materialized() == batchAnswer())
+    // downtime skips 4 scheduled firings → exactly ONE catch-up run that
+    // still reaches the current answer (pg_cron missed-job semantics)
+    appendBatch(2, Seq((3L, 7L)))
+    assert(sched.tick(6000L) && sched.refreshCount == 3L)
+    assert(materialized() == batchAnswer())
+    assert(!sched.tick(6100L), "catch-up must not double-fire")
+  }
+
   test("dynamic table refresh is idempotent and atomic-overwrite") {
     import graft.streaming.DynamicTable
     val path = java.nio.file.Files.createTempDirectory("graft_dt").toString + "/dt"
