@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Statistics + cost-based optimization (SURVEY §2's optimizer-parity
@@ -106,7 +107,28 @@ object Stats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- ANALYZE + CBO join reorder over catalog tables --
-    "x01_cbo_reorder" -> { (s, dir) => badOrderJoin(s, dir, ensure(s, dir)) }
+    "x01_cbo_reorder" -> { (s, dir) => badOrderJoin(s, dir, ensure(s, dir)) },
+
+    // -- eager-agg pushdown (CXformEagerAgg): the rule collapses the big
+    //    lineitem side to one partial row per order key BEFORE the join,
+    //    so the join and its shuffle see |orders| rows, not |lineitem|.
+    //    PlanShapeSpec asserts the rule-on/off plan difference --
+    "x03_eager_agg" -> { (s, dir) =>
+      graft.rules.EagerAggRule.install(s)
+      s.conf.set(graft.rules.EagerAggRule.EnabledConf, "true")
+      val orders = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+      orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").as("cents"),
+          expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("qty"))
+        .select(col("o_orderpriority"), col("n_items"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"), col("qty"))
+        .orderBy(col("o_orderpriority"))
+    }
   )
 
   def oracle: Map[String, String] = Map(
@@ -119,6 +141,13 @@ object Stats {
       JOIN orders o ON c.c_custkey = o.o_custkey
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       WHERE l.l_quantity >= 49 AND l.l_discount >= 0.09
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "x03_eager_agg" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+        round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

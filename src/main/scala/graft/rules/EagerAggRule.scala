@@ -1,0 +1,127 @@
+package graft.rules
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, EqualTo, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Eager aggregation — push a group-by below a join (the ORCA rewrite
+  * class `CXformEagerAgg` / `CXformPushGbBelowJoin`, reference regression
+  * test `src/test/regress/sql/agg_pushdown.sql`; the one ORCA rewrite
+  * family SURVEY.md §4.1 marks "not in Catalyst").
+  *
+  * Pattern:  Aggregate(G, sums/counts over B-columns, A ⋈_{a=b} B)
+  * Rewrite:  Aggregate(G, sums of partials, A ⋈_{a=b} Aggregate(b, partials, B))
+  *
+  * Soundness: pre-aggregating the measure side B by its join key b, then
+  * re-summing the partials above the join, is exact for duplicate-
+  * sensitive aggregates — each B group's partial is replicated once per
+  * matching A row, exactly as every one of its member rows would have
+  * been: sum→sum(sum), count→sum(count) (Yan & Larson's eager/lazy
+  * group-by transformations, the same decomposition the partial/final
+  * split uses). Conditions enforced here:
+  *  - inner equi-join on a single key pair, grouping keys from A only,
+  *  - every aggregate is a non-DISTINCT, non-FILTER sum/count whose
+  *    arguments reference only B,
+  *  - B is the LARGER side (size gate — eager agg is a win when it
+  *    collapses a big fact to |join keys| rows BEFORE the join shuffles
+  *    it; ORCA makes the same call from cost, and at 100 TB pushing the
+  *    agg below the join is the difference between shuffling the fact
+  *    and shuffling one row per key).
+  *
+  * Runs in `experimental.extraOptimizations` (post-main-batch normal
+  * form: projects collapsed into the Aggregate, casts simplified), gated
+  * by [[EagerAggRule.EnabledConf]]. Output attribute ids are preserved
+  * via aliases so parent operators are untouched.
+  */
+class EagerAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import EagerAggRule._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!spark.conf.getOption(EnabledConf).contains("true")) return plan
+    plan.transformUp {
+      // the optimizer's normal form may leave a column-pruning projection
+      // between the aggregate and the join — look through it (the new
+      // aggregate references a subset of its columns, so dropping it is
+      // output-preserving)
+      case agg @ Aggregate(groups, aggExprs, AggChild(j), None) =>
+        tryPush(groups, aggExprs, j.left, j.right, j.condition.get, j.hint)
+          .getOrElse(agg)
+    }
+  }
+
+  private object AggChild {
+    def unapply(p: LogicalPlan): Option[Join] = p match {
+      case j @ Join(_, _, Inner, Some(_), _) => Some(j)
+      case org.apache.spark.sql.catalyst.plans.logical.Project(pl, j @ Join(_, _, Inner, Some(_), _))
+        if pl.forall(_.isInstanceOf[Attribute]) => Some(j)
+      case _ => None
+    }
+  }
+
+  private def tryPush(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
+                      left: LogicalPlan, right: LogicalPlan, cond: Expression,
+                      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint): Option[LogicalPlan] = {
+    // idempotence: never stack a second pre-aggregation (the fixed-point
+    // batch would otherwise re-match its own output forever)
+    if (right.isInstanceOf[Aggregate]) return None
+    val (lk, rk) = cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+        if left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+        if left.outputSet.contains(b) && right.outputSet.contains(a) => (b, a)
+      case _ => return None
+    }
+    if (!groups.forall(_.references.subsetOf(left.outputSet))) return None
+    val aggFns = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
+    if (aggFns.isEmpty) return None
+    val pushable = aggFns.forall { ae =>
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case s: Sum => s.child.references.subsetOf(right.outputSet)
+        case c: Count => c.children.forall(_.references.subsetOf(right.outputSet))
+        case _ => false
+      })
+    }
+    if (!pushable) return None
+    // cost gate: only push when the measure side is the bigger one
+    if (right.stats.sizeInBytes <= left.stats.sizeInBytes) return None
+
+    val partials = aggFns.distinct.map { ae =>
+      ae -> Alias(ae, "partial_" + ae.aggregateFunction.prettyName)()
+    }
+    val byAe = partials.map { case (ae, al) => ae -> al.toAttribute }.toMap
+    val preAgg = Aggregate(Seq(rk), rk +: partials.map(_._2), right, None)
+    val newJoin = Join(left, preAgg, Inner, Some(EqualTo(lk, rk)), hint)
+    val newAggExprs = aggExprs.map { e =>
+      val replaced = e.transformDown {
+        case ae: AggregateExpression if byAe.contains(ae) =>
+          val summed = AggregateExpression(Sum(byAe(ae)), Complete, isDistinct = false)
+          val typed: Expression =
+            if (summed.dataType == ae.dataType) summed else Cast(summed, ae.dataType)
+          // count() is non-null; re-summed partial counts keep that contract
+          if (ae.aggregateFunction.isInstanceOf[Count])
+            Coalesce(Seq(typed, Literal(0L))) else typed
+      }
+      replaced match {
+        case a: Alias => Alias(a.child, a.name)(exprId = e.exprId, qualifier = e.qualifier)
+        case att: Attribute => att
+        case other => Alias(other, e.name)(exprId = e.exprId)
+      }
+    }
+    Some(Aggregate(groups, newAggExprs, newJoin, None))
+  }
+}
+
+object EagerAggRule {
+  val EnabledConf = "spark.graft.eageragg.enabled"
+
+  /** Idempotently attach the rule to a session's optimizer. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[EagerAggRule])) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new EagerAggRule(spark)
+    }
+}

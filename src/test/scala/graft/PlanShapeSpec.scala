@@ -250,6 +250,30 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
   }
 
+  test("x03: eager-agg rule plants the partial aggregate below the join (rule on/off)") {
+    import graft.rules.EagerAggRule
+    val on = SparkEntry.queries("x03_eager_agg")(spark, Sf)
+    val onPlan = on.queryExecution.optimizedPlan.toString
+    // two Aggregates: the final one above the join, the planted partial
+    // (grouping by the join key, carrying partial_sum/partial_count) below
+    assert("Aggregate \\[".r.findAllIn(onPlan).size == 2
+      && onPlan.contains("partial_sum") && onPlan.contains("partial_count")
+      && onPlan.indexOf("Join") < onPlan.lastIndexOf("Aggregate ["),
+      s"expected a pre-join partial aggregate (CXformEagerAgg):\n$onPlan")
+    val onRows = on.collect().map(_.toSeq).toSeq
+    spark.conf.set(EagerAggRule.EnabledConf, "false")
+    try {
+      val off = SparkEntry.queries("x03_eager_agg")(spark, Sf)
+      spark.conf.set(EagerAggRule.EnabledConf, "false") // x03 re-enables it
+      val offPlan = off.queryExecution.optimizedPlan.toString
+      assert("Aggregate \\[".r.findAllIn(offPlan).size == 1
+        && !offPlan.contains("partial_sum"),
+        s"rule-off plan must keep the single post-join aggregate:\n$offPlan")
+      assert(off.collect().map(_.toSeq).toSeq == onRows,
+        "eager aggregation changed the result")
+    } finally spark.conf.set(EagerAggRule.EnabledConf, "true")
+  }
+
   test("b01: bucketed join runs co-located — no shuffle exchange (DISTRIBUTED BY)") {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

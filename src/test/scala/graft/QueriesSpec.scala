@@ -78,6 +78,8 @@ class QueriesSpec extends AnyFunSuite {
     "i02_dynamic_table" -> (1094L, Seq("day", "n_orders", "revenue")),
     "i03_aqumv" -> (3L, Seq("o_orderstatus", "n_orders", "revenue")),
     "i04_aqumv_rollup" -> (5L, Seq("o_orderpriority", "n_orders", "revenue", "avg_revenue")),
+    "i07_ivm_join" -> (15L, Seq("o_orderpriority", "l_returnflag", "n_items", "revenue")),
+    "x03_eager_agg" -> (5L, Seq("o_orderpriority", "n_items", "revenue", "qty")),
     "q55_json_extract" -> (1500L, Seq("o_orderkey", "k", "status", "tag1", "n_tags")),
     "q56_json_table" -> (2002L, Seq("o_orderkey", "pos", "val")),
     "q76_jsonpath_filter" -> (120L, Seq("o_orderkey", "ln", "qty", "flag")),
