@@ -32,6 +32,24 @@ object Ingest {
         .orderBy(col("bucket"))
     },
 
+    // -- exec-protocol external table (graft.sources.ExecSource): every
+    //    partition runs the command executor-side (`EXECUTE '...' ON ALL`,
+    //    url_execute.c) and parses its pipe-delimited stdout; the segment
+    //    id env var shards the series so the union over 4 partitions is
+    //    exactly 1..100 --
+    "c04_exec_source" -> { (s, _) =>
+      s.read.format("graft.sources.ExecSource")
+        .option("command",
+          "seq $((GRAFT_SEGMENT_ID * 25 + 1)) $(((GRAFT_SEGMENT_ID + 1) * 25)) | " +
+          "while read i; do echo \"$i|n$((i % 7))\"; done")
+        .option("columns", "n bigint, label string")
+        .option("partitions", 4)
+        .load()
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n")).cast("bigint").as("total"))
+        .orderBy(col("label"))
+    },
+
     "c01_csv_sreh" -> { (s, dir) =>
       val lines = Tables.df(s, dir, "documents")
         .select(col("doc_id"),
@@ -94,6 +112,12 @@ object Ingest {
       SELECT i % 10 AS bucket, count(*) AS n,
              CAST(sum(i * i) AS BIGINT) AS sum_sq
       FROM generate_series(250000, 750000) t(i)
+      GROUP BY 1 ORDER BY 1""",
+
+    "c04_exec_source" -> """
+      SELECT 'n' || CAST(i % 7 AS VARCHAR) AS label, count(*) AS cnt,
+             CAST(sum(i) AS BIGINT) AS total
+      FROM generate_series(1, 100) t(i)
       GROUP BY 1 ORDER BY 1""",
 
     // the malformed-line rule is deterministic, so the oracle audits the

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exec-protocol external table — the reference's `CREATE EXTERNAL TABLE
+  * ... EXECUTE 'command' ON ALL` (`src/backend/access/external/
+  * url_execute.c`; the gpfdist side of the same surface is
+  * `src/bin/gpfdist/`): every segment runs the command and parses its
+  * stdout as delimited rows. Spark rendition: a DSv2 batch source that
+  * launches the command once per input partition ON THE EXECUTOR — the
+  * driver never sees a byte of data — with the partition index exported
+  * as `GRAFT_SEGMENT_ID` / `GRAFT_SEGMENT_COUNT` (the `GP_SEGMENT_ID`
+  * contract, so a command can shard its own output).
+  *
+  * Single-row-error-handling (sreh, `src/backend/cdb/cdbsreh.c`) is
+  * first-class, as in [[CsvSreh]]: a malformed line is diverted to a
+  * per-partition reject file (reason-tagged, the error-log analog), and
+  * the scan FAILS once a partition's reject count exceeds
+  * `reject_limit` — `SEGMENT REJECT LIMIT N ROWS` semantics; the default
+  * limit 0 is PG's all-or-nothing.
+  *
+  * Options: `command` (sh -c), `partitions`, `columns` (e.g.
+  * `"n bigint, label string"` — bigint/double/string), `delimiter`
+  * (default `|`), `reject_limit`, `reject_dir`.
+  *
+  * Scale: embarrassingly parallel (one process per partition, streamed
+  * line-by-line — no buffering of the whole output), no shuffle, no
+  * driver materialization; reject files go to a per-partition path so
+  * there is no write contention.
+  */
+class ExecSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExecSource.parseColumns(options.getOrDefault("columns", "line string"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ExecTable(
+      ExecSource.parseColumns(opts.getOrDefault("columns", "line string")),
+      opts.getOrDefault("command", "true"),
+      opts.getOrDefault("partitions", "4").toInt,
+      opts.getOrDefault("delimiter", "|"),
+      opts.getOrDefault("reject_limit", "0").toInt,
+      Option(opts.get("reject_dir")))
+  }
+}
+
+object ExecSource {
+  /** `"n bigint, label string"` → StructType (the external-table column
+    * list; nullable, as parse failures of ONE field reject the row rather
+    * than null it — sreh rejects whole rows, same as the reference). */
+  def parseColumns(spec: String): StructType =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).foldLeft(new StructType()) {
+      (st, c) =>
+        val parts = c.split("\\s+")
+        require(parts.length == 2, s"bad column spec: '$c'")
+        val dt = parts(1).toLowerCase match {
+          case "bigint" | "long" => LongType
+          case "double" => DoubleType
+          case "string" | "varchar" | "text" => StringType
+          case other => throw new IllegalArgumentException(s"unsupported type: $other")
+        }
+        st.add(parts(0), dt)
+    }
+}
+
+private[sources] class ExecTable(schema0: StructType, command: String,
+                                 partitions: Int, delimiter: String,
+                                 rejectLimit: Int, rejectDir: Option[String])
+  extends Table with SupportsRead {
+  override def name(): String = s"exec($command)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ExecScan(schema0, command, partitions, delimiter, rejectLimit, rejectDir)
+}
+
+private[sources] class ExecScan(schema0: StructType, command: String,
+                                partitions: Int, delimiter: String,
+                                rejectLimit: Int, rejectDir: Option[String])
+  extends Scan with Batch {
+  override def readSchema(): StructType = schema0
+  override def description(): String = s"ExecScan command=[$command] partitions=$partitions"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until partitions).map(ExecPartition(_, partitions)).toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExecReaderFactory(schema0, command, delimiter, rejectLimit, rejectDir)
+}
+
+private[sources] case class ExecPartition(id: Int, count: Int) extends InputPartition
+
+private[sources] class ExecReaderFactory(schema0: StructType, command: String,
+                                         delimiter: String, rejectLimit: Int,
+                                         rejectDir: Option[String])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ExecPartition]
+    new PartitionReader[InternalRow] {
+      private var proc: Process = _
+      private var lines: java.io.BufferedReader = _
+      private var row: InternalRow = _
+      private val rejects = scala.collection.mutable.ArrayBuffer.empty[String]
+
+      private def start(): Unit = {
+        val pb = new ProcessBuilder("/bin/sh", "-c", command)
+        pb.environment().put("GRAFT_SEGMENT_ID", p.id.toString)
+        pb.environment().put("GRAFT_SEGMENT_COUNT", p.count.toString)
+        pb.redirectErrorStream(false)
+        proc = pb.start()
+        lines = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      }
+
+      /** Parse one line or record a reject; null = rejected. */
+      private def parse(line: String): InternalRow = {
+        val fields = line.split(java.util.regex.Pattern.quote(delimiter), -1)
+        if (fields.length != schema0.length) {
+          reject(line, s"expected ${schema0.length} fields, got ${fields.length}")
+          return null
+        }
+        val vals = new Array[Any](fields.length)
+        var i = 0
+        while (i < fields.length) {
+          schema0.fields(i).dataType match {
+            case LongType =>
+              try vals(i) = fields(i).trim.toLong
+              catch { case _: NumberFormatException =>
+                reject(line, s"field ${schema0.fields(i).name}: not a bigint: '${fields(i)}'")
+                return null }
+            case DoubleType =>
+              try vals(i) = fields(i).trim.toDouble
+              catch { case _: NumberFormatException =>
+                reject(line, s"field ${schema0.fields(i).name}: not a double: '${fields(i)}'")
+                return null }
+            case _ => vals(i) = UTF8String.fromString(fields(i))
+          }
+          i += 1
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
+
+      private def reject(line: String, reason: String): Unit = {
+        rejects += s"$reason\t$line"
+        if (rejects.length > rejectLimit)
+          throw new IllegalStateException(
+            s"segment reject limit ($rejectLimit) exceeded in partition ${p.id}; " +
+            s"last: ${rejects.last}")
+      }
+
+      override def next(): Boolean = {
+        if (proc == null) start()
+        var line = lines.readLine()
+        while (line != null) {
+          if (line.nonEmpty) {
+            row = parse(line)
+            if (row != null) return true
+          }
+          line = lines.readLine()
+        }
+        false
+      }
+
+      override def get(): InternalRow = row
+
+      override def close(): Unit = {
+        // divert the partition's rejects to the error log (cdbsreh's
+        // error-table analog) — one file per partition, no contention
+        rejectDir.filter(_ => rejects.nonEmpty).foreach { dir =>
+          val d = java.nio.file.Paths.get(dir)
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.write(d.resolve(s"part-${p.id}.rejects"),
+            rejects.mkString("", "\n", "\n").getBytes("UTF-8"))
+        }
+        if (proc != null) proc.destroy()
+      }
+    }
+  }
+}

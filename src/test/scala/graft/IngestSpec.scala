@@ -46,6 +46,41 @@ class IngestSpec extends AnyFunSuite {
     assert(r.nGood == 2 && r.nBad == 0)
   }
 
+  test("c04 exec source: malformed lines divert to reject files within the limit") {
+    import org.apache.spark.sql.functions._
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_exec_rej").toString
+    // every partition emits 10 good rows and 2 bad ones (one wrong arity,
+    // one non-numeric) — within the per-partition limit of 2
+    val df = spark.read.format("graft.sources.ExecSource")
+      .option("command",
+        "seq 1 10 | while read i; do echo \"$i|ok\"; done; " +
+        "echo 'only_one_field'; echo 'NaNish|x'")
+      .option("columns", "n bigint, label string")
+      .option("partitions", 3)
+      .option("reject_limit", 2)
+      .option("reject_dir", rejDir)
+      .load()
+    assert(df.count() == 30, "3 partitions x 10 good rows")
+    val rejFiles = new java.io.File(rejDir).listFiles().map(_.getName).toSet
+    assert(rejFiles == Set("part-0.rejects", "part-1.rejects", "part-2.rejects"), rejFiles)
+    val content = scala.io.Source.fromFile(s"$rejDir/part-1.rejects").getLines().toSeq
+    assert(content.length == 2
+      && content.exists(_.contains("expected 2 fields, got 1"))
+      && content.exists(_.contains("not a bigint")), content)
+  }
+
+  test("c04 exec source: reject limit exceeded fails the scan (SEGMENT REJECT LIMIT)") {
+    val df = spark.read.format("graft.sources.ExecSource")
+      .option("command", "echo 'bad'; echo 'worse'; echo '1|ok'")
+      .option("columns", "n bigint, label string")
+      .option("partitions", 1)
+      .option("reject_limit", 1)
+      .load()
+    val e = intercept[org.apache.spark.SparkException](df.count())
+    assert(e.getMessage.contains("reject limit") ||
+      Option(e.getCause).exists(_.getMessage.contains("reject limit")), e.getMessage)
+  }
+
   test("c02 COPY TO: sink + reject files reconcile with the source exactly") {
     import org.apache.spark.sql.functions._
     val audit = operators.Ingest.copyToSreh(spark, SparkSuite.Sf).head

@@ -79,6 +79,7 @@ class QueriesSpec extends AnyFunSuite {
     "i03_aqumv" -> (3L, Seq("o_orderstatus", "n_orders", "revenue")),
     "i04_aqumv_rollup" -> (5L, Seq("o_orderpriority", "n_orders", "revenue", "avg_revenue")),
     "i07_ivm_join" -> (15L, Seq("o_orderpriority", "l_returnflag", "n_items", "revenue")),
+    "c04_exec_source" -> (7L, Seq("label", "cnt", "total")),
     "x03_eager_agg" -> (5L, Seq("o_orderpriority", "n_items", "revenue", "qty")),
     "q55_json_extract" -> (1500L, Seq("o_orderkey", "k", "status", "tag1", "n_tags")),
     "q56_json_table" -> (2002L, Seq("o_orderkey", "pos", "val")),
