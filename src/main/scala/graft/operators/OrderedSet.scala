@@ -42,6 +42,26 @@ object OrderedSet {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
 
+    // -- the remaining hypothetical-set forms (orderedsetaggs.c:
+    //    percent_rank/cume_dist WITHIN GROUP; the r4-verdict's missing
+    //    item 6) — bounded two-counter Aggregators, same combinefunc
+    //    story as q58's rank --
+    "q86_hypothetical_dist" -> { (s, dir) =>
+      if (!s.conf.getOption("spark.graft.hypdist").contains("true")) {
+        s.udf.register("hyp_percent_rank", udaf(graft.functions.HypPercentRank))
+        s.udf.register("hyp_cume_dist", udaf(graft.functions.HypCumeDist))
+        s.conf.set("spark.graft.hypdist", "true")
+      }
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+          round(hyp_percent_rank(l_quantity, 25.0D), 9) AS pr_25,
+          round(hyp_cume_dist(l_quantity, 25.0D), 9) AS cd_25,
+          round(hyp_percent_rank(l_quantity, 49.5D), 9) AS pr_49_5,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
     // -- multi-DQA combined with grouping sets (qp_olap_mdqa.sql
     //    territory, SURVEY §7.4 #2: Expand ×(distinct aggs × grouping
     //    sets) — the plan-blowup case the reference splits with
@@ -106,6 +126,15 @@ object OrderedSet {
         min(m.mode_qty) AS mode_qty
       FROM lineitem l JOIN modes m ON l.l_returnflag = m.l_returnflag
       GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+
+    // percent_rank(h) = below/N; cume_dist(h) = (at-or-below + 1)/(N + 1)
+    "q86_hypothetical_dist" -> """
+      SELECT l_returnflag,
+        round(CAST(count(CASE WHEN l_quantity < 25.0 THEN 1 END) AS DOUBLE) / count(*), 9) AS pr_25,
+        round(CAST(count(CASE WHEN l_quantity <= 25.0 THEN 1 END) + 1 AS DOUBLE) / (count(*) + 1), 9) AS cd_25,
+        round(CAST(count(CASE WHEN l_quantity < 49.5 THEN 1 END) AS DOUBLE) / count(*), 9) AS pr_49_5,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // hypothetical rank(h) == 1 + count of values strictly below h
     "q58_hypothetical_rank" -> """

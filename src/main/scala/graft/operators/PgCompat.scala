@@ -96,6 +96,20 @@ object PgCompat {
     // -- range type algebra: @> / && / * over struct(lo, hi) --
     "q77_range_ops" -> rangeQuery,
 
+    // -- multirange algebra (`src/backend/utils/adt/multirangetypes.c`,
+    //    extending q77's scalar ranges): a per-customer SET of integer
+    //    intervals is normalized to disjoint ranges (range_agg / union)
+    //    by gaps-and-islands — running max(hi) marks island starts, a
+    //    running sum numbers them — then cardinality, covered length,
+    //    intersection with a fixed range (*), and point containment (@>)
+    //    read off the merged islands. Window + two grouped aggs all
+    //    partition by o_custkey, so the plan reuses ONE shuffle; the
+    //    same ANSI text runs on both engines --
+    "q85_multirange" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(multirangeSql)
+    },
+
     // -- LATERAL correlated subquery with per-row LIMIT (gram.y LATERAL;
     //    top-n-per-group, the shape PG users reach for LATERAL most).
     //    Catalyst decorrelates the limit into a per-key ranking — same
@@ -157,6 +171,35 @@ object PgCompat {
   /** Shared verbatim between the Spark run and the DuckDB oracle (both
     * engines parse LATERAL + correlated LIMIT; Spark decorrelates it,
     * `RewriteLateralSubquery`). */
+  private val multirangeSql = """
+    WITH iv AS (
+      SELECT o_custkey,
+             CAST(o_orderkey % 997 AS BIGINT) AS lo,
+             CAST(o_orderkey % 997 + o_custkey % 50 + 1 AS BIGINT) AS hi
+      FROM orders),
+    marked AS (
+      SELECT o_custkey, lo, hi,
+             CASE WHEN max(hi) OVER w IS NULL OR lo > max(hi) OVER w
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY lo, hi
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    islands AS (
+      SELECT o_custkey, lo, hi,
+             sum(new_island) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked),
+    merged AS (
+      SELECT o_custkey, island, min(lo) AS mlo, max(hi) AS mhi
+      FROM islands GROUP BY o_custkey, island)
+    SELECT o_custkey,
+      count(*) AS n_ranges,
+      CAST(sum(mhi - mlo) AS BIGINT) AS covered,
+      CAST(sum(greatest(0, least(mhi, 600) - greatest(mlo, 200))) AS BIGINT) AS overlap_200_600,
+      count(CASE WHEN mlo <= 500 AND 500 < mhi THEN 1 END) AS n_contain_500
+    FROM merged
+    GROUP BY o_custkey ORDER BY o_custkey"""
+
   private val lateralSql = """
       SELECT n_name, c_name, c_acctbal
       FROM nation, LATERAL (
@@ -217,6 +260,8 @@ object PgCompat {
       GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     "q79_lateral_topn" -> lateralSql,
+
+    "q85_multirange" -> multirangeSql,
 
     "q80_uuid" -> uuidSql,
 

@@ -156,6 +156,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial aggregation of the UDAF (combinefunc analog):\n$p")
   }
 
+  test("q85: multirange normalization reuses ONE o_custkey shuffle across window + 2 aggs") {
+    val p = plan("q85_multirange").split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"expected the window and both grouped aggregates to share one hash shuffle, got $shuffles:\n$p")
+  }
+
+  test("q86: hypothetical percent_rank/cume_dist split partial/final across the shuffle") {
+    val p = plan("q86_hypothetical_dist").toLowerCase
+    assert(p.contains("partial_hyp_percent_rank") || p.contains("partial_hyppercentrank"),
+      s"expected map-side partial hypothetical aggregation:\n$p")
+  }
+
   test("q61: HLL sketch aggregates partially before the shuffle") {
     val p = plan("q61_approx_distinct")
     assert(p.contains("partial_approx_count_distinct"), p)
