@@ -72,6 +72,18 @@ object Incremental {
         .orderBy(col("o_custkey"))
     },
 
+    // -- IVM_SUB: the DELETE path — build the matview over ALL events,
+    //    then retract a delete batch (event_id % 7 = 0) as a negated
+    //    delta; the retracted state must equal the batch aggregate of the
+    //    surviving rows, including groups that vanish entirely --
+    "i08_ivm_retract" -> { (s, dir) =>
+      val events = Tables.df(s, dir, "events")
+      val full = IvmMatview.partialState(events)
+      val deleted = IvmMatview.partialState(events.filter(col("event_id") % 7 === 0))
+      IvmMatview.finalizeState(IvmMatview.applyRetraction(full, deleted))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // -- join-IVM: a two-table JOIN matview (orders ⋈ lineitem) maintained
     //    under append deltas on BOTH sides via ΔJ = ΔA⋈B_new ∪ A_old⋈ΔB,
     //    then aggregated at read time. The two sides are batched on
@@ -198,6 +210,17 @@ object Incremental {
              ELSE 'UPDATE' END AS action
       FROM target t FULL OUTER JOIN source s ON t.o_custkey = s.o_custkey
       ORDER BY o_custkey""",
+
+    // retraction correctness: state minus the delete delta == batch over
+    // the surviving rows
+    "i08_ivm_retract" -> """
+      SELECT user_id, event_type, count(*) AS n,
+        round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_value,
+        round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+          / count(*), 6) AS avg_value
+      FROM events WHERE event_id % 7 <> 0
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
 
     // the IVM correctness condition: the incrementally-folded join view
     // aggregates to exactly the one-shot batch join

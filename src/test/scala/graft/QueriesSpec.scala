@@ -79,9 +79,10 @@ class QueriesSpec extends AnyFunSuite {
     "i03_aqumv" -> (3L, Seq("o_orderstatus", "n_orders", "revenue")),
     "i04_aqumv_rollup" -> (5L, Seq("o_orderpriority", "n_orders", "revenue", "avg_revenue")),
     "i07_ivm_join" -> (15L, Seq("o_orderpriority", "l_returnflag", "n_items", "revenue")),
+    "i08_ivm_retract" -> (75L, Seq("user_id", "event_type", "n", "total_value", "avg_value")),
     "c04_exec_source" -> (7L, Seq("label", "cnt", "total")),
     "q85_multirange" -> (150L, Seq("o_custkey", "n_ranges", "covered", "overlap_200_600", "n_contain_500")),
-    "q86_hypothetical_dist" -> (3L, Seq("l_returnflag", "pr_25", "cd_25", "pr_49_5", "n")),
+    "q86_hypothetical_dist" -> (3L, Seq("l_returnflag", "pr_25", "cd_25", "pr_49_5", "dr_25", "n")),
     "x03_eager_agg" -> (5L, Seq("o_orderpriority", "n_items", "revenue", "qty")),
     "q55_json_extract" -> (1500L, Seq("o_orderkey", "k", "status", "tag1", "n_tags")),
     "q56_json_table" -> (2002L, Seq("o_orderkey", "pos", "val")),
