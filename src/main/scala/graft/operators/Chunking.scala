@@ -73,7 +73,14 @@ object Chunking {
 
     // -- d06: boilerplate 8-grams (≥5 distinct docs) + per-doc ratio --
     "d06_boilerplate_ngrams" -> { (s, dir) =>
-      val g = grams(s, dir)
+      // spool: the gram stream feeds BOTH the boilerplate census and the
+      // per-doc join — without it the scan+tokenize+md5 runs twice (the
+      // s06-class double-computation the r4 verdict flagged). The spool is
+      // O(grams) ≈ O(tokens) rows of (doc_id, md5) — executor-local, no
+      // driver involvement; at cluster scale the same spool is a
+      // persist(DISK_ONLY), trading one sequential write/read against a
+      // second full scan + tokenize of the corpus.
+      val g = grams(s, dir).localCheckpoint()
       // distinct-doc frequency per gram; partial agg collapses repeats
       // map-side, so the shuffle carries ≤ one row per (gram, doc).
       val boiler = g.distinct()
@@ -92,7 +99,9 @@ object Chunking {
 
     // -- x02: train/test 8-gram contamination (test = doc_id%10 ∈ {8,9}) --
     "x02_contamination" -> { (s, dir) =>
-      val g = grams(s, dir)
+      // spool for the same reason as d06: train-side distinct and
+      // test-side probe both read the gram stream
+      val g = grams(s, dir).localCheckpoint()
       val trainGrams = g.filter(pmod(col("doc_id"), lit(10)) < 8)
         .select("gram").distinct()
         .withColumn("in_train", lit(1))
