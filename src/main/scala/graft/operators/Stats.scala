@@ -124,9 +124,13 @@ object Stats {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           expr("CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)").as("cents"),
-          expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("qty"))
+          expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("qty"),
+          // avg decomposes to sum(sum)/sum(count) through the join (exact
+          // here: integral values, sums < 2^53)
+          expr("round(avg(CAST(round(l_quantity) AS BIGINT)), 6)").as("avg_qty"))
         .select(col("o_orderpriority"), col("n_items"),
-          round(col("cents").cast("double") / 100.0, 2).as("revenue"), col("qty"))
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+          col("qty"), col("avg_qty"))
         .orderBy(col("o_orderpriority"))
     }
   )
@@ -146,7 +150,8 @@ object Stats {
     "x03_eager_agg" -> """
       SELECT o_orderpriority, count(*) AS n_items,
         round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
-        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        round(avg(CAST(round(l_quantity) AS BIGINT)), 6) AS avg_qty
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )

@@ -1,8 +1,9 @@
 package graft.rules
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, EqualTo, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -23,8 +24,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * group-by transformations, the same decomposition the partial/final
   * split uses). Conditions enforced here:
   *  - inner equi-join on a single key pair, grouping keys from A only,
-  *  - every aggregate is a non-DISTINCT, non-FILTER sum/count whose
-  *    arguments reference only B,
+  *  - every aggregate is a non-DISTINCT, non-FILTER sum/count/avg whose
+  *    arguments reference only B (avg decomposes to sum(sum)/sum(count),
+  *    double only),
   *  - B is the LARGER side (size gate — eager agg is a win when it
   *    collapses a big fact to |join keys| rows BEFORE the join shuffles
   *    it; ORCA makes the same call from cost, and at 100 TB pushing the
@@ -82,6 +84,10 @@ class EagerAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
       !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
         case s: Sum => s.child.references.subsetOf(right.outputSet)
         case c: Count => c.children.forall(_.references.subsetOf(right.outputSet))
+        // avg decomposes to sum(sum)/sum(count) through the join (double
+        // only — decimal avg re-scaling is AqumvRule territory)
+        case a: Average => ae.dataType == DoubleType &&
+          a.child.references.subsetOf(right.outputSet)
         case _ => false
       })
     }
@@ -89,21 +95,36 @@ class EagerAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // cost gate: only push when the measure side is the bigger one
     if (right.stats.sizeInBytes <= left.stats.sizeInBytes) return None
 
-    val partials = aggFns.distinct.map { ae =>
-      ae -> Alias(ae, "partial_" + ae.aggregateFunction.prettyName)()
+    // one partial per distinct component planted below the join, plus a
+    // rebuild expression that re-aggregates it above the join
+    val partialDefs = scala.collection.mutable.ArrayBuffer.empty[Alias]
+    def partial(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction,
+                name: String): Attribute = {
+      val al = Alias(AggregateExpression(fn, Complete, isDistinct = false), name)()
+      partialDefs += al
+      al.toAttribute
     }
-    val byAe = partials.map { case (ae, al) => ae -> al.toAttribute }.toMap
-    val preAgg = Aggregate(Seq(rk), rk +: partials.map(_._2), right, None)
+    def resum(p: Attribute): AggregateExpression =
+      AggregateExpression(Sum(p), Complete, isDistinct = false)
+    val rebuilt: Map[AggregateExpression, Expression] = aggFns.distinct.map { ae =>
+      ae -> (ae.aggregateFunction match {
+        case _: Sum =>
+          val summed = resum(partial(ae.aggregateFunction, "partial_sum"))
+          if (summed.dataType == ae.dataType) summed else Cast(summed, ae.dataType)
+        case _: Count =>
+          // count() is non-null; re-summed partial counts keep that contract
+          Coalesce(Seq(resum(partial(ae.aggregateFunction, "partial_count")), Literal(0L)))
+        case a: Average =>
+          Divide(
+            Cast(resum(partial(Sum(a.child), "partial_sum")), DoubleType),
+            Cast(resum(partial(Count(Seq(a.child)), "partial_count")), DoubleType))
+      })
+    }.toMap
+    val preAgg = Aggregate(Seq(rk), rk +: partialDefs.toSeq, right, None)
     val newJoin = Join(left, preAgg, Inner, Some(EqualTo(lk, rk)), hint)
     val newAggExprs = aggExprs.map { e =>
       val replaced = e.transformDown {
-        case ae: AggregateExpression if byAe.contains(ae) =>
-          val summed = AggregateExpression(Sum(byAe(ae)), Complete, isDistinct = false)
-          val typed: Expression =
-            if (summed.dataType == ae.dataType) summed else Cast(summed, ae.dataType)
-          // count() is non-null; re-summed partial counts keep that contract
-          if (ae.aggregateFunction.isInstanceOf[Count])
-            Coalesce(Seq(typed, Literal(0L))) else typed
+        case ae: AggregateExpression if rebuilt.contains(ae) => rebuilt(ae)
       }
       replaced match {
         case a: Alias => Alias(a.child, a.name)(exprId = e.exprId, qualifier = e.qualifier)

@@ -83,7 +83,7 @@ class QueriesSpec extends AnyFunSuite {
     "c04_exec_source" -> (7L, Seq("label", "cnt", "total")),
     "q85_multirange" -> (150L, Seq("o_custkey", "n_ranges", "covered", "overlap_200_600", "n_contain_500")),
     "q86_hypothetical_dist" -> (3L, Seq("l_returnflag", "pr_25", "cd_25", "pr_49_5", "dr_25", "n")),
-    "x03_eager_agg" -> (5L, Seq("o_orderpriority", "n_items", "revenue", "qty")),
+    "x03_eager_agg" -> (5L, Seq("o_orderpriority", "n_items", "revenue", "qty", "avg_qty")),
     "q55_json_extract" -> (1500L, Seq("o_orderkey", "k", "status", "tag1", "n_tags")),
     "q56_json_table" -> (2002L, Seq("o_orderkey", "pos", "val")),
     "q76_jsonpath_filter" -> (120L, Seq("o_orderkey", "ln", "qty", "flag")),
