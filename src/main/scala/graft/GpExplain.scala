@@ -78,6 +78,10 @@ object GpExplain {
     case a: HashAggregateExec => aggName("HashAggregate", a.aggregateExpressions.map(_.mode.toString))
     case a: ObjectHashAggregateExec => aggName("HashAggregate", a.aggregateExpressions.map(_.mode.toString))
     case a: SortAggregateExec => aggName("GroupAggregate", a.aggregateExpressions.map(_.mode.toString))
+    case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+      // DSv2 sources (SeriesSource, ExecSource) are the external-table
+      // surface — GP prints those as Foreign Scan
+      s"Foreign Scan on ${b.scan.description().takeWhile(_ != '\n').take(80)}"
     case s: FileSourceScanExec =>
       val rel = s.tableIdentifier.map(_.table)
         .getOrElse(s.relation.location.rootPaths.headOption

@@ -81,33 +81,52 @@ private[sources] class ExecTable(schema0: StructType, command: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new ExecScan(schema0, command, partitions, delimiter, rejectLimit, rejectDir)
+    new ExecScanBuilder(schema0, command, partitions, delimiter, rejectLimit, rejectDir)
 }
 
-private[sources] class ExecScan(schema0: StructType, command: String,
-                                partitions: Int, delimiter: String,
+private[sources] class ExecScanBuilder(full: StructType, command: String,
+                                       partitions: Int, delimiter: String,
+                                       rejectLimit: Int, rejectDir: Option[String])
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  // arity + type checks still run against the FULL column list (sreh must
+  // reject the same rows regardless of the query's projection); pruning
+  // shrinks the emitted row, which is what the exchange/operators carry
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new ExecScan(full, required, command, partitions, delimiter, rejectLimit, rejectDir)
+}
+
+private[sources] class ExecScan(full: StructType, required: StructType,
+                                command: String, partitions: Int, delimiter: String,
                                 rejectLimit: Int, rejectDir: Option[String])
   extends Scan with Batch {
-  override def readSchema(): StructType = schema0
-  override def description(): String = s"ExecScan command=[$command] partitions=$partitions"
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"ExecScan command=[$command] partitions=$partitions cols=${required.fieldNames.mkString(",")}"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until partitions).map(ExecPartition(_, partitions)).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ExecReaderFactory(schema0, command, delimiter, rejectLimit, rejectDir)
+    new ExecReaderFactory(full, required, command, delimiter, rejectLimit, rejectDir)
 }
 
 private[sources] case class ExecPartition(id: Int, count: Int) extends InputPartition
 
-private[sources] class ExecReaderFactory(schema0: StructType, command: String,
+private[sources] class ExecReaderFactory(schema0: StructType, required: StructType,
+                                         command: String,
                                          delimiter: String, rejectLimit: Int,
                                          rejectDir: Option[String])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExecPartition]
+    // projection: source-field index per required output column
+    val outIdx: Array[Int] = required.fieldNames.map(schema0.fieldIndex)
     new PartitionReader[InternalRow] {
       private var proc: Process = _
       private var lines: java.io.BufferedReader = _
@@ -124,14 +143,16 @@ private[sources] class ExecReaderFactory(schema0: StructType, command: String,
           new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
       }
 
-      /** Parse one line or record a reject; null = rejected. */
+      /** Parse one line or record a reject; null = rejected. EVERY field
+        * is validated (sreh must reject the same rows regardless of the
+        * query's projection); only the projected ones materialize. */
       private def parse(line: String): InternalRow = {
         val fields = line.split(java.util.regex.Pattern.quote(delimiter), -1)
         if (fields.length != schema0.length) {
           reject(line, s"expected ${schema0.length} fields, got ${fields.length}")
           return null
         }
-        val vals = new Array[Any](fields.length)
+        val vals = new Array[Any](schema0.length)
         var i = 0
         while (i < fields.length) {
           schema0.fields(i).dataType match {
@@ -149,7 +170,7 @@ private[sources] class ExecReaderFactory(schema0: StructType, command: String,
           }
           i += 1
         }
-        InternalRow.fromSeq(vals.toIndexedSeq)
+        InternalRow.fromSeq(outIdx.toIndexedSeq.map(vals(_)))
       }
 
       private def reject(line: String, reason: String): Unit = {

@@ -27,6 +27,12 @@ class GpExplainSpec extends AnyFunSuite {
     assert(out.contains("Redistribute Motion"), out)
   }
 
+  test("DSv2 sources render as Foreign Scan (external-table dialect)") {
+    val out = GpExplain.explain(
+      SparkEntry.queries("c03_series_source")(spark, Sf))
+    assert(out.contains("Foreign Scan on SeriesScan"), out)
+  }
+
   test("every rendered Motion corresponds to one exchange in the executed plan") {
     val df = SparkEntry.queries("q03_shipping_priority")(spark, Sf)
     val out = GpExplain.explain(df)

@@ -287,6 +287,34 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(EagerAggRule.EnabledConf, "true")
   }
 
+  test("x03: eager-agg cost gate — no push when the measure side is the SMALLER one") {
+    import org.apache.spark.sql.functions._
+    graft.rules.EagerAggRule.install(spark)
+    spark.conf.set(graft.rules.EagerAggRule.EnabledConf, "true")
+    // measures come from orders (smaller than lineitem): pushing would
+    // pre-aggregate the small side for nothing — ORCA's cost call says no
+    val li = Tables.df(spark, Sf, "lineitem").select(col("l_orderkey"), col("l_returnflag"))
+    val orders = Tables.df(spark, Sf, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val df = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val p = df.queryExecution.optimizedPlan.toString
+    assert("Aggregate \\[".r.findAllIn(p).size == 1 && !p.contains("partial_sum"),
+      s"cost gate failed — the small side was pre-aggregated:\n$p")
+  }
+
+  test("c04: exec source prunes unread columns (ReadSchema shrinks)") {
+    val df = spark.read.format("graft.sources.ExecSource")
+      .option("command", "echo '1|a'; echo '2|b'")
+      .option("columns", "n bigint, label string")
+      .option("partitions", 1)
+      .load()
+      .select(org.apache.spark.sql.functions.col("n"))
+    val p = finalPlan(df)
+    assert(p.contains("cols=n") && !p.contains("cols=n,label"),
+      s"expected the scan to emit only `n`:\n$p")
+  }
+
   test("b01: bucketed join runs co-located — no shuffle exchange (DISTRIBUTED BY)") {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
