@@ -23,7 +23,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * been: sum→sum(sum), count→sum(count) (Yan & Larson's eager/lazy
   * group-by transformations, the same decomposition the partial/final
   * split uses). Conditions enforced here:
-  *  - inner equi-join on a single key pair, grouping keys from A only,
+  *  - inner equi-join on a conjunction of attr=attr key pairs (composite
+  *    keys included), grouping keys from A only,
   *  - every aggregate is a non-DISTINCT, non-FILTER sum/count/avg whose
   *    arguments reference only B (avg decomposes to sum(sum)/sum(count),
   *    double only),
@@ -70,13 +71,21 @@ class EagerAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // idempotence: never stack a second pre-aggregation (the fixed-point
     // batch would otherwise re-match its own output forever)
     if (right.isInstanceOf[Aggregate]) return None
-    val (lk, rk) = cond match {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-        if left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-        if left.outputSet.contains(b) && right.outputSet.contains(a) => (b, a)
-      case _ => return None
+    // the condition must be a conjunction of attr=attr pairs across the
+    // join (composite keys supported); anything else declines
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
     }
+    val keyPairs: Seq[(AttributeReference, AttributeReference)] =
+      conjuncts(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+          if left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+          if left.outputSet.contains(b) && right.outputSet.contains(a) => (b, a)
+        case _ => return None
+      }
+    if (keyPairs.isEmpty) return None
     if (!groups.forall(_.references.subsetOf(left.outputSet))) return None
     val aggFns = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
     if (aggFns.isEmpty) return None
@@ -120,8 +129,11 @@ class EagerAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Cast(resum(partial(Count(Seq(a.child)), "partial_count")), DoubleType))
       })
     }.toMap
-    val preAgg = Aggregate(Seq(rk), rk +: partialDefs.toSeq, right, None)
-    val newJoin = Join(left, preAgg, Inner, Some(EqualTo(lk, rk)), hint)
+    val rks = keyPairs.map(_._2).distinct
+    val preAgg = Aggregate(rks, (rks: Seq[NamedExpression]) ++ partialDefs.toSeq, right, None)
+    val newCond = keyPairs.map { case (l, r) => EqualTo(l, r): Expression }
+      .reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+    val newJoin = Join(left, preAgg, Inner, Some(newCond), hint)
     val newAggExprs = aggExprs.map { e =>
       val replaced = e.transformDown {
         case ae: AggregateExpression if rebuilt.contains(ae) => rebuilt(ae)

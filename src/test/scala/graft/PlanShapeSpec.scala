@@ -287,6 +287,33 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(EagerAggRule.EnabledConf, "true")
   }
 
+  test("x03: eager-agg handles composite join keys (pre-agg groups by both)") {
+    import org.apache.spark.sql.functions._
+    graft.rules.EagerAggRule.install(spark)
+    spark.conf.set(graft.rules.EagerAggRule.EnabledConf, "true")
+    val dims = Tables.df(spark, Sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .withColumn("grp", pmod(col("user_id"), lit(10)))
+    val facts = Tables.df(spark, Sf, "events")
+      .select(col("user_id").as("f_user"), col("event_type").as("f_type"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v"),
+        col("ts").cast("long").as("f_ts"))
+    def query() = dims.join(facts,
+        col("user_id") === col("f_user") && col("event_type") === col("f_type"))
+      .groupBy(col("grp")).agg(sum(col("v")).as("total"), sum(col("f_ts")).as("ts_sum"))
+    val df = query()
+    val p = df.queryExecution.optimizedPlan.toString
+    // the planted partial aggregate must group by BOTH join keys
+    assert("Aggregate \\[".r.findAllIn(p).size >= 2 && p.contains("partial_sum"),
+      s"expected a pre-join partial aggregate on the composite key:\n$p")
+    // and the rewrite is exact
+    spark.conf.set(graft.rules.EagerAggRule.EnabledConf, "false")
+    try {
+      val off = query()
+      assert(df.collect().map(_.toSeq).toSet == off.collect().map(_.toSeq).toSet)
+    } finally spark.conf.set(graft.rules.EagerAggRule.EnabledConf, "true")
+  }
+
   test("x03: eager-agg cost gate — no push when the measure side is the SMALLER one") {
     import org.apache.spark.sql.functions._
     graft.rules.EagerAggRule.install(spark)
