@@ -2,7 +2,7 @@ package graft.rules
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
@@ -25,9 +25,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * split uses). Conditions enforced here:
   *  - inner equi-join on a conjunction of attr=attr key pairs (composite
   *    keys included), grouping keys from A only,
-  *  - every aggregate is a non-DISTINCT, non-FILTER sum/count/avg whose
-  *    arguments reference only B (avg decomposes to sum(sum)/sum(count),
-  *    double only),
+  *  - every aggregate is a non-DISTINCT, non-FILTER sum/count/avg/min/max
+  *    whose arguments reference only B (avg decomposes to
+  *    sum(sum)/sum(count), double only; min/max are duplicate-insensitive
+  *    and re-aggregate as themselves),
   *  - B is the LARGER side (size gate — eager agg is a win when it
   *    collapses a big fact to |join keys| rows BEFORE the join shuffles
   *    it; ORCA makes the same call from cost, and at 100 TB pushing the
@@ -97,6 +98,9 @@ class EagerAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // only — decimal avg re-scaling is AqumvRule territory)
         case a: Average => ae.dataType == DoubleType &&
           a.child.references.subsetOf(right.outputSet)
+        // duplicate-insensitive aggs push trivially: max→max(max), min→min(min)
+        case m: Max => m.child.references.subsetOf(right.outputSet)
+        case m: Min => m.child.references.subsetOf(right.outputSet)
         case _ => false
       })
     }
@@ -127,6 +131,12 @@ class EagerAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Divide(
             Cast(resum(partial(Sum(a.child), "partial_sum")), DoubleType),
             Cast(resum(partial(Count(Seq(a.child)), "partial_count")), DoubleType))
+        case _: Max =>
+          AggregateExpression(Max(partial(ae.aggregateFunction, "partial_max")),
+            Complete, isDistinct = false)
+        case _: Min =>
+          AggregateExpression(Min(partial(ae.aggregateFunction, "partial_min")),
+            Complete, isDistinct = false)
       })
     }.toMap
     val rks = keyPairs.map(_._2).distinct

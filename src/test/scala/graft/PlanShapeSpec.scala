@@ -300,7 +300,7 @@ class PlanShapeSpec extends AnyFunSuite {
         col("ts").cast("long").as("f_ts"))
     def query() = dims.join(facts,
         col("user_id") === col("f_user") && col("event_type") === col("f_type"))
-      .groupBy(col("grp")).agg(sum(col("v")).as("total"), sum(col("f_ts")).as("ts_sum"))
+      .groupBy(col("grp")).agg(sum(col("v")).as("total"), max(col("f_ts")).as("last_ts"))
     val df = query()
     val p = df.queryExecution.optimizedPlan.toString
     // the planted partial aggregate must group by BOTH join keys
