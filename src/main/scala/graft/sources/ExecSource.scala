@@ -137,7 +137,9 @@ private[sources] class ExecReaderFactory(schema0: StructType, required: StructTy
         val pb = new ProcessBuilder("/bin/sh", "-c", command)
         pb.environment().put("GRAFT_SEGMENT_ID", p.id.toString)
         pb.environment().put("GRAFT_SEGMENT_COUNT", p.count.toString)
-        pb.redirectErrorStream(false)
+        // stderr goes to the executor log (never buffered — an unread
+        // stderr pipe would deadlock a chatty command)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         proc = pb.start()
         lines = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
@@ -191,6 +193,11 @@ private[sources] class ExecReaderFactory(schema0: StructType, required: StructTy
           }
           line = lines.readLine()
         }
+        // EOF: a failed command must FAIL the scan, not read as an empty
+        // table (silent data loss — the gpfdist client errors the same way)
+        val rc = proc.waitFor()
+        if (rc != 0) throw new IllegalStateException(
+          s"exec source command exited with $rc in partition ${p.id}")
         false
       }
 

@@ -81,6 +81,17 @@ class IngestSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("reject limit")), e.getMessage)
   }
 
+  test("c04 exec source: a failing command fails the scan (no silent empty table)") {
+    val df = spark.read.format("graft.sources.ExecSource")
+      .option("command", "echo '1|ok'; exit 3")
+      .option("columns", "n bigint, label string")
+      .option("partitions", 1)
+      .load()
+    val e = intercept[org.apache.spark.SparkException](df.count())
+    assert(e.getMessage.contains("exited with 3") ||
+      Option(e.getCause).exists(_.getMessage.contains("exited with 3")), e.getMessage)
+  }
+
   test("c02 COPY TO: sink + reject files reconcile with the source exactly") {
     import org.apache.spark.sql.functions._
     val audit = operators.Ingest.copyToSreh(spark, SparkSuite.Sf).head

@@ -132,6 +132,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("join-IVM folds are batch-count invariant: 2-batch and 3-batch agree with one-shot") {
+    import graft.streaming.JoinIvm
+    val a = Tables.df(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val b = Tables.df(spark, Sf, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    def fold(parts: Int) = {
+      def aB(k: Int) = a.filter(pmod(col("o_custkey"), lit(parts)) === k)
+      def bB(k: Int) = b.filter(pmod(col("l_linenumber"), lit(parts)) === k)
+      val st = (1 until parts).foldLeft(JoinIvm.init(aB(0), bB(0), Seq("o_orderkey"))) {
+        (st, k) => JoinIvm.applyDelta(st, aB(k), bB(k), Seq("o_orderkey"))
+      }
+      st.j.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    }
+    val oneShot = a.join(b, Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("cents"))
+    val f2 = fold(2).collect().map(_.toSeq).toSet
+    val f3 = fold(3).collect().map(_.toSeq).toSet
+    val os = oneShot.collect().map(_.toSeq).toSet
+    assert(f2 == os && f3 == os,
+      s"join-IVM fold diverged from the one-shot join:\n2: $f2\n3: $f3\n1: $os")
+  }
+
   test("scheduler drives dynamic-table refreshes; missed ticks catch up in one run") {
     import graft.streaming.{DynamicTable, RefreshScheduler}
     val base = java.nio.file.Files.createTempDirectory("graft_sched")
