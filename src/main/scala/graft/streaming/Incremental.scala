@@ -116,7 +116,14 @@ final class DynamicTable(spark: SparkSession, path: String,
   * The clock is an argument, not `System.currentTimeMillis`, so tests
   * (and replays) drive logical time deterministically; [[runFor]] is the
   * wall-clock convenience loop for production use. */
-final class RefreshScheduler(table: DynamicTable, intervalMs: Long) {
+final class RefreshScheduler(refreshFn: () => Unit, intervalMs: Long) {
+  /** Schedule a batch-materialized dynamic table (the common case). The
+    * primary constructor takes any refresh action — e.g. a
+    * `Trigger.AvailableNow` streaming drain that folds only NEW input
+    * into the matview state (StreamingSpec drives both). */
+  def this(table: DynamicTable, intervalMs: Long) =
+    this(() => table.refresh(), intervalMs)
+
   private var lastRun: Long = Long.MinValue
   private var runs: Long = 0L
   def refreshCount: Long = runs
@@ -125,7 +132,7 @@ final class RefreshScheduler(table: DynamicTable, intervalMs: Long) {
     * tick always fires). Returns whether a refresh ran. */
   def tick(nowMs: Long): Boolean = {
     val due = lastRun == Long.MinValue || nowMs - lastRun >= intervalMs
-    if (due) { table.refresh(); lastRun = nowMs; runs += 1 }
+    if (due) { refreshFn(); lastRun = nowMs; runs += 1 }
     due
   }
 

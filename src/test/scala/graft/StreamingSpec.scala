@@ -192,6 +192,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(!sched.tick(6100L), "catch-up must not double-fire")
   }
 
+  test("scheduler tick drives an AvailableNow streaming refresh (incremental dynamic table)") {
+    import graft.streaming.RefreshScheduler
+    import org.apache.spark.sql.streaming.Trigger
+    Tables.configure(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_dtstream")
+    val landing = base.resolve("in"); java.nio.file.Files.createDirectories(landing)
+    val ckpt = base.resolve("ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"), landing.resolve("batch0.parquet"))
+    val schema = spark.read.parquet(s"$Sf/events.parquet").schema
+    // the refresh action: drain ONLY new files into the checkpointed
+    // aggregate state and re-emit the full materialization (complete
+    // mode) — the incremental half the batch DynamicTable recomputes
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(landing.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 10000) AS BIGINT)")).as("cents"))
+        .writeStream.format("memory").queryName("dt_stream")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    def batchAnswer() = spark.read.parquet(landing.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 10000) AS BIGINT)")).as("cents"))
+      .collect().map(_.toSeq).toSet
+    val sched = new RefreshScheduler(() => drain(), intervalMs = 1000L)
+    assert(sched.tick(0L))
+    assert(spark.table("dt_stream").collect().map(_.toSeq).toSet == batchAnswer())
+    // a second batch lands; the due tick folds ONLY the delta (the state
+    // store carries batch0's partials) yet emits the full batch answer.
+    // The delta must land as a FLAT file — the file stream source does
+    // not recurse into subdirectories.
+    val stage = base.resolve("stage").toString
+    spark.read.parquet(s"$Sf/events.parquet")
+      .filter(col("event_id") % 3 === 0).withColumn("value", col("value") * 2)
+      .coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, landing.resolve("batch1.parquet"))
+    assert(sched.tick(1000L))
+    assert(spark.table("dt_stream").collect().map(_.toSeq).toSet == batchAnswer())
+  }
+
   test("dynamic table refresh is idempotent and atomic-overwrite") {
     import graft.streaming.DynamicTable
     val path = java.nio.file.Files.createTempDirectory("graft_dt").toString + "/dt"
