@@ -74,6 +74,33 @@ object Multimodal {
       mediaFeatures(s, dir).orderBy(col("doc_id"))
     },
 
+    // -- resize: 2× nearest-neighbor downsample of a W-byte-row "image" --
+    // The last multimodal primitive next to decode (m02) and frame
+    // sampling (m03): the payload is treated as rows of 64 bytes and
+    // every 2nd byte of every 2nd row is kept — the stride-indexing
+    // kernel of nearest-neighbor resize, expressed declaratively
+    // (sequence → filter → substring → join) so it stays per-row
+    // codegen'd with no shuffle and the oracle reproduces it exactly.
+    // A real image swaps byte-rows for pixel-rows via the codec; the
+    // plan shape (linear scan, index arithmetic, no data movement) is
+    // identical at 100 TB.
+    "m04_resize" -> { (s, dir) =>
+      val w = 64
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("text").as("payload"))
+        .withColumn("n", length(col("payload")))
+        .filter(col("n") >= w * 2)
+        .withColumn("resized", expr(
+          s"""array_join(transform(
+                filter(sequence(0, CAST(n - 1 AS INT)),
+                  i -> (i DIV $w) % 2 = 0 AND (i % $w) % 2 = 0),
+                i -> substring(payload, i + 1, 1)), '')"""))
+        .select(col("doc_id"), col("n").cast("bigint").as("orig_len"),
+          length(col("resized")).cast("bigint").as("resized_len"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- frame sampling: every k-th fixed-size frame of a binary payload --
     // The video-pipeline primitive (sample 1 frame in k for training
     // data): the payload is treated as a sequence of 16-byte frames and
@@ -122,6 +149,17 @@ object Multimodal {
           (acc, c) -> (acc * 31 + c) % 1000000007) AS byte_checksum,
         CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte
       FROM documents ORDER BY doc_id""",
+
+    "m04_resize" -> """
+      SELECT doc_id, CAST(len(text) AS BIGINT) AS orig_len,
+        CAST(len(r) AS BIGINT) AS resized_len, md5(r) AS resized_md5
+      FROM (
+        SELECT doc_id, text,
+          list_aggregate(list_transform(list_filter(generate_series(0, len(text) - 1),
+            i -> (i // 64) % 2 = 0 AND (i % 64) % 2 = 0),
+            i -> substring(text, CAST(i + 1 AS INT), 1)), 'string_agg', '') AS r
+        FROM documents WHERE len(text) >= 128) t
+      ORDER BY doc_id""",
 
     // ASCII corpus: byte offsets == character offsets, so the oracle
     // slices the text directly (same md5 input bytes)

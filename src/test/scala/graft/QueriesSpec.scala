@@ -82,6 +82,7 @@ class QueriesSpec extends AnyFunSuite {
     "i08_ivm_retract" -> (75L, Seq("user_id", "event_type", "n", "total_value", "avg_value")),
     "c04_exec_source" -> (7L, Seq("label", "cnt", "total")),
     "q85_multirange" -> (150L, Seq("o_custkey", "n_ranges", "covered", "overlap_200_600", "n_contain_500")),
+    "m04_resize" -> (430L, Seq("doc_id", "orig_len", "resized_len", "resized_md5")),
     "q86_hypothetical_dist" -> (3L, Seq("l_returnflag", "pr_25", "cd_25", "pr_49_5", "dr_25", "n")),
     "x03_eager_agg" -> (5L, Seq("o_orderpriority", "n_items", "revenue", "qty", "avg_qty")),
     "q55_json_extract" -> (1500L, Seq("o_orderkey", "k", "status", "tag1", "n_tags")),
