@@ -118,6 +118,17 @@ class StreamingSpec extends AnyFunSuite {
       s"id 1: expected exactly one emit per watermark window (2 total): $ids")
   }
 
+  test("IVM retraction is the inverse of the delta add (sub then add = identity)") {
+    import graft.streaming.IvmMatview._
+    val events = Tables.df(spark, Sf, "events")
+    val full = partialState(events)
+    val delta = partialState(events.filter(col("event_id") % 5 === 0))
+    val roundTrip = applyDelta(applyRetraction(full, delta), delta)
+    val a = full.collect().map(_.toSeq).toSet
+    val b = roundTrip.collect().map(_.toSeq).toSet
+    assert(a == b, "IVM_SUB followed by IVM_ADD of the same delta must restore the state")
+  }
+
   test("IVM state merge is associative: 2-batch and 4-batch folds agree") {
     import graft.streaming.IvmMatview._
     val events = Tables.df(spark, Sf, "events")
