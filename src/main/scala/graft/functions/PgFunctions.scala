@@ -49,6 +49,8 @@ object PgFunctions {
         Cast(args(1), org.apache.spark.sql.types.TimestampType)) },
     "pg_to_char_ts" -> { args =>
       PgToCharTs(Cast(args(0), org.apache.spark.sql.types.TimestampType), args(1)) },
+    "pg_to_number" -> { args =>
+      PgToNumber(Cast(args(0), org.apache.spark.sql.types.StringType), args(1)) },
     "string_to_array" -> stringToArray,
     "generate_series" -> generateSeries
   )

@@ -124,6 +124,25 @@ object OrderedSet {
           round((sum(col("cents")).over(wFull) - sum(col("cents")).over(wPeers))
             .cast("double") / 100.0, 2).as("non_peer_total"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // -- approximate percentile, audited like q61's HLL: each engine
+    //    checks its own sketch (Spark: Greenwald-Khanna quantile summary;
+    //    DuckDB: t-digest) against the exact percentile_cont, and the
+    //    hash-compared columns are the exact value + the audit bit. The
+    //    sketch is the 100 TB path: mergeable partial state, one pass,
+    //    no per-group sort --
+    "q87_approx_percentile" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+          round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50_exact,
+          CAST(abs(percentile_approx(l_extendedprice, 0.5, 10000) -
+                   percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)) * 100
+               <= percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) * 2 AS INT)
+            AS approx_within_2pct,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }
   )
 
@@ -167,6 +186,15 @@ object OrderedSet {
         round(CAST(count(CASE WHEN l_quantity <= 25.0 THEN 1 END) + 1 AS DOUBLE) / (count(*) + 1), 9) AS cd_25,
         round(CAST(count(CASE WHEN l_quantity < 49.5 THEN 1 END) AS DOUBLE) / count(*), 9) AS pr_49_5,
         count(DISTINCT CASE WHEN l_quantity < 25.0 THEN l_quantity END) + 1 AS dr_25,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q87_approx_percentile" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+        CAST(CASE WHEN abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5)) * 100
+                  <= quantile_cont(l_extendedprice, 0.5) * 2 THEN 1 ELSE 0 END AS INTEGER)
+          AS approx_within_2pct,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 

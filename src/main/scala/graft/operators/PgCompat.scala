@@ -25,6 +25,26 @@ object PgCompat {
         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
     },
 
+    // -- to_number: the input half of formatting.c, round-tripping the
+    //    to_char output (template-driven parse: group separators and
+    //    currency marks skipped, sign honored). The oracle renders the
+    //    same text with DuckDB's fmt-style format() and strips it back --
+    "q88_to_number" -> { (s, dir) =>
+      PgFunctions.register(s)
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderkey, price_txt,
+          round(pg_to_number(price_txt, '9,999,999.00'), 2) AS price_back,
+          round(pg_to_number('-' || price_txt, 'S9,999,999.00'), 2) AS neg_back,
+          round(pg_to_number('$' || price_txt, 'L9,999,999.00'), 2) AS cur_back
+        FROM (
+          SELECT o_orderkey,
+            pg_to_char(CAST(round(o_totalprice * 100) AS BIGINT) / 100.0,
+                       'FM9,999,999.00') AS price_txt
+          FROM orders WHERE o_orderkey <= 2000)
+        ORDER BY o_orderkey""")
+    },
+
     // -- age(): symbolic calendar interval (timestamp.c timestamp_age) --
     "q52_age" -> { (s, dir) =>
       PgFunctions.register(s)
@@ -253,6 +273,18 @@ object PgCompat {
   }
 
   def oracle: Map[String, String] = Map(
+    "q88_to_number" -> """
+      SELECT o_orderkey, price_txt,
+        round(CAST(replace(price_txt, ',', '') AS DOUBLE), 2) AS price_back,
+        round(-CAST(replace(price_txt, ',', '') AS DOUBLE), 2) AS neg_back,
+        round(CAST(replace(price_txt, ',', '') AS DOUBLE), 2) AS cur_back
+      FROM (
+        SELECT o_orderkey,
+          format('{:,}', cents // 100) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS price_txt
+        FROM (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders WHERE o_orderkey <= 2000))
+      ORDER BY o_orderkey""",
+
     "q83_string_agg" -> """
       SELECT c_nationkey, count(*) AS n,
              string_agg(c_name, ',' ORDER BY -CAST(round(c_acctbal * 100) AS BIGINT), c_name) AS names

@@ -18,6 +18,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(PgToChar.format(1234.0, "99") == " ##") // overflow → hashes
   }
 
+  test("PgToNumber parses templates and round-trips PgToChar output") {
+    import graft.functions.PgToNumber
+    assert(PgToNumber.parse("1,234.56", "9G999D99") == 1234.56)
+    assert(PgToNumber.parse("$1,234.56", "L9G999D99") == 1234.56)
+    assert(PgToNumber.parse("-1,234.56", "S9G999D99") == -1234.56)
+    assert(PgToNumber.parse("1,234.56-", "9G999D99MI") == -1234.56)
+    assert(PgToNumber.parse("  42", "999") == 42.0)
+    assert(PgToNumber.parse(".50", "D99") == 0.5)
+    assert(PgToNumber.parse("no digits", "999") == null)
+    // round trip through the output half
+    val txt = PgToChar.format(9876543.21, "FM9,999,999.00")
+    assert(PgToNumber.parse(txt, "9G999G999D99") == 9876543.21)
+  }
+
   test("PgToCharTs datetime templates") {
     // 1997-03-02 14:05:09 UTC
     val micros = java.time.LocalDateTime.of(1997, 3, 2, 14, 5, 9)
@@ -83,7 +97,8 @@ class FunctionsSpec extends AnyFunSuite {
     // the extension-built function resolves to the same expression class
     val e = graft.functions.PgFunctions
     assert(e.builders.map(_._1).toSet ==
-      Set("pg_to_char", "pg_age", "pg_to_char_ts", "string_to_array", "generate_series"))
+      Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
+        "string_to_array", "generate_series"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {

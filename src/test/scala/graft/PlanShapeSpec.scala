@@ -141,6 +141,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p1.contains("*(1) Project") && p1.contains("pg_to_char"), p1)
     val p2 = plan("q52_age")
     assert(p2.contains("*(1) Project") && p2.contains("pg_age"), p2)
+    val p3 = plan("q88_to_number")
+    assert(p3.contains("pg_to_number") && p3.contains("*("),
+      s"expected pg_to_number inside a WholeStageCodegen span:\n$p3")
   }
 
   test("q65: shared subtree is materialized once (ShareInputScan spool)") {

@@ -118,6 +118,56 @@ class StreamingSpec extends AnyFunSuite {
       s"id 1: expected exactly one emit per watermark window (2 total): $ids")
   }
 
+  test("stream-stream interval join: bounded state, late rows dropped, batch-equivalent") {
+    // the streaming e04 funnel: signup ⋈ purchase within a 1 h attribution
+    // window, both sides watermarked. Contract pinned here: (a) matches
+    // emit incrementally; (b) once the global watermark passes a signup's
+    // window its state evicts and a late purchase finds NOTHING (bounded
+    // state — the only way a stream-stream join survives 100 TB/day);
+    // (c) on the in-time rows the streamed result ≡ the batch join run
+    // through the SAME code path.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val signups = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    def named(df: org.apache.spark.sql.DataFrame) = df.toDF("ts", "user_id")
+    val joined = graft.streaming.StreamJoins.attributedPurchases(
+      named(signups.toDF()), named(purchases.toDF()), "1 hour", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // u1 purchases inside the window; u2's purchase is outside (+1 h 30 m)
+      signups.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L),
+        (ts("2024-01-01 10:00:00"), 3L))
+      purchases.addData((ts("2024-01-01 10:20:00"), 1L), (ts("2024-01-01 11:30:00"), 2L))
+      q.processAllAvailable()
+      // advance BOTH watermarks (global watermark = min over inputs) far
+      // past 11:00 + delay → the 10:00 signup state evicts
+      signups.addData((ts("2024-01-01 15:00:00"), 99L))
+      purchases.addData((ts("2024-01-01 15:00:00"), 98L))
+      q.processAllAvailable()
+      // u3's in-window purchase arrives AFTER eviction — must not match
+      purchases.addData((ts("2024-01-01 10:30:00"), 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ss_join_test")
+      .select(col("user_id"), col("purchase_ts").cast("string").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(streamed == Set(1L -> "2024-01-01 10:20:00"),
+      s"expected exactly u1's in-time match (u2 out of window, u3 post-eviction): $streamed")
+
+    // batch equivalence through the same operator, on the in-time rows
+    val bs = Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L),
+      (ts("2024-01-01 10:00:00"), 3L), (ts("2024-01-01 15:00:00"), 99L)).toDF("ts", "user_id")
+    val bp = Seq((ts("2024-01-01 10:20:00"), 1L), (ts("2024-01-01 11:30:00"), 2L),
+      (ts("2024-01-01 15:00:00"), 98L)).toDF("ts", "user_id")
+    val batch = graft.streaming.StreamJoins.attributedPurchases(bs, bp, "1 hour", "10 minutes")
+      .select(col("user_id"), col("purchase_ts").cast("string").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(batch == streamed, s"stream/batch divergence: batch=$batch streamed=$streamed")
+  }
+
   test("IVM retraction is the inverse of the delta add (sub then add = identity)") {
     import graft.streaming.IvmMatview._
     val events = Tables.df(spark, Sf, "events")
