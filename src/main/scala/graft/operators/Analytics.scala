@@ -102,6 +102,24 @@ object Analytics {
         .orderBy(col("p_brand"), col("rn"))
     },
 
+    // -- IGNORE NULLS window variants (windowfuncs.c lead/lag/nth_value
+    //    null-treatment clause): carry-forward of the last non-null
+    //    observation — the gap-fill idiom over sparse measures --
+    "q89_ignore_nulls" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wSoFar = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .withColumn("fcents",
+          expr("CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("fcents"), 1, null, ignoreNulls = true).over(w).as("prev_f"),
+          last(col("fcents"), ignoreNulls = true).over(wSoFar).as("fill_f"),
+          nth_value(col("fcents"), 2, ignoreNulls = true).over(wFull).as("second_f"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // -- GROUPING SETS with GROUPING() ids (nodeAgg.c phases) --
     "q37_grouping_sets" -> { (s, dir) =>
       Tables.register(s, dir)
@@ -433,6 +451,23 @@ object Analytics {
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
       WHERE rn = 1 ORDER BY o_custkey""",
+
+    // DuckDB spells the null-treatment clause inside the call parens
+    "q89_ignore_nulls" -> """
+      SELECT o_custkey, o_orderkey,
+        lag(fcents IGNORE NULLS) OVER w AS prev_f,
+        last_value(fcents IGNORE NULLS) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_f,
+        nth_value(fcents, 2 IGNORE NULLS) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_f
+      FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS fcents
+        FROM orders WHERE o_custkey <= 200)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
 
     "q36_top_parts_per_brand" -> """
       SELECT p_brand, p_partkey, p_retailprice, rn FROM (

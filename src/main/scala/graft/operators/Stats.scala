@@ -132,6 +132,30 @@ object Stats {
           round(col("cents").cast("double") / 100.0, 2).as("revenue"),
           col("qty"), col("avg_qty"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // -- left-join elimination (analyzejoins.c remove_useless_joins):
+    //    an enrichment view left-joins per-customer profiles onto
+    //    orders; this query reads only order columns, so the join is
+    //    dropped and the plan collapses to the bare orders scan. We
+    //    verified Catalyst covers this NATIVELY (ColumnPruning narrows
+    //    the profile to its unique key; EliminateOuterJoin then removes
+    //    the now-useless unique left join) — no custom rule needed,
+    //    exactly SURVEY §4.1's "let Catalyst do the rewrites it already
+    //    has". PlanShapeSpec pins the no-Join plan + a negative case;
+    //    the oracle runs the UN-eliminated join, pinning soundness --
+    "x04_join_elim" -> { (s, dir) =>
+      val profile = Tables.df(s, dir, "customer")
+        .groupBy(col("c_custkey"))
+        .agg(max(col("c_acctbal")).as("acctbal"), max(col("c_mktsegment")).as("segment"))
+      val enriched = Tables.df(s, dir, "orders")
+        .join(profile, col("o_custkey") === col("c_custkey"), "left")
+      enriched.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("cents").cast("double") / 100.0, 2).as("total"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -153,6 +177,16 @@ object Stats {
         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
         round(avg(CAST(round(l_quantity) AS BIGINT)), 6) AS avg_qty
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the oracle keeps the join the rule eliminates — both must agree
+    "x04_join_elim" -> """
+      SELECT o_orderpriority, count(*) AS n,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
+      FROM orders LEFT JOIN (
+        SELECT c_custkey, max(c_acctbal) AS acctbal, max(c_mktsegment) AS segment
+        FROM customer GROUP BY c_custkey) p
+      ON o_custkey = c_custkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

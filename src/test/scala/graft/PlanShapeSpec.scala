@@ -290,6 +290,32 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(EagerAggRule.EnabledConf, "true")
   }
 
+  test("x04: Catalyst removes the unused unique left join (remove_useless_joins analog)") {
+    // Postgres's remove_useless_joins (analyzejoins.c) is native in
+    // Catalyst: ColumnPruning narrows the enrichment side to its unique
+    // key, then EliminateOuterJoin drops the contribution-less unique
+    // left join (we verified by rule-exclusion that BOTH are required).
+    // This pin is the coverage claim — if a Spark upgrade loses it, x04
+    // needs a custom rule again.
+    val df = SparkEntry.queries("x04_join_elim")(spark, Sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"),
+      s"expected the enrichment left join to be eliminated:\n$p")
+  }
+
+  test("x04: no elimination when the right side is not unique on the join key") {
+    import org.apache.spark.sql.functions._
+    // right side = raw lineitem keyed by l_orderkey (many rows per key):
+    // dropping the join would change row counts — it must survive
+    val orders = Tables.df(spark, Sf, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val li = Tables.df(spark, Sf, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val df = orders.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("Join LeftOuter"),
+      s"non-unique right side must NOT be eliminated:\n$p")
+  }
+
   test("x03: eager-agg handles composite join keys (pre-agg groups by both)") {
     import org.apache.spark.sql.functions._
     graft.rules.EagerAggRule.install(spark)
