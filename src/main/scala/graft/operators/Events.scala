@@ -111,10 +111,61 @@ object Events {
           col("session_window.end").as("session_end"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // -- time-series gap fill + LOCF (the time_bucket_gapfill /
+    //    interpolate idiom): densify each user's hourly series over its
+    //    own [min, max] span, then carry the last observation forward
+    //    into empty hours. Plan at scale: the observation aggregate is
+    //    one shuffle on (user, hour) with a map-side partial max(struct)
+    //    pick of the latest reading; the grid explodes one row per
+    //    user-hour from a 2-column bounds aggregate (never from raw
+    //    events); the fill is a single user-partitioned window — grid
+    //    size is users × hours regardless of event volume --
+    "e07_gapfill" -> { (s, dir) =>
+      val obs = Tables.df(s, dir, "events")
+        .filter(col("user_id") <= 20)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .withColumn("vcents", expr("CAST(round(value * 10000) AS BIGINT)"))
+        .groupBy(col("user_id"), col("hour"))
+        .agg(max(struct(col("ts"), col("event_id"), col("vcents")))
+            .getField("vcents").as("v_obs"),
+          count(lit(1)).as("n_obs"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          round(last(col("v_obs"), ignoreNulls = true).over(w)
+            .cast("double") / 10000.0, 4).as("v_locf"))
+        .orderBy(col("user_id"), col("hour"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // same densify-and-fill, spelled with generate_series + IGNORE NULLS
+    "e07_gapfill" -> """
+      WITH raw AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+          CAST(round(value * 10000) AS BIGINT) AS vcents,
+          row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+            ORDER BY ts DESC, event_id DESC) AS rn,
+          count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS n_obs
+        FROM events WHERE user_id <= 20),
+      obs AS (SELECT user_id, hour, vcents AS v_obs, n_obs FROM raw WHERE rn = 1),
+      bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM obs GROUP BY user_id),
+      grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds)
+      SELECT g.user_id, g.hour,
+        coalesce(o.n_obs, 0) AS n_obs,
+        round(CAST(last_value(o.v_obs IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0, 4) AS v_locf
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.hour = o.hour
+      ORDER BY g.user_id, g.hour""",
     "e06_session_window" -> """
       SELECT user_id, min(ts) AS session_start,
         max(ts) + INTERVAL 30 MINUTE AS session_end,

@@ -15,7 +15,37 @@ import graft.Tables
   */
 object Extras {
 
+  /** Shared verbatim between the Spark run and the DuckDB oracle:
+    * Bernoulli-per-stratum sampling with a DETERMINISTIC coin — compare
+    * the row's md5 (lowercase hex, bit-identical cross-engine; equal
+    * length so string order = numeric order) against a per-stratum
+    * threshold = fraction × 16^32. TABLESAMPLE REPEATABLE semantics
+    * (nodeSamplescan.c) with an exact oracle, complementing the
+    * rows-only q62: a pure map-side filter — no shuffle, no state, the
+    * sample decision streams with the scan at any scale. Strata:
+    * F → 50 %, O → ~10 %, P → 100 %. */
+  private val stratifiedSql = """
+      WITH tagged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               md5('strat-' || CAST(o_orderkey AS STRING)) AS hx
+        FROM orders),
+      sampled AS (
+        SELECT * FROM tagged
+        WHERE hx < CASE o_orderstatus
+          WHEN 'F' THEN '80000000000000000000000000000000'
+          WHEN 'O' THEN '1a000000000000000000000000000000'
+          ELSE 'g' END)
+      SELECT o_orderstatus, count(*) AS n_sampled,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sampled_total
+      FROM sampled GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- stratified TABLESAMPLE with a deterministic per-stratum coin --
+    "q90_stratified_sample" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(stratifiedSql)
+    },
+
     // -- INTERSECT ALL (multiset semantics) --
     "q59_intersect_all" -> { (s, dir) =>
       val l = Tables.df(s, dir, "lineitem")
@@ -201,6 +231,7 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "q90_stratified_sample" -> stratifiedSql,
     "q73_interval_arith" -> """
       SELECT o_orderkey,
         CAST(o_orderdate AS TIMESTAMP) + INTERVAL 100 DAY AS due_date,

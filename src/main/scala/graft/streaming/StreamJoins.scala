@@ -36,4 +36,26 @@ object StreamJoins {
         col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $attribution"))
       .select(col("s_user").as("user_id"), col("signup_ts"), col("purchase_ts"))
   }
+
+  /** The full funnel: LEFT OUTER variant. A signup with no purchase in
+    * its attribution window emits exactly once, null-padded — but only
+    * after the watermark passes `signup_ts + attribution`, when "no
+    * match" is final (the streaming rendition of e04's
+    * signed_up-but-not-converted rows). Inner matches still emit
+    * incrementally; only the negative verdict waits for the watermark.
+    */
+  def attributionOutcomes(signups: DataFrame, purchases: DataFrame,
+      attribution: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val s = signups.withWatermark("ts", delay)
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    s.join(p,
+      col("s_user") === col("p_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $attribution"),
+      "left_outer")
+      .select(col("s_user").as("user_id"), col("signup_ts"), col("purchase_ts"),
+        col("purchase_ts").isNotNull.cast("int").as("converted"))
+  }
 }

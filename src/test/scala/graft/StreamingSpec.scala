@@ -168,6 +168,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed, s"stream/batch divergence: batch=$batch streamed=$streamed")
   }
 
+  test("stream-stream LEFT OUTER join: negative verdicts emit only after the watermark") {
+    // e04's "signed up but never converted" rows, streaming: an
+    // unmatched signup emits null-padded exactly once, and only when
+    // the watermark proves no purchase can still arrive in its window.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val signups = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = graft.streaming.StreamJoins.attributionOutcomes(
+      signups.toDF().toDF("ts", "user_id"), purchases.toDF().toDF("ts", "user_id"),
+      "1 hour", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_louter_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def emitted() = spark.table("ss_louter_test")
+      .select(col("user_id"), col("converted"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSet
+    try {
+      signups.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+      purchases.addData((ts("2024-01-01 10:20:00"), 1L), (ts("2024-01-01 11:30:00"), 2L))
+      q.processAllAvailable()
+      // u1's match emits eagerly; u2's "no conversion" verdict must NOT
+      // have emitted yet — its window is still open at watermark ~9:50
+      assert(emitted() == Set(1L -> 1),
+        s"only the positive match may emit before the watermark: ${emitted()}")
+      // push both watermarks past 11:00 + delay → u2's window closes
+      signups.addData((ts("2024-01-01 15:00:00"), 99L))
+      purchases.addData((ts("2024-01-01 15:00:00"), 98L))
+      q.processAllAvailable()
+      // one more batch: outer-join null emission happens on the state
+      // cleanup AFTER the batch that advanced the watermark
+      signups.addData((ts("2024-01-01 15:10:00"), 97L))
+      purchases.addData((ts("2024-01-01 15:10:00"), 96L))
+      q.processAllAvailable()
+      assert(emitted().contains(2L -> 0),
+        s"unmatched signup must emit null-padded after its window closes: ${emitted()}")
+      assert(emitted().count(_._1 == 2L) == 1, s"u2 must emit exactly once: ${emitted()}")
+    } finally q.stop()
+  }
+
   test("IVM retraction is the inverse of the delta add (sub then add = identity)") {
     import graft.streaming.IvmMatview._
     val events = Tables.df(spark, Sf, "events")
