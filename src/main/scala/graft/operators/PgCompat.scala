@@ -45,6 +45,32 @@ object PgCompat {
         ORDER BY o_orderkey""")
     },
 
+    // -- array_agg(x ORDER BY k): PG's ordered array aggregate. Spark's
+    //    collect_list is order-nondeterministic, so the ordering is made
+    //    explicit: collect structs of (sort key, value), sort_array the
+    //    lexicographic structs, project the value — same shuffle as a
+    //    plain collect_list, determinism from the final per-group sort --
+    "q91_array_agg_ordered" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT c_nationkey, count(*) AS n,
+          transform(
+            sort_array(collect_list(struct(-CAST(round(c_acctbal * 100) AS BIGINT) AS negcents,
+                                           c_name AS name))),
+            x -> x.name) AS names_by_balance
+        FROM customer WHERE c_acctbal > 9900
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+    },
+
+    // -- interval-bounded RANGE frame (nodeWindowAgg.c in_range support:
+    //    the moving 30-day aggregate). SQL is shared verbatim with the
+    //    oracle; peers on the same date aggregate identically by RANGE
+    //    semantics, so ties stay deterministic --
+    "q92_interval_range_frame" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(intervalRangeSql)
+    },
+
     // -- age(): symbolic calendar interval (timestamp.c timestamp_age) --
     "q52_age" -> { (s, dir) =>
       PgFunctions.register(s)
@@ -188,6 +214,19 @@ object PgCompat {
     }
   )
 
+  /** Shared verbatim between the Spark run and the DuckDB oracle: the
+    * moving 30-day revenue window per customer — both engines implement
+    * SQL-standard RANGE with an interval offset over a timestamp sort
+    * key. */
+  private val intervalRangeSql = """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0, 2)
+          AS rev_30d
+      FROM orders WHERE o_custkey <= 100
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
   /** Shared verbatim between the Spark run and the DuckDB oracle (both
     * engines parse LATERAL + correlated LIMIT; Spark decorrelates it,
     * `RewriteLateralSubquery`). */
@@ -273,6 +312,16 @@ object PgCompat {
   }
 
   def oracle: Map[String, String] = Map(
+    "q92_interval_range_frame" -> intervalRangeSql,
+
+    // DuckDB's array_agg takes ORDER BY natively; same tiebreak chain
+    "q91_array_agg_ordered" -> """
+      SELECT c_nationkey, count(*) AS n,
+        array_agg(c_name ORDER BY -CAST(round(c_acctbal * 100) AS BIGINT), c_name)
+          AS names_by_balance
+      FROM customer WHERE c_acctbal > 9900
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
     "q88_to_number" -> """
       SELECT o_orderkey, price_txt,
         round(CAST(replace(price_txt, ',', '') AS DOUBLE), 2) AS price_back,

@@ -87,6 +87,35 @@ object JoinIvm {
   }
 }
 
+/** Exactly-once streaming sink over a plain-parquet target — the
+  * foreachBatch upsert pattern (the streaming half of i06's MERGE; the
+  * reference's dynamic-table refresh commits atomically inside a
+  * transaction, `createas.c:1858-1887` — parquet has no transactions, so
+  * idempotence must come from the layout instead).
+  *
+  * Contract: each micro-batch's PARTIAL aggregate lands in its own
+  * `batch=<batchId>` directory with overwrite mode. Structured Streaming
+  * guarantees a replayed batch re-arrives with the SAME batchId, so a
+  * retry overwrites its own output instead of appending a duplicate —
+  * at-least-once delivery × idempotent write = exactly-once result. The
+  * read side folds the partials (IVM-style), so a target holding any
+  * prefix-consistent set of batch dirs is always a correct snapshot. */
+final class PartialStateSink(spark: SparkSession, target: String) {
+
+  /** The foreachBatch body: reduce the batch to partial state, overwrite
+    * this batch's directory. Safe to call twice with the same batchId. */
+  def upsertBatch(batch: DataFrame, batchId: Long): Unit =
+    IvmMatview.partialState(batch)
+      .write.mode("overwrite").parquet(s"$target/batch=$batchId")
+
+  /** Fold all landed partials into the current matview state. */
+  def read(): DataFrame = {
+    val all = spark.read.parquet(target)
+    all.groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+  }
+}
+
 /** Dynamic tables (`CREATE DYNAMIC TABLE ... SCHEDULE '...' AS SELECT`,
   * grammar `gram.y:7615-7667`, impl `createas.c:1858-1887`): a
   * materialized query refreshed on a schedule by the integrated pg_cron

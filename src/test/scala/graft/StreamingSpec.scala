@@ -260,6 +260,49 @@ class StreamingSpec extends AnyFunSuite {
       s"join-IVM fold diverged from the one-shot join:\n2: $f2\n3: $f3\n1: $os")
   }
 
+  test("foreachBatch partial-state sink is exactly-once under batch replay") {
+    // at-least-once delivery × idempotent per-batchId overwrite =
+    // exactly-once: replaying a batch (same batchId) must not change the
+    // folded state; a NEW batchId must fold in.
+    Tables.configure(spark)
+    val target = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val landing = java.nio.file.Files.createTempDirectory("graft_sink_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"), landing.resolve("batch0.parquet"))
+    val sink = new graft.streaming.PartialStateSink(spark, target)
+    val schema = spark.read.parquet(s"$Sf/events.parquet").schema
+    val q = spark.readStream.schema(schema).parquet(landing.toString)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => sink.upsertBatch(df, id))
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_sink_ck").toString)
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+
+    val events = Tables.df(spark, Sf, "events")
+    def state() = sink.read().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val afterRun = state()
+    val expected = graft.streaming.IvmMatview.partialState(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(afterRun == expected, "streamed fold diverged from the batch aggregate")
+
+    // REPLAY batch 0 (a retry after a simulated sink failure): no change
+    sink.upsertBatch(events, 0L)
+    assert(state() == afterRun, "replaying an already-landed batchId must be a no-op")
+
+    // a genuinely new batch folds in
+    val delta = events.filter(col("event_id") % 10 === 0)
+    sink.upsertBatch(delta, 1L)
+    val folded = graft.streaming.IvmMatview.applyDelta(
+      graft.streaming.IvmMatview.partialState(events),
+      graft.streaming.IvmMatview.partialState(delta)).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(state() == folded, "new batchId must fold into the state")
+  }
+
   test("scheduler drives dynamic-table refreshes; missed ticks catch up in one run") {
     import graft.streaming.{DynamicTable, RefreshScheduler}
     val base = java.nio.file.Files.createTempDirectory("graft_sched")
