@@ -26,6 +26,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // same per-query session hygiene as Bench: drop spooled blocks,
+        // reset the optimizer confs x01/x03 set, so no query's dump runs
+        // under another query's session state
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        spark.conf.set("spark.graft.eageragg.enabled", "false")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -150,32 +150,7 @@ object Dedup {
 
     // -- MinHash + LSH: k=12 signatures, 4 bands × 3 rows --
     "d03_minhash_lsh" -> { (s, dir) =>
-      val fps = shingleFps(s, dir)
-      // k universal hashes h_j(f) = (a_j·f + b_j) mod p, coefficients are
-      // small deterministic odd numbers so the oracle reproduces them.
-      // All 12 minhashes fold in ONE aggregation pass (12 min() columns)
-      // instead of exploding fps ×12 and shuffling 12× the rows — the
-      // map-side partial min collapses each partition to |docs| rows.
-      val sigCols = (0 to 11).map { j =>
-        min(expr(s"((1000003 * $j + 12345) * fp + 7919 * $j + 271) % 1000000007")).as(s"s$j")
-      }
-      val sigs = fps.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      // band key = the 3 signatures of the band, comma-joined in j order
-      // (identical string the oracle's string_agg ... ORDER BY j builds)
-      val bandStructs = (0 to 3).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", col(s"s${3 * b}"), col(s"s${3 * b + 1}"), col(s"s${3 * b + 2}")).as("band_key"))
-      }
-      val bands = sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-        // spool: both self-join sides read the same materialized bands
-        .localCheckpoint()
-      val l = bands.select(col("doc_id").as("a_id"), col("band"), col("band_key"))
-      val r = bands.select(col("doc_id").as("b_id"), col("band"), col("band_key"))
-      l.join(r, Seq("band", "band_key"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
+      minhashPairs(minhashBands(s, dir))
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -208,6 +183,56 @@ object Dedup {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** doc_id → (band, band_key) rows for the 4-band MinHash-LSH layout
+    * (d03). k universal hashes h_j(f) = (a_j·f + b_j) mod p, coefficients
+    * small deterministic odd numbers so the oracle reproduces them. All 12
+    * minhashes fold in ONE aggregation pass (12 min() columns) instead of
+    * exploding fps ×12 and shuffling 12× the rows — the map-side partial
+    * min collapses each partition to |docs| rows. */
+  private[graft] def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val fps = shingleFps(s, dir)
+    val sigCols = (0 to 11).map { j =>
+      min(expr(s"((1000003 * $j + 12345) * fp + 7919 * $j + 271) % 1000000007")).as(s"s$j")
+    }
+    val sigs = fps.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // band key = the 3 signatures of the band, comma-joined in j order
+    // (identical string the oracle's string_agg ... ORDER BY j builds)
+    val bandStructs = (0 to 3).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", col(s"s${3 * b}"), col(s"s${3 * b + 1}"), col(s"s${3 * b + 2}")).as("band_key"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs from MinHash band rows — the d02/d05 posting-list
+    * pattern instead of a band self-join (the r5-verdict scale-killer #4:
+    * an uncapped join means a k-doc boilerplate cluster colliding in all 4
+    * bands emits 4·k²/2 pairs). One shuffle groups docs by (band,
+    * band_key); pairs emit PARTITION-LOCALLY from each sorted posting
+    * list, so a_id < b_id by construction; a bucket over [[BandBucketCap]]
+    * degrades to star pairs against the bucket minimum — k-1 candidates,
+    * not C(k,2). Star is the right degradation for LSH dedup: an over-full
+    * band bucket means near-certain duplicates, so linking members to one
+    * hub preserves recall while bounding cost. Exposed (band rows in,
+    * pairs out) so ScaleSpec can assert the bound on a synthetic hot
+    * cluster. */
+  private[graft] def minhashPairs(bands: DataFrame): DataFrame = bands
+    .groupBy(col("band"), col("band_key"))
+    .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    .filter(size(col("ds")) >= 2)
+    .select(explode(expr(
+      s"""CASE WHEN size(ds) <= $BandBucketCap
+            THEN flatten(transform(sequence(1, size(ds) - 1), i ->
+                   transform(slice(ds, i + 1, size(ds) - i), d ->
+                     struct(ds[i-1] AS a_id, d AS b_id))))
+            ELSE transform(slice(ds, 2, size(ds) - 1), d ->
+                   struct(ds[0] AS a_id, d AS b_id))
+          END""")).as("p"))
+    .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    .distinct()
 
   /** Capped candidate pairs from a simhash frame (doc_id, simhash,
     * hi_band, lo_band): union of the two band posting lists, exact and
@@ -276,6 +301,8 @@ object Dedup {
       WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
       ORDER BY a_id, b_id""",
 
+    // Occupancy cap mirrored from minhashPairs: a bucket over the cap
+    // keeps only the pairs whose smaller side is the bucket minimum (star).
     "d03_minhash_lsh" -> s"""
       WITH fps AS ($oracleShingleFps),
       sigs AS (
@@ -285,10 +312,15 @@ object Dedup {
       bands AS (
         SELECT doc_id, j // 3 AS band,
           string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
-        FROM sigs GROUP BY doc_id, j // 3)
+        FROM sigs GROUP BY doc_id, j // 3),
+      bn AS (
+        SELECT band, band_key, count(*) AS n, min(doc_id) AS hub
+        FROM bands GROUP BY band, band_key)
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      JOIN bn n ON n.band = a.band AND n.band_key = a.band_key
+      WHERE n.n <= $BandBucketCap OR a.doc_id = n.hub
       ORDER BY a_id, b_id""",
 
     "d04_simhash" -> s"""
