@@ -15,6 +15,10 @@ import graft.Tables
   *    (tsrank.c's word-count normalization option 1). Top 30.
   *  - f02: phrase match (`'hash' <-> 'join'` followed-by tsquery) via
   *    adjacent-position counting — the positional part of tsvector.
+  *  - f04: boolean tsquery — the OR (`|`) and NOT (`!`) branches of
+  *    TS_execute's operator tree (tsvector_op.c:1868 TS_execute_recurse).
+  *  - f05: ts_headline — the snippet generator (wparser_def.c
+  *    prsd_headline): window around the first hit, hits bolded.
   *
   * Everything is per-row codegen'd higher-order-function arithmetic over
   * the token array (no UDF, no shuffle except the final top-k): PG stores
@@ -60,6 +64,46 @@ object FullText {
           col("tfd").cast("bigint").as("tf_body"), col("rank"))
         .orderBy(col("rank").desc, col("doc_id"))
         .limit(30)
+    },
+
+    // -- boolean tsquery: OR and NOT branches of TS_execute's operator
+    //    tree (tsvector_op.c; f01 covers the AND leaf). The query is
+    //    ('merge' | 'sort') & !'error'; rank sums the saturating tf of
+    //    whichever OR arms matched — absent arms contribute 0, exactly
+    //    how calc_rank walks only the present operands --
+    "f04_fts_boolean" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("tf_merge", expr("size(filter(toks, x -> x = 'merge'))"))
+        .withColumn("tf_sort", expr("size(filter(toks, x -> x = 'sort'))"))
+        .withColumn("tf_error", expr("size(filter(toks, x -> x = 'error'))"))
+        .filter((col("tf_merge") > 0 || col("tf_sort") > 0) && col("tf_error") === 0)
+        .withColumn("rank", round(expr(
+          "(CAST(tf_merge AS DOUBLE) / (1.0 + tf_merge) + CAST(tf_sort AS DOUBLE) / (1.0 + tf_sort)) / (1.0 + ln(size(toks)))"), 6))
+        .select(col("doc_id"), col("tf_merge"), col("tf_sort"), col("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+        .limit(30)
+    },
+
+    // -- ts_headline: the snippet generator (wparser_def.c's hlparsetext /
+    //    prsd_headline): locate the first query-term hit, take a window of
+    //    MaxWords tokens around it, wrap every in-window hit in
+    //    <b>…</b>. Per-row array arithmetic, fully codegen'd, no shuffle;
+    //    the identical formula runs in the oracle so the strings
+    //    hash-match --
+    "f05_fts_headline" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("pos", expr("array_position(toks, 'merge')"))
+        .filter(col("pos") > 0)
+        .withColumn("st", expr("CAST(greatest(pos - 3, 1) AS INT)"))
+        .withColumn("headline", expr(
+          """array_join(
+               transform(slice(toks, st, 9),
+                 t -> IF(t = 'merge', concat('<b>', t, '</b>'), t)),
+               ' ')"""))
+        .select(col("doc_id"), col("pos").cast("bigint").as("first_pos"), col("headline"))
+        .orderBy(col("doc_id"))
     },
 
     // -- phrase (followed-by) match: adjacent positions --
@@ -108,6 +152,38 @@ object FullText {
               / (1.0 + ln(n_toks)), 6) AS rank
       FROM tf WHERE tfa + tfd > 0
       ORDER BY rank DESC, doc_id LIMIT 30""",
+
+    "f04_fts_boolean" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, len(toks) AS n_toks,
+          len(list_filter(toks, x -> x = 'merge')) AS tf_merge,
+          len(list_filter(toks, x -> x = 'sort')) AS tf_sort,
+          len(list_filter(toks, x -> x = 'error')) AS tf_error
+        FROM toked)
+      SELECT doc_id, tf_merge, tf_sort,
+        round((CAST(tf_merge AS DOUBLE) / (1.0 + tf_merge) + CAST(tf_sort AS DOUBLE) / (1.0 + tf_sort))
+              / (1.0 + ln(n_toks)), 6) AS rank
+      FROM tf WHERE (tf_merge > 0 OR tf_sort > 0) AND tf_error = 0
+      ORDER BY rank DESC, doc_id LIMIT 30""",
+
+    "f05_fts_headline" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      hit AS (
+        SELECT doc_id, toks, list_position(toks, 'merge') AS pos
+        FROM toked WHERE coalesce(list_position(toks, 'merge'), 0) > 0),
+      win AS (
+        SELECT doc_id, pos, greatest(pos - 3, 1) AS st, toks FROM hit)
+      SELECT doc_id, CAST(pos AS BIGINT) AS first_pos,
+        array_to_string(
+          list_transform(toks[CAST(st AS INT) : CAST(st + 8 AS INT)],
+            t -> CASE WHEN t = 'merge' THEN '<b>' || t || '</b>' ELSE t END),
+          ' ') AS headline
+      FROM win ORDER BY doc_id""",
 
     "f02_fts_phrase" -> """
       WITH toked AS (

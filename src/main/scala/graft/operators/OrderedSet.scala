@@ -126,6 +126,26 @@ object OrderedSet {
         .orderBy(col("o_orderkey"))
     },
 
+    // -- EXCLUDE TIES: full-frame aggregate minus the peer group PLUS the
+    //    current row itself — the remaining frame-exclusion variant
+    //    (parsenodes.h:631-658 frameOptions; q64 = CURRENT ROW, q72 =
+    //    GROUP). Same two-window rewrite as q72 with the row's own value
+    //    added back --
+    "q93_exclude_ties" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wFull = Window.partitionBy(col("o_orderstatus"))
+      val wPeers = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderdate"))
+        .rangeBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round((sum(col("cents")).over(wFull) - sum(col("cents")).over(wPeers) + col("cents"))
+            .cast("double") / 100.0, 2).as("non_ties_total"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // -- approximate percentile, audited like q61's HLL: each engine
     //    checks its own sketch (Spark: Greenwald-Khanna quantile summary;
     //    DuckDB: t-digest) against the exact percentile_cont, and the
@@ -161,6 +181,14 @@ object OrderedSet {
           PARTITION BY o_orderstatus ORDER BY o_orderdate
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
           EXCLUDE GROUP) AS DOUBLE) / 100.0, 2) AS non_peer_total
+      FROM orders WHERE o_custkey <= 50 ORDER BY o_orderkey""",
+
+    "q93_exclude_ties" -> """
+      SELECT o_orderkey, o_orderstatus,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+          PARTITION BY o_orderstatus ORDER BY o_orderdate
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+          EXCLUDE TIES) AS DOUBLE) / 100.0, 2) AS non_ties_total
       FROM orders WHERE o_custkey <= 50 ORDER BY o_orderkey""",
     "q57_within_group" -> """
       WITH modes AS (
