@@ -166,7 +166,18 @@ class QueriesSpec extends AnyFunSuite {
     "t04_fingerprint" -> (500L, Seq("doc_id", "fingerprint", "text_md5")),
     "t05_top_words" -> (30L, Seq("word", "n")),
     "t06_bpe_tokens" -> (500L, Seq("doc_id", "n_pieces", "n_word_pieces", "n_num_pieces", "avg_piece_len")),
-    "t07_quality_filter" -> (500L, Seq("doc_id", "len_ok", "punct_ok", "diversity_ok", "keep"))
+    "t07_quality_filter" -> (500L, Seq("doc_id", "len_ok", "punct_ok", "diversity_ok", "keep")),
+    "e07_gapfill" -> (10500L, Seq("user_id", "hour", "n_obs", "v_locf")),
+    "f04_fts_boolean" -> (30L, Seq("doc_id", "tf_merge", "tf_sort", "rank")),
+    "f05_fts_headline" -> (403L, Seq("doc_id", "first_pos", "headline")),
+    "q87_approx_percentile" -> (3L, Seq("l_returnflag", "p50_exact", "approx_within_2pct", "n")),
+    "q88_to_number" -> (1500L, Seq("o_orderkey", "price_txt", "price_back", "neg_back", "cur_back")),
+    "q89_ignore_nulls" -> (1500L, Seq("o_custkey", "o_orderkey", "prev_f", "fill_f", "second_f")),
+    "q90_stratified_sample" -> (3L, Seq("o_orderstatus", "n_sampled", "sampled_total")),
+    "q91_array_agg_ordered" -> (1L, Seq("c_nationkey", "n", "names_by_balance")),
+    "q92_interval_range_frame" -> (1021L, Seq("o_custkey", "o_orderkey", "o_orderdate", "rev_30d")),
+    "q93_exclude_ties" -> (508L, Seq("o_orderkey", "o_orderstatus", "non_ties_total")),
+    "x04_join_elim" -> (5L, Seq("o_orderpriority", "n", "total"))
   )
 
   test("every declared query has a snapshot and vice versa") {
