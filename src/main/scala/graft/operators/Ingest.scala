@@ -50,6 +50,33 @@ object Ingest {
         .orderBy(col("label"))
     },
 
+    // -- http-protocol external table (graft.sources.HttpSource +
+    //    GpfdistLite): LOCATION ('http://.../part0.dat', '.../part1.dat')
+    //    semantics — one partition per URL, each streamed executor-side
+    //    from a gpfdist-style daemon (url_curl.c / src/bin/gpfdist) --
+    "c05_http_source" -> { (s, _) =>
+      val root = "target/derived/gpfdist_root"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      def shard(name: String, lo: Int, hi: Int): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, name),
+          (lo to hi).map(i => s"$i|${i * 0.25}|g${i % 9}")
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+      shard("part0.dat", 1, 100)
+      shard("part1.dat", 101, 200)
+      val port = graft.sources.GpfdistLite.ensure(root)
+      s.read.format("graft.sources.HttpSource")
+        .option("urls",
+          s"http://127.0.0.1:$port/part0.dat,http://127.0.0.1:$port/part1.dat")
+        .option("columns", "n bigint, v double, label string")
+        .load()
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("v")), 2).as("total_v"),
+          sum(col("n")).cast("bigint").as("total_n"))
+        .orderBy(col("label"))
+    },
+
     "c01_csv_sreh" -> { (s, dir) =>
       val lines = Tables.df(s, dir, "documents")
         .select(col("doc_id"),
@@ -118,6 +145,15 @@ object Ingest {
       SELECT 'n' || CAST(i % 7 AS VARCHAR) AS label, count(*) AS cnt,
              CAST(sum(i) AS BIGINT) AS total
       FROM generate_series(1, 100) t(i)
+      GROUP BY 1 ORDER BY 1""",
+
+    // the served shards are the deterministic series 1..200, so the
+    // oracle computes the same aggregate from generate_series
+    "c05_http_source" -> """
+      SELECT 'g' || CAST(i % 9 AS VARCHAR) AS label, count(*) AS cnt,
+             round(CAST(sum(i * 0.25) AS DOUBLE), 2) AS total_v,
+             CAST(sum(i) AS BIGINT) AS total_n
+      FROM generate_series(1, 200) t(i)
       GROUP BY 1 ORDER BY 1""",
 
     // the malformed-line rule is deterministic, so the oracle audits the

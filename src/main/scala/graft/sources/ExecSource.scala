@@ -8,7 +8,6 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Exec-protocol external table — the reference's `CREATE EXTERNAL TABLE
   * ... EXECUTE 'command' ON ALL` (`src/backend/access/external/
@@ -125,13 +124,14 @@ private[sources] class ExecReaderFactory(schema0: StructType, required: StructTy
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ExecPartition]
-    // projection: source-field index per required output column
-    val outIdx: Array[Int] = required.fieldNames.map(schema0.fieldIndex)
     new PartitionReader[InternalRow] {
       private var proc: Process = _
       private var lines: java.io.BufferedReader = _
       private var row: InternalRow = _
-      private val rejects = scala.collection.mutable.ArrayBuffer.empty[String]
+      // parse + reject bookkeeping shared with the other delimited
+      // external sources (cdbsreh.c semantics) — see SrehLineParser
+      private val sreh =
+        new SrehLineParser(schema0, required, delimiter, rejectLimit, rejectDir, p.id)
 
       private def start(): Unit = {
         val pb = new ProcessBuilder("/bin/sh", "-c", command)
@@ -145,50 +145,12 @@ private[sources] class ExecReaderFactory(schema0: StructType, required: StructTy
           new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
       }
 
-      /** Parse one line or record a reject; null = rejected. EVERY field
-        * is validated (sreh must reject the same rows regardless of the
-        * query's projection); only the projected ones materialize. */
-      private def parse(line: String): InternalRow = {
-        val fields = line.split(java.util.regex.Pattern.quote(delimiter), -1)
-        if (fields.length != schema0.length) {
-          reject(line, s"expected ${schema0.length} fields, got ${fields.length}")
-          return null
-        }
-        val vals = new Array[Any](schema0.length)
-        var i = 0
-        while (i < fields.length) {
-          schema0.fields(i).dataType match {
-            case LongType =>
-              try vals(i) = fields(i).trim.toLong
-              catch { case _: NumberFormatException =>
-                reject(line, s"field ${schema0.fields(i).name}: not a bigint: '${fields(i)}'")
-                return null }
-            case DoubleType =>
-              try vals(i) = fields(i).trim.toDouble
-              catch { case _: NumberFormatException =>
-                reject(line, s"field ${schema0.fields(i).name}: not a double: '${fields(i)}'")
-                return null }
-            case _ => vals(i) = UTF8String.fromString(fields(i))
-          }
-          i += 1
-        }
-        InternalRow.fromSeq(outIdx.toIndexedSeq.map(vals(_)))
-      }
-
-      private def reject(line: String, reason: String): Unit = {
-        rejects += s"$reason\t$line"
-        if (rejects.length > rejectLimit)
-          throw new IllegalStateException(
-            s"segment reject limit ($rejectLimit) exceeded in partition ${p.id}; " +
-            s"last: ${rejects.last}")
-      }
-
       override def next(): Boolean = {
         if (proc == null) start()
         var line = lines.readLine()
         while (line != null) {
           if (line.nonEmpty) {
-            row = parse(line)
+            row = sreh.parse(line)
             if (row != null) return true
           }
           line = lines.readLine()
@@ -204,14 +166,7 @@ private[sources] class ExecReaderFactory(schema0: StructType, required: StructTy
       override def get(): InternalRow = row
 
       override def close(): Unit = {
-        // divert the partition's rejects to the error log (cdbsreh's
-        // error-table analog) — one file per partition, no contention
-        rejectDir.filter(_ => rejects.nonEmpty).foreach { dir =>
-          val d = java.nio.file.Paths.get(dir)
-          java.nio.file.Files.createDirectories(d)
-          java.nio.file.Files.write(d.resolve(s"part-${p.id}.rejects"),
-            rejects.mkString("", "\n", "\n").getBytes("UTF-8"))
-        }
+        sreh.flush()
         if (proc != null) proc.destroy()
       }
     }

@@ -92,6 +92,86 @@ class IngestSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("exited with 3")), e.getMessage)
   }
 
+  private def gpfdistFixture(): (String, Int) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_gpfdist").toString
+    (root, graft.sources.GpfdistLite.ensure(root))
+  }
+
+  private def writeShard(root: String, name: String, lines: Seq[String]): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, name),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+  test("c05 http source: multi-URL LOCATION list reads as the union, one partition per URL") {
+    val (root, port) = gpfdistFixture()
+    writeShard(root, "a.dat", (1 to 50).map(i => s"$i|h${i % 3}"))
+    writeShard(root, "b.dat", (51 to 80).map(i => s"$i|h${i % 3}"))
+    val df = spark.read.format("graft.sources.HttpSource")
+      .option("urls", s"http://127.0.0.1:$port/a.dat,http://127.0.0.1:$port/b.dat")
+      .option("columns", "n bigint, label string")
+      .load()
+    assert(df.rdd.getNumPartitions == 2, "one partition per LOCATION url")
+    assert(df.count() == 80)
+    assert(df.agg(sum("n")).head.getLong(0) == (1 to 80).sum.toLong)
+  }
+
+  test("c05 http source: malformed lines divert to reject files within the limit") {
+    val (root, port) = gpfdistFixture()
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_http_rej").toString
+    writeShard(root, "mixed.dat",
+      (1 to 10).map(i => s"$i|ok") ++ Seq("only_one_field", "NaNish|x"))
+    val df = spark.read.format("graft.sources.HttpSource")
+      .option("urls", s"http://127.0.0.1:$port/mixed.dat")
+      .option("columns", "n bigint, label string")
+      .option("reject_limit", 2)
+      .option("reject_dir", rejDir)
+      .load()
+    assert(df.count() == 10)
+    val content = scala.io.Source.fromFile(s"$rejDir/part-0.rejects").getLines().toSeq
+    assert(content.length == 2
+      && content.exists(_.contains("expected 2 fields, got 1"))
+      && content.exists(_.contains("not a bigint")), content)
+  }
+
+  test("c05 http source: reject limit exceeded fails the scan (SEGMENT REJECT LIMIT)") {
+    val (root, port) = gpfdistFixture()
+    writeShard(root, "bad.dat", Seq("bad", "worse", "1|ok"))
+    val df = spark.read.format("graft.sources.HttpSource")
+      .option("urls", s"http://127.0.0.1:$port/bad.dat")
+      .option("columns", "n bigint, label string")
+      .option("reject_limit", 1)
+      .load()
+    val e = intercept[org.apache.spark.SparkException](df.count())
+    assert(e.getMessage.contains("reject limit") ||
+      Option(e.getCause).exists(_.getMessage.contains("reject limit")), e.getMessage)
+  }
+
+  test("c05 http source: a 404 fails the scan (no silent empty table)") {
+    val (_, port) = gpfdistFixture()
+    val df = spark.read.format("graft.sources.HttpSource")
+      .option("urls", s"http://127.0.0.1:$port/missing.dat")
+      .option("columns", "n bigint, label string")
+      .option("retries", 0)
+      .load()
+    val e = intercept[org.apache.spark.SparkException](df.count())
+    assert(e.getMessage.contains("returned 404") ||
+      Option(e.getCause).exists(_.getMessage.contains("returned 404")), e.getMessage)
+  }
+
+  test("c05 http source: gzip-encoded shard decodes transparently") {
+    val (root, port) = gpfdistFixture()
+    val bytes = (1 to 25).map(i => s"$i|z${i % 2}").mkString("", "\n", "\n").getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "c.dat.gz"), out.toByteArray)
+    val df = spark.read.format("graft.sources.HttpSource")
+      .option("urls", s"http://127.0.0.1:$port/c.dat.gz")
+      .option("columns", "n bigint, label string")
+      .load()
+    assert(df.count() == 25)
+    assert(df.agg(sum("n")).head.getLong(0) == (1 to 25).sum.toLong)
+  }
+
   test("c02 COPY TO: sink + reject files reconcile with the source exactly") {
     import org.apache.spark.sql.functions._
     val audit = operators.Ingest.copyToSreh(spark, SparkSuite.Sf).head
