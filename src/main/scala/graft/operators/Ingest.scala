@@ -77,6 +77,32 @@ object Ingest {
         .orderBy(col("label"))
     },
 
+    // -- COPY BINARY roundtrip (graft.sources.PgCopySource +
+    //    PgCopyBinary.writeDf): COPY TO (FORMAT BINARY) writes one .bin
+    //    shard per partition EXECUTOR-SIDE, COPY FROM (FORMAT BINARY)
+    //    reads one partition per shard (copy.c binary branch; tuples are
+    //    int16 field count + int32-length-prefixed big-endian fields,
+    //    NULL = -1) --
+    "c06_copy_binary" -> { (s, _) =>
+      val dir = "target/derived/pgcopy_bin"
+      val src = s.range(1L, 301L).select(
+        col("id").as("i"),
+        (col("id") * 0.5).as("v"),
+        when(col("id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("t"), (col("id") % 4).cast("string"))).as("tag"))
+        .repartition(3)
+      graft.sources.PgCopyBinary.writeDf(src, dir)
+      s.read.format("graft.sources.PgCopySource")
+        .option("path", dir)
+        .option("columns", "i bigint, v double, tag string")
+        .load()
+        .groupBy(coalesce(col("tag"), lit("none")).as("tag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("i")).cast("bigint").as("sum_i"),
+          round(sum(col("v")), 2).as("total_v"))
+        .orderBy(col("tag"))
+    },
+
     "c01_csv_sreh" -> { (s, dir) =>
       val lines = Tables.df(s, dir, "documents")
         .select(col("doc_id"),
@@ -155,6 +181,19 @@ object Ingest {
              CAST(sum(i) AS BIGINT) AS total_n
       FROM generate_series(1, 200) t(i)
       GROUP BY 1 ORDER BY 1""",
+
+    // the roundtripped shards carry the deterministic series 1..300, so
+    // the oracle recomputes the same aggregate from generate_series
+    "c06_copy_binary" -> """
+      WITH t AS (
+        SELECT i, i * 0.5 AS v,
+               CASE WHEN i % 10 = 0 THEN NULL
+                    ELSE 't' || CAST(i % 4 AS VARCHAR) END AS tag
+        FROM generate_series(1, 300) s(i))
+      SELECT coalesce(tag, 'none') AS tag, count(*) AS cnt,
+             CAST(sum(i) AS BIGINT) AS sum_i,
+             round(CAST(sum(v) AS DOUBLE), 2) AS total_v
+      FROM t GROUP BY 1 ORDER BY 1""",
 
     // the malformed-line rule is deterministic, so the oracle audits the
     // same load arithmetic directly

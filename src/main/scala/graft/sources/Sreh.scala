@@ -20,7 +20,7 @@ private[sources] final class SrehLineParser(
     rejectLimit: Int, rejectDir: Option[String], partitionId: Int) {
 
   private val outIdx: Array[Int] = required.fieldNames.map(schema0.fieldIndex)
-  private val rejects = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val sink = new SrehRejects(rejectLimit, rejectDir, partitionId)
 
   /** Parse one line or record a reject; null = rejected. */
   def parse(line: String): InternalRow = {
@@ -50,8 +50,22 @@ private[sources] final class SrehLineParser(
     InternalRow.fromSeq(outIdx.toIndexedSeq.map(vals(_)))
   }
 
-  def reject(line: String, reason: String): Unit = {
-    rejects += s"$reason\t$line"
+  def reject(line: String, reason: String): Unit = sink.reject(line, reason)
+
+  def flush(): Unit = sink.flush()
+}
+
+/** The reject-side bookkeeping alone (divert + limit + per-partition
+  * error log), for sources whose record format isn't delimited lines —
+  * [[PgCopySource]] rejects whole binary tuples through the same
+  * contract. */
+private[sources] final class SrehRejects(
+    rejectLimit: Int, rejectDir: Option[String], partitionId: Int) {
+
+  private val rejects = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  def reject(payload: String, reason: String): Unit = {
+    rejects += s"$reason\t$payload"
     if (rejects.length > rejectLimit)
       throw new IllegalStateException(
         s"segment reject limit ($rejectLimit) exceeded in partition $partitionId; " +

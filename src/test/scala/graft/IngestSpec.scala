@@ -172,6 +172,95 @@ class IngestSpec extends AnyFunSuite {
     assert(df.agg(sum("n")).head.getLong(0) == (1 to 25).sum.toLong)
   }
 
+  /** Hand-build a COPY BINARY file: header + the given tuples + trailer.
+    * Each tuple is a Seq of Option[Array[Byte]] field payloads (None =
+    * NULL), so tests can craft wrong-width fields byte-exactly. */
+  private def writePgCopy(tuples: Seq[Seq[Option[Array[Byte]]]],
+                          corruptSignature: Boolean = false): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgcopy")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    val sig = graft.sources.PgCopyBinary.Signature.clone()
+    if (corruptSignature) sig(0) = 'X'.toByte
+    out.write(sig); out.writeInt(0); out.writeInt(0)
+    tuples.foreach { t =>
+      out.writeShort(t.length)
+      t.foreach {
+        case None => out.writeInt(-1)
+        case Some(b) => out.writeInt(b.length); out.write(b)
+      }
+    }
+    out.writeShort(-1); out.close()
+    java.nio.file.Files.write(dir.resolve("part-00000.bin"), bos.toByteArray)
+    dir.toString
+  }
+
+  private def i8(v: Long): Option[Array[Byte]] =
+    Some(java.nio.ByteBuffer.allocate(8).putLong(v).array())
+  private def txt(s: String): Option[Array[Byte]] = Some(s.getBytes("UTF-8"))
+
+  test("c06 pgcopy: writeDf -> read roundtrip preserves values, nulls, and row count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgcopy_rt").toString + "/shards"
+    val src = spark.range(1L, 101L).select(
+      col("id").as("i"), (col("id") * 0.25).as("v"),
+      when(col("id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("s"), (col("id") % 3).cast("string"))).as("tag"))
+      .repartition(4)
+    graft.sources.PgCopyBinary.writeDf(src, dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".bin")) == 4,
+      "one shard per partition")
+    val back = spark.read.format("graft.sources.PgCopySource")
+      .option("path", dir).option("columns", "i bigint, v double, tag string").load()
+    assert(back.rdd.getNumPartitions == 4, "one partition per shard")
+    assert(back.count() == 100)
+    assert(back.filter(col("tag").isNull).count() == 14, "nulls roundtrip as nulls")
+    assert(back.agg(sum("i")).head.getLong(0) == (1L to 100L).sum)
+    assert(back.agg(round(sum("v"), 2)).head.getDouble(0) == 1262.5)
+  }
+
+  test("c06 pgcopy: wrong-width fixed field rejects the tuple, stream stays in sync") {
+    val rejDir = java.nio.file.Files.createTempDirectory("graft_pgcopy_rej").toString
+    val dir = writePgCopy(Seq(
+      Seq(i8(1), txt("a")),
+      Seq(Some(Array[Byte](0, 0, 0, 42)), txt("bad-int4")), // 4-byte int where int8 declared
+      Seq(i8(2), txt("b")),
+      Seq(i8(3), txt("c"), txt("extra-field")),             // arity mismatch
+      Seq(i8(4), None)))                                    // NULL text is fine
+    val df = spark.read.format("graft.sources.PgCopySource")
+      .option("path", dir).option("columns", "n bigint, tag string")
+      .option("reject_limit", 2).option("reject_dir", rejDir)
+      .load()
+    assert(df.count() == 3, "two malformed tuples diverted, stream resynced")
+    assert(df.agg(sum("n")).head.getLong(0) == 7L)
+    val content = scala.io.Source.fromFile(s"$rejDir/part-0.rejects").getLines().toSeq
+    assert(content.length == 2
+      && content.exists(_.contains("int8 needs 8 bytes, got 4"))
+      && content.exists(_.contains("expected 2 fields, got 3")), content)
+  }
+
+  test("c06 pgcopy: reject limit exceeded fails the scan (SEGMENT REJECT LIMIT)") {
+    val dir = writePgCopy(Seq(
+      Seq(Some(Array[Byte](1)), txt("x")),
+      Seq(Some(Array[Byte](2)), txt("y")),
+      Seq(i8(1), txt("ok"))))
+    val df = spark.read.format("graft.sources.PgCopySource")
+      .option("path", dir).option("columns", "n bigint, tag string")
+      .option("reject_limit", 1).load()
+    val e = intercept[org.apache.spark.SparkException](df.count())
+    assert(e.getMessage.contains("reject limit") ||
+      Option(e.getCause).exists(_.getMessage.contains("reject limit")), e.getMessage)
+  }
+
+  test("c06 pgcopy: a corrupt signature fails the scan (structural, not sreh)") {
+    val dir = writePgCopy(Seq(Seq(i8(1), txt("a"))), corruptSignature = true)
+    val df = spark.read.format("graft.sources.PgCopySource")
+      .option("path", dir).option("columns", "n bigint, tag string").load()
+    val e = intercept[org.apache.spark.SparkException](df.count())
+    assert(e.getMessage.contains("bad signature") ||
+      Option(e.getCause).exists(_.getMessage.contains("bad signature")), e.getMessage)
+  }
+
   test("c02 COPY TO: sink + reject files reconcile with the source exactly") {
     import org.apache.spark.sql.functions._
     val audit = operators.Ingest.copyToSreh(spark, SparkSuite.Sf).head

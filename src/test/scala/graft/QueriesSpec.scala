@@ -74,6 +74,7 @@ class QueriesSpec extends AnyFunSuite {
     "q78_complex_arith" -> (1500L, Seq("o_orderkey", "add_re", "add_im", "mul_re", "mul_im", "conj_im", "abs_z1", "arg_z1")),
     "c01_csv_sreh" -> (1L, Seq("n_loaded", "n_rejected", "within_limit")),
     "c05_http_source" -> (9L, Seq("label", "cnt", "total_v", "total_n")),
+    "c06_copy_binary" -> (5L, Seq("tag", "cnt", "sum_i", "total_v")),
     "c02_copy_to_sreh" -> (1L, Seq("n_written", "n_diverted", "within_limit")),
     "i01_ivm_matview" -> (75L, Seq("user_id", "event_type", "n", "total_value", "avg_value")),
     "i02_dynamic_table" -> (1094L, Seq("day", "n_orders", "revenue")),
