@@ -82,6 +82,41 @@ object Json {
         .select(col("o_orderkey"), col("m.ln").as("ln"),
           col("m.qty").as("qty"), col("m.flag").as("flag"))
         .orderBy(col("o_orderkey"), col("ln"))
+    },
+
+    // -- XMLTABLE: XML documents → rows (the XML half of
+    //    nodeTableFuncscan.c; xpath evaluation ≙ `src/backend/utils/adt/
+    //    xml.c` xpath_internal). XML docs are built per customer from
+    //    orders columns (identical bytes to the oracle's view of the same
+    //    columns), then shredded back: the row pattern
+    //    `/orders/order` materializes via document-ordered xpath() node
+    //    arrays — one per COLUMNS entry (@id attribute, prio/cents text
+    //    nodes) — positionally zipped and lateral-exploded, which is
+    //    exactly XMLTABLE's row-generation contract. All codegen'd
+    //    expressions, no UDFs; one shuffle for the per-customer group, one
+    //    for the final rollup --
+    "q94_xmltable" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "orders")
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .withColumn("frag", concat(
+          lit("<order id=\""), col("o_orderkey"),
+          lit("\"><prio>"), col("o_orderpriority"),
+          lit("</prio><cents>"), col("cents"), lit("</cents></order>")))
+        .groupBy(col("o_custkey"))
+        .agg(concat(lit("<orders>"), concat_ws("", collect_list(col("frag"))),
+          lit("</orders>")).as("doc"))
+      docs
+        .select(explode(arrays_zip(
+          expr("xpath(doc, '/orders/order/@id')").as("id"),
+          expr("xpath(doc, '/orders/order/prio/text()')").as("prio"),
+          expr("xpath(doc, '/orders/order/cents/text()')").as("cents"))).as("r"))
+        .select(col("r.id").cast("bigint").as("o_orderkey"),
+          col("r.prio").as("prio"), col("r.cents").cast("bigint").as("cents"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).cast("bigint").as("key_checksum"),
+          round(sum(col("cents")) / 100.0, 2).as("total_price"))
+        .orderBy(col("prio"))
     }
   )
 
@@ -130,6 +165,16 @@ object Json {
       FROM items
       WHERE CAST(json_extract_string(j, '$.items[' || idx || '].qty') AS INT) > 45
         AND json_extract_string(j, '$.items[' || idx || '].flag') = 'R'
-      ORDER BY o_orderkey, ln"""
+      ORDER BY o_orderkey, ln""",
+
+    // DuckDB has no XML functions; the XML build+shred is an identity on
+    // (o_orderkey, o_orderpriority, cents), so the oracle computes the
+    // same rollup from the base columns directly
+    "q94_xmltable" -> """
+      SELECT o_orderpriority AS prio, count(*) AS n_orders,
+             CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0, 2) AS total_price
+      FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -75,6 +75,7 @@ class QueriesSpec extends AnyFunSuite {
     "c01_csv_sreh" -> (1L, Seq("n_loaded", "n_rejected", "within_limit")),
     "c05_http_source" -> (9L, Seq("label", "cnt", "total_v", "total_n")),
     "c06_copy_binary" -> (5L, Seq("tag", "cnt", "sum_i", "total_v")),
+    "q94_xmltable" -> (5L, Seq("prio", "n_orders", "key_checksum", "total_price")),
     "c02_copy_to_sreh" -> (1L, Seq("n_written", "n_diverted", "within_limit")),
     "i01_ivm_matview" -> (75L, Seq("user_id", "event_type", "n", "total_value", "avg_value")),
     "i02_dynamic_table" -> (1094L, Seq("day", "n_orders", "revenue")),
