@@ -40,6 +40,13 @@ object Tables {
     if (!spark.conf.getOption("spark.graft.configured").contains("true")) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // report sortedness of sorted-bucketed scans (IncrementalSort
+      // analog, b02): gated off by default since Spark 3.1; with it on,
+      // Spark STILL requires one file per bucket before claiming
+      // ordering (FileSourceScanExec checks bucketsContainSingleFile),
+      // so a multi-file bucket can never produce a wrong merge join —
+      // Bucketed.ensure writes exactly one file per bucket
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       spark.conf.set("spark.graft.configured", "true")
     }
 

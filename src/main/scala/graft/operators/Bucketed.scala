@@ -41,7 +41,15 @@ object Bucketed {
           }
           rm(loc)
         }
+        // repartition on the bucket key with numPartitions == numBuckets:
+        // Spark's repartition hash (Murmur3 pmod n) IS the bucket-id hash,
+        // so each task holds exactly one bucket → ONE file per bucket.
+        // That is what lets FileSourceScanExec report outputOrdering on
+        // the sort key, and a downstream SortMergeJoin plan with ZERO
+        // Sort nodes (PG's IncrementalSort exploits the same pre-sorted
+        // layout; here the sort is elided entirely — b02 + PlanShapeSpec)
         Tables.df(s, dir, src)
+          .repartition(NumBuckets, org.apache.spark.sql.functions.col(key))
           .write.mode("overwrite").bucketBy(NumBuckets, key)
           .sortBy(key).format("parquet").saveAsTable(table)
       }
@@ -61,6 +69,24 @@ object Bucketed {
         .agg(count(lit(1)).as("n_items"),
           expr("round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2)").as("revenue"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // -- pre-sorted merge join (IncrementalSort counterpart, SURVEY §2.6:
+    //    `nodeIncrementalSort.c` resorts only suffix keys of presorted
+    //    input; the Spark-first rendition goes further — the bucketed
+    //    layout is already sorted on the join key with one file per
+    //    bucket, so the merge join plans with NO Exchange and NO Sort at
+    //    all: the scan itself reports the ordering. PlanShapeSpec asserts
+    //    zero SortExec with broadcast disabled) --
+    "b02_presorted_merge_join" -> { (s, dir) =>
+      val (ot, lt) = ensure(s, dir)
+      s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("total_qty"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -69,6 +95,14 @@ object Bucketed {
       SELECT o_orderpriority, count(*) AS n_items,
         round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0, 2) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "b02_presorted_merge_join" -> """
+      SELECT o_orderstatus,
+        count(DISTINCT o_orderkey) AS n_orders,
+        count(*) AS n_items,
+        sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }

@@ -122,6 +122,25 @@ object Events {
     //    user-hour from a 2-column bounds aggregate (never from raw
     //    events); the fill is a single user-partitioned window — grid
     //    size is users × hours regardless of event volume --
+    // -- retention cohorts: signup-week × weeks-since matrix, the
+    //    canonical product-analytics rollup. Spark-first: the per-user
+    //    first event is an unordered-frame window min — ONE shuffle on
+    //    user_id, no self-join, no sort (min over the whole partition
+    //    needs no ordering); the cohort rollup's distinct-user count
+    //    rides the same partitioning --
+    "e08_retention_cohorts" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.df(s, dir, "events")
+        .withColumn("first_ts", min(col("ts")).over(Window.partitionBy(col("user_id"))))
+        .withColumn("cohort_week", date_trunc("week", col("first_ts")).cast("date"))
+        .withColumn("week_offset",
+          (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort_week")) / 7)
+            .cast("bigint"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
     "e07_gapfill" -> { (s, dir) =>
       val obs = Tables.df(s, dir, "events")
         .filter(col("user_id") <= 20)
@@ -148,6 +167,15 @@ object Events {
 
   def oracle: Map[String, String] = Map(
     // same densify-and-fill, spelled with generate_series + IGNORE NULLS
+    "e08_retention_cohorts" -> """
+      SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+        CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+                       CAST(date_trunc('week', ts) AS DATE)) / 7 AS BIGINT) AS week_offset,
+        count(DISTINCT user_id) AS n_users
+      FROM (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts
+            FROM events) w
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "e07_gapfill" -> """
       WITH raw AS (
         SELECT user_id, date_trunc('hour', ts) AS hour,

@@ -107,6 +107,23 @@ object FullText {
     },
 
     // -- phrase (followed-by) match: adjacent positions --
+    // -- ts_stat (tsvector_op.c ts_stat_sql → tsvector_update_trigger
+    //    aggregation path): vocabulary statistics over the whole corpus —
+    //    per lexeme, ndoc (documents containing it) and nentry (total
+    //    occurrences). Spark-first: one explode, then a single hash
+    //    aggregate keyed on (doc, word) feeding a word-level rollup —
+    //    both shuffles map-side combined; the DQA is what PG's ts_stat
+    //    computes by scanning every tsvector --
+    "f06_ts_stat" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toks)).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("nentry_doc"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("ndoc"), sum(col("nentry_doc")).as("nentry"))
+        .orderBy(col("ndoc").desc, col("nentry").desc, col("word"))
+        .limit(25)
+    },
+
     "f02_fts_phrase" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
@@ -184,6 +201,16 @@ object FullText {
             t -> CASE WHEN t = 'merge' THEN '<b>' || t || '</b>' ELSE t END),
           ' ') AS headline
       FROM win ORDER BY doc_id""",
+
+    "f06_ts_stat" -> """
+      SELECT word, count(*) AS ndoc, sum(nentry_doc) AS nentry
+      FROM (
+        SELECT doc_id, word, count(*) AS nentry_doc
+        FROM (SELECT doc_id,
+                unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+              FROM documents) t
+        GROUP BY doc_id, word) d
+      GROUP BY word ORDER BY ndoc DESC, nentry DESC, word LIMIT 25""",
 
     "f02_fts_phrase" -> """
       WITH toked AS (

@@ -67,6 +67,39 @@ object PgCompat {
         GROUP BY c_nationkey ORDER BY c_nationkey""")
     },
 
+    // -- DISTINCT ON (planner.c distinctClause with sortClause prefix):
+    //    PG's signature one-row-per-group shortcut. Spark-first: NOT a
+    //    window (row_number + filter would sort every partition); a
+    //    single max(struct(...)) hash aggregate picks the same row — one
+    //    map-side-combined shuffle, no sort, the plan that survives a
+    //    100× scale-up. Tie-break is total: (acctbal, custkey) is unique --
+    "q95_distinct_on" -> { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(max(struct(
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
+          col("c_custkey"), col("c_name"))).as("top"))
+        .select(
+          col("c_nationkey"),
+          col("top.c_custkey").as("c_custkey"),
+          col("top.c_name").as("c_name"),
+          round(col("top.cents") / lit(100.0), 2).as("acctbal"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // -- unnest WITH ORDINALITY (nodeFunctionscan.c ordinality counter):
+    //    posexplode IS the ordinality generator — the position travels
+    //    with the element through the shuffle-free Generate, no window
+    //    or join needed to recover element order --
+    "q96_with_ordinality" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 20)
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(text, ' '), x -> x <> '')")).as(Seq("pos", "word")))
+        .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("ord"), col("word"))
+        .orderBy(col("doc_id"), col("ord"))
+    },
+
     // -- interval-bounded RANGE frame (nodeWindowAgg.c in_range support:
     //    the moving 30-day aggregate). SQL is shared verbatim with the
     //    oracle; peers on the same date aggregate identically by RANGE
@@ -317,6 +350,20 @@ object PgCompat {
   }
 
   def oracle: Map[String, String] = Map(
+    "q95_distinct_on" -> """
+      SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_name,
+        round(CAST(round(c_acctbal * 100) AS BIGINT) / 100.0, 2) AS acctbal
+      FROM customer
+      ORDER BY c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey DESC""",
+
+    "q96_with_ordinality" -> """
+      SELECT doc_id, CAST(ord AS BIGINT) AS ord, toks[ord] AS word
+      FROM (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS ord
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents WHERE doc_id <= 20) a) b
+      ORDER BY doc_id, ord""",
+
     "q92_interval_range_frame" -> intervalRangeSql,
 
     // DuckDB's array_agg takes ORDER BY natively; same tiebreak chain,

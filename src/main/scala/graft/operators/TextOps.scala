@@ -169,6 +169,52 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(30)
+    },
+
+    // -- TF-IDF: the classic relevance weight a training-data pipeline
+    //    derives before dedup/quality ranking. DF and the corpus size are
+    //    corpus-wide aggregates (two map-side-combined shuffles on term);
+    //    the per-doc TF slice is tiny and BROADCAST into the DF join, so
+    //    the big side streams through exactly once. Ranking ties break on
+    //    integers (tf desc, df asc, term), never on a float --
+    "t10_tfidf" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents").withColumn("toks", expr(toks))
+      val terms = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      // corpus-wide document frequency: (doc, term) dedup then term count
+      val dfreq = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val byTerm = dfreq.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tfSel = dfreq.filter(col("doc_id") <= 50)
+      byTerm.join(broadcast(tfSel), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("tf").desc, col("df").asc, col("term"))))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rn").cast("bigint").as("rn"),
+          round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6).as("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+
+    // -- repetition signals (Gopher-style quality filters): top-token
+    //    share and duplicate-token fraction, entirely per-row HOFs —
+    //    no explode, no shuffle, linear scan at any scale --
+    "t11_repetition" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("n_toks", greatest(size(col("toks")), lit(1)))
+        .withColumn("max_cnt",
+          expr("array_max(transform(array_distinct(toks), d -> size(filter(toks, x -> x = d))))"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          round(col("max_cnt").cast("double") / col("n_toks"), 6).as("top_token_share"),
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_toks"), 6)
+            .as("dup_token_ratio"),
+          (col("max_cnt").cast("double") / col("n_toks") <= 0.2 &&
+            lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_toks") <= 0.5)
+            .cast("int").as("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -270,6 +316,38 @@ object TextOps {
               text || ' contact user' || doc_id || '@mail' || (doc_id % 7) || '.com'
                    || ' tel 555-' || lpad(CAST(doc_id * 37 % 10000 AS VARCHAR), 4, '0') AS dirty
             FROM documents) t
+      ORDER BY doc_id""",
+
+    "t10_tfidf" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      ranked AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+          row_number() OVER (PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df ASC, t.term) AS rn,
+          round(t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)), 6) AS tfidf
+        FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        WHERE t.doc_id <= 50)
+      SELECT doc_id, term, tf, df, CAST(rn AS BIGINT) AS rn, tfidf
+      FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""",
+
+    "t11_repetition" -> """
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        round(CAST(max_cnt AS DOUBLE) / n_toks, 6) AS top_token_share,
+        round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_toks, 6) AS dup_token_ratio,
+        CAST(CASE WHEN CAST(max_cnt AS DOUBLE) / n_toks <= 0.2
+                   AND 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_toks <= 0.5
+             THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM (
+        SELECT doc_id, toks, greatest(len(toks), 1) AS n_toks,
+          list_max(list_transform(list_distinct(toks),
+            d -> len(list_filter(toks, x -> x = d)))) AS max_cnt
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents) a) b
       ORDER BY doc_id""",
 
     "t09_token_histogram" -> """

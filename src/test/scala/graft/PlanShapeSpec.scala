@@ -386,6 +386,26 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("b02: sorted buckets elide the merge-join sort — no Sort node (IncrementalSort)") {
+    // one file per bucket (Bucketed.ensure repartitions on the bucket
+    // key) → FileSourceScanExec reports outputOrdering on the sort key →
+    // SortMergeJoin needs neither Exchange NOR Sort. PG reaches the same
+    // presorted input with nodeIncrementalSort.c; here the whole sort
+    // disappears.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (ot, lt) = operators.Bucketed.ensure(spark, Sf)
+      val joined = spark.table(lt).join(spark.table(ot),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = finalPlan(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"presorted buckets must not shuffle:\n$p")
+      assert(!p.contains("Sort "), s"presorted buckets must not re-sort (IncrementalSort analog):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("x01: ANALYZE stats + CBO reorder the bad-order join (ORCA CJoinOrderDPv2 analog)") {
     // red/green on the STATS axis: identical twin tables, identical query,
     // identical confs — the only difference is ANALYZE. The DP search

@@ -180,7 +180,14 @@ class QueriesSpec extends AnyFunSuite {
     "q91_array_agg_ordered" -> (1L, Seq("c_nationkey", "n", "names_by_balance")),
     "q92_interval_range_frame" -> (1021L, Seq("o_custkey", "o_orderkey", "o_orderdate", "rev_30d")),
     "q93_exclude_ties" -> (508L, Seq("o_orderkey", "o_orderstatus", "non_ties_total")),
-    "x04_join_elim" -> (5L, Seq("o_orderpriority", "n", "total"))
+    "x04_join_elim" -> (5L, Seq("o_orderpriority", "n", "total")),
+    "b02_presorted_merge_join" -> (3L, Seq("o_orderstatus", "n_orders", "n_items", "total_qty")),
+    "e08_retention_cohorts" -> (5L, Seq("cohort_week", "week_offset", "n_users")),
+    "f06_ts_stat" -> (25L, Seq("word", "ndoc", "nentry")),
+    "q95_distinct_on" -> (25L, Seq("c_nationkey", "c_custkey", "c_name", "acctbal")),
+    "q96_with_ordinality" -> (1139L, Seq("doc_id", "ord", "word")),
+    "t10_tfidf" -> (255L, Seq("doc_id", "term", "tf", "df", "rn", "tfidf")),
+    "t11_repetition" -> (500L, Seq("doc_id", "n_tokens", "top_token_share", "dup_token_ratio", "keep"))
   )
 
   test("every declared query has a snapshot and vice versa") {
