@@ -152,6 +152,24 @@ object OrderedSet {
     //    hash-compared columns are the exact value + the audit bit. The
     //    sketch is the 100 TB path: mergeable partial state, one pass,
     //    no per-group sort --
+    // -- percentile_cont(float8[]) WITHIN GROUP (orderedsetaggs.c
+    //    percentile_cont_float8_multi_final): the ARRAY-argument form
+    //    computes every requested quantile in ONE pass over the sorted
+    //    group — Spark's percentile(col, array(...)) is the same
+    //    single-state multi-final aggregate; q57 is the scalar form --
+    "q97_percentile_array" -> { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 6).as("p25"),
+          round(element_at(col("qs"), 2), 6).as("p50"),
+          round(element_at(col("qs"), 3), 6).as("p75"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "q87_approx_percentile" -> { (s, dir) =>
       Tables.register(s, dir)
       s.sql("""
@@ -167,6 +185,16 @@ object OrderedSet {
   )
 
   def oracle: Map[String, String] = Map(
+    "q97_percentile_array" -> """
+      SELECT l_returnflag,
+        round(qs[1], 6) AS p25, round(qs[2], 6) AS p50, round(qs[3], 6) AS p75, n
+      FROM (
+        SELECT l_returnflag,
+          quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs,
+          count(*) AS n
+        FROM lineitem GROUP BY l_returnflag) t
+      ORDER BY l_returnflag""",
+
     "q71_mdqa_rollup" -> """
       SELECT l_returnflag, l_linestatus,
         count(DISTINCT l_partkey) AS n_parts,

@@ -100,6 +100,43 @@ object PgCompat {
         .orderBy(col("doc_id"), col("ord"))
     },
 
+    // -- array algebra (arrayfuncs.c: array_position / array_remove /
+    //    array_cat / array ops are the reference's most-used non-scalar
+    //    functions). All per-row codegen'd HOFs; arrays leave the query
+    //    as joined strings so the driver's comparator can hash them --
+    "q98_array_ops" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .withColumn("arr", expr(
+          "array(o_orderkey % 7, o_orderkey % 5, o_orderkey % 3, 2L, o_orderkey % 7)"))
+        .select(
+          col("o_orderkey"),
+          expr("CAST(array_position(arr, 2L) AS BIGINT)").as("pos2"),
+          expr("array_join(filter(arr, x -> x != 2L), ',')").as("removed"),
+          expr("array_join(array_sort(array_distinct(arr)), ',')").as("sorted_distinct"),
+          expr("aggregate(arr, 0L, (a, x) -> a + x)").as("arr_sum"),
+          expr("array_join(concat(slice(arr, 1, 2), array(99L)), ',')").as("appended"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- AT TIME ZONE (timestamp.c timestamp_zone): instant → zone wall
+    //    time. Spark's from_utc_timestamp IS PG's `ts AT TIME ZONE z`
+    //    for a UTC-stored timestamp; both engines resolve the same IANA
+    //    rules, DST boundaries included --
+    "q99_at_time_zone" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .select(
+          col("o_orderkey"),
+          date_format(from_utc_timestamp(col("o_orderdate"), "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("ny_time"),
+          date_format(from_utc_timestamp(col("o_orderdate"), "Asia/Tokyo"),
+            "yyyy-MM-dd HH:mm:ss").as("tokyo_time"),
+          date_format(from_utc_timestamp(col("o_orderdate"), "Europe/Berlin"),
+            "yyyy-MM-dd HH:mm:ss").as("berlin_time"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // -- interval-bounded RANGE frame (nodeWindowAgg.c in_range support:
     //    the moving 30-day aggregate). SQL is shared verbatim with the
     //    oracle; peers on the same date aggregate identically by RANGE
@@ -363,6 +400,29 @@ object PgCompat {
         FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
               FROM documents WHERE doc_id <= 20) a) b
       ORDER BY doc_id, ord""",
+
+    "q98_array_ops" -> """
+      SELECT o_orderkey,
+        CAST(list_position(arr, 2) AS BIGINT) AS pos2,
+        coalesce(array_to_string(list_filter(arr, x -> x <> 2), ','), '') AS removed,
+        array_to_string(list_sort(list_distinct(arr)), ',') AS sorted_distinct,
+        CAST(list_aggregate(arr, 'sum') AS BIGINT) AS arr_sum,
+        array_to_string(list_concat(arr[1:2], [99]), ',') AS appended
+      FROM (
+        SELECT o_orderkey,
+          [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3, 2, o_orderkey % 7] AS arr
+        FROM orders WHERE o_orderkey <= 500) t
+      ORDER BY o_orderkey""",
+
+    "q99_at_time_zone" -> """
+      SELECT o_orderkey,
+        strftime(CAST(timezone('America/New_York', CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP),
+                 '%Y-%m-%d %H:%M:%S') AS ny_time,
+        strftime(CAST(timezone('Asia/Tokyo', CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP),
+                 '%Y-%m-%d %H:%M:%S') AS tokyo_time,
+        strftime(CAST(timezone('Europe/Berlin', CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP),
+                 '%Y-%m-%d %H:%M:%S') AS berlin_time
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
 
     "q92_interval_range_frame" -> intervalRangeSql,
 

@@ -187,7 +187,10 @@ class QueriesSpec extends AnyFunSuite {
     "q95_distinct_on" -> (25L, Seq("c_nationkey", "c_custkey", "c_name", "acctbal")),
     "q96_with_ordinality" -> (1139L, Seq("doc_id", "ord", "word")),
     "t10_tfidf" -> (255L, Seq("doc_id", "term", "tf", "df", "rn", "tfidf")),
-    "t11_repetition" -> (500L, Seq("doc_id", "n_tokens", "top_token_share", "dup_token_ratio", "keep"))
+    "t11_repetition" -> (500L, Seq("doc_id", "n_tokens", "top_token_share", "dup_token_ratio", "keep")),
+    "q97_percentile_array" -> (3L, Seq("l_returnflag", "p25", "p50", "p75", "n")),
+    "q98_array_ops" -> (501L, Seq("o_orderkey", "pos2", "removed", "sorted_distinct", "arr_sum", "appended")),
+    "q99_at_time_zone" -> (1001L, Seq("o_orderkey", "ny_time", "tokyo_time", "berlin_time"))
   )
 
   test("every declared query has a snapshot and vice versa") {
