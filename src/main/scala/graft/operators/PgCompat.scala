@@ -119,6 +119,31 @@ object PgCompat {
         .orderBy(col("o_orderkey"))
     },
 
+    // -- pg_trgm similarity (contrib/pg_trgm/trgm_op.c): PG pads each
+    //    lowercased word with two leading + one trailing space, extracts
+    //    character 3-grams, and scores |∩|/|∪| over the distinct gram
+    //    sets. Pairwise over the nation dimension (constant 25×25 frame;
+    //    at scale the same expression drives an LSH-bucketed fuzzy join
+    //    like d02's — this query is the scoring kernel) --
+    "q100_trgm_similarity" -> { (s, dir) =>
+      val trgm = (c: String) =>
+        s"""array_distinct(flatten(transform(
+              filter(split(lower($c), ' '), w -> w <> ''),
+              w -> transform(sequence(1, length(w) + 1),
+                             i -> substring(concat('  ', w, ' '), i, 3)))))"""
+      val n1 = Tables.df(s, dir, "nation").select(col("n_name").as("name_a"))
+      val n2 = Tables.df(s, dir, "nation").select(col("n_name").as("name_b"))
+      n1.crossJoin(broadcast(n2))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("ta", expr(trgm("name_a")))
+        .withColumn("tb", expr(trgm("name_b")))
+        .withColumn("sim", round(
+          expr("CAST(size(array_intersect(ta, tb)) AS DOUBLE) / size(array_union(ta, tb))"), 6))
+        .filter(col("sim") >= 0.1)
+        .select(col("name_a"), col("name_b"), col("sim"))
+        .orderBy(col("sim").desc, col("name_a"), col("name_b"))
+    },
+
     // -- AT TIME ZONE (timestamp.c timestamp_zone): instant → zone wall
     //    time. Spark's from_utc_timestamp IS PG's `ts AT TIME ZONE z`
     //    for a UTC-stored timestamp; both engines resolve the same IANA
@@ -413,6 +438,22 @@ object PgCompat {
           [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3, 2, o_orderkey % 7] AS arr
         FROM orders WHERE o_orderkey <= 500) t
       ORDER BY o_orderkey""",
+
+    "q100_trgm_similarity" -> """
+      WITH t AS (
+        SELECT n_name,
+          list_distinct(flatten(list_transform(
+            list_filter(string_split(lower(n_name), ' '), w -> w <> ''),
+            w -> list_transform(generate_series(1, length(w) + 1),
+                                i -> substring('  ' || w || ' ', CAST(i AS INT), 3))))) AS tg
+        FROM nation)
+      SELECT a.n_name AS name_a, b.n_name AS name_b,
+        round(CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.tg, b.tg))), 6) AS sim
+      FROM t a JOIN t b ON a.n_name < b.n_name
+      WHERE round(CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.tg, b.tg))), 6) >= 0.1
+      ORDER BY sim DESC, name_a, name_b""",
 
     "q99_at_time_zone" -> """
       SELECT o_orderkey,

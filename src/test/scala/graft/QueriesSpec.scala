@@ -190,7 +190,8 @@ class QueriesSpec extends AnyFunSuite {
     "t11_repetition" -> (500L, Seq("doc_id", "n_tokens", "top_token_share", "dup_token_ratio", "keep")),
     "q97_percentile_array" -> (3L, Seq("l_returnflag", "p25", "p50", "p75", "n")),
     "q98_array_ops" -> (501L, Seq("o_orderkey", "pos2", "removed", "sorted_distinct", "arr_sum", "appended")),
-    "q99_at_time_zone" -> (1001L, Seq("o_orderkey", "ny_time", "tokyo_time", "berlin_time"))
+    "q99_at_time_zone" -> (1001L, Seq("o_orderkey", "ny_time", "tokyo_time", "berlin_time")),
+    "q100_trgm_similarity" -> (300L, Seq("name_a", "name_b", "sim"))
   )
 
   test("every declared query has a snapshot and vice versa") {
