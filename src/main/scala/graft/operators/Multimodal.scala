@@ -55,6 +55,51 @@ object Multimodal {
     }.toDF("doc_id", "mime", "width", "height", "n_bytes", "byte_checksum", "first_byte")
   }
 
+  /** aHash over the payload: 48 blocks of 5 bytes, bit b set when
+    * 48·blocksum_b >= totalsum (the mean comparison in exact integer
+    * arithmetic, so the oracle agrees bit-for-bit). One linear scan,
+    * fully codegen'd. Exposed for ScaleSpec. */
+  private[graft] def phashDf(docs: DataFrame): DataFrame = docs
+    .filter(length(col("text")) >= 240)
+    .withColumn("bs", expr(
+      """transform(sequence(0, 47), b ->
+           aggregate(sequence(b * 5 + 1, b * 5 + 5), 0L,
+                     (a, i) -> a + ascii(substring(text, i, 1))))"""))
+    .withColumn("tot", expr("aggregate(bs, 0L, (a, x) -> a + x)"))
+    .select(col("doc_id"), expr(
+      """aggregate(sequence(0, 47), 0L, (acc, b) ->
+           acc + IF(bs[b] * 48 >= tot, shiftleft(1L, b), 0L))""").as("phash"))
+
+  /** Capped candidate pairs from 3×16-bit phash bands — the d05
+    * posting-list pattern: one shuffle on (band, band_key), pairs emit
+    * partition-locally from the sorted list, buckets over
+    * [[Dedup.BandBucketCap]] degrade to star pairs (k−1, never C(k,2)).
+    * Exposed so ScaleSpec can assert the hot-cluster bound. */
+  private[graft] def phashPairs(ph: DataFrame): DataFrame = {
+    val cap = Dedup.BandBucketCap
+    ph.select(col("doc_id"), col("phash"),
+        explode(expr(
+          """array(struct(0 AS band, phash % 65536 AS band_key),
+                   struct(1 AS band, (phash div 65536) % 65536 AS band_key),
+                   struct(2 AS band, (phash div 4294967296) % 65536 AS band_key))""")).as("bk"))
+      .select(col("doc_id"), col("phash"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        s"""CASE WHEN size(ds) <= $cap
+              THEN flatten(transform(sequence(1, size(ds) - 1), i ->
+                     transform(slice(ds, i + 1, size(ds) - i), d ->
+                       struct(ds[i-1].doc_id AS a_id, d.doc_id AS b_id,
+                              ds[i-1].phash AS a_ph, d.phash AS b_ph))))
+              ELSE transform(slice(ds, 2, size(ds) - 1), d ->
+                     struct(ds[0].doc_id AS a_id, d.doc_id AS b_id,
+                            ds[0].phash AS a_ph, d.phash AS b_ph))
+            END""")).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        expr("CAST(bit_count(p.a_ph ^ p.b_ph) AS BIGINT)").as("hamming"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- binary metadata extraction (SQL-expressible slice of the above) --
     "m01_binary_metadata" -> { (s, dir) =>
@@ -99,6 +144,23 @@ object Multimodal {
           length(col("resized")).cast("bigint").as("resized_len"),
           md5(col("resized")).as("resized_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- perceptual-hash near-dup: the image-dedup op of a multimodal
+    //    training pipeline. aHash over the decoded payload: 48 blocks of
+    //    5 bytes, bit b = (48·blocksum_b >= totalsum) — the mean
+    //    comparison done in exact integer arithmetic so both engines
+    //    agree bit-for-bit; 3×16-bit LSH bands; capped posting-list pair
+    //    emission (Dedup.BandBucketCap star degradation — never C(k,2)
+    //    on a hot bucket); bit_count Hamming verify ≤ 6. A real codec
+    //    swaps the byte blocks for pixel blocks; every plan shape
+    //    (linear hash, one band shuffle, partition-local pairs) holds
+    //    unchanged at 100 TB --
+    "m05_phash_neardup" -> { (s, dir) =>
+      phashPairs(phashDf(Tables.df(s, dir, "documents")))
+        .filter(col("hamming") <= 6)
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
     },
 
     // -- frame sampling: every k-th fixed-size frame of a binary payload --
@@ -160,6 +222,43 @@ object Multimodal {
             i -> substring(text, CAST(i + 1 AS INT), 1)), 'string_agg', '') AS r
         FROM documents WHERE len(text) >= 128) t
       ORDER BY doc_id""",
+
+    // phash formula mirrored exactly (integer block sums, 48·bs >= tot);
+    // occupancy cap mirrored from the posting-list emission: a bucket
+    // over the cap keeps only pairs whose smaller side is the bucket
+    // minimum (star degradation), same as d05's oracle
+    "m05_phash_neardup" -> s"""
+      WITH bs AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 47), b ->
+            list_sum(list_transform(generate_series(b * 5 + 1, b * 5 + 5),
+              i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)))) AS bs
+        FROM documents WHERE length(text) >= 240),
+      ph AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(generate_series(0, 47), b ->
+            CASE WHEN bs[CAST(b + 1 AS INT)] * 48 >= list_sum(bs)
+                 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS phash
+        FROM bs),
+      banded AS (
+        SELECT doc_id, phash, band,
+          CASE band WHEN 0 THEN phash % 65536
+                    WHEN 1 THEN (phash // 65536) % 65536
+                    ELSE (phash // 4294967296) % 65536 END AS band_key
+        FROM ph, (SELECT unnest([0, 1, 2]) AS band)),
+      bn AS (SELECT band, band_key, count(*) AS n, min(doc_id) AS hub
+             FROM banded GROUP BY band, band_key),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.phash AS a_ph, b.phash AS b_ph
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+        JOIN bn ON bn.band = a.band AND bn.band_key = a.band_key
+        WHERE bn.n <= ${Dedup.BandBucketCap} OR a.doc_id = bn.hub)
+      SELECT a_id, b_id, CAST(bit_count(xor(a_ph, b_ph)) AS BIGINT) AS hamming
+      FROM cands WHERE bit_count(xor(a_ph, b_ph)) <= 6
+      ORDER BY a_id, b_id""",
 
     // ASCII corpus: byte offsets == character offsets, so the oracle
     // slices the text directly (same md5 input bytes)

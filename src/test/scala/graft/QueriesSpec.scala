@@ -191,7 +191,8 @@ class QueriesSpec extends AnyFunSuite {
     "q97_percentile_array" -> (3L, Seq("l_returnflag", "p25", "p50", "p75", "n")),
     "q98_array_ops" -> (501L, Seq("o_orderkey", "pos2", "removed", "sorted_distinct", "arr_sum", "appended")),
     "q99_at_time_zone" -> (1001L, Seq("o_orderkey", "ny_time", "tokyo_time", "berlin_time")),
-    "q100_trgm_similarity" -> (300L, Seq("name_a", "name_b", "sim"))
+    "q100_trgm_similarity" -> (300L, Seq("name_a", "name_b", "sim")),
+    "m05_phash_neardup" -> (18L, Seq("a_id", "b_id", "hamming"))
   )
 
   test("every declared query has a snapshot and vice versa") {

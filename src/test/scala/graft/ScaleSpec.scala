@@ -67,6 +67,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(cands.filter(col("a_id") === 1L).count() == 999L)
   }
 
+  test("m05 phash pairs stay linear on a 1,000-copy identical-image cluster") {
+    import spark.implicits._
+    // 1,000 identical phashes (re-uploaded image spam — every band
+    // collides), a 10-doc bucket on the all-pairs branch, singletons.
+    val rows =
+      (1L to 1000L).map(i => (i, 0x123456789ABCL)) ++
+      (2001L to 2010L).map(i => (i, 0x555AAA555AAAL)) ++
+      (3001L to 3010L).map(i => (i, i * 0x100010001L)) // distinct in all 3 bands
+    val ph = rows.toDF("doc_id", "phash")
+    val pairs = operators.Multimodal.phashPairs(ph)
+    val n = pairs.count()
+    // star emission: hot cluster ≤ (k-1) per band (3 bands), mid bucket
+    // 3·C(10,2); NEVER 3·C(1000,2)
+    assert(n <= 3L * 999L + 3L * 45L, s"candidate blowup: $n pairs")
+    // recall survives: every hot member still pairs with the hub
+    assert(pairs.filter(col("a_id") === 1L).select("b_id").distinct().count() == 999L)
+  }
+
   test("d03 minhash band pairs stay linear on a 1,000-copy boilerplate cluster") {
     import spark.implicits._
     // 1,000 docs colliding in ALL 4 bands (identical minhash signatures —
