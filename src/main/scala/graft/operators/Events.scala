@@ -122,6 +122,30 @@ object Events {
     //    user-hour from a 2-column bounds aggregate (never from raw
     //    events); the fill is a single user-partitioned window — grid
     //    size is users × hours regardless of event volume --
+    // -- ordered windowed funnel (the N-step generalization of e04):
+    //    signup → click → purchase must occur in first-occurrence order,
+    //    with the whole path inside 14 days of the signup. ONE shuffle
+    //    (conditional min per user); the step logic is a pure projection
+    //    over the three firsts — no joins, no window sort --
+    "e09_windowed_funnel" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .filter(col("event_type").isin("signup", "click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("ts_s"),
+          min(when(col("event_type") === "click", col("ts"))).as("ts_c"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("ts_p"))
+        .select(expr("""
+          CASE WHEN ts_s IS NULL THEN 0
+               WHEN ts_c IS NULL OR ts_c <= ts_s THEN 1
+               WHEN ts_p IS NULL OR ts_p <= ts_c
+                    OR ts_p > ts_s + INTERVAL 14 DAYS THEN 2
+               ELSE 3 END""").cast("bigint").as("steps_completed"))
+        .groupBy(col("steps_completed"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("steps_completed"))
+    },
+
     // -- retention cohorts: signup-week × weeks-since matrix, the
     //    canonical product-analytics rollup. Spark-first: the per-user
     //    first event is an unordered-frame window min — ONE shuffle on
@@ -167,6 +191,24 @@ object Events {
 
   def oracle: Map[String, String] = Map(
     // same densify-and-fill, spelled with generate_series + IGNORE NULLS
+    "e09_windowed_funnel" -> """
+      SELECT steps_completed, count(*) AS n_users
+      FROM (
+        SELECT CAST(CASE WHEN ts_s IS NULL THEN 0
+                         WHEN ts_c IS NULL OR ts_c <= ts_s THEN 1
+                         WHEN ts_p IS NULL OR ts_p <= ts_c
+                              OR ts_p > ts_s + INTERVAL 14 DAY THEN 2
+                         ELSE 3 END AS BIGINT) AS steps_completed
+        FROM (
+          SELECT user_id,
+            min(CASE WHEN event_type = 'signup' THEN ts END) AS ts_s,
+            min(CASE WHEN event_type = 'click' THEN ts END) AS ts_c,
+            min(CASE WHEN event_type = 'purchase' THEN ts END) AS ts_p
+          FROM events
+          WHERE event_type IN ('signup', 'click', 'purchase')
+          GROUP BY user_id) f) g
+      GROUP BY steps_completed ORDER BY steps_completed""",
+
     "e08_retention_cohorts" -> """
       SELECT CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
         CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),

@@ -124,6 +124,21 @@ object FullText {
         .limit(25)
     },
 
+    // -- prefix tsquery ('merg:*' — tsquery.c's QI_VALSTOP prefix flag,
+    //    matched via the GIN prefix scan in the reference): per-row
+    //    prefix-filtered term frequency, saturating-tf rank like f01 --
+    "f07_fts_prefix" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("tf_prefix", expr("size(filter(toks, x -> x LIKE 'merg%'))"))
+        .filter(col("tf_prefix") > 0)
+        .withColumn("rank", round(expr(
+          "(CAST(tf_prefix AS DOUBLE) / (1.0 + tf_prefix)) / (1.0 + ln(size(toks)))"), 6))
+        .select(col("doc_id"), col("tf_prefix"), col("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+        .limit(30)
+    },
+
     "f02_fts_phrase" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
@@ -211,6 +226,19 @@ object FullText {
               FROM documents) t
         GROUP BY doc_id, word) d
       GROUP BY word ORDER BY ndoc DESC, nentry DESC, word LIMIT 25""",
+
+    "f07_fts_prefix" -> """
+      SELECT doc_id, tf_prefix,
+        round((CAST(tf_prefix AS DOUBLE) / (1.0 + tf_prefix)) / (1.0 + ln(n_toks)), 6) AS rank
+      FROM (
+        SELECT doc_id,
+          len(list_filter(toks, x -> x LIKE 'merg%')) AS tf_prefix,
+          len(toks) AS n_toks
+        FROM (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents) t) s
+      WHERE tf_prefix > 0
+      ORDER BY rank DESC, doc_id LIMIT 30""",
 
     "f02_fts_phrase" -> """
       WITH toked AS (

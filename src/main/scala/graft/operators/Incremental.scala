@@ -23,6 +23,19 @@ object Incremental {
       IvmMatview.finalizeState(state).orderBy(col("user_id"), col("event_type"))
     },
 
+    // -- algebraic IVM: variance components (n, Σc, Σc²) folded under
+    //    4 append deltas ≡ the one-shot batch — stddev_pop maintained
+    //    incrementally without ever touching raw history --
+    "i09_ivm_variance" -> { (s, dir) =>
+      import graft.streaming.AlgebraicIvm
+      val events = Tables.df(s, dir, "events")
+      val batches = (0 to 3).map(k => events.filter(col("event_id") % 4 === k))
+      val state = batches.tail.foldLeft(AlgebraicIvm.partialState(batches.head)) {
+        (st, delta) => AlgebraicIvm.applyDelta(st, AlgebraicIvm.partialState(delta))
+      }
+      AlgebraicIvm.finalizeState(state).orderBy(col("user_id"), col("event_type"))
+    },
+
     // -- dynamic table: scheduled refresh re-materializes the definition --
     "i02_dynamic_table" -> { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -190,6 +203,20 @@ object Incremental {
     })
 
   def oracle: Map[String, String] = Map(
+    "i09_ivm_variance" -> """
+      SELECT user_id, event_type, n,
+        round(CAST(s AS DOUBLE) / n / 100.0, 6) AS avg_value,
+        round(sqrt(greatest(
+          CAST(s2 AS DOUBLE) / n
+            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) / 100.0, 6)
+          AS stddev_value
+      FROM (
+        SELECT user_id, event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS s2
+        FROM (SELECT user_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS c FROM events) e
+        GROUP BY user_id, event_type) g
+      ORDER BY user_id, event_type""",
+
     "i06_merge_upsert" -> """
       WITH target AS (
         SELECT o_custkey, count(*) AS n_orders,

@@ -196,6 +196,32 @@ object TextOps {
         .orderBy(col("doc_id"), col("rn"))
     },
 
+    // -- suffix-stripping stemmer (Porter step-1-lite): the text
+    //    normalization pass search/dedup pipelines run before indexing.
+    //    Pure per-row transform lambda — identical CASE ladder in the
+    //    oracle, so stemmed output md5s match cross-engine --
+    "t12_stemming" -> { (s, dir) =>
+      val stem = """transform(toks, w ->
+          CASE WHEN w LIKE '%sses' THEN substring(w, 1, length(w) - 2)
+               WHEN w LIKE '%ies' AND length(w) > 4
+                 THEN concat(substring(w, 1, length(w) - 3), 'y')
+               WHEN w LIKE '%ss' THEN w
+               WHEN w LIKE '%s' AND length(w) > 3 THEN substring(w, 1, length(w) - 1)
+               WHEN w LIKE '%ing' AND length(w) > 5 THEN substring(w, 1, length(w) - 3)
+               WHEN w LIKE '%ed' AND length(w) > 4 THEN substring(w, 1, length(w) - 2)
+               ELSE w END)"""
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+        .withColumn("stemmed", expr(stem))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          expr("size(filter(zip_with(toks, stemmed, (a, b) -> a <> b), x -> x))")
+            .cast("bigint").as("n_stemmed"),
+          md5(concat_ws(" ", col("stemmed"))).as("stem_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- repetition signals (Gopher-style quality filters): top-token
     //    share and duplicate-token fraction, entirely per-row HOFs —
     //    no explode, no shuffle, linear scan at any scale --
@@ -333,6 +359,27 @@ object TextOps {
         WHERE t.doc_id <= 50)
       SELECT doc_id, term, tf, df, CAST(rn AS BIGINT) AS rn, tfidf
       FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""",
+
+    "t12_stemming" -> """
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(generate_series(1, len(toks)),
+          i -> toks[CAST(i AS INT)] <> stemmed[CAST(i AS INT)])) AS BIGINT) AS n_stemmed,
+        md5(array_to_string(stemmed, ' ')) AS stem_md5
+      FROM (
+        SELECT doc_id, toks,
+          list_transform(toks, w ->
+            CASE WHEN w LIKE '%sses' THEN substring(w, 1, length(w) - 2)
+                 WHEN w LIKE '%ies' AND length(w) > 4
+                   THEN concat(substring(w, 1, length(w) - 3), 'y')
+                 WHEN w LIKE '%ss' THEN w
+                 WHEN w LIKE '%s' AND length(w) > 3 THEN substring(w, 1, length(w) - 1)
+                 WHEN w LIKE '%ing' AND length(w) > 5 THEN substring(w, 1, length(w) - 3)
+                 WHEN w LIKE '%ed' AND length(w) > 4 THEN substring(w, 1, length(w) - 2)
+                 ELSE w END) AS stemmed
+        FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents) a) b
+      ORDER BY doc_id""",
 
     "t11_repetition" -> """
       SELECT doc_id,

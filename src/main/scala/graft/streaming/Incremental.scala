@@ -55,6 +55,48 @@ object IvmMatview {
       round(col("cents").cast("double") / 10000.0 / col("n"), 6).as("avg_value"))
 }
 
+/** Algebraic IVM — the variance/stddev extension of [[IvmMatview]]:
+  * aggregates whose partial state is a fixed vector of sums fold under
+  * deltas exactly like count/sum. State per group is (n, Σc, Σc²) with
+  * c the fixed-point value in cents; avg and population stddev are
+  * DERIVED at read time, so refreshes never compound rounding and the
+  * state merge still moves only |groups| rows (reference analog:
+  * `pg_aggregate.dat` sfunc/combinefunc splits for var_pop/stddev_pop).
+  * Σc² is carried as DECIMAL(38,0): 10^5-cent values square to 10^10 —
+  * a BIGINT sum would overflow near 10^9 rows, a 100 TB-real concern. */
+object AlgebraicIvm {
+
+  def partialState(delta: DataFrame): DataFrame =
+    delta.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"),
+        sum(expr("CAST(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))")).as("c2"))
+
+  def applyDelta(state: DataFrame, deltaPartial: DataFrame): DataFrame =
+    state.unionByName(deltaPartial)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("c")).as("c"), sum(col("c2")).as("c2"))
+
+  /** IVM_SUB: every component is a plain sum, so variance state retracts
+    * exactly (unlike min/max, which would force a recompute). */
+  def applyRetraction(state: DataFrame, deltaPartial: DataFrame): DataFrame =
+    state.unionByName(deltaPartial.select(col("user_id"), col("event_type"),
+        (-col("n")).as("n"), (-col("c")).as("c"), (-col("c2")).as("c2")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("c")).as("c"), sum(col("c2")).as("c2"))
+      .filter(col("n") > 0)
+
+  /** Read-time: avg and population stddev from the component sums. */
+  def finalizeState(state: DataFrame): DataFrame =
+    state.select(col("user_id"), col("event_type"), col("n"),
+      round(col("c").cast("double") / col("n") / 100.0, 6).as("avg_value"),
+      round(
+        sqrt(greatest(
+          col("c2").cast("double") / col("n") -
+            (col("c").cast("double") / col("n")) * (col("c").cast("double") / col("n")),
+          lit(0.0))) / 100.0, 6).as("stddev_value"))
+}
+
 /** Join-IVM — incremental maintenance of a TWO-TABLE JOIN matview, the
   * next semantic step past [[IvmMatview]]'s aggregate-over-append (the
   * most-used IVM form in practice; reference `matview.c:96-151`

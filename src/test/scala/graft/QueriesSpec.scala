@@ -192,7 +192,11 @@ class QueriesSpec extends AnyFunSuite {
     "q98_array_ops" -> (501L, Seq("o_orderkey", "pos2", "removed", "sorted_distinct", "arr_sum", "appended")),
     "q99_at_time_zone" -> (1001L, Seq("o_orderkey", "ny_time", "tokyo_time", "berlin_time")),
     "q100_trgm_similarity" -> (300L, Seq("name_a", "name_b", "sim")),
-    "m05_phash_neardup" -> (18L, Seq("a_id", "b_id", "hamming"))
+    "m05_phash_neardup" -> (18L, Seq("a_id", "b_id", "hamming")),
+    "e09_windowed_funnel" -> (3L, Seq("steps_completed", "n_users")),
+    "f07_fts_prefix" -> (30L, Seq("doc_id", "tf_prefix", "rank")),
+    "i09_ivm_variance" -> (75L, Seq("user_id", "event_type", "n", "avg_value", "stddev_value")),
+    "t12_stemming" -> (500L, Seq("doc_id", "n_tokens", "n_stemmed", "stem_md5"))
   )
 
   test("every declared query has a snapshot and vice versa") {

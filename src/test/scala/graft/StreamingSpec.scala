@@ -219,6 +219,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b, "IVM_SUB followed by IVM_ADD of the same delta must restore the state")
   }
 
+  test("algebraic IVM: variance state folds ≡ one-shot, and retraction inverts the add") {
+    import graft.streaming.AlgebraicIvm._
+    val events = Tables.df(spark, Sf, "events")
+    val oneShot = partialState(events)
+    val batches = (0 to 2).map(k => events.filter(col("event_id") % 3 === k))
+    val folded = batches.tail.foldLeft(partialState(batches.head)) {
+      (st, d) => applyDelta(st, partialState(d))
+    }
+    assert(oneShot.exceptAll(folded).isEmpty && folded.exceptAll(oneShot).isEmpty,
+      "3-batch fold of (n, Σc, Σc²) must equal the one-shot state")
+    val delta = partialState(events.filter(col("event_id") % 5 === 0))
+    val roundTrip = applyDelta(applyRetraction(oneShot, delta), delta)
+    val a = oneShot.collect().map(_.toSeq).toSet
+    val b = roundTrip.collect().map(_.toSeq).toSet
+    assert(a == b, "variance-state SUB then ADD of the same delta must restore the state")
+  }
+
   test("IVM state merge is associative: 2-batch and 4-batch folds agree") {
     import graft.streaming.IvmMatview._
     val events = Tables.df(spark, Sf, "events")
