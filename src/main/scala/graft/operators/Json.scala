@@ -105,13 +105,16 @@ object Json {
         .groupBy(col("o_custkey"))
         .agg(concat(lit("<orders>"), concat_ws("", collect_list(col("frag"))),
           lit("</orders>")).as("doc"))
+      // ONE parse per document (from_xml shreds the repeated element into
+      // an array of typed structs, attributes as _-prefixed fields) —
+      // replaces the previous 3× xpath evaluation, which re-parsed the
+      // DOM once per extracted column and was the bench's slowest query
       docs
-        .select(explode(arrays_zip(
-          expr("xpath(doc, '/orders/order/@id')").as("id"),
-          expr("xpath(doc, '/orders/order/prio/text()')").as("prio"),
-          expr("xpath(doc, '/orders/order/cents/text()')").as("cents"))).as("r"))
-        .select(col("r.id").cast("bigint").as("o_orderkey"),
-          col("r.prio").as("prio"), col("r.cents").cast("bigint").as("cents"))
+        .select(from_xml(col("doc"),
+          lit("order ARRAY<STRUCT<_id: BIGINT, prio: STRING, cents: BIGINT>>")).as("x"))
+        .select(explode(col("x.order")).as("r"))
+        .select(col("r._id").as("o_orderkey"),
+          col("r.prio").as("prio"), col("r.cents").as("cents"))
         .groupBy(col("prio"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_orderkey")).cast("bigint").as("key_checksum"),
