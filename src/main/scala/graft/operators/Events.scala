@@ -147,21 +147,24 @@ object Events {
     },
 
     // -- retention cohorts: signup-week × weeks-since matrix, the
-    //    canonical product-analytics rollup. Spark-first: the per-user
-    //    first event is an unordered-frame window min — ONE shuffle on
-    //    user_id, no self-join, no sort (min over the whole partition
-    //    needs no ordering); the cohort rollup's distinct-user count
-    //    rides the same partitioning --
+    //    canonical product-analytics rollup. Spark-first: ONE hash
+    //    aggregate per user collapses the raw stream to (first_ts,
+    //    distinct active weeks) — map-side combined, no window sort, no
+    //    self-join — and because each user then contributes each week
+    //    exactly once, the cohort rollup is a plain count, not a
+    //    DISTINCT aggregate (no Expand, no second dedup shuffle). At
+    //    100 TB the shuffle carries |users|·|weeks-per-user| rows, the
+    //    minimum possible for this matrix --
     "e08_retention_cohorts" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       Tables.df(s, dir, "events")
-        .withColumn("first_ts", min(col("ts")).over(Window.partitionBy(col("user_id"))))
+        .withColumn("wk", date_trunc("week", col("ts")).cast("date"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), collect_set(col("wk")).as("weeks"))
         .withColumn("cohort_week", date_trunc("week", col("first_ts")).cast("date"))
-        .withColumn("week_offset",
-          (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort_week")) / 7)
-            .cast("bigint"))
-        .groupBy(col("cohort_week"), col("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort_week"), explode(col("weeks")).as("wk"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("bigint").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
     },
 
