@@ -87,6 +87,42 @@ object Extras {
         .orderBy(col("l_returnflag"))
     },
 
+    // -- count-min sketch (the frequency cousin of q61's HLL; reference
+    //    ships the sketch family via contrib — madlib/datasketches-style
+    //    CountMin). d=4 hash rows × w=256 counters with the same
+    //    deterministic universal hashes as d03's minhash, so the oracle
+    //    reproduces the sketch bit-for-bit. The counter build aggregates
+    //    the (already tiny) word-count table; the probe joins the
+    //    broadcast top-k words against the 1,024-cell sketch and takes
+    //    min over rows. Asserts the CMS one-sided guarantee
+    //    (estimate >= exact) in-row --
+    "q101_count_min" -> { (s, dir) =>
+      val wc = Tables.df(s, dir, "documents")
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .withColumn("fp", expr(
+          """aggregate(filter(split(word, ''), c -> c <> ''),
+                       0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""))
+        .localCheckpoint() // spool: counters + top-k probe both read it
+      val cells = wc
+        .select(col("n"), explode(expr(
+          """transform(sequence(0, 3), d ->
+               struct(d AS d, ((1000003 * d + 12345) * fp + 7919 * d + 271) % 1000000007 % 256 AS bucket))""")).as("h"))
+        .groupBy(col("h.d").as("d"), col("h.bucket").as("bucket"))
+        .agg(sum(col("n")).as("cnt"))
+      val top = wc.orderBy(col("n").desc, col("word")).limit(20)
+        .select(col("word"), col("n").as("n_exact"), explode(expr(
+          """transform(sequence(0, 3), d ->
+               struct(d AS d, ((1000003 * d + 12345) * fp + 7919 * d + 271) % 1000000007 % 256 AS bucket))""")).as("h"))
+        .select(col("word"), col("n_exact"), col("h.d").as("d"), col("h.bucket").as("bucket"))
+      cells.join(broadcast(top), Seq("d", "bucket"))
+        .groupBy(col("word"), col("n_exact"))
+        .agg(min(col("cnt")).as("n_est"))
+        .select(col("word"), col("n_exact"), col("n_est"),
+          (col("n_est") >= col("n_exact")).cast("int").as("one_sided_ok"))
+        .orderBy(col("n_exact").desc, col("word"))
+    },
+
     // -- TABLESAMPLE BERNOULLI (nodeSamplescan.c). Sampling is engine-
     //    specific randomness, so no cross-engine oracle: the driver takes
     //    the rows-only check and ScalaTest bounds the fraction. --
@@ -231,6 +267,33 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "q101_count_min" -> """
+      WITH wc AS (
+        SELECT word, count(*) AS n,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(word)),
+              i -> CAST(ascii(substring(word, CAST(i AS INT), 1)) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+              FROM documents) t
+        GROUP BY word),
+      ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+      cells AS (
+        SELECT ds.d AS d,
+          ((1000003 * ds.d + 12345) * wc.fp + 7919 * ds.d + 271) % 1000000007 % 256 AS bucket,
+          sum(wc.n) AS cnt
+        FROM wc CROSS JOIN ds GROUP BY 1, 2),
+      top AS (SELECT word, n AS n_exact, fp FROM wc ORDER BY n DESC, word LIMIT 20),
+      probe AS (
+        SELECT t.word, t.n_exact, ds.d AS d,
+          ((1000003 * ds.d + 12345) * t.fp + 7919 * ds.d + 271) % 1000000007 % 256 AS bucket
+        FROM top t CROSS JOIN ds)
+      SELECT p.word, p.n_exact, CAST(min(c.cnt) AS BIGINT) AS n_est,
+        CAST(CASE WHEN min(c.cnt) >= p.n_exact THEN 1 ELSE 0 END AS INTEGER) AS one_sided_ok
+      FROM probe p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+      GROUP BY p.word, p.n_exact
+      ORDER BY n_exact DESC, word""",
+
     "q90_stratified_sample" -> stratifiedSql,
     "q73_interval_arith" -> """
       SELECT o_orderkey,

@@ -196,7 +196,8 @@ class QueriesSpec extends AnyFunSuite {
     "e09_windowed_funnel" -> (3L, Seq("steps_completed", "n_users")),
     "f07_fts_prefix" -> (30L, Seq("doc_id", "tf_prefix", "rank")),
     "i09_ivm_variance" -> (75L, Seq("user_id", "event_type", "n", "avg_value", "stddev_value")),
-    "t12_stemming" -> (500L, Seq("doc_id", "n_tokens", "n_stemmed", "stem_md5"))
+    "t12_stemming" -> (500L, Seq("doc_id", "n_tokens", "n_stemmed", "stem_md5")),
+    "q101_count_min" -> (20L, Seq("word", "n_exact", "n_est", "one_sided_ok"))
   )
 
   test("every declared query has a snapshot and vice versa") {
