@@ -32,6 +32,23 @@ object Analytics {
         .orderBy(col("c_mktsegment"), col("rn"))
     },
 
+    // -- distribution ranks (nodeWindowAgg.c WINDOW_PERCENT_RANK /
+    //    CUME_DIST / NTILE — completes the ranking family next to q30's
+    //    row_number/rank/dense_rank). percent_rank and cume_dist are
+    //    rank-based so they tolerate peer ties; ntile rides the fully
+    //    deterministic (acctbal, custkey) order --
+    "q102_dist_ranks" -> { (s, dir) =>
+      val wTies = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+      val wUniq = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(percent_rank().over(wTies), 6).as("pct_rank"),
+          round(cume_dist().over(wTies), 6).as("cume"),
+          ntile(4).over(wUniq).cast("bigint").as("quartile"))
+        .orderBy(col("c_mktsegment"), col("pct_rank"), col("c_custkey"))
+    },
+
     // -- running sum, ROWS frame --
     "q31_running_spend" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -399,6 +416,14 @@ object Analytics {
             AND l3.l_returnflag = 'R')
       GROUP BY s_name
       ORDER BY numwait DESC, s_name""",
+
+    "q102_dist_ranks" -> """
+      SELECT c_custkey, c_mktsegment,
+        round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS pct_rank,
+        round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC), 6) AS cume,
+        CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+      FROM customer
+      ORDER BY c_mktsegment, pct_rank, c_custkey""",
 
     "q30_window_rank" -> """
       SELECT * FROM (

@@ -103,6 +103,29 @@ object Ingest {
         .orderBy(col("tag"))
     },
 
+    // -- CSV quoting/escaping torture roundtrip (copy.c CSV mode:
+    //    QUOTE/ESCAPE handling): payloads embedding the delimiter, the
+    //    quote char, newlines, and backslashes go through a REAL file
+    //    (quoteAll write → multiLine read) and must come back
+    //    byte-identical. The oracle builds the same payloads and asserts
+    //    roundtrip_ok = 1, so any quoting bug hash-mismatches --
+    "c07_csv_quoting" -> { (s, _) =>
+      val out = "target/derived/csv_quoting"
+      val src = s.range(1L, 201L).select(col("id"),
+        concat(lit("x,\"y\"\nz\\"), col("id").cast("string"), lit("\tend")).as("payload"))
+      src.write.mode("overwrite")
+        .option("quoteAll", "true").option("escape", "\"")
+        .csv(out)
+      val back = s.read
+        .option("multiLine", "true").option("escape", "\"")
+        .schema("id BIGINT, payload STRING").csv(out)
+        .select(col("id"), col("payload").as("payload_back"))
+      src.join(back, Seq("id"))
+        .select(col("id"), md5(col("payload")).as("payload_md5"),
+          (md5(col("payload")) === md5(col("payload_back"))).cast("int").as("roundtrip_ok"))
+        .orderBy(col("id"))
+    },
+
     "c01_csv_sreh" -> { (s, dir) =>
       val lines = Tables.df(s, dir, "documents")
         .select(col("doc_id"),
@@ -161,6 +184,13 @@ object Ingest {
 
 
   def oracle: Map[String, String] = Map(
+    "c07_csv_quoting" -> """
+      SELECT i AS id,
+        md5('x,"y"' || chr(10) || 'z\' || CAST(i AS VARCHAR) || chr(9) || 'end') AS payload_md5,
+        CAST(1 AS INTEGER) AS roundtrip_ok
+      FROM (SELECT unnest(generate_series(1, 200)) AS i) t
+      ORDER BY id""",
+
     "c03_series_source" -> """
       SELECT i % 10 AS bucket, count(*) AS n,
              CAST(sum(i * i) AS BIGINT) AS sum_sq

@@ -197,7 +197,9 @@ class QueriesSpec extends AnyFunSuite {
     "f07_fts_prefix" -> (30L, Seq("doc_id", "tf_prefix", "rank")),
     "i09_ivm_variance" -> (75L, Seq("user_id", "event_type", "n", "avg_value", "stddev_value")),
     "t12_stemming" -> (500L, Seq("doc_id", "n_tokens", "n_stemmed", "stem_md5")),
-    "q101_count_min" -> (20L, Seq("word", "n_exact", "n_est", "one_sided_ok"))
+    "q101_count_min" -> (20L, Seq("word", "n_exact", "n_est", "one_sided_ok")),
+    "q102_dist_ranks" -> (150L, Seq("c_custkey", "c_mktsegment", "pct_rank", "cume", "quartile")),
+    "c07_csv_quoting" -> (200L, Seq("id", "payload_md5", "roundtrip_ok"))
   )
 
   test("every declared query has a snapshot and vice versa") {
