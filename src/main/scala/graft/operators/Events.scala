@@ -122,6 +122,26 @@ object Events {
     //    user-hour from a 2-column bounds aggregate (never from raw
     //    events); the fill is a single user-partitioned window — grid
     //    size is users × hours regardless of event volume --
+    // -- OHLC bars (min_by/max_by ≙ PG's first/last ordered-set pair):
+    //    open/close are arg-min/arg-max over a composite (ts, event_id)
+    //    key packed into a fixed-width string so ties break identically
+    //    on both engines; ONE hash aggregate, no window sort --
+    "e10_ohlc_bars" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .withColumn("k", concat(
+          lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 12, "0")))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(
+          round(min_by(col("value"), col("k")), 4).as("open"),
+          round(max(col("value")), 4).as("high"),
+          round(min(col("value")), 4).as("low"),
+          round(max_by(col("value"), col("k")), 4).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+
     // -- ordered windowed funnel (the N-step generalization of e04):
     //    signup → click → purchase must occur in first-occurrence order,
     //    with the whole path inside 14 days of the signup. ONE shuffle
@@ -194,6 +214,20 @@ object Events {
 
   def oracle: Map[String, String] = Map(
     // same densify-and-fill, spelled with generate_series + IGNORE NULLS
+    "e10_ohlc_bars" -> """
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+        round(arg_min(value, k), 4) AS open,
+        round(max(value), 4) AS high,
+        round(min(value), 4) AS low,
+        round(arg_max(value, k), 4) AS close,
+        count(*) AS n
+      FROM (
+        SELECT event_type, ts, value,
+          lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+            || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events) t
+      GROUP BY 1, 2 ORDER BY event_type, hour""",
+
     "e09_windowed_funnel" -> """
       SELECT steps_completed, count(*) AS n_users
       FROM (

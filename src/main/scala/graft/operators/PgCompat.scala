@@ -119,6 +119,19 @@ object PgCompat {
         .orderBy(col("o_orderkey"))
     },
 
+    // -- regexp_split_to_table (regexp.c SRF family): regex-delimited
+    //    split shredded to rows with ordinality — the Generate carries
+    //    the position, no join or window to recover element order --
+    "q103_regexp_split" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .filter(col("doc_id") <= 20)
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(text, '[ .,!?;:]+'), x -> x <> '')"))
+            .as(Seq("pos", "piece")))
+        .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("ord"), col("piece"))
+        .orderBy(col("doc_id"), col("ord"))
+    },
+
     // -- pg_trgm similarity (contrib/pg_trgm/trgm_op.c): PG pads each
     //    lowercased word with two leading + one trailing space, extracts
     //    character 3-grams, and scores |∩|/|∪| over the distinct gram
@@ -438,6 +451,15 @@ object PgCompat {
           [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3, 2, o_orderkey % 7] AS arr
         FROM orders WHERE o_orderkey <= 500) t
       ORDER BY o_orderkey""",
+
+    "q103_regexp_split" -> """
+      SELECT doc_id, CAST(ord AS BIGINT) AS ord, pieces[ord] AS piece
+      FROM (
+        SELECT doc_id, pieces, unnest(generate_series(1, len(pieces))) AS ord
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(text, '[ .,!?;:]+'), x -> x <> '') AS pieces
+              FROM documents WHERE doc_id <= 20) a) b
+      ORDER BY doc_id, ord""",
 
     "q100_trgm_similarity" -> """
       WITH t AS (

@@ -199,7 +199,9 @@ class QueriesSpec extends AnyFunSuite {
     "t12_stemming" -> (500L, Seq("doc_id", "n_tokens", "n_stemmed", "stem_md5")),
     "q101_count_min" -> (20L, Seq("word", "n_exact", "n_est", "one_sided_ok")),
     "q102_dist_ranks" -> (150L, Seq("c_custkey", "c_mktsegment", "pct_rank", "cume", "quartile")),
-    "c07_csv_quoting" -> (200L, Seq("id", "payload_md5", "roundtrip_ok"))
+    "c07_csv_quoting" -> (200L, Seq("id", "payload_md5", "roundtrip_ok")),
+    "e10_ohlc_bars" -> (868L, Seq("event_type", "hour", "open", "high", "low", "close", "n")),
+    "q103_regexp_split" -> (1139L, Seq("doc_id", "ord", "piece"))
   )
 
   test("every declared query has a snapshot and vice versa") {
