@@ -386,6 +386,40 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("e08: cohort rollup has no Expand and no Window (plain counts, not DQA)") {
+    val p = plan("e08_retention_cohorts")
+    assert(!p.contains("Expand"), s"DISTINCT-aggregate Expand crept back into e08:\n$p")
+    assert(!p.contains("Window"), s"window sort crept back into e08:\n$p")
+  }
+
+  test("q95: DISTINCT ON runs as a hash aggregate, not a window") {
+    val p = plan("q95_distinct_on")
+    assert(!p.contains("Window"), s"DISTINCT ON must not sort partitions:\n$p")
+    assert(p.contains("partial_max") || p.contains("max("),
+      s"expected max(struct) aggregate in:\n$p")
+  }
+
+  test("t10: the per-doc TF slice broadcasts into the corpus-wide DF join") {
+    val p = plan("t10_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"TF slice must broadcast:\n$p")
+  }
+
+  test("e10: OHLC bars aggregate in one hash shuffle (no window, partial/final split)") {
+    val p = plan("e10_ohlc_bars").split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), s"OHLC must not use a window sort:\n$p")
+    assert(p.contains("partial_"), s"expected map-side combine in:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 hash shuffle, got $shuffles:\n$p")
+  }
+
+  test("m05: phash pipeline shuffles only on the band key (one hash exchange)") {
+    val p = plan("m05_phash_neardup").split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    // one groupBy(band, band_key) + the pair distinct = 2 hash exchanges max
+    assert(shuffles <= 2, s"phash pipeline grew extra shuffles ($shuffles):\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"), s"no all-pairs join allowed:\n$p")
+  }
+
   test("b02: sorted buckets elide the merge-join sort — no Sort node (IncrementalSort)") {
     // one file per bucket (Bucketed.ensure repartitions on the bucket
     // key) → FileSourceScanExec reports outputOrdering on the sort key →
