@@ -119,6 +119,25 @@ object PgCompat {
         .orderBy(col("o_orderkey"))
     },
 
+    // -- SIMILAR TO (regexp.c similar_to_escape → anchored POSIX regex)
+    //    and ILIKE: the SQL-regex dialect translated by PgSimilarTo,
+    //    matched by Spark's codegen'd RLike; the oracle runs DuckDB's
+    //    native SIMILAR TO on the untranslated pattern, so the
+    //    translation itself is what's being verified --
+    "q104_similar_to" -> { (s, dir) =>
+      import graft.functions.PgSimilarTo.toRegex
+      val cust = Tables.df(s, dir, "customer")
+      val ords = Tables.df(s, dir, "orders")
+      def row(pat: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(pat).as("pat"), col("n"))
+      row("name_class", cust.filter(col("c_name").rlike(toRegex("Customer#0000000[0-4]%"))))
+        .unionByName(row("name_wild", cust.filter(col("c_name").rlike(toRegex("Customer#%00_")))))
+        .unionByName(row("name_ilike", cust.filter(expr("c_name ilike 'customer#%1'"))))
+        .unionByName(row("prio_alt", ords.filter(col("o_orderpriority").rlike(toRegex("(1|2)-%")))))
+        .unionByName(row("prio_suffix", ords.filter(col("o_orderpriority").rlike(toRegex("%URGENT")))))
+        .orderBy(col("pat"))
+    },
+
     // -- regexp_split_to_table (regexp.c SRF family): regex-delimited
     //    split shredded to rows with ordinality — the Generate carries
     //    the position, no join or window to recover element order --
@@ -451,6 +470,25 @@ object PgCompat {
           [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3, 2, o_orderkey % 7] AS arr
         FROM orders WHERE o_orderkey <= 500) t
       ORDER BY o_orderkey""",
+
+    // DuckDB's SIMILAR TO is a bare full-regex match (no %/_ wildcard
+    // dialect), so the oracle hand-derives each pattern with LIKE /
+    // substring algebra — an INDEPENDENT formulation of the same
+    // semantics, which is what makes it a real check of the translator
+    "q104_similar_to" -> """
+      SELECT * FROM (
+        SELECT 'name_class' AS pat, count(*) AS n FROM customer
+          WHERE c_name LIKE 'Customer#0000000%'
+            AND substring(c_name, 17, 1) BETWEEN '0' AND '4'
+        UNION ALL SELECT 'name_wild', count(*) FROM customer
+          WHERE c_name LIKE 'Customer#%00_'
+        UNION ALL SELECT 'name_ilike', count(*) FROM customer
+          WHERE c_name ILIKE 'customer#%1'
+        UNION ALL SELECT 'prio_alt', count(*) FROM orders
+          WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+        UNION ALL SELECT 'prio_suffix', count(*) FROM orders
+          WHERE o_orderpriority LIKE '%URGENT') t
+      ORDER BY pat""",
 
     "q103_regexp_split" -> """
       SELECT doc_id, CAST(ord AS BIGINT) AS ord, pieces[ord] AS piece

@@ -9,6 +9,18 @@ import graft.functions.{PgToChar, PgToCharTs}
 class FunctionsSpec extends AnyFunSuite {
   import SparkSuite._
 
+  test("PgSimilarTo: SQL-regex dialect translation (similar_to_escape cases)") {
+    import graft.functions.PgSimilarTo.toRegex
+    assert(toRegex("abc%") == "^abc.*$")
+    assert(toRegex("a_c") == "^a.c$")
+    assert(toRegex("a.b") == "^a\\.b$")          // dot is LITERAL in SQL regex
+    assert(toRegex("(1|2)-%") == "^(1|2)-.*$")   // alternation passes through
+    assert("100%".matches(toRegex("100\\%")))     // escaped wildcard is literal
+    assert(!"100x".matches(toRegex("100\\%")))
+    assert("3.14".matches(toRegex("3.1_")))       // literal dot actually matches a dot
+    assert(!"3x14".matches(toRegex("3.1_")))
+  }
+
   test("PgToChar numeric templates (formatting.c cases)") {
     assert(PgToChar.format(1234.5, "0000000000.00") == " 0000001234.50")
     assert(PgToChar.format(1234.5, "FM9999999990.00") == "1234.50")

@@ -201,7 +201,8 @@ class QueriesSpec extends AnyFunSuite {
     "q102_dist_ranks" -> (150L, Seq("c_custkey", "c_mktsegment", "pct_rank", "cume", "quartile")),
     "c07_csv_quoting" -> (200L, Seq("id", "payload_md5", "roundtrip_ok")),
     "e10_ohlc_bars" -> (868L, Seq("event_type", "hour", "open", "high", "low", "close", "n")),
-    "q103_regexp_split" -> (1139L, Seq("doc_id", "ord", "piece"))
+    "q103_regexp_split" -> (1139L, Seq("doc_id", "ord", "piece")),
+    "q104_similar_to" -> (5L, Seq("pat", "n"))
   )
 
   test("every declared query has a snapshot and vice versa") {
