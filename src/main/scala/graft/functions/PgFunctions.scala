@@ -52,7 +52,10 @@ object PgFunctions {
     "pg_to_number" -> { args =>
       PgToNumber(Cast(args(0), org.apache.spark.sql.types.StringType), args(1)) },
     "string_to_array" -> stringToArray,
-    "generate_series" -> generateSeries
+    "generate_series" -> generateSeries,
+    "vec_dot" -> { args => VecDot(args(0), args(1)) },
+    "vec_l2sq" -> { args => VecL2Sq(args(0), args(1)) },
+    "vec_doti" -> { args => VecDotInt(args(0), args(1)) }
   )
 
   /** Idempotent per-session registration. */

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Dot product over `array<float>` embeddings, accumulated in double
+  * left-to-right — the similarity kernel (norms are `sqrt(vec_dot(x,x))`,
+  * cosine composes from three dots, all in the SAME accumulation order
+  * as the previous `aggregate(zip_with(...))` formulation, so the DuckDB
+  * oracle still reproduces results bit-for-bit before rounding).
+  *
+  * Why a native expression: Spark's higher-order functions
+  * (aggregate/zip_with) are CodegenFallback — every element bounces
+  * through an interpreted lambda with boxing. This is one static call
+  * inside whole-stage codegen with a primitive float loop: the brute
+  * force s01/s06 scans are exactly the kind of 100 TB hot path where a
+  * per-element interpreted lambda is the bottleneck. (Reference analog:
+  * vector ops ship as C kernels, not per-element SQL — the same split.)
+  */
+case class VecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** acc += a[i]*b[i] in doubles, left to right — identical order and
+    * precision to `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)`. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Σ (a[i]-b[i])² in doubles, left to right — the IVF assignment
+    * distance, same order as the zip_with formulation. */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Integer dot over int8-quantized vectors (array<int>), accumulated
+    * in long — s06's quantized kernel. */
+  def doti(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getInt(i).toLong * b.getInt(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Σ (a[i]-b[i])² over `array<float>` — see [[VecDot]] for rationale. */
+case class VecL2Sq(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecDot.l2sq(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.l2sq($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Integer dot over `array<int>` (int8-quantized) — see [[VecDot]]. */
+case class VecDotInt(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_doti"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecDot.doti(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.doti($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotInt =
+    copy(left = newLeft, right = newRight)
+}

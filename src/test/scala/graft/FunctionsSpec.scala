@@ -110,7 +110,8 @@ class FunctionsSpec extends AnyFunSuite {
     val e = graft.functions.PgFunctions
     assert(e.builders.map(_._1).toSet ==
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
-        "string_to_array", "generate_series"))
+        "string_to_array", "generate_series",
+        "vec_dot", "vec_l2sq", "vec_doti"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
