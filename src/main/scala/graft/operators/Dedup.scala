@@ -43,18 +43,15 @@ object Dedup {
          THEN transform(sequence(3, size(toks)), i -> concat(toks[i-3], ' ', toks[i-2], ' ', toks[i-1]))
          ELSE array(text) END"""
 
-  /** Polynomial hash of a string mod 1e9+7 — same formula as the oracle. */
-  private def polyHash(colName: String): String =
-    s"""aggregate(
-          filter(split($colName, ''), c -> c <> ''),
-          0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""
+  /** Polynomial hash of a string mod 1e9+7 — same formula as the oracle,
+    * run as the native codegen kernel (graft.functions.StrHash): one
+    * primitive loop per string instead of an interpreted HOF lambda per
+    * character — the dominant cost of the n-gram pipelines at scale. */
+  private def polyHash(colName: String): String = s"str_hash31($colName)"
 
   /** Independently-seeded second polynomial hash — supplies simhash bits
     * 24..47 when the width is raised past one hash's unbiased range. */
-  private def polyHash2(colName: String): String =
-    s"""aggregate(
-          filter(split($colName, ''), c -> c <> ''),
-          7L, (acc, c) -> (acc * 131 + ascii(c)) % 1000000007)"""
+  private def polyHash2(colName: String): String = s"str_hash131($colName)"
 
   /** doc_id → `bits`-bit simhash + its two (bits/2)-bit bands (shared by
     * d04/d05). Default 24 bits / 12-bit bands = 4096 buckets per band; at
@@ -66,6 +63,7 @@ object Dedup {
     * Per-token hashes vote on each bit; bands are the halves. */
   private[graft] def simhashDf(s: SparkSession, dir: String, bits: Int = 24): DataFrame = {
     require(bits % 2 == 0 && bits >= 2 && bits <= 48, s"unsupported simhash width $bits")
+    graft.functions.PgFunctions.register(s)
     // per-bit vote sums fold in ONE aggregation pass (`bits` sum()
     // columns over the token rows) instead of exploding tokens ×bits —
     // the map-side partial sums collapse each partition to |docs| rows.
@@ -91,12 +89,14 @@ object Dedup {
 
   /** doc_id → distinct shingle fingerprints (the shared front half of the
     * jaccard and minhash pipelines). */
-  private def shingleFps(s: SparkSession, dir: String): DataFrame =
+  private def shingleFps(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.PgFunctions.register(s)
     Tables.df(s, dir, "documents")
       .withColumn("toks", expr(toks))
       .select(col("doc_id"), explode(expr(shingles)).as("shingle"))
       .select(col("doc_id"), expr(polyHash("shingle")).as("fp"))
       .distinct()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- exact dedup: hash-groupBy on content digest --

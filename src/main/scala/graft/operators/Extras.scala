@@ -97,12 +97,11 @@ object Extras {
     //    min over rows. Asserts the CMS one-sided guarantee
     //    (estimate >= exact) in-row --
     "q101_count_min" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
       val wc = Tables.df(s, dir, "documents")
         .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
-        .withColumn("fp", expr(
-          """aggregate(filter(split(word, ''), c -> c <> ''),
-                       0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"""))
+        .withColumn("fp", expr("str_hash31(word)"))
         .localCheckpoint() // spool: counters + top-k probe both read it
       val cells = wc
         .select(col("n"), explode(expr(

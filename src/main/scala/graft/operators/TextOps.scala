@@ -75,14 +75,14 @@ object TextOps {
 
     // -- document fingerprint: rolling polynomial hash mod 1e9+7 --
     "t04_fingerprint" -> { (s, dir) =>
+      // native codegen rolling hash (graft.functions.StrHash) — one
+      // primitive loop per document; same value as the oracle's
+      // per-character list_reduce
+      graft.functions.PgFunctions.register(s)
       Tables.df(s, dir, "documents")
         .select(
           col("doc_id"),
-          // O(n) char extraction: split-to-chars, not substring-per-index
-          // (which is O(n^2) per document); same hash value, oracle intact
-          expr("""aggregate(
-                    filter(split(text, ''), c -> c <> ''),
-                    0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""").as("fingerprint"),
+          expr("str_hash31(text)").as("fingerprint"),
           md5(col("text")).as("text_md5"))
         .orderBy(col("doc_id"))
     },

@@ -111,7 +111,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.builders.map(_._1).toSet ==
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
         "string_to_array", "generate_series",
-        "vec_dot", "vec_l2sq", "vec_doti"))
+        "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
