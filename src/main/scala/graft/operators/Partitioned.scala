@@ -120,6 +120,33 @@ object Partitioned {
 
     // -- multi-level pruning: LIST prune (static, level 1) stacked with
     //    RANGE prune via DPP (dynamic, level 2) on one scan --
+    // -- partition-granular INSERT OVERWRITE (ModifyTable at partition
+    //    grain — the reference's partition-exchange / per-partition load
+    //    path): dynamic overwrite mode replaces ONLY the partitions the
+    //    incoming data touches. The query rewrites the 'F' partition
+    //    with discounted prices and reads the whole table back; if the
+    //    overwrite had static semantics (drop everything first) the
+    //    other partitions would vanish and the oracle — which keeps them
+    //    untouched — would mismatch. The mode is a WRITE OPTION, not a
+    //    session conf, so no global state leaks between queries --
+    "p04_partition_overwrite" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/derived/$tag/part_overwrite"
+      val orders = Tables.df(s, dir, "orders")
+      orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(base)
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)").as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     "p03_multilevel_pruning" -> { (s, dir) =>
       val fact = ordersByRegionMonth(s, dir)
       val monthDim = monthDimTable(s, dir)
@@ -134,6 +161,15 @@ object Partitioned {
   )
 
   def oracle: Map[String, String] = Map(
+    "p04_partition_overwrite" -> """
+      SELECT o_orderstatus, count(*) AS n,
+        round(CAST(sum(CAST(round(p * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
+      FROM (SELECT o_orderstatus,
+              CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.9
+                   ELSE o_totalprice END AS p
+            FROM orders) t
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "p01_partition_pruning" -> """
       SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,
         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total

@@ -9,6 +9,31 @@ import graft.functions.{PgToChar, PgToCharTs}
 class FunctionsSpec extends AnyFunSuite {
   import SparkSuite._
 
+  test("StrHash kernel ≡ the HOF rolling-hash formula on the whole corpus") {
+    graft.functions.PgFunctions.register(spark)
+    val diff = Tables.df(spark, Sf, "documents").selectExpr(
+      "str_hash31(text) AS a",
+      """aggregate(filter(split(text, ''), c -> c <> ''),
+                   0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) AS b""",
+      "str_hash131(text) AS a2",
+      """aggregate(filter(split(text, ''), c -> c <> ''),
+                   7L, (acc, c) -> (acc * 131 + ascii(c)) % 1000000007) AS b2""")
+      .filter("a <> b OR a2 <> b2").count()
+    assert(diff == 0, "native kernel must agree with the interpreted formula")
+  }
+
+  test("VecDot kernels ≡ the HOF formulations on the whole embedding corpus") {
+    graft.functions.PgFunctions.register(spark)
+    val emb = Tables.df(spark, Sf, "embeddings").limit(200)
+      .select(org.apache.spark.sql.functions.col("embedding").as("e"))
+    val diff = emb.selectExpr(
+      "vec_dot(e, e) AS a",
+      "aggregate(zip_with(e, e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x) AS b",
+      "vec_l2sq(e, e) AS c")
+      .filter("a <> b OR c <> 0D").count()
+    assert(diff == 0, "vec_dot must be bit-identical to the HOF dot; l2sq(x,x) must be 0")
+  }
+
   test("PgSimilarTo: SQL-regex dialect translation (similar_to_escape cases)") {
     import graft.functions.PgSimilarTo.toRegex
     assert(toRegex("abc%") == "^abc.*$")

@@ -202,7 +202,8 @@ class QueriesSpec extends AnyFunSuite {
     "c07_csv_quoting" -> (200L, Seq("id", "payload_md5", "roundtrip_ok")),
     "e10_ohlc_bars" -> (868L, Seq("event_type", "hour", "open", "high", "low", "close", "n")),
     "q103_regexp_split" -> (1139L, Seq("doc_id", "ord", "piece")),
-    "q104_similar_to" -> (5L, Seq("pat", "n"))
+    "q104_similar_to" -> (5L, Seq("pat", "n")),
+    "p04_partition_overwrite" -> (3L, Seq("o_orderstatus", "n", "total"))
   )
 
   test("every declared query has a snapshot and vice versa") {
