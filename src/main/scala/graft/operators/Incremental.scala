@@ -36,6 +36,10 @@ object Incremental {
       AlgebraicIvm.finalizeState(state).orderBy(col("user_id"), col("event_type"))
     },
 
+    // -- AQUMV predicate subsumption: WHERE on a group column answered
+    //    from the filtered matview (see aqumvFilterQuery) --
+    "i10_aqumv_filter" -> { (s, dir) => aqumvFilterQuery(s, dir) },
+
     // -- dynamic table: scheduled refresh re-materializes the definition --
     "i02_dynamic_table" -> { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -191,6 +195,29 @@ object Incremental {
     * plan test can assert the rollup reads the matview). */
   private val rollupDefCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** i10: AQUMV predicate subsumption — the user filters on a matview
+    * GROUP column, so the rule answers by filtering the |groups|-row
+    * materialization before re-aggregating it (aqumv.c's WHERE
+    * matching). A filter on a measure column would kill the rewrite. */
+  private def aqumvFilterQuery(s: SparkSession, dir: String): DataFrame = {
+    val defDf = aqumvRollupDefinition(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/derived/$tag/mv_status_prio_revenue_v2"
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      defDf.write.mode("overwrite").parquet(path)
+    graft.rules.AqumvRule.install(s)
+    graft.rules.AqumvRule.register(defDf, path)
+    s.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
+    Tables.df(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        round(col("cents").cast("double") / 100.0, 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   private[graft] def aqumvRollupDefinition(s: SparkSession, dir: String): DataFrame =
     rollupDefCache.computeIfAbsent((s, dir), { _ =>
       Tables.df(s, dir, "orders")
@@ -203,6 +230,13 @@ object Incremental {
     })
 
   def oracle: Map[String, String] = Map(
+    "i10_aqumv_filter" -> """
+      SELECT o_orderpriority, count(*) AS n_orders,
+        round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+              / 100.0, 2) AS revenue
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "i09_ivm_variance" -> """
       SELECT user_id, event_type, n,
         round(CAST(s AS DOUBLE) / n / 100.0, 6) AS avg_value,

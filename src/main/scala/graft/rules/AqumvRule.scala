@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, ExprId, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.And
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -40,17 +41,37 @@ class AqumvRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!spark.conf.getOption(EnabledConf).contains("true")) return plan
     plan.transformUp {
       case agg @ Aggregate(_, _, child, _) =>
-        baseRelationPaths(child).map { basePaths =>
+        baseWithFilter(child).map { case (basePaths, cond) =>
           import scala.jdk.CollectionConverters._
           val cands = entries.values.asScala.filter(_.relPaths == basePaths).toSeq
           // prefer an exact-grouping answer (a Project over the matview)
           // to a superset rollup (a re-aggregation of the matview)
-          cands.iterator.flatMap(tryExact(agg, _)).nextOption()
-            .orElse(cands.iterator.flatMap(tryRollup(agg, _)).nextOption())
+          cands.iterator.flatMap(tryExact(agg, _, cond)).nextOption()
+            .orElse(cands.iterator.flatMap(tryRollup(agg, _, cond)).nextOption())
             .getOrElse(agg)
         }.getOrElse(agg)
     }
   }
+
+  /** Predicate subsumption (aqumv.c's WHERE matching): a base-table
+    * filter is answerable from the matview iff every column it touches
+    * is one of the matview's GROUP columns — then filtering the
+    * |groups|-row materialization before (re-)aggregation is equivalent
+    * to filtering the fact table before aggregation. A filter touching a
+    * measure column kills the rewrite (the matview only stores it
+    * aggregated). Returns the condition rewritten onto mv attributes. */
+  private def rewriteCond(cond: Option[Expression],
+                          byShape: Map[String, Attribute],
+                          groupCols: Set[ExprId]): Option[Option[Expression]] =
+    cond match {
+      case None => Some(None)
+      case Some(c) =>
+        val replaced = c.transformDown {
+          case t if byShape.contains(shapeOf(t)) => byShape(shapeOf(t))
+        }
+        val ok = replaced.references.forall(a => groupCols.contains(a.exprId))
+        if (ok) Some(Some(replaced)) else None
+    }
 
   /** The matview's analyzed scan + its outputs keyed by registered shape. */
   private def mvScan(entry: MvEntry): Option[(LogicalPlan, Seq[Attribute], Map[String, Attribute])] = {
@@ -60,13 +81,21 @@ class AqumvRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else Some((mvPlan, mvOut, entry.outShapes.zip(mvOut).toMap))
   }
 
-  private def tryExact(agg: Aggregate, entry: MvEntry): Option[LogicalPlan] = {
+  private def tryExact(agg: Aggregate, entry: MvEntry,
+                       cond: Option[Expression]): Option[LogicalPlan] = {
     // the candidate must group EXACTLY like the matview — a pruned
     // sub-aggregate with different keys can share aggregate shapes (e.g.
     // count(1)) while meaning something else entirely
     if (agg.groupingExpressions.map(AqumvRule.shapeOf).toSet != entry.groupShapes)
       return None
-    mvScan(entry).flatMap { case (mvPlan, mvOut, byShape) =>
+    mvScan(entry).flatMap { case (mvPlan0, mvOut, byShape) =>
+      val groupCols = entry.outShapes.zip(mvOut)
+        .collect { case (sh, a) if entry.groupShapes.contains(sh) => a.exprId }.toSet
+      val mvCond = rewriteCond(cond, byShape, groupCols) match {
+        case Some(c) => c
+        case None => return None
+      }
+      val mvPlan = mvCond.map(Filter(_, mvPlan0)).getOrElse(mvPlan0)
       var failed = false
       def rewriteOne(e: NamedExpression): NamedExpression = {
         val replaced = e.transformDown {
@@ -94,11 +123,19 @@ class AqumvRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * the matview's keys re-aggregates the matview instead of the base
     * table — sum→sum(sum), count→sum(count), min→min(min), max→max(max).
     * At 100 TB this answers a coarser rollup from a |groups|-row table. */
-  private def tryRollup(agg: Aggregate, entry: MvEntry): Option[LogicalPlan] = {
+  private def tryRollup(agg: Aggregate, entry: MvEntry,
+                        cond: Option[Expression]): Option[LogicalPlan] = {
     val qGroups = agg.groupingExpressions.map(AqumvRule.shapeOf).toSet
     if (qGroups == entry.groupShapes || !qGroups.subsetOf(entry.groupShapes))
       return None
-    mvScan(entry).flatMap { case (mvPlan, mvOut, byShape) =>
+    mvScan(entry).flatMap { case (mvPlan0, mvOut, byShape) =>
+      val groupCols = entry.outShapes.zip(mvOut)
+        .collect { case (sh, a) if entry.groupShapes.contains(sh) => a.exprId }.toSet
+      val mvCond = rewriteCond(cond, byShape, groupCols) match {
+        case Some(c) => c
+        case None => return None
+      }
+      val mvPlan = mvCond.map(Filter(_, mvPlan0)).getOrElse(mvPlan0)
       var failed = false
       def rollupOne(e: NamedExpression): NamedExpression = {
         val replaced = e.transformDown {
@@ -220,6 +257,23 @@ object AqumvRule {
         Some(fs.location.rootPaths.mkString(","))
       case Project(projectList, child) if projectList.forall(_.isInstanceOf[Attribute]) =>
         baseRelationPaths(child)
+      case _ => None
+    }
+
+  /** Like [[baseRelationPaths]] but also collects base-table Filter
+    * conditions on the way down (the optimizer pushes the query's WHERE
+    * below the Aggregate, so a filtered candidate looks like
+    * Aggregate(Project*(Filter(Project*(scan))))). */
+  private[graft] def baseWithFilter(plan: LogicalPlan): Option[(String, Option[Expression])] =
+    plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        Some((fs.location.rootPaths.mkString(","), None))
+      case Project(projectList, child) if projectList.forall(_.isInstanceOf[Attribute]) =>
+        baseWithFilter(child)
+      case Filter(cond, child) =>
+        baseWithFilter(child).map { case (p, c0) =>
+          (p, Some(c0.map(And(cond, _)).getOrElse(cond)))
+        }
       case _ => None
     }
 

@@ -214,6 +214,26 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
   }
 
+  test("i10: AQUMV answers a WHERE on a group column from the filtered matview") {
+    val df = SparkEntry.queries("i10_aqumv_filter")(spark, Sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the filtered query must re-aggregate the matview with the filter
+    // applied to the matview's group column — never touch the fact table
+    assert(optimized.contains("mv_cents#") && !optimized.contains("o_totalprice"),
+      s"expected a filter+re-aggregation of the matview (aqumv.c WHERE matching):\n$optimized")
+    assert(optimized.contains("Filter") && optimized.contains("= F)"),
+      s"expected the status filter applied to the matview scan:\n$optimized")
+    // a filter on a MEASURE column must kill the rewrite
+    val measureFiltered = Tables.df(spark, Sf, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") > 100.0)
+      .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val mp = measureFiltered.queryExecution.optimizedPlan.toString
+    assert(mp.contains("o_totalprice") && !mp.contains("mv_cents#"),
+      s"a measure filter must NOT be answered from the matview:\n$mp")
+  }
+
   test("c03: DSv2 series source — filters pushed into the range, columns pruned") {
     val p = plan("c03_series_source")
     // the BETWEEN folded into the source's generation bounds

@@ -203,7 +203,8 @@ class QueriesSpec extends AnyFunSuite {
     "e10_ohlc_bars" -> (868L, Seq("event_type", "hour", "open", "high", "low", "close", "n")),
     "q103_regexp_split" -> (1139L, Seq("doc_id", "ord", "piece")),
     "q104_similar_to" -> (5L, Seq("pat", "n")),
-    "p04_partition_overwrite" -> (3L, Seq("o_orderstatus", "n", "total"))
+    "p04_partition_overwrite" -> (3L, Seq("o_orderstatus", "n", "total")),
+    "i10_aqumv_filter" -> (5L, Seq("o_orderpriority", "n_orders", "revenue"))
   )
 
   test("every declared query has a snapshot and vice versa") {
