@@ -108,6 +108,21 @@ object Dedup {
         .orderBy(col("keeper_id"))
     },
 
+    // -- canonicalized near-exact dedup (the C4/RefinedWeb normalization
+    //    pass): lowercase, strip punctuation, collapse whitespace BEFORE
+    //    hashing, so trivially-reformatted copies collapse into one
+    //    group that plain md5(text) (d01) would miss. Same 32-byte
+    //    shuffle key discipline as d01 --
+    "d07_canonical_dedup" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("canon", trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " ")))
+        .groupBy(md5(col("canon")).as("canon_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies"), col("canon_md5"))
+        .orderBy(col("keeper_id"))
+    },
+
     // -- n-gram Jaccard near-dup via inverted-index self-join --
     // Scale guard: a HAVING on the inverted index drops hyper-frequent
     // ("stop") shingles BEFORE the self-join — one shingle shared by f docs
@@ -280,6 +295,15 @@ object Dedup {
       col("p.a_sim").as("a_sim"), col("p.b_sim").as("b_sim"))
 
   def oracle: Map[String, String] = Map(
+    "d07_canonical_dedup" -> """
+      SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, canon_md5
+      FROM (
+        SELECT doc_id,
+          md5(trim(regexp_replace(
+            regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g'))) AS canon_md5
+        FROM documents) t
+      GROUP BY canon_md5 ORDER BY keeper_id""",
+
     "d01_exact_dedup" -> """
       SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS text_md5
       FROM documents GROUP BY md5(text) ORDER BY keeper_id""",

@@ -122,6 +122,29 @@ object Events {
     //    user-hour from a 2-column bounds aggregate (never from raw
     //    events); the fill is a single user-partitioned window — grid
     //    size is users × hours regardless of event volume --
+    // -- z-score anomaly flags: per-type population mean/σ in exact
+    //    fixed-point components (n, Σc, Σc²) — the i09 variance state —
+    //    then a BROADCAST of the |types|-row stats back over the stream.
+    //    Two linear passes, no window, no self-shuffle; the identical
+    //    double arithmetic runs in the oracle so the >3σ cut can't
+    //    straddle engines --
+    "e11_anomaly_zscore" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+        .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sm"), sum(expr("c * c")).as("s2"))
+      val z = """(CAST(c AS DOUBLE) - CAST(sm AS DOUBLE) / n) /
+                 sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                   - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n), 1e-12))"""
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", expr(z))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END")).cast("bigint").as("n_anomalies"),
+          round(max(abs(col("z"))), 6).as("max_abs_z"))
+        .orderBy(col("event_type"))
+    },
+
     // -- OHLC bars (min_by/max_by ≙ PG's first/last ordered-set pair):
     //    open/close are arg-min/arg-max over a composite (ts, event_id)
     //    key packed into a fixed-width string so ties break identically
@@ -214,6 +237,22 @@ object Events {
 
   def oracle: Map[String, String] = Map(
     // same densify-and-fill, spelled with generate_series + IGNORE NULLS
+    "e11_anomaly_zscore" -> """
+      SELECT event_type, count(*) AS n_events,
+        CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        round(max(abs(z)), 6) AS max_abs_z
+      FROM (
+        SELECT e.event_type,
+          (CAST(c AS DOUBLE) - CAST(sm AS DOUBLE) / n) /
+            sqrt(greatest(CAST(s2 AS DOUBLE) / n
+              - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n), 1e-12)) AS z
+        FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events) e
+        JOIN (SELECT event_type, count(*) AS n, sum(c) AS sm, sum(c * c) AS s2
+              FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events) i
+              GROUP BY event_type) st USING (event_type)) t
+      GROUP BY event_type ORDER BY event_type""",
+
     "e10_ohlc_bars" -> """
       SELECT event_type, date_trunc('hour', ts) AS hour,
         round(arg_min(value, k), 4) AS open,
