@@ -45,37 +45,54 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] warmup failed (non-fatal): ${e.getMessage}")
     }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).queryExecution.toRdd.count()
-        name -> ((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          name -> -1.0
-      } finally {
-        // Session hygiene (r5 verdict #2/#5): queries spool shared streams
-        // via localCheckpoint/cache; left persisted, the blocks accumulate
-        // across the 150+-query loop until the BlockManager fills and later
-        // families pay eviction + GC — three r5 runs of identical code
-        // measured 126/338/674 s. Drop each query's blocks before the next
-        // measurement, and reset the optimizer confs x01/x03 flip on so no
-        // query runs under another query's session state. Cleanup cost is
-        // excluded from the measured time (t1 is computed inside the try).
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        spark.conf.set("spark.sql.cbo.enabled", "false")
-        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
-        spark.conf.set("spark.graft.eageragg.enabled", "false")
-      }
+    // Session hygiene (r5 verdict #2/#5): queries spool shared streams
+    // via localCheckpoint/cache; left persisted, the blocks accumulate
+    // across the 190+-query loop until the BlockManager fills and later
+    // families pay eviction + GC — three r5 runs of identical code
+    // measured 126/338/674 s. Drop each query's blocks before the next
+    // measurement, and reset the optimizer confs x01/x03 flip on so no
+    // query runs under another query's session state.
+    def hygiene(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      spark.conf.set("spark.graft.eageragg.enabled", "false")
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Each query is timed TWICE back-to-back (hygiene between passes) and
+    // the official per-query number is the MIN of the two passes (r6
+    // verdict #1): the sandbox the driver benches in suffers transient
+    // CPU-contention spikes that inflate individual queries 20-60× (ch01
+    // 1.1→65 s for identical code across r4-r6), so a single-pass artifact
+    // measures the environment, not the plan. Min-of-2 is a steady-state
+    // estimator robust to one spike per query; both raw passes ship in the
+    // artifact so the two can be audited to agree (~1.5× per query).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed ::= name
+            -1.0
+        } finally hygiene() // cleanup cost excluded: t1 computed inside try
+      }
+      val p1 = onePass()
+      val p2 = if (p1 >= 0) onePass() else -1.0
+      val official = if (p1 < 0 || p2 < 0) -1.0 else math.min(p1, p2)
+      (name, official, p1, p2)
+    }
+    def jmap(f: ((String, Double, Double, Double)) => Double) =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2)
+    val raw1 = jmap(_._3)
+    val raw2 = jmap(_._4)
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${failed.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${failed.distinct.size},"timing":"min_of_2_passes","queries_pass1":$raw1,"queries_pass2":$raw2}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     println(line)
     spark.stop()

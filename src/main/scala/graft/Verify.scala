@@ -2,7 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * COMPARATOR INVARIANTS (the driver's check is shortest-repr bit-exact,
+  * see scripts/check.py):
+  *  - every DOUBLE column must be round()ed explicitly on BOTH sides or
+  *    last-ulp cross-engine drift fails the hash;
+  *  - DuckDB's sum(BIGINT) returns HUGEINT, which pandas renders as a
+  *    float ("1.5e+07") while Spark emits an int — CAST(sum(...) AS
+  *    BIGINT) in the oracle whenever the Spark side is integral
+  *    (the b02/f06 lesson, r6);
+  *  - ARRAY columns don't hash — emit array_join(...) strings or explode.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -13,20 +13,40 @@ package graft.functions
 object PgSimilarTo {
 
   def toRegex(pattern: String): String = {
-    val sb = new StringBuilder("^")
+    // Two subtleties mirrored from the reference's similar_to_escape
+    // (regexp.c, incharclass tracking):
+    //  1. the body is anchored as ^(?:...)$ — a bare ^...$ would break on
+    //     top-level alternation ('a|b' must match exactly 'a' or 'b', not
+    //     'abc'/'xb');
+    //  2. bracket-expression contents pass through VERBATIM — '%', '_',
+    //     '^', '.' are ordinary class members there ('[%_]' stays '[%_]',
+    //     '[^abc]' keeps its negation).
+    val sb = new StringBuilder
     var i = 0
+    var inClass = false
     while (i < pattern.length) {
-      pattern.charAt(i) match {
+      val c = pattern.charAt(i)
+      if (inClass) c match {
+        case '\\' if i + 1 < pattern.length =>
+          // escape inside a class: emit the next char literally (backslash
+          // prefix only where Java regex could misread a bare punct char)
+          val e = pattern.charAt(i + 1)
+          if (e.isLetterOrDigit) sb.append(e) else sb.append('\\').append(e)
+          i += 1
+        case ']' => sb.append(c); inClass = false
+        case other => sb.append(other)
+      } else c match {
         case '%' => sb.append(".*")
         case '_' => sb.append('.')
         case '\\' if i + 1 < pattern.length =>
           sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
           i += 1
-        case c @ ('.' | '^' | '$') => sb.append('\\').append(c) // literal in SQL regex
-        case c => sb.append(c) // | * + ? {} () [] pass through with regex meaning
+        case '[' => sb.append(c); inClass = true
+        case m @ ('.' | '^' | '$') => sb.append('\\').append(m) // literal in SQL regex
+        case other => sb.append(other) // | * + ? {} () pass through with regex meaning
       }
       i += 1
     }
-    sb.append("$").toString
+    "^(?:" + sb + ")$"
   }
 }

@@ -18,18 +18,31 @@ import org.apache.spark.sql.types._
   * force s01/s06 scans are exactly the kind of 100 TB hot path where a
   * per-element interpreted lambda is the bottleneck. (Reference analog:
   * vector ops ship as C kernels, not per-element SQL — the same split.)
+  *
+  * Null semantics match the HOF formulation they replaced: a length
+  * mismatch or a null element yields NULL (zip_with pads the shorter
+  * side with null, null poisons the sum) — a visible null, never a
+  * silently truncated dot, if embedding widths ever diverge.
   */
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     VecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val t = ctx.freshName("dotRes")
+      s"""
+        java.lang.Double $t = graft.functions.VecDot.dot($a, $b);
+        if ($t == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $t.doubleValue(); }
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
@@ -38,43 +51,50 @@ case class VecDot(left: Expression, right: Expression)
 
 object VecDot {
   /** acc += a[i]*b[i] in doubles, left to right — identical order and
-    * precision to `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)`. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * precision to `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, +)`;
+    * null (not a truncated sum) on length mismatch or null element. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   /** Σ (a[i]-b[i])² in doubles, left to right — the IVF assignment
-    * distance, same order as the zip_with formulation. */
-  def l2sq(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * distance, same order and null semantics as the zip_with form. */
+  def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       acc += d * d
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   /** Integer dot over int8-quantized vectors (array<int>), accumulated
-    * in long — s06's quantized kernel. */
-  def doti(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    * in long — s06's quantized kernel. Same null semantics. */
+  def doti(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getInt(i).toLong * b.getInt(i)
       i += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 }
 
@@ -82,11 +102,19 @@ object VecDot {
 case class VecL2Sq(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_l2sq"
   override protected def nullSafeEval(l: Any, r: Any): Any =
     VecDot.l2sq(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.l2sq($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val t = ctx.freshName("l2Res")
+      s"""
+        java.lang.Double $t = graft.functions.VecDot.l2sq($a, $b);
+        if ($t == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $t.doubleValue(); }
+      """
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecL2Sq =
     copy(left = newLeft, right = newRight)
@@ -96,11 +124,19 @@ case class VecL2Sq(left: Expression, right: Expression)
 case class VecDotInt(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_doti"
   override protected def nullSafeEval(l: Any, r: Any): Any =
     VecDot.doti(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.doti($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val t = ctx.freshName("dotiRes")
+      s"""
+        java.lang.Long $t = graft.functions.VecDot.doti($a, $b);
+        if ($t == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $t.longValue(); }
+      """
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDotInt =
     copy(left = newLeft, right = newRight)

@@ -101,7 +101,7 @@ object Bucketed {
       SELECT o_orderstatus,
         count(DISTINCT o_orderkey) AS n_orders,
         count(*) AS n_items,
-        sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )

@@ -218,7 +218,7 @@ object FullText {
       FROM win ORDER BY doc_id""",
 
     "f06_ts_stat" -> """
-      SELECT word, count(*) AS ndoc, sum(nentry_doc) AS nentry
+      SELECT word, count(*) AS ndoc, CAST(sum(nentry_doc) AS BIGINT) AS nentry
       FROM (
         SELECT doc_id, word, count(*) AS nentry_doc
         FROM (SELECT doc_id,

@@ -515,13 +515,17 @@ object PgCompat {
             / len(list_distinct(list_concat(a.tg, b.tg))), 6) >= 0.1
       ORDER BY sim DESC, name_a, name_b""",
 
+    // timezone('UTC', ts) pins the naive→instant interpretation to UTC
+    // explicitly (matching the Spark session's UTC pin); a bare
+    // CAST(ts AS TIMESTAMPTZ) would use DuckDB's session TimeZone — the
+    // host's — making the check silently host-dependent (r6 ADVICE #2)
     "q99_at_time_zone" -> """
       SELECT o_orderkey,
-        strftime(CAST(timezone('America/New_York', CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP),
+        strftime(CAST(timezone('America/New_York', timezone('UTC', o_orderdate)) AS TIMESTAMP),
                  '%Y-%m-%d %H:%M:%S') AS ny_time,
-        strftime(CAST(timezone('Asia/Tokyo', CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP),
+        strftime(CAST(timezone('Asia/Tokyo', timezone('UTC', o_orderdate)) AS TIMESTAMP),
                  '%Y-%m-%d %H:%M:%S') AS tokyo_time,
-        strftime(CAST(timezone('Europe/Berlin', CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP),
+        strftime(CAST(timezone('Europe/Berlin', timezone('UTC', o_orderdate)) AS TIMESTAMP),
                  '%Y-%m-%d %H:%M:%S') AS berlin_time
       FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
 

@@ -226,19 +226,33 @@ object TextOps {
     //    share and duplicate-token fraction, entirely per-row HOFs —
     //    no explode, no shuffle, linear scan at any scale --
     "t11_repetition" -> { (s, dir) =>
+      // Linear plan (r6 verdict #6): the former
+      //   array_max(transform(array_distinct(toks), d -> size(filter(toks, ...))))
+      // was O(distinct × len) per document in an interpreted HOF — a
+      // 50k-token doc costs ~10⁹ comparisons on one core. explode →
+      // count → max is O(tokens), both hash aggregates map-side
+      // combined. explode_outer keeps empty docs (null tok row) so the
+      // null/zero semantics match the old array formulation exactly:
+      // max_cnt is NULL and n_distinct is 0 for an empty token list.
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
-        .withColumn("n_toks", greatest(size(col("toks")), lit(1)))
-        .withColumn("max_cnt",
-          expr("array_max(transform(array_distinct(toks), d -> size(filter(toks, x -> x = d))))"))
+        .select(col("doc_id"), size(col("toks")).as("sz"),
+          explode_outer(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("sz"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("sz"))
+        .agg(
+          max(when(col("tok").isNotNull, col("cnt"))).as("max_cnt"),
+          count(when(col("tok").isNotNull, lit(1))).as("n_distinct"))
+        .withColumn("n_toks", greatest(col("sz"), lit(1)))
         .select(
           col("doc_id"),
-          size(col("toks")).cast("bigint").as("n_tokens"),
+          col("sz").cast("bigint").as("n_tokens"),
           round(col("max_cnt").cast("double") / col("n_toks"), 6).as("top_token_share"),
-          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_toks"), 6)
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_toks"), 6)
             .as("dup_token_ratio"),
           (col("max_cnt").cast("double") / col("n_toks") <= 0.2 &&
-            lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_toks") <= 0.5)
+            lit(1.0) - col("n_distinct").cast("double") / col("n_toks") <= 0.5)
             .cast("int").as("keep"))
         .orderBy(col("doc_id"))
     }

@@ -43,24 +43,34 @@ object TpcH {
 
   /** name -> SQL text shared by the Spark run and the DuckDB oracle. */
   val sqlText: Map[String, String] = Map(
-    // Q2: min-cost supplier — correlated scalar MIN over a reused CTE.
-    // Supply cost := cheapest observed sale price of the part by the
-    // supplier (partsupp.ps_supplycost analog derived from lineitem).
+    // Q2: min-cost supplier. Supply cost := cheapest observed sale price
+    // of the part by the supplier (partsupp.ps_supplycost analog derived
+    // from lineitem). TPC-H's correlated scalar MIN is expressed as a
+    // window-min over the EUROPE-filtered cost relation (r6 verdict #7):
+    // Spark does not share a non-cached CTE across a correlated-subquery
+    // boundary, so the textbook form aggregated lineitem TWICE (2.4 s at
+    // sf0.1, the slowest battery query). The window form derives `cost`
+    // once — ONE lineitem aggregation in the physical plan (asserted in
+    // PlanShapeSpec) — and partitions the window by partkey over only the
+    // EUROPE supplier×part cost rows, tiny next to lineitem. Equivalent
+    // semantics: the correlated min ranged over all EUROPE suppliers of
+    // p_partkey with no part-side filters, exactly this window's frame.
     "h02_min_cost_supplier" -> s"""
       WITH cost AS (
         SELECT l_partkey AS partkey, l_suppkey AS suppkey, min($epc) AS cost_cents
-        FROM lineitem GROUP BY 1, 2)
+        FROM lineitem GROUP BY 1, 2),
+      eur AS (
+        SELECT partkey, cost_cents, s_acctbal, s_name, n_name,
+               min(cost_cents) OVER (PARTITION BY partkey) AS min_cost
+        FROM cost, supplier, nation, region
+        WHERE s_suppkey = suppkey AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
       SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
              round(CAST(cost_cents AS DOUBLE) / 100.0, 2) AS supply_cost
-      FROM part, cost, supplier, nation, region
-      WHERE p_partkey = partkey AND s_suppkey = suppkey
+      FROM part, eur
+      WHERE p_partkey = partkey
         AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
-        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
-        AND cost_cents = (
-          SELECT min(c2.cost_cents) FROM cost c2, supplier s2, nation n2, region r2
-          WHERE c2.partkey = p_partkey AND s2.s_suppkey = c2.suppkey
-            AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-            AND r2.r_name = 'EUROPE')
+        AND cost_cents = min_cost
       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
       LIMIT 100""",
 

@@ -37,6 +37,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * The write side ([[PgCopyBinary.writeDf]]) is the `COPY TO (FORMAT
   * BINARY)` counterpart: executor-side, one file per partition.
   */
+object PgCopySource {
+  /** Plausibility cap on a single field's self-described byte length —
+    * mirrors the 4096 field-count cap: corrupt streams fail structurally
+    * instead of attempting a multi-GB allocation. 64 MiB comfortably
+    * exceeds any real COPY BINARY field (PG's own limit is 1 GB varlena,
+    * but nothing in this engine's schemas approaches that). */
+  val MaxFieldBytes: Int = 64 * 1024 * 1024
+}
+
 class PgCopySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ExecSource.parseColumns(options.getOrDefault("columns", "line string"))
@@ -142,6 +151,12 @@ private[sources] class PgCopyReaderFactory(schema0: StructType, required: Struct
             // NULL — valid for any column (PG sends -1 lengths for nulls)
             if (i < schema0.length) vals(i) = null
           } else {
+            // cap like the field-count check: a corrupt length (e.g. 2 GB)
+            // must fail structurally, not as an allocation/OOM
+            if (len < 0 || len > PgCopySource.MaxFieldBytes)
+              throw new IllegalStateException(
+                s"pgcopy: implausible field length $len at tuple $tupleNo in ${p.file} " +
+                "(stream out of sync)")
             val bytes = new Array[Byte](len)
             in.readFully(bytes)
             if (i < schema0.length && bad == null) {
@@ -203,9 +218,12 @@ object PgCopyBinary {
     val schema = df.schema
     val d = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.isDirectory(d)) {
-      // overwrite semantics: drop previous shards (CREATE OR REPLACE)
-      java.nio.file.Files.list(d).iterator().forEachRemaining(f =>
+      // overwrite semantics: drop previous shards (CREATE OR REPLACE).
+      // Files.list must be closed or the directory fd leaks.
+      val stream = java.nio.file.Files.list(d)
+      try stream.iterator().forEachRemaining(f =>
         if (f.toString.endsWith(".bin")) java.nio.file.Files.delete(f))
+      finally stream.close()
     }
     java.nio.file.Files.createDirectories(d)
     df.foreachPartition { (rows: Iterator[Row]) =>

@@ -34,16 +34,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff == 0, "vec_dot must be bit-identical to the HOF dot; l2sq(x,x) must be 0")
   }
 
+  test("VecDot kernels: length mismatch / null element → NULL (HOF semantics)") {
+    graft.functions.PgFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           vec_dot(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS mm,
+           vec_l2sq(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS mm2,
+           vec_doti(array(1), array(1, 2)) AS mm3,
+           vec_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)),
+                   array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS ne,
+           vec_dot(array(CAST(1 AS FLOAT)), array(CAST(2 AS FLOAT))) AS ok
+      """).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+      "mismatched widths and null elements must surface as NULL, not a truncated dot")
+    assert(r.getDouble(4) == 2.0)
+  }
+
   test("PgSimilarTo: SQL-regex dialect translation (similar_to_escape cases)") {
     import graft.functions.PgSimilarTo.toRegex
-    assert(toRegex("abc%") == "^abc.*$")
-    assert(toRegex("a_c") == "^a.c$")
-    assert(toRegex("a.b") == "^a\\.b$")          // dot is LITERAL in SQL regex
-    assert(toRegex("(1|2)-%") == "^(1|2)-.*$")   // alternation passes through
+    assert(toRegex("abc%") == "^(?:abc.*)$")
+    assert(toRegex("a_c") == "^(?:a.c)$")
+    assert(toRegex("a.b") == "^(?:a\\.b)$")          // dot is LITERAL in SQL regex
+    assert(toRegex("(1|2)-%") == "^(?:(1|2)-.*)$")   // alternation passes through
     assert("100%".matches(toRegex("100\\%")))     // escaped wildcard is literal
     assert(!"100x".matches(toRegex("100\\%")))
     assert("3.14".matches(toRegex("3.1_")))       // literal dot actually matches a dot
     assert(!"3x14".matches(toRegex("3.1_")))
+    // top-level alternation stays anchored (regexp.c wraps in (?:...)):
+    // 'a|b' matches exactly 'a' or 'b', never 'abc'/'xb'
+    assert("a".matches(toRegex("a|b")) && "b".matches(toRegex("a|b")))
+    assert(!"abc".matches(toRegex("a|b")) && !"xb".matches(toRegex("a|b")))
+    // bracket-expression contents pass through VERBATIM (incharclass):
+    // '%'/'_' are ordinary members, '[^...]' keeps its negation
+    assert("%".matches(toRegex("[%_]")) && "_".matches(toRegex("[%_]")))
+    assert(!"x".matches(toRegex("[%_]")))
+    assert("d".matches(toRegex("[^abc]")) && !"a".matches(toRegex("[^abc]")))
+    // '.' inside a class is a literal member; '%' outside still expands
+    assert("a.b".matches(toRegex("a[.]b%")) && !"axb".matches(toRegex("a[.]b")))
   }
 
   test("PgToChar numeric templates (formatting.c cases)") {

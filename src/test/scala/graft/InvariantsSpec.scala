@@ -146,6 +146,29 @@ class InvariantsSpec extends AnyFunSuite {
     SparkEntry.queries("x02_contamination")(spark, dir).collect()
   }
 
+  test("t11: linear on a 20k-token document (explode plan, not the quadratic HOF)") {
+    // the former array_max(transform(array_distinct, filter)) formulation
+    // was O(distinct × len) per doc — ~10⁹ comparisons for a 50k-token
+    // doc on one core. The explode → count → max plan is O(tokens); a
+    // 20k-token doc with 10k distinct tokens must come back promptly
+    // (the quadratic form does 2×10⁸ interpreted-lambda compares here).
+    val dir = "target/derived/test/longdoc"
+    val longText = (1 to 10000).map(i => s"tok$i tok$i").mkString(" ") // 20k toks, each twice
+    spark.createDataFrame(Seq((1L, longText), (2L, "a a a b")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val rows = SparkEntry.queries("t11_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows(1L).getLong(1) == 20000 &&
+      math.abs(rows(1L).getDouble(2) - 2.0 / 20000) < 1e-9 && // top share = 2/20000
+      math.abs(rows(1L).getDouble(3) - 0.5) < 1e-9)           // dup ratio = 1 - 10000/20000
+    assert(rows(2L).getLong(1) == 4 &&
+      math.abs(rows(2L).getDouble(2) - 0.75) < 1e-9)
+    assert(secs < 30, s"t11 took $secs s on a 20k-token doc — not linear")
+  }
+
   test("r01: every collatz chain terminates at 1 or at the depth cap") {
     val r = q("r01_recursive_collatz")
     val finals = r.groupBy(col("seed"))

@@ -489,10 +489,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("h02: the twice-referenced cost CTE reuses one exchange (ShareInputScan analog)") {
+  test("h02: ONE lineitem aggregation — window-min form, no correlated re-derivation") {
     val p = plan("h02_min_cost_supplier")
-    assert(p.contains("ReusedExchange"),
-      s"expected the shared cost aggregate to be computed once:\n$p")
+    // the cost CTE must be derived exactly once: Spark can't share a
+    // non-cached CTE across a correlated-subquery boundary, so the
+    // textbook Q2 form scanned+aggregated lineitem twice (r6 verdict #7)
+    // AQE renders "== Final Plan ==" then "== Initial Plan ==" — count
+    // scans in the final section only, or every node doubles
+    val lineitemScans = p.split("== Initial Plan ==")(0).linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"expected exactly 1 lineitem scan, got $lineitemScans:\n$p")
+  }
+
+  test("s04: centroid assignment partial-aggregates map-side (argmin via groupBy)") {
+    val p = plan("s04_ivf_ann")
+    // min(struct).over(partitionBy) would shuffle corpus×8 candidate rows;
+    // the groupBy argmin must plan as partial/final aggregate instead
+    assert(p.contains("partial_min"), s"expected map-side partial argmin in:\n$p")
   }
 
   test("h04: correlated EXISTS decorrelates to a semi join") {
