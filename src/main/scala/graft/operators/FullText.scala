@@ -151,6 +151,23 @@ object FullText {
         .filter(col("n_phrase") > 0)
         .select(col("doc_id"), col("n_phrase"))
         .orderBy(col("n_phrase").desc, col("doc_id"))
+    },
+
+    // -- distance-N phrase tsquery ('merge <2> join' — tsquery.c
+    //    OP_PHRASE carries an arbitrary distance operand; `<->` is just
+    //    `<1>`. Same single-pass pairwise zip as f02 with the right
+    //    slice offset: toks[i] pairs with toks[i+N], zip_with pads the
+    //    tail with null whose comparison drops out of the filter --
+    "f08_fts_phrase_dist" -> { (s, dir) =>
+      val dist = 2 // 'merge <2> join': exactly one token between them
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("n_phrase", expr(
+          s"""size(filter(zip_with(toks, slice(toks, ${dist + 1}, size(toks)),
+               (a, b) -> a = 'merge' AND b = 'join'), x -> x))"""))
+        .filter(col("n_phrase") > 0)
+        .select(col("doc_id"), col("n_phrase"))
+        .orderBy(col("n_phrase").desc, col("doc_id"))
     }
   )
 
@@ -250,6 +267,18 @@ object FullText {
       FROM toked
       WHERE len(list_filter(generate_series(1, len(toks) - 1),
             i -> toks[i] = 'hash' AND toks[i+1] = 'join')) > 0
+      ORDER BY n_phrase DESC, doc_id""",
+
+    "f08_fts_phrase_dist" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents)
+      SELECT doc_id,
+        len(list_filter(generate_series(1, len(toks) - 2),
+            i -> toks[i] = 'merge' AND toks[i+2] = 'join')) AS n_phrase
+      FROM toked
+      WHERE len(list_filter(generate_series(1, len(toks) - 2),
+            i -> toks[i] = 'merge' AND toks[i+2] = 'join')) > 0
       ORDER BY n_phrase DESC, doc_id"""
   )
 }

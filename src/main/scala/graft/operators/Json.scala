@@ -21,6 +21,18 @@ object Json {
     """concat('{"k":', o_orderkey, ',"status":"', o_orderstatus,
        '","tags":["x","', o_orderpriority, '"]}')"""
 
+  // variable-length tags array (2 or 3 elements) — j01's ordinality has
+  // to prove itself on ragged arrays, not a fixed shape
+  private val tagDocExpr =
+    """concat('{"k":', o_orderkey, ',"tags":["x","', o_orderpriority, '"',
+       CASE WHEN o_orderkey % 2 = 0 THEN concat(',"s', o_orderstatus, '"') ELSE '' END,
+       ']}')"""
+
+  // flat string-valued object — the jsonb_set / jsonb_each document
+  private val flatDocExpr =
+    """concat('{"status":"', o_orderstatus, '","prio":"', o_orderpriority,
+       '","clerk":"c', o_custkey, '"}')"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- jsonpath field/array extraction (jsonpath_exec.c) --
     "q55_json_extract" -> { (s, dir) =>
@@ -82,6 +94,72 @@ object Json {
         .select(col("o_orderkey"), col("m.ln").as("ln"),
           col("m.qty").as("qty"), col("m.flag").as("flag"))
         .orderBy(col("o_orderkey"), col("ln"))
+    },
+
+    // -- jsonb_array_elements WITH ORDINALITY (jsonfuncs.c
+    //    jsonb_array_elements — the SRF that lateral-expands a jsonb
+    //    array; ordinality is the element index). Spark-first: extract
+    //    the array as typed array<string> with one from_json, then
+    //    posexplode AS the SRF — per-row codegen'd, no shuffle --
+    "j01_jsonb_array_elements" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .withColumn("j", expr(tagDocExpr))
+        .select(col("o_orderkey"),
+          posexplode(from_json(get_json_object(col("j"), "$.tags"),
+            org.apache.spark.sql.types.DataType.fromDDL("array<string>"))))
+        .select(col("o_orderkey"), (col("pos") + 1).cast("bigint").as("ord"),
+          col("col").as("tag"))
+        .orderBy(col("o_orderkey"), col("ord"))
+    },
+
+    // -- jsonb_set + canonical re-serialization (jsonfuncs.c jsonb_set /
+    //    setPath; jsonb's binary form keeps object keys in a canonical
+    //    order, so the mutated document has ONE well-defined text form).
+    //    Spark-first: from_json to map<string,string> (the jsonb object),
+    //    transform_values AS the in-place update, map_concat to insert
+    //    the new key, then serialize via map_entries sorted by the jsonb
+    //    key order (length, then bytes — jsonb_util.c lengthCompareJsonbStringValue)
+    //    — all codegen'd per-row expressions, no UDF --
+    "j02_jsonb_set" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("j", expr(flatDocExpr))
+        .withColumn("m", from_json(col("j"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+        // jsonb_set(j, '{status}', lower(status)): update-in-place
+        .withColumn("m2", expr(
+          "transform_values(m, (k, v) -> CASE WHEN k = 'status' THEN lower(v) ELSE v END)"))
+        // jsonb_set(..., '{seg}', ..., create_if_missing := true)
+        .withColumn("m3", expr(
+          "map_concat(m2, map('seg', substring(element_at(m2, 'prio'), 1, 1)))"))
+        // canonical serialization: sort entries by (key length, key)
+        .withColumn("jsonb_out", expr(
+          """concat('{', concat_ws(',',
+               transform(
+                 array_sort(transform(map_entries(m3),
+                   e -> struct(length(e.key) AS l, e.key AS k, e.value AS v))),
+                 e -> concat('"', e.k, '":"', e.v, '"'))), '}')"""))
+        .select(col("o_orderkey"), col("jsonb_out"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- jsonb_each rollup (jsonfuncs.c jsonb_each — object → (key,
+    //    value) SRF): explode the object AS rows, then a per-key corpus
+    //    rollup. Spark-first: explode(from_json(map)) IS jsonb_each; the
+    //    rollup is one map-side-combined hash aggregate --
+    "j03_jsonb_each" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("j", expr(flatDocExpr))
+        .select(explode(from_json(col("j"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("value")).as("n_distinct"),
+          min(col("value")).as("min_val"),
+          max(col("value")).as("max_val"))
+        .orderBy(col("key"))
     },
 
     // -- XMLTABLE: XML documents → rows (the XML half of
@@ -169,6 +247,47 @@ object Json {
       WHERE CAST(json_extract_string(j, '$.items[' || idx || '].qty') AS INT) > 45
         AND json_extract_string(j, '$.items[' || idx || '].flag') = 'R'
       ORDER BY o_orderkey, ln""",
+
+    "j01_jsonb_array_elements" -> """
+      WITH docs AS (
+        SELECT o_orderkey,
+          '{"k":' || o_orderkey || ',"tags":["x","' || o_orderpriority || '"' ||
+          CASE WHEN o_orderkey % 2 = 0 THEN ',"s' || o_orderstatus || '"' ELSE '' END ||
+          ']}' AS j
+        FROM orders WHERE o_orderkey <= 1000),
+      e AS (
+        SELECT o_orderkey, j,
+          unnest(generate_series(0, CAST(json_array_length(j, '$.tags') AS INT) - 1)) AS idx
+        FROM docs)
+      SELECT o_orderkey, CAST(idx + 1 AS BIGINT) AS ord,
+             json_extract_string(j, '$.tags[' || idx || ']') AS tag
+      FROM e ORDER BY o_orderkey, ord""",
+
+    // the mutation (status := lower(status), seg := prio[0]) is a
+    // deterministic function of base columns, and jsonb's canonical key
+    // order (length then bytes) fixes the serialized form: seg < prio <
+    // clerk < status — the oracle string-builds exactly that document
+    "j02_jsonb_set" -> """
+      SELECT o_orderkey,
+        '{"seg":"' || substring(o_orderpriority, 1, 1) ||
+        '","prio":"' || o_orderpriority ||
+        '","clerk":"c' || o_custkey ||
+        '","status":"' || lower(o_orderstatus) || '"}' AS jsonb_out
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+    "j03_jsonb_each" -> """
+      WITH docs AS (
+        SELECT o_orderkey,
+          '{"status":"' || o_orderstatus || '","prio":"' || o_orderpriority ||
+          '","clerk":"c' || o_custkey || '"}' AS j
+        FROM orders WHERE o_orderkey <= 2000),
+      kv AS (
+        SELECT unnest(json_keys(j)) AS key, j FROM docs)
+      SELECT key, count(*) AS n,
+             CAST(count(DISTINCT json_extract_string(j, '$.' || key)) AS BIGINT) AS n_distinct,
+             min(json_extract_string(j, '$.' || key)) AS min_val,
+             max(json_extract_string(j, '$.' || key)) AS max_val
+      FROM kv GROUP BY key ORDER BY key""",
 
     // DuckDB has no XML functions; the XML build+shred is an identity on
     // (o_orderkey, o_orderpriority, cents), so the oracle computes the
