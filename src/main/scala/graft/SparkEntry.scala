@@ -38,7 +38,9 @@ object SparkEntry {
     (operators.Extras.queries, operators.Extras.oracle),
     (operators.Incremental.queries, operators.Incremental.oracle),
     (operators.Bucketed.queries, operators.Bucketed.oracle),
-    (operators.Stats.queries, operators.Stats.oracle)
+    (operators.Stats.queries, operators.Stats.oracle),
+    (operators.Sparse.queries, operators.Sparse.oracle),
+    (operators.Network.queries, operators.Network.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

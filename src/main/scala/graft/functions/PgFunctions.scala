@@ -57,7 +57,8 @@ object PgFunctions {
     "str_hash31" -> { args => StrHash(args(0), 31L, 0L) },
     "str_hash131" -> { args => StrHash(args(0), 131L, 7L) },
     "vec_l2sq" -> { args => VecL2Sq(args(0), args(1)) },
-    "vec_doti" -> { args => VecDotInt(args(0), args(1)) }
+    "vec_doti" -> { args => VecDotInt(args(0), args(1)) },
+    "svec_dot" -> { args => SvecDot(args(0), args(1)) }
   )
 
   /** Idempotent per-session registration. */

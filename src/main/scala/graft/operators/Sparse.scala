@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sparse-vector family — the `gp_sparse_vector` contrib module
+  * (reference `gpcontrib/gp_sparse_vector/`: svec type + operators.c
+  * dot/l2norm, whose canonical documented use is exactly this: term-
+  * frequency vectors over a fixed vocabulary). The Spark-native svec is
+  * a sorted `array<struct<i:int, v:double>>` of (vocab index, tf)
+  * pairs — zeros absent — evaluated by the [[graft.functions.SvecDot]]
+  * two-pointer kernel (O(nnz), codegen'd, never densified).
+  *
+  * Scale shape: the vocabulary is top-100 (broadcast-sized by
+  * construction, like any dictionary); per-doc vectors build with ONE
+  * explode + map-side-combined count + collect_list — shuffle ∝ corpus
+  * nnz. v01's pairwise scoring broadcasts the 5-doc query side and
+  * streams the corpus (the s01-approved shape); the all-corpus pairwise
+  * path at 100 TB is the t10 posting-list join — same data, shuffle-side
+  * encoding — so nothing here is quadratic in the corpus.
+  */
+object Sparse {
+
+  private val toks = "filter(split(lower(text), ' '), x -> x <> '')"
+
+  /** (doc_id, svec, nrm): vocabulary-indexed TF vectors + squared norm.
+    * Vocab = top-100 corpus words (count desc, word) — deterministic. */
+  private def docVecs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.df(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(toks)).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(100)
+      .select(col("w"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w")))).as("idx"))
+    words.join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("idx").cast("int").as("i"),
+        col("tf").as("v")))).as("svec"))
+      .withColumn("nrm", expr("svec_dot(svec, svec)"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- svec_dot cosine top-5: sparse TF vectors, two-pointer kernel --
+    "v01_svec_cosine" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val vecs = docVecs(s, dir)
+      val q = vecs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"), col("svec").as("q_vec"), col("nrm").as("q_nrm"))
+      val c = vecs.select(col("doc_id").as("c_id"), col("svec").as("c_vec"),
+        col("nrm").as("c_nrm"))
+      s.udf.register("top5s_pairs", udaf(new graft.functions.TopKPairs(5)))
+      c.join(broadcast(q), col("q_id") =!= col("c_id"))
+        // dot and norms are exact integer-valued doubles (counts), so the
+        // rounded cosine is bit-identical across engines and orderings
+        .withColumn("cosine", round(
+          expr("svec_dot(q_vec, c_vec)") / (sqrt(col("q_nrm")) * sqrt(col("c_nrm"))), 9))
+        .filter(col("cosine") > 0)
+        .groupBy(col("q_id"))
+        .agg(expr("top5s_pairs(cosine, c_id)").as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col._2").as("c_id"), col("col._1").as("cosine"),
+          (col("pos") + 1).as("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    // -- l2norm + nnz profile (operators.c svec_l2norm, svec_nonzero) --
+    "v02_svec_l2norm" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      docVecs(s, dir)
+        .select(col("doc_id"),
+          size(col("svec")).as("nnz"),
+          round(sqrt(col("nrm")), 6).as("l2norm"),
+          expr("CAST(aggregate(svec, 0D, (a, e) -> a + e.v) AS BIGINT)").as("tf_total"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    // relational rendition of the same vectors: the join-on-index dot is
+    // the posting-list (shuffle-side) encoding of svec_dot; sums are
+    // exact integers so ordering can't drift the hash
+    "v01_svec_cosine" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      words AS (SELECT doc_id, unnest(toks) AS w FROM toked),
+      vocab AS (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS idx
+        FROM words GROUP BY w ORDER BY count(*) DESC, w LIMIT 100),
+      tf AS (
+        SELECT doc_id, idx, CAST(count(*) AS DOUBLE) AS tf
+        FROM words JOIN vocab USING (w) GROUP BY doc_id, idx),
+      nrm AS (SELECT doc_id, sum(tf * tf) AS nrm FROM tf GROUP BY doc_id),
+      dots AS (
+        SELECT a.doc_id AS q_id, b.doc_id AS c_id, sum(a.tf * b.tf) AS dot
+        FROM tf a JOIN tf b ON a.idx = b.idx AND a.doc_id < 5 AND b.doc_id <> a.doc_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT d.q_id, d.c_id,
+          round(d.dot / (sqrt(qa.nrm) * sqrt(qb.nrm)), 9) AS cosine
+        FROM dots d
+        JOIN nrm qa ON qa.doc_id = d.q_id
+        JOIN nrm qb ON qb.doc_id = d.c_id),
+      ranked AS (
+        SELECT q_id, c_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM scored WHERE cosine > 0)
+      SELECT q_id, c_id, cosine, CAST(rn AS INT) AS rn
+      FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""",
+
+    "v02_svec_l2norm" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      words AS (SELECT doc_id, unnest(toks) AS w FROM toked),
+      vocab AS (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS idx
+        FROM words GROUP BY w ORDER BY count(*) DESC, w LIMIT 100),
+      tf AS (
+        SELECT doc_id, idx, CAST(count(*) AS DOUBLE) AS tf
+        FROM words JOIN vocab USING (w) GROUP BY doc_id, idx)
+      SELECT doc_id, CAST(count(*) AS INT) AS nnz,
+        round(sqrt(sum(tf * tf)), 6) AS l2norm,
+        CAST(sum(tf) AS BIGINT) AS tf_total
+      FROM tf GROUP BY doc_id ORDER BY doc_id"""
+  )
+}

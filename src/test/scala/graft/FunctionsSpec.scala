@@ -50,6 +50,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 2.0)
   }
 
+  test("SvecDot: two-pointer sparse dot (svec_dot semantics)") {
+    graft.functions.PgFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           svec_dot(array(struct(1, 2.0D), struct(3, 4.0D), struct(7, 1.0D)),
+                    array(struct(3, 10.0D), struct(5, 9.0D), struct(7, 2.0D))) AS d,
+           svec_dot(array(struct(1, 2.0D)), array(struct(2, 3.0D))) AS disjoint,
+           svec_dot(array(struct(1, 2.0D)), CAST(array() AS ARRAY<STRUCT<i:INT,v:DOUBLE>>)) AS empty
+      """).head()
+    assert(r.getDouble(0) == 42.0)  // 4*10 + 1*2
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    // sparse dot ≡ dense dot on co-indexed entries, property-checked
+    val dense = spark.sql(
+      """SELECT svec_dot(
+           transform(sequence(0, 19), i -> struct(CAST(i AS INT), CAST(i * 3 % 7 AS DOUBLE))),
+           transform(sequence(0, 19), i -> struct(CAST(i AS INT), CAST(i * 5 % 11 AS DOUBLE)))) AS s,
+         aggregate(zip_with(
+           transform(sequence(0, 19), i -> CAST(i * 3 % 7 AS DOUBLE)),
+           transform(sequence(0, 19), i -> CAST(i * 5 % 11 AS DOUBLE)),
+           (x, y) -> x * y), 0D, (a, x) -> a + x) AS d""").head()
+    assert(dense.getDouble(0) == dense.getDouble(1))
+  }
+
   test("PgSimilarTo: SQL-regex dialect translation (similar_to_escape cases)") {
     import graft.functions.PgSimilarTo.toRegex
     assert(toRegex("abc%") == "^(?:abc.*)$")
@@ -163,7 +186,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.builders.map(_._1).toSet ==
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
         "string_to_array", "generate_series",
-        "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131"))
+        "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131", "svec_dot"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {

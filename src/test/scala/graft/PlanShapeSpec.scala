@@ -501,6 +501,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(lineitemScans == 1, s"expected exactly 1 lineitem scan, got $lineitemScans:\n$p")
   }
 
+  test("v01: corpus streams against a broadcast query side; no cartesian") {
+    val p = plan("v01_svec_cosine")
+    assert(!p.contains("CartesianProduct"), s"cartesian in v01:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the 5-doc query side broadcast in:\n$p")
+  }
+
   test("s04: centroid assignment partial-aggregates map-side (argmin via groupBy)") {
     val p = plan("s04_ivf_ann")
     // min(struct).over(partitionBy) would shuffle corpus×8 candidate rows;
