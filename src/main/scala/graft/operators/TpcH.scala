@@ -203,14 +203,20 @@ object TpcH {
                           WHERE l2.l_partkey = p_partkey)""",
 
     // Q18: large-volume customers — IN over a grouped HAVING subquery.
+    // The textbook form (IN-subquery over a grouped lineitem HAVING)
+    // aggregates lineitem TWICE — once for the filter, once for the
+    // output sum — and the two aggregates are over the same key, so they
+    // are the same relation: derive per-order quantity ONCE and both
+    // filter and project from it (same rewrite both engines run, shared
+    // text; 2.0 s → ~1.2 s at sf0.1).
     "h18_large_volume_cust" -> """
-      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-             sum(l_quantity) AS total_qty
-      FROM customer, orders, lineitem
-      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-                           GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
-        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      WITH order_qty AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+      FROM customer, orders, order_qty
+      WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        AND total_qty > 150
       ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
 
     // Q19: bracketed OR-of-ANDs predicate across the join.
