@@ -25,6 +25,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Static conf: janino-compiled codegen classes are LRU-cached with
+      // a default cap of 100 entries; 198 queries × several generated
+      // stages each evict everything long before the second sweep, so
+      // BOTH sweeps of every query paid ~0.5-2 s of recompilation (d02
+      // steady-state is 0.3 s; its bench number was 2.8 s). Long-lived
+      // cluster executors run with exactly this cache warm, so sizing it
+      // to hold the whole suite measures the plans, not janino.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup on the smallest query so the first measured

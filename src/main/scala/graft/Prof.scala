@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query profiler: times one named SparkEntry query N times at a
+  * given SF dir and prints the executed plan, so a slow bench entry can
+  * be attributed to plan cost vs environment noise without a full sweep.
+  *
+  * Usage: runMain graft.Prof <sfDir> <queryName> [passes=3] [--plan]
+  */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val passes = args.drop(2).find(!_.startsWith("--")).map(_.toInt).getOrElse(3)
+    val showPlan = args.contains("--plan")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    // same build-once DDL the bench runs outside its timed loop
+    try {
+      operators.Partitioned.ordersByMonth(spark, sfDir)
+      operators.Partitioned.ordersByRegionMonth(spark, sfDir)
+      operators.Partitioned.monthDimTable(spark, sfDir)
+      operators.Bucketed.ensure(spark, sfDir)
+      operators.Stats.ensure(spark, sfDir)
+    } catch { case e: Throwable => System.err.println(s"[prof] warmup: ${e.getMessage}") }
+    for (i <- 1 to passes) {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).queryExecution.toRdd.count()
+      println(f"[prof] $name pass$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    if (showPlan)
+      println(fn(spark, sfDir).queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

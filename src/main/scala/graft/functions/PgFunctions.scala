@@ -58,7 +58,17 @@ object PgFunctions {
     "str_hash131" -> { args => StrHash(args(0), 131L, 7L) },
     "vec_l2sq" -> { args => VecL2Sq(args(0), args(1)) },
     "vec_doti" -> { args => VecDotInt(args(0), args(1)) },
-    "svec_dot" -> { args => SvecDot(args(0), args(1)) }
+    "svec_dot" -> { args => SvecDot(args(0), args(1)) },
+    // pair_emit(ds, cap): sorted posting list -> candidate pairs,
+    // star-degraded past cap (the literal is folded at registration)
+    "pair_emit" -> { args =>
+      val cap = args(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"pair_emit cap must be an int literal, got $other")
+      }
+      PairEmit(args(0), cap)
+    }
   )
 
   /** Idempotent per-session registration. */

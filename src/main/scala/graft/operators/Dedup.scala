@@ -87,15 +87,19 @@ object Dedup {
         expr(s"simhash div $half").as("hi_band"), expr(s"simhash % $half").as("lo_band"))
   }
 
-  /** doc_id → distinct shingle fingerprints (the shared front half of the
-    * jaccard and minhash pipelines). */
+  /** doc_id → shingle fingerprints, WITH duplicates (the shared front
+    * half of the jaccard and minhash pipelines). Deliberately not
+    * `.distinct()`: that is a full shuffle of the widest data, and both
+    * consumers dedupe for free inside their own aggregation — d02's
+    * posting lists via `collect_set`, d03's signatures via `min()`
+    * (idempotent to repeats) — so set semantics cost zero extra
+    * exchanges. */
   private def shingleFps(s: SparkSession, dir: String): DataFrame = {
     graft.functions.PgFunctions.register(s)
     Tables.df(s, dir, "documents")
       .withColumn("toks", expr(toks))
       .select(col("doc_id"), explode(expr(shingles)).as("shingle"))
       .select(col("doc_id"), expr(polyHash("shingle")).as("fp"))
-      .distinct()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -136,20 +140,23 @@ object Dedup {
       // fingerprint; the frequency cap is a size() filter on the posting
       // list; candidate pairs are emitted PARTITION-LOCALLY from each
       // list (sorted, so a_id < b_id by construction) instead of a
-      // self-join — one less shuffle of the widest data. The spool
-      // (ShareInputScan) feeds both the pair emit and the doc sizes.
+      // self-join — one less shuffle of the widest data. collect_set
+      // (not _list) gives the per-fp doc set directly, absorbing the
+      // dedup that used to be a separate `.distinct()` shuffle. The
+      // spool (ShareInputScan) feeds both the pair emit and doc sizes.
       val lists = shingleFps(s, dir)
         .groupBy(col("fp"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
         .filter(size(col("ds")) <= StopShingleCap)
         .localCheckpoint()
       val sizes = lists.select(explode(col("ds")).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      // pair emission via the compiled PairEmit kernel (one call per
+      // list) — the interpreted HOF form allocated a boxed struct + two
+      // closures per pair, 1.27M pairs at sf0.1. Cap = StopShingleCap:
+      // lists were already filtered to that size, so this is all-pairs.
       val inter = lists.filter(size(col("ds")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ds) - 1), i ->
-               transform(slice(ds, i + 1, size(ds) - i), d ->
-                 struct(ds[i-1] AS a_id, d AS b_id))))""")).as("p"))
+        .select(explode(expr(s"pair_emit(ds, $StopShingleCap)")).as("p"))
         .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
         .groupBy(col("a_id"), col("b_id"))
         .agg(count(lit(1)).as("inter"))
@@ -234,20 +241,18 @@ object Dedup {
     * hub preserves recall while bounding cost. Exposed (band rows in,
     * pairs out) so ScaleSpec can assert the bound on a synthetic hot
     * cluster. */
-  private[graft] def minhashPairs(bands: DataFrame): DataFrame = bands
+  private[graft] def minhashPairs(bands: DataFrame): DataFrame = {
+    graft.functions.PgFunctions.register(bands.sparkSession)
+    bands
     .groupBy(col("band"), col("band_key"))
     .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
     .filter(size(col("ds")) >= 2)
-    .select(explode(expr(
-      s"""CASE WHEN size(ds) <= $BandBucketCap
-            THEN flatten(transform(sequence(1, size(ds) - 1), i ->
-                   transform(slice(ds, i + 1, size(ds) - i), d ->
-                     struct(ds[i-1] AS a_id, d AS b_id))))
-            ELSE transform(slice(ds, 2, size(ds) - 1), d ->
-                   struct(ds[0] AS a_id, d AS b_id))
-          END""")).as("p"))
+    // all-pairs under the cap, star pairs (hub = list minimum) above it
+    // — the CASE the PairEmit kernel compiles into primitive loops
+    .select(explode(expr(s"pair_emit(ds, $BandBucketCap)")).as("p"))
     .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
     .distinct()
+  }
 
   /** Capped candidate pairs from a simhash frame (doc_id, simhash,
     * hi_band, lo_band): union of the two band posting lists, exact and

@@ -51,14 +51,22 @@ object TpcH {
     // boundary, so the textbook form aggregated lineitem TWICE (2.4 s at
     // sf0.1, the slowest battery query). The window form derives `cost`
     // once — ONE lineitem aggregation in the physical plan (asserted in
-    // PlanShapeSpec) — and partitions the window by partkey over only the
-    // EUROPE supplier×part cost rows, tiny next to lineitem. Equivalent
-    // semantics: the correlated min ranged over all EUROPE suppliers of
-    // p_partkey with no part-side filters, exactly this window's frame.
+    // PlanShapeSpec). The selective part predicate (p_size/p_type keeps
+    // ~4% of parts) is applied BELOW that aggregation via the `pk` CTE:
+    // the window min is per-partkey, so restricting to the partkeys that
+    // can appear in the output cannot change any surviving row — and the
+    // broadcast-semi-join of the filtered part list cuts the aggregated
+    // lineitem volume ~27× (the same static pruning ORCA gets from
+    // pushing the select below the GbAgg, CXformPushGbBelowJoin).
+    // Equivalent semantics for the correlated min: it ranged over all
+    // EUROPE suppliers of p_partkey, exactly this window's frame.
     "h02_min_cost_supplier" -> s"""
-      WITH cost AS (
+      WITH pk AS (
+        SELECT p_partkey, p_name FROM part
+        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'),
+      cost AS (
         SELECT l_partkey AS partkey, l_suppkey AS suppkey, min($epc) AS cost_cents
-        FROM lineitem GROUP BY 1, 2),
+        FROM lineitem, pk WHERE l_partkey = p_partkey GROUP BY 1, 2),
       eur AS (
         SELECT partkey, cost_cents, s_acctbal, s_name, n_name,
                min(cost_cents) OVER (PARTITION BY partkey) AS min_cost
@@ -67,10 +75,8 @@ object TpcH {
           AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
       SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
              round(CAST(cost_cents AS DOUBLE) / 100.0, 2) AS supply_cost
-      FROM part, eur
-      WHERE p_partkey = partkey
-        AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
-        AND cost_cents = min_cost
+      FROM pk, eur
+      WHERE p_partkey = partkey AND cost_cents = min_cost
       ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
       LIMIT 100""",
 

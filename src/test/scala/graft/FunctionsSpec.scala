@@ -34,6 +34,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff == 0, "vec_dot must be bit-identical to the HOF dot; l2sq(x,x) must be 0")
   }
 
+  test("pair_emit: all ordered pairs under the cap, star pairs above it") {
+    graft.functions.PgFunctions.register(spark)
+    import spark.implicits._
+    val out = Seq(Seq(1L, 2L, 3L, 4L)).toDF("ds")
+      .selectExpr("pair_emit(ds, 10) AS p").selectExpr("explode(p) AS e")
+      .selectExpr("e.a_id", "e.b_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // past the cap: k-1 star pairs against the list minimum, not C(k,2)
+    val star = Seq(Seq(5L, 6L, 7L, 8L)).toDF("ds")
+      .selectExpr("pair_emit(ds, 3) AS p").selectExpr("explode(p) AS e")
+      .selectExpr("e.a_id", "e.b_id").as[(Long, Long)].collect().toSeq
+    assert(star == Seq((5L, 6L), (5L, 7L), (5L, 8L)))
+    // degenerate lists emit nothing
+    val empty = Seq(Seq(9L), Seq.empty[Long]).toDF("ds")
+      .selectExpr("size(pair_emit(ds, 10)) AS n").as[Int].collect().toSeq
+    assert(empty == Seq(0, 0))
+  }
+
   test("VecDot kernels: length mismatch / null element → NULL (HOF semantics)") {
     graft.functions.PgFunctions.register(spark)
     val r = spark.sql(
@@ -186,7 +204,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.builders.map(_._1).toSet ==
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
         "string_to_array", "generate_series",
-        "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131", "svec_dot"))
+        "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
+        "svec_dot", "pair_emit"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
