@@ -40,7 +40,9 @@ object SparkEntry {
     (operators.Bucketed.queries, operators.Bucketed.oracle),
     (operators.Stats.queries, operators.Stats.oracle),
     (operators.Sparse.queries, operators.Sparse.oracle),
-    (operators.Network.queries, operators.Network.oracle)
+    (operators.Network.queries, operators.Network.oracle),
+    (operators.Geo.queries, operators.Geo.oracle),
+    (operators.Bits.queries, operators.Bits.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

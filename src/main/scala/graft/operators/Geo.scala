@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Geometric-type slice (reference `src/backend/utils/adt/geo_ops.c`):
+  * the operator semantics the reference's point/box/circle types carry —
+  * `box @> point` containment (box_contain_pt), `point <-> point`
+  * distance (point_dt), `circle && circle` overlap (circle_overlap) —
+  * re-expressed as plain arithmetic over deterministic synthetic
+  * coordinates derived from the TPC-H keys, identically in both engines.
+  * SURVEY §1.3 scoped geo/network/money/bit to "as far as tests demand";
+  * with Network.scala (inet) and Bits.scala (varbit) this closes the
+  * demanded surface.
+  *
+  * Scale shapes:
+  *  - g01/g02 broadcast the tiny geometry dim (25 boxes / 5 anchors) and
+  *    stream the point corpus once — the only plan that survives 100 TB.
+  *  - g02 ranks with the bounded TopKPairs aggregate (k×16 bytes per
+  *    group across the shuffle), not a window over corpus×anchors rows.
+  *  - g03's candidate pairs form only within a spatial grid cell
+  *    (equi-join key, circles replicated to the ≤4 cells their bbox
+  *    touches), never all-pairs — the standard partitioned spatial
+  *    join; the cell size just shrinks as density grows.
+  */
+object Geo {
+
+  /** customer → deterministic 2-D point grid, integer coordinates. */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "customer").select(
+      col("c_custkey"),
+      expr("(c_custkey * 17) % 1000").as("px"),
+      expr("(c_custkey * 31) % 1000").as("py"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // box @> point: 25 nation boxes (150×150 on a 200-step grid, so
+    // neighbors overlap) contain customer points; per-box population +
+    // mean distance to the box center (point_dt against the centroid).
+    "g01_point_in_box" -> { (s, dir) =>
+      val boxes = Tables.df(s, dir, "nation").select(
+        col("n_name"),
+        expr("(n_nationkey % 5) * 200").as("x0"),
+        expr("CAST(floor(n_nationkey / 5) AS BIGINT) * 200").as("y0"))
+        .withColumn("x1", col("x0") + 150)
+        .withColumn("y1", col("y0") + 150)
+      points(s, dir)
+        .join(broadcast(boxes),
+          col("px") >= col("x0") && col("px") <= col("x1") &&
+          col("py") >= col("y0") && col("py") <= col("y1"))
+        .withColumn("cdist", expr(
+          "sqrt(pow(px - (x0 + 75), 2) + pow(py - (y0 + 75), 2))"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_pts"),
+          round(avg(col("cdist")), 4).as("avg_center_dist"))
+        .orderBy(col("n_name"))
+    },
+
+    // point <-> point k-NN: for each of the 5 region anchor points, the
+    // 3 nearest customer points. Distance is rounded BEFORE ranking (so
+    // both engines rank identical keys); ties break on c_custkey via the
+    // aggregator's (score DESC, id ASC) order = (dist ASC, id ASC).
+    "g02_anchor_knn" -> { (s, dir) =>
+      s.udf.register("geo_top3", udaf(new graft.functions.TopKPairs(3)))
+      val anchors = Tables.df(s, dir, "region").select(
+        col("r_name"),
+        expr("(r_regionkey * 173) % 1000").as("ax"),
+        expr("(r_regionkey * 389) % 1000").as("ay"))
+      points(s, dir)
+        .crossJoin(broadcast(anchors))
+        .withColumn("dist_r", expr(
+          "round(sqrt(pow(px - ax, 2) + pow(py - ay, 2)), 4)"))
+        .groupBy(col("r_name"))
+        .agg(expr("geo_top3(-dist_r, c_custkey)").as("top"))
+        .select(col("r_name"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("r_name"), (col("pos") + 1).cast("long").as("rnk"),
+          col("p._2").as("c_custkey"), round(-col("p._1"), 4).as("dist"))
+        .orderBy(col("r_name"), col("rnk"))
+    },
+
+    // circle && circle via a spatial grid-cell join (the scale shape for
+    // geometric overlap joins): each circle replicates to every 200×200
+    // cell its bounding box touches (≤4, since diameter ≤ 98 < cell),
+    // candidate pairs form ONLY within a cell (equi-join key), and the
+    // exact predicate — center distance² ≤ (r1+r2)², integer arithmetic,
+    // no sqrt (geo_ops.c circle_overlap) — verifies. Exact: intersecting
+    // circles have intersecting bboxes, which always share a cell, and
+    // the pair DISTINCT collapses multi-cell duplicates. The DuckDB
+    // oracle runs the naive quadratic join — same pairs, which is the
+    // point: grid bucketing is a pure-performance rewrite.
+    "g03_circle_overlap" -> { (s, dir) =>
+      val circles = Tables.df(s, dir, "supplier").select(
+        col("s_suppkey"),
+        expr("(s_suppkey * 23) % 500").as("cx"),
+        expr("(s_suppkey * 41) % 500").as("cy"),
+        expr("25 + s_suppkey % 25").as("r"))
+      val celled = circles
+        .withColumn("gx", explode(expr(
+          "sequence(CAST(floor((cx - r) / 200.0) AS BIGINT), CAST(floor((cx + r) / 200.0) AS BIGINT))")))
+        .withColumn("gy", explode(expr(
+          "sequence(CAST(floor((cy - r) / 200.0) AS BIGINT), CAST(floor((cy + r) / 200.0) AS BIGINT))")))
+        .withColumn("cell", expr("gx * 1000 + gy"))
+      val a = celled.select(col("cell"), col("s_suppkey").as("a_key"),
+        col("cx").as("ax"), col("cy").as("ay"), col("r").as("ar"))
+      val b = celled.select(col("cell"), col("s_suppkey").as("b_key"),
+        col("cx").as("bx"), col("cy").as("by"), col("r").as("br"))
+      a.join(b, Seq("cell"))
+        .filter(col("a_key") < col("b_key"))
+        .filter(expr("pow(ax - bx, 2) + pow(ay - by, 2) <= pow(ar + br, 2)"))
+        .select(col("a_key"), col("b_key"),
+          expr("round(ar + br - sqrt(pow(ax - bx, 2) + pow(ay - by, 2)), 4)").as("depth"))
+        .distinct()
+        .orderBy(col("a_key"), col("b_key"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "g01_point_in_box" -> """
+      WITH pts AS (
+        SELECT c_custkey, (c_custkey * 17) % 1000 AS px, (c_custkey * 31) % 1000 AS py
+        FROM customer),
+      boxes AS (
+        SELECT n_name, (n_nationkey % 5) * 200 AS x0,
+               CAST(floor(n_nationkey / 5) AS BIGINT) * 200 AS y0
+        FROM nation)
+      SELECT n_name, count(*) AS n_pts,
+             round(avg(sqrt(pow(px - (x0 + 75), 2) + pow(py - (y0 + 75), 2))), 4) AS avg_center_dist
+      FROM pts, boxes
+      WHERE px BETWEEN x0 AND x0 + 150 AND py BETWEEN y0 AND y0 + 150
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "g02_anchor_knn" -> """
+      WITH pts AS (
+        SELECT c_custkey, (c_custkey * 17) % 1000 AS px, (c_custkey * 31) % 1000 AS py
+        FROM customer),
+      anchors AS (
+        SELECT r_name, (r_regionkey * 173) % 1000 AS ax, (r_regionkey * 389) % 1000 AS ay
+        FROM region),
+      d AS (
+        SELECT r_name, c_custkey,
+               round(sqrt(pow(px - ax, 2) + pow(py - ay, 2)), 4) AS dist_r,
+               row_number() OVER (PARTITION BY r_name
+                 ORDER BY round(sqrt(pow(px - ax, 2) + pow(py - ay, 2)), 4), c_custkey) AS rnk
+        FROM pts, anchors)
+      SELECT r_name, rnk, c_custkey, dist_r AS dist
+      FROM d WHERE rnk <= 3
+      ORDER BY r_name, rnk""",
+
+    "g03_circle_overlap" -> """
+      WITH c AS (
+        SELECT s_suppkey, (s_suppkey * 23) % 500 AS cx,
+               (s_suppkey * 41) % 500 AS cy, 25 + s_suppkey % 25 AS r
+        FROM supplier)
+      SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+             round(a.r + b.r - sqrt(pow(a.cx - b.cx, 2) + pow(a.cy - b.cy, 2)), 4) AS depth
+      FROM c a JOIN c b ON a.s_suppkey < b.s_suppkey
+      WHERE pow(a.cx - b.cx, 2) + pow(a.cy - b.cy, 2) <= pow(a.r + b.r, 2)
+      ORDER BY a_key, b_key"""
+  )
+}

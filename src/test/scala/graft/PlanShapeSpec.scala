@@ -69,6 +69,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("g02: anchor k-NN ranks via the bounded aggregate, not a window") {
+    val p = plan("g02_anchor_knn")
+    // a row_number window over corpus×anchors rows sorts everything in
+    // |anchors| tasks; the TopKPairs aggregate ships ≤k pairs per group
+    assert(!p.contains("Window"), s"expected no WindowExec in g02:\n$p")
+    assert(p.contains("BroadcastExchange"), s"anchors must broadcast:\n$p")
+  }
+
+  test("g03: spatial overlap join is an equi-join on grid cells") {
+    val p = plan("g03_circle_overlap")
+    assert(!p.contains("CartesianProduct"), s"cartesian in g03:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in g03:\n$p")
+  }
+
   test("s01: corpus side streams — only the 20-row query set is broadcast") {
     val p = plan("s01_cosine_topk")
     // the theta join (q_id != c_id) must be a broadcast NLJ with the tiny
