@@ -5,12 +5,20 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Recursive CTE (`WITH RECURSIVE`, reference nodeRecursiveunion.c /
-  * nodeWorktablescan.c). Spark has no recursive-union operator, so the
-  * standard Spark-native rendition is a driver-side fixpoint loop that
-  * unions per-iteration DataFrames (SURVEY.md §7.3): the *data* stays
-  * distributed — the driver only orchestrates one plan per step — and the
-  * iteration count is bounded, so the final plan is a static union that
-  * Catalyst optimizes as a whole.
+  * nodeWorktablescan.c). Two renditions, both exercised:
+  *
+  *  - r03 uses Spark 4's NATIVE SQL surface — `spark.sql("WITH
+  *    RECURSIVE ...")` parses and executes as a recursive union (the
+  *    UnionLoop operator, SPARK-24497), with the SQL text shared
+  *    verbatim with the DuckDB oracle, exactly like the reference's
+  *    RecursiveUnion + WorkTableScan pair.
+  *  - r01/r02 are driver-side fixpoint loops that union per-iteration
+  *    DataFrames (SURVEY.md §7.3): the *data* stays distributed — the
+  *    driver only orchestrates one plan per step. This remains the
+  *    scale-right shape for iterate-to-convergence algorithms (label
+  *    propagation) where the per-round frontier must be checkpointed
+  *    and the stop condition is a data-dependent fixpoint, not a
+  *    syntactic UNION emptiness test.
   */
 object Recursive {
 
@@ -87,14 +95,41 @@ object Recursive {
       .orderBy(col("doc_id"))
   }
 
+  /** Decimal-digit management tree over customer keys (parent =
+    * custkey div 10, roots 1–9): bounded depth = digit count, so the
+    * recursion terminates structurally in both engines. Key 0 is
+    * excluded on BOTH legs — floor(0/10) = 0 makes it its own parent,
+    * an infinite worktable (caught by Spark's recursion-level guard).
+    * ONE SQL text for the Spark run and the DuckDB oracle. */
+  private val r03Sql = """
+      WITH RECURSIVE tree(c_custkey, depth) AS (
+        SELECT c_custkey, 1 AS depth FROM customer WHERE c_custkey BETWEEN 1 AND 9
+        UNION ALL
+        SELECT c.c_custkey, t.depth + 1
+        FROM customer c JOIN tree t
+          ON CAST(floor(c.c_custkey / 10) AS BIGINT) = t.c_custkey
+        WHERE c.c_custkey >= 10)
+      SELECT depth, count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key
+      FROM tree GROUP BY depth ORDER BY depth"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_recursive_collatz" -> { (s, dir) =>
       collatzChain(s, dir).orderBy(col("seed"), col("step"))
     },
-    "r02_connected_dedup" -> { (s, dir) => connectedDedup(s, dir) }
+    "r02_connected_dedup" -> { (s, dir) => connectedDedup(s, dir) },
+    // native SQL-surface recursive CTE (UnionLoop): the worktable walks
+    // one tree level per iteration, each level one distributed join
+    "r03_recursive_sql" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(r03Sql)
+    }
   )
 
   def oracle: Map[String, String] = Map(
+    // identical text to the Spark run — both engines execute the same
+    // recursive union
+    "r03_recursive_sql" -> r03Sql,
+
     "r01_recursive_collatz" -> s"""
       WITH RECURSIVE chain(seed, step, val) AS (
         SELECT DISTINCT o_orderkey AS seed, 0 AS step, o_orderkey AS val

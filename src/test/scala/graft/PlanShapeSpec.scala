@@ -69,6 +69,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("r03: native WITH RECURSIVE executes as a recursive union (UnionLoop)") {
+    // the SQL-surface recursive CTE — the RecursiveUnion + WorkTableScan
+    // pair (nodeRecursiveunion.c) — must run as Spark's UnionLoop
+    // operator, not be silently flattened
+    val p = SparkEntry.queries("r03_recursive_sql")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"), s"expected UnionLoop in r03:\n$p")
+  }
+
   test("g02: anchor k-NN ranks via the bounded aggregate, not a window") {
     val p = plan("g02_anchor_knn")
     // a row_number window over corpus×anchors rows sorts everything in
