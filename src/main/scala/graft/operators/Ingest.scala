@@ -147,7 +147,30 @@ object Ingest {
           .cast("int").as("within_limit"))
     },
 
-    "c02_copy_to_sreh" -> { (s, dir) => copyToSreh(s, dir) }
+    "c02_copy_to_sreh" -> { (s, dir) => copyToSreh(s, dir) },
+
+    // -- columnar-format round-trip (c08): the reference's
+    //    column-oriented AO storage (`src/backend/access/aocs/` — each
+    //    column a separately compressed varblock stream) maps onto
+    //    Spark's columnar file formats; ORC here, parquet everywhere
+    //    else, both vectorized-scan + predicate-pushdown capable. The
+    //    audit aggregates the ORC READ-BACK (never the source), so a
+    //    value corrupted by either leg of the round-trip flips the
+    //    oracle hash computed from the original parquet. --
+    "c08_orc_roundtrip" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/derived/$tag/orc_roundtrip"
+      Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+        .write.mode("overwrite").orc(base)
+      s.read.orc(base)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          expr("round(CAST(sum(price_cents) AS DOUBLE) / 100.0, 2)").as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }
   )
 
   /** Writable external sink with error accounting (c02) — the write-side
@@ -243,6 +266,16 @@ object Ingest {
       SELECT count(CASE WHEN err IS NULL THEN 1 END) AS n_written,
              count(err) AS n_diverted,
              CAST(CASE WHEN count(err) * 100 <= count(*) * 40 THEN 1 ELSE 0 END AS INTEGER) AS within_limit
-      FROM flagged"""
+      FROM flagged""",
+
+    // over the ORIGINAL parquet — the Spark side aggregated the ORC
+    // read-back, so any round-trip corruption diverges from this
+    "c08_orc_roundtrip" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+             round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""
   )
 }

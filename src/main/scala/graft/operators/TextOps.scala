@@ -200,6 +200,35 @@ object TextOps {
     //    normalization pass search/dedup pipelines run before indexing.
     //    Pure per-row transform lambda — identical CASE ladder in the
     //    oracle, so stemmed output md5s match cross-engine --
+    // -- URL analysis (the provenance pass of a web-corpus pipeline:
+    //    host/path/query decomposition + per-host rollups). URLs are
+    //    synthesized deterministically from doc_id+source; the Spark
+    //    side decomposes with the native parse_url expression
+    //    (codegen'd; PG analog: the URI parsing userland does with
+    //    substring/regexp over text, varlena.c) while the oracle
+    //    re-derives the same components with regexp — an independent
+    //    derivation, so the check validates parse_url itself --
+    "t13_url_stats" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("url", expr(
+          """concat('https://', source, '.example.com/sec',
+                    CAST(doc_id % 7 AS STRING), '/doc', CAST(doc_id AS STRING),
+                    CASE WHEN doc_id % 3 = 0 THEN '?ref=feed' ELSE '' END)"""))
+        .select(
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"))
+        .groupBy(col("host"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(expr("regexp_extract(path, '^/(sec[0-9]+)/', 1)"))
+            .as("n_sections"),
+          sum(when(col("query") === "ref=feed", 1L).otherwise(0L))
+            .as("n_ref"),
+          max(length(col("path"))).cast("bigint").as("max_path_len"))
+        .orderBy(col("host"))
+    },
+
     "t12_stemming" -> { (s, dir) =>
       val stem = """transform(toks, w ->
           CASE WHEN w LIKE '%sses' THEN substring(w, 1, length(w) - 2)
@@ -373,6 +402,27 @@ object TextOps {
         WHERE t.doc_id <= 50)
       SELECT doc_id, term, tf, df, CAST(rn AS BIGINT) AS rn, tfidf
       FROM ranked WHERE rn <= 5 ORDER BY doc_id, rn""",
+
+    // independent derivation: regexp over the same constructed URL text
+    "t13_url_stats" -> """
+      WITH urls AS (
+        SELECT 'https://' || source || '.example.com/sec' ||
+               CAST(doc_id % 7 AS VARCHAR) || '/doc' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 0 THEN '?ref=feed' ELSE '' END AS url
+        FROM documents),
+      parts AS (
+        SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+               regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+               CASE WHEN url LIKE '%?%'
+                 THEN regexp_extract(url, '\?(.*)$', 1) ELSE NULL END AS query
+        FROM urls)
+      SELECT host, count(*) AS n_docs,
+             count(DISTINCT regexp_extract(path, '^/(sec[0-9]+)/', 1)) AS n_sections,
+             CAST(sum(CASE WHEN query = 'ref=feed' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(max(length(path)) AS BIGINT) AS max_path_len
+      FROM parts
+      GROUP BY host
+      ORDER BY host""",
 
     "t12_stemming" -> """
       SELECT doc_id,
