@@ -178,4 +178,46 @@ class InvariantsSpec extends AnyFunSuite {
     assert(finals.count() == 0,
       "a chain stopped early without reaching 1 or the recursion depth cap")
   }
+
+  test("pair_emit ≡ the nested-HOF formulation it replaced, on ragged lists") {
+    graft.functions.PgFunctions.register(spark)
+    import spark.implicits._
+    // ragged deterministic lists: sizes 2..40 across the cap boundary
+    // (size <2 is covered by the FunctionsSpec degenerate-list test; the
+    // HOF reference below is the production pre-kernel form, which only
+    // ever ran behind a size(ds) >= 2 filter)
+    val lists = (2 to 40).map(n => (0 until n).map(i => (i * 7919L + n) % 1000).sorted)
+    val df = lists.toDF("ds")
+    val both = df.selectExpr(
+      "pair_emit(ds, 25) AS kernel",
+      """CASE WHEN size(ds) <= 25
+           THEN flatten(transform(sequence(1, size(ds) - 1), i ->
+                  transform(slice(ds, i + 1, size(ds) - i), d ->
+                    struct(ds[i-1] AS a_id, d AS b_id))))
+           ELSE transform(slice(ds, 2, size(ds) - 1), d ->
+                  struct(ds[0] AS a_id, d AS b_id))
+         END AS hof""")
+    assert(both.filter(col("kernel") =!= col("hof")).count() == 0,
+      "kernel and HOF pair emission must agree on every list size")
+  }
+
+  test("g03: the grid-cell spatial join finds exactly the naive join's pairs") {
+    // exactness of the grid rewrite: overlapping circles always share a
+    // cell (intersecting bboxes have a common point), so grid == naive
+    val circles = q("g03_circle_overlap")
+    import spark.implicits._
+    val naive = {
+      val c = Tables.df(spark, Sf, "supplier").selectExpr(
+        "s_suppkey", "(s_suppkey * 23) % 500 AS cx",
+        "(s_suppkey * 41) % 500 AS cy", "25 + s_suppkey % 25 AS r")
+      val a = c.selectExpr("s_suppkey AS a_key", "cx AS ax", "cy AS ay", "r AS ar")
+      val b = c.selectExpr("s_suppkey AS b_key", "cx AS bx", "cy AS by", "r AS br")
+      a.crossJoin(b).filter(col("a_key") < col("b_key"))
+        .filter(expr("pow(ax - bx, 2) + pow(ay - by, 2) <= pow(ar + br, 2)"))
+        .select(col("a_key"), col("b_key"))
+    }
+    val grid = circles.select(col("a_key"), col("b_key"))
+    assert(grid.exceptAll(naive).count() == 0, "grid join emitted a bogus pair")
+    assert(naive.exceptAll(grid).count() == 0, "grid join missed an overlapping pair")
+  }
 }
