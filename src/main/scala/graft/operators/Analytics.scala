@@ -315,6 +315,55 @@ object Analytics {
     },
 
     // -- math expression battery (float.c / numeric behaviors) --
+    // -- width_bucket histogram (PG numeric.c width_bucket_numeric): the
+    //    equal-width bucketing primitive behind histogram ops. Spark runs
+    //    the native width_bucket expression; the oracle expands PG's
+    //    definition (bucket = floor((v-lo)/width)+1, clamped to 0 and
+    //    count+1) arithmetically, so the check validates the expression
+    //    against its own spec --
+    "q106_width_bucket" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .select(expr("width_bucket(o_totalprice, 0.0, 600000.0, 8)").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("bucket"))
+    },
+
+    // -- string-algebra battery #2 (varlena.c: textoverlay, translate,
+    //    initcap, repeat, reverse, split_part). overlay/initcap have no
+    //    DuckDB builtin, so the oracle derives them from substring
+    //    concatenation and per-word casing — independent formulations
+    //    that must agree --
+    "q107_string_algebra" -> { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .filter(col("c_custkey") <= 200)
+        .select(
+          col("c_custkey"),
+          expr("overlay(c_name PLACING 'XX' FROM 3 FOR 2)").as("overlaid"),
+          translate(col("c_name"), "0123456789", "##########").as("digits_masked"),
+          initcap(lower(col("c_mktsegment"))).as("segment_title"),
+          expr("repeat(substring(c_name, 1, 2), 3)").as("rep2x3"),
+          reverse(col("c_name")).as("rev_name"),
+          expr("split_part(c_name, '#', 2)").as("name_num"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // -- boolean aggregates (bool_and / bool_or ≙ PG's every()/any
+    //    semantics, src/backend/utils/adt/bool.c booland_statefunc) --
+    "q108_bool_aggs" -> { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          expr("bool_and(c_acctbal > -999)").as("all_above_floor"),
+          expr("bool_or(c_acctbal > 9000)").as("any_high"),
+          expr("bool_and(c_custkey >= 0)").as("keys_nonneg"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     "q50_math_funcs" -> { (s, dir) =>
       Tables.df(s, dir, "part")
         .filter(col("p_partkey") <= 500)
@@ -596,6 +645,42 @@ object Analytics {
         min(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS first_month,
         max(CAST(last_day(o_orderdate) AS DATE)) AS last_day_max
       FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter""",
+
+    // width_bucket expanded per PG's spec: equal-width buckets over
+    // [lo, hi), below-range -> 0, at-or-above hi -> count+1
+    "q106_width_bucket" -> """
+      WITH b AS (
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 600000 THEN 9
+                         ELSE floor(o_totalprice / 75000) + 1 END AS BIGINT) AS bucket,
+               o_totalprice
+        FROM orders)
+      SELECT bucket, count(*) AS n,
+             round(min(o_totalprice), 2) AS min_price,
+             round(max(o_totalprice), 2) AS max_price
+      FROM b GROUP BY bucket ORDER BY bucket""",
+
+    // overlay := substr(1, pos-1) || replacement || substr(pos+len);
+    // initcap := per-word upper(first) || lower(rest)
+    "q107_string_algebra" -> """
+      SELECT c_custkey,
+        substring(c_name, 1, 2) || 'XX' || substring(c_name, 5) AS overlaid,
+        translate(c_name, '0123456789', '##########') AS digits_masked,
+        list_aggregate(list_transform(string_split(lower(c_mktsegment), ' '),
+          w -> upper(substring(w, 1, 1)) || substring(w, 2)), 'string_agg', ' ')
+          AS segment_title,
+        repeat(substring(c_name, 1, 2), 3) AS rep2x3,
+        reverse(c_name) AS rev_name,
+        split_part(c_name, '#', 2) AS name_num
+      FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
+
+    "q108_bool_aggs" -> """
+      SELECT c_mktsegment,
+        bool_and(c_acctbal > -999) AS all_above_floor,
+        bool_or(c_acctbal > 9000) AS any_high,
+        bool_and(c_custkey >= 0) AS keys_nonneg,
+        count(*) AS n
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q50_math_funcs" -> """
       SELECT p_partkey,

@@ -156,10 +156,38 @@ object Stats {
         .select(col("o_orderpriority"), col("n"),
           round(col("cents").cast("double") / 100.0, 2).as("total"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // -- distribution-skew audit (gp_toolkit.gp_skew_coefficients /
+    //    gp_skew_idle_fractions, `gpMgmt/.../gp_toolkit.sql`): per-group
+    //    row counts over a would-be distribution key, reduced to the two
+    //    standard skew numbers — max/avg (idle-fraction analog) and the
+    //    coefficient of variation. On a cluster this query is how you
+    //    pick a DISTRIBUTED BY key before committing to it; the month
+    //    grouping stands in for the segment histogram --
+    "x05_skew_audit" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .groupBy(expr("date_trunc('month', o_orderdate)").as("m"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          expr("CAST(sum(n) AS BIGINT)").as("n_rows"),
+          round(expr("CAST(max(n) AS DOUBLE) / avg(n)"), 4).as("skew_factor"),
+          round(expr("stddev_samp(CAST(n AS DOUBLE)) / avg(n)"), 4).as("cv"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "x05_skew_audit" -> """
+      WITH g AS (
+        SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT count(*) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             round(CAST(max(n) AS DOUBLE) / avg(n), 4) AS skew_factor,
+             round(stddev_samp(CAST(n AS DOUBLE)) / avg(n), 4) AS cv
+      FROM g""",
+
     // the stats tables hold the same rows as the base parquet
     "x01_cbo_reorder" -> """
       SELECT o_orderpriority, count(*) AS n_items,
