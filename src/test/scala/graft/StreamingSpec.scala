@@ -80,6 +80,79 @@ class StreamingSpec extends AnyFunSuite {
       s"late row was not dropped (or window re-emitted): $emitted")
   }
 
+  test("flatMapGroupsWithState sessionization: gap closes in-batch, watermark closes cross-batch") {
+    // the arbitrary-state operator family (mapGroupsWithState /
+    // flatMapGroupsWithState): per-user open sessions live in the state
+    // store and close EXACTLY when (a) a later event arrives past the
+    // gap, or (b) the event-time watermark passes last+gap — after which
+    // no admissible late event could reopen them. Semantics ≡ e02.
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.{Closed, Ev}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ms(s: String) = ts(s).getTime
+    val events = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts")).as[Ev]
+    val q = StatefulSessions.closedSessions(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_state_test")
+      .outputMode("append").start()
+    try {
+      // user 1: three events 5 min apart (one session), user 2: singleton
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:05:00"), 1L),
+        (ts("2024-01-01 10:10:00"), 1L), (ts("2024-01-01 10:02:00"), 2L))
+      q.processAllAvailable()
+      // user 1 returns 90 min later: the IN-BATCH gap closes session A
+      // immediately. The same batch advances the watermark to 11:30,
+      // which passes user 2's last+gap (10:32) — so the TIMEOUT path
+      // closes the singleton in the very same trigger.
+      input.addData((ts("2024-01-01 11:40:00"), 1L))
+      q.processAllAvailable()
+      val afterGap = spark.table("sess_state_test").as[Closed].collect().toSet
+      assert(afterGap == Set(
+        Closed(1L, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:10:00"), 3L),
+        Closed(2L, ms("2024-01-01 10:02:00"), ms("2024-01-01 10:02:00"), 1L)),
+        s"expected gap-closure of user 1's session A + timeout of user 2's singleton: $afterGap")
+      // advance the watermark far past everyone's last+gap: the TIMEOUT
+      // path closes user 2's singleton and user 1's open second session
+      input.addData((ts("2024-01-01 15:00:00"), 3L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 18:00:00"), 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.table("sess_state_test").as[Closed].collect().toSet
+    assert(all.contains(Closed(2L, ms("2024-01-01 10:02:00"), ms("2024-01-01 10:02:00"), 1L)),
+      s"watermark timeout must close user 2's singleton: $all")
+    assert(all.contains(Closed(1L, ms("2024-01-01 11:40:00"), ms("2024-01-01 11:40:00"), 1L)),
+      s"watermark timeout must close user 1's reopened session: $all")
+  }
+
+  test("stateful sessionization fold ≡ the e02 batch window segmentation") {
+    // the same fold applied per-user over the whole events table (batch
+    // iterator, no timeouts) must reproduce e02's session counts exactly
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.Ev
+    import spark.implicits._
+    val gap = 30
+    val byUser = Tables.df(spark, Sf, "events")
+      .select(col("user_id"), col("ts")).as[Ev]
+      .collect().groupBy(_.user_id)
+    val foldCounts = byUser.map { case (u, evs) =>
+      // replay the fold: sessions = 1 + number of gap-exceeding steps
+      val sorted = evs.map(_.ts.getTime).sorted
+      val splits = sorted.sliding(2).count(w =>
+        w.length == 2 && w(1) - w(0) > StatefulSessions.gapMs(gap))
+      u -> (splits + 1L, evs.length.toLong)
+    }
+    val e02 = SparkEntry.queries("e02_sessionize")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(foldCounts == e02,
+      s"fold segmentation diverges from e02: fold=$foldCounts e02=$e02")
+  }
+
   test("dropDuplicatesWithinWatermark dedupes retries, keeps distinct ids, bounds state") {
     // streaming exact dedup — the incremental rendition of d01: an
     // at-least-once source redelivers events; dedup state is evicted once
