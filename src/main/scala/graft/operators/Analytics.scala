@@ -213,6 +213,28 @@ object Analytics {
         .orderBy(col("user_id"))
     },
 
+    // -- q110: FILTER'd WINDOW aggregates (nodeWindowAgg.c + FILTER) --
+    // PG/DuckDB allow `agg(x) FILTER (WHERE p) OVER w`; Spark's window
+    // aggregates take no FILTER clause, so the dialect translation is the
+    // CASE-inside-agg rewrite (NULLs are skipped by sum/count, matching
+    // FILTER semantics — including the all-filtered prefix staying NULL).
+    // Cents-integer discipline keeps the running sums exact: DuckDB
+    // evaluates window sums over a segment tree, so a DOUBLE running sum
+    // would drift last-ulp from Spark's sequential accumulation.
+    "q110_window_filter" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+          CAST(sum(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+            AS f_cents_run,
+          CAST(count(CASE WHEN o_orderpriority LIKE '1%' THEN 1 END)
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+            AS urgent_run
+        FROM orders ORDER BY o_custkey, o_orderkey""")
+    },
+
     // -- scalar subquery threshold (SubPlan → Catalyst subquery) --
     "q44_above_avg_parts" -> { (s, dir) =>
       Tables.register(s, dir)
@@ -599,6 +621,18 @@ object Analytics {
         round(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 10000) AS BIGINT) ELSE 0 END) AS DOUBLE) / 10000.0, 4) AS purchase_value,
         round(max(value) FILTER (WHERE event_type = 'click'), 4) AS max_click
       FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // native FILTER-on-window syntax — the surface Spark rewrites via CASE
+    "q110_window_filter" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          FILTER (WHERE o_orderstatus = 'F')
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+          AS f_cents_run,
+        CAST(count(*) FILTER (WHERE o_orderpriority LIKE '1%')
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+          AS urgent_run
+      FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q44_above_avg_parts" -> """
       SELECT p_partkey, p_brand, p_retailprice FROM part

@@ -54,7 +54,71 @@ object Chunking {
         "if(size(toks) >= 8, sequence(1, CAST(size(toks) - 7 AS INT)), CAST(array() AS ARRAY<INT>))")))
       .select(col("doc_id"), md5(concat_ws(" ", expr("slice(toks, i, 8)"))).as("gram"))
 
+  /** ch02: training-sequence packing parameters. Capacity is the context
+    * window (tokens per packed sequence); the prefix-sum bucket width is
+    * deliberately small (128 docs) so the two-phase cumsum exercises >1
+    * bucket even on the sf0.001 fixture — a production run would size it
+    * ~10⁶ so the bucket-subtotal relation is ~corpus/10⁶ rows. */
+  private val Cap = 2048
+  private val PackBkt = 128
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- ch02: GPT-style training-sequence packing (concat-and-chop) --
+    // Tokenized docs are concatenated per source stream in doc_id order
+    // and chopped into fixed `Cap`-token sequences; the answer per source
+    // is the packing audit every pretraining data pipeline runs: how many
+    // sequences, how many docs straddle a boundary, how full the bins are.
+    //
+    // Scale design: the global running token offset is the textbook
+    // DISTRIBUTED PREFIX SUM, not one giant window. A window partitioned
+    // only by `source` would drag every document of a source through a
+    // single task (the reference's Motion-to-one-segment analog,
+    // nodeWindowAgg.c has the same serialization); instead
+    //   (1) docs fold into `PackBkt`-wide doc_id buckets; per-(source,
+    //       bucket) token subtotals partial-aggregate map-side,
+    //   (2) the bucket-offset prefix runs a window over the SUBTOTAL
+    //       relation (corpus/PackBkt rows — reapply the same reduction
+    //       recursively if even that is too wide),
+    //   (3) each doc's offset = bucket offset + a window-local cumsum
+    //       inside its own (source, bucket) group — bounded partitions.
+    // The equi-join carrying offsets back is broadcast-able at sf and a
+    // plain shuffle join at 100 TB; AQE picks. Identical arithmetic to
+    // the oracle's single window, proven in InvariantsSpec.
+    "ch02_sequence_packing" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // chars/4 ≈ tokens: deterministic from the n_chars column, immune
+      // to cross-engine regex-split edge cases
+      val docs = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("greatest(1L, n_chars div 4)").as("tok"),
+          expr(s"doc_id div $PackBkt").as("bkt"))
+      val sub = docs.groupBy(col("source"), col("bkt"))
+        .agg(sum(col("tok")).as("btok"))
+      val off = sub.withColumn("offset",
+        coalesce(sum(col("btok")).over(
+          Window.partitionBy(col("source")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("bkt"), col("offset"))
+      val localW = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("lstart", coalesce(sum(col("tok")).over(localW), lit(0L)))
+        .join(off, Seq("source", "bkt"))
+        .withColumn("start", col("offset") + col("lstart"))
+        .withColumn("seq_first", expr(s"start div $Cap"))
+        .withColumn("seq_last", expr(s"(start + tok - 1) div $Cap"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("total_tokens"),
+          (max(col("seq_last")) + 1).as("n_seqs"),
+          sum(when(col("seq_first") =!= col("seq_last"), 1L).otherwise(0L))
+            .as("boundary_docs"),
+          round(sum(col("tok")).cast("double") /
+            ((max(col("seq_last")) + 1) * lit(Cap.toDouble)), 6).as("avg_fill"))
+        .orderBy(col("source"))
+    },
+
     // -- ch01: overlapping token-window chunking --
     "ch01_doc_chunking" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
@@ -118,6 +182,26 @@ object Chunking {
   )
 
   def oracle: Map[String, String] = Map(
+    // the oracle states packing as ONE window per source — same
+    // arithmetic the two-phase prefix sum distributes
+    "ch02_sequence_packing" -> s"""
+      WITH toks AS (
+        SELECT doc_id, source, greatest(1, n_chars // 4) AS tok FROM documents),
+      placed AS (
+        SELECT source, tok,
+          COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        FROM toks)
+      SELECT source,
+        count(*) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS total_tokens,
+        CAST(max((start + tok - 1) // $Cap) + 1 AS BIGINT) AS n_seqs,
+        CAST(sum(CASE WHEN start // $Cap <> (start + tok - 1) // $Cap
+                      THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs,
+        round(CAST(sum(tok) AS DOUBLE) /
+              ((max((start + tok - 1) // $Cap) + 1) * $Cap.0), 6) AS avg_fill
+      FROM placed GROUP BY source ORDER BY source""",
+
     "ch01_doc_chunking" -> s"""
       WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
                  FROM documents),

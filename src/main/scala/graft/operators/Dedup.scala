@@ -203,6 +203,31 @@ object Dedup {
         .groupBy(col("b_id").as("doc_id"))
         .agg(min(col("a_id")).as("keeper_id"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- d08: cluster representative selection (the dedup ACTION) --
+    // d01/d05/r02 decide which docs are duplicates; this is the other half
+    // every pipeline runs next: per near-dup cluster, KEEP exactly one
+    // representative — the standard "keep longest" policy (C4/RefinedWeb),
+    // doc_id as the deterministic tiebreak. Cluster key here is the
+    // hi_band simhash bucket (d05's blocking key).
+    //
+    // Scale: argmax-per-group as ONE map-side-combinable aggregate —
+    // max_by(doc_id, struct(len, -doc_id)) — the r6-verdict s04 pattern
+    // (a window-over-cluster formulation would shuffle every member row
+    // to sort each cluster; max_by partial-aggregates to |clusters| rows
+    // before the exchange).
+    "d08_cluster_representatives" -> { (s, dir) =>
+      val sim = simhashDf(s, dir).select(col("doc_id"), col("hi_band"))
+      val docs = Tables.df(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      sim.join(docs, Seq("doc_id"))
+        .groupBy(col("hi_band").as("cluster"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("max_by(doc_id, struct(n_chars, -doc_id))").as("keeper_id"),
+          max(col("n_chars")).as("keeper_chars"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("cluster"))
     }
   )
 
@@ -363,7 +388,22 @@ object Dedup {
       $oracleCandCtes
       SELECT b_id AS doc_id, min(a_id) AS keeper_id
       FROM cands WHERE bit_count(xor(a_sim, b_sim)) <= 3
-      GROUP BY b_id ORDER BY doc_id"""
+      GROUP BY b_id ORDER BY doc_id""",
+
+    // keep-longest + min-doc_id tiebreak, stated as max-join (DuckDB's
+    // arg_max can't take a composite ordering value)
+    "d08_cluster_representatives" -> s"""
+      WITH $oracleSimhashCtes,
+      j AS (SELECT b.hi_band, b.doc_id, d.n_chars
+            FROM banded b JOIN documents d ON b.doc_id = d.doc_id),
+      agg AS (SELECT hi_band, count(*) AS n_docs, max(n_chars) AS keeper_chars
+              FROM j GROUP BY hi_band),
+      rep AS (SELECT j.hi_band, min(j.doc_id) AS keeper_id
+              FROM j JOIN agg a ON j.hi_band = a.hi_band AND j.n_chars = a.keeper_chars
+              GROUP BY j.hi_band)
+      SELECT a.hi_band AS cluster, a.n_docs, r.keeper_id, a.keeper_chars
+      FROM agg a JOIN rep r ON a.hi_band = r.hi_band
+      WHERE a.n_docs >= 2 ORDER BY cluster"""
   )
 
   /** DuckDB rendition of `bandCandidates` (capped hi/lo posting lists) as

@@ -14,6 +14,25 @@ import graft.functions.PgFunctions
 object PgCompat {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- q109: bytea encode/decode + pgcrypto digests --
+    // The reference's bytea text I/O (encode/decode in
+    // src/backend/utils/adt/encode.c: hex, base64, escape) and pgcrypto's
+    // digest() (contrib/pgcrypto/pgcrypto.c) as Spark's built-in codegen'd
+    // expressions: md5/sha2 scalar digests, hex and base64 transport
+    // encodings, and a decode∘encode identity check — per-row, no shuffle,
+    // one WholeStageCodegen span.
+    "q109_digest_roundtrip" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT n_name,
+          md5(n_name) AS h_md5,
+          sha2(n_name, 256) AS h_sha256,
+          lower(hex(n_name)) AS h_hex,
+          base64(CAST(n_name AS BINARY)) AS h_b64,
+          CAST(CAST(unbase64(base64(CAST(n_name AS BINARY))) AS STRING) = n_name AS INT) AS rt_ok
+        FROM nation ORDER BY n_name""")
+    },
+
     // -- to_char numeric templates (formatting.c) --
     "q51_to_char" -> { (s, dir) =>
       PgFunctions.register(s)
@@ -444,6 +463,15 @@ object PgCompat {
   }
 
   def oracle: Map[String, String] = Map(
+    "q109_digest_roundtrip" -> """
+      SELECT n_name,
+        md5(n_name) AS h_md5,
+        sha256(n_name) AS h_sha256,
+        lower(hex(n_name)) AS h_hex,
+        to_base64(encode(n_name)) AS h_b64,
+        CAST(decode(from_base64(to_base64(encode(n_name)))) = n_name AS INT) AS rt_ok
+      FROM nation ORDER BY n_name""",
+
     "q95_distinct_on" -> """
       SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_name,
         round(CAST(round(c_acctbal * 100) AS BIGINT) / 100.0, 2) AS acctbal

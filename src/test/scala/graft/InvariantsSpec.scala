@@ -220,4 +220,41 @@ class InvariantsSpec extends AnyFunSuite {
     assert(grid.exceptAll(naive).count() == 0, "grid join emitted a bogus pair")
     assert(naive.exceptAll(grid).count() == 0, "grid join missed an overlapping pair")
   }
+
+  test("ch02: two-phase distributed prefix sum equals the single-window packing") {
+    // the scale rewrite must be arithmetic-identical to the textbook
+    // one-window-per-source formulation it replaces
+    import org.apache.spark.sql.expressions.Window
+    val direct = Tables.df(spark, Sf, "documents")
+      .select(col("doc_id"), col("source"), expr("greatest(1L, n_chars div 4)").as("tok"))
+      .withColumn("start", coalesce(sum(col("tok")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("total_tokens"),
+        (max(expr("(start + tok - 1) div 2048")) + 1).as("n_seqs"),
+        sum(when(expr("start div 2048") =!= expr("(start + tok - 1) div 2048"), 1L)
+          .otherwise(0L)).as("boundary_docs"),
+        round(sum(col("tok")).cast("double") /
+          ((max(expr("(start + tok - 1) div 2048")) + 1) * lit(2048.0)), 6).as("avg_fill"))
+    val packed = q("ch02_sequence_packing")
+    assert(packed.exceptAll(direct).count() == 0 && direct.exceptAll(packed).count() == 0,
+      "two-phase prefix sum diverged from the single-window packing")
+  }
+
+  test("d08: every representative belongs to its cluster and has its max length") {
+    val reps = q("d08_cluster_representatives")
+    // keeper_chars is genuinely the max length among members, and the
+    // keeper is a member with exactly that length (join back to check)
+    val sim = operators.Dedup.simhashDf(spark, Sf).select(col("doc_id"), col("hi_band"))
+    val docs = Tables.df(spark, Sf, "documents").select(col("doc_id"), col("n_chars"))
+    val members = sim.join(docs, Seq("doc_id"))
+    val bad = reps.join(members,
+        reps("keeper_id") === members("doc_id") && reps("cluster") === members("hi_band"),
+        "left")
+      .filter(members("doc_id").isNull || reps("keeper_chars") =!= members("n_chars"))
+    assert(bad.count() == 0, "a representative is not a max-length member of its cluster")
+  }
 }

@@ -560,4 +560,27 @@ class PlanShapeSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
     assert(finalPlan(df).contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"))
   }
+
+  test("ch02: corpus-wide window runs per (source, bucket), never per source alone") {
+    // the distributed prefix sum: the only window over the FULL documents
+    // relation is keyed (source, bkt) — a source-only window over the
+    // corpus would serialize each source through one task. The source-only
+    // window that does exist runs over the tiny bucket-subtotal relation.
+    val p = plan("ch02_sequence_packing")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty, s"expected window nodes in:\n$p")
+    assert(windows.exists(w => w.contains("source") && w.contains("bkt")),
+      s"expected a (source, bkt)-keyed window in:\n$p")
+  }
+
+  test("d08: representative selection is one map-side-combinable aggregate, no window") {
+    // argmax via max_by partial-aggregates to |clusters| rows before the
+    // exchange (the r6-verdict s04 pattern); a window formulation would
+    // shuffle every member row
+    val p = plan("d08_cluster_representatives")
+    assert(!p.contains("windowspecdefinition"),
+      s"cluster representative should not use a window:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      s"expected partial aggregation in:\n$p")
+  }
 }
