@@ -119,6 +119,30 @@ object Chunking {
         .orderBy(col("source"))
     },
 
+    // -- ch03: token-budget curriculum mixing --
+    // The Pile/Dolma source-mixing step: given per-source sampling
+    // weights and a total token budget (50% of the corpus here), compute
+    // each source's sampling rate = min(1, budget_s / tokens_s) with
+    // budget_s ∝ weight. One groupBy to the per-source token census
+    // (map-side combined), one scalar aggregate over the 20-row census,
+    // broadcast back — nothing here grows with the corpus except the
+    // first aggregation's input.
+    "ch03_curriculum_mix" -> { (s, dir) =>
+      val per = Tables.df(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(expr("greatest(1L, n_chars div 4)")).as("tokens"))
+        .withColumn("weight", expr(
+          "CASE WHEN source IN ('src0','src1','src2','src3','src4') " +
+            "THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END"))
+      val tot = per.agg(sum(col("tokens")).as("all_toks"), sum(col("weight")).as("all_w"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("rate", round(least(lit(1.0),
+          (lit(0.5) * col("all_toks") * col("weight") / col("all_w")) / col("tokens")), 6))
+        .select(col("source"), col("tokens"), col("weight"), col("rate"),
+          expr("CAST(round(rate * tokens) AS BIGINT)").as("sampled_tokens"))
+        .orderBy(col("source"))
+    },
+
     // -- ch01: overlapping token-window chunking --
     "ch01_doc_chunking" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
@@ -201,6 +225,19 @@ object Chunking {
         round(CAST(sum(tok) AS DOUBLE) /
               ((max((start + tok - 1) // $Cap) + 1) * $Cap.0), 6) AS avg_fill
       FROM placed GROUP BY source ORDER BY source""",
+
+    "ch03_curriculum_mix" -> """
+      WITH per AS (
+        SELECT source, CAST(sum(greatest(1, n_chars // 4)) AS BIGINT) AS tokens,
+          CASE WHEN source IN ('src0','src1','src2','src3','src4')
+               THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS weight
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS all_toks, sum(weight) AS all_w FROM per)
+      SELECT source, tokens, weight,
+        round(least(1.0, (0.5 * all_toks * weight / all_w) / tokens), 6) AS rate,
+        CAST(round(round(least(1.0, (0.5 * all_toks * weight / all_w) / tokens), 6) * tokens) AS BIGINT)
+          AS sampled_tokens
+      FROM per, tot ORDER BY source""",
 
     "ch01_doc_chunking" -> s"""
       WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -254,6 +254,42 @@ object TextOps {
     // -- repetition signals (Gopher-style quality filters): top-token
     //    share and duplicate-token fraction, entirely per-row HOFs —
     //    no explode, no shuffle, linear scan at any scale --
+    // -- t14: Gopher-style rule-based quality gate --
+    // The published pretraining quality filters (Gopher §A1.1 / Dolma)
+    // as one declarative pass: word-count bounds, mean-word-length
+    // bounds, minimum stopword evidence, and a max-token-repetition cap,
+    // each surfaced as its own flag plus the conjunctive keep decision.
+    // Same linear explode → (doc, tok) count → doc rollup shape as t11
+    // (no per-row quadratic HOFs); stop_hits counts DISTINCT stopwords
+    // present because level 1 already reduced to one row per (doc, tok).
+    "t14_gopher_rules" -> { (s, dir) =>
+      val stops = Seq("the", "a", "and", "of", "to")
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toks)).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * length(col("tok"))).as("sum_len"),
+          max(col("cnt")).as("max_cnt"),
+          count(when(col("tok").isin(stops: _*), 1)).as("stop_hits"))
+        .select(
+          col("doc_id"), col("n_words"),
+          round(col("sum_len").cast("double") / col("n_words"), 6).as("mean_word_len"),
+          col("stop_hits"),
+          round(col("max_cnt").cast("double") / col("n_words"), 6).as("top_share"),
+          expr("CAST(n_words BETWEEN 20 AND 1000 AS INT)").as("r_wordcount"),
+          expr("CAST(CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10 AS INT)").as("r_meanlen"),
+          expr("CAST(stop_hits >= 2 AS INT)").as("r_stopword"),
+          expr("CAST(CAST(max_cnt AS DOUBLE) / n_words <= 0.2 AS INT)").as("r_repetition"),
+          expr("""CAST(n_words BETWEEN 20 AND 1000
+                   AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+                   AND stop_hits >= 2
+                   AND CAST(max_cnt AS DOUBLE) / n_words <= 0.2 AS INT)""").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     "t11_repetition" -> { (s, dir) =>
       // Linear plan (r6 verdict #6): the former
       //   array_max(transform(array_distinct(toks), d -> size(filter(toks, ...))))
@@ -444,6 +480,33 @@ object TextOps {
         FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
               FROM documents) a) b
       ORDER BY doc_id""",
+
+    "t14_gopher_rules" -> """
+      WITH lvl1 AS (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents) t
+        GROUP BY doc_id, tok),
+      lvl2 AS (
+        SELECT doc_id,
+          CAST(sum(cnt) AS BIGINT) AS n_words,
+          CAST(sum(cnt * length(tok)) AS BIGINT) AS sum_len,
+          CAST(max(cnt) AS BIGINT) AS max_cnt,
+          CAST(count(CASE WHEN tok IN ('the','a','and','of','to') THEN 1 END) AS BIGINT) AS stop_hits
+        FROM lvl1 GROUP BY doc_id)
+      SELECT doc_id, n_words,
+        round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+        stop_hits,
+        round(CAST(max_cnt AS DOUBLE) / n_words, 6) AS top_share,
+        CAST(n_words BETWEEN 20 AND 1000 AS INT) AS r_wordcount,
+        CAST(CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10 AS INT) AS r_meanlen,
+        CAST(stop_hits >= 2 AS INT) AS r_stopword,
+        CAST(CAST(max_cnt AS DOUBLE) / n_words <= 0.2 AS INT) AS r_repetition,
+        CAST(n_words BETWEEN 20 AND 1000
+             AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3 AND 10
+             AND stop_hits >= 2
+             AND CAST(max_cnt AS DOUBLE) / n_words <= 0.2 AS INT) AS keep
+      FROM lvl2 ORDER BY doc_id""",
 
     "t11_repetition" -> """
       SELECT doc_id,

@@ -244,6 +244,32 @@ class InvariantsSpec extends AnyFunSuite {
       "two-phase prefix sum diverged from the single-window packing")
   }
 
+  test("t14: keep is exactly the conjunction of the four rule flags") {
+    val bad = q("t14_gopher_rules").filter(col("keep") =!=
+      col("r_wordcount") * col("r_meanlen") * col("r_stopword") * col("r_repetition"))
+    assert(bad.count() == 0, "keep flag disagrees with its component rules")
+  }
+
+  test("t14: word counts agree with t01's token counts") {
+    // independent pipelines (two-level count rollup vs per-row size())
+    // must census the same corpus
+    val a = q("t14_gopher_rules").select(col("doc_id"), col("n_words"))
+    val b = q("t01_token_stats").select(col("doc_id"), col("n_tokens"))
+    val diff = a.join(b, Seq("doc_id")).filter(col("n_words") =!= col("n_tokens"))
+    assert(diff.count() == 0, "t14 and t01 disagree on token counts")
+  }
+
+  test("ch03: per-source sampling respects availability and the global budget") {
+    val df = q("ch03_curriculum_mix")
+    assert(df.filter(col("sampled_tokens") > col("tokens")).count() == 0,
+      "a source samples more tokens than it has")
+    val r = df.agg(sum(col("sampled_tokens")), sum(col("tokens"))).head
+    val (sampled, total) = (r.getLong(0), r.getLong(1))
+    // un-redistributed min() terms can only undershoot; +20 rounding slack
+    assert(sampled <= (0.5 * total).toLong + 20,
+      s"sampled $sampled exceeds the 50% budget of $total")
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
