@@ -278,6 +278,28 @@ object Analytics {
         .orderBy(col("o_orderpriority"))
     },
 
+    // -- q111: relational division (the ÷ operator) --
+    // "Customers who ordered in EVERY priority class" — Codd's division,
+    // which PG plans as nested NOT EXISTS SubPlans (subselect.c SubLink
+    // handling; the oracle runs exactly that shape). The Spark-first
+    // rendition is the set-cover-by-counting rewrite: |distinct divisor
+    // values per candidate| == |divisor| — two map-side-combinable
+    // distinct aggregates and a broadcast of the 1-row divisor count, no
+    // correlated re-execution per outer row. Same answer, and the plan
+    // scales as two hash aggregates of the fact table instead of a
+    // per-customer probe.
+    "q111_relational_division" -> { (s, dir) =>
+      val orders = Tables.df(s, dir, "orders")
+      val div = orders.agg(countDistinct(col("o_orderpriority")).as("n_pri"))
+      val per = orders.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("n_cust_pri"))
+      per.crossJoin(broadcast(div))
+        .filter(col("n_cust_pri") === col("n_pri"))
+        .join(Tables.df(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
     // -- TPC-H Q21 shape: correlated EXISTS + NOT EXISTS on the same
     //    fact (semi join + anti join stacked, nodeSubplan.c territory):
     //    suppliers whose returned ('R') lineitems were the ONLY returns
@@ -651,6 +673,18 @@ object Analytics {
       WHERE s_suppkey IN (
         SELECT l_suppkey FROM lineitem WHERE l_quantity >= 50.0 AND l_discount >= 0.09)
       ORDER BY s_suppkey""",
+
+    // the textbook double-NOT-EXISTS division the Spark side re-expresses
+    // by counting
+    "q111_relational_division" -> """
+      SELECT c.c_custkey, c.c_name
+      FROM customer c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT DISTINCT o_orderpriority FROM orders) d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = d.o_orderpriority))
+      ORDER BY c.c_custkey""",
 
     "q47_exists_priority" -> """
       SELECT o_orderpriority, count(*) AS n_orders
