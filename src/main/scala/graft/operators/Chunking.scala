@@ -62,6 +62,35 @@ object Chunking {
   private val Cap = 2048
   private val PackBkt = 128
 
+  /** The two-phase distributed prefix sum behind ch02, reusable so the
+    * scale tests can drive synthetic corpora through the exact
+    * production path. Input: (doc_id, source, tok); output adds the
+    * doc's global token offset within its source stream (`start`) and
+    * the first/last `cap`-token sequence it lands in. No window ever
+    * spans more than one (source, bucket) group of the full relation;
+    * the source-wide window runs over the bucket-subtotal relation,
+    * |docs|/bktWidth rows — reapply the same reduction recursively if
+    * even that is too wide. */
+  private[graft] def packedPlacement(docs: DataFrame, cap: Long, bktWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = docs.withColumn("bkt", expr(s"doc_id div $bktWidth"))
+    val off = bucketed.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("tok")).as("btok"))
+      .withColumn("offset",
+        coalesce(sum(col("btok")).over(
+          Window.partitionBy(col("source")).orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bkt"), col("offset"))
+    val localW = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("lstart", coalesce(sum(col("tok")).over(localW), lit(0L)))
+      .join(off, Seq("source", "bkt"))
+      .withColumn("start", col("offset") + col("lstart"))
+      .withColumn("seq_first", expr(s"start div $cap"))
+      .withColumn("seq_last", expr(s"(start + tok - 1) div $cap"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- ch02: GPT-style training-sequence packing (concat-and-chop) --
     // Tokenized docs are concatenated per source stream in doc_id order
@@ -85,28 +114,12 @@ object Chunking {
     // plain shuffle join at 100 TB; AQE picks. Identical arithmetic to
     // the oracle's single window, proven in InvariantsSpec.
     "ch02_sequence_packing" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       // chars/4 ≈ tokens: deterministic from the n_chars column, immune
       // to cross-engine regex-split edge cases
       val docs = Tables.df(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          expr("greatest(1L, n_chars div 4)").as("tok"),
-          expr(s"doc_id div $PackBkt").as("bkt"))
-      val sub = docs.groupBy(col("source"), col("bkt"))
-        .agg(sum(col("tok")).as("btok"))
-      val off = sub.withColumn("offset",
-        coalesce(sum(col("btok")).over(
-          Window.partitionBy(col("source")).orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("source"), col("bkt"), col("offset"))
-      val localW = Window.partitionBy(col("source"), col("bkt"))
-        .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-      docs
-        .withColumn("lstart", coalesce(sum(col("tok")).over(localW), lit(0L)))
-        .join(off, Seq("source", "bkt"))
-        .withColumn("start", col("offset") + col("lstart"))
-        .withColumn("seq_first", expr(s"start div $Cap"))
-        .withColumn("seq_last", expr(s"(start + tok - 1) div $Cap"))
+          expr("greatest(1L, n_chars div 4)").as("tok"))
+      packedPlacement(docs, Cap, PackBkt)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),

@@ -205,4 +205,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "stateful streaming sessionization diverged from batch e02")
   }
+
+  test("ch02 packing placement is exact on a 200k-doc corpus (closed form)") {
+    import spark.implicits._
+    // constant tok=7, cap=100: doc k of a source (0-based rank) starts at
+    // 7k, so seq_first = 7k div 100 — checkable in closed form without
+    // ever materializing a corpus-wide window. 200k docs across 3
+    // sources exercise many (source, bucket) groups (width 1024) and a
+    // multi-thousand-row bucket-subtotal prefix relation.
+    val n = 200000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("source"),
+      lit(7L).as("tok"))
+    val placed = graft.operators.Chunking.packedPlacement(docs, cap = 100L, bktWidth = 1024L)
+      .withColumn("rank", expr("doc_id div 3")) // per-source 0-based rank
+    val bad = placed.filter(
+      col("start") =!= col("rank") * 7L ||
+      col("seq_first") =!= expr("(rank * 7) div 100") ||
+      col("seq_last") =!= expr("(rank * 7 + 6) div 100"))
+    assert(bad.count() == 0, "two-phase placement diverged from the closed form")
+    assert(placed.count() == n)
+  }
 }
