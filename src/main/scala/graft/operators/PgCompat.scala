@@ -14,6 +14,34 @@ import graft.functions.PgFunctions
 object PgCompat {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- q112: money type (cash.c) --
+    // The reference's money type is an int64 of cents with locale
+    // formatting on output (src/backend/utils/adt/cash.c: cash_in
+    // strips '$'/',', cash_out renders '$1,234.56', cash_div_int
+    // truncates to whole cents). Spark-first analog: money lives as
+    // BIGINT cents (exact, order-independent aggregation — the same
+    // representation every h-query's revenue math uses), formatted only
+    // at the output edge with format_number, and parsed back by
+    // stripping the currency/group marks. The parse→format roundtrip is
+    // emitted as a checked column so the oracle verifies cash_in∘cash_out
+    // = id, not just the rendering.
+    "q112_money_type" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        WITH m AS (
+          SELECT o_orderpriority,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+                 count(*) AS n
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority,
+          concat('$', format_number(CAST(cents AS DOUBLE) / 100.0, 2)) AS total_money,
+          concat('$', format_number(CAST(cents DIV n AS DOUBLE) / 100.0, 2)) AS avg_money,
+          CAST(CAST(round(CAST(regexp_replace(
+                 concat('$', format_number(CAST(cents AS DOUBLE) / 100.0, 2)),
+                 '[$,]', '') AS DOUBLE) * 100) AS BIGINT) = cents AS INT) AS rt_ok
+        FROM m ORDER BY o_orderpriority""")
+    },
+
     // -- q109: bytea encode/decode + pgcrypto digests --
     // The reference's bytea text I/O (encode/decode in
     // src/backend/utils/adt/encode.c: hex, base64, escape) and pgcrypto's
@@ -463,6 +491,29 @@ object PgCompat {
   }
 
   def oracle: Map[String, String] = Map(
+    // DuckDB renders the money text with fmt-style format('{:,.2f}') —
+    // same grouping/decimals as Spark's format_number. sum(BIGINT) is
+    // HUGEINT in DuckDB, so the cents total is cast back to BIGINT, and
+    // regexp_replace needs the 'g' flag (DuckDB replaces first-match
+    // only by default; Spark replaces all).
+    "q112_money_type" -> """
+      WITH m AS (
+        SELECT o_orderpriority,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority),
+      f AS (
+        SELECT o_orderpriority, cents,
+          '$' || format('{:,}', cents // 100) || '.' ||
+            lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS total_money,
+          '$' || format('{:,}', (cents // n) // 100) || '.' ||
+            lpad(CAST((cents // n) % 100 AS VARCHAR), 2, '0') AS avg_money
+        FROM m)
+      SELECT o_orderpriority, total_money, avg_money,
+        CAST(CAST(round(CAST(regexp_replace(total_money, '[$,]', '', 'g')
+               AS DOUBLE) * 100) AS BIGINT) = cents AS INT) AS rt_ok
+      FROM f ORDER BY o_orderpriority""",
+
     "q109_digest_roundtrip" -> """
       SELECT n_name,
         md5(n_name) AS h_md5,

@@ -164,7 +164,8 @@ object TpcH {
                         WHERE l3.l_orderkey = l1.l_orderkey
                           AND l3.l_suppkey <> l1.l_suppkey
                           AND l3.l_shipdate >= o_orderdate + INTERVAL 45 DAY)
-        AND s_nationkey = n_nationkey AND n_name IN ('NATION_1', 'NATION_2')
+        AND s_nationkey = n_nationkey
+        AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
 
     // Q4: order priority checking — correlated EXISTS (semi-join) + agg.

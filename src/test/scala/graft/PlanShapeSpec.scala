@@ -546,6 +546,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("h22_sales_opportunity").contains("Anti"))
   }
 
+  test("h21: both correlated subqueries decorrelate to one semi + one anti join") {
+    val p = plan("h21_suppliers_kept_waiting")
+    // the EXISTS (another supplier in the order) must become a LeftSemi
+    // and the NOT EXISTS (no OTHER late supplier) a LeftAnti — never a
+    // per-row re-execution of lineitem
+    assert(p.contains("Semi"), s"expected a semi join in:\n$p")
+    assert(p.contains("Anti"), s"expected an anti join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in h21:\n$p")
+  }
+
+  test("h06: scan-only aggregate — both filters pushed, no join, no wide columns") {
+    val p = plan("h06_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    // shipdate range must reach the parquet reader (partition of the
+    // pushdown microbenchmark's point)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"),
+      s"expected shipdate pushdown in:\n$p")
+    assert(!p.contains("Join"), s"Q6 must be join-free:\n$p")
+  }
+
+  test("h05: nation/region dims broadcast; fact joins shuffle on keys") {
+    val p = plan("h05_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in h05:\n$p")
+  }
+
   test("h19: the OR-of-ANDs bracket still pushes per-table filters to the scans") {
     val p = plan("h19_bracketed_revenue")
     // Catalyst extracts a per-side disjunction from the cross-table OR —
