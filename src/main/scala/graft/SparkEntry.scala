@@ -21,6 +21,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (operators.Relational.queries, operators.Relational.oracle),
     (operators.TpcH.queries, operators.TpcH.oracle),
+    (operators.TpcDs.queries, operators.TpcDs.oracle),
     (operators.Analytics.queries, operators.Analytics.oracle),
     (operators.Events.queries, operators.Events.oracle),
     (operators.TextOps.queries, operators.TextOps.oracle),

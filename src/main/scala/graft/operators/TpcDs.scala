@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** TPC-DS signature shapes. BASELINE.md's second benchmark table is the
+  * reference's TPC-DS 1 TB run (`contrib/pax_storage/doc/performance.md:
+  * 69-185`), and it names the four slowest queries: q72 (1:06), q23
+  * (0:50 as "q0" pairing), q23 (0:44), q67 (0:41). This battery carries
+  * the SHAPE of each of those slowest queries — the join/window/rollup
+  * structure that makes them the slowest — re-targeted at the driver's
+  * star schema (no store/catalog/web channel split, no inventory or
+  * date_dim tables):
+  *
+  *  - ds72: the fact-to-fact availability join (catalog_sales ⋈
+  *    inventory on item × NEXT week with a shortfall predicate, LEFT
+  *    JOIN retained) becomes demand-vs-next-week-supply over two
+  *    lineitem aggregates.
+  *  - ds23: the multi-CTE "best customers × frequent items" funnel
+  *    (frequent_ss_items / max_store_sales / best_ss_customer) with an
+  *    uncorrelated scalar MAX threshold and two IN-subqueries.
+  *  - ds67: ROLLUP over (brand, type, year, month) ranked within brand,
+  *    rank ≤ N — the rollup × window combination.
+  *  - ds51: per-key cumulative-sum windows on two channels FULL OUTER
+  *    JOINed, gap-filled with running MAX, filtered where one channel's
+  *    cumulative total overtakes the other.
+  *
+  * Like TpcH, each query is ONE SQL text shared verbatim between the
+  * Spark plan and the DuckDB oracle; money stays in BIGINT cents until
+  * the output edge, and every DuckDB HUGEINT-producing sum is cast back
+  * to BIGINT (comparator invariant, see Verify.scala).
+  *
+  * Scale notes: ds72/ds51's both-sides-fact joins shuffle on (part) /
+  * (item) keys — the partition-aligned exchange a 1000-executor run
+  * needs; ds23's dim-sized CTE results broadcast into the fact scan;
+  * ds67's rollup is one Expand + hash aggregate, rank a single ordered
+  * window per brand partition.
+  */
+object TpcDs {
+
+  private val epc = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+
+  val sqlText: Map[String, String] = Map(
+    // q72's defining feature is the join of two fact-scale relations on
+    // item × adjacent week with an inequality on quantities (inventory
+    // shortfall), famously the longest-running TPC-DS query. Analog:
+    // demanded quantity per (part, order-week) vs accepted shipments of
+    // the FOLLOWING week; LEFT JOIN keeps demand rows with no supply at
+    // all (promotion LEFT JOIN analog), shortfall filter, top-100 by
+    // shortfall size.
+    "ds72_inventory_shortfall" -> """
+      WITH supply AS (
+        SELECT l_partkey AS part, date_trunc('week', l_shipdate) AS wk,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supplied
+        FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1, 2),
+      demand AS (
+        SELECT l_partkey AS part, date_trunc('week', o_orderdate) AS wk,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demanded
+        FROM lineitem, orders WHERE l_orderkey = o_orderkey GROUP BY 1, 2)
+      SELECT d.part, CAST(d.wk AS DATE) AS wk, demanded,
+             coalesce(supplied, CAST(0 AS BIGINT)) AS supplied,
+             demanded - coalesce(supplied, CAST(0 AS BIGINT)) AS shortfall
+      FROM demand d LEFT JOIN supply s
+        ON d.part = s.part AND s.wk = d.wk + INTERVAL 7 DAY
+      WHERE coalesce(supplied, CAST(0 AS BIGINT)) < demanded
+      ORDER BY shortfall DESC, d.part, wk LIMIT 100""",
+
+    // q23's funnel: frequent items (grouped HAVING), customer spend CTE
+    // aggregated once and reused both for the scalar MAX threshold and
+    // the best-customer filter, then a month of sales restricted to
+    // best-customers × frequent-items via two IN-subqueries.
+    "ds23_best_customer_items" -> """
+      WITH freq AS (
+        SELECT l_partkey AS item FROM lineitem
+        GROUP BY l_partkey HAVING count(*) > 30),
+      spend AS (
+        SELECT o_custkey AS cust,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        FROM orders GROUP BY o_custkey),
+      best AS (
+        SELECT cust FROM spend
+        WHERE CAST(total_c AS DOUBLE) > (SELECT max(total_c) FROM spend) * 0.5)
+      SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND l_partkey IN (SELECT item FROM freq)
+        AND o_custkey IN (SELECT cust FROM best)""",
+
+    // q67: ROLLUP over the full grouping ladder, then rank() within the
+    // top-level group, keeping the head of each ranking. The rollup's
+    // NULL-padded subtotal rows participate in the ranking exactly as
+    // q67's do (the NULL brand partition holds the grand totals).
+    "ds67_rollup_rank" -> s"""
+      WITH base AS (
+        SELECT p_brand, p_type, year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+               $epc * CAST(l_quantity AS BIGINT) AS amt_c
+        FROM lineitem, orders, part
+        WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey),
+      agg AS (
+        SELECT p_brand, p_type, yr, mon, CAST(sum(amt_c) AS BIGINT) AS sales_c
+        FROM base GROUP BY ROLLUP(p_brand, p_type, yr, mon)),
+      ranked AS (
+        SELECT p_brand, p_type, yr, mon, sales_c,
+               rank() OVER (PARTITION BY p_brand ORDER BY sales_c DESC) AS rk
+        FROM agg)
+      SELECT p_brand, p_type, yr, mon,
+             round(CAST(sales_c AS DOUBLE) / 10000.0, 2) AS sales, rk
+      FROM ranked WHERE rk <= 10""",
+
+    // q51: cumulative revenue per item on two channels (accepted vs
+    // returned lines), FULL OUTER JOIN on (item, day), running-MAX gap
+    // fill over the joined grid, emit the days where the returned
+    // cumulative total overtakes the accepted one.
+    "ds51_cumulative_overtake" -> s"""
+      WITH daily AS (
+        SELECT l_partkey AS item, l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+               sum($epc) AS rev_c
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') AND l_partkey <= 200
+        GROUP BY 1, 2, 3),
+      cum AS (
+        SELECT item, flag, d,
+               CAST(sum(rev_c) OVER (PARTITION BY item, flag ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+        FROM daily),
+      joined AS (
+        SELECT coalesce(a.item, r.item) AS item, coalesce(a.d, r.d) AS d,
+               a.cum_c AS a_cum, r.cum_c AS r_cum
+        FROM (SELECT * FROM cum WHERE flag = 'A') a
+        FULL OUTER JOIN (SELECT * FROM cum WHERE flag = 'R') r
+          ON a.item = r.item AND a.d = r.d),
+      filled AS (
+        SELECT item, d,
+               max(a_cum) OVER (PARTITION BY item ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_fill,
+               max(r_cum) OVER (PARTITION BY item ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_fill
+        FROM joined)
+      SELECT item, d, CAST(a_fill AS BIGINT) AS accepted_cum_c,
+             CAST(r_fill AS BIGINT) AS returned_cum_c
+      FROM filled WHERE r_fill > a_fill"""
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    sqlText.map { case (name, text) =>
+      name -> ((s: SparkSession, dir: String) => { Tables.register(s, dir); s.sql(text) })
+    }
+
+  def oracle: Map[String, String] = sqlText
+}

@@ -572,6 +572,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in h05:\n$p")
   }
 
+  test("ds72: fact-fact shortfall join shuffles on the part key, no cartesian") {
+    val p = plan("ds72_inventory_shortfall")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ds72:\n$p")
+    // demand ⋈ supply is two fact-scale aggregates — must be a shuffled
+    // equi-join (hash or sort-merge), never a broadcast of a fact side
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi-join in ds72:\n$p")
+  }
+
+  test("ds23: both IN-subqueries decorrelate to semi joins") {
+    val p = plan("ds23_best_customer_items")
+    assert(p.contains("Semi"), s"expected semi joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ds23:\n$p")
+  }
+
+  test("ds67: rollup plans one Expand + hash aggregate, rank one window") {
+    val p = plan("ds67_rollup_rank")
+    assert(p.contains("Expand"), s"expected rollup Expand in:\n$p")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    // \bWindow\b: the Window node itself, not WindowGroupLimit (the
+    // rank<=N pushdown Spark inserts above it)
+    val windows = finalSection.linesIterator.count(_.matches(".*\\bWindow\\b.*"))
+    assert(windows == 1, s"expected exactly 1 Window, got $windows:\n$p")
+  }
+
   test("h19: the OR-of-ANDs bracket still pushes per-table filters to the scans") {
     val p = plan("h19_bracketed_revenue")
     // Catalyst extracts a per-side disjunction from the cross-table OR —
