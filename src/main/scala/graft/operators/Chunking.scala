@@ -91,6 +91,21 @@ object Chunking {
       .withColumn("seq_last", expr(s"(start + tok - 1) div $cap"))
   }
 
+  /** ONE SQL text shared by the Spark run and the DuckDB oracle (ch04).
+    * ORDER BY + LIMIT (not row_number over the corpus) so Spark plans a
+    * distributed top-k; the window numbers only the 25 survivors. */
+  private val EpochShuffleSql = """
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(concat('epoch-7:', CAST(doc_id AS STRING))) AS shuffle_key
+      FROM documents),
+    head AS (
+      SELECT doc_id, source, shuffle_key
+      FROM keyed ORDER BY shuffle_key, doc_id LIMIT 25)
+    SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos,
+           doc_id, source, shuffle_key
+    FROM head ORDER BY pos"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- ch02: GPT-style training-sequence packing (concat-and-chop) --
     // Tokenized docs are concatenated per source stream in doc_id order
@@ -156,6 +171,19 @@ object Chunking {
         .orderBy(col("source"))
     },
 
+    // -- ch04: epoch-seeded deterministic corpus shuffle. Training reads
+    //    the corpus in a different but REPRODUCIBLE order each epoch:
+    //    order by md5(seed || doc_id). At 100 TB this is exactly Spark's
+    //    distributed sort (range-partitioned by sampled key quantiles) —
+    //    never a single-partition global window. The query takes the
+    //    head of epoch 7's order as a distributed top-k
+    //    (TakeOrderedAndProject, plan-asserted) and only then numbers
+    //    the 25 survivors with a window. --
+    "ch04_epoch_shuffle" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(EpochShuffleSql)
+    },
+
     // -- ch01: overlapping token-window chunking --
     "ch01_doc_chunking" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
@@ -219,6 +247,7 @@ object Chunking {
   )
 
   def oracle: Map[String, String] = Map(
+    "ch04_epoch_shuffle" -> EpochShuffleSql,
     // the oracle states packing as ONE window per source — same
     // arithmetic the two-phase prefix sum distributes
     "ch02_sequence_packing" -> s"""

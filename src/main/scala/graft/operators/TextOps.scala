@@ -20,6 +20,22 @@ object TextOps {
     * would shift per-engine; plain space split is oracle-stable). */
   private val toks = "filter(split(text, ' '), x -> x <> '')"
 
+  /** ONE SQL text shared by the Spark run and the DuckDB oracle (t15):
+    * both engines return identical md5 hex, and hex substrings compare
+    * lexicographically, so the split is bit-identical cross-engine. */
+  private val TrainSplitSql = """
+    WITH tagged AS (
+      SELECT doc_id, n_chars,
+        CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < 'cd' THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < 'e7' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      round(CAST(count(*) AS DOUBLE)
+            / (SELECT count(*) FROM documents), 4) AS share
+    FROM tagged GROUP BY split ORDER BY split"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- token counting --
     "t01_token_stats" -> { (s, dir) =>
@@ -262,6 +278,19 @@ object TextOps {
     // Same linear explode → (doc, tok) count → doc rollup shape as t11
     // (no per-row quadratic HOFs); stop_hits counts DISTINCT stopwords
     // present because level 1 already reduced to one row per (doc, tok).
+    // -- t15: deterministic hash-based train/val/test split. The
+    //    assignment is a pure function of doc_id (first md5 byte against
+    //    fixed hex thresholds: < 0xcd train ≈ 80.1%, < 0xe7 val ≈ 10.2%,
+    //    else test), so it is reproducible across runs/engines/cluster
+    //    sizes, trivially leak-free (a doc can't land in two splits),
+    //    and needs NO shuffle to assign — only the tiny per-split rollup
+    //    aggregates. Hex-substring comparison avoids any hex→int
+    //    conversion dialect difference. --
+    "t15_train_split" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(TrainSplitSql)
+    },
+
     "t14_gopher_rules" -> { (s, dir) =>
       val stops = Seq("the", "a", "and", "of", "to")
       Tables.df(s, dir, "documents")
@@ -324,6 +353,7 @@ object TextOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "t15_train_split" -> TrainSplitSql,
     "t06_bpe_tokens" -> """
       SELECT doc_id,
         CAST(len(pieces) AS BIGINT) AS n_pieces,

@@ -9,6 +9,15 @@ import graft.Tables
   * Relational (the flagship). Round 7 added Q3/Q5/Q6/Q9/Q21 so every
   * published query lines up against a same-named `queries` entry.
   *
+  * Q3/Q5/Q6/Q9/Q21 shapes also exist as DataFrame-API formulations
+  * (q03/q05/q06/q09/q75 in Relational/Analytics) — those exercise the
+  * Dataset builder path with explicit broadcast() hints; the h-versions
+  * here go through the SQL parser with NO hints, so AQE must discover
+  * the broadcasts and Catalyst must decorrelate the subqueries itself
+  * (h21's textbook double-EXISTS with non-equi date-lateness
+  * correlation vs q75's returnflag proxy). Two deliberate paths into
+  * the same plan shapes, not duplicates.
+  *
   * Adaptations to the driver's trimmed schema (TESTDATA.md has no
   * partsupp, l_commitdate/l_receiptdate/l_shipmode, c_phone, p_container):
   *  - partsupp-derived values (Q2 supply cost, Q11 stock value, Q16

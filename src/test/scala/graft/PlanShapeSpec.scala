@@ -597,6 +597,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows == 1, s"expected exactly 1 Window, got $windows:\n$p")
   }
 
+  test("ch04: epoch shuffle head is a distributed top-k, not a corpus-wide window") {
+    val p = plan("ch04_epoch_shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k for the shuffle head in:\n$p")
+    // the row_number window must sit ABOVE the LIMIT (25 rows), never
+    // under it on the full corpus: exactly one Window, one top-k
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert(finalSection.linesIterator.count(_.matches(".*\\bWindow\\b.*")) == 1, p)
+  }
+
+  test("t15: split assignment is shuffle-free until the per-split rollup") {
+    val p = plan("t15_train_split")
+    // one aggregation exchange (plus AQE reads); no join/window before it
+    assert(!p.contains("Window"), s"no window expected in t15:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact join expected in t15:\n$p")
+  }
+
   test("h19: the OR-of-ANDs bracket still pushes per-table filters to the scans") {
     val p = plan("h19_bracketed_revenue")
     // Catalyst extracts a per-side disjunction from the cross-table OR —
