@@ -43,7 +43,10 @@ object SparkEntry {
     (operators.Sparse.queries, operators.Sparse.oracle),
     (operators.Network.queries, operators.Network.oracle),
     (operators.Geo.queries, operators.Geo.oracle),
-    (operators.Bits.queries, operators.Bits.oracle)
+    (operators.Bits.queries, operators.Bits.oracle),
+    (operators.Fuzzy.queries, operators.Fuzzy.oracle),
+    (operators.Ltree.queries, operators.Ltree.oracle),
+    (operators.IntArray.queries, operators.IntArray.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

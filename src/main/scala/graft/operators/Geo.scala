@@ -111,6 +111,34 @@ object Geo {
           expr("round(ar + br - sqrt(pow(ax - bx, 2) + pow(ay - by, 2)), 4)").as("depth"))
         .distinct()
         .orderBy(col("a_key"), col("b_key"))
+    },
+
+    // earth_distance(ll_to_earth(a), ll_to_earth(b)) — contrib/
+    // earthdistance/earthdistance.c: great-circle distance from the 3-D
+    // chord (sec_to_gc: 2R·asin(chord/2R)), algebraically the haversine
+    // below. Customers on a deterministic lat/lon grid; one fixed probe
+    // point; per-nation rollup of min/max great-circle km + a radius
+    // predicate (the earth_box workload). Per-row trig stays in one
+    // WholeStageCodegen span; the rollup is a plain partial-agg — at
+    // 100 TB the probe broadcast + map-side combine is the whole plan.
+    "g04_earth_distance" -> { (s, dir) =>
+      val nation = Tables.df(s, dir, "nation")
+      Tables.df(s, dir, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("lat", expr("(c_custkey * 7 % 1200) / 10.0 - 60.0"))
+        .withColumn("lon", expr("(c_custkey * 13 % 3600) / 10.0 - 180.0"))
+        .withColumn("km", expr(
+          """2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(lat - 48.9) / 2), 2) +
+               cos(radians(lat)) * cos(radians(48.9)) *
+               pow(sin(radians(lon - 2.3) / 2), 2)))"""))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(min(col("km")), 1).as("min_km"),
+          round(max(col("km")), 1).as("max_km"),
+          sum(expr("CASE WHEN km < 5000 THEN 1 ELSE 0 END")).cast("bigint")
+            .as("n_within_5000"))
+        .orderBy(col("n_name"))
     }
   )
 
@@ -156,6 +184,26 @@ object Geo {
              round(a.r + b.r - sqrt(pow(a.cx - b.cx, 2) + pow(a.cy - b.cy, 2)), 4) AS depth
       FROM c a JOIN c b ON a.s_suppkey < b.s_suppkey
       WHERE pow(a.cx - b.cx, 2) + pow(a.cy - b.cy, 2) <= pow(a.r + b.r, 2)
-      ORDER BY a_key, b_key"""
+      ORDER BY a_key, b_key""",
+
+    "g04_earth_distance" -> """
+      WITH pts AS (
+        SELECT n_name,
+               (c_custkey * 7 % 1200) / 10.0 - 60.0 AS lat,
+               (c_custkey * 13 % 3600) / 10.0 - 180.0 AS lon
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      d AS (
+        SELECT n_name,
+               2 * 6371.0088 * asin(sqrt(
+                 pow(sin(radians(lat - 48.9) / 2), 2) +
+                 cos(radians(lat)) * cos(radians(48.9)) *
+                 pow(sin(radians(lon - 2.3) / 2), 2))) AS km
+        FROM pts)
+      SELECT n_name, count(*) AS n_cust,
+        round(min(km), 1) AS min_km,
+        round(max(km), 1) AS max_km,
+        CAST(sum(CASE WHEN km < 5000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_within_5000
+      FROM d GROUP BY n_name ORDER BY n_name"""
   )
 }

@@ -614,6 +614,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no fact join expected in t15:\n$p")
   }
 
+  test("fz01: probe match is broadcast + one map-side-combined argmin, no window") {
+    val p = plan("fz01_levenshtein_match")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"probes must broadcast against the corpus scan:\n$p")
+    assert(!p.contains("Window"), s"argmin must be an aggregate, not a window:\n$p")
+    assert(p.contains("partial_min"), s"expected map-side partial min:\n$p")
+  }
+
+  test("l01: ancestor set broadcasts; the corpus is never shuffled for the join") {
+    val p = plan("l01_ltree_isparent")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast ancestor join in:\n$p")
+  }
+
+  test("q113: tag arrays build in one aggregate, probes evaluate join-free") {
+    val p = plan("q113_intarray_tags")
+    assert(!p.contains("Join"), s"probe predicates must not join:\n$p")
+    assert(p.contains("partial_collect_set") || p.contains("ObjectHashAggregate"),
+      s"expected map-side collect_set partials:\n$p")
+  }
+
+  test("g04: per-row trig stays in codegen; rollup is a partial agg") {
+    val p = plan("g04_earth_distance")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"expected map-side partials in:\n$p")
+  }
+
   test("h19: the OR-of-ANDs bracket still pushes per-table filters to the scans") {
     val p = plan("h19_bracketed_revenue")
     // Catalyst extracts a per-side disjunction from the cross-table OR —
