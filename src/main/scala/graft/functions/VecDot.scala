@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -120,9 +121,18 @@ case class VecL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Integer dot over `array<int>` (int8-quantized) — see [[VecDot]]. */
+/** Integer dot over `array<int>` (int8-quantized) — see [[VecDot]].
+  * Declares its input types: the kernel reads 4-byte slots, so a
+  * `array<bigint>` argument must fail analysis, not read garbage. */
 case class VecDotInt(left: Expression, right: Expression)
   extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_doti expects (array<int>, array<int>), got (${l.sql}, ${r.sql})")
+    }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_doti"

@@ -218,6 +218,53 @@ object Similarity {
           col("top")(0).getField("_2").as("top1_c_id"),
           col("top")(0).getField("_1").as("top1_qcos"))
         .orderBy(col("q_id"))
+    },
+
+    // -- s07: k-means (Lloyd) — the IVF TRAINING step s04 consumes.
+    //    Two unrolled assign→recompute iterations, k = 8, seeded from
+    //    vec_id < 8. ALL arithmetic is exact: vectors quantize once to
+    //    BIGINT (round(x·10⁴)), distances are integer dot products
+    //    (vec_doti codegen kernel via ‖a−c‖² = a·a − 2a·c + c·c), and
+    //    the centroid update rounds CAST(sum AS DOUBLE)/n — one IEEE
+    //    correctly-rounded division — so both engines agree bit-for-bit
+    //    with no float-summation-order exposure anywhere.
+    //    Scale shape per iteration: centroids BROADCAST (k rows), the
+    //    corpus streams ONCE through codegen, argmin is a single
+    //    map-side-combined min over a (d2·10+cent) encoding (the r6 s04
+    //    lesson — never a window), and the update is posexplode →
+    //    partial-sum on (cent, pos): k·dim rows reach the reduce side
+    //    per partition regardless of corpus size.
+    "s07_kmeans_lloyd" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val emb = Tables.df(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS INT))")
+          .as("qv"))
+      val cents0 = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+      def assign(cents: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cents))
+          .withColumn("d2", expr(
+            "vec_doti(qv, qv) - 2 * vec_doti(qv, cv) + vec_doti(cv, cv)"))
+          .groupBy(col("vec_id"))
+          .agg(min(expr("d2 * 10 + cent_id")).as("enc"),
+            first(col("qv")).as("qv"))
+          .select(col("vec_id"), col("qv"),
+            expr("enc % 10").as("cent_id"), expr("enc div 10").as("d2"))
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned.select(col("cent_id"), posexplode(col("qv")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg(expr("CAST(round(CAST(sum(col) AS DOUBLE) / count(*)) AS INT)")
+            .as("v"))
+          .groupBy(col("cent_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), t -> t.v)")
+            .as("cv"))
+      val finalAssign = assign(recompute(assign(cents0)))
+      finalAssign.groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("d2")).cast("bigint").as("inertia"),
+          min(col("vec_id")).as("min_member"))
+        .orderBy(col("cent_id"))
     }
   )
 
@@ -264,6 +311,51 @@ object Similarity {
     s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
   def oracle: Map[String, String] = Map(
+    // Two unrolled Lloyd iterations in exact BIGINT arithmetic — the
+    // same quantization, distance, and centroid-update formulas as the
+    // Spark side, so no floating-point summation order can diverge.
+    "s07_kmeans_lloyd" -> """
+      WITH emb AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cent_id, qv AS cv FROM emb WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, min(CAST(d2 AS BIGINT) * 10 + cent_id) AS enc
+        FROM (
+          SELECT e.vec_id, c.cent_id,
+            list_sum(list_transform(generate_series(1, len(e.qv)),
+              i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) AS d2
+          FROM emb e, c0 c) t
+        GROUP BY vec_id),
+      m1 AS (SELECT vec_id, enc % 10 AS cent_id FROM a1),
+      e_long AS (
+        SELECT vec_id, i, qv[i] AS v
+        FROM emb, (SELECT unnest(generate_series(1, 64)) AS i) g),
+      c1cols AS (
+        SELECT cent_id, i,
+          CAST(round(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS val
+        FROM m1 JOIN e_long USING (vec_id)
+        GROUP BY cent_id, i),
+      c1 AS (
+        SELECT cent_id, list(val ORDER BY i) AS cv
+        FROM c1cols GROUP BY cent_id),
+      a2 AS (
+        SELECT vec_id, min(CAST(d2 AS BIGINT) * 10 + cent_id) AS enc
+        FROM (
+          SELECT e.vec_id, c.cent_id,
+            list_sum(list_transform(generate_series(1, len(e.qv)),
+              i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))) AS d2
+          FROM emb e, c1 c) t
+        GROUP BY vec_id),
+      m2 AS (
+        SELECT vec_id, enc % 10 AS cent_id, enc // 10 AS d2 FROM a2)
+      SELECT cent_id, count(*) AS n_members,
+        CAST(sum(d2) AS BIGINT) AS inertia,
+        min(vec_id) AS min_member
+      FROM m2 GROUP BY cent_id ORDER BY cent_id""",
+
     "s06_quantized_ann" -> """
       WITH quant AS (
         SELECT vec_id, embedding,

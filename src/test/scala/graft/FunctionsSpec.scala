@@ -68,6 +68,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 2.0)
   }
 
+  test("vec_doti rejects non-int arrays at analysis time (4-byte kernel guard)") {
+    graft.functions.PgFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_doti(array(1L, 2L), array(1L, 2L))").collect()
+    }
+    assert(e.getMessage.contains("vec_doti"),
+      s"expected the vec_doti type-check message, got: ${e.getMessage}")
+  }
+
   test("SvecDot: two-pointer sparse dot (svec_dot semantics)") {
     graft.functions.PgFunctions.register(spark)
     val r = spark.sql(

@@ -642,6 +642,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected map-side partials in:\n$p")
   }
 
+  test("s07: per-iteration argmin is a map-side min over broadcast centroids, no window") {
+    val p = plan("s07_kmeans_lloyd")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast against the corpus scan:\n$p")
+    assert(!p.contains("Window"),
+      s"assignment argmin must be an aggregate, not a window:\n$p")
+    assert(p.contains("partial_min"), s"expected map-side partial min:\n$p")
+  }
+
   test("h19: the OR-of-ANDs bracket still pushes per-table filters to the scans") {
     val p = plan("h19_bracketed_revenue")
     // Catalyst extracts a per-side disjunction from the cross-table OR —
