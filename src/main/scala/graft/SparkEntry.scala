@@ -46,7 +46,8 @@ object SparkEntry {
     (operators.Bits.queries, operators.Bits.oracle),
     (operators.Fuzzy.queries, operators.Fuzzy.oracle),
     (operators.Ltree.queries, operators.Ltree.oracle),
-    (operators.IntArray.queries, operators.IntArray.oracle)
+    (operators.IntArray.queries, operators.IntArray.oracle),
+    (operators.DataQuality.queries, operators.DataQuality.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

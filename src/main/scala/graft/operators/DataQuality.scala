@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality constraint audit — the validation stage every training
+  * pipeline runs before a corpus ships (Deequ/Great-Expectations shape;
+  * reference analogs: ANALYZE's null_frac / n_distinct probes,
+  * `src/backend/commands/analyze.c` compute_scalar_stats, and the
+  * COPY-reject accounting the sreh machinery keeps, c01/c02).
+  *
+  * One audit-summary relation, one row per constraint:
+  *   (constraint, n_checked, n_violations) over
+  *   - primary-key uniqueness   (duplicate o_orderkey count)
+  *   - referential integrity    (lineitem → orders orphan count)
+  *   - range constraints        (o_totalprice > 0, 0 ≤ l_discount ≤ 0.1)
+  *   - completeness             (null o_orderdate count)
+  *   - domain membership        (o_orderstatus ∈ {O, F, P})
+  *
+  * Scale shape: each check is a single-pass aggregate over its table —
+  * the PK check aggregates key-grouped counts (map-side combine), the
+  * FK check is a broadcast-able LEFT ANTI join counted without
+  * materializing orphans, and the scalar checks fuse into ONE scan of
+  * orders (no per-constraint rescans — at 100 TB you pay one pass per
+  * table, not per rule). The audit rows union to a tiny summary.
+  */
+object DataQuality {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq01_constraint_audit" -> { (s, dir) =>
+      val orders = Tables.df(s, dir, "orders")
+      val lineitem = Tables.df(s, dir, "lineitem")
+
+      // PK uniqueness: rows beyond the first per key
+      val pkDup = orders.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1).cast("bigint").as("n_violations"),
+          count(lit(1)).cast("bigint").as("n_keys"))
+        .select(lit("pk_orders_unique").as("check_name"),
+          col("n_keys").as("n_checked"), col("n_violations"))
+
+      // FK: lineitems whose order does not exist (left anti, counted)
+      val orphans = lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).cast("bigint").as("n_violations"))
+      val fkRow = lineitem.agg(count(lit(1)).cast("bigint").as("n_checked"))
+        .crossJoin(orphans)
+        .select(lit("fk_lineitem_orders").as("check_name"),
+          col("n_checked"), col("n_violations"))
+
+      // scalar constraints over orders: ONE scan, three rules
+      val ordersScan = orders.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).cast("bigint")
+          .as("v_price"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).cast("bigint")
+          .as("v_null_date"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+          .cast("bigint").as("v_status"))
+      val priceRow = ordersScan.select(
+        lit("range_o_totalprice_pos").as("check_name"),
+        col("n").as("n_checked"), col("v_price").as("n_violations"))
+      val dateRow = ordersScan.select(
+        lit("not_null_o_orderdate").as("check_name"),
+        col("n").as("n_checked"), col("v_null_date").as("n_violations"))
+      val statusRow = ordersScan.select(
+        lit("domain_o_orderstatus").as("check_name"),
+        col("n").as("n_checked"), col("v_status").as("n_violations"))
+
+      // range over lineitem: one scan
+      val discRow = lineitem.agg(
+        count(lit(1)).cast("bigint").as("n_checked"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).cast("bigint").as("n_violations"))
+        .select(lit("range_l_discount").as("check_name"),
+          col("n_checked"), col("n_violations"))
+
+      pkDup.unionAll(fkRow).unionAll(priceRow).unionAll(dateRow)
+        .unionAll(statusRow).unionAll(discRow)
+        .orderBy(col("check_name"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "dq01_constraint_audit" -> """
+      WITH pk AS (
+        SELECT 'pk_orders_unique' AS check_name,
+               CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(c - 1) AS BIGINT) AS n_violations
+        FROM (SELECT o_orderkey, count(*) AS c FROM orders
+              GROUP BY o_orderkey) t),
+      fk AS (
+        SELECT 'fk_lineitem_orders' AS check_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_orderkey NOT IN
+                       (SELECT o_orderkey FROM orders)) AS BIGINT)
+                 AS n_violations),
+      osc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_price,
+          CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS v_null_date,
+          CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1
+            END) AS BIGINT) AS v_status
+        FROM orders),
+      disc AS (
+        SELECT 'range_l_discount' AS check_name,
+               CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM lineitem)
+      SELECT * FROM pk
+      UNION ALL SELECT * FROM fk
+      UNION ALL SELECT 'range_o_totalprice_pos', n, v_price FROM osc
+      UNION ALL SELECT 'not_null_o_orderdate', n, v_null_date FROM osc
+      UNION ALL SELECT 'domain_o_orderstatus', n, v_status FROM osc
+      UNION ALL SELECT * FROM disc
+      ORDER BY check_name"""
+  )
+}

@@ -16,6 +16,33 @@ import graft.Tables
 object Events {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- e12: SCD Type-2 dimension build. Each user's event_type stream
+    //    collapses to change rows (lag ≠ current — island detection),
+    //    then lead() closes each version's [valid_from, valid_to) —
+    //    the standard warehouse history-table construction the
+    //    reference expresses as MERGE + triggers. Durations in exact
+    //    epoch-ms BIGINTs. Scale shape: both windows partition by
+    //    user_id (no global sort); the second window runs on the
+    //    COLLAPSED change rows, a small fraction of the corpus. --
+    "e12_scd2_history" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val changes = Tables.df(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ms"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      changes
+        .withColumn("to_ms", lead(col("ms"), 1).over(w2))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("to_ms").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("to_ms").isNull, 0L).otherwise(col("to_ms") - col("ms")))
+            .cast("bigint").as("dur_ms"),
+          max(col("to_ms") - col("ms")).as("max_dur_ms"))
+        .orderBy(col("event_type"))
+    },
+
     // -- tumbling-window rollup (event-time bucketing) --
     "e01_hourly_rollup" -> { (s, dir) =>
       Tables.df(s, dir, "events")
@@ -236,6 +263,28 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "e12_scd2_history" -> """
+      WITH o AS (
+        SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      ch AS (
+        SELECT user_id, event_type, event_id, ms
+        FROM o WHERE prev_type IS NULL OR prev_type <> event_type),
+      v AS (
+        SELECT event_type, ms,
+               lead(ms) OVER (PARTITION BY user_id
+                 ORDER BY ms, event_id) AS to_ms
+        FROM ch)
+      SELECT event_type, count(*) AS n_versions,
+        CAST(sum(CASE WHEN to_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_open,
+        CAST(sum(CASE WHEN to_ms IS NULL THEN 0 ELSE to_ms - ms END)
+          AS BIGINT) AS dur_ms,
+        CAST(max(to_ms - ms) AS BIGINT) AS max_dur_ms
+      FROM v GROUP BY event_type ORDER BY event_type""",
+
     // same densify-and-fill, spelled with generate_series + IGNORE NULLS
     "e11_anomaly_zscore" -> """
       SELECT event_type, count(*) AS n_events,

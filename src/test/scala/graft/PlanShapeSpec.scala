@@ -651,6 +651,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), s"expected map-side partial min:\n$p")
   }
 
+  test("e12: both SCD2 windows partition by user_id — no global sort") {
+    val p = plan("e12_scd2_history")
+    assert(!p.contains("Window [") ||
+      !p.linesIterator.exists(l => l.contains("Window") && !l.contains("user_id")),
+      s"every Window must partition by user_id:\n$p")
+  }
+
+  test("dq01: FK orphan check is an anti join, not a materialized except") {
+    val p = plan("dq01_constraint_audit")
+    assert(p.contains("LeftAnti"), s"expected LEFT ANTI join in:\n$p")
+  }
+
   test("h19: the OR-of-ANDs bracket still pushes per-table filters to the scans") {
     val p = plan("h19_bracketed_revenue")
     // Catalyst extracts a per-side disjunction from the cross-table OR —
