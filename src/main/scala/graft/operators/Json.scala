@@ -198,10 +198,64 @@ object Json {
           sum(col("o_orderkey")).cast("bigint").as("key_checksum"),
           round(sum(col("cents")) / 100.0, 2).as("total_price"))
         .orderBy(col("prio"))
+    },
+
+    // -- hstore operator set (contrib/hstore/hstore_op.c): `||` merge
+    //    with RIGHT-operand precedence (hs_concat), `-` key delete
+    //    (hs_delete), slice (hstore_slice_to_hstore), akeys (hstore_akeys)
+    //    — composed from Spark's map primitives. The right-precedence
+    //    merge deliberately avoids map_concat-on-duplicates (session
+    //    dedup policy) by filtering the left side first: defaults keep
+    //    only keys the document lacks. hstore_out's hash order is
+    //    canonicalized to sorted keys so both engines agree on ONE text
+    //    form (same discipline as j02's jsonb serialization). All
+    //    codegen'd per-row lambdas; one rollup shuffle. --
+    "q114_hstore_ops" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .withColumn("h0", expr(
+          "map('st', o_orderstatus, 'prio', split_part(o_orderpriority, '-', 1))"))
+        .withColumn("defaults", expr("map('src', 'tpch', 'st', 'X')"))
+        // defaults || h0, h0 wins: hs_concat right precedence
+        .withColumn("merged", expr(
+          "map_concat(map_filter(defaults, (k, v) -> NOT array_contains(map_keys(h0), k)), h0)"))
+        // slice(merged, {st, prio})
+        .withColumn("n_sliced", expr(
+          "size(map_filter(merged, (k, v) -> array_contains(array('st', 'prio'), k)))"))
+        // merged - 'prio'
+        .withColumn("canon_del", expr(
+          """concat_ws(',', transform(
+               array_sort(transform(map_entries(map_filter(merged, (k, v) -> k <> 'prio')),
+                 e -> struct(e.key AS k, e.value AS v))),
+               e -> concat(e.k, '=>', e.v)))"""))
+        .withColumn("canon", expr(
+          """concat_ws(',', transform(
+               array_sort(transform(map_entries(merged),
+                 e -> struct(e.key AS k, e.value AS v))),
+               e -> concat(e.k, '=>', e.v)))"""))
+        .withColumn("akeys", expr(
+          "array_join(array_sort(map_keys(merged)), ',')"))
+        .groupBy(col("canon"), col("akeys"), col("canon_del"), col("n_sliced"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("canon"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // The oracle states the canonical forms directly from the columns —
+    // sorted key order is prio < src < st, st always comes from the
+    // document (right precedence), src always from the defaults.
+    "q114_hstore_ops" -> """
+      WITH h AS (
+        SELECT split_part(o_orderpriority, '-', 1) AS p,
+               o_orderstatus AS s
+        FROM orders)
+      SELECT 'prio=>' || p || ',src=>tpch,st=>' || s AS canon,
+             'prio,src,st' AS akeys,
+             'src=>tpch,st=>' || s AS canon_del,
+             2 AS n_sliced,
+             count(*) AS n_orders
+      FROM h GROUP BY p, s ORDER BY canon""",
+
     "q55_json_extract" -> """
       SELECT o_orderkey,
         CAST(json_extract_string(j, '$.k') AS BIGINT) AS k,
