@@ -236,30 +236,11 @@ object Similarity {
     //    per partition regardless of corpus size.
     "s07_kmeans_lloyd" -> { (s, dir) =>
       graft.functions.PgFunctions.register(s)
-      val emb = Tables.df(s, dir, "embeddings")
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS INT))")
-          .as("qv"))
+      val emb = kmeansQuantized(s, dir)
       val cents0 = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
-      def assign(cents: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(cents))
-          .withColumn("d2", expr(
-            "vec_doti(qv, qv) - 2 * vec_doti(qv, cv) + vec_doti(cv, cv)"))
-          .groupBy(col("vec_id"))
-          .agg(min(expr("d2 * 10 + cent_id")).as("enc"),
-            first(col("qv")).as("qv"))
-          .select(col("vec_id"), col("qv"),
-            expr("enc % 10").as("cent_id"), expr("enc div 10").as("d2"))
-      def recompute(assigned: DataFrame): DataFrame =
-        assigned.select(col("cent_id"), posexplode(col("qv")))
-          .groupBy(col("cent_id"), col("pos"))
-          .agg(expr("CAST(round(CAST(sum(col) AS DOUBLE) / count(*)) AS INT)")
-            .as("v"))
-          .groupBy(col("cent_id"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), t -> t.v)")
-            .as("cv"))
-      val finalAssign = assign(recompute(assign(cents0)))
+      val finalAssign =
+        kmeansAssign(emb, kmeansRecompute(kmeansAssign(emb, cents0)))
       finalAssign.groupBy(col("cent_id"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("d2")).cast("bigint").as("inertia"),
@@ -267,6 +248,37 @@ object Similarity {
         .orderBy(col("cent_id"))
     }
   )
+
+  /** s07's int-quantized corpus: vec_id, qv = round(embedding·10⁴) as
+    * array<int> — exact in both engines, sized for the vec_doti kernel. */
+  private[graft] def kmeansQuantized(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS INT))")
+        .as("qv"))
+
+  /** One Lloyd assignment pass: nearest centroid per vector, argmin as a
+    * single map-side-combined min over the (d2·10 + cent_id) encoding. */
+  private[graft] def kmeansAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        "vec_doti(qv, qv) - 2 * vec_doti(qv, cv) + vec_doti(cv, cv)"))
+      .groupBy(col("vec_id"))
+      .agg(min(expr("d2 * 10 + cent_id")).as("enc"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("qv"),
+        expr("enc % 10").as("cent_id"), expr("enc div 10").as("d2"))
+
+  /** One Lloyd update pass: per-centroid elementwise integer mean
+    * (posexplode → partial sums; one IEEE division, then round). */
+  private[graft] def kmeansRecompute(assigned: DataFrame): DataFrame =
+    assigned.select(col("cent_id"), posexplode(col("qv")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(expr("CAST(round(CAST(sum(col) AS DOUBLE) / count(*)) AS INT)")
+        .as("v"))
+      .groupBy(col("cent_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), t -> t.v)")
+        .as("cv"))
 
   /** vec_id, label, embedding + deterministic sign-projection bucket over
     * `planes` hyperplanes (plane p, component j: pseudo-random weights in

@@ -270,6 +270,21 @@ class InvariantsSpec extends AnyFunSuite {
       s"sampled $sampled exceeds the 50% budget of $total")
   }
 
+  test("s07: Lloyd iterations never increase total inertia; clusters partition the corpus") {
+    graft.functions.PgFunctions.register(spark)
+    import operators.Similarity._
+    val emb = kmeansQuantized(spark, Sf)
+    val cents0 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+    val a1 = kmeansAssign(emb, cents0)
+    val a2 = kmeansAssign(emb, kmeansRecompute(a1))
+    val i1 = a1.agg(sum("d2")).head.getLong(0)
+    val i2 = a2.agg(sum("d2")).head.getLong(0)
+    assert(i2 <= i1, s"inertia must be non-increasing: iter1=$i1 iter2=$i2")
+    val total = Tables.df(spark, Sf, "embeddings").count()
+    assert(a2.count() == total, "every vector is assigned exactly once")
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
