@@ -122,10 +122,84 @@ object Recursive {
     "r03_recursive_sql" -> { (s, dir) =>
       Tables.register(s, dir)
       s.sql(r03Sql)
+    },
+
+    // -- r04: PageRank over a deterministic document link graph — the
+    //    crawl-curation signal (rank web docs before training-set
+    //    selection). Every doc has out-degree exactly 3 (targets
+    //    (2u+1)%N, (3u+2)%N, (u+7)%N — a multigraph, no dangling
+    //    nodes), so per-edge contribution is rank div 3 and ALL
+    //    arithmetic stays in exact positive BIGINTs (micro-rank units,
+    //    floor division agrees across engines on positives): no float
+    //    summation anywhere. Three unrolled power iterations, damping
+    //    0.85 as (85·contrib) div 100 + 150000.
+    //    Scale shape: each iteration is ONE shuffle — join ranks to
+    //    edges on src (both sides partitioned by the same key; in a
+    //    real deployment the edge relation is bucketed by src so the
+    //    join is co-located), then groupBy dst with map-side partial
+    //    sums. The final left join restores in-degree-0 nodes.
+    //    That is exactly GraphX/Pregel's iteration shape expressed
+    //    relationally. --
+    "r04_pagerank" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents").select(col("doc_id"))
+      // N as a broadcast scalar, never a driver action
+      val nRow = docs.agg(count(lit(1)).as("nn"))
+      val edges = docs.crossJoin(broadcast(nRow))
+        .select(col("doc_id").as("src"), explode(array(
+          expr("(2 * doc_id + 1) % nn"),
+          expr("(3 * doc_id + 2) % nn"),
+          expr("(doc_id + 7) % nn"))).as("dst"))
+      var ranks = docs.select(col("doc_id"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(ranks, col("src") === col("doc_id"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("r div 3")).as("contrib"))
+        ranks = docs.join(contrib, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            expr("150000 + (85 * coalesce(contrib, 0L)) div 100").as("r"))
+      }
+      ranks.groupBy(expr("r div 100000").as("rank_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r")).cast("bigint").as("sum_rank"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("r")).as("max_rank"))
+        .orderBy(col("rank_bucket"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // Three unrolled power iterations in the same exact positive-BIGINT
+    // arithmetic (floor division agrees across engines on positives).
+    "r04_pagerank" -> """
+      WITH docs AS (SELECT doc_id FROM documents),
+      n AS (SELECT count(*) AS nn FROM docs),
+      edges AS (
+        SELECT doc_id AS src, (2 * doc_id + 1) % nn AS dst FROM docs, n
+        UNION ALL
+        SELECT doc_id, (3 * doc_id + 2) % nn FROM docs, n
+        UNION ALL
+        SELECT doc_id, (doc_id + 7) % nn FROM docs, n),
+      r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
+      c1 AS (SELECT dst, sum(r // 3) AS contrib FROM edges
+             JOIN r0 ON src = doc_id GROUP BY dst),
+      r1 AS (SELECT d.doc_id,
+               CAST(150000 + (85 * coalesce(contrib, 0)) // 100 AS BIGINT) AS r
+             FROM docs d LEFT JOIN c1 ON d.doc_id = c1.dst),
+      c2 AS (SELECT dst, sum(r // 3) AS contrib FROM edges
+             JOIN r1 ON src = doc_id GROUP BY dst),
+      r2 AS (SELECT d.doc_id,
+               CAST(150000 + (85 * coalesce(contrib, 0)) // 100 AS BIGINT) AS r
+             FROM docs d LEFT JOIN c2 ON d.doc_id = c2.dst),
+      c3 AS (SELECT dst, sum(r // 3) AS contrib FROM edges
+             JOIN r2 ON src = doc_id GROUP BY dst),
+      r3 AS (SELECT d.doc_id,
+               CAST(150000 + (85 * coalesce(contrib, 0)) // 100 AS BIGINT) AS r
+             FROM docs d LEFT JOIN c3 ON d.doc_id = c3.dst)
+      SELECT r // 100000 AS rank_bucket, count(*) AS n_docs,
+        CAST(sum(r) AS BIGINT) AS sum_rank,
+        min(doc_id) AS min_doc, max(r) AS max_rank
+      FROM r3 GROUP BY rank_bucket ORDER BY rank_bucket""",
+
     // identical text to the Spark run — both engines execute the same
     // recursive union
     "r03_recursive_sql" -> r03Sql,

@@ -291,6 +291,31 @@ object TextOps {
       s.sql(TrainSplitSql)
     },
 
+    // -- t16: BPE merge-pair induction — the counting step of tokenizer
+    //    TRAINING (t06 only applies a fixed BPE-ish segmentation). The
+    //    most frequent adjacent character pair across the corpus is the
+    //    next merge rule. Critically the pair counting runs over the
+    //    WORD CENSUS (distinct word → frequency), not the raw corpus —
+    //    exactly how production BPE trainers are structured: the census
+    //    is one map-side-combined aggregate that shrinks 100 TB of text
+    //    to a Heaps-law vocabulary, and the pair explosion is O(vocab ×
+    //    word length). Words shorter than 2 chars are filtered BEFORE
+    //    sequence(1, len-1) (the r6 short-doc sequence(1,0) lesson).
+    //    Top-20 via orderBy+limit = TakeOrderedAndProject, never a
+    //    global window. --
+    "t16_bpe_merge_pairs" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(explode(expr(toks)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .filter(length(col("w")) >= 2)
+        .select(col("w"), col("freq"),
+          explode(expr("sequence(1, length(w) - 1)")).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).cast("bigint").as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     "t14_gopher_rules" -> { (s, dir) =>
       val stops = Seq("the", "a", "and", "of", "to")
       Tables.df(s, dir, "documents")
@@ -354,6 +379,19 @@ object TextOps {
 
   def oracle: Map[String, String] = Map(
     "t15_train_split" -> TrainSplitSql,
+    "t16_bpe_merge_pairs" -> """
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      census AS (
+        SELECT w, count(*) AS freq FROM toks WHERE w <> '' GROUP BY w),
+      pairs AS (
+        SELECT substring(w, i, 2) AS pair, freq
+        FROM census,
+          LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+        WHERE length(w) >= 2)
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      FROM pairs GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 20""",
     "t06_bpe_tokens" -> """
       SELECT doc_id,
         CAST(len(pieces) AS BIGINT) AS n_pieces,

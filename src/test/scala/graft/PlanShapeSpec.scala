@@ -663,6 +663,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"expected LEFT ANTI join in:\n$p")
   }
 
+  test("r04: PageRank iterations are partial-agg shuffles, no cartesian product") {
+    val p = plan("r04_pagerank")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the rank loop:\n$p")
+    assert(p.contains("partial_sum"), s"expected map-side contrib sums:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("t16: top merge pairs come from a distributed top-k over the word census") {
+    val p = plan("t16_bpe_merge_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k, not global sort:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("h19: the OR-of-ANDs bracket still pushes per-table filters to the scans") {
     val p = plan("h19_bracketed_revenue")
     // Catalyst extracts a per-side disjunction from the cross-table OR —
