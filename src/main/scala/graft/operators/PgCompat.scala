@@ -198,6 +198,47 @@ object PgCompat {
         .orderBy(col("doc_id"), col("ord"))
     },
 
+    // -- unaccent (contrib/unaccent/unaccent.c: a character substitution
+    //    dictionary applied before indexing/matching). Accented variants
+    //    are synthesized deterministically (translate vowels → BMP
+    //    accented forms) so the data carries real diacritics, then
+    //    unaccent strips them back; the audit proves strip ∘ accent = id
+    //    and that grouping by the unaccented form restores the original
+    //    cardinality. Pure codegen'd translate calls, one rollup. --
+    "q115_unaccent" -> { (s, dir) =>
+      Tables.df(s, dir, "part")
+        .withColumn("accented", expr("translate(p_name, 'aeiou', 'áéíóú')"))
+        .withColumn("stripped", expr("translate(accented, 'áéíóú', 'aeiou')"))
+        .groupBy(expr("substring(p_name, 1, 1)").as("initial"))
+        .agg(count(lit(1)).as("n_names"),
+          countDistinct(col("accented")).as("n_acc"),
+          countDistinct(col("stripped")).as("n_plain"),
+          sum(when(col("stripped") === col("p_name"), 1L).otherwise(0L))
+            .cast("bigint").as("n_roundtrip"))
+        .orderBy(col("initial"))
+    },
+
+    // -- citext (contrib/citext/citext.c: case-insensitive text — its
+    //    operators compare str_tolower forms). Case noise is synthesized
+    //    deterministically (even keys UPPER, odd keys lower), then the
+    //    citext view groups on the folded form: distinct-count under
+    //    citext semantics vs case-sensitive semantics, and the max
+    //    variant fan-in per folded key. --
+    "q116_citext" -> { (s, dir) =>
+      val noisy = Tables.df(s, dir, "customer")
+        .withColumn("seg_cased", expr(
+          "CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment) ELSE lower(c_mktsegment) END"))
+      noisy
+        .groupBy(lower(col("seg_cased")).as("seg_ci"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("seg_cased")).as("n_cs_variants"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_ci_groups"),
+          sum(col("n_cs_variants")).cast("bigint").as("n_cs_groups"),
+          max(col("n_cs_variants")).as("max_variants"),
+          sum(col("n_rows")).cast("bigint").as("n_rows_total"))
+    },
+
     // -- pg_trgm similarity (contrib/pg_trgm/trgm_op.c): PG pads each
     //    lowercased word with two leading + one trailing space, extracts
     //    character 3-grams, and scores |∩|/|∪| over the distinct gram
@@ -491,6 +532,36 @@ object PgCompat {
   }
 
   def oracle: Map[String, String] = Map(
+    "q115_unaccent" -> """
+      WITH t AS (
+        SELECT p_name,
+               translate(p_name, 'aeiou', 'áéíóú') AS accented,
+               translate(translate(p_name, 'aeiou', 'áéíóú'),
+                         'áéíóú', 'aeiou') AS stripped
+        FROM part)
+      SELECT substring(p_name, 1, 1) AS initial,
+        count(*) AS n_names,
+        CAST(count(DISTINCT accented) AS BIGINT) AS n_acc,
+        CAST(count(DISTINCT stripped) AS BIGINT) AS n_plain,
+        CAST(sum(CASE WHEN stripped = p_name THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_roundtrip
+      FROM t GROUP BY initial ORDER BY initial""",
+
+    "q116_citext" -> """
+      WITH noisy AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg_cased
+        FROM customer),
+      ci AS (
+        SELECT lower(seg_cased) AS seg_ci, count(*) AS n_rows,
+               count(DISTINCT seg_cased) AS n_cs_variants
+        FROM noisy GROUP BY seg_ci)
+      SELECT count(*) AS n_ci_groups,
+        CAST(sum(n_cs_variants) AS BIGINT) AS n_cs_groups,
+        CAST(max(n_cs_variants) AS BIGINT) AS max_variants,
+        CAST(sum(n_rows) AS BIGINT) AS n_rows_total
+      FROM ci""",
+
     // DuckDB renders the money text with fmt-style format('{:,.2f}') —
     // same grouping/decimals as Spark's format_number. sum(BIGINT) is
     // HUGEINT in DuckDB, so the cents total is cast back to BIGINT, and

@@ -142,22 +142,9 @@ object Recursive {
     //    relationally. --
     "r04_pagerank" -> { (s, dir) =>
       val docs = Tables.df(s, dir, "documents").select(col("doc_id"))
-      // N as a broadcast scalar, never a driver action
-      val nRow = docs.agg(count(lit(1)).as("nn"))
-      val edges = docs.crossJoin(broadcast(nRow))
-        .select(col("doc_id").as("src"), explode(array(
-          expr("(2 * doc_id + 1) % nn"),
-          expr("(3 * doc_id + 2) % nn"),
-          expr("(doc_id + 7) % nn"))).as("dst"))
+      val edges = pagerankEdges(docs)
       var ranks = docs.select(col("doc_id"), lit(1000000L).as("r"))
-      for (_ <- 1 to 3) {
-        val contrib = edges.join(ranks, col("src") === col("doc_id"))
-          .groupBy(col("dst"))
-          .agg(sum(expr("r div 3")).as("contrib"))
-        ranks = docs.join(contrib, col("doc_id") === col("dst"), "left")
-          .select(col("doc_id"),
-            expr("150000 + (85 * coalesce(contrib, 0L)) div 100").as("r"))
-      }
+      for (_ <- 1 to 3) ranks = pagerankStep(docs, edges, ranks)
       ranks.groupBy(expr("r div 100000").as("rank_bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("r")).cast("bigint").as("sum_rank"),
@@ -166,6 +153,33 @@ object Recursive {
         .orderBy(col("rank_bucket"))
     }
   )
+
+  /** r04's deterministic out-degree-3 multigraph: targets (2u+1)%N,
+    * (3u+2)%N, (u+7)%N. N enters as a broadcast scalar, not a driver
+    * action, so the edge relation is a pure function of the node set. */
+  private[graft] def pagerankEdges(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nRow = docs.agg(count(lit(1)).as("nn"))
+    docs.crossJoin(broadcast(nRow))
+      .select(col("doc_id").as("src"), explode(array(
+        expr("(2 * doc_id + 1) % nn"),
+        expr("(3 * doc_id + 2) % nn"),
+        expr("(doc_id + 7) % nn"))).as("dst"))
+  }
+
+  /** One damped power iteration in exact positive-BIGINT micro-rank
+    * units: contrib = Σ_in rank div 3, rank' = 150000 + (85·contrib)
+    * div 100. One src-join + one dst partial-sum shuffle (Pregel shape);
+    * the left join restores in-degree-0 nodes. */
+  private[graft] def pagerankStep(docs: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      ranks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val contrib = edges.join(ranks, col("src") === col("doc_id"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("r div 3")).as("contrib"))
+    docs.join(contrib, col("doc_id") === col("dst"), "left")
+      .select(col("doc_id"),
+        expr("150000 + (85 * coalesce(contrib, 0L)) div 100").as("r"))
+  }
 
   def oracle: Map[String, String] = Map(
     // Three unrolled power iterations in the same exact positive-BIGINT

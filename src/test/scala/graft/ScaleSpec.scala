@@ -206,6 +206,25 @@ class ScaleSpec extends AnyFunSuite {
       "stateful streaming sessionization diverged from batch e02")
   }
 
+  test("r04 pagerank conserves total rank on a 100k-node graph (floor-loss bounded)") {
+    // With damping 0.85 and no dangling nodes, Σrank is invariant:
+    // Σ' = 0.15·N·10⁶ + 0.85·Σ. Integer floors lose < 10 micro-units
+    // per node per iteration, so after 2 iterations on ANY node count
+    // the total sits in [N·10⁶ − 20N, N·10⁶]. A shape bug (lost
+    // in-degree-0 nodes, double-counted multi-edges) breaks this by
+    // orders of magnitude.
+    import operators.Recursive._
+    val docs = spark.range(100000L).select(col("id").as("doc_id"))
+    val edges = pagerankEdges(docs)
+    var ranks = docs.select(col("doc_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 2) ranks = pagerankStep(docs, edges, ranks)
+    val row = ranks.agg(sum("r"), count(lit(1))).head
+    val (tot, n) = (row.getLong(0), row.getLong(1))
+    assert(n == 100000L, "every node keeps exactly one rank row")
+    assert(tot <= 100000L * 1000000L && tot >= 100000L * 1000000L - 20L * 100000L,
+      s"rank mass must be conserved modulo floor loss, got $tot")
+  }
+
   test("ch02 packing placement is exact on a 200k-doc corpus (closed form)") {
     import spark.implicits._
     // constant tok=7, cap=100: doc k of a source (0-based rank) starts at
