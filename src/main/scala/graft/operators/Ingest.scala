@@ -170,6 +170,41 @@ object Ingest {
           sum(col("l_quantity")).cast("double").as("sum_qty"),
           expr("round(CAST(sum(price_cents) AS DOUBLE) / 100.0, 2)").as("sum_price"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // -- c09: storage-option sweep — the AO load-perf harness analog
+    //    (reference `src/test/performance/sql/ao_blocksz8192.sql` et al.:
+    //    block-size 8K/32K/512K × zlib on/off over row + column AO).
+    //    The same text-heavy relation writes under three parquet configs
+    //    (codec × row-group size), reads back, and every config must
+    //    reproduce IDENTICAL content aggregates — the lossless-storage
+    //    audit; IngestSpec separately asserts the compressed footprints
+    //    actually differ. Each leg is one scan → one write → one
+    //    read-back aggregate; configs are independent (at scale they
+    //    run as parallel jobs against the same source snapshot). --
+    "c09_storage_sweep" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val src = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val configs = Seq(
+        ("uncompressed", 8 * 1024 * 1024),
+        ("snappy", 32 * 1024 * 1024),
+        ("zstd", 128 * 1024 * 1024))
+      val audits = configs.map { case (codec, blockBytes) =>
+        val path = s"target/derived/$tag/storage_sweep/$codec"
+        src.write.mode("overwrite")
+          .option("compression", codec)
+          .option("parquet.block.size", blockBytes.toString)
+          .parquet(path)
+        s.read.parquet(path)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).cast("bigint").as("sum_chars"),
+            min(expr("md5(text)")).as("min_md5"),
+            max(expr("md5(text)")).as("max_md5"))
+          .select(lit(codec).as("codec"), col("n_rows"), col("sum_chars"),
+            col("min_md5"), col("max_md5"))
+      }
+      audits.reduce(_ unionAll _).orderBy(col("codec"))
     }
   )
 
@@ -276,6 +311,19 @@ object Ingest {
              round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_price
       FROM lineitem
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""
+      ORDER BY l_returnflag""",
+
+    // every storage config must reproduce the source aggregates exactly
+    "c09_storage_sweep" -> """
+      WITH codecs AS (
+        SELECT unnest(['snappy', 'uncompressed', 'zstd']) AS codec),
+      audit AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(md5(text)) AS min_md5,
+               max(md5(text)) AS max_md5
+        FROM documents)
+      SELECT codec, n_rows, sum_chars, min_md5, max_md5
+      FROM codecs, audit ORDER BY codec"""
   )
 }

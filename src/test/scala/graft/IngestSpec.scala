@@ -275,4 +275,21 @@ class IngestSpec extends AnyFunSuite {
       .select("err").distinct().collect().map(_.getString(0)).toSet
     assert(reasons == Set("lang_not_in_sink_dictionary", "row_too_wide"), reasons)
   }
+
+  test("c09 storage sweep: every codec round-trips losslessly AND compresses differently") {
+    val rows = SparkEntry.queries("c09_storage_sweep")(spark, SparkSuite.Sf).collect()
+    assert(rows.length == 3)
+    // identical content aggregates across codecs (lossless round-trip)
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .distinct.length == 1, "all storage configs must hold identical content")
+    // the codec option actually reaches the files: zstd strictly smaller
+    // than uncompressed on text-heavy data
+    val tag = SparkSuite.Sf.replaceAll("[^A-Za-z0-9.]", "_")
+    def bytes(codec: String): Long = {
+      val d = new java.io.File(s"target/derived/$tag/storage_sweep/$codec")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val (z, u) = (bytes("zstd"), bytes("uncompressed"))
+    assert(z > 0 && z < u, s"zstd=$z must undercut uncompressed=$u")
+  }
 }
