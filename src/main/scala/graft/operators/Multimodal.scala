@@ -183,10 +183,83 @@ object Multimodal {
         .select(col("doc_id"), col("frame_no"),
           md5(expr(s"substring(payload, frame_no * $frameBytes + 1, $frameBytes)")).as("frame_md5"))
         .orderBy(col("doc_id"), col("frame_no"))
+    },
+
+    // -- m06: VAD-style energy segmentation — the silence-removal /
+    //    speech-span op an audio training pipeline runs before
+    //    transcription (a real VAD would score decoded PCM here; the
+    //    payload is the documents' bytes, the m-family stub contract).
+    //    Per 16-byte frame: energy = Σ(b − 32)² in EXACT BIGINTs
+    //    (space bytes ≡ silence, letters ≡ signal); voiced frames then
+    //    merge into maximal runs via gaps-and-islands (frame_no −
+    //    row_number, the e02 idiom) — never a per-row array-of-frames
+    //    loop. Scale shape: one explode (O(bytes/16) rows), the island
+    //    window partitions by doc_id, two partial-agg rollups. --
+    "m06_energy_segments" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("f"))
+      val frames = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") < 200 && col("n_chars") >= 32)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, CAST(n_chars div 16 AS INT) - 1)")).as("f"))
+        .withColumn("energy", expr(
+          """aggregate(
+               transform(sequence(1, 16),
+                 i -> CAST(ascii(substring(text, f * 16 + i, 1)) AS BIGINT) - 32),
+               0L, (acc, x) -> acc + x * x)"""))
+        .select(col("doc_id"), col("f"), (col("energy") >= 40000L).as("voiced"))
+      val tot = frames.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("voiced").cast("long")).as("n_voiced"))
+      val segs = frames.filter(col("voiced"))
+        .withColumn("island", col("f") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"), max(col("len")).as("max_seg_len"))
+      tot.join(segs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"), col("n_voiced"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("max_seg_len"), lit(0L)).as("max_seg_len"))
+        .orderBy(col("doc_id"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "m06_energy_segments" -> """
+      WITH d AS (
+        SELECT doc_id, text, n_chars FROM documents
+        WHERE doc_id < 200 AND n_chars >= 32),
+      frames AS (
+        SELECT doc_id, f,
+          CAST(list_sum(list_transform(generate_series(1, 16),
+            i -> (CAST(ascii(substring(text, f * 16 + i, 1)) AS BIGINT) - 32)
+               * (CAST(ascii(substring(text, f * 16 + i, 1)) AS BIGINT) - 32)))
+            AS BIGINT) AS energy
+        FROM d, LATERAL (SELECT unnest(generate_series(0,
+          CAST(n_chars // 16 AS INT) - 1)) AS f) g),
+      v AS (SELECT doc_id, f FROM frames WHERE energy >= 40000),
+      isl AS (
+        SELECT doc_id,
+          f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS island
+        FROM v),
+      segs AS (
+        SELECT doc_id, island, count(*) AS len
+        FROM isl GROUP BY doc_id, island),
+      segagg AS (
+        SELECT doc_id, count(*) AS n_segments, max(len) AS max_seg_len
+        FROM segs GROUP BY doc_id),
+      tot AS (
+        SELECT doc_id, count(*) AS n_frames,
+          CAST(sum(CASE WHEN energy >= 40000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_voiced
+        FROM frames GROUP BY doc_id)
+      SELECT t.doc_id, t.n_frames, t.n_voiced,
+        CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
+        CAST(coalesce(s.max_seg_len, 0) AS BIGINT) AS max_seg_len
+      FROM tot t LEFT JOIN segagg s ON t.doc_id = s.doc_id
+      ORDER BY t.doc_id""",
+
     "m01_binary_metadata" -> """
       SELECT doc_id,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

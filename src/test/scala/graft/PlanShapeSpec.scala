@@ -676,6 +676,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("m06: the island window partitions by doc_id — no global sort") {
+    val p = plan("m06_energy_segments")
+    assert(!p.linesIterator.exists(l => l.contains("Window") && !l.contains("doc_id")),
+      s"the segmentation window must partition by doc_id:\n$p")
+  }
+
   test("h19: the OR-of-ANDs bracket still pushes per-table filters to the scans") {
     val p = plan("h19_bracketed_revenue")
     // Catalyst extracts a per-side disjunction from the cross-table OR —
