@@ -291,6 +291,32 @@ object TextOps {
       s.sql(TrainSplitSql)
     },
 
+    // -- t17: heavy-hitters via a Misra-Gries sketch (functions/
+    //    MisraGries.scala, capacity 64) AUDITED against the exact word
+    //    census — the q61 HLL-audit pattern applied to frequent items.
+    //    MG's guarantee is merge-order-independent: every word with
+    //    frequency > N/65 MUST be in the sketch, so the top-10 exact
+    //    words (all ≈3.3% ≫ 1.54% here) carry a deterministic
+    //    in_sketch = true regardless of partitioning; a broken sketch
+    //    (bad decrement, lossy merge) flips it false and fails the
+    //    oracle. Scale shape: the sketch ships ≤64 entries per map
+    //    task across ONE shuffle — O(1) state vs the census's
+    //    O(vocabulary) — which is why a 100 TB corpus-stats job runs
+    //    the sketch first and the census only over the survivors. --
+    "t17_heavy_hitters" -> { (s, dir) =>
+      s.udf.register("mg64", udaf(new graft.functions.MisraGries(64)))
+      val words = Tables.df(s, dir, "documents")
+        .select(explode(expr(toks)).as("w"))
+      val sketch = words.agg(expr("mg64(w)").as("sketch"))
+      words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(10)
+        .crossJoin(broadcast(sketch))
+        .select(col("w").as("word"), col("n"),
+          expr("map_contains_key(sketch, w)").as("in_sketch"))
+        .orderBy(col("n").desc, col("word"))
+    },
+
     // -- t16: BPE merge-pair induction — the counting step of tokenizer
     //    TRAINING (t06 only applies a fixed BPE-ish segmentation). The
     //    most frequent adjacent character pair across the corpus is the
@@ -379,6 +405,15 @@ object TextOps {
 
   def oracle: Map[String, String] = Map(
     "t15_train_split" -> TrainSplitSql,
+    // the oracle states MG's guarantee: the exact top-10 all exceed
+    // N/(k+1), so membership is certain — TRUE, not approximately true
+    "t17_heavy_hitters" -> """
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      census AS (
+        SELECT w, count(*) AS n FROM toks WHERE w <> '' GROUP BY w)
+      SELECT w AS word, n, TRUE AS in_sketch
+      FROM census ORDER BY n DESC, word LIMIT 10""",
     "t16_bpe_merge_pairs" -> """
       WITH toks AS (
         SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -68,6 +68,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 2.0)
   }
 
+  test("MisraGries: guarantee holds under any partitioning (presence + undercount bound)") {
+    import spark.implicits._
+    val k = 8
+    // 1000 items: 'heavy' 300×, 'warm' 150×, 50 distinct fillers ~11× each
+    val stream = Seq.fill(300)("heavy") ++ Seq.fill(150)("warm") ++
+      (0 until 550).map(i => s"filler${i % 50}")
+    val n = stream.length
+    for (parts <- Seq(1, 3, 17, 32)) {
+      val ds = spark.sparkContext.parallelize(stream, parts).toDS()
+      val sketch = ds.select(udaf(new graft.functions.MisraGries(k)).apply(col("value")))
+        .head.getMap[String, Long](0)
+      // every item with freq > N/(k+1) must be present...
+      assert(sketch.contains("heavy") && sketch.contains("warm"),
+        s"parts=$parts lost a guaranteed heavy hitter: $sketch")
+      // ...with weight undercounting by at most N/(k+1)
+      assert(sketch("heavy") >= 300 - n / (k + 1) && sketch("heavy") <= 300,
+        s"parts=$parts weight bound violated: ${sketch("heavy")}")
+      assert(sketch.size <= k, s"capacity exceeded: ${sketch.size}")
+    }
+  }
+
   test("vec_doti rejects non-int arrays at analysis time (4-byte kernel guard)") {
     graft.functions.PgFunctions.register(spark)
     val e = intercept[Exception] {
