@@ -49,6 +49,39 @@ class StreamingSpec extends AnyFunSuite {
       "streaming aggregate diverged from batch")
   }
 
+  test("MisraGries sketch aggregates incrementally over a stream, batch-equivalent guarantee") {
+    // The same mergeable Aggregator that serves t17 in batch runs as a
+    // streaming aggregation unchanged — MG's merge IS the state update,
+    // so corpus stats maintain incrementally (the IVM story for
+    // sketches). The guarantee (presence of >N/(k+1) items) must hold
+    // on the streamed result exactly as in batch.
+    Tables.configure(spark)
+    import spark.implicits._
+    val landing = java.nio.file.Files.createTempDirectory("graft_mg_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/documents.parquet"),
+      landing.resolve("batch0.parquet"))
+    val schema = spark.read.parquet(s"$Sf/documents.parquet").schema
+    spark.udf.register("mg32", udaf(new graft.functions.MisraGries(32)))
+    val stream = spark.readStream.schema(schema).parquet(landing.toString)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+      .groupBy().agg(expr("mg32(w)").as("sketch"))
+    val q = stream.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    val sketch = spark.table("mg_stream").head.getMap[String, Long](0)
+    val words = Tables.df(spark, Sf, "documents")
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+    val n = words.count()
+    val guaranteed = words.groupBy("w").count()
+      .filter(col("count") > n / 33).collect().map(_.getString(0))
+    assert(guaranteed.nonEmpty, "fixture must have at least one >N/33 word")
+    guaranteed.foreach(w =>
+      assert(sketch.contains(w), s"streamed sketch lost guaranteed item $w"))
+    assert(sketch.size <= 32)
+  }
+
   test("watermark drops rows later than the threshold (append-mode windowed agg)") {
     // the state-eviction contract: once the watermark passes a window's
     // end and the window is emitted, a straggler for it is DROPPED, not
