@@ -47,7 +47,8 @@ object SparkEntry {
     (operators.Fuzzy.queries, operators.Fuzzy.oracle),
     (operators.Ltree.queries, operators.Ltree.oracle),
     (operators.IntArray.queries, operators.IntArray.oracle),
-    (operators.DataQuality.queries, operators.DataQuality.oracle)
+    (operators.DataQuality.queries, operators.DataQuality.oracle),
+    (operators.EntityResolution.queries, operators.EntityResolution.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** End-to-end entity resolution — the record-linkage pipeline every
+  * training-data catalog runs over noisy entity mentions (suppliers,
+  * authors, domains): canonicalize → census → BLOCKED candidate
+  * generation → fuzzy match → transitive clustering. Composes the
+  * engine's own primitives: levenshtein (fz01's kernel,
+  * `contrib/fuzzystrmatch`), multi-key blocking (the d02/d05 posting
+  * discipline — never all-pairs), and min-label propagation
+  * ([[Recursive.minLabelPropagate]], r02's fixpoint).
+  *
+  * Scale shape, stage by stage:
+  *  1. Census: ONE hash aggregate collapses the 100 TB mention stream
+  *     to the distinct-value relation (Zipf: ≪ rows) with counts —
+  *     all later stages run on VALUES, not mentions.
+  *  2. Blocking: candidates pair only within a block (2-char prefix
+  *     key ∪ 2-char suffix key — two passes so a single-key miss
+  *     doesn't lose a true match; both are equi-join keys, shuffles
+  *     bounded by block occupancy, the standard ER blocking layout).
+  *  3. Match: banded levenshtein ≤ 2 inside blocks only.
+  *  4. Cluster: label propagation on the match graph — one shuffle
+  *     per round, O(diameter) rounds; isolated names restore via a
+  *     left join (their own cluster).
+  * The DuckDB oracle re-derives the same clusters with a genuine
+  * WITH RECURSIVE reachability closure (r02's oracle shape).
+  */
+object EntityResolution {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er01_entity_clusters" -> { (s, dir) =>
+      // 1. census over canonicalized mentions
+      val ents = Tables.df(s, dir, "part")
+        .select(lower(col("p_name")).as("name"))
+        .groupBy(col("name")).agg(count(lit(1)).as("n_rows"))
+        .localCheckpoint()
+      // 2. multi-key blocking over DISTINCT names
+      def blocked(key: org.apache.spark.sql.Column): DataFrame = {
+        val a = ents.select(col("name").as("a"), key.as("blk"))
+        val b = ents.select(col("name").as("b"), key.as("blk"))
+        a.join(b, Seq("blk")).filter(col("a") < col("b")).select(col("a"), col("b"))
+      }
+      val cands = blocked(expr("substring(name, 1, 2)"))
+        .unionAll(blocked(expr("right(name, 2)")))
+        .distinct()
+      // 3. fuzzy match inside blocks (banded edit distance)
+      val edges = cands.filter(expr("levenshtein(a, b, 2) <> -1"))
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint()
+      // 4. transitive clusters; isolated names keep themselves
+      val labels = Recursive.minLabelPropagate(und)
+      val clustered = ents
+        .join(labels.withColumnRenamed("node", "name"), Seq("name"), "left")
+        .select(col("name"), col("n_rows"),
+          coalesce(col("lbl"), col("name")).as("cluster"))
+      clustered.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_names"), sum(col("n_rows")).cast("bigint").as("n_rows"))
+        .groupBy(col("n_names"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_rows")).cast("bigint").as("n_rows"),
+          min(col("cluster")).as("sample_rep"))
+        .orderBy(col("n_names"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "er01_entity_clusters" -> """
+      WITH RECURSIVE ents AS (
+        SELECT lower(p_name) AS name, count(*) AS n_rows
+        FROM part GROUP BY name),
+      cands AS (
+        SELECT a.name AS a, b.name AS b
+        FROM ents a JOIN ents b ON substring(a.name, 1, 2) = substring(b.name, 1, 2)
+        WHERE a.name < b.name
+        UNION
+        SELECT a.name, b.name
+        FROM ents a JOIN ents b ON right(a.name, 2) = right(b.name, 2)
+        WHERE a.name < b.name),
+      edges AS (
+        SELECT a, b FROM cands WHERE levenshtein(a, b) <= 2),
+      und AS (
+        SELECT a AS u, b AS v FROM edges
+        UNION ALL SELECT b, a FROM edges),
+      reach(src, dst) AS (
+        SELECT name, name FROM ents
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN und e ON e.u = r.dst),
+      labels AS (
+        SELECT src AS name, min(dst) AS cluster FROM reach GROUP BY src),
+      clustered AS (
+        SELECT l.cluster, count(*) AS n_names,
+               CAST(sum(e.n_rows) AS BIGINT) AS n_rows
+        FROM ents e JOIN labels l ON e.name = l.name
+        GROUP BY l.cluster)
+      SELECT n_names, count(*) AS n_clusters,
+        CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        min(cluster) AS sample_rep
+      FROM clustered GROUP BY n_names ORDER BY n_names"""
+  )
+}

@@ -68,28 +68,7 @@ object Recursive {
     val und = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
       .localCheckpoint()
-    // label_0(v) = min(v, min direct neighbor)
-    var labels = und.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("m"))
-      .select(col("doc_id"), least(col("doc_id"), col("m")).as("lbl"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxCcIters) {
-      // propagate: the best label any neighbor carries; the previous label
-      // rides along so convergence is a filter on the checkpointed
-      // frontier, not an extra join
-      val prop = und
-        .join(labels.select(col("doc_id").as("u"), col("lbl").as("u_lbl")), Seq("u"))
-        .groupBy(col("v").as("doc_id")).agg(min(col("u_lbl")).as("n_lbl"))
-      val next = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("n_lbl"), col("lbl"))).as("lbl"),
-          col("lbl").as("prev"))
-        .localCheckpoint()
-      changed = next.filter(col("lbl") =!= col("prev")).count()
-      labels = next.select(col("doc_id"), col("lbl"))
-      iter += 1
-    }
+    val labels = minLabelPropagate(und).withColumnRenamed("node", "doc_id")
     labels.filter(col("lbl") < col("doc_id"))
       .select(col("doc_id"), col("lbl").as("keeper_id"))
       .orderBy(col("doc_id"))
@@ -153,6 +132,39 @@ object Recursive {
         .orderBy(col("rank_bucket"))
     }
   )
+
+  /** Distributed min-label propagation over an UNDIRECTED edge list
+    * (columns u, v — both directions present): label(v) ← min(label(v),
+    * min_{u~v} label(u)) to a fixpoint, one shuffle per round,
+    * checkpointed frontiers, O(diameter) rounds, labels-only-decrease
+    * as the cycle guard. Works for any orderable node type (r02 uses
+    * numeric doc ids, er01 string names). Returns (node, lbl); only
+    * nodes that appear in the edge list are labeled — callers restore
+    * isolated nodes with a left join + coalesce(lbl, node). */
+  private[graft] def minLabelPropagate(und: DataFrame): DataFrame = {
+    var labels = und.groupBy(col("u").as("node")).agg(min(col("v")).as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxCcIters) {
+      // propagate: the best label any neighbor carries; the previous label
+      // rides along so convergence is a filter on the checkpointed
+      // frontier, not an extra join
+      val prop = und
+        .join(labels.select(col("node").as("u"), col("lbl").as("u_lbl")), Seq("u"))
+        .groupBy(col("v").as("node")).agg(min(col("u_lbl")).as("n_lbl"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("n_lbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("node"), col("lbl"))
+      iter += 1
+    }
+    labels
+  }
 
   /** r04's deterministic out-degree-3 multigraph: targets (2u+1)%N,
     * (3u+2)%N, (u+7)%N. N enters as a broadcast scalar, not a driver

@@ -285,6 +285,18 @@ class InvariantsSpec extends AnyFunSuite {
     assert(a2.count() == total, "every vector is assigned exactly once")
   }
 
+  test("er01: clusters partition the mention stream (rows and names conserved)") {
+    val hist = q("er01_entity_clusters").collect()
+    val totalRows = hist.map(_.getLong(2)).sum
+    val totalNames = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(totalRows == Tables.df(spark, Sf, "part").count(),
+      "every mention lands in exactly one cluster")
+    val distinctNames = Tables.df(spark, Sf, "part")
+      .select(lower(col("p_name"))).distinct().count()
+    assert(totalNames == distinctNames,
+      "every distinct name lands in exactly one cluster")
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
