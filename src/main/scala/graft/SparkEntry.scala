@@ -48,7 +48,8 @@ object SparkEntry {
     (operators.Ltree.queries, operators.Ltree.oracle),
     (operators.IntArray.queries, operators.IntArray.oracle),
     (operators.DataQuality.queries, operators.DataQuality.oracle),
-    (operators.EntityResolution.queries, operators.EntityResolution.oracle)
+    (operators.EntityResolution.queries, operators.EntityResolution.oracle),
+    (operators.Trgm.queries, operators.Trgm.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

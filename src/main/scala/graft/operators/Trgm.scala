@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** pg_trgm slice (reference `contrib/pg_trgm/trgm_op.c`, `trgm.h`):
+  * trigram extraction and `similarity()` with the reference's compiled-in
+  * defaults — KEEPONLYALNUM (words split on non-alphanumerics,
+  * trgm.h:18,54-55), IGNORECASE (trgm.h:26), LPADDING=2/RPADDING=1
+  * (trgm.h:16-17: each word padded `'  ' + w + ' '` before the 3-char
+  * slide), and DIVUNION (trgm.h:27,117: similarity = shared /
+  * (|A| + |B| - shared) over UNIQUE trigram sets — Jaccard).
+  *
+  * The query is pg_trgm's marquee workload: typo-tolerant dictionary
+  * lookup with the `%` operator at the default
+  * `pg_trgm.similarity_threshold = 0.3` (trgm_op.c:21). Probes are
+  * deterministically "typo'd" vocabulary words (last char dropped);
+  * each resolves to its best dictionary word.
+  *
+  * Scale shape — this is the GIN trigram index plan
+  * (`trgm_gin.c: gin_extract_value_trgm`) made relational:
+  *  1. the vocabulary is a census (distinct words ≪ corpus tokens);
+  *  2. the trigram POSTING LIST is the blocking key — candidates are an
+  *     equi-join on `tg`, never probe × vocab all-pairs;
+  *  3. hyper-frequent grams are dropped from the indexed side before
+  *     the join (the d02 stop-shingle discipline — one gram shared by f
+  *     words is an f² candidate blowup at 100 TB); similarity is then
+  *     defined over the capped gram universe, identically in the oracle;
+  *  4. `|A∩B|` is a map-side-combinable count per (probe, word) — the
+  *     shuffle carries posting-join survivors, not trigram text;
+  *  5. the per-probe argmax is ONE `min(struct)` aggregate (the r6 s04
+  *     lesson), not a window over the candidate product.
+  */
+object Trgm {
+
+  /** Posting lists longer than this are dropped from the indexed side
+    * (GIN stop-gram analog). Never binds at test SFs (vocab df ≤ ~30);
+    * bounds the candidate join at 100 TB. */
+  val StopGramCap = 1000
+
+  /** All unique padded trigrams of single-word values in `keyCol`:
+    * `'  '+w+' '` slid 3 wide — positions 1..len(w)+1 (trgm_op.c
+    * make_trigrams). */
+  private[graft] def trigrams(words: DataFrame, keyCol: String): DataFrame =
+    words
+      .withColumn("pw", concat(lit("  "), col(keyCol), lit(" ")))
+      .select(col(keyCol),
+        explode(expr("transform(sequence(1, length(pw) - 2), i -> substring(pw, i, 3))")).as("tg"))
+      .distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fz02_trgm_match" -> { (s, dir) =>
+      // census: the distinct-word dictionary (≪ token stream); spooled —
+      // it feeds both the index build and probe derivation
+      val vocab = Tables.df(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+        .filter(col("word") =!= "")
+        .distinct()
+        .localCheckpoint()
+      val probes = vocab.filter(length(col("word")) >= 4)
+        .select(expr("substring(word, 1, length(word) - 1)").as("probe"))
+        .distinct()
+      val vt = trigrams(vocab, "word")
+      // stop-gram cap on the INDEXED side only (trgm_gin analog)
+      val vtc = vt.join(
+        vt.groupBy(col("tg")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= StopGramCap).select(col("tg")),
+        Seq("tg"))
+      val pt = trigrams(probes, "probe")
+      val vsz = vtc.groupBy(col("word")).agg(count(lit(1)).as("vsz"))
+      val psz = pt.groupBy(col("probe")).agg(count(lit(1)).as("psz"))
+      val inter = pt.join(vtc, Seq("tg"))
+        .groupBy(col("probe"), col("word")).agg(count(lit(1)).as("shared"))
+      val sml = inter
+        .join(psz, Seq("probe")).join(vsz, Seq("word"))
+        .withColumn("sml",
+          col("shared").cast("double") / (col("psz") + col("vsz") - col("shared")))
+        .filter(col("sml") >= 0.3)
+      // argmax per probe as one map-side-combinable min over
+      // (-sml, word): highest similarity, then lexicographically first
+      // word. round(sml*1e6) is injective on round(sml, 6), so carrying
+      // the rounded double in the struct keeps the output exact.
+      val enc = struct(
+        (-round(col("sml") * 1e6)).cast("long").as("nsml"),
+        round(col("sml"), 6).as("sml_r"),
+        col("word"))
+      sml.withColumn("enc", enc)
+        .groupBy(col("probe"))
+        .agg(min(col("enc")).as("best"), count(lit(1)).as("n_matches"))
+        .select(col("probe"), col("best.word").as("best_word"),
+          col("best.sml_r").as("best_sml"), col("n_matches"))
+        .orderBy(col("probe"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "fz02_trgm_match" -> """
+      WITH vocab AS (
+        SELECT DISTINCT w AS word FROM (
+          SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+          FROM documents) WHERE w <> ''),
+      probes AS (
+        SELECT DISTINCT substring(word, 1, length(word) - 1) AS probe
+        FROM vocab WHERE length(word) >= 4),
+      vt AS (
+        SELECT DISTINCT word, tg FROM (
+          SELECT word, substring('  ' || word || ' ',
+            CAST(unnest(generate_series(1, length(word) + 1)) AS INT), 3) AS tg
+          FROM vocab)),
+      vtc AS (SELECT vt.word, vt.tg FROM vt JOIN
+        (SELECT tg FROM vt GROUP BY tg HAVING count(*) <= 1000) c USING (tg)),
+      pt AS (
+        SELECT DISTINCT probe, tg FROM (
+          SELECT probe, substring('  ' || probe || ' ',
+            CAST(unnest(generate_series(1, length(probe) + 1)) AS INT), 3) AS tg
+          FROM probes)),
+      vsz AS (SELECT word, count(*) AS vsz FROM vtc GROUP BY word),
+      psz AS (SELECT probe, count(*) AS psz FROM pt GROUP BY probe),
+      inter AS (SELECT probe, word, count(*) AS shared
+                FROM pt JOIN vtc USING (tg) GROUP BY 1, 2),
+      sml AS (
+        SELECT probe, word, CAST(shared AS DOUBLE) / (psz + vsz - shared) AS sml
+        FROM inter JOIN psz USING (probe) JOIN vsz USING (word)
+        WHERE CAST(shared AS DOUBLE) / (psz + vsz - shared) >= 0.3),
+      ranked AS (
+        SELECT probe, word, sml,
+               row_number() OVER (PARTITION BY probe ORDER BY sml DESC, word) AS rn,
+               count(*) OVER (PARTITION BY probe) AS nm
+        FROM sml)
+      SELECT probe, word AS best_word, round(sml, 6) AS best_sml,
+             CAST(nm AS BIGINT) AS n_matches
+      FROM ranked WHERE rn = 1 ORDER BY probe"""
+  )
+}

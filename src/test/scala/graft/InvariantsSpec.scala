@@ -297,6 +297,26 @@ class InvariantsSpec extends AnyFunSuite {
       "every distinct name lands in exactly one cluster")
   }
 
+  test("fz02: trigram extraction matches PG's documented show_trgm('cat')") {
+    // PG docs: show_trgm('cat') = {"  c"," ca","at ","cat"}
+    import spark.implicits._
+    val got = operators.Trgm.trigrams(Seq("cat").toDF("word"), "word")
+      .select("tg").collect().map(_.getString(0)).toSet
+    assert(got == Set("  c", " ca", "cat", "at "))
+  }
+
+  test("fz02: every truncated probe recovers a word at >= the self-match bound") {
+    // probe = word minus last char (len n >= 4) shares n-1 of its n
+    // trigrams with the source word: sml >= (n-1)/(n+2) >= 0.5 at n=4,
+    // so best_sml >= 0.5 for every probe and no probe goes unmatched.
+    val rows = q("fz02_trgm_match").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.5, s"best_sml below self-match bound: $r")
+      assert(r.getLong(3) >= 1L)
+    }
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the

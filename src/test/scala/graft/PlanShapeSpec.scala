@@ -86,6 +86,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"anchors must broadcast:\n$p")
   }
 
+  test("fz02: trigram match blocks on posting lists and argmaxes without a window") {
+    val p = plan("fz02_trgm_match")
+    // candidates come from the tg equi-join (GIN plan analog) — a
+    // nested-loop probe×vocab product would show BroadcastNestedLoop;
+    // the per-probe best is one min(struct) aggregate, not a sort
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"expected no all-pairs join in fz02:\n$p")
+    assert(!p.contains("Window"), s"expected no WindowExec in fz02:\n$p")
+    assert(p.contains("partial_min"), s"argmax must partial-aggregate map-side:\n$p")
+  }
+
   test("g03: spatial overlap join is an equi-join on grid cells") {
     val p = plan("g03_circle_overlap")
     assert(!p.contains("CartesianProduct"), s"cartesian in g03:\n$p")
