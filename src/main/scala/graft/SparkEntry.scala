@@ -49,7 +49,8 @@ object SparkEntry {
     (operators.IntArray.queries, operators.IntArray.oracle),
     (operators.DataQuality.queries, operators.DataQuality.oracle),
     (operators.EntityResolution.queries, operators.EntityResolution.oracle),
-    (operators.Trgm.queries, operators.Trgm.oracle)
+    (operators.Trgm.queries, operators.Trgm.oracle),
+    (operators.Ml.queries, operators.Ml.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

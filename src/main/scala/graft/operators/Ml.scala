@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** In-database ML slice — multiple linear regression by normal
+  * equations, the MADlib `linregr_train` shape the reference ecosystem
+  * runs in-warehouse (reference kernel: the 2-variable special case is
+  * PG's built-in regr_* aggregate family, `src/backend/utils/adt/
+  * float.c` float8_regr_accum — mean/slope/intercept/R² from one pass
+  * of sufficient statistics; MADlib generalizes the same accumulator to
+  * k features + a driver-side solve).
+  *
+  * y = β0 + β1·quantity + β2·discount per return-flag segment, fit by
+  * Cramer's rule over the 3×3 normal matrix.
+  *
+  * Scale + exactness shape:
+  *  - The ONLY distributed work is one hash aggregate collecting the
+  *    sufficient statistics (n, Σx, Σxx', Σxy, Σy, Σy²) — 10 numbers
+  *    per group, map-side combined; 100 TB of lineitem reduces to
+  *    |groups| rows before the solve. This is the canonical
+  *    "ML-as-aggregation" pattern: no gradient loop, no second scan.
+  *  - Features and targets are integral (quantity, cent-scaled
+  *    discount/price), so every Σ is an exact BIGINT < 2⁵³: the doubles
+  *    entering the solve are bit-identical in any engine and any
+  *    partitioning/merge order. The solve itself is ONE SQL text shared
+  *    verbatim with the DuckDB oracle, so both engines evaluate the
+  *    same IEEE expression tree — β and R² agree to the last ulp and
+  *    round(…, 6) is cosmetic, not load-bearing.
+  */
+object Ml {
+
+  private val LinregSql = """
+    WITH obs AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_quantity) AS BIGINT)            AS q,
+             CAST(round(l_discount * 100) AS BIGINT)      AS d,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    stats AS (
+      SELECT grp,
+        CAST(count(*)   AS DOUBLE) AS n,
+        CAST(sum(q)     AS DOUBLE) AS sx1,
+        CAST(sum(d)     AS DOUBLE) AS sx2,
+        CAST(sum(y)     AS DOUBLE) AS sy,
+        CAST(sum(q * q) AS DOUBLE) AS sx11,
+        CAST(sum(q * d) AS DOUBLE) AS sx12,
+        CAST(sum(d * d) AS DOUBLE) AS sx22,
+        CAST(sum(q * y) AS DOUBLE) AS sx1y,
+        CAST(sum(d * y) AS DOUBLE) AS sx2y,
+        CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM obs GROUP BY grp),
+    solved AS (
+      SELECT grp, n, sy, sx1y, sx2y, syy,
+        (n   * (sx11 * sx22 - sx12 * sx12)
+         - sx1 * (sx1  * sx22 - sx12 * sx2)
+         + sx2 * (sx1  * sx12 - sx11 * sx2)) AS det,
+        (sy  * (sx11 * sx22 - sx12 * sx12)
+         - sx1 * (sx1y * sx22 - sx12 * sx2y)
+         + sx2 * (sx1y * sx12 - sx11 * sx2y)) AS det0,
+        (n   * (sx1y * sx22 - sx12 * sx2y)
+         - sy  * (sx1  * sx22 - sx12 * sx2)
+         + sx2 * (sx1  * sx2y - sx1y * sx2)) AS det1,
+        (n   * (sx11 * sx2y - sx1y * sx12)
+         - sx1 * (sx1  * sx2y - sx1y * sx2)
+         + sy  * (sx1  * sx12 - sx11 * sx2)) AS det2
+      FROM stats)
+    SELECT grp, CAST(n AS BIGINT) AS n_rows,
+      round(det0 / det, 6) AS beta0,
+      round(det1 / det, 6) AS beta1,
+      round(det2 / det, 6) AS beta2,
+      round(1 - (syy - ((det0 / det) * sy + (det1 / det) * sx1y
+                        + (det2 / det) * sx2y))
+              / (syy - sy * sy / n), 6) AS r2
+    FROM solved ORDER BY grp"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml01_linreg" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(LinregSql)
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ml01_linreg" -> LinregSql
+  )
+}

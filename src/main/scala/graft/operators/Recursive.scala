@@ -91,9 +91,35 @@ object Recursive {
       SELECT depth, count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key
       FROM tree GROUP BY depth ORDER BY depth"""
 
+  /** connectby analog (reference `contrib/tablefunc/tablefunc.c`
+    * connectby: keyid/parent_keyid/level/branch rows from a start key
+    * with a depth bound). The parent relation is the derived 10-ary
+    * custkey tree (parent = ⌊k/10⌋, r03's edge rule); start_with = 1,
+    * max_depth = 3, '~' branch delimiter — tablefunc's default. Runs as
+    * ONE recursive-SQL text shared verbatim with the oracle; each level
+    * is one distributed join of the worktable against the key relation,
+    * and the branch string accumulates on the worktable rows (O(depth)
+    * joins, never a path self-join). */
+  private val cb01Sql = """
+      WITH RECURSIVE tree(keyid, parent_keyid, level, branch) AS (
+        SELECT CAST(c_custkey AS BIGINT), CAST(NULL AS BIGINT), 0,
+               '' || c_custkey
+        FROM customer WHERE c_custkey = 1
+        UNION ALL
+        SELECT CAST(c.c_custkey AS BIGINT), t.keyid, t.level + 1,
+               t.branch || '~' || c.c_custkey
+        FROM customer c JOIN tree t
+          ON CAST(floor(c.c_custkey / 10) AS BIGINT) = t.keyid
+        WHERE t.level < 3)
+      SELECT keyid, parent_keyid, level, branch FROM tree ORDER BY keyid"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_recursive_collatz" -> { (s, dir) =>
       collatzChain(s, dir).orderBy(col("seed"), col("step"))
+    },
+    "cb01_connectby" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(cb01Sql)
     },
     "r02_connected_dedup" -> { (s, dir) => connectedDedup(s, dir) },
     // native SQL-surface recursive CTE (UnionLoop): the worktable walks
@@ -229,6 +255,7 @@ object Recursive {
     // identical text to the Spark run — both engines execute the same
     // recursive union
     "r03_recursive_sql" -> r03Sql,
+    "cb01_connectby" -> cb01Sql,
 
     "r01_recursive_collatz" -> s"""
       WITH RECURSIVE chain(seed, step, val) AS (

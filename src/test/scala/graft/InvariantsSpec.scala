@@ -317,6 +317,44 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("ml01: segments partition lineitem; OLS plane passes through each centroid") {
+    val rows = q("ml01_linreg").collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.df(spark, Sf, "lineitem").count(),
+      "every observation lands in exactly one segment")
+    // per-group means from the same exact-integer features the query uses
+    val means = Tables.df(spark, Sf, "lineitem")
+      .selectExpr("l_returnflag AS grp",
+        "CAST(round(l_quantity) AS BIGINT) AS q",
+        "CAST(round(l_discount * 100) AS BIGINT) AS d",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+      .groupBy("grp").agg(avg("q").as("mq"), avg("d").as("md"), avg("y").as("my"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    rows.foreach { r =>
+      // an intercept fit always passes through (x̄, ȳ): β0 + β1·x̄1 + β2·x̄2 = ȳ
+      val (mq, md, my) = means(r.getString(0))
+      val pred = r.getDouble(2) + r.getDouble(3) * mq + r.getDouble(4) * md
+      assert(math.abs(pred - my) < 0.01, s"centroid identity violated: $r pred=$pred mean=$my")
+      val r2 = r.getDouble(5)
+      assert(r2 > -1e-9 && r2 <= 1, s"r2 out of range: $r")
+    }
+  }
+
+  test("cb01: branch paths are consistent (level+1 labels, ending in keyid)") {
+    val rows = q("cb01_connectby").collect()
+    assert(rows.nonEmpty)
+    val keysByLevel = rows.groupBy(_.getInt(2)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    rows.foreach { r =>
+      val (key, lvl, branch) = (r.getLong(0), r.getInt(2), r.getString(3))
+      val parts = branch.split("~")
+      assert(parts.length == lvl + 1, s"branch must have level+1 labels: $r")
+      assert(parts.last.toLong == key, s"branch must end in keyid: $r")
+      if (lvl == 0) assert(r.isNullAt(1), s"root parent must be NULL: $r")
+      else assert(keysByLevel(lvl - 1).contains(r.getLong(1)),
+        s"parent must exist one level up: $r")
+    }
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
