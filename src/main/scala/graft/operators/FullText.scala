@@ -158,6 +158,37 @@ object FullText {
     //    `<1>`. Same single-pass pairwise zip as f02 with the right
     //    slice offset: toks[i] pairs with toks[i+N], zip_with pads the
     //    tail with null whose comparison drops out of the filter --
+    // -- ts_rank_cd: cover-density ranking (tsrank.c calc_rank_cd /
+    //    Cover). For a 2-term AND tsquery the Cover() scan — forward to
+    //    the earliest query completion, backward to the latest start,
+    //    restart after the cover's begin — enumerates EXACTLY the
+    //    adjacent distinct-term pairs of the merged position list, each
+    //    a 2-entry extent: Cpos = 2/(1/w + 1/w) = 0.1 at default D
+    //    weights (weights[] = {0.1,0.2,0.4,1.0}, tsrank.c:48) and
+    //    nNoise = gap - 1, so each cover contributes 0.1/gap and
+    //    rank_cd = Σ 0.1/gap (method 0, no normalization).
+    //    Evaluated per row in one HOF pass over the token array — like
+    //    the reference, rank_cd never leaves the row: no shuffle, no
+    //    window, the only exchange is the final top-k sort --
+    "f09_ts_rank_cd" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("ents", expr(
+          "filter(transform(toks, (x, i) -> struct(i AS pos, x AS tok)), e -> e.tok = 'scan' OR e.tok = 'join')"))
+        .withColumn("n_covers", expr(
+          """size(filter(zip_with(ents, slice(ents, 2, size(ents)),
+               (a, b) -> a.tok <> b.tok), x -> x))"""))
+        .filter(col("n_covers") > 0)
+        .withColumn("rank_cd", round(expr(
+          """aggregate(zip_with(ents, slice(ents, 2, size(ents)),
+               (a, b) -> CASE WHEN a.tok <> b.tok
+                         THEN CAST(0.1 AS DOUBLE) / (b.pos - a.pos)
+                         ELSE CAST(0 AS DOUBLE) END),
+             CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""), 6))
+        .select(col("doc_id"), col("n_covers"), col("rank_cd"))
+        .orderBy(col("rank_cd").desc, col("doc_id"))
+    },
+
     "f08_fts_phrase_dist" -> { (s, dir) =>
       val dist = 2 // 'merge <2> join': exactly one token between them
       Tables.df(s, dir, "documents")
@@ -268,6 +299,28 @@ object FullText {
       WHERE len(list_filter(generate_series(1, len(toks) - 1),
             i -> toks[i] = 'hash' AND toks[i+1] = 'join')) > 0
       ORDER BY n_phrase DESC, doc_id""",
+
+    "f09_ts_rank_cd" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      ent AS (
+        SELECT doc_id, list_transform(
+          list_filter(generate_series(1, len(toks)), i -> toks[i] = 'scan' OR toks[i] = 'join'),
+          i -> {'pos': i, 'tok': toks[i]}) AS ents
+        FROM toked),
+      scored AS (
+        SELECT doc_id,
+          len(list_filter(generate_series(1, len(ents) - 1),
+              j -> ents[j].tok <> ents[j+1].tok)) AS n_covers,
+          round(list_sum(list_transform(generate_series(1, len(ents) - 1),
+              j -> CASE WHEN ents[j].tok <> ents[j+1].tok
+                   THEN CAST(0.1 AS DOUBLE) / (ents[j+1].pos - ents[j].pos)
+                   ELSE CAST(0 AS DOUBLE) END)), 6) AS rank_cd
+        FROM ent)
+      SELECT doc_id, n_covers, rank_cd
+      FROM scored WHERE n_covers > 0
+      ORDER BY rank_cd DESC, doc_id""",
 
     "f08_fts_phrase_dist" -> """
       WITH toked AS (

@@ -355,6 +355,21 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("f09: cover-density ranks exactly the AND-match docs, with sane bounds") {
+    // a doc has >= 1 adjacent distinct-term pair iff it contains both
+    // terms, so f09's row set must equal the tsquery AND-match set
+    val andMatch = Tables.df(spark, Sf, "documents")
+      .filter(expr("""size(filter(split(lower(text), ' '), x -> x = 'scan')) > 0
+                  AND size(filter(split(lower(text), ' '), x -> x = 'join')) > 0"""))
+      .count()
+    val rows = q("f09_ts_rank_cd").collect()
+    assert(rows.length.toLong == andMatch)
+    rows.foreach { r =>
+      // each cover contributes at most 0.1 (gap >= 1)
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 0.1 * r.getInt(1) + 1e-9, s"rank bound: $r")
+    }
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
