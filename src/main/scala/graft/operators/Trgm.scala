@@ -91,8 +91,57 @@ object Trgm {
         .select(col("probe"), col("best.word").as("best_word"),
           col("best.sml_r").as("best_sml"), col("n_matches"))
         .orderBy(col("probe"))
+    },
+
+    // -- strict_word_similarity (trgm_op.c iterate_word_similarity with
+    //    WORD_SIMILARITY_STRICT: extents snap to word bounds): the `<<%`
+    //    operator at its default 0.5 threshold (trgm_op.c:23). Since
+    //    CALCSML strictly improves when an extent sheds a word that adds
+    //    no shared trigrams, the optimum over word spans is found by
+    //    enumerating spans up to SpanCap words — evaluated per row in
+    //    one HOF pass (no shuffle; the reference evaluates <<% rowwise
+    //    too). The probe's trigram set and ulen1 are compile-time
+    //    constants embedded in both engines' expressions. Max of
+    //    single-division doubles — no summation-order exposure --
+    "fz03_strict_word_sml" -> { (s, dir) =>
+      val pLit = ProbeTrgms.map(sqlStrLit).mkString("array(", ", ", ")")
+      val u1 = ProbeTrgms.size
+      Tables.df(s, dir, "documents")
+        .withColumn("words",
+          expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')"))
+        .withColumn("wtgs", expr(
+          """transform(words, w -> transform(sequence(1, length(w) + 1),
+               k -> substring(concat('  ', w, ' '), k, 3)))"""))
+        .withColumn("spansets", expr(
+          s"""flatten(transform(sequence(1, size(words)), i ->
+                transform(sequence(i, least(i + ${SpanCap - 1}, size(words))), j ->
+                  array_distinct(flatten(slice(wtgs, i, j - i + 1))))))"""))
+        .withColumn("swsml", round(expr(
+          s"""array_max(transform(spansets, sp ->
+                CAST(size(array_intersect(sp, $pLit)) AS DOUBLE)
+                  / ($u1 + size(sp) - size(array_intersect(sp, $pLit)))))"""), 6))
+        .filter(col("swsml") >= 0.5)
+        .select(col("doc_id"), col("swsml"))
+        .orderBy(col("swsml").desc, col("doc_id"))
     }
   )
+
+  /** The probe phrase for fz03 and its unique padded trigram set,
+    * computed once at plan-build time and embedded as a literal in BOTH
+    * engines' expressions (ulen1 is a constant of the query, exactly as
+    * the reference caches the query-side TRGM). */
+  private val ProbeWords = Seq("hash", "join")
+  private val ProbeTrgms: Seq[String] = ProbeWords
+    .flatMap { w => val pw = "  " + w + " "; (0 to w.length).map(k => pw.substring(k, k + 3)) }
+    .distinct
+  private def sqlStrLit(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** Max word-span length considered for the extent search. The optimal
+    * strict extent never extends past words that add no shared trigrams
+    * (shrinking strictly increases CALCSML), so for a 2-word probe a
+    * 4-word cap is the practical search space; the cap is mirrored
+    * verbatim in the oracle (the d02 discipline). */
+  private val SpanCap = 4
 
   def oracle: Map[String, String] = Map(
     "fz02_trgm_match" -> """
@@ -130,6 +179,35 @@ object Trgm {
         FROM sml)
       SELECT probe, word AS best_word, round(sml, 6) AS best_sml,
              CAST(nm AS BIGINT) AS n_matches
-      FROM ranked WHERE rn = 1 ORDER BY probe"""
+      FROM ranked WHERE rn = 1 ORDER BY probe""",
+
+    "fz03_strict_word_sml" -> {
+      val pLit = ProbeTrgms.map(sqlStrLit).mkString("[", ", ", "]")
+      val u1 = ProbeTrgms.size
+      s"""
+      WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '') AS words
+        FROM documents),
+      tg AS (
+        SELECT doc_id, len(words) AS n,
+          list_transform(words, w -> list_transform(generate_series(1, length(w) + 1),
+            k -> substring('  ' || w || ' ', CAST(k AS INT), 3))) AS wtgs
+        FROM toked),
+      spans AS (
+        SELECT doc_id,
+          flatten(list_transform(generate_series(1, n), i ->
+            list_transform(generate_series(i, least(i + ${SpanCap - 1}, n)), j ->
+              list_distinct(flatten(list_slice(wtgs, i, j)))))) AS spansets
+        FROM tg),
+      scored AS (
+        SELECT doc_id,
+          round(list_max(list_transform(spansets, sp ->
+            CAST(len(list_intersect(sp, $pLit)) AS DOUBLE)
+              / ($u1 + len(sp) - len(list_intersect(sp, $pLit))))), 6) AS swsml
+        FROM spans)
+      SELECT doc_id, swsml FROM scored WHERE swsml >= 0.5
+      ORDER BY swsml DESC, doc_id"""
+    }
   )
 }

@@ -370,6 +370,23 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("fz03: exact-phrase docs score 1.0; single-word docs hit exactly 0.5") {
+    val byDoc = q("fz03_strict_word_sml").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val docs = Tables.df(spark, Sf, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+    docs.foreach { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      val words = t.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val phrase = words.sliding(2).exists(p => p.length == 2 && p(0) == "hash" && p(1) == "join")
+      if (phrase)
+        assert(byDoc.get(id).contains(1.0), s"adjacent 'hash join' must score 1.0: doc $id")
+      else if (words.contains("hash") || words.contains("join"))
+        // a lone probe word is a 5-trigram span sharing all 5: 5/(10+5-5)
+        assert(byDoc(id) >= 0.5, s"doc with a probe word must clear 0.5: doc $id")
+    }
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
