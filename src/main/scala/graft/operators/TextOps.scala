@@ -370,6 +370,42 @@ object TextOps {
         .orderBy(col("doc_id"))
     },
 
+    // -- t18: KenLM-style language-model quality scoring — the
+    //    perplexity-filter stage of a pretraining pipeline (CCNet/
+    //    Gopher): train a char-trigram MLE LM on the corpus itself,
+    //    score every doc by average negative log-likelihood. Scale +
+    //    exactness shape:
+    //     * the LM "training" is two map-side-combined censuses
+    //       (trigram and bigram-context counts) — bounded by charset³,
+    //       broadcastable no matter the corpus size;
+    //     * scoring is one broadcast join per n-gram order, no shuffle
+    //       of the corpus;
+    //     * each position's log p is QUANTIZED to integer micro-nats
+    //       before the per-doc sum, so the aggregate is an exact BIGINT
+    //       — immune to float summation order across engines and
+    //       partitionings (the q110/money discipline applied to logs) --
+    "t18_charlm_score" -> { (s, dir) =>
+      val pos = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(expr("sequence(1, greatest(length(t) - 2, 0))")).as("i"))
+        .select(col("doc_id"),
+          expr("substring(t, i, 3)").as("tri"),
+          expr("substring(t, i, 2)").as("bi"))
+        .localCheckpoint() // spool: feeds both censuses AND the scoring join
+      val tc = pos.groupBy(col("tri")).agg(count(lit(1)).as("tri_n"))
+      val bc = pos.groupBy(col("bi")).agg(count(lit(1)).as("bi_n"))
+      pos.join(broadcast(tc), Seq("tri")).join(broadcast(bc), Seq("bi"))
+        .withColumn("lp_micro",
+          expr("CAST(round(ln(CAST(tri_n AS DOUBLE) / bi_n) * 1000000) AS BIGINT)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"), sum(col("lp_micro")).as("s_micro"))
+        .select(col("doc_id"), col("n_tri"),
+          round(expr("-(CAST(s_micro AS DOUBLE) / 1000000 / n_tri)"), 6).as("avg_nll"),
+          round(expr("exp(-(CAST(s_micro AS DOUBLE) / 1000000 / n_tri))"), 6).as("ppl"))
+        .orderBy(col("avg_nll").desc, col("doc_id"))
+    },
+
     "t11_repetition" -> { (s, dir) =>
       // Linear plan (r6 verdict #6): the former
       //   array_max(transform(array_distinct(toks), d -> size(filter(toks, ...))))
@@ -405,6 +441,27 @@ object TextOps {
 
   def oracle: Map[String, String] = Map(
     "t15_train_split" -> TrainSplitSql,
+
+    "t18_charlm_score" -> """
+      WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+      pos AS (
+        SELECT doc_id,
+               substring(t, CAST(i AS INT), 3) AS tri,
+               substring(t, CAST(i AS INT), 2) AS bi
+        FROM (SELECT doc_id, t,
+                unnest(generate_series(1, greatest(length(t) - 2, 0))) AS i
+              FROM docs)),
+      tc AS (SELECT tri, count(*) AS tri_n FROM pos GROUP BY tri),
+      bc AS (SELECT bi, count(*) AS bi_n FROM pos GROUP BY bi),
+      sc AS (
+        SELECT doc_id, count(*) AS n_tri,
+          CAST(sum(CAST(round(ln(CAST(tri_n AS DOUBLE) / bi_n) * 1000000) AS BIGINT)) AS BIGINT) AS s_micro
+        FROM pos JOIN tc USING (tri) JOIN bc USING (bi)
+        GROUP BY doc_id)
+      SELECT doc_id, n_tri,
+        round(-(CAST(s_micro AS DOUBLE) / 1000000 / n_tri), 6) AS avg_nll,
+        round(exp(-(CAST(s_micro AS DOUBLE) / 1000000 / n_tri)), 6) AS ppl
+      FROM sc ORDER BY avg_nll DESC, doc_id""",
     // the oracle states MG's guarantee: the exact top-10 all exceed
     // N/(k+1), so membership is certain — TRUE, not approximately true
     "t17_heavy_hitters" -> """

@@ -387,6 +387,20 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("t18: LM scoring covers every position of every doc; ppl is coherent") {
+    val rows = q("t18_charlm_score").collect()
+    val expectedPositions = Tables.df(spark, Sf, "documents")
+      .selectExpr("sum(greatest(length(text) - 2, 0)) AS p").head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum == expectedPositions,
+      "every char position scores exactly once")
+    rows.foreach { r =>
+      val (nll, ppl) = (r.getDouble(2), r.getDouble(3))
+      // MLE probabilities are <= 1, so per-char NLL >= 0; ppl = exp(nll)
+      assert(nll >= 0, s"negative NLL from an MLE model: $r")
+      assert(math.abs(ppl - math.exp(nll)) < 1e-4, s"ppl must equal exp(avg_nll): $r")
+    }
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
