@@ -98,30 +98,46 @@ object Trgm {
     //    operator at its default 0.5 threshold (trgm_op.c:23). Since
     //    CALCSML strictly improves when an extent sheds a word that adds
     //    no shared trigrams, the optimum over word spans is found by
-    //    enumerating spans up to SpanCap words — evaluated per row in
-    //    one HOF pass (no shuffle; the reference evaluates <<% rowwise
-    //    too). The probe's trigram set and ulen1 are compile-time
-    //    constants embedded in both engines' expressions. Max of
-    //    single-division doubles — no summation-order exposure --
+    //    enumerating spans up to SpanCap words.
+    //
+    //    RELATIONAL, not per-row HOF (the t11 lesson, relearned here at
+    //    sf0.1: a nested transform/slice/distinct/intersect chain costs
+    //    ~400 µs per span interpreted — 397 s for 1M spans): each word
+    //    (1-based idx) EMITS its membership in every (start, len) span
+    //    covering it (Σ_{L≤4} L = 10 memberships/word), word trigrams
+    //    explode under the (doc, start, len) key, and two distinct-count
+    //    aggregates give |span set| and |span ∩ probe| — O(tokens) rows,
+    //    all map-side-combinable hash aggregates, no lambda allocation.
+    //    Spans truncated by the doc end duplicate their shorter twin, so
+    //    the per-doc max — one more hash aggregate — is unchanged; the
+    //    oracle enumerates (i, j≤i+3) pairs, the same value set. The
+    //    probe's trigram set and ulen1 are compile-time constants; the
+    //    score is a max of single-division doubles — no summation-order
+    //    exposure --
     "fz03_strict_word_sml" -> { (s, dir) =>
-      val pLit = ProbeTrgms.map(sqlStrLit).mkString("array(", ", ", ")")
       val u1 = ProbeTrgms.size
-      Tables.df(s, dir, "documents")
-        .withColumn("words",
+      val words = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
           expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')"))
-        .withColumn("wtgs", expr(
-          """transform(words, w -> transform(sequence(1, length(w) + 1),
-               k -> substring(concat('  ', w, ' '), k, 3)))"""))
-        .withColumn("spansets", expr(
-          s"""flatten(transform(sequence(1, size(words)), i ->
-                transform(sequence(i, least(i + ${SpanCap - 1}, size(words))), j ->
-                  array_distinct(flatten(slice(wtgs, i, j - i + 1))))))"""))
-        .withColumn("swsml", round(expr(
-          s"""array_max(transform(spansets, sp ->
-                CAST(size(array_intersect(sp, $pLit)) AS DOUBLE)
-                  / ($u1 + size(sp) - size(array_intersect(sp, $pLit)))))"""), 6))
+          .as(Seq("idx0", "w")))
+        .withColumn("idx", col("idx0") + 1)
+      val lens = s.range(1, SpanCap + 1).select(col("id").cast("int").as("len"))
+      val tgs = words
+        .crossJoin(broadcast(lens))
+        .select(col("doc_id"), col("len"), col("w"),
+          explode(expr("sequence(greatest(1, idx - len + 1), idx)")).as("start"))
+        .select(col("doc_id"), col("start"), col("len"),
+          explode(expr(
+            "transform(sequence(1, length(w) + 1), k -> substring(concat('  ', w, ' '), k, 3))"))
+            .as("tg"))
+      tgs.groupBy(col("doc_id"), col("start"), col("len"))
+        .agg(countDistinct(col("tg")).as("u2"),
+          countDistinct(when(col("tg").isin(ProbeTrgms: _*), col("tg"))).as("cnt"))
+        .withColumn("sml",
+          col("cnt").cast("double") / (lit(u1) + col("u2") - col("cnt")))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("sml")), 6).as("swsml"))
         .filter(col("swsml") >= 0.5)
-        .select(col("doc_id"), col("swsml"))
         .orderBy(col("swsml").desc, col("doc_id"))
     }
   )
