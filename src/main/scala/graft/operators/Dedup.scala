@@ -176,6 +176,35 @@ object Dedup {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // -- Incremental LSH dedup: a NEW BATCH (doc_id % 10 = 7, ~10%)
+    //    probed against the band index of the EXISTING corpus — the
+    //    production shape where the index persists and each ingest
+    //    round costs O(|Δ|), never a corpus re-dedup. The probe is one
+    //    equi-join of delta band rows against the index; over-full index
+    //    buckets degrade to the hub (minimum doc) exactly like d03's
+    //    star cap, so a boilerplate bucket stays O(k) not O(k²). Every
+    //    delta doc reports its verdict (left join), so the output is the
+    //    ingest decision relation: n_dup_base = 0 ⇒ admit --
+    "i11_incremental_dedup" -> { (s, dir) =>
+      val bands = minhashBands(s, dir).localCheckpoint()
+      val isDelta = col("doc_id") % 10 === 7
+      val index = bands.filter(!isDelta)
+      val idxStats = index.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("hub"))
+      val matches = bands.filter(isDelta)
+        .join(index.select(col("band"), col("band_key"), col("doc_id").as("base_id")),
+          Seq("band", "band_key"))
+        .join(idxStats, Seq("band", "band_key"))
+        .filter(col("n") <= BandBucketCap || col("base_id") === col("hub"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("base_id")).as("cnt"), min(col("base_id")).as("keeper_id"))
+      Tables.df(s, dir, "documents").filter(isDelta).select(col("doc_id"))
+        .join(matches, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cnt"), lit(0L)).as("n_dup_base"), col("keeper_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // -- SimHash (24-bit) + band columns for candidate generation --
     "d04_simhash" -> { (s, dir) =>
       simhashDf(s, dir).orderBy(col("doc_id"))
@@ -376,6 +405,34 @@ object Dedup {
       JOIN bn n ON n.band = a.band AND n.band_key = a.band_key
       WHERE n.n <= $BandBucketCap OR a.doc_id = n.hub
       ORDER BY a_id, b_id""",
+
+    "i11_incremental_dedup" -> s"""
+      WITH fps AS ($oracleShingleFps),
+      sigs AS (
+        SELECT doc_id, j, min(((1000003 * j + 12345) * fp + 7919 * j + 271) % 1000000007) AS sig
+        FROM fps, (SELECT unnest(generate_series(0, 11)) AS j)
+        GROUP BY doc_id, j),
+      bands AS (
+        SELECT doc_id, j // 3 AS band,
+          string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
+        FROM sigs GROUP BY doc_id, j // 3),
+      idx AS (
+        SELECT band, band_key, count(*) AS n, min(doc_id) AS hub
+        FROM bands WHERE doc_id % 10 <> 7 GROUP BY band, band_key),
+      matches AS (
+        SELECT p.doc_id, b.doc_id AS base_id
+        FROM bands p
+        JOIN bands b ON b.band = p.band AND b.band_key = p.band_key
+                    AND b.doc_id % 10 <> 7
+        JOIN idx i ON i.band = p.band AND i.band_key = p.band_key
+        WHERE p.doc_id % 10 = 7
+          AND (i.n <= $BandBucketCap OR b.doc_id = i.hub))
+      SELECT d.doc_id,
+        CAST(count(DISTINCT m.base_id) AS BIGINT) AS n_dup_base,
+        min(m.base_id) AS keeper_id
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+      LEFT JOIN matches m ON m.doc_id = d.doc_id
+      GROUP BY d.doc_id ORDER BY d.doc_id""",
 
     "d04_simhash" -> s"""
       WITH $oracleSimhashCtes

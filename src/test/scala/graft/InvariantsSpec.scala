@@ -401,6 +401,21 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("i11: every delta doc gets a verdict; keepers are base docs only") {
+    val rows = q("i11_incremental_dedup").collect()
+    val deltaCount = Tables.df(spark, Sf, "documents")
+      .filter(col("doc_id") % 10 === 7).count()
+    assert(rows.length.toLong == deltaCount, "one verdict per delta doc")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 7, s"only delta docs in the output: $r")
+      if (r.getLong(1) == 0) assert(r.isNullAt(2), s"no dup => no keeper: $r")
+      else {
+        assert(!r.isNullAt(2), s"dup => keeper: $r")
+        assert(r.getLong(2) % 10 != 7, s"keeper must come from the base corpus: $r")
+      }
+    }
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
