@@ -122,17 +122,25 @@ object Trgm {
           .as(Seq("idx0", "w")))
         .withColumn("idx", col("idx0") + 1)
       val lens = s.range(1, SpanCap + 1).select(col("id").cast("int").as("len"))
+      // trigrams FIRST (native explode + substring, no lambda), THEN the
+      // ×10 membership multiplication — the heavy string work runs once
+      // per word trigram, and the multiplied rows are pure int columns
       val tgs = words
+        .select(col("doc_id"), col("idx"),
+          expr("concat('  ', w, ' ')").as("pw"),
+          explode(expr("sequence(1, length(w) + 1)")).as("k"))
+        .select(col("doc_id"), col("idx"), expr("substring(pw, k, 3)").as("tg"))
         .crossJoin(broadcast(lens))
-        .select(col("doc_id"), col("len"), col("w"),
+        .select(col("doc_id"), col("len"), col("tg"),
           explode(expr("sequence(greatest(1, idx - len + 1), idx)")).as("start"))
-        .select(col("doc_id"), col("start"), col("len"),
-          explode(expr(
-            "transform(sequence(1, length(w) + 1), k -> substring(concat('  ', w, ' '), k, 3))"))
-            .as("tg"))
-      tgs.groupBy(col("doc_id"), col("start"), col("len"))
-        .agg(countDistinct(col("tg")).as("u2"),
-          countDistinct(when(col("tg").isin(ProbeTrgms: _*), col("tg"))).as("cnt"))
+      // explicit dedup-then-count instead of two countDistinct aggs: the
+      // MDQA form Expands every membership row twice; one groupBy on the
+      // (span, tg) key (map-side combined — in-word and cross-word dup
+      // trigrams collapse before the exchange) feeds plain counts
+      tgs.groupBy(col("doc_id"), col("start"), col("len"), col("tg")).agg(lit(1))
+        .groupBy(col("doc_id"), col("start"), col("len"))
+        .agg(count(lit(1)).as("u2"),
+          count(when(col("tg").isin(ProbeTrgms: _*), lit(1))).as("cnt"))
         .withColumn("sml",
           col("cnt").cast("double") / (lit(u1) + col("u2") - col("cnt")))
         .groupBy(col("doc_id"))
