@@ -94,9 +94,15 @@ object Dedup {
     * posting lists via `collect_set`, d03's signatures via `min()`
     * (idempotent to repeats) — so set semantics cost zero extra
     * exchanges. */
-  private def shingleFps(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.PgFunctions.register(s)
-    Tables.df(s, dir, "documents")
+  private def shingleFps(s: SparkSession, dir: String): DataFrame =
+    shingleFpsOf(Tables.df(s, dir, "documents"))
+
+  /** Shingle fingerprints of an arbitrary (doc_id, text) relation —
+    * factored so the streaming incremental-dedup proof (i11's
+    * foreachBatch rendition) can fingerprint one micro-batch. */
+  private[graft] def shingleFpsOf(docs: DataFrame): DataFrame = {
+    graft.functions.PgFunctions.register(docs.sparkSession)
+    docs
       .withColumn("toks", expr(toks))
       .select(col("doc_id"), explode(expr(shingles)).as("shingle"))
       .select(col("doc_id"), expr(polyHash("shingle")).as("fp"))
@@ -266,8 +272,13 @@ object Dedup {
     * minhashes fold in ONE aggregation pass (12 min() columns) instead of
     * exploding fps ×12 and shuffling 12× the rows — the map-side partial
     * min collapses each partition to |docs| rows. */
-  private[graft] def minhashBands(s: SparkSession, dir: String): DataFrame = {
-    val fps = shingleFps(s, dir)
+  private[graft] def minhashBands(s: SparkSession, dir: String): DataFrame =
+    bandsOfFps(shingleFps(s, dir))
+
+  /** MinHash band rows from a fingerprint relation (factored for the
+    * streaming i11 proof: bands of ONE micro-batch probe the persisted
+    * index). */
+  private[graft] def bandsOfFps(fps: DataFrame): DataFrame = {
     val sigCols = (0 to 11).map { j =>
       min(expr(s"((1000003 * $j + 12345) * fp + 7919 * $j + 271) % 1000000007")).as(s"s$j")
     }

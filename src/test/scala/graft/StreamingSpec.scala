@@ -518,4 +518,56 @@ class StreamingSpec extends AnyFunSuite {
     val second = dt.read().collect().toSet
     assert(first == second && first.nonEmpty)
   }
+
+  test("i11 streamed: per-micro-batch index probes compose to the batch verdict") {
+    // The production rendition of i11: the band index persists, each
+    // ingest micro-batch fingerprints ONLY its own docs (O(|Δ|)) and
+    // probes the index via foreachBatch. The union of per-batch verdicts
+    // must equal the one-shot batch relation — the IVM condition.
+    Tables.configure(spark)
+    import graft.operators.Dedup
+    val bands = Dedup.minhashBands(spark, Sf).localCheckpoint()
+    val isDelta = col("doc_id") % 10 === 7
+    val index = bands.filter(!isDelta).localCheckpoint()
+    val idxStats = index.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("hub"))
+      .localCheckpoint()
+    // land the delta docs as two parquet files -> two micro-batches
+    val docs = Tables.df(spark, Sf, "documents")
+    val delta = docs.filter(isDelta)
+    val median = delta.selectExpr("percentile(doc_id, 0.5)").head.getDouble(0)
+    val landing = java.nio.file.Files.createTempDirectory("graft_i11_stream").toString
+    delta.filter(col("doc_id") <= median).coalesce(1).write.parquet(s"$landing/b0")
+    delta.filter(col("doc_id") > median).coalesce(1).write.parquet(s"$landing/b1")
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long])]
+    val q = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$landing/*")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val probe = Dedup.bandsOfFps(Dedup.shingleFpsOf(batch))
+        val matches = probe
+          .join(index.select(col("band"), col("band_key"), col("doc_id").as("base_id")),
+            Seq("band", "band_key"))
+          .join(idxStats, Seq("band", "band_key"))
+          .filter(col("n") <= Dedup.BandBucketCap || col("base_id") === col("hub"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("base_id")).as("cnt"), min(col("base_id")).as("keeper_id"))
+        val out = batch.select(col("doc_id")).join(matches, Seq("doc_id"), "left")
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        verdicts.synchronized { verdicts ++= out }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    val batchResult = SparkEntry.queries("i11_incremental_dedup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(verdicts.toSet == batchResult,
+      "streamed per-batch probes must reproduce the batch verdict relation")
+    assert(verdicts.nonEmpty && verdicts.map(_._1).distinct.size == verdicts.size,
+      "each delta doc verdicts exactly once across micro-batches")
+  }
 }
