@@ -89,6 +89,35 @@ object Incremental {
         .orderBy(col("o_custkey"))
     },
 
+    // -- MERGE with WHEN NOT MATCHED BY SOURCE (PG 17 / SQL:2023
+    //    parse_merge.c): the FULL-SYNC shape i06's upsert can't express —
+    //    target rows absent from the source are DELETEd. Workload: a
+    //    sliding-window per-customer summary refreshed to a new window;
+    //    customers who aged out of the window delete, new ones insert,
+    //    the rest update or no-op. Same lake-house full-outer rewrite as
+    //    i06 (one shuffle on the merge key, both aggregates map-side
+    //    combined; cents discipline keeps the change test exact) --
+    "i12_merge_full_sync" -> { (s, dir) =>
+      val orders = Tables.df(s, dir, "orders")
+      def winAgg(lo: String, hi: String, n: String, c: String) =
+        orders.filter(expr(
+          s"o_orderdate >= TIMESTAMP '$lo' AND o_orderdate < TIMESTAMP '$hi'"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as(n),
+            expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as(c))
+      val target = winAgg("1995-01-01 00:00:00", "1997-01-01 00:00:00", "t_orders", "t_cents")
+      val source = winAgg("1996-01-01 00:00:00", "1998-01-01 00:00:00", "s_orders", "s_cents")
+      target.join(source, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          col("s_orders").as("n_orders"), col("s_cents").as("cents"),
+          when(col("t_orders").isNull, "INSERT")
+            .when(col("s_orders").isNull, "DELETE")
+            .when(col("t_orders") =!= col("s_orders") || col("t_cents") =!= col("s_cents"),
+              "UPDATE")
+            .otherwise("KEEP").as("action"))
+        .orderBy(col("o_custkey"))
+    },
+
     // -- IVM_SUB: the DELETE path — build the matview over ALL events,
     //    then retract a delete batch (event_id % 7 = 0) as a negated
     //    delta; the retracted state must equal the batch aggregate of the
@@ -250,6 +279,30 @@ object Incremental {
                 CAST(round(value * 100) AS BIGINT) AS c FROM events) e
         GROUP BY user_id, event_type) g
       ORDER BY user_id, event_type""",
+
+    "i12_merge_full_sync" -> """
+      WITH target AS (
+        SELECT o_custkey, count(*) AS t_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_custkey),
+      source AS (
+        SELECT o_custkey, count(*) AS s_orders,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_custkey)
+      SELECT coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+        s.s_orders AS n_orders, s.s_cents AS cents,
+        CASE WHEN t.o_custkey IS NULL THEN 'INSERT'
+             WHEN s.o_custkey IS NULL THEN 'DELETE'
+             WHEN t.t_orders <> s.s_orders OR t.t_cents <> s.s_cents THEN 'UPDATE'
+             ELSE 'KEEP' END AS action
+      FROM target t FULL OUTER JOIN source s ON t.o_custkey = s.o_custkey
+      ORDER BY o_custkey""",
 
     "i06_merge_upsert" -> """
       WITH target AS (

@@ -416,6 +416,28 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("i12: surviving rows ARE the source aggregate; deletes carry no new state") {
+    val rows = q("i12_merge_full_sync").collect()
+    val actions = rows.map(_.getString(3)).toSet
+    assert(actions.contains("DELETE") && actions.contains("INSERT"),
+      "fixture must exercise both BY SOURCE delete and insert branches")
+    rows.foreach { r =>
+      if (r.getString(3) == "DELETE")
+        assert(r.isNullAt(1) && r.isNullAt(2), s"deleted rows have no new state: $r")
+      else assert(!r.isNullAt(1) && !r.isNullAt(2), s"surviving rows carry state: $r")
+    }
+    // post-merge state == the source-window aggregate, row for row
+    val survivors = rows.filter(_.getString(3) != "DELETE")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val src = Tables.df(spark, Sf, "orders")
+      .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(survivors == src, "full sync must land exactly the source window state")
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
