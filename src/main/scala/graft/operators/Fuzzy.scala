@@ -51,8 +51,56 @@ object Fuzzy {
           expr("CAST(min(enc) % 100000000 AS BIGINT)").as("best_key"),
           sum(col("close").cast("long")).as("n_within_3"))
         .orderBy(col("probe_key"))
+    },
+
+    // -- soundex + difference (fuzzystrmatch.c _soundex/difference):
+    //    phonetic bucketing of the mention stream — group every part-name
+    //    word by its soundex code, with difference() against a probe
+    //    code. One explode + one hash aggregate; soundex itself is pure
+    //    codegen string ops (translate + chained regex collapse), the
+    //    same pipeline text the oracle runs --
+    "fz04_soundex" -> { (s, dir) =>
+      val sdx = soundexSql("word", g = false)
+      Tables.df(s, dir, "part")
+        .select(explode(split(lower(org.apache.spark.sql.functions.col("p_name")), "[^a-z0-9]+")).as("word"))
+        .filter(col("word") =!= "")
+        .withColumn("code", expr(sdx))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("word")).as("n_words"),
+          array_join(sort_array(collect_set(col("word"))), ",").as("words"))
+        .withColumn("diff_widget", expr(differenceSql("code")))
+        .orderBy(col("code"))
     }
   )
+
+  /** PG soundex (fuzzystrmatch.c:58 `soundex_table`, `_soundex`): first
+    * letter verbatim, then each letter's code is emitted iff it differs
+    * from the code of the IMMEDIATELY PRECEDING letter (emitted or not)
+    * and is non-zero, first 3 such digits, zero-padded. For all-alpha
+    * words that is exactly: translate through the code table, collapse
+    * runs of equal digits, drop position 1, strip zeros, pad. Run
+    * collapse is chained per-digit regexes (codes are 0-6) because RE2
+    * (DuckDB) has no backreferences — the Spark side chains the same
+    * regexes so both engines run the identical pipeline. `col` must be
+    * an all-alpha word expression; `g` appends DuckDB's global flag. */
+  private def soundexSql(col: String, g: Boolean): String = {
+    val flag = if (g) ", 'g'" else ""
+    val coded = s"translate(upper($col), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')"
+    val collapsed = (0 to 6).foldLeft(coded) { (acc, d) =>
+      s"regexp_replace($acc, '$d$d+', '$d'$flag)"
+    }
+    s"rpad(concat(substring(upper($col), 1, 1), substring(replace(substring($collapsed, 2), '0', ''), 1, 3)), 4, '0')"
+  }
+
+  /** soundex('widget') = W323 under the table above — the probe code for
+    * fz04's `difference()` column, precomputed as a constant. */
+  private val WidgetCode = "W323"
+
+  private def differenceSql(codeCol: String): String =
+    (1 to 4).map { i =>
+      s"(CASE WHEN substring($codeCol, $i, 1) = substring('$WidgetCode', $i, 1) THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   def oracle: Map[String, String] = Map(
     // DuckDB has no banded 3-arg levenshtein; the oracle states the
@@ -71,6 +119,27 @@ object Fuzzy {
         CAST(min(enc) // 100000000 AS BIGINT) AS best_dist,
         CAST(min(enc) % 100000000 AS BIGINT) AS best_key,
         CAST(sum(CASE WHEN close THEN 1 ELSE 0 END) AS BIGINT) AS n_within_3
-      FROM j GROUP BY probe_key, probe ORDER BY probe_key"""
+      FROM j GROUP BY probe_key, probe ORDER BY probe_key""",
+
+    "fz04_soundex" -> {
+      val sdx = soundexSql("word", g = true)
+      val diff = differenceSql("g.code")
+      s"""
+      WITH words AS (
+        SELECT w AS word FROM (
+          SELECT unnest(string_split_regex(lower(p_name), '[^a-z0-9]+')) AS w
+          FROM part) WHERE w <> ''),
+      coded AS (SELECT word, $sdx AS code FROM words),
+      grouped AS (
+        SELECT code, count(*) AS n_mentions,
+          count(DISTINCT word) AS n_words
+        FROM coded GROUP BY code),
+      names AS (
+        SELECT code, string_agg(word, ',' ORDER BY word) AS words
+        FROM (SELECT DISTINCT code, word FROM coded) GROUP BY code)
+      SELECT g.code, g.n_mentions, g.n_words, n.words, $diff AS diff_widget
+      FROM grouped g JOIN names n ON g.code = n.code
+      ORDER BY g.code"""
+    }
   )
 }

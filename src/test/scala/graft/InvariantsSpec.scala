@@ -438,6 +438,35 @@ class InvariantsSpec extends AnyFunSuite {
     assert(survivors == src, "full sync must land exactly the source window state")
   }
 
+  test("fz04: SQL soundex pipeline matches a direct rendition of _soundex") {
+    // reference algorithm (fuzzystrmatch.c _soundex) reimplemented
+    // directly: emit code(c_i) iff it differs from code(c_{i-1}) and is
+    // non-zero, first 3 digits, pad to 4
+    val table = "01230120022455012623010202"
+    def code(c: Char) = table(c - 'A')
+    def pgSoundex(w0: String): String = {
+      val w = w0.toUpperCase
+      val sb = new StringBuilder().append(w.head)
+      var i = 1
+      while (i < w.length && sb.length < 4) {
+        val c = code(w(i))
+        if (c != code(w(i - 1)) && c != '0') sb.append(c)
+        i += 1
+      }
+      sb.append("0" * (4 - sb.length)).toString
+    }
+    val groups = q("fz04_soundex").collect()
+    assert(groups.nonEmpty)
+    groups.foreach { r =>
+      val codeOut = r.getString(0)
+      r.getString(3).split(",").foreach { w =>
+        assert(pgSoundex(w) == codeOut, s"word $w grouped under $codeOut")
+      }
+      assert(r.getInt(4) == codeOut.zip("W323").count { case (a, b) => a == b },
+        s"difference() must count matching positions: $r")
+    }
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
