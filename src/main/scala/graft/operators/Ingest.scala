@@ -157,6 +157,31 @@ object Ingest {
     //    audit aggregates the ORC READ-BACK (never the source), so a
     //    value corrupted by either leg of the round-trip flips the
     //    oracle hash computed from the original parquet. --
+    // -- schema evolution on read (the lakehouse ALTER TABLE ADD COLUMN
+    //    analog; reference: appendonly tables accept added columns with
+    //    NULL backfill, `src/backend/access/aocs/`): two parquet
+    //    generations of the same table — v2 adds a column — read as ONE
+    //    relation via mergeSchema, legacy rows surfacing NULL for the
+    //    new column. The oracle re-derives the same relation from the
+    //    base table with the generation predicate, so the check proves
+    //    the union-by-name read is lossless and NULL-backfilled --
+    "c10_schema_evolution" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/derived/$tag/schema_evo"
+      val orders = Tables.df(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$base/v1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+        .orderBy(col("prio"))
+    },
+
     "c08_orc_roundtrip" -> { (s, dir) =>
       val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val base = s"target/derived/$tag/orc_roundtrip"
@@ -305,6 +330,13 @@ object Ingest {
 
     // over the ORIGINAL parquet — the Spark side aggregated the ORC
     // read-back, so any round-trip corruption diverges from this
+    "c10_schema_evolution" -> """
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
+                  ELSE o_orderpriority END AS prio,
+        count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1 ORDER BY prio""",
+
     "c08_orc_roundtrip" -> """
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
