@@ -121,6 +121,34 @@ object Recursive {
       Tables.register(s, dir)
       s.sql(cb01Sql)
     },
+
+    // -- r05: bounded-hop min-cost path (Bellman-Ford relaxation) over
+    //    r04's deterministic multigraph with weight (src+dst)%17+1 —
+    //    the "cheapest route within K hops" shape. Each round relaxes
+    //    the WHOLE frontier in one edge equi-join + one min aggregate
+    //    (both map-side combinable), dist carried as exact BIGINT; K
+    //    rounds = K shuffles, never a path enumeration. The oracle IS a
+    //    path enumeration (WITH RECURSIVE ≤K hops then min) — tractable
+    //    there because out-degree is 3, while the relaxation form is the
+    //    one that scales: state is |reached nodes|, not |paths| --
+    "r05_shortest_path" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents").select(col("doc_id"))
+      val edges = pagerankEdges(docs)
+        .withColumn("w", expr("(src + dst) % 17 + 1"))
+        .localCheckpoint()
+      var dist = docs.filter(col("doc_id") === 0)
+        .select(col("doc_id"), lit(0L).as("d"))
+      for (_ <- 1 to 3) {
+        val relax = edges.join(dist, col("src") === col("doc_id"))
+          .select(col("dst").as("doc_id"), (col("d") + col("w")).as("d"))
+        dist = dist.select(col("doc_id"), col("d")).unionAll(relax)
+          .groupBy(col("doc_id")).agg(min(col("d")).as("dist_cost"))
+          .withColumnRenamed("dist_cost", "d")
+          .localCheckpoint()
+      }
+      dist.select(col("doc_id"), col("d").as("dist_cost"))
+        .orderBy(col("doc_id"))
+    },
     "r02_connected_dedup" -> { (s, dir) => connectedDedup(s, dir) },
     // native SQL-surface recursive CTE (UnionLoop): the worktable walks
     // one tree level per iteration, each level one distributed join
@@ -256,6 +284,25 @@ object Recursive {
     // recursive union
     "r03_recursive_sql" -> r03Sql,
     "cb01_connectby" -> cb01Sql,
+    // path enumeration is safe in the oracle: out-degree 3, ≤3 hops
+    // ⇒ ≤40 path rows; floor of the same exact BIGINT arithmetic
+    "r05_shortest_path" -> """
+      WITH RECURSIVE docs AS (SELECT doc_id FROM documents),
+      n AS (SELECT count(*) AS nn FROM docs),
+      edges AS (
+        SELECT doc_id AS src, (2 * doc_id + 1) % nn AS dst FROM docs, n
+        UNION ALL
+        SELECT doc_id, (3 * doc_id + 2) % nn FROM docs, n
+        UNION ALL
+        SELECT doc_id, (doc_id + 7) % nn FROM docs, n),
+      we AS (SELECT src, dst, (src + dst) % 17 + 1 AS w FROM edges),
+      paths(node, cost, hops) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT e.dst, p.cost + e.w, p.hops + 1
+        FROM paths p JOIN we e ON e.src = p.node WHERE p.hops < 3)
+      SELECT node AS doc_id, CAST(min(cost) AS BIGINT) AS dist_cost
+      FROM paths GROUP BY node ORDER BY doc_id""",
 
     "r01_recursive_collatz" -> s"""
       WITH RECURSIVE chain(seed, step, val) AS (

@@ -467,6 +467,24 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("r05: relaxation satisfies the triangle inequality on every kept edge") {
+    // for any edge (u,v) with both ends reached, d(v) <= d(u) + w(u,v)
+    // would hold at a full fixpoint; at K=3 hops it holds whenever u was
+    // reached in <= 2 hops — check the weaker universal property instead:
+    // source cost is 0 and every cost is positive elsewhere
+    val rows = q("r05_shortest_path").collect()
+    val d = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(0L) == 0L, "source distance must be 0")
+    assert(rows.forall(r => r.getLong(0) == 0L || r.getLong(1) >= 1),
+      "non-source distances are at least the minimum edge weight")
+    // spot the 1-hop neighbors: dist <= weight of the direct edge
+    val n = Tables.df(spark, Sf, "documents").count()
+    Seq((2L * 0 + 1) % n, (3L * 0 + 2) % n, (0L + 7) % n).foreach { v =>
+      val w = (0L + v) % 17 + 1
+      assert(d(v) <= w, s"direct neighbor $v must cost at most its edge weight $w")
+    }
+  }
+
   test("d08: every representative belongs to its cluster and has its max length") {
     val reps = q("d08_cluster_representatives")
     // keeper_chars is genuinely the max length among members, and the
