@@ -389,13 +389,18 @@ object TextOps {
         .select(col("doc_id"), lower(col("text")).as("t"))
         .select(col("doc_id"), col("t"),
           explode(expr("sequence(1, greatest(length(t) - 2, 0))")).as("i"))
-        .select(col("doc_id"),
-          expr("substring(t, i, 3)").as("tri"),
-          expr("substring(t, i, 2)").as("bi"))
-        .localCheckpoint() // spool: feeds both censuses AND the scoring join
+        .select(col("doc_id"), expr("substring(t, i, 3)").as("tri"))
+        .localCheckpoint() // spool: feeds the census AND the scoring join
+      // ONE census: the bigram-context count is the prefix-group sum of
+      // the trigram census (positions range identically for both orders,
+      // so Σ_{c} count(bi·c) = count(bi) exactly) — the second corpus
+      // aggregate and its broadcast join fold into census-sized work
       val tc = pos.groupBy(col("tri")).agg(count(lit(1)).as("tri_n"))
-      val bc = pos.groupBy(col("bi")).agg(count(lit(1)).as("bi_n"))
-      pos.join(broadcast(tc), Seq("tri")).join(broadcast(bc), Seq("bi"))
+      val bc = tc.groupBy(expr("substring(tri, 1, 2)").as("bi"))
+        .agg(sum(col("tri_n")).as("bi_n"))
+      val lm = tc.join(bc, expr("substring(tri, 1, 2)") === col("bi"))
+        .select(col("tri"), col("tri_n"), col("bi_n"))
+      pos.join(broadcast(lm), Seq("tri"))
         .withColumn("lp_micro",
           expr("CAST(round(ln(CAST(tri_n AS DOUBLE) / bi_n) * 1000000) AS BIGINT)"))
         .groupBy(col("doc_id"))

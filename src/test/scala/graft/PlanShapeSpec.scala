@@ -96,6 +96,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), s"argmax must partial-aggregate map-side:\n$p")
   }
 
+  test("t18: LM scoring broadcasts the census and stays window-free") {
+    val p = plan("t18_charlm_score")
+    assert(p.contains("BroadcastExchange"), s"the trigram LM must broadcast:\n$p")
+    assert(!p.contains("Window"), s"per-doc NLL is an aggregate, not a window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no all-pairs anywhere:\n$p")
+  }
+
+  test("fz03: span scoring is hash aggregates — no Expand, no window, no all-pairs") {
+    val p = plan("fz03_strict_word_sml")
+    assert(!p.contains("Expand"), s"dedup-then-count must avoid the MDQA Expand:\n$p")
+    assert(!p.contains("Window"), s"no window in the span max:\n$p")
+    // the only nested-loop is the deliberate 4-row span-length dim
+    // (constant-frame broadcast pattern); assert it stays singular
+    val finalSec = p.split("== Initial Plan ==")(0)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalSec).length
+    assert(bnlj <= 1, s"only the 4-row lens dim may nested-loop:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_max"),
+      s"span counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("i11: the delta probe is an equi-join on the band key") {
+    val p = plan("i11_incremental_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"probe must be a band-key equi-join:\n$p")
+  }
+
+  test("ml01: the fit is one sufficient-stats aggregate over one fact scan") {
+    val p = plan("ml01_linreg")
+    // one lineitem scan, partial aggregation, no join/window at all
+    val scans = "lineitem\\.parquet".r.findAllIn(p.split("== Initial Plan ==")(0)).length
+    assert(scans <= 1, s"normal equations need exactly one fact scan:\n$p")
+    assert(p.contains("partial_"), s"sufficient stats must map-side combine:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), s"no join/window in the fit:\n$p")
+  }
+
   test("g03: spatial overlap join is an equi-join on grid cells") {
     val p = plan("g03_circle_overlap")
     assert(!p.contains("CartesianProduct"), s"cartesian in g03:\n$p")
