@@ -53,9 +53,25 @@ object Tables {
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    if (name == "events") withNormalizedTs(raw) else raw
+  }
+
+  /** Normalize an events-shaped frame's `ts` to session-TZ TIMESTAMP
+    * across testdata generations: older drops wrote parquet
+    * TIMESTAMP(NANOS) (read as long via nanosAsLong, truncated to
+    * micros); newer drops write TIMESTAMP(MICROS) without UTC adjustment
+    * (read as TIMESTAMP_NTZ). Session TZ is pinned to UTC everywhere, so
+    * the NTZ→TZ cast is a wall-clock-preserving relabel and both paths
+    * agree with DuckDB's naive microsecond TIMESTAMP over the same file.
+    * Works on static and streaming frames alike. */
+  def withNormalizedTs(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    d.schema("ts").dataType match {
+      case LongType         => d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => d.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => d
+    }
   }
 
   /** Register every base table as a temp view so `spark.sql` queries and

@@ -179,7 +179,7 @@ class ScaleSpec extends AnyFunSuite {
     // KeyValueGroupedDataset + flatMapGroupsWithState: custom session
     // state per user (GP TableFunction/SRF analog with state)
     val sessions = spark.readStream.schema(schema).parquet(landing.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.withNormalizedTs)
       .select(col("user_id").as[Long], unix_millis(col("ts")).as[Long], col("event_id").as[Long])
       .as[(Long, Long, Long)]
       .groupByKey(_._1)

@@ -25,7 +25,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream
       .schema(schema)
       .parquet(landing.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.withNormalizedTs)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
