@@ -16,6 +16,27 @@ import graft.Tables
 object Events {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- e13: date_bin / time_bucket (PG date_bin, timestamp.c) — align
+    //    events to 15-minute bins via exact integer epoch-microsecond
+    //    floor division, the origin-anchored bucketing both engines
+    //    reduce to. No UDF: one codegen'd projection then a hash agg on
+    //    the bin key (map-side combined; 100 TB reduces to |bins| rows).
+    //    Sums are exact cent-scaled BIGINTs so no float merge order. --
+    "e13_date_bin" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .withColumn("bin_ts", expr("timestamp_micros((unix_micros(ts) div 900000000) * 900000000)"))
+        // render as wall-clock text (session TZ is pinned UTC): parquet
+        // TIMESTAMP(adjusted) would read back TIMESTAMPTZ in the
+        // comparator and str() differently from the oracle's naive one
+        .withColumn("bin", expr("date_format(bin_ts, 'yyyy-MM-dd HH:mm:ss')"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("value_cents"),
+          expr("count(DISTINCT user_id)").as("n_users"))
+        .orderBy(col("bin"))
+        .limit(200)
+    },
+
     // -- e12: SCD Type-2 dimension build. Each user's event_type stream
     //    collapses to change rows (lag ≠ current — island detection),
     //    then lead() closes each version's [valid_from, valid_to) —
@@ -263,6 +284,14 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
+    "e13_date_bin" -> """
+      SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000),
+                      '%Y-%m-%d %H:%M:%S') AS bin,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+             count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY 1 LIMIT 200""",
+
     "e12_scd2_history" -> """
       WITH o AS (
         SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,

@@ -78,10 +78,52 @@ object Ml {
     "ml01_linreg" -> { (s, dir) =>
       Tables.register(s, dir)
       s.sql(LinregSql)
+    },
+
+    // -- ml02: PG's built-in statistical aggregate family (float.c
+    //    float8_regr_accum / float8_corr / float8_covar_samp) — the
+    //    2-variable special case ml01 generalizes. Here we exercise the
+    //    NATIVE Catalyst aggregates (corr, covar_samp, regr_slope,
+    //    regr_intercept, regr_r2, regr_count): single-pass sufficient
+    //    statistics with map-side partial merge — 100 TB reduces to
+    //    |groups| × 6 moments before the final division. Inputs are
+    //    integral (cents / rounded quantity) so the co-moments agree
+    //    across engines to ~1e-12 relative; round(…, 5) absorbs the
+    //    merge-order ulps. --
+    "ml02_regr_aggs" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, expr}
+      Tables.df(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+        .groupBy(col("grp"))
+        .agg(
+          expr("regr_count(y, x)").as("n_pairs"),
+          expr("round(corr(y, x), 5)").as("r"),
+          expr("round(covar_samp(y, x), 3)").as("cov_s"),
+          expr("round(regr_slope(y, x), 5)").as("slope"),
+          expr("round(regr_intercept(y, x), 4)").as("intercept"),
+          expr("round(regr_r2(y, x), 5)").as("r2"))
+        .orderBy(col("grp"))
     }
   )
 
   def oracle: Map[String, String] = Map(
-    "ml01_linreg" -> LinregSql
+    "ml01_linreg" -> LinregSql,
+
+    "ml02_regr_aggs" -> """
+      WITH obs AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem)
+      SELECT grp,
+        regr_count(y, x) AS n_pairs,
+        round(corr(y, x), 5) AS r,
+        round(covar_samp(y, x), 3) AS cov_s,
+        round(regr_slope(y, x), 5) AS slope,
+        round(regr_intercept(y, x), 4) AS intercept,
+        round(regr_r2(y, x), 5) AS r2
+      FROM obs GROUP BY grp ORDER BY grp"""
   )
 }

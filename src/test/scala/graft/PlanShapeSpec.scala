@@ -764,4 +764,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_max_by") || p.contains("partial_"),
       s"expected partial aggregation in:\n$p")
   }
+
+  test("q118: correlated LATERAL LIMIT decorrelates — no per-outer-row rescan") {
+    // PG executes this as a rescanning nestloop with params; at scale we
+    // need Catalyst's decorrelation into a ranked-window (or equivalent
+    // joined) plan: one pass over customer, no cartesian/loop artifacts
+    val p = plan("q118_lateral_topn")
+    assert(!p.contains("CartesianProduct"), s"lateral fell back to cartesian:\n$p")
+    assert(p.contains("windowspecdefinition") || p.contains("TakeOrdered")
+      || p.contains("row_number"),
+      s"expected decorrelated ranked plan for lateral limit:\n$p")
+  }
+
+  test("ml02: regr aggregate family is one partial/final hash aggregate") {
+    val p = plan("ml02_regr_aggs")
+    assert(p.contains("partial_"), s"expected map-side partial moments in:\n$p")
+    assert(!p.contains("windowspecdefinition"), p)
+  }
 }
