@@ -102,45 +102,52 @@ object Trgm {
     //
     //    RELATIONAL, not per-row HOF (the t11 lesson, relearned here at
     //    sf0.1: a nested transform/slice/distinct/intersect chain costs
-    //    ~400 µs per span interpreted — 397 s for 1M spans): each word
-    //    (1-based idx) EMITS its membership in every (start, len) span
-    //    covering it (Σ_{L≤4} L = 10 memberships/word), word trigrams
-    //    explode under the (doc, start, len) key, and two distinct-count
-    //    aggregates give |span set| and |span ∩ probe| — O(tokens) rows,
-    //    all map-side-combinable hash aggregates, no lambda allocation.
-    //    Spans truncated by the doc end duplicate their shorter twin, so
-    //    the per-doc max — one more hash aggregate — is unchanged; the
-    //    oracle enumerates (i, j≤i+3) pairs, the same value set. The
-    //    probe's trigram set and ulen1 are compile-time constants; the
-    //    score is a max of single-division doubles — no summation-order
-    //    exposure --
+    //    ~400 µs per span interpreted — 397 s for 1M spans), and with
+    //    NO per-(span, trigram) dedup aggregate (the r7 lesson: that
+    //    groupBy carried 14.6M string-keyed rows into 14.0M groups —
+    //    4% dupes, zero map-side combine, 16 s of pure shuffle).
+    //    Instead, distinct-per-span counting is done by FIRST-OCCURRENCE
+    //    attribution: a lag window over (doc, trigram) gives each
+    //    occurrence its predecessor index `prev`, and a trigram counts
+    //    for span (start, len) exactly when start > prev — so each
+    //    occurrence emits only the starts in [max(prev+1, idx-len+1),
+    //    idx]. The span aggregate then needs NO trigram in its key:
+    //    u2 = count(*), shared = count_if(is_probe), over (doc, start,
+    //    len) numeric keys with a 13× map-side combine. Shuffle volume
+    //    drops from 14.6M string rows to 1.6M (window) + ~1M (agg).
+    //    In-word duplicate trigrams fall to array_distinct inside the
+    //    row, before any exchange. Spans truncated by the doc end
+    //    duplicate their shorter twin, so the per-doc max — one more
+    //    hash aggregate — is unchanged; the oracle enumerates
+    //    (i, j≤i+3) pairs, the same value set. The probe's trigram set
+    //    and ulen1 are compile-time constants; the score is a max of
+    //    single-division doubles — no summation-order exposure --
     "fz03_strict_word_sml" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val u1 = ProbeTrgms.size
+      // documents is a single small parquet split; repartitioning 5k doc
+      // rows costs ~nothing and parallelizes the tokenize+trigram stage
+      // (at 100 TB the scan arrives already split and this stays cheap)
       val words = Tables.df(s, dir, "documents")
+        .repartition(col("doc_id"))
         .select(col("doc_id"), posexplode(
           expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')"))
           .as(Seq("idx0", "w")))
         .withColumn("idx", col("idx0") + 1)
+      val wtg = words.select(col("doc_id"), col("idx"),
+        explode(expr("array_distinct(transform(sequence(1, length(w) + 1), " +
+          "k -> substring(concat('  ', w, ' '), k, 3)))")).as("tg"))
+      val byTg = Window.partitionBy(col("doc_id"), col("tg")).orderBy(col("idx"))
+      val firsts = wtg
+        .withColumn("prev", coalesce(lag(col("idx"), 1).over(byTg), lit(0)))
+        .withColumn("is_probe", col("tg").isin(ProbeTrgms: _*))
       val lens = s.range(1, SpanCap + 1).select(col("id").cast("int").as("len"))
-      // trigrams FIRST (native explode + substring, no lambda), THEN the
-      // ×10 membership multiplication — the heavy string work runs once
-      // per word trigram, and the multiplied rows are pure int columns
-      val tgs = words
-        .select(col("doc_id"), col("idx"),
-          expr("concat('  ', w, ' ')").as("pw"),
-          explode(expr("sequence(1, length(w) + 1)")).as("k"))
-        .select(col("doc_id"), col("idx"), expr("substring(pw, k, 3)").as("tg"))
-        .crossJoin(broadcast(lens))
-        .select(col("doc_id"), col("len"), col("tg"),
-          explode(expr("sequence(greatest(1, idx - len + 1), idx)")).as("start"))
-      // explicit dedup-then-count instead of two countDistinct aggs: the
-      // MDQA form Expands every membership row twice; one groupBy on the
-      // (span, tg) key (map-side combined — in-word and cross-word dup
-      // trigrams collapse before the exchange) feeds plain counts
-      tgs.groupBy(col("doc_id"), col("start"), col("len"), col("tg")).agg(lit(1))
+      firsts.crossJoin(broadcast(lens))
+        .select(col("doc_id"), col("len"), col("is_probe"),
+          explode(expr("sequence(greatest(prev + 1, idx - len + 1), idx)")).as("start"))
         .groupBy(col("doc_id"), col("start"), col("len"))
         .agg(count(lit(1)).as("u2"),
-          count(when(col("tg").isin(ProbeTrgms: _*), lit(1))).as("cnt"))
+          count(when(col("is_probe"), lit(1))).as("cnt"))
         .withColumn("sml",
           col("cnt").cast("double") / (lit(u1) + col("u2") - col("cnt")))
         .groupBy(col("doc_id"))
