@@ -16,25 +16,41 @@ import graft.Tables
 object Events {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- e13: date_bin / time_bucket (PG date_bin, timestamp.c) — align
-    //    events to 15-minute bins via exact integer epoch-microsecond
-    //    floor division, the origin-anchored bucketing both engines
-    //    reduce to. No UDF: one codegen'd projection then a hash agg on
-    //    the bin key (map-side combined; 100 TB reduces to |bins| rows).
-    //    Sums are exact cent-scaled BIGINTs so no float merge order. --
-    "e13_date_bin" -> { (s, dir) =>
-      Tables.df(s, dir, "events")
-        .withColumn("bin_ts", expr("timestamp_micros((unix_micros(ts) div 900000000) * 900000000)"))
-        // render as wall-clock text (session TZ is pinned UTC): parquet
-        // TIMESTAMP(adjusted) would read back TIMESTAMPTZ in the
-        // comparator and str() differently from the oracle's naive one
-        .withColumn("bin", expr("date_format(bin_ts, 'yyyy-MM-dd HH:mm:ss')"))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n_events"),
-          expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)").as("value_cents"),
-          expr("count(DISTINCT user_id)").as("n_users"))
-        .orderBy(col("bin"))
-        .limit(200)
+    // -- e14: interval-overlap join (PG range && GiST join / Greenplum
+    //    range predicates): user-day activity intervals × half-hour-
+    //    padded high-value "incident" windows. The scale problem is that
+    //    `a_lo <= b_hi AND b_lo <= a_hi` is not an equi-join — a naive
+    //    plan is |A|×|B| nested loops (exactly what the DuckDB oracle
+    //    runs). The distributed spelling BANDS time into day buckets:
+    //    each interval explodes to the buckets it covers (sessions ≤ 1
+    //    day, windows ≤ 2 — bounded fan-out), overlaps become an
+    //    equi-join on the bucket, and the duplicate-pair problem is
+    //    solved WITHOUT a distinct by keeping a pair only in the bucket
+    //    containing greatest(a_lo, b_lo) — each overlapping pair
+    //    survives exactly once. One shuffle, no quadratic blow-up,
+    //    overlap durations as exact epoch-ms BIGINTs. --
+    "e14_interval_join" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val sessions = ev
+        .groupBy(col("user_id"), expr("CAST(date_trunc('DAY', ts) AS DATE)").as("day"))
+        .agg(unix_millis(min(col("ts"))).as("a_lo"), unix_millis(max(col("ts"))).as("a_hi"))
+      val windows = ev.filter(col("value") > 200.0)
+        .select(col("event_type"),
+          (unix_millis(col("ts")) - lit(1800000L)).as("b_lo"),
+          (unix_millis(col("ts")) + lit(1800000L)).as("b_hi"))
+      val aB = sessions.withColumn("bkt",
+        explode(expr("sequence(a_lo div 86400000, a_hi div 86400000)")))
+      val bB = windows.withColumn("bkt",
+        explode(expr("sequence(b_lo div 86400000, b_hi div 86400000)")))
+      aB.join(bB, Seq("bkt"))
+        .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .filter(col("bkt") === expr("greatest(a_lo, b_lo) div 86400000"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+            .cast("bigint").as("overlap_ms"))
+        .orderBy(col("event_type"))
     },
 
     // -- e12: SCD Type-2 dimension build. Each user's event_type stream
@@ -284,13 +300,23 @@ object Events {
   )
 
   def oracle: Map[String, String] = Map(
-    "e13_date_bin" -> """
-      SELECT strftime(make_timestamp((epoch_us(ts) // 900000000) * 900000000),
-                      '%Y-%m-%d %H:%M:%S') AS bin,
-             count(*) AS n_events,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
-             count(DISTINCT user_id) AS n_users
-      FROM events GROUP BY 1 ORDER BY 1 LIMIT 200""",
+    // the oracle runs the overlap join NAIVELY (nested-loop range
+    // predicate) — same semantics the banded plan must reproduce
+    "e14_interval_join" -> """
+      WITH a AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               epoch_ms(min(ts)) AS a_lo, epoch_ms(max(ts)) AS a_hi
+        FROM events GROUP BY 1, 2),
+      b AS (
+        SELECT event_type,
+               epoch_ms(ts) - 1800000 AS b_lo, epoch_ms(ts) + 1800000 AS b_hi
+        FROM events WHERE value > 200.0)
+      SELECT event_type, count(*) AS n_overlaps,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(least(a_hi, b_hi) - greatest(a_lo, b_lo)) AS BIGINT)
+               AS overlap_ms
+      FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+      GROUP BY event_type ORDER BY event_type""",
 
     "e12_scd2_history" -> """
       WITH o AS (

@@ -81,15 +81,18 @@ object Ml {
     },
 
     // -- ml02: PG's built-in statistical aggregate family (float.c
-    //    float8_regr_accum / float8_corr / float8_covar_samp) — the
-    //    2-variable special case ml01 generalizes. Here we exercise the
+    //    float8_regr_accum / float8_corr / float8_covar_samp) via the
     //    NATIVE Catalyst aggregates (corr, covar_samp, regr_slope,
-    //    regr_intercept, regr_r2, regr_count): single-pass sufficient
-    //    statistics with map-side partial merge — 100 TB reduces to
-    //    |groups| × 6 moments before the final division. Inputs are
-    //    integral (cents / rounded quantity) so the co-moments agree
-    //    across engines to ~1e-12 relative; round(…, 5) absorbs the
-    //    merge-order ulps. --
+    //    regr_intercept, regr_r2, regr_count). Deliberately the twin of
+    //    q84_regr_family, which computes the same quantities from exact
+    //    DECIMAL moments through ONE shared SQL text: q84 proves the
+    //    closed-form math, ml02 cross-validates Spark's and DuckDB's
+    //    independent built-in implementations (Welford-style co-moment
+    //    merges on both sides) against each other. Single-pass partial
+    //    merge — 100 TB reduces to |groups| × 6 moments before the
+    //    final division. Inputs are integral (cents / rounded quantity)
+    //    so the co-moments agree across engines to ~1e-12 relative;
+    //    round(…, 5) absorbs the merge-order ulps. --
     "ml02_regr_aggs" -> { (s, dir) =>
       import org.apache.spark.sql.functions.{col, expr}
       Tables.df(s, dir, "lineitem")

@@ -25,26 +25,6 @@ object PgCompat {
     // stripping the currency/group marks. The parse→format roundtrip is
     // emitted as a checked column so the oracle verifies cash_in∘cash_out
     // = id, not just the rendering.
-    // -- q117: ordered string_agg / array_agg (PG string_agg(x, sep
-    //    ORDER BY y), array_agg ORDER BY — aggregate ORDER BY clause,
-    //    nodeAgg.c ordered-aggregate path). Spark aggregation is
-    //    merge-order-nondeterministic, so the Spark-first spelling is
-    //    collect_set → array_sort → array_join: the sort happens AFTER
-    //    collection, giving deterministic output regardless of partition
-    //    merge order — the property PG buys with its per-group sort.
-    //    Scale shape: |distinct segments per nation| ≤ 5, so the
-    //    collected arrays are tiny even at 100 TB; one hash agg. --
-    "q117_string_agg" -> { (s, dir) =>
-      val n = Tables.df(s, dir, "nation")
-      val c = Tables.df(s, dir, "customer")
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(
-          array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
-          countDistinct(col("c_mktsegment")).as("n_segments"))
-        .orderBy(col("n_name"))
-    },
-
     "q112_money_type" -> { (s, dir) =>
       Tables.register(s, dir)
       s.sql("""
@@ -552,15 +532,6 @@ object PgCompat {
   }
 
   def oracle: Map[String, String] = Map(
-    "q117_string_agg" -> """
-      WITH d AS (
-        SELECT DISTINCT n_name, c_mktsegment
-        FROM customer JOIN nation ON c_nationkey = n_nationkey)
-      SELECT n_name,
-             string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
-             count(*) AS n_segments
-      FROM d GROUP BY n_name ORDER BY n_name""",
-
     "q115_unaccent" -> """
       WITH t AS (
         SELECT p_name,

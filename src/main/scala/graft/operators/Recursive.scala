@@ -91,6 +91,44 @@ object Recursive {
       SELECT depth, count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key
       FROM tree GROUP BY depth ORDER BY depth"""
 
+  /** r06: degree-oriented triangle count, one text for both engines.
+    * Edges u < v always (the pair join enforces it), so orientation
+    * only compares (degree, id). */
+  private val r06Sql = """
+      WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      edges AS (
+        SELECT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p),
+      deg AS (
+        SELECT node, count(*) AS d FROM (
+          SELECT u AS node FROM edges
+          UNION ALL
+          SELECT v AS node FROM edges) t
+        GROUP BY node),
+      oe AS (
+        SELECT e.u AS s, e.v AS t
+        FROM edges e
+        JOIN deg du ON e.u = du.node
+        JOIN deg dv ON e.v = dv.node
+        WHERE du.d <= dv.d
+        UNION ALL
+        SELECT e.v AS s, e.u AS t
+        FROM edges e
+        JOIN deg du ON e.u = du.node
+        JOIN deg dv ON e.v = dv.node
+        WHERE du.d > dv.d),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM oe e1
+        JOIN oe e2 ON e1.t = e2.s
+        JOIN oe e3 ON e3.s = e1.s AND e3.t = e2.t)
+      SELECT (SELECT count(*) FROM edges) AS n_edges,
+             (SELECT count(*) FROM deg) AS n_nodes,
+             n_triangles
+      FROM tri"""
+
   /** connectby analog (reference `contrib/tablefunc/tablefunc.c`
     * connectby: keyid/parent_keyid/level/branch rows from a start key
     * with a depth bound). The parent relation is the derived 10-ary
@@ -155,6 +193,24 @@ object Recursive {
     "r03_recursive_sql" -> { (s, dir) =>
       Tables.register(s, dir)
       s.sql(r03Sql)
+    },
+
+    // -- r06: triangle counting over the part co-purchase graph — the
+    //    third classic distributed-graph kernel next to r02 (components)
+    //    and r04 (PageRank); the reference ecosystem runs it via MADlib
+    //    graph / Apache AGE on Greenplum. The naive 3-way edge self-join
+    //    explodes as Σ deg(v)² on hub nodes; the standard fix (degree
+    //    ORIENTATION) directs every edge from its lower-(degree, id)
+    //    endpoint to the higher one, making the edge set a DAG whose max
+    //    out-degree is O(√m) — wedge enumeration Σ outdeg² is then
+    //    bounded regardless of hubs, each triangle counted exactly once.
+    //    Co-order pairs are bounded per order (≤ C(7,2) — order size is
+    //    data-model-capped like d02's StopShingleCap), so the pair
+    //    build is one equi-join + hash agg, no skew. ONE SQL text runs
+    //    on both engines. --
+    "r06_triangle_count" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(r06Sql)
     },
 
     // -- r04: PageRank over a deterministic document link graph — the
@@ -283,6 +339,7 @@ object Recursive {
     // identical text to the Spark run — both engines execute the same
     // recursive union
     "r03_recursive_sql" -> r03Sql,
+    "r06_triangle_count" -> r06Sql,
     "cb01_connectby" -> cb01Sql,
     // path enumeration is safe in the oracle: out-degree 3, ≤3 hops
     // ⇒ ≤40 path rows; floor of the same exact BIGINT arithmetic

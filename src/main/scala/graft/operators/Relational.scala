@@ -34,32 +34,7 @@ object Relational {
   private val revenueExpr =
     s"round(CAST(sum($epCents * (100 - $discPct)) AS DOUBLE) / 10000.0, 2) AS revenue"
 
-  // q118: one SQL text for both engines; ties broken by c_name so the
-  // LIMIT inside the lateral subquery is deterministic.
-  private val LateralTopnSql = """
-    SELECT n.n_name, t.c_name, t.bal
-    FROM nation n, LATERAL (
-      SELECT c_name, round(c_acctbal, 2) AS bal
-      FROM customer c
-      WHERE c.c_nationkey = n.n_nationkey
-      ORDER BY c_acctbal DESC, c_name
-      LIMIT 2) t
-    ORDER BY n.n_name, t.bal DESC, t.c_name"""
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // -- q118: LATERAL subquery join (PG nodeNestloop.c with rescan
-    //    params / Greenplum correlated NLJ) — top-2 customers by balance
-    //    per nation, spelled as a correlated LATERAL ... ORDER BY ...
-    //    LIMIT subquery. Catalyst DECORRELATES this (DecorrelateInnerQuery
-    //    + RewriteLateralSubquery) into the ranked-window/join plan a
-    //    distributed engine wants — no per-outer-row rescan survives, so
-    //    it scales as one shuffle instead of |nation| probes. SQL text is
-    //    shared verbatim with the oracle. --
-    "q118_lateral_topn" -> { (s, dir) =>
-      Tables.register(s, dir)
-      s.sql(LateralTopnSql)
-    },
-
     // -- TPC-H Q1: full-scan aggregate with partial/final split (nodeAgg.c) --
     "q01_pricing_summary" -> { (s, dir) =>
       val li = Tables.df(s, dir, "lineitem")
@@ -322,8 +297,6 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
-    "q118_lateral_topn" -> LateralTopnSql,
-
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         round(sum(l_quantity),2) AS sum_qty,

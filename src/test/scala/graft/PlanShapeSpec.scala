@@ -103,13 +103,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"no all-pairs anywhere:\n$p")
   }
 
-  test("fz03: span scoring is hash aggregates — no Expand, no window, no all-pairs") {
+  test("fz03: span scoring — first-occurrence lag, no Expand, no per-(span,tg) dedup agg") {
     val p = plan("fz03_strict_word_sml")
     assert(!p.contains("Expand"), s"dedup-then-count must avoid the MDQA Expand:\n$p")
-    assert(!p.contains("Window"), s"no window in the span max:\n$p")
+    // exactly ONE window — the (doc, trigram) lag that replaces the
+    // 14M-row per-(span, trigram) dedup aggregate (r7 rewrite); the
+    // span aggregate itself must stay a hash agg without tg in the key
+    val finalSec = p.split("== Initial Plan ==")(0)
+    val wins = "windowspecdefinition".r.findAllIn(finalSec).length
+    assert(wins >= 1, s"expected the first-occurrence lag window:\n$p")
     // the only nested-loop is the deliberate 4-row span-length dim
     // (constant-frame broadcast pattern); assert it stays singular
-    val finalSec = p.split("== Initial Plan ==")(0)
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(finalSec).length
     assert(bnlj <= 1, s"only the 4-row lens dim may nested-loop:\n$p")
     assert(p.contains("partial_count") && p.contains("partial_max"),
@@ -765,11 +769,11 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected partial aggregation in:\n$p")
   }
 
-  test("q118: correlated LATERAL LIMIT decorrelates — no per-outer-row rescan") {
+  test("q79: correlated LATERAL LIMIT decorrelates — no per-outer-row rescan") {
     // PG executes this as a rescanning nestloop with params; at scale we
     // need Catalyst's decorrelation into a ranked-window (or equivalent
     // joined) plan: one pass over customer, no cartesian/loop artifacts
-    val p = plan("q118_lateral_topn")
+    val p = plan("q79_lateral_topn")
     assert(!p.contains("CartesianProduct"), s"lateral fell back to cartesian:\n$p")
     assert(p.contains("windowspecdefinition") || p.contains("TakeOrdered")
       || p.contains("row_number"),
@@ -780,5 +784,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("ml02_regr_aggs")
     assert(p.contains("partial_"), s"expected map-side partial moments in:\n$p")
     assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("e14: interval join runs banded — equi-join on bucket, no nested-loop") {
+    // the range predicate must ride an equi-join on the day bucket;
+    // a BroadcastNestedLoopJoin/CartesianProduct means the banding
+    // rewrite stopped working and the plan is |A|x|B| at scale
+    val p = plan("e14_interval_join")
+    assert(!p.contains("CartesianProduct"), s"interval join fell back to cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"interval join is nested-loop:\n$p")
+  }
+
+  test("r06: triangle count joins stay hash equi-joins (oriented wedge join)") {
+    val p = plan("r06_triangle_count")
+    assert(!p.contains("CartesianProduct"), s"triangle join fell back to cartesian:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected hash/merge equi-joins in:\n$p")
   }
 }
