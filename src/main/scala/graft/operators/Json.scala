@@ -209,9 +209,17 @@ object Json {
     //    only keys the document lacks. hstore_out's hash order is
     //    canonicalized to sorted keys so both engines agree on ONE text
     //    form (same discipline as j02's jsonb serialization). All
-    //    codegen'd per-row lambdas; one rollup shuffle. --
+    //    codegen'd per-row lambdas; one rollup shuffle.
+    //    Scale shape: every map expression is a pure function of
+    //    (o_orderstatus, o_orderpriority) — 15 distinct combos — so the
+    //    fact table pre-aggregates FIRST (map-side combined count) and
+    //    the interpreted HOF lambdas evaluate 15 times, not |orders|
+    //    times (r7: 1.6 s → floor at sf0.1; at 100 TB the lambda cost
+    //    stays O(|combos|) while the scan stays codegen'd). --
     "q114_hstore_ops" -> { (s, dir) =>
       Tables.df(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pre"))
         .withColumn("h0", expr(
           "map('st', o_orderstatus, 'prio', split_part(o_orderpriority, '-', 1))"))
         .withColumn("defaults", expr("map('src', 'tpch', 'st', 'X')"))
@@ -235,7 +243,7 @@ object Json {
         .withColumn("akeys", expr(
           "array_join(array_sort(map_keys(merged)), ',')"))
         .groupBy(col("canon"), col("akeys"), col("canon_del"), col("n_sliced"))
-        .agg(count(lit(1)).as("n_orders"))
+        .agg(sum(col("n_pre")).cast("bigint").as("n_orders"))
         .orderBy(col("canon"))
     }
   )
