@@ -129,6 +129,18 @@ object Multimodal {
     // A real image swaps byte-rows for pixel-rows via the codec; the
     // plan shape (linear scan, index arithmetic, no data movement) is
     // identical at 100 TB.
+    //
+    // The stride select runs as two REGEXP passes, not a per-index HOF
+    // (r7: filter(sequence)+transform cost ~1.5 s interpreted at sf0.1;
+    // RegExpReplace is codegen'd): pass 1 keeps even 64-byte rows
+    // ('(.{64}).{64}' → '$1'; the <128-byte tail survives verbatim, so
+    // a computed substring clips the partial ODD row out of it —
+    // even-rows length = 64·(n div 128) + least(n mod 128, 64)); pass 2
+    // keeps even offsets ('(.).', '$1' — trailing unpaired char is an
+    // even offset, correctly kept). Because the row width is even,
+    // (i mod 64) even ⟺ i even, so the two passes compose to exactly
+    // the reference's (i div 64) % 2 = 0 AND (i mod 64) % 2 = 0 mask.
+    // (?s) so payload bytes that look like newlines can't break '.'.
     "m04_resize" -> { (s, dir) =>
       val w = 64
       Tables.df(s, dir, "documents")
@@ -136,10 +148,10 @@ object Multimodal {
         .withColumn("n", length(col("payload")))
         .filter(col("n") >= w * 2)
         .withColumn("resized", expr(
-          s"""array_join(transform(
-                filter(sequence(0, CAST(n - 1 AS INT)),
-                  i -> (i DIV $w) % 2 = 0 AND (i % $w) % 2 = 0),
-                i -> substring(payload, i + 1, 1)), '')"""))
+          s"""regexp_replace(
+                substring(regexp_replace(payload, '(?s)(.{$w}).{$w}', '$$1'),
+                          1, $w * (n div ${2 * w}) + least(n % ${2 * w}, $w)),
+                '(?s)(.).', '$$1')"""))
         .select(col("doc_id"), col("n").cast("bigint").as("orig_len"),
           length(col("resized")).cast("bigint").as("resized_len"),
           md5(col("resized")).as("resized_md5"))
