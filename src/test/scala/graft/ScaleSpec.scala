@@ -246,4 +246,66 @@ class ScaleSpec extends AnyFunSuite {
     assert(bad.count() == 0, "two-phase placement diverged from the closed form")
     assert(placed.count() == n)
   }
+
+  test("r06 orientation bounds wedge enumeration on a hub-and-spoke graph") {
+    // A star K_{1,400} + one closing edge: the hub has degree 400, so an
+    // UNORIENTED wedge join would enumerate C(400,2) ≈ 80k hub wedges.
+    // Degree orientation points every spoke edge INTO the hub (spoke
+    // degree 1 < 400), so oriented out-degree ≤ 1 for spokes and ≤ 1
+    // for the hub — wedges collapse to the closing triangle's and the
+    // count stays exact. This is the O(√m)-out-degree property that
+    // makes r06 survive hot nodes at 100 TB.
+    import spark.implicits._
+    val n = 400
+    val spokes = (1 to n).map(i => (0L, i.toLong))
+    val closing = Seq((1L, 2L)) // triangle {0,1,2}
+    val edges = (spokes ++ closing).toDF("u", "v")
+    edges.createOrReplaceTempView("r06_scale_edges")
+    val res = spark.sql("""
+      WITH deg AS (
+        SELECT node, count(*) AS d FROM (
+          SELECT u AS node FROM r06_scale_edges
+          UNION ALL SELECT v AS node FROM r06_scale_edges) t GROUP BY node),
+      oe AS (
+        SELECT e.u AS s, e.v AS t FROM r06_scale_edges e
+          JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+          WHERE du.d <= dv.d
+        UNION ALL
+        SELECT e.v AS s, e.u AS t FROM r06_scale_edges e
+          JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+          WHERE du.d > dv.d),
+      wedges AS (
+        SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        FROM oe e1 JOIN oe e2 ON e1.t = e2.s),
+      tri AS (
+        SELECT count(*) AS n_tri FROM wedges w
+          JOIN oe e3 ON e3.s = w.a AND e3.t = w.c)
+      SELECT (SELECT count(*) FROM wedges) AS n_wedges, n_tri FROM tri""").head
+    val (nWedges, nTri) = (res.getLong(0), res.getLong(1))
+    assert(nTri == 1L, s"star + closing edge has exactly one triangle, got $nTri")
+    assert(nWedges < 1000L,
+      s"oriented wedge count must stay linear on the hub (got $nWedges; unoriented would be ~${n * (n - 1) / 2})")
+  }
+
+  test("e14 banding emits bounded bucket fan-out and exactly-once pairs") {
+    // Every interval explodes to the day buckets it covers; the band
+    // join then equi-joins on the bucket and keeps a pair only in the
+    // greatest(a_lo, b_lo) bucket. On intervals spanning bucket
+    // boundaries the pair appears in BOTH shared buckets pre-filter —
+    // the filter must collapse it to exactly one. Cross-midnight
+    // windows are the canonical trap.
+    import spark.implicits._
+    val day = 86400000L
+    // a: [day-1h, day+1h] spans buckets 0 and 1; b: [day-30m, day+30m]
+    // also spans both; they overlap — naive band join would count twice
+    val a = Seq((1L, day - 3600000L, day + 3600000L)).toDF("id_a", "a_lo", "a_hi")
+    val b = Seq((2L, day - 1800000L, day + 1800000L)).toDF("id_b", "b_lo", "b_hi")
+    val aB = a.withColumn("bkt", explode(expr("sequence(a_lo div 86400000, a_hi div 86400000)")))
+    val bB = b.withColumn("bkt", explode(expr("sequence(b_lo div 86400000, b_hi div 86400000)")))
+    val joined = aB.join(bB, Seq("bkt"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+    assert(joined.count() == 2L, "pair must appear in both shared buckets pre-filter")
+    val once = joined.filter(col("bkt") === expr("greatest(a_lo, b_lo) div 86400000"))
+    assert(once.count() == 1L, "greatest-start bucket filter must keep the pair exactly once")
+  }
 }
