@@ -171,21 +171,61 @@ object OrderedSet {
     },
 
     "q87_approx_percentile" -> { (s, dir) =>
-      Tables.register(s, dir)
-      // exact side via percentile() — same continuous interpolation as
-      // percentile_cont (verified value-identical on the corpus), but the
-      // count-map accumulator beats the sort-buffer one ~25% on the
-      // 600k-row audit; Catalyst dedups the three identical calls either
-      // way, so the plan carries ONE exact + one approx aggregate
-      s.sql("""
-        SELECT l_returnflag,
-          round(percentile(l_extendedprice, 0.5), 6) AS p50_exact,
-          CAST(abs(percentile_approx(l_extendedprice, 0.5, 10000) -
-                   percentile(l_extendedprice, 0.5)) * 100
-               <= percentile(l_extendedprice, 0.5) * 2 AS INT)
-            AS approx_within_2pct,
-          count(*) AS n
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+      import org.apache.spark.sql.expressions.Window
+      // exact side by two-pass bucket refinement, NOT percentile(): the
+      // buffering aggregate holds every group value in one executor map
+      // (1.5 s here; an OOM at 100 TB), and a distinct-value census
+      // doesn't collapse on a near-continuous price column. Instead:
+      //  pass 1 — coarse bucket census (floor(v/64), ~1.6k buckets/flag,
+      //    full map-side combine) + cumulative window over CENSUS rows
+      //    locates the bucket covering each continuous-interpolation
+      //    index i0 = floor(0.5(N-1)), i1 = ceil(0.5(N-1));
+      //  pass 2 — only the ≤2 covering buckets' raw rows (broadcast
+      //    semi-join on the bucket key) are ranked; global index =
+      //    bucket start + local rank - 1. Sort cost is one bucket,
+      //    never one group — the orderedsetaggs.c float8 interpolation
+      //    at distributed scale
+      val li = Tables.df(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val b = li.groupBy(col("l_returnflag"), floor(col("v") / 64).as("bk"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = b.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
+      val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bk"))
+      val targets = b
+        .withColumn("cum", sum(col("cnt")).over(wb))
+        .withColumn("start", col("cum") - col("cnt"))
+        .join(broadcast(n), Seq("l_returnflag"))
+        .withColumn("r", (col("n") - 1).cast("double") * 0.5)
+        .withColumn("i0", floor(col("r")))
+        .withColumn("i1", ceil(col("r")))
+        .filter(col("start") <= col("i1") && col("i0") < col("cum"))
+        .select(col("l_returnflag"), col("bk"), col("start"),
+          col("r"), col("i0"), col("i1"), col("n"))
+      val w2 = Window.partitionBy(col("l_returnflag"), col("bk")).orderBy(col("v"))
+      val exact = li
+        .join(broadcast(targets),
+          Seq("l_returnflag")) // tiny: ≤2 rows per flag
+        .filter(floor(col("v") / 64) === col("bk"))
+        .withColumn("idx", col("start") + row_number().over(w2) - 1)
+        .filter(col("idx") === col("i0") || col("idx") === col("i1"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("idx") === col("i0"), col("v"))).as("v0"),
+          max(when(col("idx") === col("i1"), col("v"))).as("v1"),
+          first(col("r")).as("r"), first(col("n")).as("n"))
+        .withColumn("p50_raw",
+          col("v0") + (col("r") - floor(col("r"))) * (col("v1") - col("v0")))
+      // sketch side unchanged: GK summary, mergeable partial state — the
+      // one-pass 100 TB path the exact refinement audits
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile_approx(v, 0.5, 10000)").as("pa"))
+      exact.join(broadcast(approx), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("p50_raw"), 6).as("p50_exact"),
+          (abs(col("pa") - col("p50_raw")) * 100 <= col("p50_raw") * 2)
+            .cast("int").as("approx_within_2pct"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
     }
   )
 

@@ -223,19 +223,34 @@ object Recursive {
       val deg = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      // deg is |nodes| rows (20k at sf0.1) — broadcast both orientation
+      // joins instead of shuffling the 1.2M-edge relation twice
       val du = deg.select(col("node").as("u"), col("d").as("du"))
       val dv = deg.select(col("node").as("v"), col("d").as("dv"))
-      val withDeg = edges.join(du, Seq("u")).join(dv, Seq("v"))
+      val withDeg = edges.join(broadcast(du), Seq("u")).join(broadcast(dv), Seq("v"))
       val oe = withDeg.filter(col("du") <= col("dv"))
         .select(col("u").as("s"), col("v").as("t"))
         .unionAll(withDeg.filter(col("du") > col("dv"))
           .select(col("v").as("s"), col("u").as("t")))
         .localCheckpoint() // spool: the wedge join reads oe three times
-      val e1 = oe.select(col("s").as("a"), col("t").as("b"))
-      val e2 = oe.select(col("s").as("b"), col("t").as("c"))
-      val e3 = oe.select(col("s").as("a"), col("t").as("c"))
-      val tri = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
-        .agg(count(lit(1)).as("n_triangles"))
+      // In the oriented DAG every triangle is a unique edge trio
+      // a→b, a→c, b→c, so per oriented edge (a,b) the triangle count is
+      // |N⁺(a) ∩ N⁺(b)|. Enumerating wedges instead (e1⋈e2⋈e3) would
+      // materialize Σ in(b)·out(b) rows — 49M at sf0.1, 40× the edge
+      // set — through two joins; the adjacency-intersect form does the
+      // same Σ(|N⁺(a)|+|N⁺(b)|) work INSIDE a per-row expression, with
+      // zero wedge rows ever built. Orientation bounds every list at
+      // O(√m) (97 here), so each row's intersect is small and the
+      // adjacency table is |nodes| rows — broadcastable at any corpus
+      // size where nodes ≪ edges.
+      val adj = oe.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+        .localCheckpoint() // reused by both broadcast sides
+      val tri = oe
+        .join(broadcast(adj.select(col("s").as("s"), col("nbrs").as("na"))), Seq("s"))
+        .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nb"))), Seq("t"))
+        .agg(sum(size(array_intersect(col("na"), col("nb")))).as("n_triangles"))
+        .select(col("n_triangles").cast("long").as("n_triangles"))
       val counts = edges.agg(count(lit(1)).as("n_edges"))
         .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
       counts.crossJoin(tri)

@@ -385,26 +385,43 @@ object TextOps {
     //       — immune to float summation order across engines and
     //       partitionings (the q110/money discipline applied to logs) --
     "t18_charlm_score" -> { (s, dir) =>
-      val pos = Tables.df(s, dir, "documents")
+      // per-(doc, trigram) pre-aggregate BEFORE any spool or join: the
+      // position stream (Σ doc lengths) collapses map-side to at most
+      // |docs| × |charset³-observed| rows, so the spool, the census,
+      // and the scoring join all run census-sized, never corpus-sized
+      // (the position-level spool cost 2.8 s of pure stage overhead on
+      // a 1.5M-char corpus; this shape is also the 100 TB one — the
+      // only full-corpus pass is the single explode+combine)
+      // repartition BEFORE the explode: documents arrives as one small
+      // split, so without it the position stream runs on a single core;
+      // the count must be pinned — bare repartition(col) is
+      // REPARTITION_BY_COL, which AQE coalesces back to ONE partition
+      // on a 5000-row input, silently single-threading the explode.
+      // doc_id partitioning also makes both per-doc aggregates
+      // exchange-free (clustering satisfied)
+      val dt = Tables.df(s, dir, "documents")
+        .repartition(32, col("doc_id"))
         .select(col("doc_id"), lower(col("text")).as("t"))
         .select(col("doc_id"), col("t"),
           explode(expr("sequence(1, greatest(length(t) - 2, 0))")).as("i"))
         .select(col("doc_id"), expr("substring(t, i, 3)").as("tri"))
+        .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // spool: feeds the census AND the scoring join
       // ONE census: the bigram-context count is the prefix-group sum of
       // the trigram census (positions range identically for both orders,
       // so Σ_{c} count(bi·c) = count(bi) exactly) — the second corpus
       // aggregate and its broadcast join fold into census-sized work
-      val tc = pos.groupBy(col("tri")).agg(count(lit(1)).as("tri_n"))
+      val tc = dt.groupBy(col("tri")).agg(sum(col("cnt")).as("tri_n"))
       val bc = tc.groupBy(expr("substring(tri, 1, 2)").as("bi"))
         .agg(sum(col("tri_n")).as("bi_n"))
       val lm = tc.join(bc, expr("substring(tri, 1, 2)") === col("bi"))
         .select(col("tri"), col("tri_n"), col("bi_n"))
-      pos.join(broadcast(lm), Seq("tri"))
+      dt.join(broadcast(lm), Seq("tri"))
         .withColumn("lp_micro",
           expr("CAST(round(ln(CAST(tri_n AS DOUBLE) / bi_n) * 1000000) AS BIGINT)"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tri"), sum(col("lp_micro")).as("s_micro"))
+        .agg(sum(col("cnt")).as("n_tri"),
+          sum(col("cnt") * col("lp_micro")).as("s_micro"))
         .select(col("doc_id"), col("n_tri"),
           round(expr("-(CAST(s_micro AS DOUBLE) / 1000000 / n_tri)"), 6).as("avg_nll"),
           round(expr("exp(-(CAST(s_micro AS DOUBLE) / 1000000 / n_tri))"), 6).as("ppl"))

@@ -127,9 +127,12 @@ object Trgm {
       val u1 = ProbeTrgms.size
       // documents is a single small parquet split; repartitioning 5k doc
       // rows costs ~nothing and parallelizes the tokenize+trigram stage
-      // (at 100 TB the scan arrives already split and this stays cheap)
+      // (at 100 TB the scan arrives already split and this stays cheap).
+      // The count is pinned: bare repartition(col) is REPARTITION_BY_COL,
+      // which AQE coalesces back to ONE partition on a tiny input —
+      // single-threading every downstream explode/window stage.
       val words = Tables.df(s, dir, "documents")
-        .repartition(col("doc_id"))
+        .repartition(32, col("doc_id"))
         .select(col("doc_id"), posexplode(
           expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')"))
           .as(Seq("idx0", "w")))
