@@ -50,6 +50,8 @@ object SparkEntry {
     (operators.DataQuality.queries, operators.DataQuality.oracle),
     (operators.EntityResolution.queries, operators.EntityResolution.oracle),
     (operators.Trgm.queries, operators.Trgm.oracle),
+    (operators.Orafce.queries, operators.Orafce.oracle),
+    (operators.Crypto.queries, operators.Crypto.oracle),
     (operators.Ml.queries, operators.Ml.oracle)
   )
 

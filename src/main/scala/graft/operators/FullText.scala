@@ -199,6 +199,44 @@ object FullText {
         .filter(col("n_phrase") > 0)
         .select(col("doc_id"), col("n_phrase"))
         .orderBy(col("n_phrase").desc, col("doc_id"))
+    },
+
+    // -- f10: Okapi BM25 — the IR scoring whose saturating-tf shape
+    //    ts_rank approximates (tsrank.c's tf/(1+tf) is BM25's k1→∞
+    //    limit without idf); the standard first-stage retriever of a
+    //    RAG / training-data curation pipeline. Corpus statistics
+    //    (N, Σdl, per-term df) are ONE map-side-combined aggregate
+    //    broadcast back as a single row; scoring is then per-row
+    //    codegen arithmetic — no shuffle besides the top-k. All stat
+    //    inputs are exact BIGINTs, so the double formula is evaluated
+    //    identically in both engines from identical integers;
+    //    avgdl enters as dl·N/Σdl to keep one division site --
+    "f10_bm25" -> { (s, dir) =>
+      val d = Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("dl", size(col("toks")))
+        .withColumn("tf_merge", expr("size(filter(toks, x -> x = 'merge'))"))
+        .withColumn("tf_vector", expr("size(filter(toks, x -> x = 'vector'))"))
+        .select(col("doc_id"), col("dl"), col("tf_merge"), col("tf_vector"))
+      val stats = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"),
+        sum((col("tf_merge") > 0).cast("long")).as("df_merge"),
+        sum((col("tf_vector") > 0).cast("long")).as("df_vector"))
+      // k1 = 1.2, b = 0.75 (the Robertson defaults)
+      def part(tf: String, df: String) =
+        s"""CASE WHEN $tf > 0 THEN
+              ln((n_docs - $df + 0.5) / ($df + 0.5) + 1.0) *
+              ($tf * 2.2) /
+              ($tf + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(sum_dl AS DOUBLE)))
+            ELSE 0.0 END"""
+      d.crossJoin(broadcast(stats))
+        .filter(col("tf_merge") + col("tf_vector") > 0)
+        .withColumn("score",
+          round(expr(part("tf_merge", "df_merge") + " + " + part("tf_vector", "df_vector")), 6))
+        .select(col("doc_id"), col("tf_merge"), col("tf_vector"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(30)
     }
   )
 
@@ -332,6 +370,38 @@ object FullText {
       FROM toked
       WHERE len(list_filter(generate_series(1, len(toks) - 2),
             i -> toks[i] = 'merge' AND toks[i+2] = 'join')) > 0
-      ORDER BY n_phrase DESC, doc_id"""
+      ORDER BY n_phrase DESC, doc_id""",
+
+    "f10_bm25" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, len(toks) AS dl,
+          len(list_filter(toks, x -> x = 'merge')) AS tf_merge,
+          len(list_filter(toks, x -> x = 'vector')) AS tf_vector
+        FROM toked),
+      stats AS (
+        SELECT count(*) AS n_docs,
+          CAST(sum(dl) AS BIGINT) AS sum_dl,
+          CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+          CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+        FROM tf)
+      SELECT doc_id, CAST(tf_merge AS BIGINT) AS tf_merge,
+        CAST(tf_vector AS BIGINT) AS tf_vector,
+        round(
+          CASE WHEN tf_merge > 0 THEN
+            ln((n_docs - df_merge + 0.5) / (df_merge + 0.5) + 1.0) *
+            (tf_merge * 2.2) /
+            (tf_merge + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(sum_dl AS DOUBLE)))
+          ELSE 0.0 END +
+          CASE WHEN tf_vector > 0 THEN
+            ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0) *
+            (tf_vector * 2.2) /
+            (tf_vector + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(sum_dl AS DOUBLE)))
+          ELSE 0.0 END, 6) AS score
+      FROM tf, stats
+      WHERE tf_merge + tf_vector > 0
+      ORDER BY score DESC, doc_id LIMIT 30"""
   )
 }

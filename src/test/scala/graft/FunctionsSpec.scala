@@ -243,4 +243,24 @@ class FunctionsSpec extends AnyFunSuite {
     val tids = df.select("tid").collect().map(_.getLong(0))
     assert(tids.toSeq == (0L until 100L))
   }
+
+  test("hmacSha256 matches the RFC 4231 test vectors (pgcrypto px-hmac.c)") {
+    import graft.functions.PgCrypto
+    def run(c: org.apache.spark.sql.Column): String =
+      spark.range(1).select(c.as("h")).head().getString(0)
+    // case 1: 20-byte 0x0b key
+    assert(run(PgCrypto.hmacSha256(lit("Hi There"), Array.fill(20)(0x0b.toByte)))
+      == "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7")
+    // case 2: short ASCII key
+    assert(run(PgCrypto.hmacSha256(lit("what do ya want for nothing?"), "Jefe"))
+      == "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+    // case 3: binary 0xdd×50 message, 0xaa×20 key
+    assert(run(PgCrypto.hmacSha256(unhex(lit("dd" * 50)), Array.fill(20)(0xaa.toByte)))
+      == "773ea91e36800e46854db8ebd09181a72959098b3ef8c122d9635514ced565fe")
+    // case 6: 131-byte key > block size — key is pre-hashed (hmac_init)
+    assert(run(PgCrypto.hmacSha256(
+      lit("Test Using Larger Than Block-Size Key - Hash Key First"),
+      Array.fill(131)(0xaa.toByte)))
+      == "60e431591ee0b67f0d8a26aacbf5b77f8e0bc6213728c5140546040f0ee37f54")
+  }
 }
