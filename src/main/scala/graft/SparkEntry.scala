@@ -52,6 +52,8 @@ object SparkEntry {
     (operators.Trgm.queries, operators.Trgm.oracle),
     (operators.Orafce.queries, operators.Orafce.oracle),
     (operators.Crypto.queries, operators.Crypto.oracle),
+    (operators.CubeOps.queries, operators.CubeOps.oracle),
+    (operators.Identifiers.queries, operators.Identifiers.oracle),
     (operators.Ml.queries, operators.Ml.oracle)
   )
 

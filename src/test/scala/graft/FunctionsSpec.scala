@@ -263,4 +263,14 @@ class FunctionsSpec extends AnyFunSuite {
       Array.fill(131)(0xaa.toByte)))
       == "60e431591ee0b67f0d8a26aacbf5b77f8e0bc6213728c5140546040f0ee37f54")
   }
+
+  test("u01 uuid3 construction ≡ java.util.UUID.nameUUIDFromBytes (RFC 4122 v3)") {
+    val rows = SparkEntry.queries("u01_uuid_v3")(spark, Sf)
+      .limit(20).collect()
+    rows.foreach { r =>
+      val expected = java.util.UUID.nameUUIDFromBytes(
+        s"graft-ns:doc-${r.getLong(0)}".getBytes("UTF-8")).toString
+      assert(r.getString(1) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
 }
