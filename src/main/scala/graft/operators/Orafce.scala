@@ -32,7 +32,14 @@ object Orafce {
         .withColumn("od", to_date(col("o_orderdate")))
         .select(
           col("o_orderkey"), col("od"),
-          add_months(col("od"), 5).as("am5"),
+          // datefce.c add_months is Oracle month-end-sticky: adding to
+          // the LAST day of a month lands on the last day of the target
+          // month (ADD_MONTHS('1995-02-28',1) = '1995-03-31'). Spark's
+          // built-in only clamps overflow, so emulate the sticky rule
+          // explicitly — the identical CASE runs on the oracle side.
+          when(col("od") === last_day(col("od")),
+            last_day(add_months(col("od"), 5)))
+            .otherwise(add_months(col("od"), 5)).as("am5"),
           last_day(col("od")).as("ld"),
           next_day(col("od"), "FRI").as("nd_fri"),
           trunc(col("od"), "quarter").as("tq"),
@@ -67,7 +74,9 @@ object Orafce {
         SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
         FROM orders WHERE o_custkey <= 50)
       SELECT o_orderkey, od,
-        CAST(od + INTERVAL 5 MONTH AS DATE) AS am5,
+        CASE WHEN od = last_day(od)
+          THEN last_day(CAST(od + INTERVAL 5 MONTH AS DATE))
+          ELSE CAST(od + INTERVAL 5 MONTH AS DATE) END AS am5,
         last_day(od) AS ld,
         od + CAST(CASE WHEN (5 - dayofweek(od) + 7) % 7 = 0
           THEN 7 ELSE (5 - dayofweek(od) + 7) % 7 END AS INT) AS nd_fri,

@@ -223,11 +223,13 @@ object Recursive {
       val deg = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      // deg is |nodes| rows (20k at sf0.1) — broadcast both orientation
-      // joins instead of shuffling the 1.2M-edge relation twice
+      // deg is |nodes| rows (20k at sf0.1) — small here, but node count
+      // scales with the corpus too, so no forced hint: AQE broadcasts
+      // the orientation joins when deg's measured size fits and falls
+      // back to shuffle joins when it doesn't.
       val du = deg.select(col("node").as("u"), col("d").as("du"))
       val dv = deg.select(col("node").as("v"), col("d").as("dv"))
-      val withDeg = edges.join(broadcast(du), Seq("u")).join(broadcast(dv), Seq("v"))
+      val withDeg = edges.join(du, Seq("u")).join(dv, Seq("v"))
       val oe = withDeg.filter(col("du") <= col("dv"))
         .select(col("u").as("s"), col("v").as("t"))
         .unionAll(withDeg.filter(col("du") > col("dv"))
@@ -240,16 +242,20 @@ object Recursive {
       // set — through two joins; the adjacency-intersect form does the
       // same Σ(|N⁺(a)|+|N⁺(b)|) work INSIDE a per-row expression, with
       // zero wedge rows ever built. Orientation bounds every list at
-      // O(√m) (97 here), so each row's intersect is small and the
-      // adjacency table is |nodes| rows — broadcastable at any corpus
-      // size where nodes ≪ edges.
+      // O(√m) (97 here), so each row's intersect is small. The adjacency
+      // relation has |nodes| ROWS but its payload totals |edges| array
+      // entries — edge-sized, NOT broadcastable at scale — so both
+      // joins are plain shuffle equi-joins on s/t and AQE promotes them
+      // to broadcast only when the measured size actually fits
+      // (PlanShapeSpec asserts no build-side hint survives in the plan).
       val adj = oe.groupBy(col("s"))
         .agg(sort_array(collect_list(col("t"))).as("nbrs"))
-        .localCheckpoint() // reused by both broadcast sides
+        .localCheckpoint() // reused by both join sides
       val tri = oe
-        .join(broadcast(adj.select(col("s").as("s"), col("nbrs").as("na"))), Seq("s"))
-        .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nb"))), Seq("t"))
-        .agg(sum(size(array_intersect(col("na"), col("nb")))).as("n_triangles"))
+        .join(adj.select(col("s").as("s"), col("nbrs").as("na")), Seq("s"))
+        .join(adj.select(col("s").as("t"), col("nbrs").as("nb")), Seq("t"))
+        .agg(coalesce(sum(size(array_intersect(col("na"), col("nb")))), lit(0L))
+          .as("n_triangles"))
         .select(col("n_triangles").cast("long").as("n_triangles"))
       val counts = edges.agg(count(lit(1)).as("n_edges"))
         .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))

@@ -69,6 +69,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("r06: no mandatory broadcast — adjacency is edge-sized, AQE decides") {
+    // The adjacency relation has |nodes| rows but |edges| total array
+    // entries; a forced broadcast of it is a 100 TB scale-killer. Assert
+    // the logical plan carries NO broadcast hint anywhere: any
+    // BroadcastExchange in the executed plan is then AQE's size-based
+    // choice, which degrades gracefully to shuffle joins at scale.
+    val df = SparkEntry.queries("r06_triangle_count")(spark, Sf)
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(!lp.toLowerCase.contains("broadcast"), s"forced join hint in r06:\n$lp")
+    assert(df.head.getLong(2) >= 0L)
+  }
+
   test("r03: native WITH RECURSIVE executes as a recursive union (UnionLoop)") {
     // the SQL-surface recursive CTE — the RecursiveUnion + WorkTableScan
     // pair (nodeRecursiveunion.c) — must run as Spark's UnionLoop

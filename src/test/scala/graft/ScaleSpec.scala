@@ -287,6 +287,57 @@ class ScaleSpec extends AnyFunSuite {
       s"oriented wedge count must stay linear on the hub (got $nWedges; unoriented would be ~${n * (n - 1) / 2})")
   }
 
+  test("r06 adjacency-intersect completes with broadcast disabled (shuffle-join path)") {
+    // The 100 TB degradation path: when the adjacency relation exceeds
+    // the broadcast threshold, r06's joins must run as shuffle joins.
+    // Force that world with autoBroadcastJoinThreshold=-1 on a graph
+    // with a closed-form answer: 300 disjoint copies of K_8 (28 edges,
+    // C(8,3)=56 triangles each → 8,400 edges / 16,800 triangles).
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (0 until 300).flatMap { c =>
+        val base = c.toLong * 8
+        for (i <- 0 until 8; j <- i + 1 until 8) yield (base + i, base + j)
+      }.toDF("u", "v")
+      edges.createOrReplaceTempView("r06_big_edges")
+      val res = spark.sql("""
+        WITH deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM r06_big_edges
+            UNION ALL SELECT v AS node FROM r06_big_edges) t GROUP BY node),
+        oe AS (
+          SELECT e.u AS s, e.v AS t FROM r06_big_edges e
+            JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+            WHERE du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+          UNION ALL
+          SELECT e.v AS s, e.u AS t FROM r06_big_edges e
+            JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+            WHERE dv.d < du.d OR (du.d = dv.d AND e.v < e.u)),
+        adj AS (
+          SELECT s, sort_array(collect_list(t)) AS nbrs FROM oe GROUP BY s)
+        SELECT coalesce(sum(size(array_intersect(na.nbrs, nb.nbrs))), 0) AS n_tri
+        FROM oe
+        JOIN adj na ON oe.s = na.s
+        JOIN adj nb ON oe.t = nb.s""").head.getLong(0)
+      assert(res == 300L * 56, s"expected 16800 triangles, got $res")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("r06 intersect form returns 0, not NULL, on an empty oriented edge set") {
+    // ADVICE r7: sum(size(array_intersect(...))) over zero join rows is
+    // NULL; the query must coalesce to preserve count(*)'s 0-on-empty.
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("u", "v").createOrReplaceTempView("r06_empty_edges")
+    val res = spark.sql("""
+      WITH oe AS (SELECT u AS s, v AS t FROM r06_empty_edges),
+      adj AS (SELECT s, collect_list(t) AS nbrs FROM oe GROUP BY s)
+      SELECT coalesce(sum(size(array_intersect(na.nbrs, nb.nbrs))), 0) AS n_tri
+      FROM oe JOIN adj na ON oe.s = na.s JOIN adj nb ON oe.t = nb.s""").head.getLong(0)
+    assert(res == 0L)
+  }
+
   test("e14 banding emits bounded bucket fan-out and exactly-once pairs") {
     // Every interval explodes to the day buckets it covers; the band
     // join then equi-joins on the bucket and keeps a pair only in the
