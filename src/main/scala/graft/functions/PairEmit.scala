@@ -45,6 +45,59 @@ case class PairEmit(child: Expression, cap: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Packed variant: emits each candidate pair as ONE long (a<<32 | b)
+  * instead of a struct — a single-word group key for the intersection
+  * count aggregate (primitive hashing, no struct comparator). Only
+  * valid while both ids fit in 31 bits; emit() throws past that, and
+  * the caller falls back to the struct form (the 100 TB path keeps
+  * 64-bit ids via `pair_emit`). */
+case class PairEmitPacked(child: Expression, cap: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pair_emit_packed"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PairEmit.emitPacked(input.asInstanceOf[ArrayData], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PairEmit.emitPacked($c, $cap)")
+
+  override protected def withNewChildInternal(newChild: Expression): PairEmitPacked =
+    copy(child = newChild)
+}
+
+/** Size-aware variant for threshold similarity joins (d02 Jaccard ≥ 0.5):
+  * input is a posting list of `struct<doc:bigint, sz:bigint>` sorted by
+  * doc id; output pairs carry both sizes so the downstream intersection
+  * count needs NO size joins (sizes ride the group key — they are a
+  * functional dependency of the ids). Pairs that can NEVER reach the
+  * threshold are pruned at emission: jaccard ≤ min_sz/max_sz, so a pair
+  * is kept only when min_sz·10⁷ ≥ 4999995·max_sz — the exact integer
+  * form of round(min/max, 6) ≥ 0.5, i.e. the prune drops only pairs
+  * whose BEST-CASE rounded jaccard is still < 0.5 (length filtering, as
+  * in prefix/positional-filtering similarity-join literature; also the
+  * reason the candidate volume stays subquadratic on a skewed corpus).
+  * Lists longer than `cap` degrade to star pairs like pair_emit. */
+case class PairEmitSized(child: Expression, cap: Int) extends UnaryExpression {
+
+  private val pairType = StructType(Seq(
+    StructField("a_id", LongType, nullable = true),
+    StructField("b_id", LongType, nullable = true),
+    StructField("a_sz", LongType, nullable = true),
+    StructField("b_sz", LongType, nullable = true)))
+
+  override def dataType: DataType = ArrayType(pairType, containsNull = false)
+  override def prettyName: String = "pair_emit_sized"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PairEmit.emitSized(input.asInstanceOf[ArrayData], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PairEmit.emitSized($c, $cap)")
+
+  override protected def withNewChildInternal(newChild: Expression): PairEmitSized =
+    copy(child = newChild)
+}
+
 object PairEmit {
   /** All ordered pairs of a sorted id list (star pairs past `cap`). */
   def emit(ds: ArrayData, cap: Int): ArrayData = {
@@ -75,6 +128,81 @@ object PairEmit {
           j += 1
         }
         rows
+      }
+    new GenericArrayData(out)
+  }
+
+  /** keep iff round(min/max, 6) ≥ 0.5 can hold (see PairEmitSized). */
+  @inline private def ratioKeep(sa: Long, sb: Long): Boolean = {
+    val mn = math.min(sa, sb); val mx = math.max(sa, sb)
+    mn * 10000000L >= 4999995L * mx
+  }
+
+  /** Size-carrying, threshold-pruned pair emission (see PairEmitSized). */
+  def emitSized(ds: ArrayData, cap: Int): ArrayData = {
+    val n = ds.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val docs = new Array[Long](n)
+    val szs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = ds.getStruct(i, 2)
+      docs(i) = r.getLong(0); szs(i) = r.getLong(1)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (n <= cap) {
+      i = 0
+      while (i < n - 1) {
+        var j = i + 1
+        while (j < n) {
+          if (ratioKeep(szs(i), szs(j)))
+            out += new GenericInternalRow(Array[Any](docs(i), docs(j), szs(i), szs(j)))
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      var j = 1
+      while (j < n) {
+        if (ratioKeep(szs(0), szs(j)))
+          out += new GenericInternalRow(Array[Any](docs(0), docs(j), szs(0), szs(j)))
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Packed-long pair emission (see PairEmitPacked). */
+  def emitPacked(ds: ArrayData, cap: Int): ArrayData = {
+    val n = ds.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Long])
+    var i = 0
+    while (i < n) {
+      val v = ds.getLong(i)
+      if (v < 0 || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"pair_emit_packed: id $v exceeds 31 bits — use pair_emit")
+      i += 1
+    }
+    val out =
+      if (n <= cap) {
+        val arr = new Array[Long](n * (n - 1) / 2)
+        var k = 0
+        i = 0
+        while (i < n - 1) {
+          val a = ds.getLong(i) << 32
+          var j = i + 1
+          while (j < n) { arr(k) = a | ds.getLong(j); k += 1; j += 1 }
+          i += 1
+        }
+        arr
+      } else {
+        val hub = ds.getLong(0) << 32
+        val arr = new Array[Long](n - 1)
+        var j = 1
+        while (j < n) { arr(j - 1) = hub | ds.getLong(j); j += 1 }
+        arr
       }
     new GenericArrayData(out)
   }

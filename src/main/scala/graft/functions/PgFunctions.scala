@@ -51,6 +51,8 @@ object PgFunctions {
       PgToCharTs(Cast(args(0), org.apache.spark.sql.types.TimestampType), args(1)) },
     "pg_to_number" -> { args =>
       PgToNumber(Cast(args(0), org.apache.spark.sql.types.StringType), args(1)) },
+    "pg_to_timestamp" -> { args =>
+      PgToTimestamp(Cast(args(0), org.apache.spark.sql.types.StringType), args(1)) },
     "string_to_array" -> stringToArray,
     "generate_series" -> generateSeries,
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
@@ -68,6 +70,22 @@ object PgFunctions {
           s"pair_emit cap must be an int literal, got $other")
       }
       PairEmit(args(0), cap)
+    },
+    "pair_emit_packed" -> { args =>
+      val cap = args(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"pair_emit_packed cap must be an int literal, got $other")
+      }
+      PairEmitPacked(args(0), cap)
+    },
+    "pair_emit_sized" -> { args =>
+      val cap = args(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"pair_emit_sized cap must be an int literal, got $other")
+      }
+      PairEmitSized(args(0), cap)
     }
   )
 

@@ -201,6 +201,30 @@ object Analytics {
         .orderBy(col("l_returnflag"))
     },
 
+    // -- ct01: crosstab(source_sql, category_sql) — the FIXED-CATEGORY
+    //    pivot of contrib/tablefunc (`tablefunc.c:638 crosstab_hash`,
+    //    doc'd at :320): the output column set comes from the CALLER's
+    //    category list, not from scanning the data, cells with no source
+    //    row are NULL, and a category that never occurs yields an
+    //    all-NULL column (p9 below). Spark-first: groupBy().pivot(col,
+    //    EXPLICIT values) — the explicit list is exactly the category
+    //    SQL, and skipping the values-discovery pass is also the scale
+    //    win (one scan, no distinct shuffle). Cents stay BIGINT so the
+    //    cells are exact in both engines --
+    "ct01_crosstab" -> { (s, dir) =>
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW", "9-PHANTOM")
+      val named = Seq("p1", "p2", "p3", "p4", "p5", "p9")
+      val piv = Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .groupBy(col("o_custkey"))
+        .pivot("o_orderpriority", prios)
+        .agg(sum(col("cents")))
+      prios.zip(named).foldLeft(piv) { case (df, (v, n)) => df.withColumnRenamed(v, n) }
+        .orderBy(col("o_custkey"))
+    },
+
     // -- FILTER'd aggregates (conditional aggregation) --
     "q43_conditional_agg" -> { (s, dir) =>
       Tables.df(s, dir, "events")
@@ -636,6 +660,20 @@ object Analytics {
         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS "F",
         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS "O"
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "ct01_crosstab" -> """
+      WITH src AS (
+        SELECT o_custkey, o_orderpriority,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey <= 50)
+      SELECT o_custkey,
+        CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN cents END) AS BIGINT) AS p1,
+        CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN cents END) AS BIGINT) AS p2,
+        CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN cents END) AS BIGINT) AS p3,
+        CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN cents END) AS BIGINT) AS p4,
+        CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN cents END) AS BIGINT) AS p5,
+        CAST(NULL AS BIGINT) AS p9
+      FROM src GROUP BY o_custkey ORDER BY o_custkey""",
 
     "q43_conditional_agg" -> """
       SELECT user_id, count(*) AS n_events,

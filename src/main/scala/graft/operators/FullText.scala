@@ -237,8 +237,63 @@ object FullText {
         .select(col("doc_id"), col("tf_merge"), col("tf_vector"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(30)
+    },
+
+    // -- f11: text-search CONFIGURATION — dictionary chain applied at
+    //    tsvector build time (reference `src/backend/tsearch/
+    //    dict_simple.c` stopword filtering + `src/backend/snowball/
+    //    dict_snowball.c` stemming; the config plumbing is
+    //    ts_cache.c's dictionary list per token type). The build is:
+    //    tokenize → drop stopwords → stem every surviving token with
+    //    the suffix ladder (t12's snowball-step-1a/1b subset) → lexemes.
+    //    The QUERY term goes through the SAME chain — to_tsquery applies
+    //    the config symmetrically, so the inflected query 'merges'
+    //    normalizes to 'merge' and matches the corpus (the corpus
+    //    vocabulary is uninflected, so query-side stemming is exactly
+    //    where the dictionary proves itself) — and the rank normalizes
+    //    by the LEXEME count, not the raw token count: the config
+    //    changes both matching and normalization, which is the point of
+    //    this query. Per-row codegen'd HOFs; the identical chain runs in
+    //    the DuckDB oracle so ranks hash-match --
+    "f11_fts_config" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("lex", expr(
+          s"transform(filter(toks, t -> NOT array_contains($StopArr, t)), $StemLadder)"))
+        .withColumn("qlex", expr(
+          s"element_at(transform(array('merges'), $StemLadder), 1)"))
+        .withColumn("n_lex", size(col("lex")).cast("bigint"))
+        .withColumn("tf_stem", expr("size(filter(lex, x -> x = qlex))").cast("bigint"))
+        .filter(col("tf_stem") > 0)
+        .withColumn("rank", round(expr(
+          "(CAST(tf_stem AS DOUBLE) / (1.0 + tf_stem)) / (1.0 + ln(n_lex))"), 6))
+        .select(col("doc_id"), col("n_lex"), col("tf_stem"), col("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+        .limit(30)
     }
   )
+
+  /** Stopword list — a fixed subset of snowball's english.stop (the
+    * `simple` dictionary's StopList), shared verbatim with the oracle. */
+  private val StopWords = Seq(
+    "i", "me", "my", "we", "our", "you", "the", "a", "an", "and", "or",
+    "but", "if", "then", "of", "at", "by", "for", "with", "to", "from",
+    "in", "on", "is", "are", "was", "be", "this", "that", "it", "as",
+    "not", "no", "so")
+  private val StopArr = StopWords.map("'" + _ + "'").mkString("array(", ",", ")")
+  private val duckStopArr = StopWords.map("'" + _ + "'").mkString("[", ",", "]")
+
+  /** t12's suffix ladder as a lambda body (snowball step-1a/1b subset):
+    * sses→ss(drop 2), ies→y, ss kept, s dropped, ing/ed stripped. */
+  private val StemLadder =
+    """w -> CASE WHEN w LIKE '%sses' THEN substring(w, 1, length(w) - 2)
+               WHEN w LIKE '%ies' AND length(w) > 4
+                 THEN concat(substring(w, 1, length(w) - 3), 'y')
+               WHEN w LIKE '%ss' THEN w
+               WHEN w LIKE '%s' AND length(w) > 3 THEN substring(w, 1, length(w) - 1)
+               WHEN w LIKE '%ing' AND length(w) > 5 THEN substring(w, 1, length(w) - 3)
+               WHEN w LIKE '%ed' AND length(w) > 4 THEN substring(w, 1, length(w) - 2)
+               ELSE w END"""
 
   def oracle: Map[String, String] = Map(
     "f01_fts_rank" -> """
@@ -402,6 +457,42 @@ object FullText {
           ELSE 0.0 END, 6) AS score
       FROM tf, stats
       WHERE tf_merge + tf_vector > 0
-      ORDER BY score DESC, doc_id LIMIT 30"""
+      ORDER BY score DESC, doc_id LIMIT 30""",
+
+    "f11_fts_config" -> s"""
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      lexed AS (
+        SELECT doc_id,
+          list_transform(
+            list_filter(toks, t -> NOT list_contains($duckStopArr, t)),
+            w -> CASE WHEN w LIKE '%sses' THEN substring(w, 1, length(w) - 2)
+                      WHEN w LIKE '%ies' AND length(w) > 4
+                        THEN concat(substring(w, 1, length(w) - 3), 'y')
+                      WHEN w LIKE '%ss' THEN w
+                      WHEN w LIKE '%s' AND length(w) > 3 THEN substring(w, 1, length(w) - 1)
+                      WHEN w LIKE '%ing' AND length(w) > 5 THEN substring(w, 1, length(w) - 3)
+                      WHEN w LIKE '%ed' AND length(w) > 4 THEN substring(w, 1, length(w) - 2)
+                      ELSE w END) AS lex
+        FROM toked),
+      tf AS (
+        SELECT doc_id, CAST(len(lex) AS BIGINT) AS n_lex,
+          CAST(len(list_filter(lex, x -> x =
+            list_transform(['merges'],
+              w -> CASE WHEN w LIKE '%sses' THEN substring(w, 1, length(w) - 2)
+                        WHEN w LIKE '%ies' AND length(w) > 4
+                          THEN concat(substring(w, 1, length(w) - 3), 'y')
+                        WHEN w LIKE '%ss' THEN w
+                        WHEN w LIKE '%s' AND length(w) > 3 THEN substring(w, 1, length(w) - 1)
+                        WHEN w LIKE '%ing' AND length(w) > 5 THEN substring(w, 1, length(w) - 3)
+                        WHEN w LIKE '%ed' AND length(w) > 4 THEN substring(w, 1, length(w) - 2)
+                        ELSE w END)[1]
+          )) AS BIGINT) AS tf_stem
+        FROM lexed)
+      SELECT doc_id, n_lex, tf_stem,
+        round((CAST(tf_stem AS DOUBLE) / (1.0 + tf_stem)) / (1.0 + ln(n_lex)), 6) AS rank
+      FROM tf WHERE tf_stem > 0
+      ORDER BY rank DESC, doc_id LIMIT 30"""
   )
 }

@@ -96,6 +96,67 @@ object Json {
         .orderBy(col("o_orderkey"), col("ln"))
     },
 
+    // -- j04: jsonpath LANGUAGE slice (jsonpath_exec.c) — the semantics
+    //    q55/q76 don't cover: lax-mode auto-wrap (executeItemOptUnwrap-
+    //    Target; jspAutoWrap cxt:157), the .type() item method
+    //    (jpiType:983 → JsonbTypeName labels), .datetime()
+    //    (jpiDatetime:1101), and the `$.**` recursive-descent walk
+    //    (jpiAny) restricted to numeric leaves. The document varies its
+    //    `x` member through all four scalar jsonb types and carries a
+    //    ragged items array, so every method result is data-dependent:
+    //      x_type       = $.x.type()      ('number'|'string'|'boolean'|'null')
+    //      meta_type    = $.meta.type()   ('object'), items → 'array'
+    //      ts_y / after = $.meta.ts.datetime() extraction + comparison
+    //      lax_tag0     = lax $.tag[0]    (auto-wraps the scalar → 'tN')
+    //      strict_tag0  = strict $.tag[0] (structural error → NULL)
+    //      n_nums/sum_nums = $.** ? (@.type() == "number") count & sum
+    //    Spark-first: per-row codegen'd regexp/json expressions; the lax
+    //    auto-wrap IS the coalesce(subscripted, scalar) fallback; the
+    //    `**` walk unrolls over the document's member set with the
+    //    ragged/typed parts evaluated at runtime. No UDF, no shuffle --
+    "j04_jsonpath_lang" -> { (s, dir) =>
+      val langDoc =
+        """concat('{"meta":{"ts":"', CAST(CAST(o_orderdate AS DATE) AS STRING),
+             '","n":', o_custkey % 7 + 1, '},"items":[',
+             concat_ws(',', transform(sequence(0, CAST(o_orderkey % 3 AS INT)),
+               i -> concat('{"v":', (o_orderkey + i) % 10, '}'))),
+             '],"x":',
+             CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey % 100 AS STRING)
+                  WHEN o_orderkey % 4 = 1 THEN concat('"s', o_orderstatus, '"')
+                  WHEN o_orderkey % 4 = 2 THEN 'true' ELSE 'null' END,
+             ',"tag":"t', o_orderstatus, '"}')"""
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .withColumn("j", expr(langDoc))
+        .withColumn("xraw", expr("""regexp_extract(j, '"x":("[^"]*"|[a-z0-9]+),"tag"', 1)"""))
+        .withColumn("x_type", expr(
+          """CASE WHEN xraw LIKE '"%' THEN 'string'
+                  WHEN xraw IN ('true', 'false') THEN 'boolean'
+                  WHEN xraw = 'null' THEN 'null' ELSE 'number' END"""))
+        .withColumn("meta_type", expr(
+          """CASE regexp_extract(j, '"meta":(.)', 1)
+               WHEN '{' THEN 'object' WHEN '[' THEN 'array' END"""))
+        .withColumn("dt", to_date(get_json_object(col("j"), "$.meta.ts")))
+        .withColumn("vs", from_json(get_json_object(col("j"), "$.items"),
+          org.apache.spark.sql.types.DataType.fromDDL("array<struct<v:bigint>>")))
+        .withColumn("v_sum", expr("aggregate(vs, 0L, (acc, e) -> acc + e.v)"))
+        .withColumn("n_meta", get_json_object(col("j"), "$.meta.n").cast("bigint"))
+        .select(
+          col("o_orderkey"),
+          col("x_type"), col("meta_type"),
+          year(col("dt")).cast("bigint").as("ts_y"),
+          (col("dt") > lit("1995-06-01").cast("date")).as("after"),
+          coalesce(get_json_object(col("j"), "$.tag[0]"),
+            get_json_object(col("j"), "$.tag")).as("lax_tag0"),
+          get_json_object(col("j"), "$.tag[0]").as("strict_tag0"),
+          (lit(1L) + size(col("vs")) + when(col("x_type") === "number", 1L).otherwise(0L))
+            .cast("bigint").as("n_nums"),
+          (col("n_meta") + col("v_sum") +
+            when(col("x_type") === "number", expr("CAST(xraw AS BIGINT)")).otherwise(0L))
+            .cast("bigint").as("sum_nums"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // -- jsonb_array_elements WITH ORDINALITY (jsonfuncs.c
     //    jsonb_array_elements — the SRF that lateral-expands a jsonb
     //    array; ordinality is the element index). Spark-first: extract
@@ -249,6 +310,46 @@ object Json {
   )
 
   def oracle: Map[String, String] = Map(
+    // DuckDB rebuilds the identical document, then answers each
+    // jsonpath-method column with its native json functions; the
+    // json_type labels map onto JsonbTypeName's
+    // ('VARCHAR'→string, numerics→number, 'BOOLEAN', 'NULL').
+    "j04_jsonpath_lang" -> """
+      WITH src AS (
+        SELECT o_orderkey,
+          concat('{"meta":{"ts":"', strftime(o_orderdate, '%Y-%m-%d'),
+            '","n":', o_custkey % 7 + 1, '},"items":[',
+            array_to_string(list_transform(generate_series(0, CAST(o_orderkey % 3 AS INT)),
+              i -> concat('{"v":', (o_orderkey + i) % 10, '}')), ','),
+            '],"x":',
+            CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey % 100 AS VARCHAR)
+                 WHEN o_orderkey % 4 = 1 THEN concat('"s', o_orderstatus, '"')
+                 WHEN o_orderkey % 4 = 2 THEN 'true' ELSE 'null' END,
+            ',"tag":"t', o_orderstatus, '"}') AS j
+        FROM orders WHERE o_orderkey <= 1000),
+      typed AS (
+        SELECT o_orderkey, j,
+          CASE json_type(j, '$.x')
+            WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+            WHEN 'NULL' THEN 'null' ELSE 'number' END AS x_type,
+          CASE json_type(j, '$.meta')
+            WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' END AS meta_type,
+          CAST(json_extract_string(j, '$.meta.ts') AS DATE) AS dt,
+          list_transform(json_extract(j, '$.items[*].v'),
+            x -> CAST(x AS BIGINT)) AS vs,
+          CAST(json_extract(j, '$.meta.n') AS BIGINT) AS n_meta
+        FROM src)
+      SELECT o_orderkey, x_type, meta_type,
+        CAST(year(dt) AS BIGINT) AS ts_y,
+        dt > DATE '1995-06-01' AS after,
+        coalesce(json_extract_string(j, '$.tag[0]'),
+          json_extract_string(j, '$.tag')) AS lax_tag0,
+        json_extract_string(j, '$.tag[0]') AS strict_tag0,
+        CAST(1 + len(vs) + CASE WHEN x_type = 'number' THEN 1 ELSE 0 END AS BIGINT) AS n_nums,
+        CAST(n_meta + list_sum(vs) +
+          CASE WHEN x_type = 'number'
+            THEN CAST(json_extract(j, '$.x') AS BIGINT) ELSE 0 END AS BIGINT) AS sum_nums
+      FROM typed ORDER BY o_orderkey""",
     // The oracle states the canonical forms directly from the columns —
     // sorted key order is prio < src < st, st always comes from the
     // document (right precedence), src always from the defaults.

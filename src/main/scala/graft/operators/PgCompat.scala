@@ -325,6 +325,39 @@ object PgCompat {
         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
     },
 
+    // -- to_timestamp/to_date template parsing (formatting.c:1060
+    //    do_to_timestamp — the INPUT side of q68's to_char; see
+    //    functions/PgToTimestamp). Each row formats its date/timestamp
+    //    through pg_to_char_ts and parses it back through
+    //    pg_to_timestamp with the SAME template — four template shapes
+    //    (slash-numeric, month-name, 24h clock, 12h clock + meridiem) —
+    //    and rt_ok audits parse∘format = id inside the hash-compared
+    //    result. Per-row codegen'd expressions, no shuffle --
+    "q117_to_timestamp" -> { (s, dir) =>
+      PgFunctions.register(s)
+      Tables.register(s, dir)
+      s.sql("""
+        WITH src AS (
+          SELECT o_orderkey, o_orderdate,
+            timestampadd(SECOND, CAST(o_orderkey % 86400 AS INT), o_orderdate) AS ts
+          FROM orders WHERE o_orderkey <= 2000),
+        parsed AS (
+          SELECT o_orderkey, o_orderdate, ts,
+            CAST(pg_to_timestamp(pg_to_char_ts(o_orderdate, 'MM/DD/YYYY'),
+              'MM/DD/YYYY') AS DATE) AS d_slash,
+            CAST(pg_to_timestamp(pg_to_char_ts(o_orderdate, 'Mon DD, YYYY'),
+              'Mon DD, YYYY') AS DATE) AS d_mon,
+            pg_to_timestamp(pg_to_char_ts(ts, 'MM/DD/YYYY HH24:MI:SS'),
+              'MM/DD/YYYY HH24:MI:SS') AS ts24,
+            pg_to_timestamp(pg_to_char_ts(ts, 'MM/DD/YYYY HH12:MI:SS AM'),
+              'MM/DD/YYYY HH12:MI:SS AM') AS ts12
+          FROM src)
+        SELECT o_orderkey, d_slash, d_mon, ts24, ts12,
+          (d_slash = CAST(o_orderdate AS DATE) AND d_mon = CAST(o_orderdate AS DATE)
+           AND ts24 = ts AND ts12 = ts) AS rt_ok
+        FROM parsed ORDER BY o_orderkey""")
+    },
+
     // -- string_to_array with the PG empty-input nuance --
     "q54_string_to_array" -> { (s, dir) =>
       PgFunctions.register(s)
@@ -788,6 +821,23 @@ object PgCompat {
         string_split(o_orderpriority, '-')[1] AS prio_code,
         CAST(len(string_split(o_orderpriority, '-')) AS INTEGER) AS n_parts,
         0 AS empty_sz
-      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+    "q117_to_timestamp" -> """
+      WITH src AS (
+        SELECT o_orderkey, o_orderdate,
+          o_orderdate + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS ts
+        FROM orders WHERE o_orderkey <= 2000),
+      parsed AS (
+        SELECT o_orderkey, o_orderdate, ts,
+          CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS d_slash,
+          CAST(strptime(strftime(o_orderdate, '%b %d, %Y'), '%b %d, %Y') AS DATE) AS d_mon,
+          strptime(strftime(ts, '%m/%d/%Y %H:%M:%S'), '%m/%d/%Y %H:%M:%S') AS ts24,
+          strptime(strftime(ts, '%m/%d/%Y %I:%M:%S %p'), '%m/%d/%Y %I:%M:%S %p') AS ts12
+        FROM src)
+      SELECT o_orderkey, d_slash, d_mon, ts24, ts12,
+        (d_slash = CAST(o_orderdate AS DATE) AND d_mon = CAST(o_orderdate AS DATE)
+         AND ts24 = ts AND ts12 = ts) AS rt_ok
+      FROM parsed ORDER BY o_orderkey"""
   )
 }

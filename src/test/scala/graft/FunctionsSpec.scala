@@ -233,9 +233,9 @@ class FunctionsSpec extends AnyFunSuite {
     val e = graft.functions.PgFunctions
     assert(e.builders.map(_._1).toSet ==
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
-        "string_to_array", "generate_series",
+        "pg_to_timestamp", "string_to_array", "generate_series",
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
-        "svec_dot", "pair_emit"))
+        "svec_dot", "pair_emit", "pair_emit_packed", "pair_emit_sized"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -262,6 +262,50 @@ class FunctionsSpec extends AnyFunSuite {
       lit("Test Using Larger Than Block-Size Key - Hash Key First"),
       Array.fill(131)(0xaa.toByte)))
       == "60e431591ee0b67f0d8a26aacbf5b77f8e0bc6213728c5140546040f0ee37f54")
+  }
+
+  test("pg_to_timestamp parses the formatting.c template subset (do_to_timestamp)") {
+    import graft.functions.PgToTimestamp.parse
+    def micros(s: String) =
+      java.time.LocalDateTime.parse(s).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(parse("03/15/1995", "MM/DD/YYYY") == micros("1995-03-15T00:00:00"))
+    assert(parse("Mar 15, 1995", "Mon DD, YYYY") == micros("1995-03-15T00:00:00"))
+    assert(parse("MAR 15, 1995", "Mon DD, YYYY") == micros("1995-03-15T00:00:00"),
+      "month-name match is case-insensitive (from_char_seq_search)")
+    assert(parse("02/29/1996 23:59:58", "MM/DD/YYYY HH24:MI:SS")
+      == micros("1996-02-29T23:59:58"), "leap day")
+    // 12-hour clock: 12 AM = 00h, 12 PM = 12h, 01 PM = 13h
+    assert(parse("12:30 AM", "HH12:MI AM") == micros("1970-01-01T00:30:00"))
+    assert(parse("12:30 PM", "HH12:MI PM") == micros("1970-01-01T12:30:00"))
+    assert(parse("01:05 pm", "HH12:MI AM") == micros("1970-01-01T13:05:00"))
+    intercept[IllegalArgumentException](parse("Foo 15, 1995", "Mon DD, YYYY"))
+    intercept[IllegalArgumentException](parse("03-15-1995", "MM/DD/YYYY"))
+  }
+
+  test("pair_emit_sized length-prunes and carries sizes (PPJoin length filter)") {
+    import graft.functions.PgFunctions
+    PgFunctions.register(spark)
+    import spark.implicits._
+    // sizes 5,5,11: (5,5) keeps (equal), both (5,11) prune (11 > 2·5)
+    val rows = Seq((1L, Seq((10L, 5L), (20L, 5L), (30L, 11L))))
+      .toDF("lid", "dsz")
+      .select(expr("CAST(dsz AS array<struct<doc:bigint,sz:bigint>>)").as("dsz"))
+      .select(explode(expr("pair_emit_sized(dsz, 50)")).as("p"))
+      .select("p.a_id", "p.b_id", "p.a_sz", "p.b_sz").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == Seq((10L, 20L, 5L, 5L)))
+    // boundary: max = 2·min is KEPT (jaccard can be exactly 0.5)
+    val edge = Seq((1L, Seq((1L, 5L), (2L, 10L)))).toDF("lid", "dsz")
+      .select(expr("CAST(dsz AS array<struct<doc:bigint,sz:bigint>>)").as("dsz"))
+      .select(explode(expr("pair_emit_sized(dsz, 50)")).as("p")).count()
+    assert(edge == 1L)
+    // star branch past cap: hub pairs, still pruned by ratio
+    val star = Seq((1L, Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 9L))))
+      .toDF("lid", "dsz")
+      .select(expr("CAST(dsz AS array<struct<doc:bigint,sz:bigint>>)").as("dsz"))
+      .select(explode(expr("pair_emit_sized(dsz, 3)")).as("p"))
+      .select("p.b_id").collect().map(_.getLong(0)).toSeq
+    assert(star == Seq(2L, 3L), "hub links to in-ratio members only")
   }
 
   test("u01 uuid3 construction ≡ java.util.UUID.nameUUIDFromBytes (RFC 4122 v3)") {
