@@ -276,6 +276,39 @@ object Dedup {
           max(col("n_chars")).as("keeper_chars"))
         .filter(col("n_docs") >= 2)
         .orderBy(col("cluster"))
+    },
+
+    // -- d09: CONTAINMENT near-dup — the asymmetric complement of d02's
+    //    Jaccard: C(A→B) = |A∩B| / |A| flags a document whose shingle
+    //    set is (mostly) a subset of another's (quotes, excerpt pages,
+    //    truncated crawls) even when the Jaccard is low because the
+    //    container is much larger. Same capped posting-list pipeline as
+    //    d02, but NO length prune is valid — a tiny A inside a huge B
+    //    is exactly the signal — so the pairs ride the plain pair_emit
+    //    kernel and the two size joins. Both directions are evaluated
+    //    per unordered pair; a pair appears when EITHER direction
+    //    reaches the threshold --
+    "d09_containment" -> { (s, dir) =>
+      val lists = shingleFps(s, dir)
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= StopShingleCap)
+        .localCheckpoint()
+      val sizes = lists.select(explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = lists.filter(size(col("ds")) >= 2)
+        .select(explode(expr(s"pair_emit(ds, $StopShingleCap)")).as("p"))
+        .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
+        .withColumn("c_ab", round(col("inter").cast("double") / col("a_sz"), 6))
+        .withColumn("c_ba", round(col("inter").cast("double") / col("b_sz"), 6))
+        .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
+        .select(col("a_id"), col("b_id"), col("c_ab"), col("c_ba"))
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 
@@ -406,6 +439,25 @@ object Dedup {
       JOIN sizes sa ON sa.doc_id = a_id
       JOIN sizes sb ON sb.doc_id = b_id
       WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+      ORDER BY a_id, b_id""",
+
+    "d09_containment" -> s"""
+      WITH all_fps AS ($oracleShingleFps),
+      rare AS (SELECT fp FROM all_fps GROUP BY fp HAVING count(*) <= $StopShingleCap),
+      fps AS (SELECT doc_id, fp FROM all_fps JOIN rare USING (fp)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id,
+        round(CAST(inter AS DOUBLE) / sa.sz, 6) AS c_ab,
+        round(CAST(inter AS DOUBLE) / sb.sz, 6) AS c_ba
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE round(CAST(inter AS DOUBLE) / sa.sz, 6) >= 0.8
+         OR round(CAST(inter AS DOUBLE) / sb.sz, 6) >= 0.8
       ORDER BY a_id, b_id""",
 
     // Occupancy cap mirrored from minhashPairs: a bucket over the cap

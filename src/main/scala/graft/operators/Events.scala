@@ -53,6 +53,36 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // -- e15: EWMA (exponentially weighted moving average) per user —
+    //    the standard smoothing/anomaly baseline for event streams
+    //    (α = 0.2, seeded with the first observation). The recurrence
+    //    ewma_t = α·v_t + (1−α)·ewma_{t−1} is inherently sequential, so
+    //    it runs as ONE ordered fold per user: collect the user's
+    //    values sorted by (ts, event_id) and fold left-to-right inside
+    //    a codegen'd aggregate() — per-user state is bounded by the
+    //    user's event count, the only shuffle is the groupBy, and the
+    //    identical left fold runs in DuckDB's list_reduce so the
+    //    doubles match bit-for-bit before rounding. (The closed-form
+    //    Σ v_i·(1−α)^(n−i) window rewrite is numerically divergent for
+    //    long histories — (1−α)^(−i) overflows — so the fold IS the
+    //    scale-correct form.) --
+    "e15_ewma" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("transform(sort_array(collect_list(struct(ts, event_id, value))), e -> e.value)")
+            .as("vs"))
+        .select(col("user_id"), col("n_events"),
+          col("vs")(0).as("v_first"),
+          element_at(col("vs"), -1).as("v_last"),
+          round(expr(
+            """aggregate(slice(vs, 2, size(vs)), CAST(vs[0] AS DOUBLE),
+                 (acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc)"""), 6)
+            .as("ewma"))
+        .orderBy(col("user_id"))
+    },
+
     // -- e12: SCD Type-2 dimension build. Each user's event_type stream
     //    collapses to change rows (lag ≠ current — island detection),
     //    then lead() closes each version's [valid_from, valid_to) —
@@ -488,6 +518,20 @@ object Events {
         FROM (
           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n
           FROM events GROUP BY 1, 2) a) b
-      ORDER BY day, event_type"""
+      ORDER BY day, event_type""",
+
+    // list() with ORDER BY is the ordered collect; list_reduce seeds
+    // with the first element, matching the Spark fold's init = vs[0].
+    "e15_ewma" -> """
+      WITH ordered AS (
+        SELECT user_id, count(*) AS n_events,
+          list(value ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id)
+      SELECT user_id, n_events,
+        vs[1] AS v_first,
+        vs[-1] AS v_last,
+        round(list_reduce(vs,
+          (a, b) -> CAST(0.2 AS DOUBLE) * b + CAST(0.8 AS DOUBLE) * a), 6) AS ewma
+      FROM ordered ORDER BY user_id"""
   )
 }

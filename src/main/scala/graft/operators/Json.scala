@@ -205,6 +205,47 @@ object Json {
         .orderBy(col("o_orderkey"))
     },
 
+    // -- j05: jsonb AGGREGATES (jsonfuncs.c json_agg_transfn /
+    //    json_object_agg_transfn): jsonb_agg packs each priority
+    //    group's orders into ONE json array (input order = the
+    //    aggregate's ORDER BY, here o_orderkey), jsonb_object_agg packs
+    //    the group's status→count map into one object (jsonb canonical
+    //    key order — length then bytes, j02's rule; only PRESENT keys
+    //    appear, unlike ct01's fixed-category NULL columns). Spark has
+    //    no ordered-input aggregate, so the q91 pattern applies:
+    //    collect_list → sort_array on the sort-key struct → transform
+    //    to serialized elements → concat — all map-side combinable.
+    //    The array serialization is md5'd (driver hash treats long
+    //    strings fine but the digest keeps the artifact lean) --
+    "j05_jsonb_agg" -> { (s, dir) =>
+      val src = Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      val arr = src
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("""sort_array(collect_list(struct(o_orderkey AS k, cents AS c)))""").as("es"))
+        .withColumn("arr_json", expr(
+          """concat('[', concat_ws(',',
+               transform(es, e -> concat('{"k":', e.k, ',"c":', e.c, '}'))), ']')"""))
+      val obj = src
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("sort_array(collect_list(struct(o_orderstatus AS st, cnt)))").as("ps"))
+        // status keys are all length 1, so byte order IS jsonb key order
+        .withColumn("obj_json", expr(
+          """concat('{', concat_ws(',',
+               transform(ps, p -> concat('"', p.st, '":', p.cnt))), '}')"""))
+        .select(col("o_orderpriority"), col("obj_json"))
+      arr.join(obj, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n"),
+          md5(col("arr_json")).as("arr_md5"),
+          length(col("arr_json")).cast("bigint").as("arr_chars"),
+          col("obj_json"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // -- jsonb_each rollup (jsonfuncs.c jsonb_each — object → (key,
     //    value) SRF): explode the object AS rows, then a per-key corpus
     //    rollup. Spark-first: explode(from_json(map)) IS jsonb_each; the
@@ -350,6 +391,29 @@ object Json {
           CASE WHEN x_type = 'number'
             THEN CAST(json_extract(j, '$.x') AS BIGINT) ELSE 0 END AS BIGINT) AS sum_nums
       FROM typed ORDER BY o_orderkey""",
+
+    "j05_jsonb_agg" -> """
+      WITH src AS (
+        SELECT o_orderkey, o_orderpriority, o_orderstatus,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 1000),
+      arr AS (
+        SELECT o_orderpriority, count(*) AS n,
+          concat('[', string_agg(concat('{"k":', o_orderkey, ',"c":', cents, '}'),
+            ',' ORDER BY o_orderkey), ']') AS arr_json
+        FROM src GROUP BY o_orderpriority),
+      per AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        FROM src GROUP BY 1, 2),
+      obj AS (
+        SELECT o_orderpriority,
+          concat('{', string_agg(concat('"', o_orderstatus, '":', cnt),
+            ',' ORDER BY o_orderstatus), '}') AS obj_json
+        FROM per GROUP BY o_orderpriority)
+      SELECT arr.o_orderpriority, n, md5(arr_json) AS arr_md5,
+        CAST(length(arr_json) AS BIGINT) AS arr_chars, obj_json
+      FROM arr JOIN obj ON arr.o_orderpriority = obj.o_orderpriority
+      ORDER BY arr.o_orderpriority""",
     // The oracle states the canonical forms directly from the columns —
     // sorted key order is prio < src < st, st always comes from the
     // document (right precedence), src always from the defaults.

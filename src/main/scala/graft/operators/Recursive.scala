@@ -212,6 +212,8 @@ object Recursive {
     //    would recompute the pair build + degree joins each time (the
     //    SQL-text form measured 12.5 s at sf0.1; spooled ~3×  less).
     //    The DuckDB oracle runs the identical logic as one SQL text. --
+    "r07_kcore" -> { (s, dir) => kcoreQuery(s, dir) },
+
     "r06_triangle_count" -> { (s, dir) =>
       val op = Tables.df(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -329,6 +331,58 @@ object Recursive {
   /** r04's deterministic out-degree-3 multigraph: targets (2u+1)%N,
     * (3u+2)%N, (u+7)%N. N enters as a broadcast scalar, not a driver
     * action, so the edge relation is a pure function of the node set. */
+  /** k-core decomposition (k=5) of the deterministic doc link graph —
+    * the degeneracy-ordering building block for community detection and
+    * graph sparsification (MADlib graph / Apache AGE territory, like
+    * r02/r04/r06). The algorithm is the textbook peel: repeatedly drop
+    * nodes with undirected simple-degree < k and the edges touching
+    * them, until stable. Spark-first shape: each round is ONE degree
+    * aggregate (map-side combined) + one semi-join of the edge set
+    * against surviving nodes — both linear shuffles; the frontier is
+    * checkpointed per round like r01/r02 so plans don't nest. Rounds
+    * are capped at 8 with early-exit on stability; the output is the
+    * per-round (n_nodes, n_edges) TRAJECTORY, so the oracle (the same
+    * 8 peeling rounds unrolled as CTEs) verifies every intermediate
+    * state, not just the fixpoint. */
+  private def kcoreQuery(s: SparkSession, dir: String): DataFrame = {
+    val K = 5
+    val docs = Tables.df(s, dir, "documents").select(col("doc_id"))
+    var edges = pagerankEdges(docs)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    def nNodes(e: DataFrame): Long = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n"))).distinct().count()
+    val traj = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    var ne = edges.count()
+    traj += ((0, nNodes(edges), ne))
+    var round = 1
+    var stable = false
+    while (round <= 8) {
+      if (!stable) {
+        val deg = edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= K).select(col("node"))
+        edges = edges
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        val ne2 = edges.count()
+        stable = ne2 == ne
+        ne = ne2
+      }
+      traj += ((round, nNodes(edges), ne))
+      round += 1
+    }
+    import s.implicits._
+    traj.toSeq.toDF("round", "n_nodes", "n_edges")
+      .select(col("round"), col("n_nodes"), col("n_edges"))
+      .orderBy(col("round"))
+  }
+
   private[graft] def pagerankEdges(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val nRow = docs.agg(count(lit(1)).as("nn"))
     docs.crossJoin(broadcast(nRow))
@@ -353,7 +407,47 @@ object Recursive {
         expr("150000 + (85 * coalesce(contrib, 0L)) div 100").as("r"))
   }
 
+  /** The same 8 peeling rounds unrolled as CTEs (e0..e8), counting each
+    * round's surviving (nodes, edges) — generated, not hand-copied, so
+    * the round count stays in one place. */
+  private val kcoreOracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""e$r AS MATERIALIZED (
+        SELECT e.u, e.v FROM e${r - 1} e
+        JOIN (SELECT node FROM (
+            SELECT node, count(*) AS d FROM (
+              SELECT u AS node FROM e${r - 1} UNION ALL SELECT v AS node FROM e${r - 1}) x
+            GROUP BY node) dd WHERE d >= 5) ku ON e.u = ku.node
+        JOIN (SELECT node FROM (
+            SELECT node, count(*) AS d FROM (
+              SELECT u AS node FROM e${r - 1} UNION ALL SELECT v AS node FROM e${r - 1}) x
+            GROUP BY node) dd WHERE d >= 5) kv ON e.v = kv.node)"""
+    }.mkString(",\n")
+    val counts = (0 to 8).map { r =>
+      s"""SELECT $r AS round,
+        (SELECT count(DISTINCT node) FROM
+          (SELECT u AS node FROM e$r UNION ALL SELECT v AS node FROM e$r) x) AS n_nodes,
+        (SELECT count(*) FROM e$r) AS n_edges"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH docs AS (SELECT doc_id FROM documents),
+      n AS (SELECT count(*) AS nn FROM docs),
+      raw AS (
+        SELECT doc_id AS src, (2 * doc_id + 1) % nn AS dst FROM docs, n
+        UNION ALL
+        SELECT doc_id, (3 * doc_id + 2) % nn FROM docs, n
+        UNION ALL
+        SELECT doc_id, (doc_id + 7) % nn FROM docs, n),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM raw WHERE src <> dst),
+      $rounds
+      SELECT CAST(round AS INTEGER) AS round, n_nodes, n_edges
+      FROM ($counts) ORDER BY round"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "r07_kcore" -> kcoreOracleSql,
     // Three unrolled power iterations in the same exact positive-BIGINT
     // arithmetic (floor division agrees across engines on positives).
     "r04_pagerank" -> """

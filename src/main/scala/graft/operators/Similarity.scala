@@ -246,6 +246,66 @@ object Similarity {
           sum(col("d2")).cast("bigint").as("inertia"),
           min(col("vec_id")).as("min_member"))
         .orderBy(col("cent_id"))
+    },
+
+    // -- s08: product quantization ANN (the IVF-PQ companion of s04;
+    //    the pgvector-ecosystem scale path for billion-vector search).
+    //    The 64-dim space splits into M=4 16-dim subspaces with K=4
+    //    codewords each (training-free: the first 4 corpus vectors'
+    //    subvectors, like s04's sampled centroids — at 100 TB the
+    //    codebooks come from per-subspace k-means, plan unchanged).
+    //    ENCODE: one corpus scan × the 16-row broadcast codebook,
+    //    argmin per (vector, subspace) as a map-side-combined
+    //    min(struct) aggregate — each vector compresses 64 floats to
+    //    4 codes (2 bits each — ×256 compression). SEARCH (ADC): the
+    //    query builds a distance lookup table (4×4 per query) against
+    //    the same codebook, and scoring is a broadcast-join on
+    //    (subspace, code) + an integer sum — the corpus embedding is
+    //    NEVER touched at query time, which is the whole point of PQ.
+    //    Subspace distances enter the sum as micro-unit BIGINTs so the
+    //    4-term sum is order-free; argmin ties break to the lowest code.
+    //    recall5 audits the compression against the exact L2 top-5
+    //    (the s06/q61 audit-in-result pattern) --
+    "s08_pq_ann" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      s.udf.register("topk_pairs", udaf(new graft.functions.TopKPairs(5)))
+      val emb = Tables.df(s, dir, "embeddings")
+      val codebook = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("code"),
+          explode(expr("sequence(0, 3)")).as("m"), col("embedding"))
+        .select(col("m"), col("code"),
+          expr("slice(embedding, m * 16 + 1, 16)").as("cw"))
+      val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val codes = corpus
+        .crossJoin(broadcast(codebook))
+        .withColumn("d2", expr("vec_l2sq(slice(c_emb, m * 16 + 1, 16), cw)"))
+        .groupBy(col("c_id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("c_id"), col("m"), col("best.code").as("code"))
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val adc = qs.crossJoin(broadcast(codebook))
+        .select(col("q_id"), col("m"), col("code"),
+          expr("CAST(round(vec_l2sq(slice(q_emb, m * 16 + 1, 16), cw) * 1000000) AS BIGINT)")
+            .as("d2u"))
+      val pqTop = codes.join(broadcast(adc), Seq("m", "code"))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(sum(col("d2u")).as("u"))
+        .groupBy(col("q_id"))
+        .agg(expr("topk_pairs(CAST(-u AS DOUBLE), c_id)").as("top"))
+      val exactTop = corpus.crossJoin(broadcast(qs))
+        .withColumn("exu",
+          expr("CAST(round(vec_l2sq(c_emb, q_emb) * 1000000) AS BIGINT)"))
+        .groupBy(col("q_id"))
+        .agg(expr("topk_pairs(CAST(-exu AS DOUBLE), c_id)").as("etop"))
+        .select(col("q_id"), expr("transform(etop, e -> e._2)").as("eids"))
+      pqTop.join(broadcast(exactTop), Seq("q_id"))
+        .withColumn("recall5",
+          expr("size(array_intersect(transform(top, e -> e._2), eids))").cast("bigint"))
+        .select(col("q_id"), posexplode(col("top")), col("recall5"))
+        .select(col("q_id"), (col("pos") + 1).as("rn"), col("col._2").as("c_id"),
+          round(expr("-col._1") / 1e6, 6).as("adc_d2"), col("recall5"))
+        .orderBy(col("q_id"), col("rn"))
     }
   )
 
@@ -485,6 +545,61 @@ object Similarity {
           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
         FROM scored)
       SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 3
-      ORDER BY q_id, rn"""
+      ORDER BY q_id, rn""",
+
+    // PQ encode/ADC mirrored with the s04 argmin form: subspace m covers
+    // embedding[m*16+1 .. m*16+16]; codebooks are the first 4 vectors.
+    "s08_pq_ann" -> """
+      WITH ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+      cb AS (
+        SELECT m, CAST(vec_id AS INT) AS code, embedding AS cbemb
+        FROM embeddings, ms WHERE vec_id < 4),
+      enc AS (
+        SELECT c_id, m, code FROM (
+          SELECT e.vec_id AS c_id, cb.m, cb.code,
+            row_number() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+              list_sum(list_transform(generate_series(1, 16), i ->
+                (CAST(e.embedding[cb.m*16+i] AS DOUBLE) - CAST(cb.cbemb[cb.m*16+i] AS DOUBLE))
+              * (CAST(e.embedding[cb.m*16+i] AS DOUBLE) - CAST(cb.cbemb[cb.m*16+i] AS DOUBLE)))),
+              cb.code) AS rn
+          FROM embeddings e CROSS JOIN cb) t
+        WHERE rn = 1),
+      adc AS (
+        SELECT q.vec_id AS q_id, cb.m, cb.code,
+          CAST(round(list_sum(list_transform(generate_series(1, 16), i ->
+            (CAST(q.embedding[cb.m*16+i] AS DOUBLE) - CAST(cb.cbemb[cb.m*16+i] AS DOUBLE))
+          * (CAST(q.embedding[cb.m*16+i] AS DOUBLE) - CAST(cb.cbemb[cb.m*16+i] AS DOUBLE)))) * 1000000) AS BIGINT) AS d2u
+        FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10),
+      scored AS (
+        SELECT adc.q_id, enc.c_id, CAST(sum(d2u) AS BIGINT) AS u
+        FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+        GROUP BY 1, 2),
+      pqtop AS (
+        SELECT q_id, c_id, u, rn FROM (
+          SELECT q_id, c_id, u,
+            row_number() OVER (PARTITION BY q_id ORDER BY u, c_id) AS rn
+          FROM scored) WHERE rn <= 5),
+      ex AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+          CAST(round(list_sum(list_transform(generate_series(1, 64), i ->
+            (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+          * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)))) * 1000000) AS BIGINT) AS exu
+        FROM embeddings e CROSS JOIN
+          (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q),
+      extop AS (
+        SELECT q_id, c_id FROM (
+          SELECT q_id, c_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY exu, c_id) AS rn
+          FROM ex) WHERE rn <= 5),
+      rec AS (
+        SELECT p.q_id, count(x.c_id) AS recall5
+        FROM pqtop p LEFT JOIN extop x
+          ON p.q_id = x.q_id AND p.c_id = x.c_id
+        GROUP BY p.q_id)
+      SELECT p.q_id, p.rn, p.c_id,
+        round(CAST(p.u AS DOUBLE) / 1000000.0, 6) AS adc_d2,
+        CAST(coalesce(rec.recall5, 0) AS BIGINT) AS recall5
+      FROM pqtop p JOIN rec ON p.q_id = rec.q_id
+      ORDER BY p.q_id, p.rn"""
   )
 }

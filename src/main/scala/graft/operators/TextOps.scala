@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Text analysis for large-scale training-data pipelines over the
@@ -458,6 +459,52 @@ object TextOps {
             lit(1.0) - col("n_distinct").cast("double") / col("n_toks") <= 0.5)
             .cast("int").as("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- t19: duplicate-5-gram TOKEN coverage — the Gopher §A1.1 /
+    //    Dolma repetition filter t11/t14 do NOT cover: the fraction of
+    //    the document covered by word 5-grams that occur more than once
+    //    (Gopher measures characters; this is the token-coverage
+    //    variant, same filter shape). Coverage is the UNION of the
+    //    occurrence spans [i, i+4], computed relationally: explode
+    //    5-gram starts, keep starts of duplicated grams, and per doc
+    //    sum min(5, next_start − start) over the sorted starts — the
+    //    interval-union sweep as one window pass (the e12/e14 interval
+    //    idiom). Everything is linear in tokens; the window partitions
+    //    by doc so state is bounded by document length at any corpus
+    //    size --
+    "t19_dup_ngram_coverage" -> { (s, dir) =>
+      val grams = Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          posexplode(expr(
+            """transform(sequence(1, greatest(size(toks) - 4, 0)),
+                 i -> concat_ws(' ', slice(toks, i, 5)))""")))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("pos") + 1).as("start"), col("col").as("gram"))
+      val dupStarts = grams
+        .withColumn("n_occ", count(lit(1))
+          .over(Window.partitionBy(col("doc_id"), col("gram"))))
+        .filter(col("n_occ") >= 2)
+      val covered = dupStarts
+        .withColumn("nxt", lead(col("start"), 1)
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("start"))))
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(count(lit(1)).as("n_dup_occ"),
+          sum(least(lit(5L), coalesce(col("nxt") - col("start"), lit(5L))))
+            .as("covered_toks"))
+      Tables.df(s, dir, "documents")
+        .withColumn("n_tokens", size(expr(toks)).cast("bigint"))
+        .select(col("doc_id"), col("n_tokens"))
+        .join(covered.drop("n_tokens"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_occ"), lit(0L)).as("n_dup_occ"),
+          coalesce(col("covered_toks"), lit(0L)).as("covered_toks"),
+          round(coalesce(col("covered_toks"), lit(0L)).cast("double") /
+            greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"),
+          (coalesce(col("covered_toks"), lit(0L)).cast("double") /
+            greatest(col("n_tokens"), lit(1L)) <= 0.15).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -720,6 +767,38 @@ object TextOps {
         FROM (SELECT doc_id, n_chars,
                 len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
               FROM documents) a) b
-      GROUP BY bucket ORDER BY bucket"""
+      GROUP BY bucket ORDER BY bucket""",
+
+    "t19_dup_ngram_coverage" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      grams AS (
+        SELECT doc_id, len(toks) AS n_tokens, i AS start,
+          array_to_string(toks[i:i+4], ' ') AS gram
+        FROM toked, LATERAL (SELECT unnest(generate_series(1,
+          greatest(len(toks) - 4, 0))) AS i) g),
+      dup AS (
+        SELECT doc_id, n_tokens, start,
+          count(*) OVER (PARTITION BY doc_id, gram) AS n_occ
+        FROM grams),
+      swept AS (
+        SELECT doc_id, n_tokens, start,
+          lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+        FROM dup WHERE n_occ >= 2),
+      cov AS (
+        SELECT doc_id, count(*) AS n_dup_occ,
+          CAST(sum(least(5, coalesce(nxt - start, 5))) AS BIGINT) AS covered_toks
+        FROM swept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        coalesce(c.n_dup_occ, 0) AS n_dup_occ,
+        coalesce(c.covered_toks, 0) AS covered_toks,
+        round(CAST(coalesce(c.covered_toks, 0) AS DOUBLE)
+              / greatest(len(t.toks), 1), 6) AS dup_frac,
+        CAST(CASE WHEN CAST(coalesce(c.covered_toks, 0) AS DOUBLE)
+                       / greatest(len(t.toks), 1) <= 0.15
+             THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM toked t LEFT JOIN cov c ON t.doc_id = c.doc_id
+      ORDER BY t.doc_id"""
   )
 }
