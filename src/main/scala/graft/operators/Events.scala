@@ -83,6 +83,32 @@ object Events {
         .orderBy(col("user_id"))
     },
 
+    // -- e16: TIME-WEIGHTED average per user (the TimescaleDB
+    //    time_weight('LOCF') aggregate): each observation's value holds
+    //    until the next observation, so the average weights v_i by
+    //    (t_{i+1} − t_i) over the user's observed span. Exact arithmetic
+    //    discipline: value-cents × Δms accumulate as BIGINTs (order-free
+    //    across any partitioning), one division at the end. One window
+    //    pass for the lead(ts) (partitioned by user — bounded state),
+    //    one map-side-combined rollup. --
+    "e16_time_weighted_avg" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.df(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 10000) AS BIGINT)").as("vc"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("nxt", lead(col("ms"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ms")) - min(col("ms"))).as("span_ms"),
+          sum(when(col("nxt").isNotNull, col("vc") * (col("nxt") - col("ms"))))
+            .as("wsum"))
+        .filter(col("span_ms") > 0)
+        .select(col("user_id"), col("n_events"), col("span_ms"),
+          round(col("wsum").cast("double") / 10000.0 / col("span_ms"), 6).as("twa"))
+        .orderBy(col("user_id"))
+    },
+
     // -- e12: SCD Type-2 dimension build. Each user's event_type stream
     //    collapses to change rows (lag ≠ current — island detection),
     //    then lead() closes each version's [valid_from, valid_to) —
@@ -532,6 +558,23 @@ object Events {
         vs[-1] AS v_last,
         round(list_reduce(vs,
           (a, b) -> CAST(0.2 AS DOUBLE) * b + CAST(0.8 AS DOUBLE) * a), 6) AS ewma
-      FROM ordered ORDER BY user_id"""
+      FROM ordered ORDER BY user_id""",
+
+    "e16_time_weighted_avg" -> """
+      WITH obs AS (
+        SELECT user_id, event_id,
+          CAST(round(value * 10000) AS BIGINT) AS vc,
+          CAST(epoch_ms(ts) AS BIGINT) AS ms,
+          lead(CAST(epoch_ms(ts) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events),
+      agg AS (
+        SELECT user_id, count(*) AS n_events,
+          CAST(max(ms) - min(ms) AS BIGINT) AS span_ms,
+          CAST(sum(CASE WHEN nxt IS NOT NULL THEN vc * (nxt - ms) END) AS BIGINT) AS wsum
+        FROM obs GROUP BY user_id)
+      SELECT user_id, n_events, span_ms,
+        round(CAST(wsum AS DOUBLE) / 10000.0 / span_ms, 6) AS twa
+      FROM agg WHERE span_ms > 0 ORDER BY user_id"""
   )
 }

@@ -139,10 +139,53 @@ object Geo {
           sum(expr("CASE WHEN km < 5000 THEN 1 ELSE 0 END")).cast("bigint")
             .as("n_within_5000"))
         .orderBy(col("n_name"))
+    },
+
+    // -- g05: polygon @> point — geo_ops.c point_inside(): the even-odd
+    //    ray-casting rule over a fixed NON-convex 7-vertex polygon
+    //    (vertices (137k mod 1000, 251k mod 1000) in key order — the
+    //    edges cross, which is exactly what even-odd handles and a
+    //    convex half-plane test would get wrong). The crossing test for
+    //    every edge is generated ONCE in Scala and interpolated into
+    //    both engines verbatim, all per-row codegen'd arithmetic; the
+    //    corpus streams, nothing shuffles but the per-nation rollup --
+    "g05_point_in_polygon" -> { (s, dir) =>
+      Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("(c_custkey * 17) % 1000").as("px"),
+          expr("(c_custkey * 31) % 1000").as("py"))
+        .withColumn("inside", expr(s"(${crossingSum}) % 2 = 1"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_pts"),
+          sum(col("inside").cast("long")).as("n_inside"))
+        .orderBy(col("c_nationkey"))
     }
   )
 
+  /** Even-odd crossing count for the fixed 7-gon, as SQL text shared by
+    * both engines (px/py are the point columns). An edge (xi,yi)-(xj,yj)
+    * crosses the rightward ray from (px,py) iff the edge spans py
+    * strictly-above/not-above AND the intersection x exceeds px. */
+  private val crossingSum: String = {
+    val verts = (0 until 7).map(k => ((k * 137) % 1000, (k * 251) % 1000))
+    verts.zip(verts.tail :+ verts.head).map { case ((xi, yi), (xj, yj)) =>
+      s"""(CASE WHEN (($yi > py) <> ($yj > py)) AND
+         (CAST(px AS DOUBLE) < CAST(${xj - xi} AS DOUBLE) * CAST(py - $yi AS DOUBLE)
+            / CAST(${yj - yi} AS DOUBLE) + $xi) THEN 1 ELSE 0 END)"""
+    }.mkString(" + ")
+  }
+
   def oracle: Map[String, String] = Map(
+    "g05_point_in_polygon" -> s"""
+      WITH pts AS (
+        SELECT c_custkey, c_nationkey,
+          (c_custkey * 17) % 1000 AS px,
+          (c_custkey * 31) % 1000 AS py
+        FROM customer)
+      SELECT c_nationkey, count(*) AS n_pts,
+        CAST(sum(CASE WHEN ($crossingSum) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_inside
+      FROM pts GROUP BY c_nationkey ORDER BY c_nationkey""",
     "g01_point_in_box" -> """
       WITH pts AS (
         SELECT c_custkey, (c_custkey * 17) % 1000 AS px, (c_custkey * 31) % 1000 AS py

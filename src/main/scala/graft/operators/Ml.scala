@@ -108,11 +108,58 @@ object Ml {
           expr("round(regr_intercept(y, x), 4)").as("intercept"),
           expr("round(regr_r2(y, x), 5)").as("r2"))
         .orderBy(col("grp"))
+    },
+
+    // -- ml03: higher central moments — population skewness and excess
+    //    kurtosis per group (MADlib summary() territory; PG core stops
+    //    at stddev). Both engines ship builtin skewness/kurtosis but
+    //    with DIFFERENT estimators and merge orders, so the cross-engine
+    //    form is the exact-moment derivation: integer power sums
+    //    Σq..Σq⁴ in overflow-safe BIGINTs (q ≤ 50 ⇒ Σq⁴ < 2⁶³ far past
+    //    100 TB row counts — and order-free, any partitioning), then
+    //    the closed-form central-moment algebra on identical doubles.
+    //    ONE shared SQL text runs on both engines. Single-pass,
+    //    map-side combined, |groups|×4 longs across the exchange. --
+    "ml03_moments" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(MomentsSql)
     }
   )
 
+  /** Shared Spark/DuckDB text: power sums → mean/m2/m3/m4 → skew/kurt. */
+  private val MomentsSql = """
+    WITH ps AS (
+      SELECT l_returnflag AS grp, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+        CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+      FROM lineitem GROUP BY l_returnflag),
+    m AS (
+      SELECT grp, n, CAST(s1 AS DOUBLE) / n AS mu,
+        CAST(s2 AS DOUBLE) / n AS r2,
+        CAST(s3 AS DOUBLE) / n AS r3,
+        CAST(s4 AS DOUBLE) / n AS r4
+      FROM ps),
+    cm AS (
+      SELECT grp, n, mu,
+        r2 - mu * mu AS m2,
+        r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+        r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4
+      FROM m)
+    SELECT grp, n,
+      round(mu, 6) AS mean,
+      round(m2, 6) AS variance_pop,
+      round(m3 / pow(m2, 1.5), 6) AS skewness,
+      round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+    FROM cm ORDER BY grp"""
+
   def oracle: Map[String, String] = Map(
     "ml01_linreg" -> LinregSql,
+
+    "ml03_moments" -> MomentsSql,
 
     "ml02_regr_aggs" -> """
       WITH obs AS (

@@ -151,7 +151,40 @@ object Recursive {
         WHERE t.level < 3)
       SELECT keyid, parent_keyid, level, branch FROM tree ORDER BY keyid"""
 
+  /** r08: path enumeration with a CYCLE guard — the semantics of PG14's
+    * `CYCLE col SET ... USING path` clause (rewritten exactly as PG's
+    * own doc suggests: accumulate the visited set on the worktable row
+    * and refuse to extend into it; parse_cte.c rewrites CYCLE to this).
+    * Runs as ONE recursive-SQL text on Spark 4's UnionLoop AND DuckDB —
+    * the path is a '>'-delimited string so the membership test is a
+    * dialect-portable instr(). The doc graph is r04's 3-out-regular
+    * modular graph restricted to keys < 40 (dst may leave the set —
+    * out-degree varies, which exercises the guard asymmetrically). */
+  private val r08Sql = """
+      WITH RECURSIVE paths(src, cur, depth, path) AS (
+        SELECT doc_id, doc_id, 0, concat('>', doc_id, '>')
+        FROM documents WHERE doc_id < 5
+        UNION ALL
+        SELECT p.src, e.dst, p.depth + 1, concat(p.path, e.dst, '>')
+        FROM paths p JOIN (
+          SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM documents a JOIN documents b
+            ON a.doc_id < 40 AND b.doc_id < 40
+           AND (b.doc_id = (2 * a.doc_id + 1) % 40
+             OR b.doc_id = (3 * a.doc_id + 2) % 40
+             OR b.doc_id = (a.doc_id + 7) % 40)) e
+          ON e.src = p.cur
+        WHERE p.depth < 4
+          AND instr(p.path, concat('>', e.dst, '>')) = 0)
+      SELECT depth, count(*) AS n_paths, count(DISTINCT cur) AS n_ends,
+             min(path) AS min_path
+      FROM paths GROUP BY depth ORDER BY depth"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r08_cycle_paths" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(r08Sql)
+    },
     "r01_recursive_collatz" -> { (s, dir) =>
       collatzChain(s, dir).orderBy(col("seed"), col("step"))
     },
@@ -448,6 +481,7 @@ object Recursive {
 
   def oracle: Map[String, String] = Map(
     "r07_kcore" -> kcoreOracleSql,
+    "r08_cycle_paths" -> r08Sql,
     // Three unrolled power iterations in the same exact positive-BIGINT
     // arithmetic (floor division agrees across engines on positives).
     "r04_pagerank" -> """

@@ -248,6 +248,42 @@ object Similarity {
         .orderBy(col("cent_id"))
     },
 
+    // -- s09: MULTI-PROBE LSH — the recall repair for s02/s03's
+    //    single-bucket probe (Lv et al., VLDB'07): a query inspects its
+    //    own 8-plane bucket AND the 8 Hamming-distance-1 buckets (one
+    //    sign bit flipped), trading 9× probe fan-out for the candidates
+    //    a near-boundary vector loses to quantization. Spark-first: the
+    //    probe set is a per-query explode of XOR'd bucket keys, the tiny
+    //    query relation broadcasts, and the corpus index STREAMS through
+    //    the join — no corpus shuffle at any scale (buckets partition
+    //    the corpus, so no candidate dedup is needed). n_cand rides the
+    //    result as the recall-vs-work audit; top-3 per query via the
+    //    bounded TopKPairs aggregate, not a window --
+    "s09_multiprobe_lsh" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      s.udf.register("topk_pairs", udaf(new graft.functions.TopKPairs(3)))
+      val b = bucketedDf(s, dir)
+      val index = b.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("bucket"))
+      val probes = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          explode(expr(
+            """concat(array(bucket),
+                 transform(sequence(0, 7),
+                   p -> bucket ^ CAST(pow(2, p) AS BIGINT)))""")).as("bucket"))
+      val cands = index.join(broadcast(probes), Seq("bucket"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
+      cands
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_cand"), expr("topk_pairs(cosine, c_id)").as("top"))
+        .select(col("q_id"), col("n_cand"), posexplode(col("top")))
+        .select(col("q_id"), (col("pos") + 1).as("rn"), col("col._2").as("c_id"),
+          col("col._1").as("cosine"), col("n_cand"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
     // -- s08: product quantization ANN (the IVF-PQ companion of s04;
     //    the pgvector-ecosystem scale path for billion-vector search).
     //    The 64-dim space splits into M=4 16-dim subspaces with K=4
@@ -546,6 +582,37 @@ object Similarity {
         FROM scored)
       SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 3
       ORDER BY q_id, rn""",
+
+    "s09_multiprobe_lsh" -> s"""
+      WITH bucketed AS (
+        SELECT vec_id, embedding,
+          list_sum(list_transform(generate_series(0, 7), p ->
+            CASE WHEN
+              list_sum(list_transform(generate_series(1, len(embedding)), j ->
+                CAST(embedding[j] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE)))
+              > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS bucket
+        FROM embeddings),
+      probes AS (
+        SELECT vec_id AS q_id, embedding AS q_emb,
+          unnest([bucket] || list_transform(generate_series(0, 7),
+            p -> xor(bucket, CAST(pow(2, p) AS BIGINT)))) AS bucket
+        FROM bucketed WHERE vec_id < 10),
+      cands AS (
+        SELECT p.q_id, p.q_emb, c.vec_id AS c_id, c.embedding AS c_emb
+        FROM probes p JOIN bucketed c ON p.bucket = c.bucket
+        WHERE c.vec_id <> p.q_id),
+      scored AS (
+        SELECT q_id, c_id,
+          round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) AS cosine
+        FROM cands),
+      stats AS (SELECT q_id, count(*) AS n_cand FROM scored GROUP BY q_id),
+      ranked AS (
+        SELECT q_id, c_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM scored)
+      SELECT r.q_id, r.rn, r.c_id, r.cosine, s.n_cand
+      FROM ranked r JOIN stats s ON r.q_id = s.q_id
+      WHERE r.rn <= 3 ORDER BY r.q_id, r.rn""",
 
     // PQ encode/ADC mirrored with the s04 argmin form: subspace m covers
     // embedding[m*16+1 .. m*16+16]; codebooks are the first 4 vectors.
