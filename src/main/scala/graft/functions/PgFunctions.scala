@@ -27,6 +27,67 @@ object PgFunctions {
       Some(StringSplit(str, delim, Literal(-1))))
   }
 
+  /** PG `format(fmt, args...)` (`varlena.c:5572 text_format`) as a
+    * COMPILE-TIME template expander: the format string must be a plan
+    * literal (the universal usage shape), so the whole call flattens
+    * into a Concat of literals and per-conversion expressions — no
+    * custom eval, no UDF, every piece a native codegen'd expression.
+    * Supported conversions (text_format's full set): `%s` (NULL → empty
+    * string), `%L` ≙ quote_literal (`quote.c:74` — single-quote doubling,
+    * NULL → the keyword NULL), `%I` ≙ quote_ident (`quote.c:21` —
+    * double-quote unless the value already matches
+    * `[a-z_][a-z0-9_]*`; the reserved-keyword check is omitted), `%%`,
+    * and `%n$` positional references. */
+  private def pgFormat(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.types.StringType
+    val fmt = args.headOption match {
+      case Some(Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)) => s.toString
+      case _ => throw new IllegalArgumentException(
+        "pg_format: the template must be a string literal")
+    }
+    val params = args.tail.map(Cast(_, StringType))
+    val parts = scala.collection.mutable.ArrayBuffer[Expression]()
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += Literal(sb.toString); sb.clear() }
+    var i = 0
+    var next = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%') {
+        var j = i + 1
+        var num = -1
+        val ds = fmt.drop(j).takeWhile(_.isDigit)
+        if (ds.nonEmpty && fmt.length > j + ds.length && fmt.charAt(j + ds.length) == '$') {
+          num = ds.toInt; j += ds.length + 1
+        }
+        if (j >= fmt.length) throw new IllegalArgumentException(
+          s"pg_format: dangling %% in '$fmt'")
+        fmt.charAt(j) match {
+          case '%' => sb += '%'
+          case conv @ ('s' | 'I' | 'L') =>
+            val idx = if (num > 0) num - 1 else { val t = next; next += 1; t }
+            require(idx < params.length, s"pg_format: too few arguments for '$fmt'")
+            val arg = params(idx)
+            flush()
+            parts += (conv match {
+              case 's' => Coalesce(Seq(arg, Literal("")))
+              case 'L' => If(IsNull(arg), Literal("NULL"),
+                Concat(Seq(Literal("'"),
+                  StringReplace(arg, Literal("'"), Literal("''")), Literal("'"))))
+              case 'I' => If(RLike(arg, Literal("^[a-z_][a-z0-9_]*$")), arg,
+                Concat(Seq(Literal("\""),
+                  StringReplace(arg, Literal("\""), Literal("\"\"")), Literal("\""))))
+            })
+          case other => throw new IllegalArgumentException(
+            s"pg_format: unsupported conversion %$other")
+        }
+        i = j + 1
+      } else { sb += fmt.charAt(i); i += 1 }
+    }
+    flush()
+    Concat(parts.toSeq)
+  }
+
   /** PG `generate_series(start, stop[, step])` as a generator (SRF in the
     * target list, reference nodeFunctionscan.c/nodeProjectSet.c):
     * explode over a codegen'd Sequence — rows stream, nothing collects. */
@@ -55,6 +116,7 @@ object PgFunctions {
       PgToTimestamp(Cast(args(0), org.apache.spark.sql.types.StringType), args(1)) },
     "string_to_array" -> stringToArray,
     "generate_series" -> generateSeries,
+    "pg_format" -> pgFormat,
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
     "str_hash31" -> { args => StrHash(args(0), 31L, 0L) },
     "str_hash131" -> { args => StrHash(args(0), 131L, 7L) },

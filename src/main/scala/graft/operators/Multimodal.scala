@@ -234,10 +234,72 @@ object Multimodal {
           coalesce(col("n_segments"), lit(0L)).as("n_segments"),
           coalesce(col("max_seg_len"), lit(0L)).as("max_seg_len"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- m07: CLIP-score-style pair filtering — the multimodal curation
+    //    gate (LAION's pipeline keeps an (image, caption) pair only when
+    //    the embedding cosine clears a threshold). Stand-in for the
+    //    text tower: each label's micro-unit-exact centroid (s05's
+    //    aggregate) is the label "prototype"; every vector scores
+    //    against ITS OWN label's prototype and the gate keeps
+    //    score ≥ 0.1. The |labels|-row prototype relation broadcasts,
+    //    the corpus streams once, and the centroid arithmetic is exact
+    //    BIGINT micro-units so both engines score identical doubles.
+    //    Output is the per-label filter report (kept counts + score
+    //    range) a curation run would log --
+    "m07_clipscore_filter" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val emb = Tables.df(s, dir, "embeddings")
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(expr("CAST(round(CAST(col AS DOUBLE) * 1000000) AS BIGINT)")).as("su"),
+          count(lit(1)).as("n"))
+        .groupBy(col("label"))
+        .agg(expr(
+          """transform(
+               sort_array(collect_list(struct(pos,
+                 CAST(su AS DOUBLE) / n / 1000000.0 AS cv))),
+               e -> e.cv)""").as("cvec"))
+      emb.join(broadcast(cent), Seq("label"))
+        .withColumn("score", round(expr(
+          """aggregate(sequence(1, size(embedding)), 0D,
+               (a, j) -> a + CAST(embedding[j-1] AS DOUBLE) * cvec[j-1])
+             / (sqrt(vec_dot(embedding, embedding))
+                * sqrt(aggregate(cvec, 0D, (a, x) -> a + x * x)))"""), 6))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum((col("score") >= 0.1).cast("long")).as("n_kept"),
+          min(col("score")).as("min_s"),
+          max(col("score")).as("max_s"))
+        .orderBy(col("label"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "m07_clipscore_filter" -> """
+      WITH su AS (
+        SELECT label, i,
+          CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS s,
+          count(*) AS n
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY label, i),
+      cent AS (
+        SELECT label, list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY i) AS cvec
+        FROM su GROUP BY label),
+      sc AS (
+        SELECT e.label,
+          round(
+            list_sum(list_transform(generate_series(1, 64),
+              j -> CAST(e.embedding[j] AS DOUBLE) * c.cvec[j]))
+            / (sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))), 6) AS score
+        FROM embeddings e JOIN cent c ON e.label = c.label)
+      SELECT label, count(*) AS n_vecs,
+        CAST(sum(CASE WHEN score >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        min(score) AS min_s, max(score) AS max_s
+      FROM sc GROUP BY label ORDER BY label""",
     "m06_energy_segments" -> """
       WITH d AS (
         SELECT doc_id, text, n_chars FROM documents

@@ -358,6 +358,32 @@ object PgCompat {
         FROM parsed ORDER BY o_orderkey""")
     },
 
+    // -- q119: format() / quote_ident / quote_literal (varlena.c:5572
+    //    text_format + quote.c) — the SQL-generation trio. pg_format is
+    //    a compile-time template expander (see functions/PgFunctions):
+    //    the call flattens into native concat/CASE/replace expressions,
+    //    so %L literal-quoting, %I conditional identifier-quoting, %%
+    //    and %n$ positional refs all run inside whole-stage codegen.
+    //    prio_opt is NULL every third row so both the %s→'' and
+    //    %L→NULL branches are exercised; t_<lower(status)> stays
+    //    unquoted while 'Col <status>' forces %I's double-quoting --
+    "q119_pg_format" -> { (s, dir) =>
+      PgFunctions.register(s)
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          pg_format('INSERT INTO %I (id, prio) VALUES (%L, %L)',
+            concat('t_', lower(o_orderstatus)), o_orderkey, prio_opt) AS ins_sql,
+          pg_format('%s|%s', prio_opt, o_orderstatus) AS plain,
+          pg_format('%2$s/%1$s', o_orderstatus, o_orderpriority) AS swapped,
+          pg_format('100%% %I', concat('Col ', o_orderstatus)) AS pct_ident
+        FROM (
+          SELECT o_orderkey, o_orderstatus, o_orderpriority,
+            CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS prio_opt
+          FROM orders WHERE o_orderkey <= 1000) t
+        ORDER BY o_orderkey""")
+    },
+
     // -- string_to_array with the PG empty-input nuance --
     "q54_string_to_array" -> { (s, dir) =>
       PgFunctions.register(s)
@@ -838,6 +864,30 @@ object PgCompat {
       SELECT o_orderkey, d_slash, d_mon, ts24, ts12,
         (d_slash = CAST(o_orderdate AS DATE) AND d_mon = CAST(o_orderdate AS DATE)
          AND ts24 = ts AND ts12 = ts) AS rt_ok
-      FROM parsed ORDER BY o_orderkey"""
+      FROM parsed ORDER BY o_orderkey""",
+
+    "q119_pg_format" -> """
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+          CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS prio_opt,
+          concat('t_', lower(o_orderstatus)) AS tbl,
+          concat('Col ', o_orderstatus) AS colname
+        FROM orders WHERE o_orderkey <= 1000),
+      quoted AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority, prio_opt,
+          CASE WHEN regexp_matches(tbl, '^[a-z_][a-z0-9_]*$') THEN tbl
+               ELSE concat('"', replace(tbl, '"', '""'), '"') END AS q_tbl,
+          CASE WHEN regexp_matches(colname, '^[a-z_][a-z0-9_]*$') THEN colname
+               ELSE concat('"', replace(colname, '"', '""'), '"') END AS q_col,
+          concat('''', replace(CAST(o_orderkey AS VARCHAR), '''', ''''''), '''') AS l_key,
+          CASE WHEN prio_opt IS NULL THEN 'NULL'
+               ELSE concat('''', replace(prio_opt, '''', ''''''), '''') END AS l_prio
+        FROM src)
+      SELECT o_orderkey,
+        concat('INSERT INTO ', q_tbl, ' (id, prio) VALUES (', l_key, ', ', l_prio, ')') AS ins_sql,
+        concat(coalesce(prio_opt, ''), '|', o_orderstatus) AS plain,
+        concat(o_orderpriority, '/', o_orderstatus) AS swapped,
+        concat('100% ', q_col) AS pct_ident
+      FROM quoted ORDER BY o_orderkey"""
   )
 }

@@ -233,7 +233,7 @@ class FunctionsSpec extends AnyFunSuite {
     val e = graft.functions.PgFunctions
     assert(e.builders.map(_._1).toSet ==
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
-        "pg_to_timestamp", "string_to_array", "generate_series",
+        "pg_to_timestamp", "string_to_array", "generate_series", "pg_format",
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
         "svec_dot", "pair_emit", "pair_emit_packed", "pair_emit_sized"))
   }
