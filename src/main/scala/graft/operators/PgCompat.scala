@@ -384,6 +384,24 @@ object PgCompat {
         ORDER BY o_orderkey""")
     },
 
+    // -- q120: multi-array unnest — PG's `unnest(a, b)` SRF zips several
+    //    arrays positionally, padding the shorter ones with NULL
+    //    (ExecInitFunctionScan's ordinality_mode; the ROWS FROM (...)
+    //    construct). Spark-first: arrays_zip IS the padded zip and
+    //    posexplode the SRF — per-row codegen'd, no shuffle. The two
+    //    arrays deliberately straddle each other's lengths (tags always
+    //    2, nums 1..4) so padding happens on BOTH sides --
+    "q120_multi_unnest" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .withColumn("tags", split(col("o_orderpriority"), "-"))
+        .withColumn("nums", expr("sequence(1L, o_orderkey % 4 + 1)"))
+        .select(col("o_orderkey"), posexplode(arrays_zip(col("tags"), col("nums"))))
+        .select(col("o_orderkey"), (col("pos") + 1).cast("bigint").as("ord"),
+          col("col.tags").as("tag"), col("col.nums").as("num"))
+        .orderBy(col("o_orderkey"), col("ord"))
+    },
+
     // -- string_to_array with the PG empty-input nuance --
     "q54_string_to_array" -> { (s, dir) =>
       PgFunctions.register(s)
@@ -884,10 +902,23 @@ object PgCompat {
                ELSE concat('''', replace(prio_opt, '''', ''''''), '''') END AS l_prio
         FROM src)
       SELECT o_orderkey,
-        concat('INSERT INTO ', q_tbl, ' (id, prio) VALUES (', l_key, ', ', l_prio, ')') AS ins_sql,
+        concat('INSERT INTO ', q_tbl, ' (id, prio) VALUES (', l_key, ', ', l_prio, ')')
+          AS ins_sql,
         concat(coalesce(prio_opt, ''), '|', o_orderstatus) AS plain,
         concat(o_orderpriority, '/', o_orderstatus) AS swapped,
         concat('100% ', q_col) AS pct_ident
-      FROM quoted ORDER BY o_orderkey"""
+      FROM quoted ORDER BY o_orderkey""",
+
+    "q120_multi_unnest" -> """
+      WITH src AS (
+        SELECT o_orderkey,
+          string_split(o_orderpriority, '-') AS tags,
+          generate_series(1, o_orderkey % 4 + 1) AS nums
+        FROM orders WHERE o_orderkey <= 1000)
+      SELECT o_orderkey, CAST(i AS BIGINT) AS ord,
+        tags[CAST(i AS INT)] AS tag, nums[CAST(i AS INT)] AS num
+      FROM src, LATERAL (SELECT unnest(generate_series(1,
+        greatest(len(tags), len(nums)))) AS i) g
+      ORDER BY o_orderkey, ord"""
   )
 }

@@ -147,6 +147,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(verified.filter(col("b_id") <= 1000L).count() == 999L)
   }
 
+  test("AQE skew-join splits the hot partition (skew=true in the final plan)") {
+    // The runtime complement to SkewUtils' explicit salting: with
+    // adaptive skew-join handling on, a sort-merge join whose probe
+    // side piles onto one key must be re-planned with the skewed
+    // partition split — the executed plan marks the join skew=true.
+    // Thresholds are shrunk so the sf-independent synthetic skew (one
+    // key carrying 200k of 201k rows) trips the same code path a 100 TB
+    // hot key would.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 201000)
+        .select(when(col("id") < 200000, 7L).otherwise(col("id") % 100).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, Seq("k"))
+      val n = joined.collect().length // run THIS plan to its final adaptive form
+      assert(n == 201000, s"join row count $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew-join split in plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the unsalted join exactly (multiset)") {
     val li = Tables.df(spark, Sf, "lineitem")
       .select(col("l_orderkey").as("k"), col("l_quantity"))

@@ -12,6 +12,7 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamingSpec extends AnyFunSuite {
   import SparkSuite._
+  import StreamingSpec.E
 
   test("AvailableNow streaming hourly rollup matches the batch aggregate") {
     Tables.configure(spark)
@@ -184,6 +185,58 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(foldCounts == e02,
       s"fold segmentation diverges from e02: fold=$foldCounts e02=$e02")
+  }
+
+  test("mapGroupsWithState EWMA over time-split micro-batches ≡ the e15 batch fold") {
+    // e15's recurrence is a left fold, so it must compose across
+    // micro-batches: state carries the running ewma, each batch folds
+    // its (ts, event_id)-sorted values on top. Split the corpus at the
+    // median second (ties never straddle the cut) into two files
+    // streamed in order — the streamed per-user result must equal the
+    // batch query bit-for-bit before rounding.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ev = Tables.df(spark, Sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val cut = ev.agg(expr("percentile_approx(CAST(ts AS LONG), 0.5)")).head.getLong(0)
+    val landing = java.nio.file.Files.createTempDirectory("graft_ewma")
+    ev.filter(expr(s"CAST(ts AS LONG) <= $cut")).coalesce(1)
+      .write.parquet(landing.resolve("b0").toString)
+    ev.filter(expr(s"CAST(ts AS LONG) > $cut")).coalesce(1)
+      .write.parquet(landing.resolve("b1").toString)
+    val schema = ev.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString + "/*")
+      .select(col("user_id"), unix_millis(col("ts")).as("tsMs"),
+        col("event_id"), col("value")).as[E]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[E], st: org.apache.spark.sql.streaming.GroupState[Double]) => {
+          val sorted = it.toSeq.sortBy(e => (e.tsMs, e.event_id))
+          var acc = st.getOption
+          sorted.foreach { e =>
+            acc = Some(acc.fold(e.value)(a => 0.2 * e.value + 0.8 * a))
+          }
+          st.update(acc.get)
+          (uid, acc.get)
+        })
+      .toDF("user_id", "ewma")
+    val qname = "stream_ewma"
+    val q = stream.writeStream.format("memory").queryName(qname)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last update per user is the final state
+    val streamed = spark.table(qname).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.last.getDouble(1) }
+    val batch = SparkEntry.queries("e15_ewma")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, e) =>
+      assert(math.abs(BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        - batch(u)) < 1e-9, s"user $u: streamed $e vs batch ${batch(u)}")
+    }
   }
 
   test("dropDuplicatesWithinWatermark dedupes retries, keeps distinct ids, bounds state") {
@@ -570,4 +623,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(verdicts.nonEmpty && verdicts.map(_._1).distinct.size == verdicts.size,
       "each delta doc verdicts exactly once across micro-batches")
   }
+}
+
+object StreamingSpec {
+  /** file-scope so Spark's product encoder can instantiate it without an
+    * outer-class scope (see the mapGroupsWithState EWMA test) */
+  case class E(user_id: Long, tsMs: Long, event_id: Long, value: Double)
 }
