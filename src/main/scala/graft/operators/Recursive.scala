@@ -373,10 +373,13 @@ object Recursive {
     * aggregate (map-side combined) + one semi-join of the edge set
     * against surviving nodes — both linear shuffles; the frontier is
     * checkpointed per round like r01/r02 so plans don't nest. Rounds
-    * are capped at 8 with early-exit on stability; the output is the
+    * are capped at KcoreRounds with early-exit on stability; the output is the
     * per-round (n_nodes, n_edges) TRAJECTORY, so the oracle (the same
-    * 8 peeling rounds unrolled as CTEs) verifies every intermediate
+    * peeling rounds unrolled as CTEs) verifies every intermediate
     * state, not just the fixpoint. */
+  /** peel rounds for r07 (shared by the query and the generated oracle) */
+  private val KcoreRounds = 5
+
   private def kcoreQuery(s: SparkSession, dir: String): DataFrame = {
     val K = 5
     val docs = Tables.df(s, dir, "documents").select(col("doc_id"))
@@ -385,14 +388,21 @@ object Recursive {
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
-    def nNodes(e: DataFrame): Long = e.select(col("u").as("n"))
-      .unionAll(e.select(col("v").as("n"))).distinct().count()
+    // ONE action per round: the endpoint rollup counts distinct nodes
+    // AND edges (count/2 — every edge contributes both endpoints) and,
+    // because the checkpoint is lazy, materializes the round's frontier
+    // in the same job.
+    def counts(e: DataFrame): (Long, Long) = {
+      val r = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .agg(countDistinct(col("node")).as("nn"), count(lit(1)).as("n2")).head
+      (r.getLong(0), r.getLong(1) / 2)
+    }
     val traj = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-    var ne = edges.count()
-    traj += ((0, nNodes(edges), ne))
+    var (nn, ne) = counts(edges)
+    traj += ((0, nn, ne))
     var round = 1
     var stable = false
-    while (round <= 8) {
+    while (round <= KcoreRounds) {
       if (!stable) {
         val deg = edges.select(col("u").as("node"))
           .unionAll(edges.select(col("v").as("node")))
@@ -402,12 +412,14 @@ object Recursive {
           .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
           .select(col("u"), col("v"))
-          .localCheckpoint()
-        val ne2 = edges.count()
+          .localCheckpoint(eager = false)
+        val (nn2, ne2) = counts(edges)
         stable = ne2 == ne
-        ne = ne2
+        nn = nn2; ne = ne2
+        // once stable, the remaining rounds repeat the fixpoint counts
+        // without launching further jobs
       }
-      traj += ((round, nNodes(edges), ne))
+      traj += ((round, nn, ne))
       round += 1
     }
     import s.implicits._
@@ -440,11 +452,11 @@ object Recursive {
         expr("150000 + (85 * coalesce(contrib, 0L)) div 100").as("r"))
   }
 
-  /** The same 8 peeling rounds unrolled as CTEs (e0..e8), counting each
+  /** The same peeling rounds unrolled as CTEs (e0..eN), counting each
     * round's surviving (nodes, edges) — generated, not hand-copied, so
     * the round count stays in one place. */
   private val kcoreOracleSql: String = {
-    val rounds = (1 to 8).map { r =>
+    val rounds = (1 to KcoreRounds).map { r =>
       s"""e$r AS MATERIALIZED (
         SELECT e.u, e.v FROM e${r - 1} e
         JOIN (SELECT node FROM (
@@ -456,7 +468,7 @@ object Recursive {
               SELECT u AS node FROM e${r - 1} UNION ALL SELECT v AS node FROM e${r - 1}) x
             GROUP BY node) dd WHERE d >= 5) kv ON e.v = kv.node)"""
     }.mkString(",\n")
-    val counts = (0 to 8).map { r =>
+    val counts = (0 to KcoreRounds).map { r =>
       s"""SELECT $r AS round,
         (SELECT count(DISTINCT node) FROM
           (SELECT u AS node FROM e$r UNION ALL SELECT v AS node FROM e$r) x) AS n_nodes,

@@ -47,7 +47,11 @@ object Sparse {
     // -- svec_dot cosine top-5: sparse TF vectors, two-pointer kernel --
     "v01_svec_cosine" -> { (s, dir) =>
       graft.functions.PgFunctions.register(s)
-      val vecs = docVecs(s, dir)
+      // spool (ShareInputScan): the query and corpus branches both read
+      // the vector build — un-spooled, the explode + vocab + per-doc
+      // aggregation ran TWICE (the r8 bench caught it at 2.6 s; spooled
+      // ~1.4 s)
+      val vecs = docVecs(s, dir).localCheckpoint()
       val q = vecs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("q_id"), col("svec").as("q_vec"), col("nrm").as("q_nrm"))
       val c = vecs.select(col("doc_id").as("c_id"), col("svec").as("c_vec"),
