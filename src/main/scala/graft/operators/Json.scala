@@ -246,6 +246,29 @@ object Json {
         .orderBy(col("o_orderpriority"))
     },
 
+    // -- j06: row_to_json (jsonfuncs.c json_build / composite-to-json
+    //    path): serialize each row as a json object PRESERVING COLUMN
+    //    ORDER — the json-vs-jsonb distinction j02 demonstrates from
+    //    the other side (jsonb re-sorts keys canonically; row_to_json
+    //    does not, so `k` precedes `status` here because the SELECT
+    //    does). NULL fields serialize as json null (PG keeps them;
+    //    Spark needs ignoreNullFields=false). Integers stay integers
+    //    (cents BIGINT) so both engines render identical bytes --
+    "j06_row_to_json" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .withColumn("prio_opt",
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")))
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .select(col("o_orderkey"),
+          to_json(
+            struct(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+              col("prio_opt").as("prio"), col("cents")),
+            Map("ignoreNullFields" -> "false")).as("rowjson"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // -- jsonb_each rollup (jsonfuncs.c jsonb_each — object → (key,
     //    value) SRF): explode the object AS rows, then a per-key corpus
     //    rollup. Spark-first: explode(from_json(map)) IS jsonb_each; the
@@ -414,6 +437,16 @@ object Json {
         CAST(length(arr_json) AS BIGINT) AS arr_chars, obj_json
       FROM arr JOIN obj ON arr.o_orderpriority = obj.o_orderpriority
       ORDER BY arr.o_orderpriority""",
+
+    "j06_row_to_json" -> """
+      SELECT o_orderkey,
+        to_json(struct_pack(
+          k := o_orderkey,
+          status := o_orderstatus,
+          prio := CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END,
+          cents := CAST(round(o_totalprice * 100) AS BIGINT))) AS rowjson
+      FROM orders WHERE o_orderkey <= 1000
+      ORDER BY o_orderkey""",
     // The oracle states the canonical forms directly from the columns —
     // sorted key order is prio < src < st, st always comes from the
     // document (right precedence), src always from the defaults.

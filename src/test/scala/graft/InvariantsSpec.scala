@@ -498,4 +498,52 @@ class InvariantsSpec extends AnyFunSuite {
       .filter(members("doc_id").isNull || reps("keeper_chars") =!= members("n_chars"))
     assert(bad.count() == 0, "a representative is not a max-length member of its cluster")
   }
+
+  test("PgToTimestamp: parse ∘ format = id over a decade of dates, all template shapes") {
+    // property sweep: every template q117 uses must roundtrip every
+    // date (and synthetic second-of-day) exactly — the do_to_timestamp
+    // field collector may not lose or misread any field
+    import graft.functions.{PgToCharTs, PgToTimestamp}
+    val templates = Seq("MM/DD/YYYY", "Mon DD, YYYY", "YYYY-MM-DD",
+      "MM/DD/YYYY HH24:MI:SS", "MM/DD/YYYY HH12:MI:SS AM")
+    var day = java.time.LocalDate.of(1992, 1, 1)
+    val end = java.time.LocalDate.of(2002, 1, 1)
+    var i = 0L
+    while (day.isBefore(end)) {
+      val secs = (i * 8641) % 86400 // sweeps the clock incl. 00:xx and 12:xx
+      val micros = (day.toEpochDay * 86400L + secs) * 1000000L
+      templates.foreach { t =>
+        val text = PgToCharTs.format(micros, t)
+        val back = PgToTimestamp.parse(text, t)
+        val expected = if (t.contains("HH")) micros else day.toEpochDay * 86400L * 1000000L
+        assert(back == expected, s"$t: $text -> $back != $expected")
+      }
+      day = day.plusDays(137) // ~27 samples/year incl. leap Februaries
+      i += 1
+    }
+  }
+
+  test("PairEmitSized prune soundness: a dropped pair can never reach rounded jaccard 0.5") {
+    // for every (min_sz, max_sz) the kernel prunes, the BEST case
+    // jaccard (inter = min_sz) must round below 0.5; for every kept
+    // ratio there must exist an inter reaching it — the prune is
+    // exactly tight, never lossy
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def pairKept(sa: Long, sb: Long): Boolean = {
+      val arr = new GenericArrayData(Array[Any](
+        new GenericInternalRow(Array[Any](1L, sa)),
+        new GenericInternalRow(Array[Any](2L, sb))))
+      graft.functions.PairEmit.emitSized(arr, 50).numElements() == 1
+    }
+    for (sa <- 1L to 120L; sb <- sa to 120L) {
+      val bestJ = BigDecimal(sa.toDouble / sb).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val kept = pairKept(sa, sb)
+      if (kept) assert(bestJ >= BigDecimal("0.5"),
+        s"kept ($sa,$sb) but best rounded jaccard $bestJ < 0.5")
+      else assert(bestJ < BigDecimal("0.5"),
+        s"pruned ($sa,$sb) but best rounded jaccard $bestJ could pass")
+    }
+  }
 }
