@@ -118,6 +118,40 @@ object Incremental {
         .orderBy(col("o_custkey"))
     },
 
+    // -- i13: CDC log compaction — the change-data-capture apply step
+    //    (the Debezium/consumer side of logical replication,
+    //    `src/backend/replication/logical/` reorderbuffer semantics):
+    //    a change log of (key, lsn, op, payload) rows compacts to the
+    //    final table state by LATEST-WINS per key, with a trailing
+    //    DELETE erasing the key. The log is synthesized
+    //    deterministically from orders (every order emits an INSERT;
+    //    keys % 3 = 1 emit a later UPDATE doubling cents; keys % 5 = 0
+    //    emit a final DELETE). Spark-first: latest-wins is ONE
+    //    map-side-combined max_by on the LSN — no window over the log,
+    //    which is the difference between compacting a 100 TB log in one
+    //    exchange and sorting it --
+    "i13_cdc_compaction" -> { (s, dir) =>
+      val base = Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      val log = base
+        .select(col("o_orderkey").as("k"), lit(1L).as("lsn"), lit("I").as("op"),
+          col("cents"))
+        .unionAll(base.filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey").as("k"), lit(2L).as("lsn"), lit("U").as("op"),
+            (col("cents") * 2).as("cents")))
+        .unionAll(base.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey").as("k"), lit(3L).as("lsn"), lit("D").as("op"),
+            lit(null).cast("bigint").as("cents")))
+      log.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_ops"),
+          expr("max_by(op, lsn)").as("last_op"),
+          expr("max_by(cents, lsn)").as("last_cents"))
+        .filter(col("last_op") =!= "D")
+        .select(col("k"), col("n_ops"), col("last_op"), col("last_cents"))
+        .orderBy(col("k"))
+    },
+
     // -- IVM_SUB: the DELETE path — build the matview over ALL events,
     //    then retract a delete batch (event_id % 7 = 0) as a negated
     //    delta; the retracted state must equal the batch aggregate of the
@@ -259,6 +293,24 @@ object Incremental {
     })
 
   def oracle: Map[String, String] = Map(
+    "i13_cdc_compaction" -> """
+      WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey <= 2000),
+      log AS (
+        SELECT k, 1 AS lsn, 'I' AS op, cents FROM base
+        UNION ALL
+        SELECT k, 2, 'U', cents * 2 FROM base WHERE k % 3 = 1
+        UNION ALL
+        SELECT k, 3, 'D', NULL FROM base WHERE k % 5 = 0),
+      compacted AS (
+        SELECT k, count(*) AS n_ops,
+          max_by(op, lsn) AS last_op,
+          max_by(cents, lsn) AS last_cents
+        FROM log GROUP BY k)
+      SELECT k, n_ops, last_op, CAST(last_cents AS BIGINT) AS last_cents
+      FROM compacted WHERE last_op <> 'D'
+      ORDER BY k""",
     "i10_aqumv_filter" -> """
       SELECT o_orderpriority, count(*) AS n_orders,
         round(CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)

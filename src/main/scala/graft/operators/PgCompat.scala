@@ -384,6 +384,18 @@ object PgCompat {
         ORDER BY o_orderkey""")
     },
 
+    // -- q121: justify_hours / justify_days / justify_interval
+    //    (timestamp.c:2934ff): normalize an interval's fields by the
+    //    fixed conversions 24 h → 1 day and 30 days → 1 mon (PG's
+    //    interval algebra is exactly these two carries — no calendar
+    //    lookup, which is why the result is a pure integer computation
+    //    both engines share as ONE SQL text). The raw duration is a
+    //    deterministic per-order second count spanning 0..~115 days --
+    "q121_justify_interval" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(JustifySql)
+    },
+
     // -- q120: multi-array unnest — PG's `unnest(a, b)` SRF zips several
     //    arrays positionally, padding the shorter ones with NULL
     //    (ExecInitFunctionScan's ordinality_mode; the ROWS FROM (...)
@@ -608,7 +620,28 @@ object PgCompat {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** ONE text for Spark and DuckDB: the two interval carries as integer
+    * algebra over a deterministic per-order second count. */
+  private val JustifySql = """
+    WITH src AS (
+      SELECT o_orderkey, (o_orderkey * 7919) % 10000000 AS raw_secs
+      FROM orders WHERE o_orderkey <= 2000),
+    jh AS (
+      SELECT o_orderkey, raw_secs,
+        CAST(floor(raw_secs / 86400) AS BIGINT) AS jh_days,
+        CAST(floor((raw_secs % 86400) / 3600) AS BIGINT) AS jh_hours,
+        CAST(floor((raw_secs % 3600) / 60) AS BIGINT) AS jh_mins,
+        CAST(raw_secs % 60 AS BIGINT) AS jh_secs
+      FROM src)
+    SELECT o_orderkey, raw_secs,
+      jh_days, jh_hours, jh_mins, jh_secs,
+      CAST(floor(jh_days / 30) AS BIGINT) AS jd_mons,
+      CAST(jh_days % 30 AS BIGINT) AS jd_days,
+      (jh_days * 86400 + jh_hours * 3600 + jh_mins * 60 + jh_secs) = raw_secs AS rt_ok
+    FROM jh ORDER BY o_orderkey"""
+
   def oracle: Map[String, String] = Map(
+    "q121_justify_interval" -> JustifySql,
     "q115_unaccent" -> """
       WITH t AS (
         SELECT p_name,

@@ -61,7 +61,8 @@ class PlanShapeSpec extends AnyFunSuite {
 
   for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_dedup",
     "s02_ann_lsh_buckets", "s03_embedding_near_dup",
-    "d06_boilerplate_ngrams", "x02_contamination")) {
+    "d06_boilerplate_ngrams", "x02_contamination",
+    "d09_containment", "t19_dup_ngram_coverage", "s09_multiprobe_lsh")) {
     test(s"$name: no all-pairs join (CartesianProduct / BroadcastNestedLoop)") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
