@@ -83,6 +83,43 @@ object Events {
         .orderBy(col("user_id"))
     },
 
+    // -- e13: SCD2 effective-dated LOOKUP — the read side of e12's
+    //    history build: each purchase event joins to the dimension
+    //    version active AT ITS TIMESTAMP (valid_from ≤ ts < valid_to),
+    //    answering "what state was the user in when they bought".
+    //    Versions per user are non-overlapping, so the range join
+    //    collapses to an as-of (e03's shape): one user-keyed join of
+    //    purchases × version STARTS, argmax of the latest start ≤ ts as
+    //    a map-side-combined max_by — no window over the fact stream,
+    //    no interval explosion. Per-user fan-out is bounded by that
+    //    user's change count, at any corpus size --
+    "e13_scd2_lookup" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = Tables.df(s, dir, "events")
+      val versions = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_millis(col("ts")).as("vf"), col("event_id").as("vid"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_millis(col("ts")).as("pts"),
+          col("event_id").as("pid"))
+      // strictly-before lookup ((vf, vid) < (pts, pid)) — the purchase's
+      // OWN version change must not answer its own lookup; a purchase
+      // with no prior state attributes to 'none' (the LEFT join leg)
+      val att = purchases.join(versions, Seq("user_id"))
+        .filter(col("vf") < col("pts") ||
+          (col("vf") === col("pts") && col("vid") < col("pid")))
+        .groupBy(col("user_id"), col("pid"))
+        .agg(expr("max_by(state, struct(vf, vid))").as("sab"))
+      purchases.join(att, Seq("user_id", "pid"), "left")
+        .withColumn("state_at_purchase", coalesce(col("sab"), lit("none")))
+        .groupBy(col("state_at_purchase"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("state_at_purchase"))
+    },
+
     // -- e16: TIME-WEIGHTED average per user (the TimescaleDB
     //    time_weight('LOCF') aggregate): each observation's value holds
     //    until the next observation, so the average weights v_i by
@@ -559,6 +596,31 @@ object Events {
         round(list_reduce(vs,
           (a, b) -> CAST(0.2 AS DOUBLE) * b + CAST(0.8 AS DOUBLE) * a), 6) AS ewma
       FROM ordered ORDER BY user_id""",
+
+    "e13_scd2_lookup" -> """
+      WITH versions AS (
+        SELECT user_id, event_type AS state,
+          CAST(epoch_ms(ts) AS BIGINT) AS vf, event_id AS vid
+        FROM (
+          SELECT user_id, event_type, ts, event_id,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events) t
+        WHERE prev_type IS NULL OR prev_type <> event_type),
+      purchases AS (
+        SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS pts, event_id AS pid
+        FROM events WHERE event_type = 'purchase'),
+      looked AS (
+        SELECT user_id, pid, state, row_number() OVER (
+          PARTITION BY user_id, pid ORDER BY vf DESC, vid DESC) AS rn
+        FROM purchases JOIN versions USING (user_id)
+        WHERE vf < pts OR (vf = pts AND vid < pid)),
+      att AS (SELECT user_id, pid, state FROM looked WHERE rn = 1)
+      SELECT coalesce(att.state, 'none') AS state_at_purchase,
+        count(*) AS n_purchases,
+        count(DISTINCT p.user_id) AS n_users
+      FROM purchases p LEFT JOIN att ON p.user_id = att.user_id AND p.pid = att.pid
+      GROUP BY coalesce(att.state, 'none')
+      ORDER BY state_at_purchase""",
 
     "e16_time_weighted_avg" -> """
       WITH obs AS (

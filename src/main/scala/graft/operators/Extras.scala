@@ -87,6 +87,33 @@ object Extras {
         .orderBy(col("l_returnflag"))
     },
 
+    // -- q122: HLL sketch MERGEABILITY — the property q61 doesn't show:
+    //    per-month DataSketches HLL sketches union losslessly into
+    //    quarter estimates (hll_union_agg over hll_sketch_agg partials),
+    //    which is the sketch-IVM story — month partials persist once,
+    //    any coarser rollup derives from the sketches without rescanning
+    //    the facts (Exchange carries |months| sketch binaries, not rows).
+    //    Audited in-result against the exact quarter distinct (q61's
+    //    pattern); the oracle recomputes the exact side and pins ok=1 --
+    "q122_hll_union" -> { (s, dir) =>
+      val orders = Tables.df(s, dir, "orders")
+        .withColumn("qtr", expr("concat(year(o_orderdate), '-Q', quarter(o_orderdate))"))
+        .withColumn("mon", expr("date_trunc('month', o_orderdate)"))
+      val monthly = orders
+        .groupBy(col("qtr"), col("mon"))
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      val est = monthly.groupBy(col("qtr"))
+        .agg(count(lit(1)).as("n_months"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = orders.groupBy(col("qtr"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      est.join(exact, Seq("qtr"))
+        .select(col("qtr"), col("n_months"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 5)
+            .cast("int").as("union_within_5pct"))
+        .orderBy(col("qtr"))
+    },
+
     // -- count-min sketch (the frequency cousin of q61's HLL; reference
     //    ships the sketch family via contrib — madlib/datasketches-style
     //    CountMin). d=4 hash rows × w=256 counters with the same
@@ -352,6 +379,18 @@ object Extras {
         CAST(CASE WHEN abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 100
                     <= count(DISTINCT l_partkey) * 5 THEN 1 ELSE 0 END AS INTEGER) AS approx_within_5pct
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // union_within_5pct is pinned: the oracle recomputes the exact side;
+    // a drifting sketch union flips the Spark column and fails the hash.
+    "q122_hll_union" -> """
+      WITH o AS (
+        SELECT concat(year(o_orderdate), '-Q', quarter(o_orderdate)) AS qtr,
+          date_trunc('month', o_orderdate) AS mon, o_custkey
+        FROM orders)
+      SELECT qtr, CAST(count(DISTINCT mon) AS BIGINT) AS n_months,
+        count(DISTINCT o_custkey) AS n_exact,
+        CAST(1 AS INTEGER) AS union_within_5pct
+      FROM o GROUP BY qtr ORDER BY qtr""",
 
     "q63_groups_frame" -> """
       SELECT o_orderkey, o_orderpriority,
