@@ -248,6 +248,36 @@ object Similarity {
         .orderBy(col("cent_id"))
     },
 
+    // -- d11: SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster the
+    //    embedding space (s07's two exact-integer Lloyd rounds, same
+    //    helpers), then within each cluster keep only the members
+    //    closest to the centroid — semantically redundant items (same
+    //    cluster, farther out) are pruned. Keep rule here: the closest
+    //    ⌈half⌉ per cluster by (d2, id). The per-cluster ranking runs
+    //    as a cent_id-partitioned window (k clusters ≫ partitions at
+    //    scale; a production keep-k would use the bounded TopK
+    //    aggregate — the rule, not the plan, is what's cluster-wide).
+    //    Output is the per-cluster dedup report --
+    "d11_semdedup" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val emb = kmeansQuantized(s, dir)
+      val cents0 = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cv"))
+      val assigned =
+        kmeansAssign(emb, kmeansRecompute(kmeansAssign(emb, cents0)))
+      val w = Window.partitionBy(col("cent_id")).orderBy(col("d2"), col("vec_id"))
+      assigned
+        .withColumn("rk", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("cent_id"))))
+        .withColumn("keep", col("rk") * 2 <= col("sz") + 1)
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          min(when(col("keep"), col("vec_id"))).as("min_kept"),
+          max(when(col("keep"), col("d2"))).cast("bigint").as("max_kept_d2"))
+        .orderBy(col("cent_id"))
+    },
+
     // -- s09: MULTI-PROBE LSH — the recall repair for s02/s03's
     //    single-bucket probe (Lv et al., VLDB'07): a query inspects its
     //    own 8-plane bucket AND the 8 Hamming-distance-1 buckets (one
@@ -418,11 +448,12 @@ object Similarity {
   private def oracleNorm(c: String) =
     s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
-  def oracle: Map[String, String] = Map(
-    // Two unrolled Lloyd iterations in exact BIGINT arithmetic — the
-    // same quantization, distance, and centroid-update formulas as the
-    // Spark side, so no floating-point summation order can diverge.
-    "s07_kmeans_lloyd" -> """
+  /** Two unrolled Lloyd iterations in exact BIGINT arithmetic — the
+    * same quantization, distance, and centroid-update formulas as the
+    * Spark side, so no floating-point summation order can diverge.
+    * Ends at the assignment relation m2(vec_id, cent_id, d2); shared by
+    * the s07 and d11 oracles. */
+  private val kmeansOracleM2 = """
       WITH emb AS (
         SELECT vec_id,
           list_transform(embedding,
@@ -458,11 +489,26 @@ object Similarity {
           FROM emb e, c1 c) t
         GROUP BY vec_id),
       m2 AS (
-        SELECT vec_id, enc % 10 AS cent_id, enc // 10 AS d2 FROM a2)
+        SELECT vec_id, enc % 10 AS cent_id, enc // 10 AS d2 FROM a2)"""
+
+  def oracle: Map[String, String] = Map(
+    "s07_kmeans_lloyd" -> s"""$kmeansOracleM2
       SELECT cent_id, count(*) AS n_members,
         CAST(sum(d2) AS BIGINT) AS inertia,
         min(vec_id) AS min_member
       FROM m2 GROUP BY cent_id ORDER BY cent_id""",
+
+    "d11_semdedup" -> s"""$kmeansOracleM2,
+      ranked AS (
+        SELECT cent_id, vec_id, d2,
+          row_number() OVER (PARTITION BY cent_id ORDER BY d2, vec_id) AS rk,
+          count(*) OVER (PARTITION BY cent_id) AS sz
+        FROM m2)
+      SELECT cent_id, count(*) AS n_members,
+        CAST(sum(CASE WHEN rk * 2 <= sz + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        min(CASE WHEN rk * 2 <= sz + 1 THEN vec_id END) AS min_kept,
+        CAST(max(CASE WHEN rk * 2 <= sz + 1 THEN d2 END) AS BIGINT) AS max_kept_d2
+      FROM ranked GROUP BY cent_id ORDER BY cent_id""",
 
     "s06_quantized_ann" -> """
       WITH quant AS (

@@ -292,4 +292,43 @@ class IngestSpec extends AnyFunSuite {
     val (z, u) = (bytes("zstd"), bytes("uncompressed"))
     assert(z > 0 && z < u, s"zstd=$z must undercut uncompressed=$u")
   }
+
+  test("write sizing: maxRecordsPerFile bounds every output file (small-files control)") {
+    // The 100 TB writer discipline: unbounded task outputs produce
+    // either giant files (slow readers) or a small-files explosion
+    // (slow listings). maxRecordsPerFile is the per-file ceiling —
+    // every parquet part must respect it, and the row total must
+    // survive exactly.
+    val out = java.nio.file.Files.createTempDirectory("graft_sizing").toString
+    val src = Tables.df(spark, Sf, "orders").select("o_orderkey", "o_custkey")
+    src.coalesce(2).write.option("maxRecordsPerFile", "200")
+      .mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == src.count())
+    val perFile = spark.read.parquet(out)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .groupBy("f").count().collect()
+    assert(perFile.nonEmpty && perFile.forall(_.getLong(1) <= 200),
+      s"a file exceeds the 200-row ceiling: ${perFile.map(_.getLong(1)).max}")
+  }
+
+  test("write sizing: repartition by partition key yields exactly one file per partition") {
+    // partitionBy without co-partitioning writes |tasks| x |partitions|
+    // files; repartitioning on the partition column first collapses
+    // that to one file per partition — the compaction-friendly layout.
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_onefile").toString
+    Tables.df(spark, Sf, "orders")
+      .withColumn("status", col("o_orderstatus"))
+      .repartition(col("status"))
+      .write.partitionBy("status").mode("overwrite").parquet(out)
+    val statusDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("status="))
+    assert(statusDirs.nonEmpty)
+    statusDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${d.getName} has ${parts.length} files; expected 1 after repartition")
+    }
+  }
 }
