@@ -546,4 +546,54 @@ class InvariantsSpec extends AnyFunSuite {
         s"pruned ($sa,$sb) but best rounded jaccard $bestJ could pass")
     }
   }
+
+  test("d11: every cluster keeps exactly the closest ceil(half) of its members") {
+    val rows = SparkEntry.queries("d11_semdedup")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept == (n + 1) / 2, s"cluster ${r.getLong(0)}: kept $kept of $n")
+    }
+  }
+
+  test("s08: PQ ranks are dense 1..5 with non-decreasing ADC distance, recall5 in [0,5]") {
+    val rows = SparkEntry.queries("s08_pq_ann")(spark, Sf).collect()
+      .groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 5), s"q$q ranks not dense")
+      val d = sorted.map(_.getDouble(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b }, s"q$q ADC not sorted: ${d.toSeq}")
+      val rec = rs.map(_.getLong(4)).distinct
+      assert(rec.length == 1 && rec.head >= 0 && rec.head <= 5, s"q$q recall5 ${rec.toSeq}")
+    }
+  }
+
+  test("s09: multi-probe candidate count dominates the own-bucket count per query") {
+    // probing 8 extra Hamming-1 buckets can only ADD candidates — every
+    // query's n_cand must be >= its own-bucket occupancy minus itself
+    val multi = SparkEntry.queries("s09_multiprobe_lsh")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    Tables.register(spark, Sf)
+    val own = spark.sql("""
+      WITH b AS (
+        SELECT vec_id,
+          aggregate(sequence(0, 7), 0L, (acc, p) ->
+            acc + CASE WHEN
+              aggregate(sequence(1, size(embedding)), 0D, (a, j) ->
+                a + CAST(embedding[j-1] AS DOUBLE)
+                  * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE))
+              > 0D THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END) AS bucket
+        FROM embeddings)
+      SELECT q.vec_id, count(c.vec_id) - 1 AS own_cands
+      FROM b q JOIN b c ON q.bucket = c.bucket
+      WHERE q.vec_id < 10 GROUP BY q.vec_id""").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi.nonEmpty && own.nonEmpty)
+    own.foreach { case (q, o) =>
+      assert(multi.getOrElse(q, 0L) >= o,
+        s"query $q: multi-probe ${multi.get(q)} < own-bucket $o")
+    }
+  }
 }
