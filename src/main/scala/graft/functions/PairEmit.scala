@@ -98,6 +98,31 @@ case class PairEmitSized(child: Expression, cap: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** PairEmitSized without the jaccard length prune — for ASYMMETRIC
+  * thresholds (d09 containment: a tiny set fully inside a huge one is
+  * the signal, so no size ratio may drop pairs) that still want sizes
+  * riding the group key (no post-aggregate size joins). */
+case class PairEmitSizedAll(child: Expression, cap: Int) extends UnaryExpression {
+
+  private val pairType = StructType(Seq(
+    StructField("a_id", LongType, nullable = true),
+    StructField("b_id", LongType, nullable = true),
+    StructField("a_sz", LongType, nullable = true),
+    StructField("b_sz", LongType, nullable = true)))
+
+  override def dataType: DataType = ArrayType(pairType, containsNull = false)
+  override def prettyName: String = "pair_emit_sized_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PairEmit.emitSizedAll(input.asInstanceOf[ArrayData], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PairEmit.emitSizedAll($c, $cap)")
+
+  override protected def withNewChildInternal(newChild: Expression): PairEmitSizedAll =
+    copy(child = newChild)
+}
+
 object PairEmit {
   /** All ordered pairs of a sorted id list (star pairs past `cap`). */
   def emit(ds: ArrayData, cap: Int): ArrayData = {
@@ -171,6 +196,44 @@ object PairEmit {
       }
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Size-carrying, UNPRUNED pair emission (see PairEmitSizedAll). */
+  def emitSizedAll(ds: ArrayData, cap: Int): ArrayData = {
+    val n = ds.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val docs = new Array[Long](n)
+    val szs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = ds.getStruct(i, 2)
+      docs(i) = r.getLong(0); szs(i) = r.getLong(1)
+      i += 1
+    }
+    val out =
+      if (n <= cap) {
+        val rows = new Array[Any](n * (n - 1) / 2)
+        var k = 0
+        i = 0
+        while (i < n - 1) {
+          var j = i + 1
+          while (j < n) {
+            rows(k) = new GenericInternalRow(Array[Any](docs(i), docs(j), szs(i), szs(j)))
+            k += 1; j += 1
+          }
+          i += 1
+        }
+        rows
+      } else {
+        val rows = new Array[Any](n - 1)
+        var j = 1
+        while (j < n) {
+          rows(j - 1) = new GenericInternalRow(Array[Any](docs(0), docs(j), szs(0), szs(j)))
+          j += 1
+        }
+        rows
+      }
+    new GenericArrayData(out)
   }
 
   /** Packed-long pair emission (see PairEmitPacked). */

@@ -148,6 +148,14 @@ object PgFunctions {
           s"pair_emit_sized cap must be an int literal, got $other")
       }
       PairEmitSized(args(0), cap)
+    },
+    "pair_emit_sized_all" -> { args =>
+      val cap = args(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"pair_emit_sized_all cap must be an int literal, got $other")
+      }
+      PairEmitSizedAll(args(0), cap)
     }
   )
 

@@ -284,26 +284,32 @@ object Dedup {
     //    truncated crawls) even when the Jaccard is low because the
     //    container is much larger. Same capped posting-list pipeline as
     //    d02, but NO length prune is valid — a tiny A inside a huge B
-    //    is exactly the signal — so the pairs ride the plain pair_emit
-    //    kernel and the two size joins. Both directions are evaluated
-    //    per unordered pair; a pair appears when EITHER direction
-    //    reaches the threshold --
+    //    is exactly the signal — so the pairs ride the UNPRUNED sized
+    //    kernel (PairEmitSizedAll): sizes travel in the group key, so
+    //    both containment directions compute straight off the count —
+    //    zero joins after the aggregate, same as d02's r8 shape. Both
+    //    directions are evaluated per unordered pair; a pair appears
+    //    when EITHER direction reaches the threshold --
     "d09_containment" -> { (s, dir) =>
       val lists = shingleFps(s, dir)
         .groupBy(col("fp"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
         .filter(size(col("ds")) <= StopShingleCap)
         .localCheckpoint()
-      val sizes = lists.select(explode(col("ds")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = lists.filter(size(col("ds")) >= 2)
-        .select(explode(expr(s"pair_emit(ds, $StopShingleCap)")).as("p"))
-        .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
-        .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
+      val exploded = lists
+        .select(col("fp"), size(col("ds")).as("lsz"), explode(col("ds")).as("doc_id"))
+      val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sized = exploded.filter(col("lsz") >= 2)
+        .join(sizes, Seq("doc_id"))
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_list(struct(col("doc_id").as("doc"), col("sz")))).as("dsz"))
+      sized
+        .select(explode(expr(s"pair_emit_sized_all(dsz, $StopShingleCap)")).as("p"))
+        // sizes are functional deps of the ids — carry them as min()
+        // aggregates so the hash key stays the two ids
+        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"),
+          min(col("p.a_sz")).as("a_sz"), min(col("p.b_sz")).as("b_sz"))
         .withColumn("c_ab", round(col("inter").cast("double") / col("a_sz"), 6))
         .withColumn("c_ba", round(col("inter").cast("double") / col("b_sz"), 6))
         .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)

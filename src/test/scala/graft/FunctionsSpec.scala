@@ -235,7 +235,8 @@ class FunctionsSpec extends AnyFunSuite {
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
         "pg_to_timestamp", "string_to_array", "generate_series", "pg_format",
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
-        "svec_dot", "pair_emit", "pair_emit_packed", "pair_emit_sized"))
+        "svec_dot", "pair_emit", "pair_emit_packed", "pair_emit_sized",
+        "pair_emit_sized_all"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
