@@ -184,6 +184,41 @@ object Chunking {
       s.sql(EpochShuffleSql)
     },
 
+    // -- ch05: LENGTH-BUCKETED batching — the dynamic-padding
+    //    efficiency step (group sequences of similar length so a
+    //    batch pads to its bucket's max, not the corpus max; every
+    //    training framework's bucket_by_sequence_length). Buckets are
+    //    powers of two of the token count; per bucket the padding
+    //    waste is n·bucket_max − Σtokens, and the report compares the
+    //    bucketed waste to the pad-to-global-max strategy. One
+    //    map-side-combined aggregate + a broadcast scalar — the 100 TB
+    //    plan is the census, not a shuffle of documents --
+    "ch05_length_buckets" -> { (s, dir) =>
+      val docs = Tables.df(s, dir, "documents")
+        .withColumn("n_toks", size(expr(toks)).cast("bigint"))
+        .filter(col("n_toks") > 0)
+        // smallest power of two ≥ n, via the BIT LENGTH of n-1 — integer
+        // exact in both engines (a float log2 can land on either side of
+        // an exact power by one ulp and flip the bucket cross-engine)
+        .withColumn("bucket", expr(
+          "CASE WHEN n_toks = 1 THEN 1L ELSE shiftleft(1L, length(bin(n_toks - 1))) END"))
+      val globalMax = docs.agg(max(col("n_toks")).as("gmax"))
+      docs.crossJoin(broadcast(globalMax))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          (count(lit(1)) * first(col("gmax")) - sum(col("n_toks")))
+            .as("waste_global"),
+          (count(lit(1)) * max(col("bucket")) - sum(col("n_toks")))
+            .as("waste_bucketed"))
+        .withColumn("saving_pct", round(
+          (col("waste_global") - col("waste_bucketed")).cast("double") * 100.0 /
+            greatest(col("waste_global"), lit(1L)), 2))
+        .select(col("bucket"), col("n_docs"), col("total_toks"),
+          col("waste_bucketed"), col("waste_global"), col("saving_pct"))
+        .orderBy(col("bucket"))
+    },
+
     // -- ch01: overlapping token-window chunking --
     "ch01_doc_chunking" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
@@ -248,6 +283,26 @@ object Chunking {
 
   def oracle: Map[String, String] = Map(
     "ch04_epoch_shuffle" -> EpochShuffleSql,
+
+    "ch05_length_buckets" -> """
+      WITH docs AS (
+        SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+          AS n_toks
+        FROM documents),
+      d AS (
+        SELECT n_toks,
+          CASE WHEN n_toks = 1 THEN CAST(1 AS BIGINT)
+               ELSE (CAST(1 AS BIGINT) << length(bin(n_toks - 1))) END AS bucket
+        FROM docs WHERE n_toks > 0),
+      g AS (SELECT max(n_toks) AS gmax FROM d)
+      SELECT bucket, count(*) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS total_toks,
+        CAST(count(*) * bucket - sum(n_toks) AS BIGINT) AS waste_bucketed,
+        CAST(count(*) * gmax - sum(n_toks) AS BIGINT) AS waste_global,
+        round(CAST((count(*) * gmax - sum(n_toks)) - (count(*) * bucket - sum(n_toks))
+          AS DOUBLE) * 100.0
+          / greatest(count(*) * gmax - sum(n_toks), 1), 2) AS saving_pct
+      FROM d, g GROUP BY bucket, gmax ORDER BY bucket""",
     // the oracle states packing as ONE window per source — same
     // arithmetic the two-phase prefix sum distributes
     "ch02_sequence_packing" -> s"""

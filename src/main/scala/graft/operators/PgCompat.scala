@@ -384,6 +384,31 @@ object PgCompat {
         ORDER BY o_orderkey""")
     },
 
+    // -- q123: array quantifiers + null-safe comparison — PG's
+    //    `= ANY(arr)` / `< ALL(arr)` (parse-level ScalarArrayOpExpr)
+    //    and `IS [NOT] DISTINCT FROM` (null-safe equality). Spark-first:
+    //    ANY = array_contains, ALL = forall (both codegen'd HOFs), and
+    //    IS NOT DISTINCT FROM is the native `<=>` operator. The probe
+    //    array carries a NULL element so the quantifiers' three-valued
+    //    logic is exercised: `= ANY` over {…, NULL} is NULL (not false)
+    //    when unmatched — surfaced through coalesce exactly as PG
+    //    filters do --
+    "q123_quantifiers" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          array_contains(array(1L, 3L, 5L), o_orderkey % 7) AS eq_any,
+          coalesce(array_contains(array(1L, 3L, NULL), o_orderkey % 7), false)
+            AS eq_any_nullarr,
+          forall(array(10L, 20L, 30L), x -> o_orderkey % 40 < x) AS lt_all,
+          (CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END) <=> NULL
+            AS status_is_null,
+          NOT ((CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END) <=> 'O')
+            AS distinct_from_o
+        FROM orders WHERE o_orderkey <= 2000
+        ORDER BY o_orderkey""")
+    },
+
     // -- q121: justify_hours / justify_days / justify_interval
     //    (timestamp.c:2934ff): normalize an interval's fields by the
     //    fixed conversions 24 h → 1 day and 30 days → 1 mon (PG's
@@ -642,6 +667,21 @@ object PgCompat {
 
   def oracle: Map[String, String] = Map(
     "q121_justify_interval" -> JustifySql,
+
+    // the oracle runs the REAL quantifier syntax (= ANY / < ALL /
+    // IS DISTINCT FROM), so Spark's HOF renditions are checked against
+    // the genuine three-valued semantics
+    "q123_quantifiers" -> """
+      SELECT o_orderkey,
+        (o_orderkey % 7) = ANY([1, 3, 5]) AS eq_any,
+        coalesce((o_orderkey % 7) = ANY([1, 3, NULL]), false) AS eq_any_nullarr,
+        (o_orderkey % 40) < ALL([10, 20, 30]) AS lt_all,
+        (CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END)
+          IS NOT DISTINCT FROM NULL AS status_is_null,
+        (CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END)
+          IS DISTINCT FROM 'O' AS distinct_from_o
+      FROM orders WHERE o_orderkey <= 2000
+      ORDER BY o_orderkey""",
     "q115_unaccent" -> """
       WITH t AS (
         SELECT p_name,
