@@ -70,6 +70,42 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ct01: fixed-category pivot runs in ONE scan (no values-discovery pass)") {
+    // crosstab_hash's category list comes from the caller, so the plan
+    // must not contain a second orders scan collecting distinct pivot
+    // values — exactly one FileScan of the orders table
+    val p = plan("ct01_crosstab").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$p")
+    // the category list is baked into pivotfirst — fixed categories,
+    // not a discovered set
+    assert(p.contains("9-PHANTOM"), s"fixed category list missing from the plan:\n$p")
+  }
+
+  test("q122: HLL sketches partial-aggregate before the exchange (sketch IVM)") {
+    // the month partials must combine map-side — the exchange carries
+    // sketch states, not rows
+    val p = plan("q122_hll_union")
+    assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_hllsketchagg")
+      || p.toLowerCase.contains("partial_hll"),
+      s"no partial sketch aggregation in q122:\n$p")
+  }
+
+  test("i13: CDC latest-wins is a map-side max_by, never a window over the log") {
+    val p = plan("i13_cdc_compaction")
+    assert(!p.contains("Window"), s"window over the change log in i13:\n$p")
+    assert(p.contains("partial_max_by") || p.toLowerCase.contains("partial_max"),
+      s"no partial max_by in i13:\n$p")
+  }
+
+  test("e13: the SCD2 lookup argmax partial-aggregates; no fact-stream window") {
+    // the one Window allowed is the VERSION build (lag over changes);
+    // the purchase-side lookup itself must be the max_by aggregate
+    val p = plan("e13_scd2_lookup")
+    assert(p.contains("partial_max_by") || p.toLowerCase.contains("partial_max"),
+      s"no partial argmax in e13:\n$p")
+  }
+
   test("r06: no mandatory broadcast — adjacency is edge-sized, AQE decides") {
     // The adjacency relation has |nodes| rows but |edges| total array
     // entries; a forced broadcast of it is a 100 TB scale-killer. Assert
