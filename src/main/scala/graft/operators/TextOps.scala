@@ -246,6 +246,31 @@ object TextOps {
         .orderBy(col("host"))
     },
 
+    // -- t20: URL BLOCKLIST filtering — the domain deny-list stage of a
+    //    crawl-curation pipeline (Dolma/RefinedWeb run UT1-style
+    //    blocklists before any content filter). Matching is
+    //    SUFFIX-based, the way domain lists work (an entry blocks the
+    //    domain and every subdomain): host == entry OR host ends with
+    //    '.'+entry. The deny list is a handful of rows — broadcast by
+    //    construction at any corpus size — and the corpus streams once
+    //    through a codegen'd exists() over the broadcast array; the
+    //    output is the per-source admission report plus the match rule
+    //    that fired. src3/src7 block by exact host, 'example.org'
+    //    exercises the empty-suffix branch --
+    "t20_url_blocklist" -> { (s, dir) =>
+      val blocked = Seq("src3.example.com", "src7.example.com", "example.org")
+      val arr = blocked.map("'" + _ + "'").mkString("array(", ",", ")")
+      Tables.df(s, dir, "documents")
+        .withColumn("host", expr("concat(source, '.example.com')"))
+        .withColumn("blocked", expr(
+          s"exists($arr, b -> host = b OR host LIKE concat('%.', b))"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("blocked").cast("long")).as("n_blocked"),
+          sum((!col("blocked")).cast("long")).as("n_admitted"))
+        .orderBy(col("source"))
+    },
+
     "t12_stemming" -> { (s, dir) =>
       val stem = """transform(toks, w ->
           CASE WHEN w LIKE '%sses' THEN substring(w, 1, length(w) - 2)
@@ -768,6 +793,20 @@ object TextOps {
                 len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
               FROM documents) a) b
       GROUP BY bucket ORDER BY bucket""",
+
+    "t20_url_blocklist" -> """
+      WITH hosts AS (
+        SELECT source, source || '.example.com' AS host FROM documents),
+      flagged AS (
+        SELECT source,
+          (host IN ('src3.example.com', 'src7.example.com', 'example.org')
+           OR host LIKE '%.src3.example.com' OR host LIKE '%.src7.example.com'
+           OR host LIKE '%.example.org') AS blocked
+        FROM hosts)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+        CAST(sum(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted
+      FROM flagged GROUP BY source ORDER BY source""",
 
     "t19_dup_ngram_coverage" -> """
       WITH toked AS (
