@@ -45,26 +45,6 @@ case class PairEmit(child: Expression, cap: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Packed variant: emits each candidate pair as ONE long (a<<32 | b)
-  * instead of a struct — a single-word group key for the intersection
-  * count aggregate (primitive hashing, no struct comparator). Only
-  * valid while both ids fit in 31 bits; emit() throws past that, and
-  * the caller falls back to the struct form (the 100 TB path keeps
-  * 64-bit ids via `pair_emit`). */
-case class PairEmitPacked(child: Expression, cap: Int) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "pair_emit_packed"
-
-  override protected def nullSafeEval(input: Any): Any =
-    PairEmit.emitPacked(input.asInstanceOf[ArrayData], cap)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PairEmit.emitPacked($c, $cap)")
-
-  override protected def withNewChildInternal(newChild: Expression): PairEmitPacked =
-    copy(child = newChild)
-}
-
 /** Size-aware variant for threshold similarity joins (d02 Jaccard ≥ 0.5):
   * input is a posting list of `struct<doc:bigint, sz:bigint>` sorted by
   * doc id; output pairs carry both sizes so the downstream intersection
@@ -232,40 +212,6 @@ object PairEmit {
           j += 1
         }
         rows
-      }
-    new GenericArrayData(out)
-  }
-
-  /** Packed-long pair emission (see PairEmitPacked). */
-  def emitPacked(ds: ArrayData, cap: Int): ArrayData = {
-    val n = ds.numElements()
-    if (n < 2) return new GenericArrayData(Array.empty[Long])
-    var i = 0
-    while (i < n) {
-      val v = ds.getLong(i)
-      if (v < 0 || v > Int.MaxValue)
-        throw new IllegalArgumentException(
-          s"pair_emit_packed: id $v exceeds 31 bits — use pair_emit")
-      i += 1
-    }
-    val out =
-      if (n <= cap) {
-        val arr = new Array[Long](n * (n - 1) / 2)
-        var k = 0
-        i = 0
-        while (i < n - 1) {
-          val a = ds.getLong(i) << 32
-          var j = i + 1
-          while (j < n) { arr(k) = a | ds.getLong(j); k += 1; j += 1 }
-          i += 1
-        }
-        arr
-      } else {
-        val hub = ds.getLong(0) << 32
-        val arr = new Array[Long](n - 1)
-        var j = 1
-        while (j < n) { arr(j - 1) = hub | ds.getLong(j); j += 1 }
-        arr
       }
     new GenericArrayData(out)
   }

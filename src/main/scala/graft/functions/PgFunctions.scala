@@ -59,13 +59,20 @@ object PgFunctions {
         val ds = fmt.drop(j).takeWhile(_.isDigit)
         if (ds.nonEmpty && fmt.length > j + ds.length && fmt.charAt(j + ds.length) == '$') {
           num = ds.toInt; j += ds.length + 1
+          if (num == 0) throw new IllegalArgumentException(
+            "pg_format: format specifies argument 0, but arguments are numbered from 1")
         }
         if (j >= fmt.length) throw new IllegalArgumentException(
           s"pg_format: dangling %% in '$fmt'")
         fmt.charAt(j) match {
           case '%' => sb += '%'
           case conv @ ('s' | 'I' | 'L') =>
-            val idx = if (num > 0) num - 1 else { val t = next; next += 1; t }
+            // PG: a non-positional specifier consumes "the next argument
+            // after the last argument consumed" — positional refs MOVE
+            // the cursor (text_format's arg tracking), they don't run on
+            // an independent counter
+            val idx = if (num > 0) { next = num; num - 1 }
+              else { val t = next; next += 1; t }
             require(idx < params.length, s"pg_format: too few arguments for '$fmt'")
             val arg = params(idx)
             flush()
@@ -132,14 +139,6 @@ object PgFunctions {
           s"pair_emit cap must be an int literal, got $other")
       }
       PairEmit(args(0), cap)
-    },
-    "pair_emit_packed" -> { args =>
-      val cap = args(1) match {
-        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-        case other => throw new IllegalArgumentException(
-          s"pair_emit_packed cap must be an int literal, got $other")
-      }
-      PairEmitPacked(args(0), cap)
     },
     "pair_emit_sized" -> { args =>
       val cap = args(1) match {

@@ -89,7 +89,13 @@ object PgToTimestamp {
 
     while (i < template.length) {
       if (at("YYYY")) { y = readInt(4, "YYYY"); i += 4 }
-      else if (at("YY")) { y = 2000 + readInt(2, "YY"); i += 2 }
+      else if (at("YY")) {
+        // formatting.c's nearest-century adjustment (do_to_timestamp →
+        // DCH_YY): two-digit years < 70 land in 20xx, 70–99 in 19xx
+        val v = readInt(2, "YY")
+        y = if (v < 70) 2000 + v else 1900 + v
+        i += 2
+      }
       else if (at("MONTH") || at("Month")) { mo = readName(monFull, "Month"); i += 5 }
       else if (at("Mon") || at("MON")) { mo = readName(monAbbr, "Mon"); i += 3 }
       else if (at("MM")) { mo = readInt(2, "MM"); i += 2 }

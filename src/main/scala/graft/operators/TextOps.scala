@@ -502,9 +502,15 @@ object TextOps {
       val grams = Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
         .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          // guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+          // (DuckDB's generate_series(1, 0) is empty) — a <5-token doc
+          // must contribute zero grams, not a slice(toks, 0, 5) crash
+          // (the ch01 short-doc lesson, re-caught by review here)
           posexplode(expr(
-            """transform(sequence(1, greatest(size(toks) - 4, 0)),
-                 i -> concat_ws(' ', slice(toks, i, 5)))""")))
+            """CASE WHEN size(toks) >= 5
+                 THEN transform(sequence(1, size(toks) - 4),
+                        i -> concat_ws(' ', slice(toks, i, 5)))
+                 ELSE CAST(array() AS array<string>) END""")))
         .select(col("doc_id"), col("n_tokens"),
           (col("pos") + 1).as("start"), col("col").as("gram"))
       val dupStarts = grams

@@ -235,8 +235,7 @@ class FunctionsSpec extends AnyFunSuite {
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
         "pg_to_timestamp", "string_to_array", "generate_series", "pg_format",
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
-        "svec_dot", "pair_emit", "pair_emit_packed", "pair_emit_sized",
-        "pair_emit_sized_all"))
+        "svec_dot", "pair_emit", "pair_emit_sized", "pair_emit_sized_all"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -265,6 +264,42 @@ class FunctionsSpec extends AnyFunSuite {
       == "60e431591ee0b67f0d8a26aacbf5b77f8e0bc6213728c5140546040f0ee37f54")
   }
 
+  test("pg_format: positional refs move the shared arg cursor; %0$ rejected (review r8)") {
+    graft.functions.PgFunctions.register(spark)
+    // PG: a non-positional specifier uses the next argument AFTER the
+    // last consumed — '%3$s %s' over (a,b,c,d) is 'c d', never 'c a'
+    val r = spark.sql(
+      "SELECT pg_format('%3$s %s', 'a', 'b', 'c', 'd') AS mixed").head.getString(0)
+    assert(r == "c d", s"mixed positional/sequential gave '$r'")
+    intercept[Exception] {
+      spark.sql("SELECT pg_format('%0$s', 'x')").collect()
+    }
+    // sequential past a positional that rewound: '%2$s %s %s' = 'b c a'? no —
+    // cursor after %2$s is arg3, then arg4 would overflow with 3 args
+    intercept[Exception] {
+      spark.sql("SELECT pg_format('%3$s %s', 'a', 'b', 'c')").collect()
+    }
+  }
+
+  test("t19 survives documents shorter than the 5-gram window (review r8)") {
+    // Spark's sequence(1, 0) is DESCENDING [1, 0]; the gram build must
+    // emit zero grams for a <5-token doc, not crash in slice()
+    import spark.implicits._
+    Seq((1L, "a b c"), (2L, "one two three four five six six six six six six"),
+      (3L, "")).toDF("doc_id", "text")
+      .createOrReplaceTempView("t19_short_docs")
+    val grams = spark.sql("""
+      SELECT doc_id,
+        CASE WHEN size(toks) >= 5
+          THEN transform(sequence(1, size(toks) - 4),
+                 i -> concat_ws(' ', slice(toks, i, 5)))
+          ELSE CAST(array() AS array<string>) END AS grams
+      FROM (SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS toks
+            FROM t19_short_docs) t""").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
+    assert(grams == Map(1L -> 0, 2L -> 7, 3L -> 0))
+  }
+
   test("pg_to_timestamp parses the formatting.c template subset (do_to_timestamp)") {
     import graft.functions.PgToTimestamp.parse
     def micros(s: String) =
@@ -275,6 +310,9 @@ class FunctionsSpec extends AnyFunSuite {
       "month-name match is case-insensitive (from_char_seq_search)")
     assert(parse("02/29/1996 23:59:58", "MM/DD/YYYY HH24:MI:SS")
       == micros("1996-02-29T23:59:58"), "leap day")
+    // YY nearest-century rule (DCH_YY): <70 → 20xx, 70–99 → 19xx
+    assert(parse("12/31/99", "MM/DD/YY") == micros("1999-12-31T00:00:00"))
+    assert(parse("06/15/69", "MM/DD/YY") == micros("2069-06-15T00:00:00"))
     // 12-hour clock: 12 AM = 00h, 12 PM = 12h, 01 PM = 13h
     assert(parse("12:30 AM", "HH12:MI AM") == micros("1970-01-01T00:30:00"))
     assert(parse("12:30 PM", "HH12:MI PM") == micros("1970-01-01T12:30:00"))
