@@ -278,6 +278,56 @@ object Chunking {
         .withColumn("contamination_ratio",
           round(col("n_contaminated").cast("double") / col("n_test_grams"), 6))
         .orderBy(col("doc_id"))
+    },
+
+    // -- d12: C4-style line-level dedup WITH reassembly — d06 reports
+    //    boilerplate, this one REMOVES it and emits the rewritten
+    //    corpus (the C4 pipeline's "discard any line occurring more
+    //    than once in the corpus" rule; RefinedWeb line-wise filtering).
+    //    Our documents are single-line word bags, so "lines" are the
+    //    deterministic L-token segmentation (documented proxy — on real
+    //    data this is split('\n')). Shape that survives 100 TB:
+    //      segment (per-row explode, codegen) →
+    //      census shuffle on the 32-byte line md5 (map-side combined
+    //      distinct-doc counts, exactly d01/d06's key discipline) →
+    //      one equi-join back (AQE broadcasts the flagged-line set when
+    //      it fits — duplicated lines are the minority) →
+    //      per-doc reassembly: ONE groupBy(doc_id) whose state is
+    //      bounded by the document's own line count (array_sort fixes
+    //      collect_list's arrival order, so the rebuild is
+    //      deterministic without any window or global sort).
+    //    Nothing is quadratic; the rewritten text never shuffles twice.
+    //    Output is the rewritten doc: line census + kept-token count +
+    //    md5 of the reassembled text (the driver hash-compares the
+    //    actual rebuilt string on both engines) --
+    "d12_line_dedup" -> { (s, dir) =>
+      val L = 3 // tokens per synthetic "line" (small vocab → real dups)
+      val lines = Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .select(col("doc_id"), col("toks"), explode(expr(
+          s"sequence(0, CAST(greatest(size(toks) - 1, 0) DIV $L AS INT))")).as("line_no"))
+        .withColumn("line", expr(s"slice(toks, line_no * $L + 1, $L)"))
+        .filter(size(col("line")) > 0)
+        .withColumn("lh", md5(concat_ws(" ", col("line"))))
+        .select(col("doc_id"), col("line_no"), col("line"), col("lh"))
+        .localCheckpoint() // spool: census + reassembly both read it
+      val boiler = lines.groupBy(col("lh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("lh"), lit(1).as("is_boiler"))
+      lines.join(boiler, Seq("lh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          count(col("is_boiler")).as("n_removed"),
+          expr("""flatten(transform(
+                    array_sort(collect_list(CASE WHEN is_boiler IS NULL
+                      THEN struct(line_no, line) END)),
+                    e -> e.line))""").as("kept"))
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          size(col("kept")).cast("bigint").as("kept_tokens"),
+          md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -375,6 +425,29 @@ object Chunking {
              round(CAST(count(CASE WHEN gram IN (SELECT gram FROM train) THEN 1 END) AS DOUBLE)
                    / count(*), 6) AS contamination_ratio
       FROM g WHERE doc_id % 10 >= 8
-      GROUP BY doc_id ORDER BY doc_id"""
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    // one window-free aggregate per doc; string_agg(... ORDER BY line_no)
+    // skips the NULL'd boilerplate lines exactly like collect_list does
+    "d12_line_dedup" -> """
+      WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                 FROM documents),
+      l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+                   toks[CAST(i*3+1 AS INT) : CAST(i*3+3 AS INT)] AS line
+            FROM t, LATERAL (SELECT unnest(generate_series(0,
+                   CAST(floor(greatest(len(toks)-1, 0) / 3.0) AS INT)))) AS u(i)),
+      l2 AS (SELECT doc_id, line_no, line, md5(array_to_string(line, ' ')) AS lh
+             FROM l WHERE len(line) > 0),
+      boiler AS (SELECT lh FROM (SELECT lh, count(DISTINCT doc_id) AS nd
+                                 FROM l2 GROUP BY 1) WHERE nd >= 2)
+      SELECT doc_id,
+        count(*) AS n_lines,
+        count(CASE WHEN lh IN (SELECT lh FROM boiler) THEN 1 END) AS n_removed,
+        CAST(coalesce(sum(CASE WHEN lh NOT IN (SELECT lh FROM boiler)
+                               THEN len(line) END), 0) AS BIGINT) AS kept_tokens,
+        md5(coalesce(string_agg(CASE WHEN lh NOT IN (SELECT lh FROM boiler)
+                                     THEN array_to_string(line, ' ') END,
+                                ' ' ORDER BY line_no), '')) AS kept_md5
+      FROM l2 GROUP BY doc_id ORDER BY doc_id"""
   )
 }

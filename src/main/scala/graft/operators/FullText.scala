@@ -270,8 +270,104 @@ object FullText {
         .select(col("doc_id"), col("n_lex"), col("tf_stem"), col("rank"))
         .orderBy(col("rank").desc, col("doc_id"))
         .limit(30)
+    },
+
+    // -- f12: websearch_to_tsquery — the web-style query grammar
+    //    (reference `src/backend/utils/adt/to_tsany.c`
+    //    websearch_to_tsquery_byid: unquoted words AND, the bare word
+    //    `or` is OR at lowest precedence, `-term` is NOT, "quoted
+    //    words" become a followed-by phrase). Like PG, the query
+    //    string is parsed ONCE at plan time (PG parses to a TSQuery
+    //    node tree; here `Websearch.compile*` builds the same operator
+    //    tree and emits it as a boolean expression over the token
+    //    array) — per-row evaluation is pure codegen'd HOF arithmetic,
+    //    no UDF, no per-row parsing. The DuckDB oracle is emitted from
+    //    the SAME parse, so the two engines evaluate one tree.
+    //    Output: matched docs, per-branch flags, n_hits = matched
+    //    positive atoms (coarse relevance like ts_rank's term count) --
+    "f12_websearch" -> { (s, dir) =>
+      val q = Websearch.parse(WebsearchQuery)
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("b0", expr(Websearch.sparkBranch(q(0))))
+        .withColumn("b1", expr(Websearch.sparkBranch(q(1))))
+        .filter(col("b0") || col("b1"))
+        .withColumn("n_hits", expr(Websearch.sparkHits(q)).cast("bigint"))
+        .select(col("doc_id"), col("b0"), col("b1"), col("n_hits"))
+        .orderBy(col("n_hits").desc, col("doc_id"))
     }
   )
+
+  /** The f12 query text: (merge & vector) | (("hash"<->"join") & !stream). */
+  private val WebsearchQuery = """merge vector or "hash join" -stream"""
+
+  /** Plan-time websearch grammar parser + two emitters (Spark SQL and
+    * DuckDB SQL) over a token-array column named `toks`. Atom forms:
+    * Word, Not(word), Phrase(words). Branches are OR'd; atoms within a
+    * branch are AND'd — websearch_to_tsquery's precedence exactly. */
+  private[graft] object Websearch {
+    sealed trait Atom
+    case class Word(w: String) extends Atom
+    case class Not(w: String) extends Atom
+    case class Phrase(ws: Seq[String]) extends Atom
+
+    def parse(q: String): Seq[Seq[Atom]] = {
+      // tokenize: quoted phrase | -word | word; `or` splits branches
+      val pat = java.util.regex.Pattern.compile("\"([^\"]*)\"|(-?[^\\s\"]+)")
+      val m = pat.matcher(q)
+      val branches = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer[Atom]())
+      while (m.find()) {
+        if (m.group(1) != null) {
+          val ws = m.group(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          if (ws.nonEmpty) branches.last += (if (ws.size == 1) Word(ws.head) else Phrase(ws))
+        } else m.group(2).toLowerCase match {
+          case "or" => branches += scala.collection.mutable.ArrayBuffer[Atom]()
+          case w if w.startsWith("-") && w.length > 1 => branches.last += Not(w.drop(1))
+          case w => branches.last += Word(w)
+        }
+      }
+      branches.map(_.toSeq).toSeq
+    }
+
+    private def atom(a: Atom, contains: String => String,
+                     phrase: Seq[String] => String): String = a match {
+      case Word(w) => contains(w)
+      case Not(w) => s"NOT ${contains(w)}"
+      case Phrase(ws) => phrase(ws)
+    }
+
+    // Spark: array_contains; phrase via exists over a position range.
+    // sequence() is guarded (size >= n) because Spark's sequence(1, 0)
+    // DESCENDS instead of being empty — the t19 short-doc trap.
+    private def sparkContains(w: String) = s"array_contains(toks, '$w')"
+    private def sparkPhrase(ws: Seq[String]) = {
+      val n = ws.size
+      val conds = ws.zipWithIndex
+        .map { case (w, i) => s"element_at(toks, i + $i) = '$w'" }.mkString(" AND ")
+      s"(size(toks) >= $n AND exists(sequence(1, size(toks) - ${n - 1}), i -> $conds))"
+    }
+    def sparkAtom(a: Atom): String = atom(a, sparkContains, sparkPhrase)
+    def sparkBranch(b: Seq[Atom]): String = b.map(sparkAtom).mkString("(", " AND ", ")")
+    /** Count of positive atoms (words/phrases, not negations) that hit. */
+    def sparkHits(q: Seq[Seq[Atom]]): String =
+      q.flatten.collect {
+        case a @ (Word(_) | Phrase(_)) => s"CAST(${sparkAtom(a)} AS INT)"
+      }.mkString(" + ")
+
+    private def duckContains(w: String) = s"list_contains(toks, '$w')"
+    private def duckPhrase(ws: Seq[String]) = {
+      val n = ws.size
+      val conds = ws.zipWithIndex
+        .map { case (w, i) => s"toks[i + $i] = '$w'" }.mkString(" AND ")
+      s"(len(toks) >= $n AND len(list_filter(generate_series(1, len(toks) - ${n - 1}), i -> $conds)) > 0)"
+    }
+    def duckAtom(a: Atom): String = atom(a, duckContains, duckPhrase)
+    def duckBranch(b: Seq[Atom]): String = b.map(duckAtom).mkString("(", " AND ", ")")
+    def duckHits(q: Seq[Seq[Atom]]): String =
+      q.flatten.collect {
+        case a @ (Word(_) | Phrase(_)) => s"CAST(${duckAtom(a)} AS INT)"
+      }.mkString(" + ")
+  }
 
   /** Stopword list — a fixed subset of snowball's english.stop (the
     * `simple` dictionary's StopList), shared verbatim with the oracle. */
@@ -493,6 +589,23 @@ object FullText {
       SELECT doc_id, n_lex, tf_stem,
         round((CAST(tf_stem AS DOUBLE) / (1.0 + tf_stem)) / (1.0 + ln(n_lex)), 6) AS rank
       FROM tf WHERE tf_stem > 0
-      ORDER BY rank DESC, doc_id LIMIT 30"""
+      ORDER BY rank DESC, doc_id LIMIT 30""",
+
+    "f12_websearch" -> {
+      val q = Websearch.parse(WebsearchQuery)
+      s"""
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      flagged AS (
+        SELECT doc_id,
+          ${Websearch.duckBranch(q(0))} AS b0,
+          ${Websearch.duckBranch(q(1))} AS b1,
+          CAST(${Websearch.duckHits(q)} AS BIGINT) AS n_hits
+        FROM toked)
+      SELECT doc_id, b0, b1, n_hits FROM flagged
+      WHERE b0 OR b1
+      ORDER BY n_hits DESC, doc_id"""
+    }
   )
 }

@@ -545,6 +545,37 @@ object PgCompat {
             o_orderkey % 7 - 3 AS re2, (o_orderkey div 7) % 9 - 4 AS im2
           FROM orders WHERE o_orderkey <= 2000)
         ORDER BY o_orderkey""")
+    },
+
+    // -- q124: "natural" (numeric-aware) collation — PG's ICU collations
+    //    with `numeric=true` (CREATE COLLATION numeric (provider=icu,
+    //    locale='en-u-kn-true'); reference `src/backend/utils/adt/
+    //    pg_locale.c` + varlena.c varstr_cmp's collation dispatch).
+    //    Spark has no collation registry, so the collation IS a sort-KEY
+    //    expression: every digit run left-pads to width 10 (the ICU
+    //    numeric-ordering equivalence class), non-digit segments pass
+    //    through. regexp_extract_all → transform → array_join stays
+    //    per-row; ordering by the key is a plain TakeOrdered top-40, no
+    //    global window. The identical key builds in DuckDB, so both
+    //    engines realize one collation. Version strings exercise the
+    //    classic failure: 'v10.2' must follow 'v9.10' naturally but
+    //    precedes it lexically, so the top-40 under nat_key differs
+    //    from the lexical top-40 — the oracle proves the key, not the
+    //    accident --
+    "q124_natural_sort" -> { (s, dir) =>
+      Tables.df(s, dir, "part")
+        .select(concat(lit("v"), (col("p_partkey") % 12).cast("string"),
+          lit("."), (col("p_partkey") % 23).cast("string"),
+          lit("-r"), (col("p_partkey") % 7).cast("string")).as("ver"))
+        .distinct()
+        .withColumn("nat_key", expr(
+          """array_join(transform(
+               regexp_extract_all(ver, '[0-9]+|[^0-9]+', 0),
+               x -> CASE WHEN x RLIKE '^[0-9]+$' THEN lpad(x, 10, '0')
+                         ELSE x END), '')"""))
+        .orderBy(col("nat_key"), col("ver"))
+        .limit(40)
+        .select(col("ver"), col("nat_key"))
     }
   )
 
@@ -992,6 +1023,22 @@ object PgCompat {
         tags[CAST(i AS INT)] AS tag, nums[CAST(i AS INT)] AS num
       FROM src, LATERAL (SELECT unnest(generate_series(1,
         greatest(len(tags), len(nums)))) AS i) g
-      ORDER BY o_orderkey, ord"""
+      ORDER BY o_orderkey, ord""",
+
+    "q124_natural_sort" -> """
+      WITH vers AS (
+        SELECT DISTINCT concat('v', CAST(p_partkey % 12 AS VARCHAR),
+          '.', CAST(p_partkey % 23 AS VARCHAR),
+          '-r', CAST(p_partkey % 7 AS VARCHAR)) AS ver
+        FROM part),
+      keyed AS (
+        SELECT ver,
+          list_aggregate(list_transform(
+            regexp_extract_all(ver, '[0-9]+|[^0-9]+'),
+            x -> CASE WHEN regexp_matches(x, '^[0-9]+$') THEN lpad(x, 10, '0')
+                      ELSE x END), 'string_agg', '') AS nat_key
+        FROM vers)
+      SELECT ver, nat_key FROM keyed
+      ORDER BY nat_key, ver LIMIT 40"""
   )
 }

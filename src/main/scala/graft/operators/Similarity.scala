@@ -372,6 +372,70 @@ object Similarity {
         .select(col("q_id"), (col("pos") + 1).as("rn"), col("col._2").as("c_id"),
           round(expr("-col._1") / 1e6, 6).as("adc_d2"), col("recall5"))
         .orderBy(col("q_id"), col("rn"))
+    },
+
+    // -- s10: hybrid retrieval — BM25 (lexical, f10's formula) fused
+    //    with dense cosine via Reciprocal Rank Fusion
+    //    (rrf = Σ 1/(60 + rank), Cormack et al. SIGIR'09 — the standard
+    //    first-stage fusion of a RAG / curation stack; the reference
+    //    ecosystem runs this shape as tsvector rank ∪ pgvector `<=>`
+    //    UNION queries). doc_id ≡ vec_id links the two modalities.
+    //    Scale shape: each side is corpus-scan → TakeOrdered top-K
+    //    (no global sort, no global window); ranks are then assigned on
+    //    the K-row result (a window over K=20 rows is driver-trivial
+    //    but still distributed); the fusion is a K∪K full outer join.
+    //    Both rankings order by (rounded score DESC, id) so the two
+    //    engines break ties identically --
+    "s10_hybrid_rrf" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val K = 20
+      // lexical side: f10's BM25 (k1=1.2, b=0.75) over 'merge','vector'
+      val d = Tables.df(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+        .withColumn("dl", size(col("toks")))
+        .withColumn("tf_merge", expr("size(filter(toks, x -> x = 'merge'))"))
+        .withColumn("tf_vector", expr("size(filter(toks, x -> x = 'vector'))"))
+        .select(col("doc_id"), col("dl"), col("tf_merge"), col("tf_vector"))
+      val stats = d.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+        sum((col("tf_merge") > 0).cast("long")).as("df_merge"),
+        sum((col("tf_vector") > 0).cast("long")).as("df_vector"))
+      def part(tf: String, df: String) =
+        s"""CASE WHEN $tf > 0 THEN
+              ln((n_docs - $df + 0.5) / ($df + 0.5) + 1.0) * ($tf * 2.2) /
+              ($tf + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(sum_dl AS DOUBLE)))
+            ELSE 0.0 END"""
+      val bmTop = d.crossJoin(broadcast(stats))
+        .filter(col("tf_merge") + col("tf_vector") > 0)
+        .withColumn("score",
+          round(expr(part("tf_merge", "df_merge") + " + " + part("tf_vector", "df_vector")), 6))
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(K)
+      // dense side: cosine vs the vec_id 0 probe (broadcast single row)
+      val emb = Tables.df(s, dir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val vecTop = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .crossJoin(broadcast(probe))
+        .withColumn("cosine", round(
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
+        .select(col("c_id"), col("cosine"))
+        .orderBy(col("cosine").desc, col("c_id")).limit(K)
+      val wBm = Window.orderBy(col("score").desc, col("doc_id"))
+      val wVec = Window.orderBy(col("cosine").desc, col("c_id"))
+      val bmRanked = bmTop
+        .withColumn("bm_rank", row_number().over(wBm).cast("bigint"))
+        .select(col("doc_id"), col("bm_rank"))
+      val vecRanked = vecTop
+        .withColumn("vec_rank", row_number().over(wVec).cast("bigint"))
+        .select(col("c_id").as("doc_id"), col("vec_rank"))
+      bmRanked.join(vecRanked, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("bm_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 9))
+        .select(col("doc_id"), col("bm_rank"), col("vec_rank"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
     }
   )
 
@@ -713,6 +777,52 @@ object Similarity {
         round(CAST(p.u AS DOUBLE) / 1000000.0, 6) AS adc_d2,
         CAST(coalesce(rec.recall5, 0) AS BIGINT) AS recall5
       FROM pqtop p JOIN rec ON p.q_id = rec.q_id
-      ORDER BY p.q_id, p.rn"""
+      ORDER BY p.q_id, p.rn""",
+
+    "s10_hybrid_rrf" -> s"""
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, len(toks) AS dl,
+          len(list_filter(toks, x -> x = 'merge')) AS tf_merge,
+          len(list_filter(toks, x -> x = 'vector')) AS tf_vector
+        FROM toked),
+      stats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+          CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+          CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+        FROM tf),
+      bm AS (
+        SELECT doc_id, round(
+          CASE WHEN tf_merge > 0 THEN
+            ln((n_docs - df_merge + 0.5) / (df_merge + 0.5) + 1.0) * (tf_merge * 2.2) /
+            (tf_merge + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(sum_dl AS DOUBLE)))
+          ELSE 0.0 END +
+          CASE WHEN tf_vector > 0 THEN
+            ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0) * (tf_vector * 2.2) /
+            (tf_vector + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(sum_dl AS DOUBLE)))
+          ELSE 0.0 END, 6) AS score
+        FROM tf, stats WHERE tf_merge + tf_vector > 0),
+      bmr AS (
+        SELECT doc_id, bm_rank FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS bm_rank
+          FROM bm) WHERE bm_rank <= 20),
+      q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      vs AS (
+        SELECT c.vec_id AS c_id,
+          round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) AS cosine
+        FROM q, (SELECT vec_id, embedding AS c_emb FROM embeddings WHERE vec_id <> 0) c),
+      vr AS (
+        SELECT c_id, vec_rank FROM (
+          SELECT c_id, row_number() OVER (ORDER BY cosine DESC, c_id) AS vec_rank
+          FROM vs) WHERE vec_rank <= 20)
+      SELECT coalesce(bmr.doc_id, vr.c_id) AS doc_id,
+        CAST(bmr.bm_rank AS BIGINT) AS bm_rank,
+        CAST(vr.vec_rank AS BIGINT) AS vec_rank,
+        round(coalesce(CAST(1.0 AS DOUBLE) / (60 + bmr.bm_rank), CAST(0.0 AS DOUBLE)) +
+              coalesce(CAST(1.0 AS DOUBLE) / (60 + vr.vec_rank), CAST(0.0 AS DOUBLE)), 9) AS rrf
+      FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.c_id
+      ORDER BY rrf DESC, doc_id"""
   )
 }

@@ -536,6 +536,36 @@ object TextOps {
           (coalesce(col("covered_toks"), lit(0L)).cast("double") /
             greatest(col("n_tokens"), lit(1L)) <= 0.15).cast("int").as("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- t21: unigram entropy + type-token ratio — the lexical-diversity
+    //    quality gate (CCNet/Gopher-family filters drop low-entropy docs:
+    //    keyword-stuffed or template pages have H ≪ random text).
+    //    Pure per-row HOF arithmetic, no explode, no shuffle: counts
+    //    come from one transform over the distinct-word list, and the
+    //    Σ c·ln(c) term accumulates in integer MICRO-NATS (t18's trick)
+    //    so the sum is order-free — DuckDB's list_distinct does not
+    //    guarantee element order, and a double Σ would drift by
+    //    summation order; integer addition cannot.
+    //    H = ln(n) − Σ c·ln(c) / n, via per-term round(ln(c)·1e6) --
+    "t21_word_entropy" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("n", size(col("toks")).cast("bigint"))
+        .filter(col("n") > 0)
+        .withColumn("cs", expr(
+          "transform(array_distinct(toks), w -> size(filter(toks, x -> x = w)))"))
+        .withColumn("slc", expr(
+          """aggregate(cs, 0L,
+               (acc, c) -> acc + c * CAST(round(ln(c) * 1000000.0) AS BIGINT))"""))
+        .withColumn("entropy", round(
+          expr("ln(n) - CAST(slc AS DOUBLE) / (n * 1000000.0)"), 6))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          size(col("cs")).cast("bigint").as("n_distinct"),
+          col("entropy"),
+          round(size(col("cs")).cast("double") / col("n"), 6).as("ttr"),
+          (col("entropy") >= 2.0).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -844,6 +874,26 @@ object TextOps {
                        / greatest(len(t.toks), 1) <= 0.15
              THEN 1 ELSE 0 END AS INTEGER) AS keep
       FROM toked t LEFT JOIN cov c ON t.doc_id = c.doc_id
-      ORDER BY t.doc_id"""
+      ORDER BY t.doc_id""",
+
+    "t21_word_entropy" -> """
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+          list_transform(list_distinct(toks),
+            w -> len(list_filter(toks, x -> x = w))) AS cs
+        FROM t WHERE len(toks) > 0),
+      e AS (
+        SELECT doc_id, n, CAST(len(cs) AS BIGINT) AS n_distinct,
+          round(ln(n) - CAST(list_sum(list_transform(cs,
+              cnt -> cnt * CAST(round(ln(cnt) * 1000000.0) AS BIGINT))) AS DOUBLE)
+            / (n * 1000000.0), 6) AS entropy
+        FROM c)
+      SELECT doc_id, n AS n_tokens, n_distinct, entropy,
+        round(CAST(n_distinct AS DOUBLE) / n, 6) AS ttr,
+        CAST(CASE WHEN entropy >= 2.0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM e ORDER BY doc_id"""
   )
 }

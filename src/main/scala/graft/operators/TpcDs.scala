@@ -139,7 +139,29 @@ object TpcDs {
         FROM joined)
       SELECT item, d, CAST(a_fill AS BIGINT) AS accepted_cum_c,
              CAST(r_fill AS BIGINT) AS returned_cum_c
-      FROM filled WHERE r_fill > a_fill"""
+      FROM filled WHERE r_fill > a_fill""",
+
+    // q88: eight time-band counts in ONE pass. The spec text writes q88
+    // as eight separate fact⋈time_dim⋈household subqueries cross-joined
+    // into a single row — executed literally that is EIGHT fact scans.
+    // The scale-correct plan is one scan with FILTER'd partial counts
+    // (Spark compiles each count into the same hash-agg buffer; at
+    // 100 TB the band predicates never re-read the fact table). The
+    // eight one-hour bands + the value predicate mirror q88's
+    // half-hour × demographic bands; the single-row cross-join of the
+    // spec collapses into the aggregate itself.
+    "ds88_timeband_counts" -> """
+      SELECT
+        count(*) FILTER (WHERE hour(ts) =  8 AND value > 5.0)  AS h8,
+        count(*) FILTER (WHERE hour(ts) =  9 AND value > 5.0)  AS h9,
+        count(*) FILTER (WHERE hour(ts) = 10 AND value > 5.0)  AS h10,
+        count(*) FILTER (WHERE hour(ts) = 11 AND value > 5.0)  AS h11,
+        count(*) FILTER (WHERE hour(ts) = 12 AND value > 5.0)  AS h12,
+        count(*) FILTER (WHERE hour(ts) = 13 AND value > 5.0)  AS h13,
+        count(*) FILTER (WHERE hour(ts) = 14 AND value > 5.0)  AS h14,
+        count(*) FILTER (WHERE hour(ts) = 15 AND value > 5.0)  AS h15
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

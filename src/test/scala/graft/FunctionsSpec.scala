@@ -356,4 +356,43 @@ class FunctionsSpec extends AnyFunSuite {
       assert(r.getString(1) == expected, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("f12 websearch grammar: words AND, `or` splits, -neg, quoted phrase") {
+    import operators.FullText.Websearch
+    import Websearch._
+    // PG websearch_to_tsquery('a b or "x y z" -c') ≡ (a & b) | (x<->y<->z & !c)
+    assert(parse("""a b or "x y z" -c""") ==
+      Seq(Seq(Word("a"), Word("b")), Seq(Phrase(Seq("x", "y", "z")), Not("c"))))
+    // single-word quotes collapse to a plain word (PG does the same)
+    assert(parse(""""solo" term""") == Seq(Seq(Word("solo"), Word("term"))))
+    // case folding + empty-phrase elision + leading or → empty first branch
+    assert(parse("""OR A -B """) == Seq(Seq(), Seq(Word("a"), Not("b"))))
+    // lone dash is a literal token, not a negation
+    assert(parse("a - b") == Seq(Seq(Word("a"), Word("-"), Word("b"))))
+  }
+
+  test("f12 websearch compiled predicate evaluates correctly on Spark rows") {
+    import spark.implicits._
+    import operators.FullText.Websearch
+    val q = Websearch.parse("""merge vector or "hash join" -stream""")
+    val docs = Seq(
+      (1L, "merge the vector now"),        // branch0 hit
+      (2L, "a hash join plan"),            // branch1 hit (phrase, no stream)
+      (3L, "a hash join stream plan"),     // phrase but negated by stream
+      (4L, "join hash reversed"),          // phrase order matters
+      (5L, "merge only"),                  // partial AND fails
+      (6L, "x")                            // short doc: guarded sequence
+    ).toDF("doc_id", "text")
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .withColumn("b0", expr(Websearch.sparkBranch(q(0))))
+      .withColumn("b1", expr(Websearch.sparkBranch(q(1))))
+    val got = docs.select("doc_id", "b0", "b1").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((true, false)))
+    assert(got(2L) == ((false, true)))
+    assert(got(3L) == ((false, false)), "NOT stream must veto the phrase branch")
+    assert(got(4L) == ((false, false)), "phrase is ordered adjacency")
+    assert(got(5L) == ((false, false)))
+    assert(got(6L) == ((false, false)), "1-token doc must not crash the phrase scan")
+  }
 }

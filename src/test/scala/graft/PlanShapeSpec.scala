@@ -850,4 +850,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       s"expected hash/merge equi-joins in:\n$p")
   }
+
+  test("ds88: eight time-band counts run as ONE scan of events") {
+    // the spec's literal 8-subquery form is 8 fact scans; the FILTER'd
+    // aggregate must collapse them into a single pass + single agg
+    // executedPlan.toString for an AQE plan repeats the tree under
+    // "== Initial Plan ==" — count scans in the final section only
+    val p = plan("ds88_timeband_counts").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 events scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"band counts must not join:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial counts:\n$p")
+  }
+
+  test("d12: line dedup is census + equi-join + bounded per-doc rebuild") {
+    val p = plan("d12_line_dedup")
+    assert(!p.contains("CartesianProduct"), s"line dedup went all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"line dedup is nested-loop:\n$p")
+    // reassembly must be an aggregate (bounded by the doc's own lines),
+    // never a corpus-wide window
+    assert(!p.contains("windowspecdefinition"),
+      s"reassembly should be collect_list agg, not a window:\n$p")
+  }
+
+  test("s10: hybrid RRF tops are TakeOrdered, windows only post-limit") {
+    // each retrieval side must reduce corpus -> K via TakeOrdered (no
+    // corpus-wide sort); the K-row rank windows then cost nothing
+    val p = plan("s10_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered top-K on the retrieval sides:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
+    for (q <- Seq("f12_websearch", "t21_word_entropy")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q should not join:\n$p")
+      assert(!p.contains("windowspecdefinition"), s"$q should not window:\n$p")
+      // the only exchange allowed is the output sort's range partitioning
+      val exchanges = "Exchange".r.findAllIn(p).length
+      val rangeEx = "rangepartitioning".r.findAllIn(p).length
+      assert(exchanges == rangeEx,
+        s"$q: every exchange must be the output sort, got $exchanges vs $rangeEx:\n$p")
+    }
+  }
 }
