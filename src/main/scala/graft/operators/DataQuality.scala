@@ -80,6 +80,40 @@ object DataQuality {
       pkDup.unionAll(fkRow).unionAll(priceRow).unionAll(dateRow)
         .unionAll(statusRow).unionAll(discRow)
         .orderBy(col("check_name"))
+    },
+
+    // -- dq02: Benford first-digit audit — the fraud/corruption screen
+    //    auditors run on financial columns (Benford's law: P(d) =
+    //    log10(1 + 1/d) for the leading digit of naturally-occurring
+    //    amounts; a synthetic or tampered column deviates). Pipeline
+    //    shape: ONE map-side-combined census of 9 digit buckets per
+    //    column — at 100 TB the shuffle is 9 rows. The statistic is
+    //    the chi-square distance Σ (obs − exp)²/exp over exact BIGINT
+    //    counts; expectations are the same IEEE log10 on both engines.
+    //    (TPC-H totalprice is sum-of-uniforms, NOT Benford — the audit
+    //    correctly reports the deviation; the oracle proves the math,
+    //    the data proves the detector fires.) --
+    "dq02_benford" -> { (s, dir) =>
+      // leading digit numerically (floor(x / 10^floor(log10 x))) — a
+      // string cast would hit engine-specific double formatting
+      val digits = Tables.df(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(expr(
+          "CAST(floor(o_totalprice / pow(10.0, floor(log10(o_totalprice)))) AS INT)")
+          .as("digit"))
+        .filter(col("digit").between(1, 9))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("p_obs", round(col("n").cast("double") / col("total"), 6))
+        .withColumn("p_benford", round(expr("log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)"), 6))
+        .withColumn("chi_term", round(
+          expr("""pow(n - total * log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 2)
+                  / (total * log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit))"""), 6))
+        .select(col("digit").cast("bigint").as("digit"), col("n"),
+          col("p_obs"), col("p_benford"), col("chi_term"))
+        .orderBy(col("digit"))
     }
   )
 
@@ -119,6 +153,22 @@ object DataQuality {
       UNION ALL SELECT 'not_null_o_orderdate', n, v_null_date FROM osc
       UNION ALL SELECT 'domain_o_orderstatus', n, v_status FROM osc
       UNION ALL SELECT * FROM disc
-      ORDER BY check_name"""
+      ORDER BY check_name""",
+
+    "dq02_benford" -> """
+      WITH d AS (
+        SELECT CAST(floor(o_totalprice / pow(10.0, floor(log10(o_totalprice))))
+          AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+      c AS (
+        SELECT digit, count(*) AS n FROM d
+        WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+        round(CAST(n AS DOUBLE) / total, 6) AS p_obs,
+        round(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 6) AS p_benford,
+        round(pow(n - total * log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 2)
+              / (total * log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)), 6) AS chi_term
+      FROM c, t ORDER BY digit"""
   )
 }

@@ -123,8 +123,46 @@ object Ml {
     "ml03_moments" -> { (s, dir) =>
       Tables.register(s, dir)
       s.sql(MomentsSql)
+    },
+
+    // -- ml04: sparse COO matrix multiply — MADlib matrix_mult's
+    //    distributed shape (MADlib `matrix_ops.sql_in`: matrices as
+    //    (row, col, val) relations; the reference ecosystem runs
+    //    in-warehouse linear algebra this way). C = A·B is TWO
+    //    relational steps, both shuffle-bounded by the nonzero counts:
+    //      join A ⋈ B on the contraction index k (equi-join; at scale
+    //      this is THE shuffle — partition both operands by k),
+    //      then groupBy (i, j) summing products map-side.
+    //    Never densifies: cost ∝ Σ_k nnz_A(·,k)·nnz_B(k,·), the COO
+    //    sparse bound, not m·n·k. A 1000-executor block-partitioned
+    //    variant changes only the partitioning key (block id), not the
+    //    plan. Values are small exact ints — sums are BIGINT-exact in
+    //    any merge order. Duplicate (i,k) entries pre-aggregate first,
+    //    as matrix_mult's COO contract requires. ONE shared SQL text --
+    "ml04_matmul" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(MatmulSql)
     }
   )
+
+  /** Shared Spark/DuckDB text: 24×16 A from part, 16×12 B from supplier,
+    * both as deduplicated COO triples; C = A·B via join-on-k + (i,j) agg. */
+  private val MatmulSql = """
+    WITH a AS (
+      SELECT CAST(p_partkey % 24 AS BIGINT) AS i,
+             CAST(p_partkey % 16 AS BIGINT) AS k,
+             CAST(sum(CAST(p_partkey % 7 AS BIGINT) - 3) AS BIGINT) AS v
+      FROM part GROUP BY 1, 2),
+    b AS (
+      SELECT CAST(s_suppkey % 16 AS BIGINT) AS k,
+             CAST(s_suppkey % 12 AS BIGINT) AS j,
+             CAST(sum(CAST(s_suppkey % 5 AS BIGINT) - 2) AS BIGINT) AS w
+      FROM supplier GROUP BY 1, 2)
+    SELECT a.i, b.j, CAST(sum(a.v * b.w) AS BIGINT) AS c_val
+    FROM a JOIN b ON a.k = b.k
+    GROUP BY a.i, b.j
+    HAVING CAST(sum(a.v * b.w) AS BIGINT) <> 0
+    ORDER BY a.i, b.j"""
 
   /** Shared Spark/DuckDB text: power sums → mean/m2/m3/m4 → skew/kurt. */
   private val MomentsSql = """
@@ -160,6 +198,8 @@ object Ml {
     "ml01_linreg" -> LinregSql,
 
     "ml03_moments" -> MomentsSql,
+
+    "ml04_matmul" -> MatmulSql,
 
     "ml02_regr_aggs" -> """
       WITH obs AS (

@@ -576,6 +576,56 @@ object PgCompat {
         .orderBy(col("nat_key"), col("ver"))
         .limit(40)
         .select(col("ver"), col("nat_key"))
+    },
+
+    // -- q125: enum type ordering (reference `src/backend/utils/adt/
+    //    enum.c` enum_cmp + catalog pg_enum.enumsortorder): an enum
+    //    column compares by DECLARATION position, not label text.
+    //    severity = ENUM('LOW','MEDIUM','HIGH','CRITICAL') sorts
+    //    lexically C,H,L,M — so the ordinal is the content. Spark has
+    //    no enum type; the catalog IS an array literal and the ordinal
+    //    is array_position over it (codegen'd, constant-folded). min/
+    //    max under enum order = min/max of (ord, label) structs, the
+    //    same ordinal-first comparison enum_smaller/enum_larger do --
+    "q125_enum_order" -> { (s, dir) =>
+      val enumDef = "array('LOW','MEDIUM','HIGH','CRITICAL')"
+      Tables.df(s, dir, "orders")
+        .withColumn("sev", expr(
+          s"element_at($enumDef, CAST(o_orderkey % 4 AS INT) + 1)"))
+        .withColumn("ord", expr(s"array_position($enumDef, sev)").cast("bigint"))
+        .groupBy(col("sev"), col("ord"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents"))
+        .orderBy(col("ord"))
+    },
+
+    // -- q126: the SQL-standard OVERLAPS predicate (reference
+    //    `src/backend/utils/adt/timestamp.c` overlaps_timestamp; PG
+    //    grammar's `(a, b) OVERLAPS (c, d)`). The spec's semantics are
+    //    the content: endpoints NORMALIZE (each pair may arrive in
+    //    either order), intervals are half-open [s, e), EXCEPT that
+    //    equal start points always overlap — so a zero-length [p, p)
+    //    still overlaps anything starting exactly at p. Predicate:
+    //      s1 = s2 OR (s1 > s2 AND s1 < e2) OR (s2 > s1 AND s2 < e1)
+    //    Pure per-row codegen arithmetic; the identical formula runs in
+    //    the oracle. The two derived endpoints cross in either order
+    //    and collapse to points, exercising every branch --
+    "q126_overlaps" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("a1", expr("date_add(o_orderdate, CAST(o_orderkey % 23 AS INT))"))
+        .withColumn("b1", expr("date_add(o_orderdate, CAST(o_orderkey % 37 AS INT))"))
+        .withColumn("s1", least(col("a1"), col("b1")))
+        .withColumn("e1", greatest(col("a1"), col("b1")))
+        .withColumn("s2", lit("1995-03-01").cast("date"))
+        .withColumn("e2", lit("1995-09-01").cast("date"))
+        .withColumn("olap",
+          (col("s1") === col("s2")) ||
+          (col("s1") > col("s2") && col("s1") < col("e2")) ||
+          (col("s2") > col("s1") && col("s2") < col("e1")))
+        .select(col("o_orderkey"), col("s1"), col("e1"), col("olap"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -1039,6 +1089,32 @@ object PgCompat {
                       ELSE x END), 'string_agg', '') AS nat_key
         FROM vers)
       SELECT ver, nat_key FROM keyed
-      ORDER BY nat_key, ver LIMIT 40"""
+      ORDER BY nat_key, ver LIMIT 40""",
+
+    "q125_enum_order" -> """
+      WITH sevs AS (
+        SELECT o_orderkey, o_totalprice,
+          (['LOW', 'MEDIUM', 'HIGH', 'CRITICAL'])[CAST(o_orderkey % 4 AS INT) + 1]
+            AS sev,
+          CAST(o_orderkey % 4 + 1 AS BIGINT) AS ord
+        FROM orders)
+      SELECT sev, ord, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM sevs GROUP BY sev, ord ORDER BY ord""",
+
+    "q126_overlaps" -> """
+      WITH w AS (
+        SELECT o_orderkey,
+          o_orderdate + INTERVAL (o_orderkey % 23) DAY AS a1,
+          o_orderdate + INTERVAL (o_orderkey % 37) DAY AS b1
+        FROM orders WHERE o_orderkey <= 2000),
+      n AS (
+        SELECT o_orderkey,
+          CAST(least(a1, b1) AS DATE) AS s1, CAST(greatest(a1, b1) AS DATE) AS e1,
+          DATE '1995-03-01' AS s2, DATE '1995-09-01' AS e2
+        FROM w)
+      SELECT o_orderkey, s1, e1,
+        (s1 = s2 OR (s1 > s2 AND s1 < e2) OR (s2 > s1 AND s2 < e1)) AS olap
+      FROM n ORDER BY o_orderkey"""
   )
 }

@@ -882,6 +882,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ml04: COO matmul is equi-join on k + (i,j) hash agg, partials map-side") {
+    val p = plan("ml04_matmul")
+    assert(!p.contains("CartesianProduct"), s"matmul must contract on k, not cross:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), s"expected map-side partial products:\n$p")
+  }
+
   test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
     for (q <- Seq("f12_websearch", "t21_word_entropy")) {
       val p = plan(q)
