@@ -146,6 +146,81 @@ object Events {
         .orderBy(col("user_id"))
     },
 
+    // -- e17: seasonal decomposition (classical additive: trend by
+    //    centered 25-hour moving average, seasonal index = mean of the
+    //    detrended series per hour-of-day — the MADlib/forecasting
+    //    pre-step; PG ecosystems run this shape via window functions
+    //    exactly like this). Scale shape: the series windows partition
+    //    by event_type (one series per partition — never a corpus-wide
+    //    unpartitioned window); the hourly pre-aggregate collapses the
+    //    raw events first, so the window input is |hours|, not |events|.
+    //    Exactness: hourly sums are 1e-4-unit BIGINTs; the trend enters
+    //    the seasonal mean as its exact window SUM (count-25 full
+    //    windows only), so seasonal = (25·Σy − Σtsum) / (25·n) is ONE
+    //    double division over exact integers — any partitioning, any
+    //    merge order, same bits --
+    "e17_seasonal_decompose" -> { (s, dir) =>
+      val hourly = Tables.df(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(expr("CAST(round(value * 10000) AS BIGINT)")).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-12, 12)
+      hourly
+        .withColumn("tsum", sum(col("y")).over(w))
+        .withColumn("tcnt", count(lit(1)).over(w))
+        .filter(col("tcnt") === 25) // full centered windows only
+        .withColumn("hod", hour(col("h")).cast("bigint"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sum_y"), sum(col("tsum")).as("sum_t"))
+        .select(col("event_type"), col("hod"), col("n"),
+          round((lit(25L) * col("sum_y") - col("sum_t")).cast("double") /
+            (lit(25.0) * col("n")) / 10000.0, 6).as("seasonal"))
+        .orderBy(col("event_type"), col("hod"))
+    },
+
+    // -- e18: marketing attribution — for every purchase, the LAST and
+    //    FIRST preceding touchpoint (click/view) by the same user
+    //    within a 7-day lookback (last-touch / first-touch attribution,
+    //    the funnel-analytics counterpart of e03's as-of join). Shape:
+    //    ONE equi-join on user_id (both sides shuffle-aligned; the
+    //    range predicate runs co-located), then min/max(struct) picks
+    //    both endpoints in a single map-side-combinable aggregate — no
+    //    window, no per-purchase rescan, exactly e03's discipline.
+    //    Ties break on event_id through the struct order --
+    "e18_attribution" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      // rename the touch side's user_id BEFORE joining: both frames
+      // derive from the same scan, so purchases("user_id") and
+      // touches("user_id") can resolve to one attribute (the Spark
+      // self-join reference trap) and drop() would keep the wrong one
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_uid"), col("event_type").as("t_type"),
+          col("event_id").as("t_id"), col("ts").as("t_ts"))
+      purchases
+        .join(touches,
+          col("user_id") === col("t_uid") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAY"), "left_outer")
+        .groupBy(col("p_id"), col("user_id"), col("p_ts"))
+        // wrap in when(): an unmatched left row yields struct(null,…) —
+        // a NON-null struct that min() would pick as the first touch;
+        // the when() turns it into a true NULL that min/max skip
+        .agg(count(col("t_id")).as("n_touches"),
+          max(when(col("t_id").isNotNull,
+            struct(col("t_ts"), col("t_id"), col("t_type")))).as("last_t"),
+          min(when(col("t_id").isNotNull,
+            struct(col("t_ts"), col("t_id"), col("t_type")))).as("first_t"))
+        .select(col("p_id"), col("user_id"), col("n_touches"),
+          col("last_t.t_type").as("last_touch_type"),
+          col("last_t.t_id").as("last_touch_id"),
+          col("first_t.t_type").as("first_touch_type"),
+          col("first_t.t_id").as("first_touch_id"))
+        .orderBy(col("p_id"))
+    },
+
     // -- e12: SCD Type-2 dimension build. Each user's event_type stream
     //    collapses to change rows (lag ≠ current — island detection),
     //    then lead() closes each version's [valid_from, valid_to) —
@@ -637,6 +712,49 @@ object Events {
         FROM obs GROUP BY user_id)
       SELECT user_id, n_events, span_ms,
         round(CAST(wsum AS DOUBLE) / 10000.0 / span_ms, 6) AS twa
-      FROM agg WHERE span_ms > 0 ORDER BY user_id"""
+      FROM agg WHERE span_ms > 0 ORDER BY user_id""",
+
+    "e17_seasonal_decompose" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+          CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+      trended AS (
+        SELECT event_type, h, y,
+          CAST(sum(y) OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS tsum,
+          count(*) OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tcnt
+        FROM hourly)
+      SELECT event_type, CAST(hour(h) AS BIGINT) AS hod, count(*) AS n,
+        round(CAST(25 * sum(y) - sum(tsum) AS DOUBLE)
+              / (25.0 * count(*)) / 10000.0, 6) AS seasonal
+      FROM trended WHERE tcnt = 25
+      GROUP BY event_type, hour(h)
+      ORDER BY event_type, hod""",
+
+    "e18_attribution" -> """
+      WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+      t AS (
+        SELECT user_id, event_type AS t_type, event_id AS t_id, ts AS t_ts
+        FROM events WHERE event_type IN ('click', 'view')),
+      j AS (
+        SELECT p.p_id, p.user_id, t.t_type, t.t_id, t.t_ts
+        FROM p LEFT JOIN t ON p.user_id = t.user_id
+          AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+      ranked AS (
+        SELECT p_id, user_id, t_type, t_id,
+          row_number() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rl,
+          row_number() OVER (PARTITION BY p_id ORDER BY t_ts ASC, t_id ASC) AS rf,
+          count(t_id) OVER (PARTITION BY p_id) AS n_touches
+        FROM j)
+      SELECT l.p_id, l.user_id, CAST(l.n_touches AS BIGINT) AS n_touches,
+        l.t_type AS last_touch_type, l.t_id AS last_touch_id,
+        f.t_type AS first_touch_type, f.t_id AS first_touch_id
+      FROM (SELECT * FROM ranked WHERE rl = 1) l
+      JOIN (SELECT * FROM ranked WHERE rf = 1) f USING (p_id)
+      ORDER BY l.p_id"""
   )
 }

@@ -295,6 +295,37 @@ object FullText {
         .withColumn("n_hits", expr(Websearch.sparkHits(q)).cast("bigint"))
         .select(col("doc_id"), col("b0"), col("b1"), col("n_hits"))
         .orderBy(col("n_hits").desc, col("doc_id"))
+    },
+
+    // -- f13: ts_rewrite — tsquery SYNONYM EXPANSION (reference
+    //    `src/backend/utils/adt/tsquery_rewrite.c` ts_rewrite: substitute
+    //    a subquery inside a tsquery, the aliases-table idiom from the
+    //    PG docs). Rule: 'merge' ::= 'merge' | 'join' applied to the
+    //    query 'merge & fast'. The rewrite happens at PLAN time (PG
+    //    rewrites the TSQuery tree once, QTNode substitution) — the
+    //    per-row work is the same codegen'd HOF arithmetic as f01. The
+    //    result carries both the pre- and post-rewrite match so the
+    //    oracle proves the expansion CHANGED retrieval (docs_gained),
+    //    and rank_after saturates over the expanded alternation's
+    //    combined tf exactly as ts_rank scores an OR node --
+    "f13_ts_rewrite" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .withColumn("tf_merge", expr("size(filter(toks, x -> x = 'merge'))"))
+        .withColumn("tf_join", expr("size(filter(toks, x -> x = 'join'))"))
+        .withColumn("tf_fast", expr("size(filter(toks, x -> x = 'fast'))"))
+        .withColumn("m_before", col("tf_merge") > 0 && col("tf_fast") > 0)
+        .withColumn("m_after",
+          (col("tf_merge") + col("tf_join")) > 0 && col("tf_fast") > 0)
+        .filter(col("m_after"))
+        .withColumn("tf_or", col("tf_merge") + col("tf_join"))
+        .withColumn("rank_after", round(expr(
+          """(CAST(tf_or AS DOUBLE) / (1.0 + tf_or) +
+              CAST(tf_fast AS DOUBLE) / (1.0 + tf_fast)) / (1.0 + ln(size(toks)))"""), 6))
+        .select(col("doc_id"), col("m_before"),
+          (!col("m_before")).as("gained"), col("rank_after"))
+        .orderBy(col("rank_after").desc, col("doc_id"))
+        .limit(40)
     }
   )
 
@@ -606,6 +637,28 @@ object FullText {
       SELECT doc_id, b0, b1, n_hits FROM flagged
       WHERE b0 OR b1
       ORDER BY n_hits DESC, doc_id"""
-    }
+    },
+
+    "f13_ts_rewrite" -> """
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      tf AS (
+        SELECT doc_id, len(toks) AS dl,
+          len(list_filter(toks, x -> x = 'merge')) AS tf_merge,
+          len(list_filter(toks, x -> x = 'join')) AS tf_join,
+          len(list_filter(toks, x -> x = 'fast')) AS tf_fast
+        FROM toked),
+      m AS (
+        SELECT doc_id, dl, tf_merge + tf_join AS tf_or, tf_fast,
+          (tf_merge > 0 AND tf_fast > 0) AS m_before,
+          ((tf_merge + tf_join) > 0 AND tf_fast > 0) AS m_after
+        FROM tf)
+      SELECT doc_id, m_before, NOT m_before AS gained,
+        round((CAST(tf_or AS DOUBLE) / (1.0 + tf_or) +
+               CAST(tf_fast AS DOUBLE) / (1.0 + tf_fast)) / (1.0 + ln(dl)), 6)
+          AS rank_after
+      FROM m WHERE m_after
+      ORDER BY rank_after DESC, doc_id LIMIT 40"""
   )
 }

@@ -882,6 +882,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e18: attribution is one equi-join + min/max struct agg — no window") {
+    // both endpoints (first/last touch) come from ONE aggregate over the
+    // co-located join; a window formulation would re-sort the pair stream
+    val p = plan("e18_attribution")
+    assert(!p.contains("windowspecdefinition"), s"attribution should not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution join must stay an equi-join on user:\n$p")
+    assert(p.contains("partial_max") && p.contains("partial_min"),
+      s"expected map-side struct endpoints:\n$p")
+  }
+
+  test("e17: decomposition windows partition by series, input pre-aggregated") {
+    val p = plan("e17_seasonal_decompose")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"trend window must partition by event_type (never global):\n$p")
+    assert(p.contains("partial_sum"), s"hourly pre-agg must combine map-side:\n$p")
+  }
+
   test("ml04: COO matmul is equi-join on k + (i,j) hash agg, partials map-side") {
     val p = plan("ml04_matmul")
     assert(!p.contains("CartesianProduct"), s"matmul must contract on k, not cross:\n$p")
