@@ -114,6 +114,38 @@ object DataQuality {
         .select(col("digit").cast("bigint").as("digit"), col("n"),
           col("p_obs"), col("p_benford"), col("chi_term"))
         .orderBy(col("digit"))
+    },
+
+    // -- dq03: corpus snapshot diff — the dataset-versioning audit
+    //    (Delta/Iceberg snapshot compare; the reference ecosystem's
+    //    answer is table diff via EXCEPT or audit triggers): classify
+    //    every doc_id across two snapshots as added / removed /
+    //    changed / unchanged by content hash. The two snapshots derive
+    //    deterministically from the corpus (prev drops doc_id%13=0 and
+    //    drifts the text of doc_id%7=0; curr drops doc_id%11=0), so
+    //    every class is populated. Scale shape: ONE full-outer
+    //    equi-join on doc_id between two 32-byte (id, md5) projections
+    //    — the diff of two 100 TB snapshots moves hashes, never text —
+    //    then a 4-row census. The scan is spooled: both snapshot
+    //    projections read it once --
+    "dq03_snapshot_diff" -> { (s, dir) =>
+      val base = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val prev = base.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"), md5(when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("prev_h"))
+      val curr = base.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("curr_h"))
+      prev.join(curr, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("prev_h").isNull, "added")
+            .when(col("curr_h").isNull, "removed")
+            .when(col("prev_h") =!= col("curr_h"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("status"))
     }
   )
 
@@ -169,6 +201,26 @@ object DataQuality {
         round(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 6) AS p_benford,
         round(pow(n - total * log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit), 2)
               / (total * log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)), 6) AS chi_term
-      FROM c, t ORDER BY digit"""
+      FROM c, t ORDER BY digit""",
+
+    "dq03_snapshot_diff" -> """
+      WITH prev AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') ELSE text END)
+            AS prev_h
+        FROM documents WHERE doc_id % 13 <> 0),
+      curr AS (
+        SELECT doc_id, md5(text) AS curr_h
+        FROM documents WHERE doc_id % 11 <> 0),
+      d AS (
+        SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+          CASE WHEN p.prev_h IS NULL THEN 'added'
+               WHEN c.curr_h IS NULL THEN 'removed'
+               WHEN p.prev_h <> c.curr_h THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id)
+      SELECT status, count(*) AS n,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM d GROUP BY status ORDER BY status"""
   )
 }

@@ -391,4 +391,43 @@ class ScaleSpec extends AnyFunSuite {
     val once = joined.filter(col("bkt") === expr("greatest(a_lo, b_lo) div 86400000"))
     assert(once.count() == 1L, "greatest-start bucket filter must keep the pair exactly once")
   }
+
+  test("d12 line dedup: 1000-doc hot line removed everywhere, rebuild partition-invariant") {
+    // d12's pipeline (segment → md5 census ≥2 docs → filter → per-doc
+    // array_sort rebuild) on a corpus where ONE 3-token line repeats in
+    // every doc. The census must kill exactly that line in all 1000
+    // docs, keep each doc's unique tail, and — because the rebuild
+    // orders by line_no inside the aggregate, not by arrival — produce
+    // byte-identical output under different input partitionings.
+    import spark.implicits._
+    def run(docs: org.apache.spark.sql.DataFrame) = {
+      val lines = docs
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+        .select(col("doc_id"), col("toks"), explode(expr(
+          "sequence(0, CAST(greatest(size(toks) - 1, 0) DIV 3 AS INT))")).as("line_no"))
+        .withColumn("line", expr("slice(toks, line_no * 3 + 1, 3)"))
+        .filter(size(col("line")) > 0)
+        .withColumn("lh", md5(concat_ws(" ", col("line"))))
+        .select(col("doc_id"), col("line_no"), col("line"), col("lh"))
+      val boiler = lines.groupBy(col("lh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("lh"), lit(1).as("is_boiler"))
+      lines.join(boiler, Seq("lh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(expr("""concat_ws(' ', flatten(transform(
+               array_sort(collect_list(CASE WHEN is_boiler IS NULL
+                 THEN struct(line_no, line) END)), e -> e.line)))""").as("kept"))
+    }
+    val docs = (0 until 1000).map(i =>
+      (i.toLong, s"dup dup dup u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val out7 = run(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val out3 = run(docs.repartition(3)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out7.length == 1000)
+    out7.foreach { case (id, kept) =>
+      assert(kept == s"u${id}a u${id}b u${id}c",
+        s"doc $id must lose only the hot line, got '$kept'") }
+    assert(out7.toSeq == out3.toSeq, "rebuild must not depend on partitioning")
+  }
 }
