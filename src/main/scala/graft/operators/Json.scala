@@ -370,6 +370,39 @@ object Json {
         .groupBy(col("canon"), col("akeys"), col("canon_del"), col("n_sliced"))
         .agg(sum(col("n_pre")).cast("bigint").as("n_orders"))
         .orderBy(col("canon"))
+    },
+
+    // -- j07: VARIANT shredding — Spark 4's binary semi-structured type
+    //    is the engine-level analog of jsonb (reference `src/backend/
+    //    utils/adt/jsonb.c`: parse text ONCE into a binary tree, then
+    //    typed field access without re-parsing — the whole reason jsonb
+    //    exists next to json). parse_json builds the variant once per
+    //    row; every extraction (variant_get with a target type;
+    //    try_variant_get returning NULL on a missing path or failed
+    //    cast, jsonb's lax `->` behavior) reads the binary encoding.
+    //    At 100 TB this is the difference between one parse and five.
+    //    The oracle answers the same accesses with DuckDB's native
+    //    JSON functions over the identically-built document --
+    "j07_variant_shred" -> { (s, dir) =>
+      val doc =
+        """concat('{"meta":{"n":', o_custkey % 7 + 1, ',"tag":"t', o_orderstatus,
+             '"},"items":[',
+             concat_ws(',', transform(sequence(0, CAST(o_orderkey % 3 AS INT)),
+               i -> concat('{"v":', (o_orderkey + i) % 10, '}'))),
+             ']}')"""
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("v", expr(s"parse_json($doc)"))
+        .select(
+          col("o_orderkey"),
+          expr("variant_get(v, '$.meta.n', 'bigint')").as("n"),
+          expr("variant_get(v, '$.meta.tag', 'string')").as("tag"),
+          expr("variant_get(v, '$.items[0].v', 'bigint')").as("v0"),
+          expr("try_variant_get(v, '$.meta.absent', 'bigint')").as("missing"),
+          expr("try_variant_get(v, '$.meta.tag', 'bigint')").as("badtype"),
+          expr("CAST(size(variant_get(v, '$.items', 'array<variant>')) AS BIGINT)")
+            .as("n_items"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -557,6 +590,24 @@ object Json {
              CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
              round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                    / 100.0, 2) AS total_price
-      FROM orders GROUP BY 1 ORDER BY 1"""
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "j07_variant_shred" -> """
+      WITH src AS (
+        SELECT o_orderkey,
+          concat('{"meta":{"n":', o_custkey % 7 + 1, ',"tag":"t', o_orderstatus,
+            '"},"items":[',
+            list_aggregate(list_transform(generate_series(0, CAST(o_orderkey % 3 AS INT)),
+              i -> concat('{"v":', (o_orderkey + i) % 10, '}')), 'string_agg', ','),
+            ']}') AS j
+        FROM orders WHERE o_orderkey <= 2000)
+      SELECT o_orderkey,
+        CAST(json_extract(j, '$.meta.n') AS BIGINT) AS n,
+        json_extract_string(j, '$.meta.tag') AS tag,
+        CAST(json_extract(j, '$.items[0].v') AS BIGINT) AS v0,
+        CAST(NULL AS BIGINT) AS missing,
+        TRY_CAST(json_extract_string(j, '$.meta.tag') AS BIGINT) AS badtype,
+        CAST(json_array_length(j, '$.items') AS BIGINT) AS n_items
+      FROM src ORDER BY o_orderkey"""
   )
 }

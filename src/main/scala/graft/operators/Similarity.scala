@@ -314,6 +314,56 @@ object Similarity {
         .orderBy(col("q_id"), col("rn"))
     },
 
+    // -- s11: PROBE SWEEP — the recall-vs-work tuning curve for s09's
+    //    multi-probe LSH (the experiment an ANN operator ships with:
+    //    how many Hamming-1 probes buy how much recall). One query
+    //    evaluates probe budgets L ∈ {1, 5, 9}: every candidate tags
+    //    the levels that would have seen it (its probe's order < L), so
+    //    the sweep costs ONE index join — the per-level candidate sets
+    //    nest and are never re-probed. recall@3 audits each level
+    //    against the exact cosine top-3 (brute force over the 10-query
+    //    broadcast — the same audit-in-result pattern as s06/s08).
+    //    Buckets partition the corpus and probe buckets are distinct,
+    //    so candidates need no dedup at any scale --
+    "s11_probe_sweep" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      s.udf.register("topk_pairs", udaf(new graft.functions.TopKPairs(3)))
+      val b = bucketedDf(s, dir)
+      val index = b.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("bucket"))
+      val probes = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          posexplode(expr(
+            """concat(array(bucket),
+                 transform(sequence(0, 7),
+                   p -> bucket ^ CAST(pow(2, p) AS BIGINT)))""")))
+        .select(col("q_id"), col("q_emb"), col("pos").as("p_ord"),
+          col("col").as("bucket"))
+      val swept = index.join(broadcast(probes), Seq("bucket"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
+        .withColumn("level", explode(expr("filter(array(1, 5, 9), L -> L > p_ord)")))
+        .groupBy(col("q_id"), col("level"))
+        .agg(count(lit(1)).as("n_cand"), expr("topk_pairs(cosine, c_id)").as("top"))
+        .select(col("q_id"), col("level").cast("bigint").as("level"),
+          col("n_cand"), expr("transform(top, e -> e._2)").as("ids"))
+      val qs = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = b.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .join(broadcast(qs), col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
+        .groupBy(col("q_id"))
+        .agg(expr("topk_pairs(cosine, c_id)").as("etop"))
+        .select(col("q_id"), expr("transform(etop, e -> e._2)").as("eids"))
+      swept.join(broadcast(exact), Seq("q_id"))
+        .select(col("q_id"), col("level"), col("n_cand"),
+          expr("CAST(size(array_intersect(ids, eids)) AS BIGINT)").as("hits3"))
+        .withColumn("recall3", round(col("hits3") / 3.0, 6))
+        .orderBy(col("q_id"), col("level"))
+    },
+
     // -- s08: product quantization ANN (the IVF-PQ companion of s04;
     //    the pgvector-ecosystem scale path for billion-vector search).
     //    The 64-dim space splits into M=4 16-dim subspaces with K=4
@@ -723,6 +773,61 @@ object Similarity {
       SELECT r.q_id, r.rn, r.c_id, r.cosine, s.n_cand
       FROM ranked r JOIN stats s ON r.q_id = s.q_id
       WHERE r.rn <= 3 ORDER BY r.q_id, r.rn""",
+
+    "s11_probe_sweep" -> s"""
+      WITH bucketed AS (
+        SELECT vec_id, embedding,
+          list_sum(list_transform(generate_series(0, 7), p ->
+            CASE WHEN
+              list_sum(list_transform(generate_series(1, len(embedding)), j ->
+                CAST(embedding[j] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE)))
+              > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS bucket
+        FROM embeddings),
+      probes AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, bucket, 0 AS p_ord
+        FROM bucketed WHERE vec_id < 10
+        UNION ALL
+        SELECT vec_id, embedding, xor(bucket, CAST(pow(2, u.p) AS BIGINT)), u.p + 1
+        FROM bucketed, (SELECT unnest(generate_series(0, 7)) AS p) u
+        WHERE vec_id < 10),
+      cands AS (
+        SELECT p.q_id, p.q_emb, p.p_ord, c.vec_id AS c_id, c.embedding AS c_emb
+        FROM probes p JOIN bucketed c ON p.bucket = c.bucket
+        WHERE c.vec_id <> p.q_id),
+      leveled AS (
+        SELECT q_id, c_id,
+          round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) AS cosine,
+          l.level
+        FROM cands, (SELECT unnest([1, 5, 9]) AS level) l
+        WHERE l.level > p_ord),
+      stats AS (
+        SELECT q_id, level, count(*) AS n_cand FROM leveled GROUP BY q_id, level),
+      ranked AS (
+        SELECT q_id, level, c_id,
+          row_number() OVER (PARTITION BY q_id, level ORDER BY cosine DESC, c_id) AS rn
+        FROM leveled),
+      exact AS (
+        SELECT q_id, c_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) DESC,
+              c.vec_id) AS rn
+          FROM (SELECT vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10) q
+          JOIN (SELECT vec_id, embedding AS c_emb FROM embeddings) c
+            ON q.vec_id <> c.vec_id) t
+        WHERE rn <= 3),
+      hits AS (
+        SELECT r.q_id, r.level,
+          count(e.c_id) AS hits3
+        FROM ranked r LEFT JOIN exact e
+          ON r.q_id = e.q_id AND r.c_id = e.c_id
+        WHERE r.rn <= 3
+        GROUP BY r.q_id, r.level)
+      SELECT s.q_id, CAST(s.level AS BIGINT) AS level, s.n_cand,
+        CAST(coalesce(h.hits3, 0) AS BIGINT) AS hits3,
+        round(CAST(coalesce(h.hits3, 0) AS DOUBLE) / 3.0, 6) AS recall3
+      FROM stats s LEFT JOIN hits h ON s.q_id = h.q_id AND s.level = h.level
+      ORDER BY s.q_id, s.level""",
 
     // PQ encode/ADC mirrored with the s04 argmin form: subspace m covers
     // embedding[m*16+1 .. m*16+16]; codebooks are the first 4 vectors.

@@ -566,6 +566,58 @@ object TextOps {
           round(size(col("cs")).cast("double") / col("n"), 6).as("ttr"),
           (col("entropy") >= 2.0).cast("int").as("keep"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- t22: the filtering FUNNEL report — the artifact every curation
+    //    pipeline publishes (C4/RefinedWeb/Dolma papers all table it):
+    //    ordered gates, each applied to the survivors of the previous,
+    //    with per-stage entering/dropped/surviving counts. Stages:
+    //    wordcount → langid(en) → stopword evidence → repetition →
+    //    unigram entropy. ONE pass: the t14-style two-level word census
+    //    yields every signal (entropy's Σc·ln c rides the census in
+    //    integer micro-nats, t21's order-free trick), cumulative flags
+    //    are plain per-row ANDs, and the funnel is a single aggregate
+    //    row unpivoted by stack() — at 100 TB the report costs one
+    //    census shuffle and moves 5 rows --
+    "t22_filter_funnel" -> { (s, dir) =>
+      val stops = Seq("the", "a", "and", "of", "to")
+      val flags = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(expr(toks)).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(
+          sum(col("cnt")).as("n"),
+          max(col("cnt")).as("max_cnt"),
+          count(when(col("tok").isin(stops: _*), 1)).as("stop_hits"),
+          sum(expr("cnt * CAST(round(ln(cnt) * 1000000.0) AS BIGINT)")).as("slc"))
+        .withColumn("entropy",
+          expr("ln(n) - CAST(slc AS DOUBLE) / (n * 1000000.0)"))
+        .select(
+          (col("n").between(20, 1000)).cast("int").as("f1"),
+          (col("lang") === "en").cast("int").as("f2"),
+          (col("stop_hits") >= 2).cast("int").as("f3"),
+          (col("max_cnt").cast("double") / col("n") <= 0.2).cast("int").as("f4"),
+          (col("entropy") >= 2.0).cast("int").as("f5"))
+        .select(col("f1"),
+          (col("f1") * col("f2")).as("c2"),
+          (col("f1") * col("f2") * col("f3")).as("c3"),
+          (col("f1") * col("f2") * col("f3") * col("f4")).as("c4"),
+          (col("f1") * col("f2") * col("f3") * col("f4") * col("f5")).as("c5"))
+      flags.agg(
+          count(lit(1)).as("n0"), sum(col("f1")).as("s1"), sum(col("c2")).as("s2"),
+          sum(col("c3")).as("s3"), sum(col("c4")).as("s4"), sum(col("c5")).as("s5"))
+        .selectExpr(
+          """stack(5,
+               1L, 'wordcount',  n0, s1,
+               2L, 'langid_en',  s1, s2,
+               3L, 'stopwords',  s2, s3,
+               4L, 'repetition', s3, s4,
+               5L, 'entropy',    s4, s5) AS (stage, gate, entering, surviving)""")
+        .selectExpr("stage", "gate", "entering", "surviving",
+          "entering - surviving AS dropped",
+          "round(CAST(entering - surviving AS DOUBLE) / greatest(entering, 1), 6) AS drop_rate")
+        .orderBy(col("stage"))
     }
   )
 
@@ -894,6 +946,51 @@ object TextOps {
       SELECT doc_id, n AS n_tokens, n_distinct, entropy,
         round(CAST(n_distinct AS DOUBLE) / n, 6) AS ttr,
         CAST(CASE WHEN entropy >= 2.0 THEN 1 ELSE 0 END AS INTEGER) AS keep
-      FROM e ORDER BY doc_id"""
+      FROM e ORDER BY doc_id""",
+
+    "t22_filter_funnel" -> """
+      WITH lvl1 AS (
+        SELECT doc_id, lang, tok, count(*) AS cnt
+        FROM (SELECT doc_id, lang,
+                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents) t
+        GROUP BY doc_id, lang, tok),
+      lvl2 AS (
+        SELECT doc_id, lang,
+          CAST(sum(cnt) AS BIGINT) AS n,
+          max(cnt) AS max_cnt,
+          count(CASE WHEN tok IN ('the', 'a', 'and', 'of', 'to') THEN 1 END)
+            AS stop_hits,
+          CAST(sum(cnt * CAST(round(ln(cnt) * 1000000.0) AS BIGINT)) AS BIGINT)
+            AS slc
+        FROM lvl1 GROUP BY doc_id, lang),
+      flags AS (
+        SELECT
+          CASE WHEN n BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS f1,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f2,
+          CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS f3,
+          CASE WHEN CAST(max_cnt AS DOUBLE) / n <= 0.2 THEN 1 ELSE 0 END AS f4,
+          CASE WHEN ln(n) - CAST(slc AS DOUBLE) / (n * 1000000.0) >= 2.0
+               THEN 1 ELSE 0 END AS f5
+        FROM lvl2),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+          CAST(sum(f1) AS BIGINT) AS s1,
+          CAST(sum(f1 * f2) AS BIGINT) AS s2,
+          CAST(sum(f1 * f2 * f3) AS BIGINT) AS s3,
+          CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) AS s4,
+          CAST(sum(f1 * f2 * f3 * f4 * f5) AS BIGINT) AS s5
+        FROM flags),
+      funnel AS (
+        SELECT CAST(1 AS BIGINT) AS stage, 'wordcount' AS gate, n0 AS entering, s1 AS surviving FROM agg
+        UNION ALL SELECT 2, 'langid_en', s1, s2 FROM agg
+        UNION ALL SELECT 3, 'stopwords', s2, s3 FROM agg
+        UNION ALL SELECT 4, 'repetition', s3, s4 FROM agg
+        UNION ALL SELECT 5, 'entropy', s4, s5 FROM agg)
+      SELECT stage, gate, entering, surviving,
+        entering - surviving AS dropped,
+        round(CAST(entering - surviving AS DOUBLE) / greatest(entering, 1), 6)
+          AS drop_rate
+      FROM funnel ORDER BY stage"""
   )
 }

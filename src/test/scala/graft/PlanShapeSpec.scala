@@ -900,6 +900,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"hourly pre-agg must combine map-side:\n$p")
   }
 
+  test("t22: funnel report costs one census — no join, 5 rows out") {
+    val p = plan("t22_filter_funnel")
+    assert(!p.contains("Join"), s"funnel must compute all gates from one census:\n$p")
+    assert(p.contains("partial_"), s"census must combine map-side:\n$p")
+  }
+
+  test("s11: probe sweep joins the index ONCE; levels expand candidates in place") {
+    val p = plan("s11_probe_sweep").split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly two joins: probes->index and swept->exact (both broadcast)
+    val joins = "BroadcastHashJoin".r.findAllIn(p).length +
+      "SortMergeJoin".r.findAllIn(p).length + "ShuffledHashJoin".r.findAllIn(p).length
+    assert(joins <= 3, s"level expansion must not re-join per level, got $joins joins:\n$p")
+  }
+
+  test("j07: variant shreds with a single parse_json per row, join-free") {
+    val p = plan("j07_variant_shred")
+    assert(!p.contains("Join"), p)
+    val parses = "parse_json".r.findAllIn(
+      p.split("== Initial Plan ==")(0)).length
+    assert(parses <= 1, s"document must parse once into the variant, got $parses:\n$p")
+  }
+
   test("ml04: COO matmul is equi-join on k + (i,j) hash agg, partials map-side") {
     val p = plan("ml04_matmul")
     assert(!p.contains("CartesianProduct"), s"matmul must contract on k, not cross:\n$p")
