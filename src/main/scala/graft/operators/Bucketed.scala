@@ -26,6 +26,13 @@ object Bucketed {
     * into the shared warehouse directory — CREATE TABLE ... DISTRIBUTED
     * BY re-run per session). */
   def ensure(s: SparkSession, dir: String): (String, String) = {
+    // GP's distribution is PHYSICAL — a table is always read through its
+    // distribution layout. Spark's autoBucketedScan instead drops the
+    // bucketed layout when the planner sees no exchange to elide, which
+    // also forfeits bucket PRUNING on key-equality probes (b03's whole
+    // point). Pin layout reads on for the session; only the b-family
+    // tables are bucketed, so nothing else changes.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val (ot, lt) = (s"orders_bucketed_${tag(dir)}", s"lineitem_bucketed_${tag(dir)}")
     def create(table: String, src: String, key: String): Unit =
       if (!s.catalog.tableExists(table)) {
@@ -87,6 +94,24 @@ object Bucketed {
           count(lit(1)).as("n_items"),
           sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("total_qty"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // -- b03: BUCKET PRUNING — the point-lookup payoff of distribution
+    //    keys: an equality/IN filter on the bucket key lets the scan
+    //    read ONLY the buckets those keys hash to (reference analog:
+    //    gp_segment direct dispatch, `cdbmutate.c` directDispatch —
+    //    Cloudberry sends a distribution-key point query to the ONE
+    //    segment that can hold it instead of broadcasting the scan).
+    //    Spark's FileSourceScanExec reports SelectedBucketsCount; the
+    //    plan assert pins pruned < total. At 100 TB this is the
+    //    difference between reading 3/8 of the table and all of it --
+    "b03_bucket_pruning" -> { (s, dir) =>
+      val (ot, _) = ensure(s, dir)
+      s.table(ot)
+        .filter(col("o_orderkey").isin(7L, 1223L, 4999L))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -103,6 +128,12 @@ object Bucketed {
         count(*) AS n_items,
         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "b03_bucket_pruning" -> """
+      SELECT o_orderkey, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey IN (7, 1223, 4999)
+      ORDER BY o_orderkey"""
   )
 }

@@ -157,6 +157,36 @@ object Partitioned {
         .agg(count(lit(1)).as("n_orders"),
           expr("round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)").as("total"))
         .orderBy(col("o_region"), col("o_month"))
+    },
+
+    // -- p05: partition RETENTION / archival — the partition-lifecycle
+    //    maintenance job (pg_partman's retention; GP's DROP/EXCHANGE
+    //    PARTITION idiom, `gram.y` ALTER TABLE ... EXCHANGE): months
+    //    older than the cutoff move from the live table to an archive
+    //    location, newer months stay. Both moves are PARTITION-PRUNED
+    //    scans of the month-partitioned table (the hive directory
+    //    layout makes "older than cutoff" a directory selection, not a
+    //    data filter — at 100 TB the job reads only the partitions it
+    //    moves), and the audit manifest re-reads both tiers to prove
+    //    the split is a partition of the original table --
+    "p05_partition_retention" -> { (s, dir) =>
+      val cutoff = "1997-07"
+      val base = ordersByMonth(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val live = s"target/derived/$tag/retention_live"
+      val arch = s"target/derived/$tag/retention_archive"
+      base.filter(col("o_month") >= cutoff)
+        .write.mode("overwrite").partitionBy("o_month").parquet(live)
+      base.filter(col("o_month") < cutoff)
+        .write.mode("overwrite").partitionBy("o_month").parquet(arch)
+      val manifest =
+        s.read.parquet(live).withColumn("tier", lit("live"))
+          .unionByName(s.read.parquet(arch).withColumn("tier", lit("archive")))
+      manifest.groupBy(col("tier"), col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents"))
+        .orderBy(col("tier"), col("o_month"))
     }
   )
 
@@ -194,6 +224,15 @@ object Partitioned {
       JOIN region ON n_regionkey = r_regionkey
       WHERE r_name IN ('ASIA', 'EUROPE')
         AND strftime(o_orderdate, '%Y-%m') IN ('1997-06', '1997-07', '1997-08')
-      GROUP BY 1, 2 ORDER BY o_region, o_month"""
+      GROUP BY 1, 2 ORDER BY o_region, o_month""",
+
+    "p05_partition_retention" -> """
+      SELECT CASE WHEN strftime(o_orderdate, '%Y-%m') < '1997-07'
+                  THEN 'archive' ELSE 'live' END AS tier,
+        strftime(o_orderdate, '%Y-%m') AS o_month,
+        count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      GROUP BY 1, 2 ORDER BY tier, o_month"""
   )
 }

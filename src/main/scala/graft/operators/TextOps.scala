@@ -618,6 +618,41 @@ object TextOps {
           "entering - surviving AS dropped",
           "round(CAST(entering - surviving AS DOUBLE) / greatest(entering, 1), 6) AS drop_rate")
         .orderBy(col("stage"))
+    },
+
+    // -- t23: KL-divergence novelty — how far each document's unigram
+    //    distribution sits from the corpus distribution (the
+    //    domain-shift / outlier signal CCNet-style pipelines use to
+    //    spot boilerplate farms and off-distribution content).
+    //    KL(doc‖corpus) = (1/n)·Σ cnt·(ln cnt − ln cw) + ln N − ln n
+    //    — algebra arranged so the Σ is over integer micro-nat terms
+    //    (t18/t21's discipline): cnt and cw are exact counts, each
+    //    ln is one deterministic IEEE double rounded to 1e-6, and the
+    //    sum is BIGINT — order-free under any partitioning. Shape: the
+    //    word census spools once; the corpus word-distribution rollup
+    //    is vocab-sized (Heaps' law — broadcastable at any corpus
+    //    scale), joined back broadcast; one per-doc aggregate. Every
+    //    doc word is in the corpus by construction, so no zero-mass
+    //    smoothing is needed --
+    "t23_kl_novelty" -> { (s, dir) =>
+      def lnMicro(c: String) = s"CAST(round(ln($c) * 1000000.0) AS BIGINT)"
+      val census = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(toks)).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // spool: corpus rollup + join both read it
+      val corpus = census.groupBy(col("tok")).agg(sum(col("cnt")).as("cw"))
+      val tot = corpus.agg(sum(col("cw")).as("ncorp"))
+      census.join(broadcast(corpus), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(expr(s"cnt * (${lnMicro("cnt")} - ${lnMicro("cw")})")).as("ssum"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round(expr("CAST(ssum AS DOUBLE) / (n * 1000000.0) + ln(ncorp) - ln(n)"), 6)
+            .as("kl"))
+        .withColumn("novel", (col("kl") >= 0.35).cast("int"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -991,6 +1026,31 @@ object TextOps {
         entering - surviving AS dropped,
         round(CAST(entering - surviving AS DOUBLE) / greatest(entering, 1), 6)
           AS drop_rate
-      FROM funnel ORDER BY stage"""
+      FROM funnel ORDER BY stage""",
+
+    "t23_kl_novelty" -> """
+      WITH census AS (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents) t
+        GROUP BY doc_id, tok),
+      corpus AS (
+        SELECT tok, CAST(sum(cnt) AS BIGINT) AS cw FROM census GROUP BY tok),
+      tot AS (SELECT CAST(sum(cw) AS BIGINT) AS ncorp FROM corpus),
+      perdoc AS (
+        SELECT c.doc_id,
+          CAST(sum(c.cnt) AS BIGINT) AS n,
+          CAST(sum(c.cnt * (CAST(round(ln(c.cnt) * 1000000.0) AS BIGINT)
+                          - CAST(round(ln(w.cw) * 1000000.0) AS BIGINT)))
+            AS BIGINT) AS ssum
+        FROM census c JOIN corpus w ON c.tok = w.tok
+        GROUP BY c.doc_id)
+      SELECT doc_id, n AS n_tokens,
+        round(CAST(ssum AS DOUBLE) / (n * 1000000.0) + ln(ncorp) - ln(n), 6) AS kl,
+        CAST(CASE WHEN round(CAST(ssum AS DOUBLE) / (n * 1000000.0)
+                            + ln(ncorp) - ln(n), 6) >= 0.35
+             THEN 1 ELSE 0 END AS INTEGER) AS novel
+      FROM perdoc, tot ORDER BY doc_id"""
   )
 }

@@ -900,6 +900,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"hourly pre-agg must combine map-side:\n$p")
   }
 
+  test("b03: equality filter on the bucket key prunes buckets at the scan") {
+    // direct-dispatch analog: SelectedBucketsCount must show fewer than
+    // the table's 8 buckets being read for a 3-key IN probe
+    val p = plan("b03_bucket_pruning")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"expected bucket pruning in scan:\n$p")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"probe must not read every bucket: ${m.get.matched}")
+  }
+
+  test("p05: retention moves are partition-pruned scans, not data filters") {
+    val p = plan("p05_partition_retention")
+    // the manifest read unions two partitioned locations; the month
+    // predicate must be gone from the data path (PartitionFilters did
+    // the split at write time)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), s"manifest rollup must combine map-side:\n$p")
+  }
+
   test("t22: funnel report costs one census — no join, 5 rows out") {
     val p = plan("t22_filter_funnel")
     assert(!p.contains("Join"), s"funnel must compute all gates from one census:\n$p")
