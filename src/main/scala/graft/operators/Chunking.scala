@@ -328,6 +328,44 @@ object Chunking {
           size(col("kept")).cast("bigint").as("kept_tokens"),
           md5(concat_ws(" ", col("kept"))).as("kept_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- t24: SOURCE-OVERLAP matrix via MinHash sketches — the
+    //    dataset-vs-dataset contamination audit (does crawl snapshot A
+    //    duplicate snapshot B? how much of source X is boilerplate
+    //    shared with Y?) run BEFORE mixing sources into a training
+    //    corpus. Per source: a 16-permutation MinHash signature over
+    //    its word-3-gram shingles (h_p = str_hash31('p:'‖shingle), the
+    //    d02 codegen kernel); the pairwise Jaccard estimate is the
+    //    fraction of agreeing signature positions. Scale shape: the
+    //    shingle stream explodes ×16 but reduces MAP-SIDE to min per
+    //    (source, permutation) — the shuffle carries |sources|×16
+    //    rows no matter the corpus size, and the pair comparison is a
+    //    sketch-only |sources|² join that never touches text. The full
+    //    matrix (zero estimates included) is the honest audit output --
+    "t24_source_overlap" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val P = 16
+      val g = Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .select(col("source"), col("text"), explode(expr(
+          """CASE WHEN size(toks) >= 3
+               THEN transform(sequence(3, size(toks)),
+                 i -> concat(toks[i-3], ' ', toks[i-2], ' ', toks[i-1]))
+               ELSE array(text) END""")).as("shingle"))
+      val sigs = g
+        .select(col("source"), col("shingle"),
+          explode(expr(s"sequence(0, ${P - 1})")).as("p"))
+        .withColumn("h", expr("str_hash31(concat(CAST(p AS STRING), ':', shingle))"))
+        .groupBy(col("source"), col("p"))
+        .agg(min(col("h")).as("m"))
+      val a = sigs.select(col("source").as("src_a"), col("p"), col("m").as("ma"))
+      val b = sigs.select(col("source").as("src_b"), col("p"), col("m").as("mb"))
+      a.join(b, Seq("p")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum((col("ma") === col("mb")).cast("long")).as("n_match"))
+        .withColumn("jaccard_est", round(col("n_match") / lit(P.toDouble), 6))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 
@@ -448,6 +486,34 @@ object Chunking {
         md5(coalesce(string_agg(CASE WHEN lh NOT IN (SELECT lh FROM boiler)
                                      THEN array_to_string(line, ' ') END,
                                 ' ' ORDER BY line_no), '')) AS kept_md5
-      FROM l2 GROUP BY doc_id ORDER BY doc_id"""
+      FROM l2 GROUP BY doc_id ORDER BY doc_id""",
+
+    "t24_source_overlap" -> """
+      WITH sh AS (
+        SELECT source, unnest(
+          CASE WHEN len(toks) >= 3
+            THEN list_transform(generate_series(3, len(toks)),
+                   i -> toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i])
+            ELSE [text] END) AS shingle
+        FROM (SELECT source, text,
+                list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents) t),
+      hashed AS (
+        SELECT source, p.p,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, length(CAST(p.p AS VARCHAR) || ':' || shingle)),
+                i -> CAST(ascii(substring(CAST(p.p AS VARCHAR) || ':' || shingle, i, 1)) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        FROM sh, (SELECT unnest(generate_series(0, 15)) AS p) p),
+      sigs AS (
+        SELECT source, p, min(h) AS m FROM hashed GROUP BY source, p)
+      SELECT a.source AS src_a, b.source AS src_b,
+        CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        round(CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE) / 16.0, 6)
+          AS jaccard_est
+      FROM sigs a JOIN sigs b ON a.p = b.p AND a.source < b.source
+      GROUP BY a.source, b.source
+      ORDER BY src_a, src_b"""
   )
 }

@@ -159,6 +159,43 @@ object Geo {
         .agg(count(lit(1)).as("n_pts"),
           sum(col("inside").cast("long")).as("n_inside"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // -- g06: polygon METRICS — geo_ops.c poly_area (the shoelace /
+    //    surveyor's formula, signed by winding order), path_length
+    //    (perimeter as Σ segment lengths), and the vertex centroid.
+    //    One 5-vertex polygon per nation from deterministic integer
+    //    vertices; the shoelace cross-products are EXACT BIGINTs (the
+    //    only doubles are the final divisions and the per-edge sqrt,
+    //    identical IEEE in both engines). Pure per-row HOF arithmetic
+    //    over a 25-row dim — at scale this is a map stage over
+    //    however many polygons the catalog holds --
+    "g06_polygon_metrics" -> { (s, dir) =>
+      Tables.df(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"),
+          expr("""transform(sequence(0, 4),
+                    i -> struct(CAST((n_nationkey * 7 + i * 13) % 100 AS BIGINT) AS x,
+                                CAST((n_nationkey * 11 + i * 17) % 100 AS BIGINT) AS y))""")
+            .as("vs"))
+        .withColumn("shoelace2", expr(
+          """aggregate(sequence(0, 4), 0L, (a, i) ->
+               a + vs[i].x * vs[(i + 1) % 5].y - vs[(i + 1) % 5].x * vs[i].y)"""))
+        // per-edge lengths quantized to micro-units BEFORE summing: the
+        // 5-term Σ is then BIGINT-exact in any evaluation order (both
+        // engines' list-fold orders stop mattering)
+        .withColumn("perim_u", expr(
+          """aggregate(sequence(0, 4), 0L, (a, i) ->
+               a + CAST(round(sqrt(CAST(pow(vs[(i + 1) % 5].x - vs[i].x, 2)
+                           + pow(vs[(i + 1) % 5].y - vs[i].y, 2) AS DOUBLE)) * 1000000)
+                   AS BIGINT))"""))
+        .select(col("n_nationkey"), col("n_name"),
+          round(abs(col("shoelace2")).cast("double") / 2.0, 6).as("area"),
+          round(col("perim_u").cast("double") / 1000000.0, 6).as("perimeter"),
+          round(expr("aggregate(vs, 0L, (a, v) -> a + v.x)").cast("double") / 5.0, 6)
+            .as("cx"),
+          round(expr("aggregate(vs, 0L, (a, v) -> a + v.y)").cast("double") / 5.0, 6)
+            .as("cy"))
+        .orderBy(col("n_nationkey"))
     }
   )
 
@@ -247,6 +284,31 @@ object Geo {
         round(max(km), 1) AS max_km,
         CAST(sum(CASE WHEN km < 5000 THEN 1 ELSE 0 END) AS BIGINT)
           AS n_within_5000
-      FROM d GROUP BY n_name ORDER BY n_name"""
+      FROM d GROUP BY n_name ORDER BY n_name""",
+
+    "g06_polygon_metrics" -> """
+      WITH poly AS (
+        SELECT n_nationkey, n_name,
+          list_transform(generate_series(0, 4),
+            i -> {'x': CAST((n_nationkey * 7 + i * 13) % 100 AS BIGINT),
+                  'y': CAST((n_nationkey * 11 + i * 17) % 100 AS BIGINT)}) AS vs
+        FROM nation),
+      m AS (
+        SELECT n_nationkey, n_name, vs,
+          list_sum(list_transform(generate_series(0, 4), i ->
+            vs[CAST(i + 1 AS INT)].x * vs[CAST((i + 1) % 5 + 1 AS INT)].y
+          - vs[CAST((i + 1) % 5 + 1 AS INT)].x * vs[CAST(i + 1 AS INT)].y))
+            AS shoelace2,
+          CAST(list_sum(list_transform(generate_series(0, 4), i ->
+            CAST(round(sqrt(CAST(pow(vs[CAST((i + 1) % 5 + 1 AS INT)].x - vs[CAST(i + 1 AS INT)].x, 2)
+                    + pow(vs[CAST((i + 1) % 5 + 1 AS INT)].y - vs[CAST(i + 1 AS INT)].y, 2)
+                 AS DOUBLE)) * 1000000) AS BIGINT))) AS BIGINT) AS perim_u
+        FROM poly)
+      SELECT n_nationkey, n_name,
+        round(CAST(abs(shoelace2) AS DOUBLE) / 2.0, 6) AS area,
+        round(CAST(perim_u AS DOUBLE) / 1000000.0, 6) AS perimeter,
+        round(CAST(list_sum(list_transform(vs, v -> v.x)) AS DOUBLE) / 5.0, 6) AS cx,
+        round(CAST(list_sum(list_transform(vs, v -> v.y)) AS DOUBLE) / 5.0, 6) AS cy
+      FROM m ORDER BY n_nationkey"""
   )
 }

@@ -273,6 +273,47 @@ object Multimodal {
           min(col("score")).as("min_s"),
           max(col("score")).as("max_s"))
         .orderBy(col("label"))
+    },
+
+    // -- m08: SCENE-CUT detection — the shot-boundary segmentation a
+    //    video curation pipeline runs before frame sampling (pick k
+    //    frames PER SCENE, not per fixed stride; PySceneDetect's
+    //    content-detector shape). Per 16-byte frame: an exact integer
+    //    feature (byte sum — the stub contract; a real decoder puts a
+    //    frame histogram here, same plan); a CUT where the absolute
+    //    frame-to-frame delta exceeds the threshold (lag over the
+    //    doc-partitioned frame window); scenes = prefix-sum of cut
+    //    flags (e02's gaps-and-islands discipline, never a per-row
+    //    array loop). Output per video: frame/scene census + longest
+    //    scene + mean scene length. Scale shape: one explode
+    //    (O(bytes/16) rows), both windows partition by doc_id, one
+    //    partial-agg rollup — no shuffle beyond the doc key --
+    "m08_scene_cuts" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("f"))
+      val frames = Tables.df(s, dir, "documents")
+        .filter(col("n_chars") >= 64)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, CAST(n_chars div 16 AS INT) - 1)")).as("f"))
+        .withColumn("feat", expr(
+          """aggregate(sequence(1, 16), 0L,
+               (a, i) -> a + ascii(substring(text, CAST(f * 16 + i AS INT), 1)))"""))
+      frames
+        .withColumn("prev", lag(col("feat"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev").isNull || abs(col("feat") - col("prev")) > 40, 1L)
+            .otherwise(0L))
+        .withColumn("scene", sum(col("cut")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("scene"))
+        .agg(count(lit(1)).as("scene_len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("scene_len")).as("n_frames"),
+          count(lit(1)).as("n_scenes"),
+          max(col("scene_len")).as("longest_scene"),
+          round(sum(col("scene_len")).cast("double") / count(lit(1)), 6)
+            .as("mean_scene_len"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -417,6 +458,36 @@ object Multimodal {
           unnest(generate_series(0, octet_length(encode(text)) // 16 - 1, 4)) AS frame_no
         FROM documents
         WHERE octet_length(encode(text)) >= 16)
-      ORDER BY doc_id, frame_no"""
+      ORDER BY doc_id, frame_no""",
+
+    "m08_scene_cuts" -> """
+      WITH frames AS (
+        SELECT doc_id, f,
+          list_sum(list_transform(generate_series(1, 16),
+            i -> CAST(ascii(substring(text, CAST(f * 16 + i AS INT), 1)) AS BIGINT)))
+            AS feat
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(0, CAST(n_chars // 16 AS INT) - 1)) AS f
+              FROM documents WHERE n_chars >= 64) t),
+      cuts AS (
+        SELECT doc_id, f, feat,
+          CASE WHEN lag(feat) OVER (PARTITION BY doc_id ORDER BY f) IS NULL
+                 OR abs(feat - lag(feat) OVER (PARTITION BY doc_id ORDER BY f)) > 40
+               THEN 1 ELSE 0 END AS cut
+        FROM frames),
+      scenes AS (
+        SELECT doc_id,
+          sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+        FROM cuts),
+      lens AS (
+        SELECT doc_id, scene, count(*) AS scene_len
+        FROM scenes GROUP BY doc_id, scene)
+      SELECT doc_id,
+        CAST(sum(scene_len) AS BIGINT) AS n_frames,
+        count(*) AS n_scenes,
+        CAST(max(scene_len) AS BIGINT) AS longest_scene,
+        round(CAST(sum(scene_len) AS DOUBLE) / count(*), 6) AS mean_scene_len
+      FROM lens GROUP BY doc_id ORDER BY doc_id"""
   )
 }
