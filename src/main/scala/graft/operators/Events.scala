@@ -221,6 +221,50 @@ object Events {
         .orderBy(col("p_id"))
     },
 
+    // -- e19: as-of join, DIRECTION + TOLERANCE variants — the full
+    //    pandas merge_asof / kdb aj surface next to e03's backward-only
+    //    form: for each purchase, the user's latest order at-or-before
+    //    (backward), earliest at-or-after (forward), and NEAREST by
+    //    absolute gap (ties to the earlier order, then lower key), all
+    //    within a ±7-day tolerance. ONE user-aligned equi-join feeds
+    //    all three picks — each is a min/max(struct) aggregate whose
+    //    leading field encodes its direction's ordering, so the pair
+    //    stream is scanned once, map-side combined, never windowed.
+    //    (Right side = the user's signup events: both streams live in
+    //    event time, so the tolerance does real work — orders' 1990s
+    //    dates would make a ±7d band vacuously empty.) --
+    "e19_asof_nearest" -> { (s, dir) =>
+      val tolMs = 7L * 86400000L
+      val p = Tables.df(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"))
+      val o = Tables.df(s, dir, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("o_orderkey"),
+          unix_millis(col("ts")).as("o_ms"))
+      // tolerance lives INSIDE the pick conditions, not a row filter: a
+      // purchase whose only orders fall outside ±7d must still emit its
+      // row with NULL picks (merge_asof keeps the left row)
+      p.join(o, Seq("user_id"), "left_outer")
+        .withColumn("gap", col("o_ms") - col("p_ms"))
+        .groupBy(col("p_id"), col("user_id"))
+        .agg(
+          max(when(col("gap").between(-tolMs, 0),
+            struct(col("o_ms"), (-col("o_orderkey")).as("nk")))).as("bwd"),
+          min(when(col("gap").between(0, tolMs),
+            struct(col("o_ms"), col("o_orderkey")))).as("fwd"),
+          min(when(abs(col("gap")) <= tolMs,
+            struct(abs(col("gap")).as("ad"), col("o_ms"), col("o_orderkey"))))
+            .as("nst"))
+        .select(col("p_id"), col("user_id"),
+          (-col("bwd.nk")).as("bwd_signup_id"),
+          col("fwd.o_orderkey").as("fwd_signup_id"),
+          col("nst.o_orderkey").as("nearest_signup_id"),
+          expr("nst.ad DIV 3600000").as("nearest_gap_hours"))
+        .orderBy(col("p_id"))
+    },
+
     // -- e12: SCD Type-2 dimension build. Each user's event_type stream
     //    collapses to change rows (lag ≠ current — island detection),
     //    then lead() closes each version's [valid_from, valid_to) —
@@ -755,6 +799,43 @@ object Events {
         f.t_type AS first_touch_type, f.t_id AS first_touch_id
       FROM (SELECT * FROM ranked WHERE rl = 1) l
       JOIN (SELECT * FROM ranked WHERE rf = 1) f USING (p_id)
-      ORDER BY l.p_id"""
+      ORDER BY l.p_id""",
+
+    "e19_asof_nearest" -> """
+      WITH p AS (
+        SELECT event_id AS p_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS p_ms
+        FROM events WHERE event_type = 'purchase'),
+      o AS (
+        SELECT user_id, event_id AS s_id, CAST(epoch_ms(ts) AS BIGINT) AS o_ms
+        FROM events WHERE event_type = 'signup'),
+      j AS (
+        SELECT p.p_id, p.user_id, o.s_id, o.o_ms,
+          o.o_ms - p.p_ms AS gap
+        FROM p LEFT JOIN o ON p.user_id = o.user_id),
+      bwd AS (
+        SELECT p_id, s_id FROM (
+          SELECT p_id, s_id, row_number() OVER (
+            PARTITION BY p_id ORDER BY o_ms DESC, s_id ASC) AS rn
+          FROM j WHERE gap BETWEEN -604800000 AND 0) t WHERE rn = 1),
+      fwd AS (
+        SELECT p_id, s_id FROM (
+          SELECT p_id, s_id, row_number() OVER (
+            PARTITION BY p_id ORDER BY o_ms ASC, s_id ASC) AS rn
+          FROM j WHERE gap BETWEEN 0 AND 604800000) t WHERE rn = 1),
+      nst AS (
+        SELECT p_id, s_id, ad FROM (
+          SELECT p_id, s_id, abs(gap) AS ad, row_number() OVER (
+            PARTITION BY p_id ORDER BY abs(gap) ASC, o_ms ASC, s_id ASC) AS rn
+          FROM j WHERE abs(gap) <= 604800000) t WHERE rn = 1)
+      SELECT p.p_id, p.user_id,
+        bwd.s_id AS bwd_signup_id,
+        fwd.s_id AS fwd_signup_id,
+        nst.s_id AS nearest_signup_id,
+        nst.ad // 3600000 AS nearest_gap_hours
+      FROM p
+      LEFT JOIN bwd ON p.p_id = bwd.p_id
+      LEFT JOIN fwd ON p.p_id = fwd.p_id
+      LEFT JOIN nst ON p.p_id = nst.p_id
+      ORDER BY p.p_id"""
   )
 }

@@ -596,4 +596,77 @@ class InvariantsSpec extends AnyFunSuite {
         s"query $q: multi-probe ${multi.get(q)} < own-bucket $o")
     }
   }
+
+  test("t22: funnel stages chain — each gate's entrants are the previous survivors") {
+    val rows = SparkEntry.queries("t22_filter_funnel")(spark, Sf)
+      .orderBy("stage").collect()
+    assert(rows.length == 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("entering") == a.getAs[Long]("surviving"),
+        s"stage ${b.getAs[Long]("stage")} entrants != prior survivors")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("surviving") <= r.getAs[Long]("entering"))
+      assert(r.getAs[Long]("dropped") ==
+        r.getAs[Long]("entering") - r.getAs[Long]("surviving"))
+    }
+  }
+
+  test("s11: candidate sets and recall are monotone in the probe budget") {
+    val rows = SparkEntry.queries("s11_probe_sweep")(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, rs) =>
+      val byLevel = rs.sortBy(_.getAs[Long]("level"))
+      byLevel.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo.getAs[Long]("n_cand") <= hi.getAs[Long]("n_cand"),
+            s"q$q: candidates shrank as probes grew")
+          assert(lo.getAs[Long]("hits3") <= hi.getAs[Long]("hits3"),
+            s"q$q: recall fell as probes grew — level sets must nest")
+        case _ =>
+      }
+    }
+  }
+
+  test("t24: overlap estimates are within [0,1] and the matrix covers all pairs") {
+    val rows = SparkEntry.queries("t24_source_overlap")(spark, Sf).collect()
+    val srcs = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
+    assert(rows.length == srcs * (srcs - 1) / 2,
+      s"expected the full upper triangle, got ${rows.length} pairs over $srcs sources")
+    rows.foreach { r =>
+      val est = r.getAs[Double]("jaccard_est")
+      assert(est >= 0.0 && est <= 1.0, s"estimate out of range: $est")
+    }
+  }
+
+  test("e19: nearest pick is one of the directional picks when both exist") {
+    val rows = SparkEntry.queries("e19_asof_nearest")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    var both = 0
+    rows.foreach { r =>
+      val bwd = Option(r.getAs[java.lang.Long]("bwd_signup_id"))
+      val fwd = Option(r.getAs[java.lang.Long]("fwd_signup_id"))
+      val nst = Option(r.getAs[java.lang.Long]("nearest_signup_id"))
+      (bwd, fwd) match {
+        case (None, None) => assert(nst.isEmpty, s"nearest without any candidate: $r")
+        case _ =>
+          assert(nst.isDefined && (bwd.contains(nst.get) || fwd.contains(nst.get)),
+            s"nearest ${nst} is neither bwd $bwd nor fwd $fwd: $r")
+          if (bwd.isDefined && fwd.isDefined) both += 1
+      }
+    }
+    assert(both > 0, "no purchase had candidates in BOTH directions — test is vacuous")
+  }
+
+  test("m08: scene lengths partition the frame count; every scene starts with a cut") {
+    val rows = SparkEntry.queries("m08_scene_cuts")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_scenes") >= 1L)
+      assert(r.getAs[Long]("longest_scene") <= r.getAs[Long]("n_frames"))
+      assert(math.abs(r.getAs[Double]("mean_scene_len") -
+        r.getAs[Long]("n_frames").toDouble / r.getAs[Long]("n_scenes")) < 1e-5)
+    }
+  }
 }
