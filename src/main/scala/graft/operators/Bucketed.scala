@@ -112,6 +112,25 @@ object Bucketed {
         .select(col("o_orderkey"), col("o_orderstatus"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // -- b04: EXCHANGE-FREE aggregation on the distribution key — the
+    //    other half of DISTRIBUTED BY's payoff next to b01's co-located
+    //    join: a GROUP BY on the bucket key is already hash-distributed
+    //    by the storage layout, so the first (wide, per-order) aggregate
+    //    runs with NO shuffle at all (FileSourceScanExec's
+    //    outputPartitioning satisfies the aggregate's requirement —
+    //    GP runs the same agg motion-free on the segments). Only the
+    //    second, histogram-sized rollup exchanges. Plan-asserted: one
+    //    Exchange total --
+    "b04_bucketed_agg" -> { (s, dir) =>
+      val (_, lt) = ensure(s, dir)
+      s.table(lt)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+        .groupBy(col("n_lines"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_lines"))
     }
   )
 
@@ -134,6 +153,12 @@ object Bucketed {
       SELECT o_orderkey, o_orderstatus,
         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders WHERE o_orderkey IN (7, 1223, 4999)
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+
+    "b04_bucketed_agg" -> """
+      SELECT n_lines, count(*) AS n_orders
+      FROM (SELECT l_orderkey, count(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey) t
+      GROUP BY n_lines ORDER BY n_lines"""
   )
 }

@@ -265,6 +265,28 @@ object Events {
         .orderBy(col("p_id"))
     },
 
+    // -- e20: rolling exact MEDIAN — robust smoothing over a 24-event
+    //    frame per user (the outlier-resistant counterpart of e15's
+    //    EWMA; PG expresses it as percentile_cont OVER, an ordered-set
+    //    agg in a window frame). Spark evaluates the percentile
+    //    aggregate per frame; the frame is ROWS-bounded (24), so the
+    //    per-row cost is constant and the window partitions by user —
+    //    never corpus-wide. vc is the 1e-4-unit BIGINT, so the only
+    //    doubles are midpoint interpolation over exact ints — both
+    //    engines produce identical halves --
+    "e20_rolling_median" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-23, 0)
+      Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("CAST(round(value * 10000) AS BIGINT)").as("vc"))
+        .withColumn("n_in_frame", count(lit(1)).over(w))
+        .withColumn("med", round(
+          expr("percentile(vc, 0.5)").over(w) / lit(10000.0), 6))
+        .select(col("user_id"), col("event_id"), col("n_in_frame"), col("med"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // -- e12: SCD Type-2 dimension build. Each user's event_type stream
     //    collapses to change rows (lag ≠ current — island detection),
     //    then lead() closes each version's [valid_from, valid_to) —
@@ -836,6 +858,16 @@ object Events {
       LEFT JOIN bwd ON p.p_id = bwd.p_id
       LEFT JOIN fwd ON p.p_id = fwd.p_id
       LEFT JOIN nst ON p.p_id = nst.p_id
-      ORDER BY p.p_id"""
+      ORDER BY p.p_id""",
+
+    "e20_rolling_median" -> """
+      SELECT user_id, event_id,
+        count(*) OVER w AS n_in_frame,
+        round(quantile_cont(CAST(round(value * 10000) AS BIGINT), 0.5) OVER w
+              / CAST(10000 AS DOUBLE), 6) AS med
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""
   )
 }

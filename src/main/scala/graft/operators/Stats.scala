@@ -174,6 +174,48 @@ object Stats {
           expr("CAST(sum(n) AS BIGINT)").as("n_rows"),
           round(expr("CAST(max(n) AS DOUBLE) / avg(n)"), 4).as("skew_factor"),
           round(expr("stddev_samp(CAST(n AS DOUBLE)) / avg(n)"), 4).as("cv"))
+    },
+
+    // -- x06: audience-overlap estimation by HLL inclusion-exclusion —
+    //    the ad-tech / segment-analysis staple: |A∩B| ≈ est(A) +
+    //    est(B) − est(A∪B) from three mergeable sketches, NO pairwise
+    //    join of the segments (at 100 TB the three sketches come from
+    //    one scan each and merge in bytes; the exact intersection needs
+    //    a distinct-join). Segments: A = 1995-H1 purchasers, B = URGENT
+    //    purchasers. The q61/q122 audit discipline makes it
+    //    oracle-able: each engine compares ITS OWN estimate to ITS OWN
+    //    exact intersection — the hash-compared columns are the exact
+    //    counts and the within-tolerance boolean, so a drifting
+    //    estimator fails the driver compare --
+    "x06_audience_overlap" -> { (s, dir) =>
+      val o = Tables.df(s, dir, "orders")
+      val inA = col("o_orderdate").between("1995-01-01", "1995-06-30")
+      val inB = col("o_orderpriority") === "1-URGENT"
+      // AUDIENCE semantics: a customer is in A∩B when they have SOME
+      // order in each segment — not one order satisfying both (the
+      // same-row conjunction undercounts 207 vs 696 at sf0.01). The
+      // exact side therefore folds per-customer membership flags first;
+      // the sketches keep reading the RAW stream — that is the point of
+      // inclusion-exclusion: no per-customer shuffle, three mergeable
+      // sketches from one scan.
+      val flags = o.groupBy(col("o_custkey"))
+        .agg(max(inA.cast("long")).as("a"), max(inB.cast("long")).as("b"))
+      val exact = flags.agg(
+        sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(col("a") * col("b")).as("inter_exact"),
+        sum(greatest(col("a"), col("b"))).as("n_union"))
+      val est = o.agg(
+        // rsd 0.01: the default 5% rsd compounds over three sketches to
+        // past 10% of the union
+        approx_count_distinct(when(inA, col("o_custkey")), 0.01).as("ea"),
+        approx_count_distinct(when(inB, col("o_custkey")), 0.01).as("eb"),
+        approx_count_distinct(when(inA || inB, col("o_custkey")), 0.01).as("eu"))
+      exact.crossJoin(est)
+        .select(col("n_a"), col("n_b"), col("inter_exact"), col("n_union"),
+          // tolerance relative to the UNION — the incl-excl error scales
+          // with the largest operand, not the intersection
+          (abs(col("ea") + col("eb") - col("eu") - col("inter_exact")) * 100
+            <= col("n_union") * 10).cast("int").as("ie_within_10pct_of_union"))
     }
   )
 
@@ -215,6 +257,30 @@ object Stats {
         SELECT c_custkey, max(c_acctbal) AS acctbal, max(c_mktsegment) AS segment
         FROM customer GROUP BY c_custkey) p
       ON o_custkey = c_custkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "x06_audience_overlap" -> """
+      WITH flags AS (
+        SELECT o_custkey,
+          max(CASE WHEN o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+                   THEN 1 ELSE 0 END) AS a,
+          max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS b
+        FROM orders GROUP BY o_custkey),
+      exact AS (
+        SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+          CAST(sum(a * b) AS BIGINT) AS inter_exact,
+          CAST(sum(greatest(a, b)) AS BIGINT) AS n_union
+        FROM flags),
+      est AS (
+        SELECT
+          approx_count_distinct(CASE WHEN o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30' THEN o_custkey END) AS ea,
+          approx_count_distinct(CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) AS eb,
+          approx_count_distinct(CASE WHEN o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+                                      OR o_orderpriority = '1-URGENT' THEN o_custkey END) AS eu
+        FROM orders)
+      SELECT n_a, n_b, inter_exact, n_union,
+        CAST(CASE WHEN abs(ea + eb - eu - inter_exact) * 100 <= n_union * 10
+             THEN 1 ELSE 0 END AS INTEGER) AS ie_within_10pct_of_union
+      FROM exact, est"""
   )
 }

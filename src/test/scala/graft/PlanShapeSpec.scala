@@ -919,6 +919,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"manifest rollup must combine map-side:\n$p")
   }
 
+  test("b04: groupBy on the bucket key aggregates with NO exchange before it") {
+    // the storage layout already hash-distributes on l_orderkey, so the
+    // wide per-order aggregate must run exchange-free; only the tiny
+    // histogram rollup (+ its output sort) may exchange
+    val p = plan("b04_bucketed_agg").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected bucketed agg to elide the wide exchange:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"per-order aggregate must not re-shuffle the bucket key:\n$p")
+  }
+
+  test("e20: rolling median window partitions by user — never corpus-wide") {
+    val p = plan("e20_rolling_median")
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"median window must partition by user_id:\n$p")
+  }
+
   test("t22: funnel report costs one census — no join, 5 rows out") {
     val p = plan("t22_filter_funnel")
     assert(!p.contains("Join"), s"funnel must compute all gates from one census:\n$p")
