@@ -626,8 +626,56 @@ object PgCompat {
           (col("s2") > col("s1") && col("s2") < col("e1")))
         .select(col("o_orderkey"), col("s1"), col("e1"), col("olap"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // -- q127: GROUP BY ALL — the modern dialect shorthand (DuckDB
+    //    introduced it; Spark 3.4+ and PG-ecosystem tools adopted it):
+    //    every non-aggregate select item becomes a grouping key. ONE
+    //    SQL text runs verbatim on both engines — the test is that the
+    //    two parsers infer the SAME key set --
+    "q127_group_by_all" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(GroupByAllSql)
+    },
+
+    // -- q128: error-safe evaluation — PG wraps strict casts/arithmetic
+    //    in exception handlers or PG16's pg_input_is_valid; the
+    //    engine-level analog is TRY semantics (SQL:2023 TRY_CAST;
+    //    Spark's try_* family; ANSI mode ON makes plain '/' THROW, so
+    //    try_divide is the only scale-safe form — one poison row must
+    //    not kill a 100 TB job). Messy numeric strings (valid, garbage,
+    //    empty, currency-prefixed) parse to NULL-on-failure, divide by
+    //    a sometimes-zero denominator, and the salvage census counts
+    //    what survived each stage --
+    "q128_try_arith" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("raw", expr(
+          """CASE CAST(o_orderkey % 5 AS INT)
+               WHEN 0 THEN '12.5'
+               WHEN 1 THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)
+               WHEN 2 THEN 'N/A'
+               WHEN 3 THEN ''
+               ELSE concat('$', CAST(o_orderkey AS STRING)) END"""))
+        .withColumn("parsed", expr("TRY_CAST(raw AS DOUBLE)"))
+        .withColumn("denom", (col("o_custkey") % 3).cast("long"))
+        .withColumn("ratio", expr("round(try_divide(parsed, denom), 6)"))
+        .groupBy((col("o_orderkey") % 5).cast("int").as("shape"))
+        .agg(count(lit(1)).as("n"),
+          count(col("parsed")).as("n_parsed"),
+          count(col("ratio")).as("n_divided"),
+          expr("round(CAST(sum(parsed) AS DOUBLE), 4)").as("sum_parsed"))
+        .orderBy(col("shape"))
     }
   )
+
+  /** Shared verbatim Spark/DuckDB GROUP BY ALL text. */
+  private val GroupByAllSql = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY o_orderstatus, o_orderpriority"""
 
   /** Shared verbatim between the Spark run and the DuckDB oracle: the
     * moving 30-day revenue window per customer — both engines implement
@@ -1115,6 +1163,29 @@ object PgCompat {
         FROM w)
       SELECT o_orderkey, s1, e1,
         (s1 = s2 OR (s1 > s2 AND s1 < e2) OR (s2 > s1 AND s2 < e1)) AS olap
-      FROM n ORDER BY o_orderkey"""
+      FROM n ORDER BY o_orderkey""",
+
+    "q127_group_by_all" -> GroupByAllSql,
+
+    "q128_try_arith" -> """
+      WITH src AS (
+        SELECT o_orderkey, o_custkey,
+          CASE CAST(o_orderkey % 5 AS INT)
+            WHEN 0 THEN '12.5'
+            WHEN 1 THEN CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+            WHEN 2 THEN 'N/A'
+            WHEN 3 THEN ''
+            ELSE concat('$', CAST(o_orderkey AS VARCHAR)) END AS raw
+        FROM orders WHERE o_orderkey <= 2000),
+      t AS (
+        SELECT CAST(o_orderkey % 5 AS INT) AS shape,
+          TRY_CAST(raw AS DOUBLE) AS parsed,
+          CAST(o_custkey % 3 AS BIGINT) AS denom
+        FROM src)
+      SELECT shape, count(*) AS n,
+        count(parsed) AS n_parsed,
+        count(round(parsed / nullif(denom, 0), 6)) AS n_divided,
+        round(CAST(sum(parsed) AS DOUBLE), 4) AS sum_parsed
+      FROM t GROUP BY shape ORDER BY shape"""
   )
 }
