@@ -146,6 +146,30 @@ object DataQuality {
         .agg(count(lit(1)).as("n"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("status"))
+    },
+
+    // -- dq04: ingest VOLUME-DRIFT monitor — the freshness/volume alarm
+    //    every pipeline schedules (Deequ anomaly detection on row
+    //    counts; month-over-month deviation beyond a band pages
+    //    someone). Shape: the corpus collapses to a per-month census
+    //    FIRST (map-side combined — the only corpus-scale work), and
+    //    the lag window runs over the ~80-row month relation, where an
+    //    unpartitioned window is free. pct change over exact BIGINT
+    //    counts, drift = |Δ| > 30% --
+    "dq04_volume_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("month"))
+      Tables.df(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("pct_change", round(
+          (col("n") - col("prev_n")).cast("double") * 100.0 / col("prev_n"), 4))
+        .withColumn("drift_flag",
+          (abs(col("n") - col("prev_n")) * 100 > col("prev_n") * 30).cast("int"))
+        .select(col("month"), col("n"), col("prev_n"),
+          col("pct_change"), col("drift_flag"))
+        .orderBy(col("month"))
     }
   )
 
@@ -221,6 +245,19 @@ object DataQuality {
         FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id)
       SELECT status, count(*) AS n,
         min(doc_id) AS min_id, max(doc_id) AS max_id
-      FROM d GROUP BY status ORDER BY status"""
+      FROM d GROUP BY status ORDER BY status""",
+
+    "dq04_volume_drift" -> """
+      WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+        FROM orders GROUP BY 1),
+      lagged AS (
+        SELECT month, n, lag(n) OVER (ORDER BY month) AS prev_n FROM m)
+      SELECT month, n, prev_n,
+        round(CAST(n - prev_n AS DOUBLE) * 100.0 / prev_n, 4) AS pct_change,
+        CAST(CASE WHEN prev_n IS NULL THEN NULL
+                  WHEN abs(n - prev_n) * 100 > prev_n * 30 THEN 1
+                  ELSE 0 END AS INTEGER) AS drift_flag
+      FROM lagged ORDER BY month"""
   )
 }

@@ -265,6 +265,48 @@ object Events {
         .orderBy(col("p_id"))
     },
 
+    // -- e21: LINEAR (fractional) attribution — the credit-splitting
+    //    counterpart of e18's first/last-touch: every click/view in
+    //    the purchase's 7-day lookback gets 1/n_touches of the
+    //    conversion credit, rolled up per channel (the multi-touch
+    //    model marketing stacks report next to first/last). Exactness:
+    //    credit is a RATIONAL per purchase — summing doubles of 1/3s
+    //    across engines drifts — so credit aggregates as exact
+    //    micro-credit BIGINTs: round(1e6/n) per touch plus a
+    //    remainder term folded into the FIRST touch (largest-remainder
+    //    method), making the per-channel totals integer-exact and the
+    //    grand total exactly 1e6 × conversions. Shapes: the same ONE
+    //    user-aligned equi-join as e18, a per-purchase census, one
+    //    channel rollup --
+    "e21_linear_attribution" -> { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_uid"), col("event_type").as("t_type"),
+          col("event_id").as("t_id"), col("ts").as("t_ts"))
+      val attributed = purchases
+        .join(touches,
+          col("user_id") === col("t_uid") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAY"))
+        .withColumn("n_touches",
+          count(lit(1)).over(Window.partitionBy(col("p_id"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("p_id")).orderBy(col("t_ts"), col("t_id"))))
+        .withColumn("credit_u",
+          expr("""CAST(1000000 DIV n_touches AS BIGINT) +
+                  CASE WHEN rk = 1 THEN 1000000 % n_touches ELSE 0L END"""))
+      attributed.groupBy(col("t_type"))
+        .agg(count(lit(1)).as("n_touches_total"),
+          countDistinct(col("p_id")).as("n_conversions_touched"),
+          sum(col("credit_u")).as("credit_u"))
+        .select(col("t_type"), col("n_touches_total"),
+          col("n_conversions_touched"),
+          round(col("credit_u").cast("double") / 1000000.0, 6).as("credit"))
+        .orderBy(col("t_type"))
+    },
+
     // -- e20: rolling exact MEDIAN — robust smoothing over a 24-event
     //    frame per user (the outlier-resistant counterpart of e15's
     //    EWMA; PG expresses it as percentile_cont OVER, an ordered-set
@@ -868,6 +910,29 @@ object Events {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
-      ORDER BY user_id, event_id"""
+      ORDER BY user_id, event_id""",
+
+    "e21_linear_attribution" -> """
+      WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+      t AS (
+        SELECT user_id AS t_uid, event_type AS t_type, event_id AS t_id, ts AS t_ts
+        FROM events WHERE event_type IN ('click', 'view')),
+      j AS (
+        SELECT p.p_id, t.t_type, t.t_id,
+          count(*) OVER (PARTITION BY p.p_id) AS n_touches,
+          row_number() OVER (PARTITION BY p.p_id ORDER BY t.t_ts, t.t_id) AS rk
+        FROM p JOIN t ON p.user_id = t.t_uid
+          AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+      c AS (
+        SELECT t_type, p_id,
+          CAST(1000000 // n_touches AS BIGINT) +
+          CASE WHEN rk = 1 THEN 1000000 % n_touches ELSE 0 END AS credit_u
+        FROM j)
+      SELECT t_type, count(*) AS n_touches_total,
+        count(DISTINCT p_id) AS n_conversions_touched,
+        round(CAST(sum(credit_u) AS DOUBLE) / 1000000.0, 6) AS credit
+      FROM c GROUP BY t_type ORDER BY t_type"""
   )
 }

@@ -659,6 +659,18 @@ class InvariantsSpec extends AnyFunSuite {
     assert(both > 0, "no purchase had candidates in BOTH directions — test is vacuous")
   }
 
+  test("e21: fractional credit is CONSERVED — channel totals sum to exactly the attributed conversions") {
+    // the micro-credit largest-remainder arithmetic must make Σ credit
+    // across channels exactly equal the number of purchases that had at
+    // least one touch (each conversion distributes exactly 1.0)
+    val rows = SparkEntry.queries("e21_linear_attribution")(spark, Sf).collect()
+    val totalCredit = rows.map(_.getAs[Double]("credit")).sum
+    val attributed = SparkEntry.queries("e18_attribution")(spark, Sf)
+      .filter(col("n_touches") > 0).count()
+    assert(math.abs(totalCredit - attributed.toDouble) < 1e-6,
+      s"credit $totalCredit != attributed conversions $attributed")
+  }
+
   test("m08: scene lengths partition the frame count; every scene starts with a cut") {
     val rows = SparkEntry.queries("m08_scene_cuts")(spark, Sf).collect()
     assert(rows.nonEmpty)
