@@ -126,6 +126,36 @@ object Ingest {
         .orderBy(col("id"))
     },
 
+    // -- c11: COMPRESSED text ingest — gzip'd CSV in, aggregates out
+    //    (the COPY FROM PROGRAM 'zcat …' / gzip external-table path,
+    //    reference `src/backend/access/external/url_execute.c` +
+    //    sreh-adjacent ingest shapes). The load is a REAL .csv.gz file
+    //    (codec option on write; Spark auto-detects by extension on
+    //    read). Gzip streams are NOT splittable — one file = one task —
+    //    so at 100 TB the job writes MANY gz files (here 4) and
+    //    parallelism is the file count, exactly how production gz
+    //    corpora are laid out; the audit aggregates the read-back and
+    //    the oracle aggregates the source table, so a decompression or
+    //    parse fault hash-mismatches --
+    "c11_gzip_csv" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = s"target/derived/$tag/gzip_csv"
+      Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .repartition(4)
+        .write.mode("overwrite").option("compression", "gzip")
+        .option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT")
+        .csv(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("total_cents"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     "c01_csv_sreh" -> { (s, dir) =>
       val lines = Tables.df(s, dir, "documents")
         .select(col("doc_id"),
@@ -267,6 +297,12 @@ object Ingest {
 
 
   def oracle: Map[String, String] = Map(
+    "c11_gzip_csv" -> """
+      SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "c07_csv_quoting" -> """
       SELECT i AS id,
         md5('x,"y"' || chr(10) || 'z\' || CAST(i AS VARCHAR) || chr(9) || 'end') AS payload_md5,
