@@ -205,11 +205,13 @@ object Stats {
         sum(col("a") * col("b")).as("inter_exact"),
         sum(greatest(col("a"), col("b"))).as("n_union"))
       val est = o.agg(
-        // rsd 0.01: the default 5% rsd compounds over three sketches to
-        // past 10% of the union
-        approx_count_distinct(when(inA, col("o_custkey")), 0.01).as("ea"),
-        approx_count_distinct(when(inB, col("o_custkey")), 0.01).as("eb"),
-        approx_count_distinct(when(inA || inB, col("o_custkey")), 0.01).as("eu"))
+        // rsd 0.02: the default 5% rsd compounds over three sketches to
+        // past 10% of the union; 0.01 passes too but quadruples the
+        // register arrays the partials merge — 2% keeps the worst-case
+        // compounded error near 6% of the union at a quarter the state
+        approx_count_distinct(when(inA, col("o_custkey")), 0.02).as("ea"),
+        approx_count_distinct(when(inB, col("o_custkey")), 0.02).as("eb"),
+        approx_count_distinct(when(inA || inB, col("o_custkey")), 0.02).as("eu"))
       exact.crossJoin(est)
         .select(col("n_a"), col("n_b"), col("inter_exact"), col("n_union"),
           // tolerance relative to the UNION — the incl-excl error scales
