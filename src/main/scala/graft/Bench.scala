@@ -69,6 +69,10 @@ object Bench {
       spark.conf.set("spark.sql.cbo.enabled", "false")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
       spark.conf.set("spark.graft.eageragg.enabled", "false")
+      // Bucketed.ensure pins this off for b-family reads; restore the
+      // default so non-b queries are measured under a fresh-session plan
+      // regardless of sweep order (r8 advice)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     }
     // Every query is timed in TWO FULL SWEEPS over the whole set, and the
     // official per-query number is the MIN of its two sweep times (r6

@@ -48,6 +48,9 @@ object Verify {
         spark.conf.set("spark.sql.cbo.enabled", "false")
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
         spark.conf.set("spark.graft.eageragg.enabled", "false")
+        // Bucketed.ensure pins this off for b-family reads; restore the
+        // default so later queries' plans don't depend on run order
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

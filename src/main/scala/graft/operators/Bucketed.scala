@@ -30,8 +30,11 @@ object Bucketed {
     // distribution layout. Spark's autoBucketedScan instead drops the
     // bucketed layout when the planner sees no exchange to elide, which
     // also forfeits bucket PRUNING on key-equality probes (b03's whole
-    // point). Pin layout reads on for the session; only the b-family
-    // tables are bucketed, so nothing else changes.
+    // point). Pin layout reads on while a b-family plan is built and
+    // executed; because execution is lazy the restore can't live here —
+    // every runner (Bench/Verify hygiene, QueriesSpec/PlanShapeSpec
+    // finallys) resets this conf to its default after each query, so a
+    // b-query can't leak layout-pinning into later plans (r8 advice).
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val (ot, lt) = (s"orders_bucketed_${tag(dir)}", s"lineitem_bucketed_${tag(dir)}")
     def create(table: String, src: String, key: String): Unit =

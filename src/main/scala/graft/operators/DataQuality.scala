@@ -92,7 +92,12 @@ object DataQuality {
     //    counts; expectations are the same IEEE log10 on both engines.
     //    (TPC-H totalprice is sum-of-uniforms, NOT Benford — the audit
     //    correctly reports the deviation; the oracle proves the math,
-    //    the data proves the detector fires.) --
+    //    the data proves the detector fires.)
+    //    Cross-engine determinism note (t18 discipline): every libm-
+    //    derived value here (p_benford, chi_term) is round(...,6) and
+    //    HASHED in the output — a 1-ulp log10 divergence would fail the
+    //    oracle compare loudly, not flip a hidden gate; no boolean in
+    //    dq02 depends on an unrounded double. --
     "dq02_benford" -> { (s, dir) =>
       // leading digit numerically (floor(x / 10^floor(log10 x))) — a
       // string cast would hit engine-specific double formatting

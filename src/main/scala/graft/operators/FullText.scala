@@ -367,14 +367,20 @@ object FullText {
       case Phrase(ws) => phrase(ws)
     }
 
+    // Both emitters interpolate parsed words into SQL string literals:
+    // escape single quotes ('' is the literal-quote escape in BOTH
+    // dialects) so a future query string containing ' can't produce a
+    // malformed or injectable expression (r8 advice).
+    private def esc(w: String) = w.replace("'", "''")
+
     // Spark: array_contains; phrase via exists over a position range.
     // sequence() is guarded (size >= n) because Spark's sequence(1, 0)
     // DESCENDS instead of being empty — the t19 short-doc trap.
-    private def sparkContains(w: String) = s"array_contains(toks, '$w')"
+    private def sparkContains(w: String) = s"array_contains(toks, '${esc(w)}')"
     private def sparkPhrase(ws: Seq[String]) = {
       val n = ws.size
       val conds = ws.zipWithIndex
-        .map { case (w, i) => s"element_at(toks, i + $i) = '$w'" }.mkString(" AND ")
+        .map { case (w, i) => s"element_at(toks, i + $i) = '${esc(w)}'" }.mkString(" AND ")
       s"(size(toks) >= $n AND exists(sequence(1, size(toks) - ${n - 1}), i -> $conds))"
     }
     def sparkAtom(a: Atom): String = atom(a, sparkContains, sparkPhrase)
@@ -385,11 +391,11 @@ object FullText {
         case a @ (Word(_) | Phrase(_)) => s"CAST(${sparkAtom(a)} AS INT)"
       }.mkString(" + ")
 
-    private def duckContains(w: String) = s"list_contains(toks, '$w')"
+    private def duckContains(w: String) = s"list_contains(toks, '${esc(w)}')"
     private def duckPhrase(ws: Seq[String]) = {
       val n = ws.size
       val conds = ws.zipWithIndex
-        .map { case (w, i) => s"toks[i + $i] = '$w'" }.mkString(" AND ")
+        .map { case (w, i) => s"toks[i + $i] = '${esc(w)}'" }.mkString(" AND ")
       s"(len(toks) >= $n AND len(list_filter(generate_series(1, len(toks) - ${n - 1}), i -> $conds)) > 0)"
     }
     def duckAtom(a: Atom): String = atom(a, duckContains, duckPhrase)

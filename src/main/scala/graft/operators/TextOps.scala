@@ -591,14 +591,20 @@ object TextOps {
           max(col("cnt")).as("max_cnt"),
           count(when(col("tok").isin(stops: _*), 1)).as("stop_hits"),
           sum(expr("cnt * CAST(round(ln(cnt) * 1000000.0) AS BIGINT)")).as("slc"))
-        .withColumn("entropy",
-          expr("ln(n) - CAST(slc AS DOUBLE) / (n * 1000000.0)"))
+        // entropy gate in INTEGER micro-nats end to end (r8 advice): the
+        // raw-double form `ln(n) − slc/(n·1e6) >= 2.0` hinges on libm's
+        // ln(n) being bit-identical cross-engine at the boundary; here
+        // BOTH sides of the compare are exact BIGINTs built from the same
+        // round(ln·1e6) quantization that already defines slc —
+        //   H >= 2  ⇔  n·lnμ(n) − slc >= 2e6·n
+        // so the only engine-sensitive step is the shared micro-nat
+        // rounding itself (the documented t18 discipline)
         .select(
           (col("n").between(20, 1000)).cast("int").as("f1"),
           (col("lang") === "en").cast("int").as("f2"),
           (col("stop_hits") >= 2).cast("int").as("f3"),
           (col("max_cnt").cast("double") / col("n") <= 0.2).cast("int").as("f4"),
-          (col("entropy") >= 2.0).cast("int").as("f5"))
+          expr("CAST(n * CAST(round(ln(n) * 1000000.0) AS BIGINT) - slc >= 2000000 * n AS INT)").as("f5"))
         .select(col("f1"),
           (col("f1") * col("f2")).as("c2"),
           (col("f1") * col("f2") * col("f3")).as("c3"),
@@ -648,10 +654,15 @@ object TextOps {
         .agg(sum(col("cnt")).as("n"),
           sum(expr(s"cnt * (${lnMicro("cnt")} - ${lnMicro("cw")})")).as("ssum"))
         .crossJoin(broadcast(tot))
+        // novelty gate as an exact integer compare (r8 advice, same as
+        // t22's f5): KL >= 0.35 ⇔ ssum + n·(lnμ(ncorp) − lnμ(n)) >=
+        // 350000·n — all BIGINT, so the keep/novel flag can't flip on a
+        // 1-ulp libm difference the displayed (rounded) kl wouldn't show
         .select(col("doc_id"), col("n").as("n_tokens"),
           round(expr("CAST(ssum AS DOUBLE) / (n * 1000000.0) + ln(ncorp) - ln(n)"), 6)
-            .as("kl"))
-        .withColumn("novel", (col("kl") >= 0.35).cast("int"))
+            .as("kl"),
+          expr(s"CAST(ssum + n * (${lnMicro("ncorp")} - ${lnMicro("n")}) >= 350000 * n AS INT)")
+            .as("novel"))
         .orderBy(col("doc_id"))
     }
   )
@@ -1005,7 +1016,7 @@ object TextOps {
           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f2,
           CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS f3,
           CASE WHEN CAST(max_cnt AS DOUBLE) / n <= 0.2 THEN 1 ELSE 0 END AS f4,
-          CASE WHEN ln(n) - CAST(slc AS DOUBLE) / (n * 1000000.0) >= 2.0
+          CASE WHEN n * CAST(round(ln(n) * 1000000.0) AS BIGINT) - slc >= 2000000 * n
                THEN 1 ELSE 0 END AS f5
         FROM lvl2),
       agg AS (
@@ -1048,8 +1059,9 @@ object TextOps {
         GROUP BY c.doc_id)
       SELECT doc_id, n AS n_tokens,
         round(CAST(ssum AS DOUBLE) / (n * 1000000.0) + ln(ncorp) - ln(n), 6) AS kl,
-        CAST(CASE WHEN round(CAST(ssum AS DOUBLE) / (n * 1000000.0)
-                            + ln(ncorp) - ln(n), 6) >= 0.35
+        CAST(CASE WHEN ssum + n * (CAST(round(ln(ncorp) * 1000000.0) AS BIGINT)
+                                 - CAST(round(ln(n) * 1000000.0) AS BIGINT))
+                       >= 350000 * n
              THEN 1 ELSE 0 END AS INTEGER) AS novel
       FROM perdoc, tot ORDER BY doc_id"""
   )

@@ -524,7 +524,10 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("SortMergeJoin"), p)
       assert(!p.contains("Exchange"),
         s"bucketed sides must join without any motion (gp_distribution_policy):\n$p")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    }
   }
 
   test("e08: cohort rollup has no Expand and no Window (plain counts, not DQA)") {
@@ -578,7 +581,10 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("SortMergeJoin"), p)
       assert(!p.contains("Exchange"), s"presorted buckets must not shuffle:\n$p")
       assert(!p.contains("Sort "), s"presorted buckets must not re-sort (IncrementalSort analog):\n$p")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    }
   }
 
   test("x01: ANALYZE stats + CBO reorder the bad-order join (ORCA CJoinOrderDPv2 analog)") {
