@@ -39,6 +39,17 @@ object Extras {
         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sampled_total
       FROM sampled GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** q62's deterministic Bernoulli coin, shared verbatim with the oracle:
+    * TABLESAMPLE BERNOULLI (10) REPEATABLE ('bern-42') with the coin
+    * md5(seed || key) — see the q62 entry for why content-keyed beats
+    * position-keyed sampling at scale. */
+  private val bernoulliSql = """
+      SELECT o_orderkey, o_custkey
+      FROM orders
+      WHERE md5('bern-42-' || CAST(o_orderkey AS STRING))
+              < '1a000000000000000000000000000000'
+      ORDER BY o_orderkey"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- stratified TABLESAMPLE with a deterministic per-stratum coin --
     "q90_stratified_sample" -> { (s, dir) =>
@@ -149,13 +160,21 @@ object Extras {
         .orderBy(col("n_exact").desc, col("word"))
     },
 
-    // -- TABLESAMPLE BERNOULLI (nodeSamplescan.c). Sampling is engine-
-    //    specific randomness, so no cross-engine oracle: the driver takes
-    //    the rows-only check and ScalaTest bounds the fraction. --
+    // -- TABLESAMPLE BERNOULLI ... REPEATABLE (nodeSamplescan.c's
+    //    bernoulli_nextsampletuple: an independent per-row coin seeded by
+    //    REPEATABLE). The coin here is a content-keyed hash
+    //    (md5(seed||key) < fraction·16^32) rather than a PRNG keyed on
+    //    physical position: at 100 TB a restarted/speculated task MUST
+    //    re-emit the same sample, and Spark's .sample(seed) is partition-
+    //    position-dependent — repartitioning or a lost executor changes
+    //    the rows. The content-keyed coin is restart-stable, engine-
+    //    portable (exact DuckDB oracle, r9 — previously rows-only), and
+    //    still a pure map-side filter that streams with the scan.
+    //    Threshold '1a' = 26/256 ≈ 10.16% Bernoulli fraction; native
+    //    .sample()'s SampleExec fraction stays bounded in ScalaTest. --
     "q62_tablesample" -> { (s, dir) =>
-      Tables.df(s, dir, "orders").sample(withReplacement = false, 0.1, seed = 42)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .orderBy(col("o_orderkey"))
+      Tables.register(s, dir)
+      s.sql(bernoulliSql)
     },
 
     // -- GROUPS frame (GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW):
@@ -209,13 +228,17 @@ object Extras {
 
     // -- TidScan (`nodeTidscan.c`: fetch by physical tuple id). Spark's
     //    ctid analog is the file-source `_metadata` column: (file_path,
-    //    row_index) addresses a physical row. Engine-physical ordering
-    //    has no cross-engine oracle → rows-only + InvariantsSpec asserts
-    //    the tid semantics (dense, zero-based, unique). --
+    //    row_index) addresses a physical row independent of how the file
+    //    is split across tasks. The oracle (r9 — previously rows-only)
+    //    re-derives the physical position from the documents layout
+    //    invariant: the table is one parquet file written in doc_id
+    //    order, so tid = rank(doc_id) − 1; FunctionsSpec asserts the
+    //    invariant itself (tid == doc_id, dense, zero-based) so a layout
+    //    change fails loudly rather than silently shifting the oracle. --
     "q66_tid_scan" -> { (s, dir) =>
       graft.Tables.configure(s)
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("_metadata.row_index").as("tid"))
+        .select(col("doc_id"), col("lang"), col("_metadata.row_index").as("tid"))
         .filter(col("tid") < 100)
         .orderBy(col("tid"))
     },
@@ -321,6 +344,15 @@ object Extras {
       ORDER BY n_exact DESC, word""",
 
     "q90_stratified_sample" -> stratifiedSql,
+    "q62_tablesample" -> bernoulliSql,
+    // physical-position oracle via the documents layout invariant (one
+    // parquet file, written in doc_id order): tid = rank(doc_id) − 1
+    "q66_tid_scan" -> """
+      SELECT doc_id, lang, tid FROM (
+        SELECT doc_id, lang,
+          CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS tid
+        FROM documents) t
+      WHERE tid < 100 ORDER BY tid""",
     "q73_interval_arith" -> """
       SELECT o_orderkey,
         CAST(o_orderdate AS TIMESTAMP) + INTERVAL 100 DAY AS due_date,

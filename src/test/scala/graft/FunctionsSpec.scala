@@ -242,6 +242,27 @@ class FunctionsSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q66_tid_scan")(spark, Sf)
     val tids = df.select("tid").collect().map(_.getLong(0))
     assert(tids.toSeq == (0L until 100L))
+    // the q66 oracle's layout invariant: documents is one parquet file
+    // written in doc_id order, so physical position == rank(doc_id) − 1
+    // (here doc_id itself). If the generator ever changes the layout this
+    // fails loudly instead of silently shifting the oracle.
+    val mism = df.filter(org.apache.spark.sql.functions.col("tid") =!=
+      org.apache.spark.sql.functions.col("doc_id")).count()
+    assert(mism == 0, "documents layout invariant broken: tid != doc_id")
+  }
+
+  test("q62: native TABLESAMPLE (SampleExec) draws ~the Bernoulli fraction") {
+    // the oracle-checked q62 uses the content-keyed coin; the native
+    // position-keyed sampler stays exercised here (nodeSamplescan.c's
+    // PRNG path): plan contains Sample and the draw is within ±4σ
+    val df = Tables.df(spark, Sf, "orders").sample(withReplacement = false, 0.1, seed = 42)
+    assert(df.queryExecution.executedPlan.toString.contains("Sample"),
+      "native .sample must plan a Sample node")
+    val n = df.count().toDouble
+    val total = Tables.df(spark, Sf, "orders").count().toDouble
+    val sigma = math.sqrt(total * 0.1 * 0.9)
+    assert(math.abs(n - total * 0.1) < 4 * sigma,
+      s"sample of $total drew $n rows — outside 10% ± 4σ")
   }
 
   test("hmacSha256 matches the RFC 4231 test vectors (pgcrypto px-hmac.c)") {
