@@ -403,10 +403,83 @@ object Json {
           expr("CAST(size(variant_get(v, '$.items', 'array<variant>')) AS BIGINT)")
             .as("n_items"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // -- j08: jsonpath ITEM METHODS (jsonpath_exec.c) — the slice j04
+    //    leaves open: `.keyvalue()` (executeKeyValueMethod:1931 — an
+    //    object becomes a sequence of {key, value} pairs; PG also emits
+    //    an `id` that is the object's physical identity, engine-local
+    //    like ctid, so it has no cross-engine form and is omitted),
+    //    `.size()` (jpiSize: array length; lax non-array auto-wraps to
+    //    1), `.abs()`/`.floor()`/`.ceiling()` (jpiAbs/jpiFloor/
+    //    jpiCeiling numeric methods). The document is RAGGED on purpose:
+    //    the key set of $.obj varies per row (c on even keys, d on
+    //    multiples of 3), the $.arr length cycles 1..4, and $.num is a
+    //    signed half-integer so floor ≠ ceiling ≠ truncation on the
+    //    negative side. Spark-first: keyvalue() IS from_json to
+    //    map<string,string> + explode (one parse, codegen'd, no
+    //    shuffle); the methods are native expressions over one
+    //    get_json_object extraction each --
+    "j08_jsonpath_methods" -> { (s, dir) =>
+      val doc =
+        """concat('{"obj":{"a":', o_orderkey % 10, ',"b":"s', o_orderstatus, '"',
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN concat(',"c":', -CAST(o_orderkey % 5 AS BIGINT)) ELSE '' END,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN concat(',"d":"p', o_orderkey % 7, '"') ELSE '' END,
+             '},"arr":[',
+             concat_ws(',', transform(sequence(0, CAST(o_orderkey % 4 AS INT)),
+               i -> CAST((o_orderkey * 7 + i) % 13 - 6 AS STRING))),
+             '],"num":', CAST(o_orderkey % 27 AS BIGINT) - 13, '.5}')"""
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .withColumn("j", expr(doc))
+        .withColumn("kv", from_json(get_json_object(col("j"), "$.obj"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+        .withColumn("arr", from_json(get_json_object(col("j"), "$.arr"),
+          org.apache.spark.sql.types.DataType.fromDDL("array<bigint>")))
+        .withColumn("num", get_json_object(col("j"), "$.num").cast("double"))
+        .select(col("o_orderkey"), explode(col("kv")).as(Seq("kv_key", "kv_value")),
+          size(col("arr")).cast("bigint").as("size_arr"),
+          lit(1L).as("size_num"), // lax $.num.size(): scalar auto-wraps → 1
+          round(abs(col("num")), 1).as("abs_num"),
+          floor(col("num")).cast("bigint").as("floor_num"),
+          ceil(col("num")).cast("bigint").as("ceil_num"),
+          expr("CAST(aggregate(arr, 0L, (a, x) -> a + abs(x)) AS BIGINT)").as("sum_abs_arr"))
+        .orderBy(col("o_orderkey"), col("kv_key"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // keyvalue(): DuckDB's json_keys + dynamic-path extraction replays
+    // the pair expansion; methods re-derived with native functions
+    "j08_jsonpath_methods" -> """
+      WITH src AS (
+        SELECT o_orderkey,
+          concat('{"obj":{"a":', o_orderkey % 10, ',"b":"s', o_orderstatus, '"',
+            CASE WHEN o_orderkey % 2 = 0
+                 THEN concat(',"c":', -CAST(o_orderkey % 5 AS BIGINT)) ELSE '' END,
+            CASE WHEN o_orderkey % 3 = 0
+                 THEN concat(',"d":"p', o_orderkey % 7, '"') ELSE '' END,
+            '},"arr":[',
+            array_to_string(list_transform(generate_series(0, CAST(o_orderkey % 4 AS INT)),
+              i -> CAST((o_orderkey * 7 + i) % 13 - 6 AS VARCHAR)), ','),
+            '],"num":', CAST(o_orderkey % 27 AS BIGINT) - 13, '.5}') AS j
+        FROM orders WHERE o_orderkey <= 1000),
+      kv AS (
+        SELECT o_orderkey, j, unnest(json_keys(j, '$.obj')) AS kv_key
+        FROM src)
+      SELECT k.o_orderkey, k.kv_key,
+        json_extract_string(k.j, concat('$.obj.', k.kv_key)) AS kv_value,
+        CAST(json_array_length(k.j, '$.arr') AS BIGINT) AS size_arr,
+        CAST(1 AS BIGINT) AS size_num,
+        round(abs(CAST(json_extract(k.j, '$.num') AS DOUBLE)), 1) AS abs_num,
+        CAST(floor(CAST(json_extract(k.j, '$.num') AS DOUBLE)) AS BIGINT) AS floor_num,
+        CAST(ceiling(CAST(json_extract(k.j, '$.num') AS DOUBLE)) AS BIGINT) AS ceil_num,
+        CAST(list_sum(list_transform(json_extract(k.j, '$.arr[*]'),
+          x -> abs(CAST(x AS BIGINT)))) AS BIGINT) AS sum_abs_arr
+      FROM kv k ORDER BY k.o_orderkey, k.kv_key""",
+
     // DuckDB rebuilds the identical document, then answers each
     // jsonpath-method column with its native json functions; the
     // json_type labels map onto JsonbTypeName's
