@@ -325,6 +325,50 @@ object Json {
         .orderBy(col("prio"))
     },
 
+    // -- q129: SQL/XML GENERATION — xmlelement / xmlforest / xmlagg
+    //    (`src/backend/utils/adt/xml.c:838` xmlelement; xmlagg via
+    //    xml_agg_transfn). The missing half of the XML surface: q94
+    //    shreds, this constructs. Spark-first: canonical string
+    //    construction with proper content escaping (& first, then < >,
+    //    exactly xml.c's escape_xml ordering — PG also escapes " in
+    //    attribute context; our attributes are numeric so the content
+    //    rules are the ones exercised), xmlagg's ORDER BY as
+    //    array_sort(collect_list(struct(key, elem))) so the aggregated
+    //    document is deterministic under any partitioning. The
+    //    generate∘shred = id audit rides IN the hashed output: the doc
+    //    is parsed back with from_xml and n_cust / key_checksum /
+    //    note_len_sum are computed from the SHREDDED structs — if
+    //    escaping or entity decoding were wrong, the unescaped note
+    //    lengths would not reconcile with the oracle's direct column
+    //    arithmetic. One shuffle (the per-nation agg); everything else
+    //    is codegen'd per-row string work --
+    "q129_xml_generate" -> { (s, dir) =>
+      def esc(c: String) =
+        s"replace(replace(replace($c, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+      val cust = Tables.df(s, dir, "customer")
+        .filter(col("c_custkey") <= 300)
+        // raw content that NEEDS escaping: both markup chars and a bare &
+        .withColumn("raw_note", expr("concat('seg<', c_mktsegment, '>&', c_custkey % 7)"))
+        .withColumn("elem", expr(
+          s"""concat('<customer id="', c_custkey, '"><name>', ${esc("c_name")},
+                '</name><note>', ${esc("raw_note")}, '</note></customer>')"""))
+      cust.groupBy(col("c_nationkey"))
+        .agg(concat(lit("<customers>"),
+          concat_ws("", expr(
+            "transform(array_sort(collect_list(struct(c_custkey, elem))), x -> x.elem)")),
+          lit("</customers>")).as("doc"))
+        .withColumn("x", from_xml(col("doc"),
+          lit("customer ARRAY<STRUCT<_id: BIGINT, name: STRING, note: STRING>>")))
+        .select(col("c_nationkey"), col("doc"),
+          size(col("x.customer")).cast("bigint").as("n_cust"),
+          expr("CAST(aggregate(x.customer, 0L, (a, c) -> a + c._id) AS BIGINT)")
+            .as("key_checksum"),
+          // unescaped lengths, from the round-tripped structs
+          expr("CAST(aggregate(x.customer, 0L, (a, c) -> a + length(c.note)) AS BIGINT)")
+            .as("note_len_sum"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // -- hstore operator set (contrib/hstore/hstore_op.c): `||` merge
     //    with RIGHT-operand precedence (hs_concat), `-` key delete
     //    (hs_delete), slice (hstore_slice_to_hstore), akeys (hstore_akeys)
@@ -451,6 +495,30 @@ object Json {
   )
 
   def oracle: Map[String, String] = Map(
+    // xml generation: DuckDB rebuilds the identical escaped document
+    // with string_agg ORDER BY, and answers the round-trip audit columns
+    // with direct column arithmetic (count/sum/length of the raw note) —
+    // proving the Spark side's generate∘shred composition is identity
+    "q129_xml_generate" -> """
+      WITH cust AS (
+        SELECT c_custkey, c_nationkey, c_name,
+          concat('seg<', c_mktsegment, '>&', c_custkey % 7) AS raw_note
+        FROM customer WHERE c_custkey <= 300),
+      elems AS (
+        SELECT c_custkey, c_nationkey, length(raw_note) AS note_len,
+          concat('<customer id="', c_custkey, '"><name>',
+            replace(replace(replace(c_name, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+            '</name><note>',
+            replace(replace(replace(raw_note, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+            '</note></customer>') AS elem
+        FROM cust)
+      SELECT c_nationkey,
+        concat('<customers>', string_agg(elem, '' ORDER BY c_custkey), '</customers>') AS doc,
+        CAST(count(*) AS BIGINT) AS n_cust,
+        CAST(sum(c_custkey) AS BIGINT) AS key_checksum,
+        CAST(sum(note_len) AS BIGINT) AS note_len_sum
+      FROM elems GROUP BY c_nationkey ORDER BY c_nationkey""",
+
     // keyvalue(): DuckDB's json_keys + dynamic-path extraction replays
     // the pair expansion; methods re-derived with native functions
     "j08_jsonpath_methods" -> """
