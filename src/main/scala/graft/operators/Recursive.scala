@@ -180,10 +180,48 @@ object Recursive {
              min(path) AS min_path
       FROM paths GROUP BY depth ORDER BY depth"""
 
+  /** r09: `WITH RECURSIVE ... SEARCH DEPTH|BREADTH FIRST BY keyid SET c`
+    * — the other half of PG14's recursive-CTE sugar next to r08's CYCLE
+    * (parse_cte.c:442-488 rewrites SEARCH into a synthetic ordering
+    * column on the worktable; no executor machinery at all). Applied
+    * here as exactly that rewrite over r03's 10-ary custkey tree:
+    *  - DEPTH FIRST's column is PG's array-of-rows path; the
+    *    distributed-friendly encoding is a '/'-joined FIXED-WIDTH
+    *    (lpad-6) key path, where '/' < '0' in ASCII makes plain string
+    *    order ≡ component-wise path order, so preorder needs no array
+    *    comparator — each row's sort key is computed locally on the
+    *    worktable with zero global state (the property that matters at
+    *    scale; the ordinal projection below is display sugar).
+    *  - BREADTH FIRST's column is ROW(depth, keyid) — already plain
+    *    columns here.
+    * ONE SQL text on Spark's UnionLoop and DuckDB; the two row_number
+    * windows are unpartitioned by the CLAUSE's semantics (a SEARCH
+    * column defines a total order) and run over the CTE result, not a
+    * base table. */
+  private val r09Sql = """
+      WITH RECURSIVE tree(keyid, depth, seq_dfs) AS (
+        SELECT CAST(c_custkey AS BIGINT), 1,
+               lpad(CAST(c_custkey AS STRING), 6, '0')
+        FROM customer WHERE c_custkey BETWEEN 1 AND 9
+        UNION ALL
+        SELECT CAST(c.c_custkey AS BIGINT), t.depth + 1,
+               concat(t.seq_dfs, '/', lpad(CAST(c.c_custkey AS STRING), 6, '0'))
+        FROM customer c JOIN tree t
+          ON CAST(floor(c.c_custkey / 10) AS BIGINT) = t.keyid
+        WHERE c.c_custkey >= 10)
+      SELECT keyid, depth, seq_dfs,
+        CAST(row_number() OVER (ORDER BY seq_dfs) AS BIGINT) AS ord_dfs,
+        CAST(row_number() OVER (ORDER BY depth, keyid) AS BIGINT) AS ord_bfs
+      FROM tree ORDER BY keyid"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r08_cycle_paths" -> { (s, dir) =>
       Tables.register(s, dir)
       s.sql(r08Sql)
+    },
+    "r09_search_order" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(r09Sql)
     },
     "r01_recursive_collatz" -> { (s, dir) =>
       collatzChain(s, dir).orderBy(col("seed"), col("step"))
@@ -529,6 +567,7 @@ object Recursive {
     // identical text to the Spark run — both engines execute the same
     // recursive union
     "r03_recursive_sql" -> r03Sql,
+    "r09_search_order" -> r09Sql,
     "r06_triangle_count" -> r06Sql,
     "cb01_connectby" -> cb01Sql,
     // path enumeration is safe in the oracle: out-degree 3, ≤3 hops
