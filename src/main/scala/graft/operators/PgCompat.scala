@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.PgFunctions
 
@@ -488,6 +489,53 @@ object PgCompat {
     "q85_multirange" -> { (s, dir) =>
       Tables.register(s, dir)
       s.sql(multirangeSql)
+    },
+
+    // -- q130: range_agg / range_intersect_agg (`src/backend/utils/adt/
+    //    multirangetypes.c:1336-1342`) — the AGGREGATE forms q85's
+    //    scalar multirange algebra didn't expose. range_agg(group) is
+    //    the union-multirange: q85's distributed gaps-and-islands
+    //    normalizer (window + running island id + per-island min/max —
+    //    never a per-group array of raw intervals) followed by one
+    //    canonical serialization of the ALREADY-MERGED islands, which
+    //    are at most ceil(span/minGap) per key regardless of input
+    //    cardinality — the collect_list gathers islands, not rows.
+    //    range_intersect_agg folds to (max(lo), min(hi)) — two plain
+    //    map-side-combinable aggregates off the raw scan — empty when
+    //    they cross (PG renders 'empty'). Both aggregates hash on
+    //    o_custkey, so AQE sees co-partitioned sides for the final
+    //    join. Canonical text form: PG's '{[lo,hi),...}' --
+    "q130_range_agg" -> { (s, dir) =>
+      val iv = Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 300)
+        .select(col("o_custkey"),
+          expr("CAST(o_orderkey % 997 AS BIGINT)").as("lo"),
+          expr("CAST(o_orderkey % 997 + o_custkey % 50 + 1 AS BIGINT)").as("hi"))
+      val wPrev = Window.partitionBy(col("o_custkey")).orderBy(col("lo"), col("hi"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("o_custkey")).orderBy(col("lo"), col("hi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val merged = iv
+        .withColumn("new_island",
+          when(max(col("hi")).over(wPrev).isNull
+            || col("lo") > max(col("hi")).over(wPrev), 1).otherwise(0))
+        .withColumn("island", sum(col("new_island")).over(wRun))
+        .groupBy(col("o_custkey"), col("island"))
+        .agg(min(col("lo")).as("mlo"), max(col("hi")).as("mhi"))
+      val unioned = merged.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ranges"),
+          expr("""concat('{', array_join(transform(
+                    array_sort(collect_list(struct(mlo, mhi))),
+                    x -> concat('[', x.mlo, ',', x.mhi, ')')), ','), '}')""")
+            .as("range_union"))
+      val isect = iv.groupBy(col("o_custkey"))
+        .agg(max(col("lo")).as("ilo"), min(col("hi")).as("ihi"))
+        .select(col("o_custkey"),
+          expr("CASE WHEN ilo < ihi THEN concat('[', ilo, ',', ihi, ')') ELSE 'empty' END")
+            .as("range_isect"))
+      unioned.join(isect, Seq("o_custkey"))
+        .select(col("o_custkey"), col("n_ranges"), col("range_union"), col("range_isect"))
+        .orderBy(col("o_custkey"))
     },
 
     // -- LATERAL correlated subquery with per-row LIMIT (gram.y LATERAL;
@@ -991,6 +1039,44 @@ object PgCompat {
     "q79_lateral_topn" -> lateralSql,
 
     "q85_multirange" -> multirangeSql,
+    // aggregate forms: union-multirange re-derived with the same
+    // gaps-and-islands CTE + ordered string_agg; intersection folds to
+    // (max(lo), min(hi)) off the raw intervals
+    "q130_range_agg" -> """
+      WITH iv AS (
+        SELECT o_custkey,
+               CAST(o_orderkey % 997 AS BIGINT) AS lo,
+               CAST(o_orderkey % 997 + o_custkey % 50 + 1 AS BIGINT) AS hi
+        FROM orders WHERE o_custkey <= 300),
+      marked AS (
+        SELECT o_custkey, lo, hi,
+               CASE WHEN max(hi) OVER w IS NULL OR lo > max(hi) OVER w
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY lo, hi
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      islands AS (
+        SELECT o_custkey, lo, hi,
+               sum(new_island) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked),
+      merged AS (
+        SELECT o_custkey, island, min(lo) AS mlo, max(hi) AS mhi
+        FROM islands GROUP BY o_custkey, island),
+      unioned AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ranges,
+          concat('{', string_agg(concat('[', mlo, ',', mhi, ')'), ',' ORDER BY mlo), '}')
+            AS range_union
+        FROM merged GROUP BY o_custkey),
+      isect AS (
+        SELECT o_custkey,
+          CASE WHEN max(lo) < min(hi)
+               THEN concat('[', max(lo), ',', min(hi), ')') ELSE 'empty' END
+            AS range_isect
+        FROM iv GROUP BY o_custkey)
+      SELECT u.o_custkey, u.n_ranges, u.range_union, i.range_isect
+      FROM unioned u JOIN isect i ON u.o_custkey = i.o_custkey
+      ORDER BY u.o_custkey""",
 
     "q80_uuid" -> uuidSql,
 
