@@ -42,6 +42,8 @@ object PgToChar {
   def format(value: Double, template: String): String = {
     val fm = template.startsWith("FM")
     val tpl = if (fm) template.substring(2) else template
+    if (tpl == "RN") return formatRN(value, fm)
+    if (tpl.contains("EEEE")) return formatEEEE(value, tpl, fm)
     val dot = tpl.indexOf('.')
     val intTpl = if (dot >= 0) tpl.substring(0, dot) else tpl
     val decTpl = if (dot >= 0) tpl.substring(dot + 1) else ""
@@ -87,5 +89,54 @@ object PgToChar {
       val sign = if (negative) "-" else if (fm) "" else " "
       sign + (if (fm) intPart.dropWhile(_ == ' ') else intPart) + decPart
     }
+  }
+
+  /** `RN` — roman numerals (`formatting.c:905` NUM_RN / NUM_roman):
+    * valid for 1..3999, right-aligned in 15 columns (FM strips the
+    * padding), out-of-range renders as 15 '#'s. */
+  private val RomanVals = Seq(
+    1000 -> "M", 900 -> "CM", 500 -> "D", 400 -> "CD", 100 -> "C",
+    90 -> "XC", 50 -> "L", 40 -> "XL", 10 -> "X", 9 -> "IX",
+    5 -> "V", 4 -> "IV", 1 -> "I")
+  private def formatRN(value: Double, fm: Boolean): String = {
+    val n =
+      try java.math.BigDecimal.valueOf(value)
+        .setScale(0, java.math.RoundingMode.HALF_UP).intValueExact()
+      catch { case _: ArithmeticException => -1 } // magnitude beyond Int
+    if (n < 1 || n > 3999) return "#" * 15
+    val sb = new StringBuilder
+    var r = n
+    for ((v, s) <- RomanVals) while (r >= v) { sb.append(s); r -= v }
+    if (fm) sb.toString else ("%15s").format(sb.toString)
+  }
+
+  /** `EEEE` — scientific notation (`formatting.c` NUM_E): mantissa laid
+    * into the digit template before EEEE, exponent always signed with
+    * at least two digits; sign column as usual (FM strips the leading
+    * space on positives). Mantissa rounding is decimal half-up via
+    * BigDecimal on the double's shortest decimal form — deterministic
+    * and engine-independent, same discipline as the fixed templates. */
+  private def formatEEEE(value: Double, tpl: String, fm: Boolean): String = {
+    val core = tpl.substring(0, tpl.indexOf("EEEE"))
+    val decDigits = core.indexOf('.') match {
+      case -1 => 0
+      case i  => core.substring(i + 1).count(c => c == '9' || c == '0')
+    }
+    val neg = value < 0
+    val av = math.abs(value)
+    var exp = if (av == 0d) 0 else math.floor(math.log10(av)).toInt
+    var mant =
+      if (av == 0d) java.math.BigDecimal.ZERO.setScale(decDigits)
+      else java.math.BigDecimal.valueOf(av).movePointLeft(exp)
+        .setScale(decDigits, java.math.RoundingMode.HALF_UP)
+    // rounding can push the mantissa to 10.x (e.g. 9.995 at 2 digits)
+    if (mant.compareTo(java.math.BigDecimal.TEN) >= 0) {
+      mant = mant.movePointLeft(1)
+        .setScale(decDigits, java.math.RoundingMode.HALF_UP)
+      exp += 1
+    }
+    val sign = if (neg) "-" else if (fm) "" else " "
+    val esign = if (exp < 0) "-" else "+"
+    sign + mant.toPlainString + "e" + esign + f"${math.abs(exp)}%02d"
   }
 }

@@ -73,6 +73,29 @@ object PgCompat {
         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
     },
 
+    // -- q131: the to_char EDGE templates that close the output-template
+    //    family (formatting.c:905 NUM_RN roman numerals, NUM_E EEEE
+    //    scientific): RN right-aligned in 15 columns / FMRN bare /
+    //    out-of-range '#'-fill, EEEE with template-driven mantissa
+    //    precision, signed two-digit exponent, FM sign handling. Inputs
+    //    are integer-derived so the oracle re-derives every mantissa
+    //    digit with pure string arithmetic (no cross-engine float
+    //    formatting anywhere); negative-exponent rendering is covered by
+    //    PG's documented examples in FunctionsSpec --
+    "q131_to_char_rn_eeee" -> { (s, dir) =>
+      PgFunctions.register(s)
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          pg_to_char(CAST(o_orderkey * 137 AS DOUBLE), '9.99EEEE') AS sci,
+          pg_to_char(CAST(o_orderkey AS DOUBLE), 'FM9.999EEEE') AS sci_fm,
+          pg_to_char(CAST(-(o_orderkey % 500 + 1) AS DOUBLE), '9.99EEEE') AS sci_neg,
+          pg_to_char(CAST(o_orderkey % 3999 + 1 AS DOUBLE), 'RN') AS rn,
+          pg_to_char(CAST(o_orderkey % 3999 + 1 AS DOUBLE), 'FMRN') AS rn_fm,
+          pg_to_char(CAST(4000 + o_orderkey % 100 AS DOUBLE), 'RN') AS rn_bad
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")
+    },
+
     // -- to_number: the input half of formatting.c, round-tripping the
     //    to_char output (template-driven parse: group separators and
     //    currency marks skipped, sign honored). The oracle renders the
@@ -1127,6 +1150,51 @@ object PgCompat {
       FROM (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
             FROM orders WHERE o_orderkey <= 2000)
       ORDER BY o_orderkey""",
+
+    // every mantissa digit from integer string arithmetic (half-up on
+    // the d+2-th digit); the 4-digit overflow case ('1000') falls out of
+    // the same substr formula; roman numerals by positional array lookup
+    "q131_to_char_rn_eeee" -> """
+      WITH src AS (
+        SELECT o_orderkey,
+          CAST(o_orderkey * 137 AS BIGINT) AS v1,
+          CAST(o_orderkey AS BIGINT) AS v2,
+          CAST(o_orderkey % 500 + 1 AS BIGINT) AS v3,
+          CAST(o_orderkey % 3999 + 1 AS INT) AS rn_n
+        FROM orders WHERE o_orderkey <= 2000),
+      m AS (
+        SELECT o_orderkey, rn_n,
+          length(CAST(v1 AS VARCHAR)) AS l1,
+          CAST(CAST(substr(rpad(CAST(v1 AS VARCHAR), 4, '0'), 1, 3) AS BIGINT)
+            + CASE WHEN CAST(substr(rpad(CAST(v1 AS VARCHAR), 4, '0'), 4, 1) AS BIGINT) >= 5
+                   THEN 1 ELSE 0 END AS VARCHAR) AS m1,
+          length(CAST(v2 AS VARCHAR)) AS l2,
+          CAST(CAST(substr(rpad(CAST(v2 AS VARCHAR), 5, '0'), 1, 4) AS BIGINT)
+            + CASE WHEN CAST(substr(rpad(CAST(v2 AS VARCHAR), 5, '0'), 5, 1) AS BIGINT) >= 5
+                   THEN 1 ELSE 0 END AS VARCHAR) AS m2,
+          length(CAST(v3 AS VARCHAR)) AS l3,
+          CAST(CAST(substr(rpad(CAST(v3 AS VARCHAR), 4, '0'), 1, 3) AS BIGINT)
+            + CASE WHEN CAST(substr(rpad(CAST(v3 AS VARCHAR), 4, '0'), 4, 1) AS BIGINT) >= 5
+                   THEN 1 ELSE 0 END AS VARCHAR) AS m3
+        FROM src),
+      roman AS (
+        SELECT o_orderkey, m1, l1, m2, l2, m3, l3,
+          ['','M','MM','MMM'][rn_n // 1000 + 1]
+          || ['','C','CC','CCC','CD','D','DC','DCC','DCCC','CM'][(rn_n // 100) % 10 + 1]
+          || ['','X','XX','XXX','XL','L','LX','LXX','LXXX','XC'][(rn_n // 10) % 10 + 1]
+          || ['','I','II','III','IV','V','VI','VII','VIII','IX'][rn_n % 10 + 1] AS rom
+        FROM m)
+      SELECT o_orderkey,
+        ' ' || substr(lpad(m1, 3, '0'), 1, 1) || '.' || substr(lpad(m1, 3, '0'), 2, 2) || 'e+'
+          || lpad(CAST(CASE WHEN length(m1) = 4 THEN l1 ELSE l1 - 1 END AS VARCHAR), 2, '0') AS sci,
+        substr(lpad(m2, 4, '0'), 1, 1) || '.' || substr(lpad(m2, 4, '0'), 2, 3) || 'e+'
+          || lpad(CAST(CASE WHEN length(m2) = 5 THEN l2 ELSE l2 - 1 END AS VARCHAR), 2, '0') AS sci_fm,
+        '-' || substr(lpad(m3, 3, '0'), 1, 1) || '.' || substr(lpad(m3, 3, '0'), 2, 2) || 'e+'
+          || lpad(CAST(CASE WHEN length(m3) = 4 THEN l3 ELSE l3 - 1 END AS VARCHAR), 2, '0') AS sci_neg,
+        lpad(rom, 15, ' ') AS rn,
+        rom AS rn_fm,
+        repeat('#', 15) AS rn_bad
+      FROM roman ORDER BY o_orderkey""",
 
     "q52_age" -> """
       SELECT o_orderkey,

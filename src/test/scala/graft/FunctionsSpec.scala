@@ -265,6 +265,20 @@ class FunctionsSpec extends AnyFunSuite {
       s"sample of $total drew $n rows — outside 10% ± 4σ")
   }
 
+  test("to_char RN/EEEE match PG's documented renderings (formatting.c:905)") {
+    import graft.functions.PgToChar.format
+    // PG doc examples + boundary semantics
+    assert(format(0.0004859, "9.99EEEE") == " 4.86e-04")
+    assert(format(485, "RN") == "        CDLXXXV")
+    assert(format(485, "FMRN") == "CDLXXXV")
+    assert(format(2024, "FMRN") == "MMXXIV")
+    assert(format(3999, "FMRN") == "MMMCMXCIX")
+    assert(format(4000, "RN") == "###############") // out of roman range
+    assert(format(0.0, "9.99EEEE") == " 0.00e+00")
+    assert(format(-1234, "9.99EEEE") == "-1.23e+03")
+    assert(format(9.995, "9.99EEEE") == " 1.00e+01") // mantissa carry
+  }
+
   test("hmacSha256 matches the RFC 4231 test vectors (pgcrypto px-hmac.c)") {
     import graft.functions.PgCrypto
     def run(c: org.apache.spark.sql.Column): String =
