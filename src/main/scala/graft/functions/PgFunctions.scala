@@ -130,6 +130,8 @@ object PgFunctions {
     "vec_l2sq" -> { args => VecL2Sq(args(0), args(1)) },
     "vec_doti" -> { args => VecDotInt(args(0), args(1)) },
     "svec_dot" -> { args => SvecDot(args(0), args(1)) },
+    "porter_stem" -> { args =>
+      PorterStem(Cast(args(0), org.apache.spark.sql.types.StringType)) },
     // pair_emit(ds, cap): sorted posting list -> candidate pairs,
     // star-degraded past cap (the literal is folded at registration)
     "pair_emit" -> { args =>

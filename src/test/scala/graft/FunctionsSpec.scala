@@ -235,7 +235,8 @@ class FunctionsSpec extends AnyFunSuite {
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
         "pg_to_timestamp", "string_to_array", "generate_series", "pg_format",
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
-        "svec_dot", "pair_emit", "pair_emit_sized", "pair_emit_sized_all"))
+        "svec_dot", "porter_stem", "pair_emit", "pair_emit_sized",
+        "pair_emit_sized_all"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -263,6 +264,52 @@ class FunctionsSpec extends AnyFunSuite {
     val sigma = math.sqrt(total * 0.1 * 0.9)
     assert(math.abs(n - total * 0.1) < 4 * sigma,
       s"sample of $total drew $n rows — outside 10% ± 4σ")
+  }
+
+  test("porter_stem matches the published 1980 algorithm examples") {
+    import graft.functions.PorterStem.stem
+    // step examples from the paper, carried through the full algorithm,
+    // plus the paper's own end-to-end demonstrations (GENERALIZATIONS →
+    // GENER, OSCILLATORS → OSCIL). Words touched by porter.c's later
+    // "departures" (logi/bli) are deliberately absent — this is the
+    // strict 1980 algorithm.
+    val vectors = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+      "filing" -> "file", "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc", "digitizer" -> "digit",
+      "operational" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electriciti" -> "electr",
+      "electrical" -> "electr", "hopeful" -> "hope", "goodness" -> "good",
+      "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "irritant" -> "irrit", "replacement" -> "replac",
+      "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "communism" -> "commun",
+      "activate" -> "activ", "angulariti" -> "angular",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll",
+      "generalizations" -> "gener", "oscillators" -> "oscil")
+    val bad = vectors.collect {
+      case (w, want) if stem(w) != want => s"$w: got ${stem(w)}, want $want"
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+    // idempotence over the vector outputs (a stem is its own stem for
+    // this set — the property the f14 dictionary join relies on)
+    val notIdem = vectors.map(_._2).filter(st => stem(stem(st)) != stem(st))
+    assert(notIdem.isEmpty, s"non-idempotent: $notIdem")
   }
 
   test("to_char RN/EEEE match PG's documented renderings (formatting.c:905)") {
