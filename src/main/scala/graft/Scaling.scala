@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Scale-up sweep (r8 verdict item #1): run the data-bound query
+  * families at sf0.1 AND at the self-generated sf1 (10× data,
+  * ScaleGen.scala), and assert near-linear wall-time growth per query.
+  * This converts the "designed for 100 TB" plan-shape arguments into a
+  * measured growth curve — the audit that catches a super-linear
+  * operator (r6's d03, r7's r06) before data does.
+  *
+  * Methodology mirrors Bench.scala: each query runs its executed plan to
+  * completion via queryExecution.toRdd.count(), two separated sweeps per
+  * scale, official time = min of the two (strips transient sandbox
+  * contention), session hygiene between queries. The growth bound is
+  * ratio ≤ 13× for 10× data (linear + a generous constant for stage
+  * overheads that amortize at real scale); queries exceeding it are
+  * listed in the artifact under "superlinear" — the gate is the
+  * committed JSON plus a named cause or fix per flagged query.
+  */
+object Scaling {
+
+  /** The data-bound families: dedup, ANN/similarity, graph kernels,
+    * text-quality censuses, entity resolution. */
+  val Targets: Seq[String] = Seq(
+    "d02_ngram_jaccard", "d03_minhash_lsh", "d09_containment", "d12_line_dedup",
+    "s01_cosine_topk", "s02_ann_lsh_buckets", "s03_embedding_near_dup",
+    "s04_ivf_ann", "s05_label_centroids", "s06_quantized_ann",
+    "s07_kmeans_lloyd", "s08_pq_ann", "s09_multiprobe_lsh",
+    "s10_hybrid_rrf", "s11_probe_sweep",
+    "r02_connected_dedup", "r06_triangle_count", "r07_kcore",
+    "t19_dup_ngram_coverage", "t21_word_entropy", "t22_filter_funnel",
+    "t23_kl_novelty", "t24_source_overlap",
+    "er01_entity_clusters")
+
+  val MaxRatio = 13.0
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val bigDir = args.lift(1).getOrElse("testdata_sf1")
+    val outPath = args.lift(2).getOrElse("SCALING_r9.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def loadAvg: Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg
+
+    def hygiene(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      spark.conf.set("spark.graft.eageragg.enabled", "false")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    }
+
+    // warmup (codegen + JVM) on a small query at each dir
+    Seq(smallDir, bigDir).foreach { dir =>
+      try SparkEntry.queries("t21_word_entropy")(spark, dir).queryExecution.toRdd.count()
+      catch { case e: Throwable => System.err.println(s"[scaling] warmup $dir failed: ${e.getMessage}") }
+      hygiene()
+    }
+
+    var failed = List.empty[String]
+    def sweep(dir: String): Map[String, Double] =
+      Targets.map { name =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[scaling] $name @ $dir FAILED: ${e.getMessage}")
+            failed ::= s"$name@$dir"
+            name -> -1.0
+        } finally hygiene()
+      }.toMap
+
+    // two separated sweeps per scale, alternating scales so the two
+    // passes of a query are minutes apart (Bench.scala's contention rule)
+    val small1 = sweep(smallDir)
+    val big1 = sweep(bigDir)
+    val small2 = sweep(smallDir)
+    val big2 = sweep(bigDir)
+    def official(m1: Map[String, Double], m2: Map[String, Double])(n: String): Double =
+      if (m1(n) < 0 || m2(n) < 0) -1.0 else math.min(m1(n), m2(n))
+
+    val rows = Targets.map { n =>
+      val ts = official(small1, small2)(n)
+      val tb = official(big1, big2)(n)
+      val ratio = if (ts > 0 && tb > 0) tb / ts else -1.0
+      (n, ts, tb, ratio)
+    }
+    val superlinear = rows.collect { case (n, _, _, r) if r > MaxRatio => n }
+    def fmt(d: Double) = f"$d%.3f"
+    val qjson = rows.map { case (n, ts, tb, r) =>
+      s""""$n":{"sf0_1_sec":${fmt(ts)},"sf1_sec":${fmt(tb)},"ratio":${fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scaleup","data_factor":10,"max_ratio":$MaxRatio,""" +
+      s""""small_dir":"$smallDir","big_dir":"$bigDir","queries":$qjson,""" +
+      s""""superlinear":[${superlinear.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""n_failed":${failed.distinct.size},"timing":"min_of_2_alternating_sweeps",""" +
+      s""""env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":$loadStart,"load_avg_end":$loadAvg}}"""
+    Files.writeString(Paths.get(outPath), line + "\n")
+    println(line)
+    spark.stop()
+    if (failed.nonEmpty || superlinear.nonEmpty) sys.exit(1)
+  }
+}
