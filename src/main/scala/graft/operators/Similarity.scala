@@ -88,6 +88,32 @@ object Similarity {
         .orderBy(col("bucket"))
     },
 
+    // -- s12: DIVERSITY DOWNSAMPLING (coverage sampling) — the training-
+    //    data curation step after dedup: bound redundancy by keeping at
+    //    most Q representatives per LSH similarity bucket (SemDeDup/
+    //    DC-k-center's scalable relaxation: bucket quota instead of
+    //    global k-center, which is inherently sequential). Deterministic
+    //    representative choice (lowest vec_id) so reruns and speculated
+    //    tasks keep the same sample. Shape at 100 TB: one hash shuffle
+    //    on the bucket key; the per-bucket top-Q runs as a window
+    //    row_number — a spillable per-partition SORT, never a collected
+    //    per-group array, so a degenerate hot bucket costs disk, not
+    //    memory. Output carries n_bucket so the kept/dropped accounting
+    //    audits the quota --
+    "s12_diversity_sample" -> { (s, dir) =>
+      val q = 4
+      val b = bucketedDf(s, dir) // 8-plane key, 256 buckets
+      b.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
+        .withColumn("n_bucket",
+          count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .filter(col("rnk") <= q)
+        .select(col("vec_id"), col("label").cast("bigint").as("label"),
+          col("bucket").cast("bigint").as("bucket"),
+          col("rnk").cast("bigint").as("rnk"), col("n_bucket"))
+        .orderBy(col("bucket"), col("rnk"))
+    },
+
     // -- embedding near-dup: LSH-bucket candidates, cosine-verified --
     // Candidate pairs only form inside a 16-plane LSH bucket
     // (`NearDupPlanes` — 65,536 buckets, expected occupancy N/2^16), then
@@ -685,6 +711,24 @@ object Similarity {
       SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_vectors,
         min(vec_id) AS min_vec, count(DISTINCT label) AS n_labels
       FROM bucketed GROUP BY 1 ORDER BY bucket""",
+
+    "s12_diversity_sample" -> """
+      WITH bucketed AS (
+        SELECT vec_id, label,
+          list_sum(list_transform(generate_series(0, 7), p ->
+            CASE WHEN
+              list_sum(list_transform(generate_series(1, len(embedding)), j ->
+                CAST(embedding[j] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE)))
+              > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS bucket
+        FROM embeddings),
+      ranked AS (
+        SELECT vec_id, label, bucket,
+          row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rnk,
+          count(*) OVER (PARTITION BY bucket) AS n_bucket
+        FROM bucketed)
+      SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(bucket AS BIGINT) AS bucket,
+        CAST(rnk AS BIGINT) AS rnk, CAST(n_bucket AS BIGINT) AS n_bucket
+      FROM ranked WHERE rnk <= 4 ORDER BY bucket, rnk""",
 
     // Occupancy cap mirrored from embeddingCandidates: an over-cap bucket
     // keeps only the pairs whose smaller side is the bucket minimum (star).
