@@ -107,6 +107,62 @@ object Chunking {
     FROM head ORDER BY pos"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- ch06: TOKEN-BUDGET MIXTURE ALLOCATION — the dataset-mixing step
+    //    of a pretraining pipeline (multilingual/multi-source sampling à
+    //    la temperature scaling): allocate a global token budget across
+    //    sources with weight ∝ tokens^α, α = 1/2 (upsamples small
+    //    sources, the standard T=2 mixing), then select documents per
+    //    source by a deterministic cursor until the quota fills.
+    //    Exactness discipline: the integer square root is computed with
+    //    an exact post-correction (floor(sqrt) can sit 1 ulp off at
+    //    perfect squares; the ±1 fixup makes it libm-independent), and
+    //    the per-source quotas use LARGEST-REMAINDER apportionment in
+    //    pure BIGINT (e21's credit discipline) so Σ quota == budget
+    //    exactly on any engine. Scale shape: weights/quotas live on the
+    //    |sources|-sized census; the only corpus-sized work is one
+    //    map-side token count and one per-source cumulative-sum window
+    //    (spillable sort, no arrays). Selection policy: a doc is taken
+    //    while the tokens BEFORE it are under quota, so the last doc may
+    //    overshoot — the policy every packing stage uses (ch02) --
+    "ch06_token_budget_mix" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 100000L
+      val docs = Tables.df(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)").as("ntok"))
+        .localCheckpoint() // census + selection both read it
+      val census = docs.groupBy(col("source"))
+        .agg(sum(col("ntok")).as("tok_cnt"), count(lit(1)).as("n_docs"))
+        .withColumn("s0", expr("CAST(floor(sqrt(CAST(tok_cnt AS DOUBLE))) AS BIGINT)"))
+        .withColumn("weight", expr(
+          """CASE WHEN (s0 + 1) * (s0 + 1) <= tok_cnt THEN s0 + 1
+                  WHEN s0 * s0 > tok_cnt THEN s0 - 1 ELSE s0 END"""))
+      // largest-remainder apportionment, all integer; the rank window is
+      // unpartitioned but runs over the |sources|-sized census (20 rows)
+      val wTot = census.crossJoin(broadcast(
+        census.agg(sum(col("weight")).as("wsum"))))
+        .withColumn("base", expr(s"$budget * weight DIV wsum"))
+        .withColumn("rem", expr(s"($budget * weight) % wsum"))
+      val leftover = wTot.agg((lit(budget) - sum(col("base"))).as("leftover"))
+      val quotas = wTot.crossJoin(broadcast(leftover))
+        .withColumn("rr", expr(
+          "row_number() OVER (ORDER BY rem DESC, source)"))
+        .withColumn("quota", expr("base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END"))
+        .select(col("source"), col("n_docs"), col("tok_cnt"), col("weight"), col("quota"))
+      // deterministic per-source selection cursor
+      val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sel = docs.withColumn("prev_tok", coalesce(sum(col("ntok")).over(wCum), lit(0L)))
+        .join(quotas.select(col("source"), col("quota")), Seq("source"))
+        .filter(col("prev_tok") < col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sel"), sum(col("ntok")).as("tok_sel"))
+      quotas.join(sel, Seq("source"))
+        .select(col("source"), col("n_docs"), col("tok_cnt"), col("weight"),
+          col("quota"), col("n_sel"), col("tok_sel"))
+        .orderBy(col("source"))
+    },
     // -- ch02: GPT-style training-sequence packing (concat-and-chop) --
     // Tokenized docs are concatenated per source stream in doc_id order
     // and chopped into fixed `Cap`-token sequences; the answer per source
@@ -371,6 +427,46 @@ object Chunking {
 
   def oracle: Map[String, String] = Map(
     "ch04_epoch_shuffle" -> EpochShuffleSql,
+
+    "ch06_token_budget_mix" -> """
+      WITH docs AS (
+        SELECT source, doc_id,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok
+        FROM documents),
+      census AS (
+        SELECT source, CAST(sum(ntok) AS BIGINT) AS tok_cnt,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM docs GROUP BY source),
+      wts AS (
+        SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= tok_cnt THEN s0 + 1
+                       WHEN s0 * s0 > tok_cnt THEN s0 - 1 ELSE s0 END AS weight
+        FROM (SELECT *, CAST(floor(sqrt(CAST(tok_cnt AS DOUBLE))) AS BIGINT) AS s0
+              FROM census) t),
+      appor AS (
+        SELECT source, n_docs, tok_cnt, weight,
+          100000 * weight // wsum AS base,
+          (100000 * weight) % wsum AS rem
+        FROM wts, (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM wts) w),
+      quotas AS (
+        SELECT source, n_docs, tok_cnt, weight,
+          CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                             <= (SELECT 100000 - sum(base) FROM appor)
+                       THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM appor),
+      cum AS (
+        SELECT source, doc_id, ntok,
+          CAST(coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_tok
+        FROM docs),
+      sel AS (
+        SELECT c.source, CAST(count(*) AS BIGINT) AS n_sel,
+          CAST(sum(c.ntok) AS BIGINT) AS tok_sel
+        FROM cum c JOIN quotas q ON q.source = c.source
+        WHERE c.prev_tok < q.quota
+        GROUP BY c.source)
+      SELECT q.source, q.n_docs, q.tok_cnt, q.weight, q.quota, s.n_sel, s.tok_sel
+      FROM quotas q JOIN sel s ON s.source = q.source
+      ORDER BY q.source""",
 
     "ch05_length_buckets" -> """
       WITH docs AS (
