@@ -153,6 +153,61 @@ object DataQuality {
         .orderBy(col("status"))
     },
 
+    // -- dq05: COLUMN-PROFILE (schema) drift audit — the other half of
+    //    the Deequ-style monitoring next to dq04's volume alarm: per
+    //    column, compare null rate / distinct count / numeric profile
+    //    between two snapshot versions and flag drifts. The curr
+    //    snapshot derives deterministically from the corpus with two
+    //    injected regressions (lang nulled on doc_id%9 — a broken
+    //    extractor; n_chars inflated on doc_id%5 — a changed
+    //    normalization), so the detector provably fires on the right
+    //    columns and stays quiet on source. Shape: ONE map-side
+    //    aggregate pass per snapshot (profiles are a fixed handful of
+    //    counters), a 1-row × 1-row join, and a 3-row stack — at 100 TB
+    //    the audit moves two rows through its shuffle. Flags compare
+    //    EXACT cross-multiplied BIGINTs (t22's integer-gate discipline):
+    //    null drift ⇔ |nc·rp − np·rc|·20 > rp·rc (Δrate > 5%), profile
+    //    drift ⇔ |sc·np' − sp·nc'|·10 > sp·nc' (mean ratio > 10%) --
+    "dq05_schema_drift" -> { (s, dir) =>
+      val base = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .localCheckpoint() // both snapshot profiles read it
+      val curr = base
+        .withColumn("lang", when(pmod(col("doc_id"), lit(9)) === 0, lit(null:String))
+          .otherwise(col("lang")))
+        .withColumn("n_chars", when(pmod(col("doc_id"), lit(5)) === 0,
+          col("n_chars") + 40).otherwise(col("n_chars")))
+      def profile(df: org.apache.spark.sql.DataFrame, tag: String) = df.agg(
+        count(lit(1)).as(s"rows_$tag"),
+        (count(lit(1)) - count(col("lang"))).as(s"null_lang_$tag"),
+        (count(lit(1)) - count(col("source"))).as(s"null_source_$tag"),
+        (count(lit(1)) - count(col("n_chars"))).as(s"null_nchars_$tag"),
+        countDistinct(col("lang")).as(s"dist_lang_$tag"),
+        countDistinct(col("source")).as(s"dist_source_$tag"),
+        countDistinct(col("n_chars")).as(s"dist_nchars_$tag"),
+        sum(length(col("lang"))).as(s"sum_lang_$tag"),
+        sum(length(col("source"))).as(s"sum_source_$tag"),
+        sum(col("n_chars")).as(s"sum_nchars_$tag"),
+        count(col("lang")).as(s"nn_lang_$tag"),
+        count(col("source")).as(s"nn_source_$tag"),
+        count(col("n_chars")).as(s"nn_nchars_$tag"))
+      profile(base, "p").crossJoin(profile(curr, "c"))
+        .selectExpr(
+          """stack(3,
+               'lang',    null_lang_p,   null_lang_c,   dist_lang_p,   dist_lang_c,   sum_lang_p,   sum_lang_c,   nn_lang_p,   nn_lang_c,   rows_p, rows_c,
+               'n_chars', null_nchars_p, null_nchars_c, dist_nchars_p, dist_nchars_c, sum_nchars_p, sum_nchars_c, nn_nchars_p, nn_nchars_c, rows_p, rows_c,
+               'source',  null_source_p, null_source_c, dist_source_p, dist_source_c, sum_source_p, sum_source_c, nn_source_p, nn_source_c, rows_p, rows_c)
+             AS (col_name, null_p, null_c, dist_p, dist_c, sum_p, sum_c, nn_p, nn_c, rows_p, rows_c)""")
+        .selectExpr("col_name",
+          "null_p", "null_c", "dist_p", "dist_c",
+          "round(CAST(sum_p AS DOUBLE) / nn_p, 4) AS mean_p",
+          "round(CAST(sum_c AS DOUBLE) / nn_c, 4) AS mean_c",
+          "CAST(abs(null_c * rows_p - null_p * rows_c) * 20 > rows_p * rows_c AS INT) AS null_drift",
+          "CAST(abs(sum_c * nn_p - sum_p * nn_c) * 10 > sum_p * nn_c AS INT) AS mean_drift",
+          "CAST(dist_p <> dist_c AS INT) AS dist_drift")
+        .orderBy(col("col_name"))
+    },
+
     // -- dq04: ingest VOLUME-DRIFT monitor — the freshness/volume alarm
     //    every pipeline schedules (Deequ anomaly detection on row
     //    counts; month-over-month deviation beyond a band pages
@@ -179,6 +234,63 @@ object DataQuality {
   )
 
   def oracle: Map[String, String] = Map(
+    "dq05_schema_drift" -> """
+      WITH curr AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 9 = 0 THEN NULL ELSE lang END AS lang,
+          source,
+          CASE WHEN doc_id % 5 = 0 THEN n_chars + 40 ELSE n_chars END AS n_chars
+        FROM documents),
+      p AS (
+        SELECT CAST(count(*) AS BIGINT) AS rows_p,
+          CAST(count(*) - count(lang) AS BIGINT) AS null_lang,
+          CAST(count(*) - count(source) AS BIGINT) AS null_source,
+          CAST(count(*) - count(n_chars) AS BIGINT) AS null_nchars,
+          CAST(count(DISTINCT lang) AS BIGINT) AS dist_lang,
+          CAST(count(DISTINCT source) AS BIGINT) AS dist_source,
+          CAST(count(DISTINCT n_chars) AS BIGINT) AS dist_nchars,
+          CAST(sum(length(lang)) AS BIGINT) AS sum_lang,
+          CAST(sum(length(source)) AS BIGINT) AS sum_source,
+          CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+          CAST(count(lang) AS BIGINT) AS nn_lang,
+          CAST(count(source) AS BIGINT) AS nn_source,
+          CAST(count(n_chars) AS BIGINT) AS nn_nchars
+        FROM documents),
+      c AS (
+        SELECT CAST(count(*) AS BIGINT) AS rows_c,
+          CAST(count(*) - count(lang) AS BIGINT) AS null_lang,
+          CAST(count(*) - count(source) AS BIGINT) AS null_source,
+          CAST(count(*) - count(n_chars) AS BIGINT) AS null_nchars,
+          CAST(count(DISTINCT lang) AS BIGINT) AS dist_lang,
+          CAST(count(DISTINCT source) AS BIGINT) AS dist_source,
+          CAST(count(DISTINCT n_chars) AS BIGINT) AS dist_nchars,
+          CAST(sum(length(lang)) AS BIGINT) AS sum_lang,
+          CAST(sum(length(source)) AS BIGINT) AS sum_source,
+          CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+          CAST(count(lang) AS BIGINT) AS nn_lang,
+          CAST(count(source) AS BIGINT) AS nn_source,
+          CAST(count(n_chars) AS BIGINT) AS nn_nchars
+        FROM curr),
+      rows3 AS (
+        SELECT 'lang' AS col_name, p.null_lang AS null_p, c.null_lang AS null_c,
+          p.dist_lang AS dist_p, c.dist_lang AS dist_c,
+          p.sum_lang AS sum_p, c.sum_lang AS sum_c,
+          p.nn_lang AS nn_p, c.nn_lang AS nn_c, p.rows_p, c.rows_c FROM p, c
+        UNION ALL
+        SELECT 'n_chars', p.null_nchars, c.null_nchars, p.dist_nchars, c.dist_nchars,
+          p.sum_nchars, c.sum_nchars, p.nn_nchars, c.nn_nchars, p.rows_p, c.rows_c FROM p, c
+        UNION ALL
+        SELECT 'source', p.null_source, c.null_source, p.dist_source, c.dist_source,
+          p.sum_source, c.sum_source, p.nn_source, c.nn_source, p.rows_p, c.rows_c FROM p, c)
+      SELECT col_name, null_p, null_c, dist_p, dist_c,
+        round(CAST(sum_p AS DOUBLE) / nn_p, 4) AS mean_p,
+        round(CAST(sum_c AS DOUBLE) / nn_c, 4) AS mean_c,
+        CAST(CASE WHEN abs(null_c * rows_p - null_p * rows_c) * 20 > rows_p * rows_c
+             THEN 1 ELSE 0 END AS INT) AS null_drift,
+        CAST(CASE WHEN abs(sum_c * nn_p - sum_p * nn_c) * 10 > sum_p * nn_c
+             THEN 1 ELSE 0 END AS INT) AS mean_drift,
+        CAST(CASE WHEN dist_p <> dist_c THEN 1 ELSE 0 END AS INT) AS dist_drift
+      FROM rows3 ORDER BY col_name""",
     "dq01_constraint_audit" -> """
       WITH pk AS (
         SELECT 'pk_orders_unique' AS check_name,
