@@ -709,6 +709,45 @@ object PgCompat {
       s.sql(GroupByAllSql)
     },
 
+    // -- q132: boolean & bitwise AGGREGATES — bool_and/bool_or (PG
+    //    `src/backend/utils/adt/bool.c` booland_statefunc / boolor_
+    //    statefunc; SQL-standard EVERY) and bit_and/bit_or/bit_xor
+    //    (int8 bitwise transition fns, pg_aggregate.dat). All are
+    //    map-side-combinable single-value states — the cheapest
+    //    aggregate family there is; one shuffle of 5 packed states per
+    //    group. ONE SQL text for both engines --
+    "q132_bool_bit_aggs" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql("""
+        SELECT o_orderpriority,
+          bool_and(o_totalprice > 1000)  AS all_over_1k,
+          bool_or(o_orderstatus = 'F')   AS any_finished,
+          bool_and(o_custkey % 3 = 0)    AS all_mod3,
+          CAST(bit_and(o_orderkey % 256) AS BIGINT) AS flags_and,
+          CAST(bit_or(o_orderkey % 256)  AS BIGINT) AS flags_or,
+          CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS flags_xor
+        FROM orders WHERE o_orderkey <= 5000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
+    // -- q133: width_bucket equi-width histogram (PG float.c
+    //    width_bucket_float8: below-range → 0, above → count+1, else
+    //    floor((x−lo)/(hi−lo)·n)+1). Spark's native width_bucket runs
+    //    inside codegen; the oracle replays the SAME IEEE double
+    //    formula so bucket boundaries can't drift by an ulp between
+    //    engines. The histogram is the canonical map-side census: one
+    //    shuffle of ≤ n+2 rows regardless of table size --
+    "q133_width_bucket" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .withColumn("bucket", expr(
+          "CAST(width_bucket(CAST(cents AS DOUBLE), 0D, 60000000D, 12) AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy(col("bucket"))
+    },
+
     // -- q128: error-safe evaluation — PG wraps strict casts/arithmetic
     //    in exception handlers or PG16's pg_input_is_valid; the
     //    engine-level analog is TRY semantics (SQL:2023 TRY_CAST;
@@ -1320,6 +1359,33 @@ object PgCompat {
       FROM n ORDER BY o_orderkey""",
 
     "q127_group_by_all" -> GroupByAllSql,
+
+    "q132_bool_bit_aggs" -> """
+        SELECT o_orderpriority,
+          bool_and(o_totalprice > 1000)  AS all_over_1k,
+          bool_or(o_orderstatus = 'F')   AS any_finished,
+          bool_and(o_custkey % 3 = 0)    AS all_mod3,
+          CAST(bit_and(o_orderkey % 256) AS BIGINT) AS flags_and,
+          CAST(bit_or(o_orderkey % 256)  AS BIGINT) AS flags_or,
+          CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS flags_xor
+        FROM orders WHERE o_orderkey <= 5000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // same IEEE double formula as Spark's WidthBucket (floor + 1 with
+    // range guards), so boundary rounding is identical by construction
+    "q133_width_bucket" -> """
+      WITH b AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      wb AS (
+        SELECT cents,
+          CASE WHEN CAST(cents AS DOUBLE) < 0 THEN 0
+               WHEN CAST(cents AS DOUBLE) >= 60000000 THEN 13
+               ELSE CAST(floor((CAST(cents AS DOUBLE) - 0) / (60000000 - 0) * 12) AS BIGINT) + 1
+          END AS bucket
+        FROM b)
+      SELECT bucket, count(*) AS n,
+        min(cents) AS min_cents, max(cents) AS max_cents
+      FROM wb GROUP BY bucket ORDER BY bucket""",
 
     "q128_try_arith" -> """
       WITH src AS (
