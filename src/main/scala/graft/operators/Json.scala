@@ -325,6 +325,45 @@ object Json {
         .orderBy(col("prio"))
     },
 
+    // -- j09: jsonpath PREDICATE language (jsonpath_exec.c
+    //    executePredicate / executeLikeRegex:1730, jpiStartsWith,
+    //    jpiExists) — the filter-expression surface j04/j08 leave:
+    //    `? (exists(@.c))` over a ragged key set, `@ like_regex` with a
+    //    POSIX class both engines agree on, `starts with`, and a
+    //    quantified numeric comparison over an array
+    //    (`$.arr[*] ? (@ > 2)` count + the implicit ANY semantics of
+    //    lax mode). Reuses j08's ragged document; per-row codegen'd
+    //    regexp/HOF arithmetic, no UDF, no shuffle beyond the final
+    //    sort --
+    "j09_jsonpath_predicates" -> { (s, dir) =>
+      val doc =
+        """concat('{"obj":{"a":', o_orderkey % 10, ',"b":"s', o_orderstatus, '"',
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN concat(',"c":', -CAST(o_orderkey % 5 AS BIGINT)) ELSE '' END,
+             '},"arr":[',
+             concat_ws(',', transform(sequence(0, CAST(o_orderkey % 4 AS INT)),
+               i -> CAST((o_orderkey * 7 + i) % 13 - 6 AS STRING))),
+             '],"tag":"t', o_orderstatus, CAST(o_orderkey % 3 AS STRING), '"}')"""
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("j", expr(doc))
+        .withColumn("arr", from_json(get_json_object(col("j"), "$.arr"),
+          org.apache.spark.sql.types.DataType.fromDDL("array<bigint>")))
+        .select(col("o_orderkey"),
+          // ? (exists(@.c)) — key presence on the ragged object
+          get_json_object(col("j"), "$.obj.c").isNotNull.cast("int").as("has_c"),
+          // $.tag ? (@ like_regex "^t[OF][0-9]$")
+          get_json_object(col("j"), "$.tag").rlike("^t[OF][0-9]$").cast("int").as("re_match"),
+          // $.tag starts with "tP"
+          expr("CAST(get_json_object(j, '$.tag') LIKE 'tP%' AS INT)").as("starts_tp"),
+          // lax $.arr[*] ? (@ > 2): ANY-match flag + match count
+          expr("CAST(exists(arr, x -> x > 2) AS INT)").as("any_gt2"),
+          expr("CAST(size(filter(arr, x -> x > 2)) AS BIGINT)").as("n_gt2"),
+          // strict all-quantified form (NOT exists(NOT p))
+          expr("CAST(forall(arr, x -> x >= -6) AS INT)").as("all_ge_m6"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // -- q129: SQL/XML GENERATION — xmlelement / xmlforest / xmlagg
     //    (`src/backend/utils/adt/xml.c:838` xmlelement; xmlagg via
     //    xml_agg_transfn). The missing half of the XML surface: q94
@@ -495,6 +534,30 @@ object Json {
   )
 
   def oracle: Map[String, String] = Map(
+    "j09_jsonpath_predicates" -> """
+      WITH src AS (
+        SELECT o_orderkey,
+          concat('{"obj":{"a":', o_orderkey % 10, ',"b":"s', o_orderstatus, '"',
+            CASE WHEN o_orderkey % 2 = 0
+                 THEN concat(',"c":', -CAST(o_orderkey % 5 AS BIGINT)) ELSE '' END,
+            '},"arr":[',
+            array_to_string(list_transform(generate_series(0, CAST(o_orderkey % 4 AS INT)),
+              i -> CAST((o_orderkey * 7 + i) % 13 - 6 AS VARCHAR)), ','),
+            '],"tag":"t', o_orderstatus, CAST(o_orderkey % 3 AS VARCHAR), '"}') AS j
+        FROM orders WHERE o_orderkey <= 2000),
+      t AS (
+        SELECT o_orderkey, j,
+          list_transform(json_extract(j, '$.arr[*]'), x -> CAST(x AS BIGINT)) AS arr
+        FROM src)
+      SELECT o_orderkey,
+        CAST(json_extract(j, '$.obj.c') IS NOT NULL AS INT) AS has_c,
+        CAST(regexp_matches(json_extract_string(j, '$.tag'), '^t[OF][0-9]$') AS INT) AS re_match,
+        CAST(json_extract_string(j, '$.tag') LIKE 'tP%' AS INT) AS starts_tp,
+        CAST(len(list_filter(arr, x -> x > 2)) > 0 AS INT) AS any_gt2,
+        CAST(len(list_filter(arr, x -> x > 2)) AS BIGINT) AS n_gt2,
+        CAST(len(list_filter(arr, x -> NOT (x >= -6))) = 0 AS INT) AS all_ge_m6
+      FROM t ORDER BY o_orderkey""",
+
     // xml generation: DuckDB rebuilds the identical escaped document
     // with string_agg ORDER BY, and answers the round-trip audit columns
     // with direct column arithmetic (count/sum/length of the raw note) —
