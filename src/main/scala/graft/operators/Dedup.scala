@@ -315,6 +315,70 @@ object Dedup {
         .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
         .select(col("a_id"), col("b_id"), col("c_ab"), col("c_ba"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- d10: LSH parameter audit — recall and candidate precision of the
+    //    capped MinHash-LSH generator (d03's 12-hash / 4-band layout)
+    //    against the EXACT n-gram Jaccard ground truth (d02's capped
+    //    posting-list pipeline, un-thresholded), reported per threshold
+    //    band. This is the evaluation every production dedup pipeline
+    //    runs before trusting a band layout at corpus scale: recall(τ) =
+    //    |truth≥τ ∩ candidates| / |truth≥τ| says what the bands MISS;
+    //    precision(τ) = |truth≥τ ∩ candidates| / |candidates| says how
+    //    much verify work each candidate costs. Thresholds ride as
+    //    integer tenths so the τ-decision is exact rational arithmetic
+    //    (inter·10 ≥ τ₁₀·union) on BOTH engines — no double rounding at
+    //    the decision boundary (the cross-engine tie gotcha). Scale: the
+    //    truth relation is the capped pair set (StopShingleCap bounds
+    //    posting-list blowup), the LSH side is d03's bounded candidates,
+    //    and the τ-explode multiplies only the pair relation (already
+    //    subquadratic) by a 4-element literal — map-side aggregated.
+    //    Reference analog: tuning runs over hash/band parameters in
+    //    dedup curation (minhash_lsh family, SURVEY §2 pipeline ops) --
+    "d10_lsh_recall_audit" -> { (s, dir) =>
+      val lists = shingleFps(s, dir)
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= StopShingleCap)
+        .localCheckpoint() // spool: feeds both the size census and the pair path
+      val exploded = lists
+        .select(col("fp"), size(col("ds")).as("lsz"), explode(col("ds")).as("doc_id"))
+      val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sized = exploded.filter(col("lsz") >= 2)
+        .join(sizes, Seq("doc_id"))
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_list(struct(col("doc_id").as("doc"), col("sz")))).as("dsz"))
+      // exact ground truth: every co-occurring pair with its (inter, union)
+      // carried as integers — the unpruned sized kernel, as in d09
+      val truth = sized
+        .select(explode(expr(s"pair_emit_sized_all(dsz, $StopShingleCap)")).as("p"))
+        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"),
+          min(col("p.a_sz")).as("a_sz"), min(col("p.b_sz")).as("b_sz"))
+        .select(col("a_id"), col("b_id"), col("inter"),
+          (col("a_sz") + col("b_sz") - col("inter")).as("uni"))
+      val lsh = minhashPairs(minhashBands(s, dir)).withColumn("cand", lit(true))
+      val nCand = lsh.agg(count(lit(1)).as("n_cand"))
+      val marked = truth.join(lsh, Seq("a_id", "b_id"), "left")
+        .select(col("inter"), col("uni"),
+          coalesce(col("cand"), lit(false)).as("cand"))
+      marked
+        .select(explode(expr("array(3, 5, 7, 9)")).as("tau10"),
+          col("inter"), col("uni"), col("cand"))
+        .groupBy(col("tau10"))
+        .agg(
+          sum(when(col("inter") * 10 >= col("tau10") * col("uni"), 1L)
+            .otherwise(0L)).as("n_true"),
+          sum(when(col("inter") * 10 >= col("tau10") * col("uni") && col("cand"), 1L)
+            .otherwise(0L)).as("n_hit"))
+        .crossJoin(nCand) // 1-row scalar: total candidate count
+        .select((col("tau10").cast("double") / 10).as("tau"),
+          col("n_true"), col("n_hit"), col("n_cand"),
+          when(col("n_true") > 0,
+            round(col("n_hit").cast("double") / col("n_true"), 6)).as("recall"),
+          when(col("n_cand") > 0,
+            round(col("n_hit").cast("double") / col("n_cand"), 6)).as("cand_precision"))
+        .orderBy(col("tau"))
     }
   )
 
@@ -487,6 +551,54 @@ object Dedup {
       JOIN bn n ON n.band = a.band AND n.band_key = a.band_key
       WHERE n.n <= $BandBucketCap OR a.doc_id = n.hub
       ORDER BY a_id, b_id""",
+
+    // Truth side = d02's capped pair set un-thresholded (integer inter/union);
+    // LSH side = d03's capped candidates; the τ decision is exact rational
+    // arithmetic so both engines agree at the boundary.
+    "d10_lsh_recall_audit" -> s"""
+      WITH all_fps AS ($oracleShingleFps),
+      rare AS (SELECT fp FROM all_fps GROUP BY fp HAVING count(*) <= $StopShingleCap),
+      fps AS (SELECT doc_id, fp FROM all_fps JOIN rare USING (fp)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+      truth AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+          min(sa.sz) + min(sb.sz) - count(*) AS uni
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        GROUP BY 1, 2),
+      sigs AS (
+        SELECT doc_id, j, min(((1000003 * j + 12345) * fp + 7919 * j + 271) % 1000000007) AS sig
+        FROM fps, (SELECT unnest(generate_series(0, 11)) AS j)
+        GROUP BY doc_id, j),
+      bands AS (
+        SELECT doc_id, j // 3 AS band,
+          string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS band_key
+        FROM sigs GROUP BY doc_id, j // 3),
+      bn AS (
+        SELECT band, band_key, count(*) AS n, min(doc_id) AS hub
+        FROM bands GROUP BY band, band_key),
+      lsh AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        JOIN bn n ON n.band = a.band AND n.band_key = a.band_key
+        WHERE n.n <= $BandBucketCap OR a.doc_id = n.hub),
+      marked AS (
+        SELECT t.inter, t.uni, (l.a_id IS NOT NULL) AS cand
+        FROM truth t LEFT JOIN lsh l ON l.a_id = t.a_id AND l.b_id = t.b_id),
+      nc AS (SELECT count(*) AS n_cand FROM lsh),
+      per AS (
+        SELECT tau10,
+          count(*) FILTER (WHERE inter * 10 >= tau10 * uni) AS n_true,
+          count(*) FILTER (WHERE inter * 10 >= tau10 * uni AND cand) AS n_hit
+        FROM marked, (SELECT unnest([3, 5, 7, 9]) AS tau10) taus
+        GROUP BY tau10)
+      SELECT CAST(tau10 AS DOUBLE) / 10 AS tau, n_true, n_hit, n_cand,
+        CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall,
+        CASE WHEN n_cand > 0 THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS cand_precision
+      FROM per, nc
+      ORDER BY tau""",
 
     "i11_incremental_dedup" -> s"""
       WITH fps AS ($oracleShingleFps),

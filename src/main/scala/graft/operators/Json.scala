@@ -287,6 +287,60 @@ object Json {
         .orderBy(col("key"))
     },
 
+    // -- j10: jsonb EDIT family — json_strip_nulls (jsonfuncs.c:4411),
+    //    the `#-` delete-path operator (jsonfuncs.c:1616
+    //    jsonb_delete_path) and the `||` shallow concat/override
+    //    operator (jsonb_util.c, jsonb_concat). Spark-first: jsonb is
+    //    modeled as map<string,fragment> (values are pre-rendered JSON
+    //    fragments, SQL NULL ≙ JSON null), so every edit is a codegen'd
+    //    map HOF — strip = map_filter(v IS NOT NULL) at each depth,
+    //    delete-path = map_filter on the nested map, || = key-disjoint
+    //    map_filter + map_concat (override without tripping Spark's
+    //    EXCEPTION dedup policy). Serialization is the j02 canonical
+    //    form — entries sorted by (key length, key), PG's jsonb key
+    //    order — emitted by one nested-transform expression. Per-row
+    //    expressions only; the single shuffle is the final sort --
+    "j10_jsonb_edit" -> { (s, dir) =>
+      def ser(m: String) =
+        s"""concat('{', concat_ws(',',
+              transform(
+                array_sort(transform(map_entries($m),
+                  e -> struct(length(e.key) AS l, e.key AS k,
+                              coalesce(e.value, 'null') AS v))),
+                e -> concat('"', e.k, '":', e.v))), '}')"""
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 1000)
+        .withColumn("meta", expr(
+          """map('q', CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                          ELSE CAST(o_orderkey % 5 AS STRING) END,
+                 'src', '"web"')"""))
+        .withColumn("top", expr(
+          s"""map('a', concat('"', o_orderstatus, '"'),
+                  'b', CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                            ELSE concat('"', o_orderpriority, '"') END,
+                  'meta', ${ser("meta")})"""))
+        // json_strip_nulls: null-valued members vanish at EVERY depth
+        .withColumn("stripped", expr(ser(
+          s"""map_concat(map_filter(top, (k, v) -> k <> 'meta' AND v IS NOT NULL),
+                         map('meta', ${ser("map_filter(meta, (k, v) -> v IS NOT NULL)")}))""")))
+        // doc #- '{meta,src}': deletes ONLY the addressed member; sibling
+        // nulls stay (and render as JSON null)
+        .withColumn("deleted", expr(ser(
+          s"""map_concat(map_filter(top, (k, v) -> k <> 'meta'),
+                         map('meta', ${ser("map_filter(meta, (k, v) -> k <> 'src')")}))""")))
+        // doc || patch: shallow merge — 'a' overridden, 'x' added, nested
+        // 'meta' untouched (PG's || never recurses)
+        .withColumn("patch", expr(
+          """map('a', concat('"', lower(o_orderstatus), '"'),
+                 'x', CAST(o_orderkey % 7 AS STRING))"""))
+        .withColumn("merged", expr(ser(
+          """map_concat(
+               map_filter(top, (k, v) -> NOT array_contains(map_keys(patch), k)),
+               patch)""")))
+        .select(col("o_orderkey"), col("stripped"), col("deleted"), col("merged"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // -- XMLTABLE: XML documents → rows (the XML half of
     //    nodeTableFuncscan.c; xpath evaluation ≙ `src/backend/utils/adt/
     //    xml.c` xpath_internal). XML docs are built per customer from
@@ -771,6 +825,34 @@ object Json {
         '","clerk":"c' || o_custkey ||
         '","status":"' || lower(o_orderstatus) || '"}' AS jsonb_out
       FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""",
+
+    // Expected documents reconstructed from the base columns in the same
+    // canonical (key length, key) member order the Spark serializer emits.
+    "j10_jsonb_edit" -> """
+      SELECT o_orderkey,
+        '{"a":"' || o_orderstatus || '"' ||
+          CASE WHEN o_orderkey % 3 = 0 THEN ''
+               ELSE ',"b":"' || o_orderpriority || '"' END ||
+          ',"meta":{' ||
+          CASE WHEN o_orderkey % 5 = 0 THEN ''
+               ELSE '"q":' || CAST(o_orderkey % 5 AS VARCHAR) || ',' END ||
+          '"src":"web"}}' AS stripped,
+        '{"a":"' || o_orderstatus || '","b":' ||
+          CASE WHEN o_orderkey % 3 = 0 THEN 'null'
+               ELSE '"' || o_orderpriority || '"' END ||
+          ',"meta":{"q":' ||
+          CASE WHEN o_orderkey % 5 = 0 THEN 'null'
+               ELSE CAST(o_orderkey % 5 AS VARCHAR) END ||
+          '}}' AS deleted,
+        '{"a":"' || lower(o_orderstatus) || '","b":' ||
+          CASE WHEN o_orderkey % 3 = 0 THEN 'null'
+               ELSE '"' || o_orderpriority || '"' END ||
+          ',"x":' || CAST(o_orderkey % 7 AS VARCHAR) ||
+          ',"meta":{"q":' ||
+          CASE WHEN o_orderkey % 5 = 0 THEN 'null'
+               ELSE CAST(o_orderkey % 5 AS VARCHAR) END ||
+          ',"src":"web"}}' AS merged
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
 
     "j03_jsonb_each" -> """
       WITH docs AS (
