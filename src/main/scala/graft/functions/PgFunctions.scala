@@ -132,6 +132,9 @@ object PgFunctions {
     "svec_dot" -> { args => SvecDot(args(0), args(1)) },
     "porter_stem" -> { args =>
       PorterStem(Cast(args(0), org.apache.spark.sql.types.StringType)) },
+    "unicode_normalize" -> { args =>
+      UnicodeNorm(Cast(args(0), org.apache.spark.sql.types.StringType),
+        Cast(args(1), org.apache.spark.sql.types.StringType)) },
     // pair_emit(ds, cap): sorted posting list -> candidate pairs,
     // star-degraded past cap (the literal is folded at registration)
     "pair_emit" -> { args =>

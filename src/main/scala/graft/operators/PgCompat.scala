@@ -776,6 +776,78 @@ object PgCompat {
           count(col("ratio")).as("n_divided"),
           expr("round(CAST(sum(parsed) AS DOUBLE), 4)").as("sum_parsed"))
         .orderBy(col("shape"))
+    },
+
+    // -- q134: SQL-standard NORMALIZE (PG15, unicode_norm.c
+    //    unicode_normalize_func) — UAX #15 Unicode normalization as a
+    //    native codegen'd expression (functions/UnicodeNorm). The corpus
+    //    alternates composed (é, ñ) and decomposed (e+U+0301, n+U+0303)
+    //    spellings of the same words, so NFC must CONTRACT the odd rows,
+    //    NFD must EXPAND the even rows, and both parities converge to
+    //    identical md5s — the canonical-equivalence property itself is
+    //    what the hash-compare checks. Pure per-row map, no shuffle --
+    "q134_unicode_normalize" -> { (s, dir) =>
+      PgFunctions.register(s)
+      Tables.df(s, dir, "part")
+        .filter(col("p_partkey") <= 500)
+        // NOTE: the two branches differ ONLY at the byte level — THEN is
+        // precomposed (U+00E9, U+00F1), ELSE spells the same glyphs with
+        // combining marks (e+U+0301, n+U+0303). Editors render them
+        // identically; do not retype these literals.
+        .withColumn("raw", expr(
+          s"""CASE WHEN p_partkey % 2 = 0
+                THEN concat(substring(p_name, 1, 12), ' café mañana')
+                ELSE concat(substring(p_name, 1, 12), ' café mañana') END"""))
+        .withColumn("nfc", expr("unicode_normalize(raw, 'NFC')"))
+        .withColumn("nfd", expr("unicode_normalize(raw, 'NFD')"))
+        .select(col("p_partkey"),
+          length(col("raw")).as("len_raw"),
+          length(col("nfc")).as("len_nfc"),
+          length(col("nfd")).as("len_nfd"),
+          (col("raw") === col("nfc")).as("was_nfc"),
+          md5(col("nfc")).as("nfc_md5"),
+          md5(col("nfd")).as("nfd_md5"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // -- q135: parse_ident (misc.c:parse_ident) — qualified-identifier
+    //    parsing: split on dots, case-fold UNQUOTED parts (PG folds to
+    //    lower), strip quotes and un-double embedded quotes on QUOTED
+    //    parts. One codegen'd transform() over the split array; corpus
+    //    constraint (documented): quoted parts contain no dots, so the
+    //    dot-split is exact --
+    "q135_parse_ident" -> { (s, dir) =>
+      Tables.df(s, dir, "nation")
+        .withColumn("ident", expr(
+          """concat('Cat', n_nationkey % 3, '."', n_name, '".T_', n_nationkey)"""))
+        .withColumn("parts", expr(
+          """transform(split(ident, '[.]'), p ->
+               CASE WHEN substring(p, 1, 1) = '"'
+                 THEN replace(substring(p, 2, length(p) - 2), '""', '"')
+                 ELSE lower(p) END)"""))
+        .select(col("n_nationkey"), col("ident"),
+          size(col("parts")).cast("bigint").as("n_parts"),
+          concat_ws("/", col("parts")).as("parts_norm"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // -- q136: num_nulls / num_nonnulls (misc.c:pg_num_nulls) — the
+    //    variadic null counters, as one codegen'd size(filter(array))
+    //    over the value list; rolled up into the null-shape census so
+    //    the output is the 6-row distribution, not 2 000 echoes --
+    "q136_num_nulls" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("a", expr("CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END"))
+        .withColumn("b", expr("CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END"))
+        .withColumn("c", expr("CASE WHEN o_custkey % 5 = 0 THEN NULL ELSE CAST(o_custkey AS STRING) END"))
+        .withColumn("n_nulls",
+          expr("size(filter(array(a, b, c), x -> x IS NULL))").cast("bigint"))
+        .withColumn("n_nonnulls",
+          expr("size(filter(array(a, b, c), x -> x IS NOT NULL))").cast("bigint"))
+        .groupBy(col("n_nulls"), col("n_nonnulls"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"))
+        .orderBy(col("n_nulls"))
     }
   )
 
@@ -1406,6 +1478,64 @@ object PgCompat {
         count(parsed) AS n_parsed,
         count(round(parsed / nullif(denom, 0), 6)) AS n_divided,
         round(CAST(sum(parsed) AS DOUBLE), 4) AS sum_parsed
-      FROM t GROUP BY shape ORDER BY shape"""
+      FROM t GROUP BY shape ORDER BY shape""",
+
+    // NFC via DuckDB's own normalizer; NFD re-derived from the NFC form —
+    // valid because the corpus's only non-ASCII codepoints are é and ñ
+    // (chr(233)/chr(241)), each of whose canonical decomposition is the
+    // base letter + one combining mark.
+    "q134_unicode_normalize" -> """
+      WITH src AS (
+        SELECT p_partkey,
+          CASE WHEN p_partkey % 2 = 0
+            THEN substring(p_name, 1, 12) || ' caf' || chr(233) || ' ma' || chr(241) || 'ana'
+            ELSE substring(p_name, 1, 12) || ' cafe' || chr(769) || ' ma' || 'n' || chr(771) || 'ana' END AS raw
+        FROM part WHERE p_partkey <= 500),
+      n AS (
+        SELECT p_partkey, raw, nfc_normalize(raw) AS nfc,
+          replace(replace(nfc_normalize(raw), chr(233), 'e' || chr(769)),
+                  chr(241), 'n' || chr(771)) AS nfd
+        FROM src)
+      SELECT p_partkey,
+        CAST(length(raw) AS INT) AS len_raw,
+        CAST(length(nfc) AS INT) AS len_nfc,
+        CAST(length(nfd) AS INT) AS len_nfd,
+        (raw = nfc) AS was_nfc,
+        md5(nfc) AS nfc_md5, md5(nfd) AS nfd_md5
+      FROM n ORDER BY p_partkey""",
+
+    "q135_parse_ident" -> """
+      WITH src AS (
+        SELECT n_nationkey,
+          'Cat' || CAST(n_nationkey % 3 AS VARCHAR) || '."' || n_name ||
+          '".T_' || CAST(n_nationkey AS VARCHAR) AS ident
+        FROM nation),
+      p AS (
+        SELECT n_nationkey, ident,
+          list_transform(string_split(ident, '.'), p ->
+            CASE WHEN substring(p, 1, 1) = '"'
+              THEN replace(substring(p, 2, length(p) - 2), '""', '"')
+              ELSE lower(p) END) AS parts
+        FROM src)
+      SELECT n_nationkey, ident, CAST(len(parts) AS BIGINT) AS n_parts,
+        array_to_string(parts, '/') AS parts_norm
+      FROM p ORDER BY n_nationkey""",
+
+    "q136_num_nulls" -> """
+      WITH src AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS a,
+          CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderpriority END AS b,
+          CASE WHEN o_custkey % 5 = 0 THEN NULL ELSE CAST(o_custkey AS VARCHAR) END AS c
+        FROM orders WHERE o_orderkey <= 2000),
+      t AS (
+        SELECT o_orderkey,
+          CAST(CASE WHEN a IS NULL THEN 1 ELSE 0 END
+             + CASE WHEN b IS NULL THEN 1 ELSE 0 END
+             + CASE WHEN c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS n_nulls
+        FROM src)
+      SELECT n_nulls, 3 - n_nulls AS n_nonnulls, count(*) AS n,
+        min(o_orderkey) AS first_key
+      FROM t GROUP BY n_nulls ORDER BY n_nulls"""
   )
 }

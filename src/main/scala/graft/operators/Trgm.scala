@@ -157,6 +157,28 @@ object Trgm {
         .agg(round(max(col("sml")), 6).as("swsml"))
         .filter(col("swsml") >= 0.5)
         .orderBy(col("swsml").desc, col("doc_id"))
+    },
+
+    // -- fz05: show_trgm (trgm_op.c generate_trgm, exposed via
+    //    trgm_out) — the introspection function that surfaces the
+    //    trigram SET itself: KEEPONLYALNUM word split, IGNORECASE,
+    //    '  '+w+' ' padding, per-value dedup, bytewise sort (PG stores
+    //    trigrams sorted; both engines' binary collations agree on
+    //    ASCII). Multi-word nation names exercise the per-word padding
+    //    — shared boundary grams dedupe across words. Pure map-side
+    //    until the tiny per-name aggregate --
+    "fz05_show_trgm" -> { (s, dir) =>
+      Tables.df(s, dir, "nation")
+        .select(col("n_name"),
+          explode(expr("filter(split(lower(n_name), '[^a-z0-9]+'), w -> w <> '')")).as("w"))
+        .withColumn("pw", concat(lit("  "), col("w"), lit(" ")))
+        .select(col("n_name"),
+          explode(expr("transform(sequence(1, length(pw) - 2), i -> substring(pw, i, 3))")).as("tg"))
+        .groupBy(col("n_name"))
+        .agg(sort_array(collect_set(col("tg"))).as("tgs"))
+        .select(col("n_name"), size(col("tgs")).cast("bigint").as("n_trgm"),
+          concat_ws("|", col("tgs")).as("trgm_list"))
+        .orderBy(col("n_name"))
     }
   )
 
@@ -242,6 +264,20 @@ object Trgm {
         FROM spans)
       SELECT doc_id, swsml FROM scored WHERE swsml >= 0.5
       ORDER BY swsml DESC, doc_id"""
-    }
+    },
+
+    "fz05_show_trgm" -> """
+      WITH w AS (
+        SELECT n_name, w FROM (
+          SELECT n_name,
+            unnest(string_split_regex(lower(n_name), '[^a-z0-9]+')) AS w
+          FROM nation) t WHERE w <> ''),
+      tg AS (
+        SELECT DISTINCT n_name,
+          substring('  ' || w || ' ', CAST(i AS INT), 3) AS tg
+        FROM w, LATERAL (SELECT unnest(generate_series(1, length(w) + 1)) AS i) g)
+      SELECT n_name, count(*) AS n_trgm,
+        string_agg(tg, '|' ORDER BY tg) AS trgm_list
+      FROM tg GROUP BY n_name ORDER BY n_name"""
   )
 }
