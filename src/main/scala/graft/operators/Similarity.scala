@@ -114,6 +114,61 @@ object Similarity {
         .orderBy(col("bucket"), col("rnk"))
     },
 
+    // -- s13: FILTERED ANN — metadata-constrained vector search, the
+    //    production RAG shape ("top-3 nearest WITH label = X"). The
+    //    filter composes with s04's IVF layout, and the query AUDITS the
+    //    interaction every filtered-ANN deployment has to measure: a
+    //    selective filter thins each inverted list, so probing one list
+    //    can run out of qualifying members — recall3 counts how many of
+    //    the filtered-exact top-3 the filtered single-probe recovered,
+    //    and n_list shows the surviving in-list candidate pool. ONE
+    //    corpus scan feeds both sides: candidates join on the label
+    //    equi-key (queries broadcast), and the exact + in-probe top-3
+    //    come out of one aggregation pass as two bounded TopKPairs
+    //    buffers side by side (the s06 exchange-reuse lesson); the
+    //    in-probe buffer rides a -2 sentinel for out-of-list rows
+    //    (below any real cosine, filtered after) so no second join or
+    //    second scan exists anywhere. At 100 TB: broadcast queries +
+    //    centroids, map-side-combined bounded aggregate, |q| rows out --
+    "s13_filtered_ann" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val emb = Tables.df(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      def assigned(idCol: String, embCol: String, labCol: String) = emb
+        .select(col("vec_id").as(idCol), col("embedding").as(embCol),
+          col("label").cast("bigint").as(labCol))
+        .join(broadcast(centroids))
+        .withColumn("d2", expr(s"vec_l2sq($embCol, cent_emb)"))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("best"),
+          first(col(embCol)).as(embCol), first(col(labCol)).as(labCol))
+        .select(col(idCol), col(embCol), col(labCol),
+          col("best").getField("cent_id").as(idCol + "_list"))
+      val queries = assigned("q_id", "q_emb", "q_label").filter(col("q_id") < 10)
+        .withColumn("t_label", col("q_id") % 4)
+      val corpus = assigned("c_id", "c_emb", "c_label")
+      s.udf.register("top3f_pairs", udaf(new graft.functions.TopKPairs(3)))
+      corpus.join(broadcast(queries),
+          col("c_label") === col("t_label") && col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(
+          expr(dotExpr) / (expr(normExpr("q_emb")) * expr(normExpr("c_emb"))), 9))
+        .withColumn("in_list", col("q_id_list") === col("c_id_list"))
+        .groupBy(col("q_id"))
+        .agg(first(col("t_label")).as("t_label"),
+          count(lit(1)).as("n_filtered"),
+          sum(when(col("in_list"), 1L).otherwise(0L)).as("n_list"),
+          expr("top3f_pairs(cosine, c_id)").as("etop"),
+          expr("top3f_pairs(CASE WHEN in_list THEN cosine ELSE -2D END, c_id)").as("itop_raw"))
+        .withColumn("itop", expr("filter(itop_raw, t -> t._1 > -1.5)"))
+        .select(col("q_id"), col("t_label"), col("n_filtered"), col("n_list"),
+          expr("CAST(size(array_intersect(transform(etop, t -> t._2), transform(itop, t -> t._2))) AS BIGINT)")
+            .as("recall3"),
+          col("etop")(0).getField("_2").as("top1_exact"),
+          expr("CASE WHEN size(itop) > 0 THEN itop[0]._2 END").as("top1_ivf"))
+        .orderBy(col("q_id"))
+    },
+
     // -- embedding near-dup: LSH-bucket candidates, cosine-verified --
     // Candidate pairs only form inside a 16-plane LSH bucket
     // (`NearDupPlanes` — 65,536 buckets, expected occupancy N/2^16), then
@@ -786,6 +841,53 @@ object Similarity {
         FROM scored)
       SELECT q_id, c_id, cosine, rn FROM ranked WHERE rn <= 3
       ORDER BY q_id, rn""",
+
+    "s13_filtered_ann" -> s"""
+      WITH centroids AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, embedding, label, cent_id AS list_id FROM (
+          SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_sum(list_transform(generate_series(1, len(e.embedding)), i ->
+                (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE)))),
+              c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN centroids c) t
+        WHERE rn = 1),
+      q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, list_id AS q_list,
+          vec_id % 4 AS t_label
+        FROM assigned WHERE vec_id < 10),
+      cand AS (
+        SELECT q_id, t_label, c.vec_id AS c_id, (q.q_list = c.list_id) AS in_list,
+          round($oracleDot / (${oracleNorm("q_emb")} * ${oracleNorm("c_emb")}), 9) AS cosine
+        FROM q JOIN (SELECT vec_id, embedding AS c_emb, CAST(label AS BIGINT) AS label,
+                            list_id FROM assigned) c
+          ON c.label = q.t_label AND c.vec_id <> q.q_id),
+      stats AS (
+        SELECT q_id, count(*) AS n_filtered,
+          count(*) FILTER (WHERE in_list) AS n_list
+        FROM cand GROUP BY q_id),
+      er AS (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM cand),
+      etop AS (SELECT q_id, list(c_id ORDER BY rn) AS eids FROM er WHERE rn <= 3 GROUP BY q_id),
+      ir AS (
+        SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM cand WHERE in_list),
+      itop AS (SELECT q_id, list(c_id ORDER BY rn) AS iids FROM ir WHERE rn <= 3 GROUP BY q_id)
+      SELECT s.q_id, q.t_label, s.n_filtered, s.n_list,
+        CAST(len(list_intersect(e.eids, coalesce(i.iids, []))) AS BIGINT) AS recall3,
+        e.eids[1] AS top1_exact, i.iids[1] AS top1_ivf
+      FROM stats s
+      JOIN q ON q.q_id = s.q_id
+      JOIN etop e ON e.q_id = s.q_id
+      LEFT JOIN itop i ON i.q_id = s.q_id
+      ORDER BY s.q_id""",
 
     "s09_multiprobe_lsh" -> s"""
       WITH bucketed AS (
