@@ -142,6 +142,57 @@ object Ml {
     "ml04_matmul" -> { (s, dir) =>
       Tables.register(s, dir)
       s.sql(MatmulSql)
+    },
+
+    // -- ml05: multinomial NAIVE BAYES — MADlib's `create_nb_*` family
+    //    (the in-warehouse classifier the reference ecosystem ships;
+    //    kernel analog: per-class feature-count aggregates + argmax of
+    //    log-posteriors). Train on 90% of documents (doc_id % 10 <> 3),
+    //    classify the held-out 10% by language, report the confusion
+    //    census. Laplace-smoothed log-posterior in INTEGER micro-nats
+    //    end to end (the t21/t23 discipline): every term is
+    //    round(ln(integer)·1e6) — both engines take the same libm point
+    //    values, the Σ is over BIGINTs so partition order can't move the
+    //    result, and the argmax ties deterministically to the smallest
+    //    class label. Scale shape: the model is a CENSUS (vocab×5 count
+    //    rows + 5 class rows), the only wide shuffles are the train
+    //    count and the test-token score agg — both map-side-combinable;
+    //    classes broadcast; 100 TB of test docs reduces to |docs| rows
+    //    before the 25-row confusion rollup --
+    "ml05_naive_bayes" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      def lnMicro(x: String) = s"CAST(round(ln($x) * 1000000.0) AS BIGINT)"
+      val docs = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+        .localCheckpoint() // spool: train stats + test tokens both read it
+      val isTest = col("doc_id") % 10 === 3
+      val trainToks = docs.filter(!isTest)
+        .select(col("lang").as("c"), explode(col("toks")).as("w"))
+      val classes = trainToks.groupBy(col("c")).agg(count(lit(1)).as("t_c"))
+      val priors = docs.filter(!isTest)
+        .groupBy(col("lang").as("c")).agg(count(lit(1)).as("n_docs"))
+      val nTrain = docs.filter(!isTest).agg(count(lit(1)).as("n_train"))
+      val vocabN = trainToks.agg(countDistinct(col("w")).as("v"))
+      val counts = trainToks.groupBy(col("w"), col("c")).agg(count(lit(1)).as("cnt"))
+      val classTable = classes.join(priors, "c").crossJoin(nTrain).crossJoin(vocabN)
+      val testToks = docs.filter(isTest)
+        .select(col("doc_id"), col("lang").as("lang_true"), explode(col("toks")).as("w"))
+      testToks.crossJoin(broadcast(classTable)) // |classes| = 5
+        .join(counts, Seq("w", "c"), "left")
+        .withColumn("term", expr(
+          s"${lnMicro("coalesce(cnt, 0) + 1")} - ${lnMicro("t_c + v")}"))
+        .withColumn("prior_term", expr(
+          s"${lnMicro("n_docs")} - ${lnMicro("n_train")}"))
+        .groupBy(col("doc_id"), col("c"))
+        .agg(first(col("lang_true")).as("lang_true"),
+          (sum(col("term")) + min(col("prior_term"))).as("score"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("lang_true")).as("lang_true"),
+          min(struct((-col("score")).as("ns"), col("c"))).as("best"))
+        .groupBy(col("lang_true"), col("best.c").as("pred_lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("lang_true"), col("pred_lang"))
     }
   )
 
@@ -196,6 +247,50 @@ object Ml {
 
   def oracle: Map[String, String] = Map(
     "ml01_linreg" -> LinregSql,
+
+    // Identical integer micro-nat algebra; row_number DESC-score,
+    // ASC-class ≙ the Spark min(struct(-score, c)) argmax.
+    "ml05_naive_bayes" -> """
+      WITH docs AS (
+        SELECT doc_id, lang,
+          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      train_toks AS (
+        SELECT lang AS c, unnest(toks) AS w FROM docs WHERE doc_id % 10 <> 3),
+      classes AS (SELECT c, count(*) AS t_c FROM train_toks GROUP BY c),
+      priors AS (
+        SELECT lang AS c, count(*) AS n_docs FROM docs
+        WHERE doc_id % 10 <> 3 GROUP BY lang),
+      scal AS (
+        SELECT (SELECT count(*) FROM docs WHERE doc_id % 10 <> 3) AS n_train,
+               (SELECT count(DISTINCT w) FROM train_toks) AS v),
+      counts AS (SELECT w, c, count(*) AS cnt FROM train_toks GROUP BY w, c),
+      ct AS (
+        SELECT classes.c, t_c, n_docs, n_train, v
+        FROM classes JOIN priors USING (c) CROSS JOIN scal),
+      test_toks AS (
+        SELECT doc_id, lang AS lang_true, unnest(toks) AS w
+        FROM docs WHERE doc_id % 10 = 3),
+      terms AS (
+        SELECT t.doc_id, t.lang_true, ct.c,
+          CAST(round(ln(coalesce(cnt, 0) + 1) * 1000000.0) AS BIGINT)
+            - CAST(round(ln(t_c + v) * 1000000.0) AS BIGINT) AS term,
+          CAST(round(ln(n_docs) * 1000000.0) AS BIGINT)
+            - CAST(round(ln(n_train) * 1000000.0) AS BIGINT) AS prior_term
+        FROM test_toks t CROSS JOIN ct
+        LEFT JOIN counts ON counts.w = t.w AND counts.c = ct.c),
+      scores AS (
+        SELECT doc_id, lang_true, c,
+          CAST(sum(term) + min(prior_term) AS BIGINT) AS score
+        FROM terms GROUP BY doc_id, lang_true, c),
+      pred AS (
+        SELECT doc_id, lang_true, c AS pred_lang,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+        FROM scores)
+      SELECT lang_true, pred_lang, count(*) AS n, min(doc_id) AS min_doc
+      FROM pred WHERE rn = 1
+      GROUP BY lang_true, pred_lang
+      ORDER BY lang_true, pred_lang""",
 
     "ml03_moments" -> MomentsSql,
 
