@@ -160,6 +160,16 @@ object PgFunctions {
           s"pair_emit_sized_all cap must be an int literal, got $other")
       }
       PairEmitSizedAll(args(0), cap)
+    },
+    // winnow_fps(text, k, w): winnowed k-gram fingerprint set (d13)
+    "winnow_fps" -> { args =>
+      (args(1), args(2)) match {
+        case (Literal(k: Int, org.apache.spark.sql.types.IntegerType),
+              Literal(w: Int, org.apache.spark.sql.types.IntegerType)) =>
+          WinnowFps(args(0), k, w)
+        case other => throw new IllegalArgumentException(
+          s"winnow_fps k/w must be int literals, got $other")
+      }
     }
   )
 

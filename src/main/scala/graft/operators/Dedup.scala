@@ -379,6 +379,46 @@ object Dedup {
           when(col("n_cand") > 0,
             round(col("n_hit").cast("double") / col("n_cand"), 6)).as("cand_precision"))
         .orderBy(col("tau"))
+    },
+
+    // -- Winnowing (MOSS, Schleimer et al. SIGMOD 2003): substring-level
+    //    excerpt dedup. Char 8-gram rolling hashes → 8-gram sliding
+    //    window → keep each window's rightmost-minimal hash, so any
+    //    shared substring of ≥ 15 chars yields a shared fingerprint at
+    //    ~2/(w+1) ≈ 22% density. One compiled pass per doc
+    //    (functions/Winnow.scala), then exactly d02's posting-list
+    //    discipline: one shuffle groups by fingerprint, the stop cap
+    //    bounds list width, the sized kernel emits pairs partition-
+    //    locally with sizes riding the group key — no size joins, no
+    //    self-join of the wide index, subquadratic at any corpus size.
+    //    Overlap is containment-style (shared / smaller set): a short
+    //    excerpt inside a long doc is the signal, so no length prune.
+    "d13_winnowing" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val fps = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("winnow_fps(text, 8, 8)")).as("fp"))
+      val lists = fps
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= StopShingleCap)
+        .localCheckpoint() // spool: feeds both the size census and the pair path
+      val exploded = lists
+        .select(col("fp"), size(col("ds")).as("lsz"), explode(col("ds")).as("doc_id"))
+      val sizes = exploded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sized = exploded.filter(col("lsz") >= 2)
+        .join(sizes, Seq("doc_id"))
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_list(struct(col("doc_id").as("doc"), col("sz")))).as("dsz"))
+      sized
+        .select(explode(expr(s"pair_emit_sized_all(dsz, $StopShingleCap)")).as("p"))
+        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+          col("p.a_sz").as("a_sz"), col("p.b_sz").as("b_sz"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("overlap",
+          round(col("shared").cast("double") / least(col("a_sz"), col("b_sz")), 6))
+        .filter(col("overlap") >= 0.5 && col("shared") >= 5)
+        .select(col("a_id"), col("b_id"), col("shared"), col("overlap"))
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 
@@ -654,7 +694,48 @@ object Dedup {
               GROUP BY j.hi_band)
       SELECT a.hi_band AS cluster, a.n_docs, r.keeper_id, a.keeper_chars
       FROM agg a JOIN rep r ON a.hi_band = r.hi_band
-      WHERE a.n_docs >= 2 ORDER BY cluster"""
+      WHERE a.n_docs >= 2 ORDER BY cluster""",
+
+    // Relational re-derivation of functions/Winnow.scala: per-position
+    // k-gram fold hashes; the composite g*(m+1)+(m-i) makes one window
+    // MIN pick the rightmost-minimal gram (smaller hash wins, ties go to
+    // the larger i); fps decode the hash back out of the composite.
+    "d13_winnowing" -> s"""
+      WITH grams AS (
+        SELECT doc_id, m, i,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(i, i + least(8, length(text)) - 1),
+                j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000007) AS g
+        FROM (
+          SELECT doc_id, text, greatest(length(text) - 8 + 1, 1) AS m
+          FROM documents) d,
+          LATERAL (SELECT unnest(generate_series(1, m)) AS i) pos),
+      sel AS (
+        SELECT doc_id, i, m,
+          min(g * (m + 1) + (m - i)) OVER (
+            PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS comp
+        FROM grams),
+      fps AS (
+        SELECT DISTINCT doc_id, comp // (m + 1) AS fp
+        FROM sel WHERE i <= greatest(m - 8 + 1, 1)),
+      rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= $StopShingleCap),
+      rfps AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM rfps GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+        FROM rfps a JOIN rfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a_id, b_id, shared,
+        round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS overlap
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.5
+        AND shared >= 5
+      ORDER BY a_id, b_id"""
   )
 
   /** DuckDB rendition of `bandCandidates` (capped hi/lo posting lists) as

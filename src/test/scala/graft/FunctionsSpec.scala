@@ -235,8 +235,8 @@ class FunctionsSpec extends AnyFunSuite {
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
         "pg_to_timestamp", "string_to_array", "generate_series", "pg_format",
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
-        "svec_dot", "porter_stem", "pair_emit", "pair_emit_sized",
-        "pair_emit_sized_all"))
+        "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
+        "pair_emit_sized", "pair_emit_sized_all", "winnow_fps"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -476,5 +476,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(4L) == ((false, false)), "phrase is ordered adjacency")
     assert(got(5L) == ((false, false)))
     assert(got(6L) == ((false, false)), "1-token doc must not crash the phrase scan")
+  }
+
+  test("Winnow kernel ≡ brute-force per-window argmin; excerpt guarantee holds") {
+    val P = 1000000007L
+    def direct(s: String, k: Int, w: Int): Set[Long] = {
+      val cps = s.codePoints().toArray
+      val L = cps.length
+      val m = math.max(L - k + 1, 1)
+      val klen = math.min(k, L)
+      val g = Array.tabulate(m) { i0 =>
+        (i0 until i0 + klen).foldLeft(0L)((acc, j) => (acc * 31 + cps(j)) % P)
+      }
+      // per-window independent argmin, rightmost on ties (the oracle's
+      // composite-MIN decode) — deliberately NOT the deque formulation
+      (0 until math.max(m - w + 1, 1)).map { ws =>
+        var best = ws
+        var j = ws
+        while (j < math.min(ws + w, m)) { if (g(j) <= g(best)) best = j; j += 1 }
+        g(best)
+      }.toSet
+    }
+    def kernel(s: String, k: Int, w: Int): Set[Long] = {
+      val ad = graft.functions.Winnow.fps(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+      (0 until ad.numElements()).map(ad.getLong).toSet
+    }
+    val rnd = new scala.util.Random(42)
+    for (len <- Seq(0, 1, 5, 7, 8, 9, 14, 15, 40, 300); trial <- 1 to 20) {
+      val s = (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString // small alphabet forces hash ties
+      assert(kernel(s, 8, 8) == direct(s, 8, 8), s"len=$len s=$s")
+    }
+    // winnowing guarantee: a shared substring of length >= k+w-1 chars
+    // yields at least one shared fingerprint
+    val excerpt = "the quick brown fox jumps over the lazy dog"
+    val a = "AAAA " + excerpt + " BBBB"
+    val b = "xyz 123 " + excerpt + " 987 qpr"
+    assert(kernel(a, 8, 8).intersect(kernel(b, 8, 8)).nonEmpty)
   }
 }
