@@ -848,6 +848,22 @@ object PgCompat {
         .groupBy(col("n_nulls"), col("n_nonnulls"))
         .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"))
         .orderBy(col("n_nulls"))
+    },
+
+    // -- PG15 regexp function quartet (src/backend/utils/adt/regexp.c:
+    //    regexp_count/regexp_instr/regexp_substr/regexp_like) — all four
+    //    are native codegen'd Spark functions; the oracle re-derives
+    //    instr as 1 + length of the lazy prefix before the first match
+    //    ((?s) so the prefix crosses newlines, as a searching match does).
+    "q137_regexp_family" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          expr("CAST(regexp_count(text, '[0-9]+') AS BIGINT)").as("n_nums"),
+          expr("CAST(regexp_instr(text, '[A-Z]') AS BIGINT)").as("first_upper"),
+          expr("regexp_substr(text, '[a-z]{6,}')").as("first_long_word"),
+          expr("regexp_like(text, '[0-9]{4}')").as("has_year"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1536,6 +1552,16 @@ object PgCompat {
         FROM src)
       SELECT n_nulls, 3 - n_nulls AS n_nonnulls, count(*) AS n,
         min(o_orderkey) AS first_key
-      FROM t GROUP BY n_nulls ORDER BY n_nulls"""
+      FROM t GROUP BY n_nulls ORDER BY n_nulls""",
+
+    "q137_regexp_family" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+        CAST(CASE WHEN regexp_matches(text, '[A-Z]')
+          THEN length(regexp_extract(text, '(?s)^(.*?)[A-Z]', 1)) + 1
+          ELSE 0 END AS BIGINT) AS first_upper,
+        NULLIF(regexp_extract(text, '[a-z]{6,}'), '') AS first_long_word,
+        regexp_matches(text, '[0-9]{4}') AS has_year
+      FROM documents ORDER BY doc_id"""
   )
 }
