@@ -584,10 +584,56 @@ object Json {
           ceil(col("num")).cast("bigint").as("ceil_num"),
           expr("CAST(aggregate(arr, 0L, (a, x) -> a + abs(x)) AS BIGINT)").as("sum_abs_arr"))
         .orderBy(col("o_orderkey"), col("kv_key"))
+    },
+
+    // -- SQL/JSON construction (PG16 json.c json_build_object /
+    //    json_agg / json_object_agg; SQL standard JSON_OBJECTAGG /
+    //    JSON_ARRAYAGG): generate canonical compact JSON from relational
+    //    rows. Spark's to_json over a named_struct emits the same
+    //    compact form DuckDB's to_json(struct_pack(..)) does, so the
+    //    document column hash-matches; the object-agg is assembled from
+    //    a SORTED entry list (aggregation order is engine-dependent, so
+    //    a deterministic key order is part of the operator's contract).
+    //    All three inputs are dimension tables → broadcast joins, one
+    //    5-group aggregate; construction itself is per-row codegen.
+    "j11_json_construct" -> { (s, dir) =>
+      val nat = Tables.df(s, dir, "nation")
+      val reg = Tables.df(s, dir, "region")
+      val counts = Tables.df(s, dir, "customer")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      nat
+        .join(counts, nat("n_nationkey") === counts("c_nationkey"), "left")
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .select(col("r_name"), col("n_name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .groupBy(col("r_name"))
+        .agg(sort_array(collect_list(struct(col("n_name"), col("n_cust")))).as("ents"))
+        .select(
+          col("r_name").as("region"),
+          to_json(struct(
+            col("r_name").as("region"),
+            expr("transform(ents, e -> e.n_name)").as("nations"))).as("doc_json"),
+          concat(lit("{"),
+            expr("""array_join(transform(ents,
+                      e -> concat('"', e.n_name, '":', CAST(e.n_cust AS STRING))), ',')"""),
+            lit("}")).as("obj_json"))
+        .orderBy(col("region"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "j11_json_construct" -> """
+      WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+      e AS (SELECT r_name, n_name, coalesce(n_cust, 0) AS n_cust
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            LEFT JOIN c ON c_nationkey = n_nationkey)
+      SELECT r_name AS region,
+        CAST(to_json(struct_pack(region := r_name,
+          nations := list(n_name ORDER BY n_name))) AS VARCHAR) AS doc_json,
+        '{' || string_agg('"' || n_name || '":' || CAST(n_cust AS VARCHAR),
+                          ',' ORDER BY n_name) || '}' AS obj_json
+      FROM e GROUP BY r_name ORDER BY region""",
+
     "j09_jsonpath_predicates" -> """
       WITH src AS (
         SELECT o_orderkey,
