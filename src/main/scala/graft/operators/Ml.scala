@@ -193,6 +193,47 @@ object Ml {
         .groupBy(col("lang_true"), col("best.c").as("pred_lang"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
         .orderBy(col("lang_true"), col("pred_lang"))
+    },
+
+    // -- k-NN classification (MADlib knn; the vector-search-as-classifier
+    //    shape): 50 held-out query vectors vs the rest of the corpus,
+    //    k=5 cosine neighbors via the bounded TopKPairs aggregate (same
+    //    kernel as s01 — corpus is never sorted, each group keeps a
+    //    5-slot heap), then a majority vote with deterministic ties
+    //    (votes DESC, label ASC). Scale shape: queries broadcast, one
+    //    linear corpus scan, vote/argmax windows run over ≤ k rows per
+    //    query — nothing super-linear anywhere.
+    "ml06_knn_classify" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.functions.PgFunctions.register(s)
+      val emb = Tables.df(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("true_label"))
+      val corpus = emb.filter(col("vec_id") >= 50)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("label").as("c_label"))
+      s.udf.register("topk_pairs", udaf(new graft.functions.TopKPairs(5)))
+      val top = corpus.join(broadcast(queriesDf), col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(
+          expr("vec_dot(q_emb, c_emb)") /
+            (expr("sqrt(vec_dot(q_emb, q_emb))") * expr("sqrt(vec_dot(c_emb, c_emb))")), 9))
+        .groupBy(col("q_id"), col("true_label"))
+        .agg(expr("topk_pairs(cosine, c_id)").as("top"))
+        .select(col("q_id"), col("true_label"), explode(col("top")).as("p"))
+        .select(col("q_id"), col("true_label"), col("p._2").as("c_id"))
+      val votes = top
+        .join(corpus.select(col("c_id"), col("c_label")), Seq("c_id"))
+        .groupBy(col("q_id"), col("true_label"), col("c_label"))
+        .agg(count(lit(1)).as("votes"))
+      votes
+        .withColumn("pr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("votes").desc, col("c_label"))))
+        .filter(col("pr") === 1)
+        .select(col("q_id"), col("true_label"), col("c_label").as("pred_label"),
+          col("votes"), (col("c_label") === col("true_label")).as("correct"))
+        .orderBy(col("q_id"))
     }
   )
 
@@ -309,6 +350,35 @@ object Ml {
         round(regr_slope(y, x), 5) AS slope,
         round(regr_intercept(y, x), 4) AS intercept,
         round(regr_r2(y, x), 5) AS r2
-      FROM obs GROUP BY grp ORDER BY grp"""
+      FROM obs GROUP BY grp ORDER BY grp""",
+
+    "ml06_knn_classify" -> """
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
+                 FROM embeddings WHERE vec_id < 50),
+      c AS (SELECT vec_id AS c_id, embedding AS c_emb, label AS c_label
+            FROM embeddings WHERE vec_id >= 50),
+      scored AS (
+        SELECT q_id, true_label, c_id, c_label,
+          round(
+            list_sum(list_transform(generate_series(1, len(q_emb)),
+              i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+            9) AS cosine
+        FROM q JOIN c ON q_id <> c_id),
+      ranked AS (
+        SELECT q_id, true_label, c_label,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+        FROM scored),
+      votes AS (
+        SELECT q_id, true_label, c_label, count(*) AS votes
+        FROM ranked WHERE rn <= 5 GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT q_id, true_label, c_label, votes,
+          row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, c_label) AS pr
+        FROM votes)
+      SELECT q_id, true_label, c_label AS pred_label, votes,
+        (c_label = true_label) AS correct
+      FROM pred WHERE pr = 1 ORDER BY q_id"""
   )
 }
