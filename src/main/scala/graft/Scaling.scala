@@ -25,13 +25,16 @@ object Scaling {
     * text-quality censuses, entity resolution. */
   val Targets: Seq[String] = Seq(
     "d02_ngram_jaccard", "d03_minhash_lsh", "d09_containment", "d12_line_dedup",
+    "d10_lsh_recall_audit", "d13_winnowing",
     "s01_cosine_topk", "s02_ann_lsh_buckets", "s03_embedding_near_dup",
     "s04_ivf_ann", "s05_label_centroids", "s06_quantized_ann",
     "s07_kmeans_lloyd", "s08_pq_ann", "s09_multiprobe_lsh",
     "s10_hybrid_rrf", "s11_probe_sweep",
+    "s12_diversity_sample", "s13_filtered_ann",
     "r02_connected_dedup", "r06_triangle_count", "r07_kcore",
     "t19_dup_ngram_coverage", "t21_word_entropy", "t22_filter_funnel",
     "t23_kl_novelty", "t24_source_overlap",
+    "ch06_token_budget_mix", "ml05_naive_bayes", "ml06_knn_classify",
     "er01_entity_clusters")
 
   val MaxRatio = 13.0
