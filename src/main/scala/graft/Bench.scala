@@ -73,6 +73,7 @@ object Bench {
       // default so non-b queries are measured under a fresh-session plan
       // regardless of sweep order (r8 advice)
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      graft.rules.RlsRule.clearPolicies(spark)
     }
     // Every query is timed in TWO FULL SWEEPS over the whole set, and the
     // official per-query number is the MIN of its two sweep times (r6

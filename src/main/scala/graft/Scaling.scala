@@ -65,6 +65,7 @@ object Scaling {
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
       spark.conf.set("spark.graft.eageragg.enabled", "false")
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      graft.rules.RlsRule.clearPolicies(spark)
     }
 
     // warmup (codegen + JVM) on a small query at each dir

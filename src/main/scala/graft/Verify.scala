@@ -51,6 +51,8 @@ object Verify {
         // Bucketed.ensure pins this off for b-family reads; restore the
         // default so later queries' plans don't depend on run order
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        // x07 registers an RLS policy; no later query may run under it
+        graft.rules.RlsRule.clearPolicies(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -23,6 +23,39 @@ object Incremental {
       IvmMatview.finalizeState(state).orderBy(col("user_id"), col("event_type"))
     },
 
+    // -- DISTINCT-IVM: count(DISTINCT user_id) maintained under append
+    //    AND retraction deltas via a SUPPORT-COUNT state — the pg_ivm /
+    //    IMMV __ivm_count discipline for DISTINCT views: the state keeps
+    //    one row per (event_type, user_id) with its multiplicity; deltas
+    //    add signed multiplicities; a user leaves the distinct set only
+    //    when support hits zero (a naive distinct-merge would both
+    //    overcount re-inserts and be unable to retract). Batches split
+    //    on event_id while users recur across batches, so every merge
+    //    exercises the support arithmetic. Scale shape: state is one
+    //    row per live (type, user) pair; each fold is a map-side-
+    //    combinable hash agg on the state key — O(|Δ| + |state|), no
+    //    raw-history rescans, no distinct over history.
+    "i14_ivm_distinct" -> { (s, dir) =>
+      val events = Tables.df(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      def support(df: DataFrame, sign: Int) =
+        df.groupBy(col("event_type"), col("user_id"))
+          .agg((count(lit(1)) * sign).as("cnt"))
+      def fold(state: DataFrame, delta: DataFrame) =
+        state.unionAll(delta)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") =!= 0) // compaction: zero-support rows leave the state
+      val inserts = (0 to 2).map(k =>
+        support(events.filter(pmod(col("event_id"), lit(3)) === k), 1))
+      val retract = support(events.filter(col("event_id") % 7 === 0), -1)
+      val state = (inserts.tail :+ retract).foldLeft(inserts.head)(fold)
+      state.filter(col("cnt") > 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
+        .orderBy(col("event_type"))
+    },
+
     // -- algebraic IVM: variance components (n, Σc, Σc²) folded under
     //    4 append deltas ≡ the one-shot batch — stddev_pop maintained
     //    incrementally without ever touching raw history --
@@ -403,6 +436,13 @@ object Incremental {
           / count(*), 6) AS avg_value
       FROM events GROUP BY user_id, event_type
       ORDER BY user_id, event_type""",
+
+    // one-shot batch equivalent: the folded support state must read back
+    // as the distinct/count aggregates over the surviving history
+    "i14_ivm_distinct" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      FROM events WHERE event_id % 7 <> 0
+      GROUP BY event_type ORDER BY event_type""",
 
     "i02_dynamic_table" -> """
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,

@@ -218,6 +218,27 @@ object Stats {
           // with the largest operand, not the intersection
           (abs(col("ea") + col("eb") - col("eu") - col("inter_exact")) * 100
             <= col("n_union") * 10).cast("int").as("ie_within_10pct_of_union"))
+    },
+
+    // -- Row-level security (CREATE POLICY ... USING, rowsecurity.c):
+    //    the policy is registered as session state, NOT written in the
+    //    query — rules/RlsRule.scala plants the parsed qual above every
+    //    customer scan at optimization time, and V1 pushdown carries it
+    //    into the parquet scan's PushedFilters (PlanShapeSpec asserts
+    //    both the injection and the pushdown). The oracle spells the
+    //    predicate out manually — equality proves the rewrite enforces
+    //    exactly the policy, on every scan path, with scan-level cost.
+    "x07_rls_policy" -> { (s, dir) =>
+      graft.rules.RlsRule.install(s)
+      s.conf.set("spark.graft.rls.customer", "c_mktsegment = 'BUILDING'")
+      Tables.df(s, dir, "customer")
+        .join(Tables.df(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          expr("CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)")
+            .as("acct_cents"))
+        .orderBy(col("n_name"))
     }
   )
 
@@ -283,6 +304,14 @@ object Stats {
       SELECT n_a, n_b, inter_exact, n_union,
         CAST(CASE WHEN abs(ea + eb - eu - inter_exact) * 100 <= n_union * 10
              THEN 1 ELSE 0 END AS INTEGER) AS ie_within_10pct_of_union
-      FROM exact, est"""
+      FROM exact, est""",
+
+    // the policy qual, spelled out manually — what RlsRule must inject
+    "x07_rls_policy" -> """
+      SELECT n_name, count(*) AS n_cust,
+        CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acct_cents
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY n_name ORDER BY n_name"""
   )
 }

@@ -33,6 +33,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q03_shipping_priority").contains("BroadcastHashJoin"))
   }
 
+  test("x07: RLS policy qual is injected AND pushed into the parquet scan") {
+    try {
+      val p = plan("x07_rls_policy")
+      // the query text never mentions c_mktsegment — only the policy does;
+      // seeing it in PushedFilters proves RlsRule planted it at the scan
+      assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+        s"policy qual must reach PushedFilters:\n$p")
+      // and with no policy registered, the same query plans WITHOUT it
+      graft.rules.RlsRule.clearPolicies(spark)
+      val bare = finalPlan(
+        graft.operators.Stats.queries("x07_rls_policy")(spark, Sf))
+      // (the query closure re-registers the policy, so build a copy w/o it)
+      graft.rules.RlsRule.clearPolicies(spark)
+      val df = graft.Tables.df(spark, Sf, "customer")
+        .join(graft.Tables.df(spark, Sf, "nation"),
+          org.apache.spark.sql.functions.col("c_nationkey") ===
+            org.apache.spark.sql.functions.col("n_nationkey"))
+        .groupBy("n_name").count()
+      assert(!finalPlan(df).contains("c_mktsegment"),
+        "without a policy the qual must not appear")
+      assert(bare.contains("EqualTo(c_mktsegment,BUILDING)"))
+    } finally graft.rules.RlsRule.clearPolicies(spark)
+  }
+
   test("q05: star join uses broadcast hash joins, no sort-merge on dims") {
     val p = plan("q05_local_supplier_volume")
     assert(p.contains("BroadcastHashJoin"), p)
@@ -62,7 +86,8 @@ class PlanShapeSpec extends AnyFunSuite {
   for (name <- Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d05_simhash_dedup",
     "s02_ann_lsh_buckets", "s03_embedding_near_dup",
     "d06_boilerplate_ngrams", "x02_contamination",
-    "d09_containment", "t19_dup_ngram_coverage", "s09_multiprobe_lsh")) {
+    "d09_containment", "t19_dup_ngram_coverage", "s09_multiprobe_lsh",
+    "d13_winnowing")) {
     test(s"$name: no all-pairs join (CartesianProduct / BroadcastNestedLoop)") {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
