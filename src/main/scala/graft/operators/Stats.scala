@@ -239,6 +239,37 @@ object Stats {
           expr("CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)")
             .as("acct_cents"))
         .orderBy(col("n_name"))
+    },
+
+    // -- Equi-depth histogram statistics (ANALYZE's
+    //    STATISTIC_KIND_HISTOGRAM, commands/analyze.c
+    //    compute_scalar_stats → the selectivity source ineq_histogram_
+    //    selectivity reads): 10 equal-frequency buckets over
+    //    o_totalprice, then the audit the optimizer implicitly relies
+    //    on — re-scan and count what actually landed in each bucket.
+    //    Bounds are exact type-7 quantiles here (both engines
+    //    interpolate identically over integer cents; rounded before the
+    //    bucket comparison so assignment is bit-stable cross-engine); at
+    //    100 TB the same plan runs with approx_percentile — the audit
+    //    shape (1-row broadcast bounds, one linear re-scan, 10-group
+    //    agg) is unchanged.
+    "x08_histogram_stats" -> { (s, dir) =>
+      val cents = Tables.df(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      val bounds = cents.agg(expr(
+        """transform(percentile(c, array(0.0D, 0.1D, 0.2D, 0.3D, 0.4D, 0.5D,
+          |                              0.6D, 0.7D, 0.8D, 0.9D, 1.0D)),
+          |          x -> round(x, 4))""".stripMargin).as("bs"))
+      cents.crossJoin(broadcast(bounds)) // 1-row scalar: the 11 bounds
+        .select(col("c"), col("bs"),
+          least(expr("size(filter(bs, x -> c >= x))") - 1, lit(9)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(expr("element_at(bs, bucket + 1)")).as("lo"),
+          min(expr("element_at(bs, bucket + 2)")).as("hi"))
+        .select(col("bucket").cast("bigint").as("bucket"), col("lo"), col("hi"),
+          col("n_rows"))
+        .orderBy(col("bucket"))
     }
   )
 
@@ -312,6 +343,22 @@ object Stats {
         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acct_cents
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       WHERE c_mktsegment = 'BUILDING'
-      GROUP BY n_name ORDER BY n_name"""
+      GROUP BY n_name ORDER BY n_name""",
+
+    "x08_histogram_stats" -> """
+      WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      b AS (
+        SELECT list_transform(
+          quantile_cont(c, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]),
+          x -> round(x, 4)) AS bs
+        FROM cents),
+      asg AS (
+        SELECT c, bs,
+          least(CAST(len(list_filter(bs, x -> c >= x)) AS BIGINT) - 1, 9) AS bucket
+        FROM cents, b)
+      SELECT bucket, min(bs[bucket + 1]) AS lo, min(bs[bucket + 2]) AS hi,
+        count(*) AS n_rows
+      FROM asg GROUP BY bucket ORDER BY bucket"""
   )
 }
