@@ -161,6 +161,8 @@ object PgFunctions {
       }
       PairEmitSizedAll(args(0), cap)
     },
+    "crc24" -> { args =>
+      Crc24(Cast(args(0), org.apache.spark.sql.types.BinaryType)) },
     // winnow_fps(text, k, w): winnowed k-gram fingerprint set (d13)
     "winnow_fps" -> { args =>
       (args(1), args(2)) match {

@@ -70,6 +70,38 @@ object Crypto {
             .rlike("^[0-9a-f]{64}$").as("tag_wellformed"),
           rfc4231Ok.as("rfc4231_ok"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- armor / dearmor (pgp-armor.c; RFC 4880 §6): base64 payload
+    //    wrapped at 64 columns between BEGIN/END lines with the CRC-24
+    //    checksum on the `=` line. The checksum is the compiled Crc24
+    //    expression (functions/Crc24.scala, check value 0x21CF02 unit-
+    //    tested); the oracle re-derives the identical shift/xor fold in
+    //    SQL, so the full armored text hash-matches. rt_ok dearmors the
+    //    wrapped payload back and compares — generate∘shred = id, per
+    //    row. Pure per-row expression pipeline: no shuffle before the
+    //    presentation sort.
+    "cr03_armor" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      Tables.df(s, dir, "documents")
+        .withColumn("payload",
+          expr("regexp_replace(substring(text, 1, 120), '[^ -~]', '')"))
+        // Spark's base64 emits MIME 76-col \r\n chunks (SPARK-44700);
+        // strip them and re-wrap at RFC 4880's 64 columns ourselves
+        .withColumn("b64",
+          expr("translate(base64(CAST(payload AS BINARY)), '\\r\\n', '')"))
+        .withColumn("wrapped", expr("regexp_replace(b64, '(.{64})', '$1\\n')"))
+        .withColumn("crc", expr("crc24(payload)"))
+        .withColumn("armor", concat(
+          lit("-----BEGIN PGP MESSAGE-----\n\n"),
+          col("wrapped"), lit("\n="),
+          expr("base64(unhex(lpad(hex(crc), 6, '0')))"),
+          lit("\n-----END PGP MESSAGE-----\n")))
+        .select(col("doc_id"), col("crc").as("crc24"),
+          md5(col("armor").cast("binary")).as("armor_md5"),
+          (expr("CAST(unbase64(replace(wrapped, '\\n', '')) AS STRING)")
+            === col("payload")).as("rt_ok"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -96,7 +128,37 @@ object Crypto {
           TRUE AS tag_wellformed,
           TRUE AS rfc4231_ok
         FROM documents
-        ORDER BY doc_id"""
+        ORDER BY doc_id""",
+
+      // the CRC-24 fold re-derived in SQL (init 0xB704CE=11994318,
+      // poly 0x1864CFB=25578747); armor text assembled with chr(10)
+      "cr03_armor" -> """
+        WITH src AS (
+          SELECT doc_id,
+            regexp_replace(substring(text, 1, 120), '[^ -~]', '', 'g') AS payload
+          FROM documents),
+        b AS (
+          SELECT doc_id, payload, base64(encode(payload)) AS b64,
+            list_reduce(
+              list_prepend(CAST(11994318 AS BIGINT),
+                list_transform(generate_series(1, length(payload)),
+                  i -> CAST(ascii(substring(payload, i, 1)) AS BIGINT))),
+              (acc, ch) -> list_reduce(
+                list_prepend(xor(acc, ch * 65536), generate_series(1, 8)),
+                (a, t) -> CASE WHEN ((a * 2) & 16777216) <> 0
+                               THEN xor(a * 2, 25578747) ELSE a * 2 END)) AS crc
+          FROM src),
+        w AS (
+          SELECT doc_id, payload, crc,
+            regexp_replace(b64, '(.{64})', '\1' || chr(10), 'g') AS wrapped
+          FROM b)
+        SELECT doc_id, crc AS crc24,
+          md5('-----BEGIN PGP MESSAGE-----' || chr(10) || chr(10)
+            || wrapped || chr(10) || '='
+            || base64(from_hex(lpad(to_hex(crc), 6, '0'))) || chr(10)
+            || '-----END PGP MESSAGE-----' || chr(10)) AS armor_md5,
+          (decode(from_base64(replace(wrapped, chr(10), ''))) = payload) AS rt_ok
+        FROM w ORDER BY doc_id"""
     )
   }
 }

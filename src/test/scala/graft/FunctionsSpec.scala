@@ -236,7 +236,7 @@ class FunctionsSpec extends AnyFunSuite {
         "pg_to_timestamp", "string_to_array", "generate_series", "pg_format",
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
         "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
-        "pair_emit_sized", "pair_emit_sized_all", "winnow_fps"))
+        "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -476,6 +476,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(4L) == ((false, false)), "phrase is ordered adjacency")
     assert(got(5L) == ((false, false)))
     assert(got(6L) == ((false, false)), "1-token doc must not crash the phrase scan")
+  }
+
+  test("Crc24 matches the CRC-24/OPENPGP check value and the RFC 4880 empty init") {
+    assert(graft.functions.Crc24.crc("123456789".getBytes("UTF-8")) == 0x21CF02L)
+    assert(graft.functions.Crc24.crc(Array.empty[Byte]) == 0xB704CEL)
   }
 
   test("Winnow kernel ≡ brute-force per-window argmin; excerpt guarantee holds") {
