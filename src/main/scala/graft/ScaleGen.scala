@@ -48,7 +48,10 @@ object ScaleGen {
     def shifted(name: String, keyCols: Seq[String], extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
       val b = base(name)
       val spans = keyCols.map { k =>
-        k -> (b.agg(max(col(k))).head.getLong(0) + 1L)
+        // getAs[Number]: robust to INT-typed keys; fail loudly on empty
+        val row = b.agg(max(col(k))).head
+        require(!row.isNullAt(0), s"[scalegen] $name.$k: empty table or all-null key")
+        k -> (row.getAs[Number](0).longValue + 1L)
       }.toMap
       (0 until copies).map { cp =>
         val shiftedKeys = keyCols.foldLeft(b) { (d, k) =>

@@ -79,7 +79,6 @@ object Winnow {
     // sliding-window minimum, rightmost on ties: monotonic deque whose
     // push pops every element >= the newcomer, so among equal hashes the
     // rightmost survives at the front
-    val nWin = math.max(m - w + 1, 1)
     val dq = new Array[Int](m) // indices into g, increasing hash front->back
     var head = 0
     var tail = 0 // exclusive
@@ -90,8 +89,9 @@ object Winnow {
       dq(tail) = i; tail += 1
       val wstart = i - w + 1 // window [wstart, i] is complete once i >= w-1
       while (wstart > 0 && dq(head) < wstart) head += 1
-      if (i >= math.min(w, m) - 1 && (wstart <= nWin - 1 || i == m - 1))
-        sel.add(g(dq(head)))
+      // select once the first full (or clipped, when m < w) window closes;
+      // wstart <= nWin-1 holds for every i < m so no upper guard is needed
+      if (i >= math.min(w, m) - 1) sel.add(g(dq(head)))
       i += 1
     }
 

@@ -72,9 +72,13 @@ object Crypto {
         .orderBy(col("doc_id"))
     },
 
-    // -- armor / dearmor (pgp-armor.c; RFC 4880 §6): base64 payload
-    //    wrapped at 64 columns between BEGIN/END lines with the CRC-24
-    //    checksum on the `=` line. The checksum is the compiled Crc24
+    // -- armor / dearmor (the pgp-armor.c operation; RFC 4880 §6):
+    //    base64 payload wrapped between BEGIN/END lines with the CRC-24
+    //    checksum on the `=` line. Wrap column is 64 (the RFC 4880 /
+    //    GnuPG convention); pgcrypto's pg_base64_encode wraps at 76, so
+    //    the armored TEXT here is GnuPG-shaped, not byte-identical to
+    //    pgcrypto output — the CRC-24, payload, and dearmor round-trip
+    //    semantics are the same. The checksum is the compiled Crc24
     //    expression (functions/Crc24.scala, check value 0x21CF02 unit-
     //    tested); the oracle re-derives the identical shift/xor fold in
     //    SQL, so the full armored text hash-matches. rt_ok dearmors the

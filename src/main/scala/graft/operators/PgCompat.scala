@@ -733,9 +733,11 @@ object PgCompat {
     // -- q133: width_bucket equi-width histogram (PG float.c
     //    width_bucket_float8: below-range → 0, above → count+1, else
     //    floor((x−lo)/(hi−lo)·n)+1). Spark's native width_bucket runs
-    //    inside codegen; the oracle replays the SAME IEEE double
-    //    formula so bucket boundaries can't drift by an ulp between
-    //    engines. The histogram is the canonical map-side census: one
+    //    inside codegen and evaluates (n·(x−lo))/(hi−lo) then toLong —
+    //    multiply FIRST — which is a different IEEE rounding order than
+    //    PG's divide-first; the oracle mirrors Spark's multiply-first
+    //    order exactly so bucket boundaries can't drift by an ulp
+    //    between engines. The histogram is the canonical map-side census: one
     //    shuffle of ≤ n+2 rows regardless of table size --
     "q133_width_bucket" -> { (s, dir) =>
       Tables.df(s, dir, "orders")
@@ -1459,8 +1461,11 @@ object PgCompat {
         FROM orders WHERE o_orderkey <= 5000
         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
-    // same IEEE double formula as Spark's WidthBucket (floor + 1 with
-    // range guards), so boundary rounding is identical by construction
+    // mirrors Spark's WidthBucket EVALUATION ORDER, not just its value:
+    // Spark computes (numBucket * (v - lo)) / (hi - lo) then truncates
+    // (multiply FIRST, one IEEE divide, then toLong) — so the oracle
+    // multiplies by 12 before dividing; PG's own width_bucket divides
+    // first, a different rounding order that can flip a boundary bucket
     "q133_width_bucket" -> """
       WITH b AS (
         SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
@@ -1468,7 +1473,7 @@ object PgCompat {
         SELECT cents,
           CASE WHEN CAST(cents AS DOUBLE) < 0 THEN 0
                WHEN CAST(cents AS DOUBLE) >= 60000000 THEN 13
-               ELSE CAST(floor((CAST(cents AS DOUBLE) - 0) / (60000000 - 0) * 12) AS BIGINT) + 1
+               ELSE CAST(floor(12 * (CAST(cents AS DOUBLE) - 0) / (60000000 - 0)) AS BIGINT) + 1
           END AS bucket
         FROM b)
       SELECT bucket, count(*) AS n,

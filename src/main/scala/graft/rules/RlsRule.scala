@@ -13,8 +13,16 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * (qual)`, `src/backend/rewrite/rowsecurity.c`
   * get_row_security_policies — PG injects each enabled policy's USING
   * qual into every scan of the protected table at rewrite time, below
-  * all user operators, so no query formulation can see rows the policy
-  * hides).
+  * all user operators).
+  *
+  * Enforcement SCOPE: the rule matches V1 parquet `LogicalRelation`
+  * scans whose root path ends `/<table>.parquet` — exactly the layout
+  * `Tables.df` produces, so every graft query path is covered. A
+  * DataSourceV2 scan, an `InMemoryRelation` cached before the policy
+  * was set, or a read of the same files under another path is OUTSIDE
+  * this scope and is not filtered; PG-grade "no formulation escapes"
+  * would need a catalog-level hook, which this session-conf rendition
+  * deliberately does not claim.
   *
   * Spark-first rendition: session confs `spark.graft.rls.<table> =
   * <sql predicate>` register policies; this Rule finds every file scan
