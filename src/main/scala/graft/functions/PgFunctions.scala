@@ -163,6 +163,24 @@ object PgFunctions {
     },
     "crc24" -> { args =>
       Crc24(Cast(args(0), org.apache.spark.sql.types.BinaryType)) },
+    // frame_sums/frame_energy(text, width): per-frame codepoint folds,
+    // one O(L) compiled pass per document (m06/m08 kernels)
+    "frame_sums" -> { args =>
+      args(1) match {
+        case Literal(w: Int, org.apache.spark.sql.types.IntegerType) =>
+          FrameFeats(args(0), w, energy = false)
+        case other => throw new IllegalArgumentException(
+          s"frame_sums width must be an int literal, got $other")
+      }
+    },
+    "frame_energy" -> { args =>
+      args(1) match {
+        case Literal(w: Int, org.apache.spark.sql.types.IntegerType) =>
+          FrameFeats(args(0), w, energy = true)
+        case other => throw new IllegalArgumentException(
+          s"frame_energy width must be an int literal, got $other")
+      }
+    },
     // winnow_fps(text, k, w): winnowed k-gram fingerprint set (d13)
     "winnow_fps" -> { args =>
       (args(1), args(2)) match {

@@ -208,17 +208,17 @@ object Multimodal {
     //    loop. Scale shape: one explode (O(bytes/16) rows), the island
     //    window partitions by doc_id, two partial-agg rollups. --
     "m06_energy_segments" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("f"))
+      // frame_energy materializes the codepoint array ONCE per doc and
+      // folds each 16-char frame in a single O(L) compiled pass (the
+      // HOF ascii(substring(text, f*16+i, 1)) form re-walks the string
+      // per frame — O(L²/16) per doc, quadratic in document length)
       val frames = Tables.df(s, dir, "documents")
         .filter(col("doc_id") < 200 && col("n_chars") >= 32)
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(0, CAST(n_chars div 16 AS INT) - 1)")).as("f"))
-        .withColumn("energy", expr(
-          """aggregate(
-               transform(sequence(1, 16),
-                 i -> CAST(ascii(substring(text, f * 16 + i, 1)) AS BIGINT) - 32),
-               0L, (acc, x) -> acc + x * x)"""))
+        .select(col("doc_id"),
+          posexplode(expr("frame_energy(text, 16)")).as(Seq("f", "energy")))
         .select(col("doc_id"), col("f"), (col("energy") >= 40000L).as("voiced"))
       val tot = frames.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_frames"),
@@ -287,17 +287,19 @@ object Multimodal {
     //    array loop). Output per video: frame/scene census + longest
     //    scene + mean scene length. Scale shape: one explode
     //    (O(bytes/16) rows), both windows partition by doc_id, one
-    //    partial-agg rollup — no shuffle beyond the doc key --
+    //    partial-agg rollup — no shuffle beyond the doc key. The frame
+    //    feature is frame_sums: the codepoint array is materialized
+    //    ONCE per doc (O(L) total; the prior ascii(substring(…)) HOF
+    //    re-walked the string per frame — O(L²/16) per doc, quadratic
+    //    in document length, the r9 verdict's named scale hazard) --
     "m08_scene_cuts" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("f"))
       val frames = Tables.df(s, dir, "documents")
         .filter(col("n_chars") >= 64)
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(0, CAST(n_chars div 16 AS INT) - 1)")).as("f"))
-        .withColumn("feat", expr(
-          """aggregate(sequence(1, 16), 0L,
-               (a, i) -> a + ascii(substring(text, CAST(f * 16 + i AS INT), 1)))"""))
+        .select(col("doc_id"),
+          posexplode(expr("frame_sums(text, 16)")).as(Seq("f", "feat")))
       frames
         .withColumn("prev", lag(col("feat"), 1).over(w))
         .withColumn("cut",

@@ -236,7 +236,8 @@ class FunctionsSpec extends AnyFunSuite {
         "pg_to_timestamp", "string_to_array", "generate_series", "pg_format",
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
         "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
-        "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24"))
+        "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24",
+        "frame_sums", "frame_energy"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -476,6 +477,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(4L) == ((false, false)), "phrase is ordered adjacency")
     assert(got(5L) == ((false, false)))
     assert(got(6L) == ((false, false)), "1-token doc must not crash the phrase scan")
+  }
+
+  test("FrameFeats ≡ per-frame brute force; frame-count contract; corpus n_chars invariant") {
+    def brute(s: String, width: Int, energy: Boolean): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 until cps.length / width).map { f =>
+        (0 until width).map { i =>
+          val c = cps(f * width + i).toLong
+          if (energy) (c - 32L) * (c - 32L) else c
+        }.sum
+      }
+    }
+    def kernel(s: String, width: Int, energy: Boolean): Seq[Long] = {
+      val ad = graft.functions.FrameFeats.eval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), width, energy)
+      (0 until ad.numElements()).map(ad.getLong)
+    }
+    val rnd = new scala.util.Random(7)
+    for (len <- Seq(0, 1, 15, 16, 17, 31, 32, 200); e <- Seq(false, true)) {
+      val s = (1 to len).map(_ => (' ' + rnd.nextInt(95)).toChar).mkString
+      assert(kernel(s, 16, e) == brute(s, 16, e), s"len=$len energy=$e")
+    }
+    // len < width → no complete frame; non-ASCII codepoints count once
+    assert(kernel("short", 16, false).isEmpty)
+    assert(kernel("é" * 16, 16, false) == Seq(16L * 0xE9))
+    // the m06/m08 oracles iterate frames from n_chars while frame_sums
+    // derives them from text itself — sound only while n_chars ==
+    // length(text); assert the corpus invariant loudly
+    val drift = Tables.df(spark, Sf, "documents")
+      .filter(org.apache.spark.sql.functions.expr("n_chars != length(text)")).count()
+    assert(drift == 0, "documents n_chars != length(text): m06/m08 frame basis drifted")
   }
 
   test("Crc24 matches the CRC-24/OPENPGP check value and the RFC 4880 empty init") {
