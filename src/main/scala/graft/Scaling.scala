@@ -3,12 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Scale-up sweep (r8 verdict item #1): run the data-bound query
-  * families at sf0.1 AND at the self-generated sf1 (10× data,
-  * ScaleGen.scala), and assert near-linear wall-time growth per query.
-  * This converts the "designed for 100 TB" plan-shape arguments into a
-  * measured growth curve — the audit that catches a super-linear
-  * operator (r6's d03, r7's r06) before data does.
+/** Scale-up sweep, two axes.
+  *
+  * ROW axis (r8 verdict item #1): run the data-bound query families at
+  * sf0.1 AND at the self-generated sf1 (10× rows, ScaleGen.scala), and
+  * assert near-linear wall-time growth per query. This converts the
+  * "designed for 100 TB" plan-shape arguments into a measured growth
+  * curve — the audit that catches a super-linear operator (r6's d03,
+  * r7's r06) before data does.
+  *
+  * LENGTH axis (r9 verdict item #1): run the per-row text-kernel family
+  * at sf0.1 AND at the long-doc corpus (LongDocGen.scala: 1/64th the
+  * docs, each 64× longer, total chars ~constant, vocabulary/censuses/
+  * fingerprint sets held fixed). Because total work for a LINEAR kernel
+  * is constant across the two corpora, the expected ratio is ~1×; an
+  * O(L²) kernel shows up as ~64×. This is the axis that caught r9's m08
+  * (per-frame substring walk) — the bound is MaxLenRatio.
   *
   * Methodology mirrors Bench.scala: each query runs its executed plan to
   * completion via queryExecution.toRdd.count(), two separated sweeps per
@@ -39,10 +49,29 @@ object Scaling {
 
   val MaxRatio = 13.0
 
+  /** Documents-bound per-row text kernels: work scales in document
+    * LENGTH, not just row count. All read only the documents table (the
+    * long-doc corpus ships nothing else). */
+  val LenTargets: Seq[String] = Seq(
+    "m02_media_features", "m04_resize", "m05_phash_neardup",
+    "m06_energy_segments", "m08_scene_cuts",
+    "d12_line_dedup", "d13_winnowing",
+    "f14_porter_stems", "f15_stemmed_rank", "f16_phrase_distance",
+    "fz03_strict_word_sml",
+    "t11_repetition", "t18_charlm_score", "t19_dup_ngram_coverage",
+    "t21_word_entropy", "t23_kl_novelty")
+
+  /** Total chars are ~equal across the two corpora, so a linear kernel
+    * lands ~1×; 2.5 allows window/partition-count second-order effects
+    * while still flagging anything super-linear in L loudly (a quadratic
+    * kernel would read ~64×). */
+  val MaxLenRatio = 2.5
+
   def main(args: Array[String]): Unit = {
     val smallDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val bigDir = args.lift(1).getOrElse("testdata_sf1")
-    val outPath = args.lift(2).getOrElse("SCALING_r9.json")
+    val outPath = args.lift(2).getOrElse("SCALING_r10.json")
+    val longDir = args.lift(3).getOrElse("testdata_longdoc")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,8 +105,8 @@ object Scaling {
     }
 
     var failed = List.empty[String]
-    def sweep(dir: String): Map[String, Double] =
-      Targets.map { name =>
+    def sweep(dir: String, targets: Seq[String] = Targets): Map[String, Double] =
+      targets.map { name =>
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
@@ -106,19 +135,44 @@ object Scaling {
       (n, ts, tb, ratio)
     }
     val superlinear = rows.collect { case (n, _, _, r) if r > MaxRatio => n }
+
+    // LENGTH axis: short (sf0.1) vs long-doc corpus, same min-of-2
+    // alternating-sweep discipline
+    try SparkEntry.queries("t21_word_entropy")(spark, longDir).queryExecution.toRdd.count()
+    catch { case e: Throwable => System.err.println(s"[scaling] warmup $longDir failed: ${e.getMessage}") }
+    hygiene()
+    val lenShort1 = sweep(smallDir, LenTargets)
+    val lenLong1 = sweep(longDir, LenTargets)
+    val lenShort2 = sweep(smallDir, LenTargets)
+    val lenLong2 = sweep(longDir, LenTargets)
+    val lenRows = LenTargets.map { n =>
+      val ts = official(lenShort1, lenShort2)(n)
+      val tl = official(lenLong1, lenLong2)(n)
+      val ratio = if (ts > 0 && tl > 0) tl / ts else -1.0
+      (n, ts, tl, ratio)
+    }
+    val lenSuper = lenRows.collect { case (n, _, _, r) if r > MaxLenRatio => n }
+
     def fmt(d: Double) = f"$d%.3f"
     val qjson = rows.map { case (n, ts, tb, r) =>
       s""""$n":{"sf0_1_sec":${fmt(ts)},"sf1_sec":${fmt(tb)},"ratio":${fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    val lenJson = lenRows.map { case (n, ts, tl, r) =>
+      s""""$n":{"short_sec":${fmt(ts)},"long_sec":${fmt(tl)},"ratio":${fmt(r)}}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scaleup","data_factor":10,"max_ratio":$MaxRatio,""" +
       s""""small_dir":"$smallDir","big_dir":"$bigDir","queries":$qjson,""" +
       s""""superlinear":[${superlinear.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""length_axis":{"length_factor":64,"total_chars":"~constant",""" +
+      s""""expected_linear_ratio":1.0,"max_ratio":$MaxLenRatio,"long_dir":"$longDir",""" +
+      s""""queries":$lenJson,""" +
+      s""""superlinear":[${lenSuper.map("\"" + _ + "\"").mkString(",")}]},""" +
       s""""n_failed":${failed.distinct.size},"timing":"min_of_2_alternating_sweeps",""" +
       s""""env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":$loadStart,"load_avg_end":$loadAvg}}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
     spark.stop()
-    if (failed.nonEmpty || superlinear.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || superlinear.nonEmpty || lenSuper.nonEmpty) sys.exit(1)
   }
 }

@@ -34,10 +34,10 @@ case class FrameFeats(child: Expression, width: Int, energy: Boolean)
   override def prettyName: String = if (energy) "frame_energy" else "frame_sums"
 
   override protected def nullSafeEval(input: Any): Any =
-    FrameFeats.eval(input.asInstanceOf[UTF8String], width, energy)
+    FrameFeats.compute(input.asInstanceOf[UTF8String], width, energy)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.FrameFeats.eval($c, $width, $energy)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.FrameFeats.compute($c, $width, $energy)")
 
   override protected def withNewChildInternal(newChild: Expression): FrameFeats =
     copy(child = newChild)
@@ -45,7 +45,7 @@ case class FrameFeats(child: Expression, width: Int, energy: Boolean)
 
 object FrameFeats {
   /** One O(L) pass: codepoint array once, then a strided integer fold. */
-  def eval(s: UTF8String, width: Int, energy: Boolean): ArrayData = {
+  def compute(s: UTF8String, width: Int, energy: Boolean): ArrayData = {
     val cps = s.toString.codePoints().toArray
     val n = cps.length / width
     val out = new Array[Long](n)

@@ -490,7 +490,7 @@ class FunctionsSpec extends AnyFunSuite {
       }
     }
     def kernel(s: String, width: Int, energy: Boolean): Seq[Long] = {
-      val ad = graft.functions.FrameFeats.eval(
+      val ad = graft.functions.FrameFeats.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString(s), width, energy)
       (0 until ad.numElements()).map(ad.getLong)
     }
