@@ -197,6 +197,28 @@ object Incremental {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // -- IVM min/max retraction (matview.c:2539 apply_delta, :2680
+    //    "apply old delta and get rows to be recalculated"): min/max
+    //    have no inverse, so the delete delta splits the view into
+    //    carried-forward groups (deleted values strictly inside the
+    //    surviving range — NOT rescanned) and recalculated groups (the
+    //    delta touched an extreme — recomputed via a semi-join of the
+    //    survivors against the delta-bounded affected key set). The
+    //    state is localCheckpoint'd first, like a real materialized
+    //    view, so the retraction plan provably reads state + delta +
+    //    the semi-joined rescan, nothing else. Result ≡ batch min/max
+    //    over survivors, including groups that vanish entirely --
+    "i15_ivm_minmax" -> { (s, dir) =>
+      import graft.streaming.MinMaxIvm
+      val events = Tables.df(s, dir, "events")
+      val deleted = events.filter(col("event_id") % 7 === 0)
+      val survivors = events.filter(col("event_id") % 7 =!= 0)
+      val st = MinMaxIvm.state(events).localCheckpoint(true)
+      val (newState, _, _) = MinMaxIvm.applyRetraction(st, deleted, survivors)
+      MinMaxIvm.finalizeState(newState)
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // -- join-IVM: a two-table JOIN matview (orders ⋈ lineitem) maintained
     //    under append deltas on BOTH sides via ΔJ = ΔA⋈B_new ∪ A_old⋈ΔB,
     //    then aggregated at read time. The two sides are batched on
@@ -417,6 +439,16 @@ object Incremental {
         round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_value,
         round(CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
           / count(*), 6) AS avg_value
+      FROM events WHERE event_id % 7 <> 0
+      GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
+
+    // min/max retraction correctness: carried-forward groups plus the
+    // recalculated-affected groups == batch min/max over the survivors
+    "i15_ivm_minmax" -> """
+      SELECT user_id, event_type, count(*) AS n,
+        round(CAST(min(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS min_value,
+        round(CAST(max(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS max_value
       FROM events WHERE event_id % 7 <> 0
       GROUP BY user_id, event_type
       ORDER BY user_id, event_type""",

@@ -55,6 +55,73 @@ object IvmMatview {
       round(col("cents").cast("double") / 10000.0 / col("n"), 6).as("avg_value"))
 }
 
+/** Min/max IVM under retraction — the reference's recalculation path
+  * (`src/backend/commands/matview.c:2539` apply_delta, `:2680` "apply
+  * old delta and get rows to be recalculated"): min/max have no inverse,
+  * so a DELETE delta cannot be subtracted from the state. Instead the
+  * delta's per-group (d_n, d_min, d_max) splits the view into
+  *  - UNAFFECTED groups — every deleted value lies STRICTLY inside the
+  *    surviving range (d_min > min ∧ d_max < max ∧ d_n < n): the
+  *    extremes provably survive, so the state row carries forward with
+  *    only its count adjusted and the base is NOT rescanned;
+  *  - AFFECTED groups — the delta touches a group extreme (or empties
+  *    the group): recompute THOSE GROUPS ONLY, as a semi-join of the
+  *    surviving base against the affected key set. A group whose rows
+  *    are all deleted yields no recompute row and leaves the view.
+  * At 100 TB the rescan cost is proportional to the affected groups'
+  * rows (delta-sized in practice), never the base or the view; the
+  * affected key set is delta-bounded and broadcasts. */
+object MinMaxIvm {
+
+  private val cents = expr("CAST(round(value * 10000) AS BIGINT)")
+
+  /** Materializable state: (user_id, event_type) → (n, min_c, max_c). */
+  def state(base: DataFrame): DataFrame =
+    base.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(cents).as("min_c"), max(cents).as("max_c"))
+
+  /** The per-group delete delta: (d_n, d_min, d_max). */
+  def deleteDelta(deleted: DataFrame): DataFrame =
+    deleted.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("d_n"), min(cents).as("d_min"), max(cents).as("d_max"))
+
+  /** Retract `deleted` from `state`; `survivors` is the base relation
+    * after the DELETE commits (what a recompute may read). Returns
+    * (newState, affectedKeys, recomputed) so tests can assert the
+    * recompute branch's cardinality — untouched groups never reach it. */
+  def applyRetraction(state: DataFrame, deleted: DataFrame, survivors: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val keys = Seq("user_id", "event_type")
+    // materialize the per-group delta once (PG's apply_delta reads a
+    // temp delta TABLE, matview.c:2539): it feeds both the carry-forward
+    // filter and the affected-key set, and it is delta-bounded — tiny
+    val dd = deleteDelta(deleted).localCheckpoint(true)
+    val tagged = state.join(dd, keys, "left")
+    // d_n = n forces d_min = min_c ∧ d_max = max_c, so the strict
+    // inequalities already exclude emptied groups
+    val untouched = col("d_n").isNull ||
+      (col("d_min") > col("min_c") && col("d_max") < col("max_c"))
+    val unaffected = tagged.filter(untouched)
+      .select(col("user_id"), col("event_type"),
+        (col("n") - coalesce(col("d_n"), lit(0L))).as("n"),
+        col("min_c"), col("max_c"))
+    val affectedKeys = tagged.filter(!untouched).select(keys.map(col): _*)
+    // the ONLY base rescan: survivors semi-joined to the delta-bounded
+    // affected key set (broadcast), then re-aggregated per group
+    val recomputed = survivors
+      .join(broadcast(affectedKeys), keys, "left_semi")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(cents).as("min_c"), max(cents).as("max_c"))
+    (unaffected.unionByName(recomputed), affectedKeys, recomputed)
+  }
+
+  /** Read-time finalization to user-facing values. */
+  def finalizeState(state: DataFrame): DataFrame =
+    state.select(col("user_id"), col("event_type"), col("n"),
+      round(col("min_c").cast("double") / 10000.0, 4).as("min_value"),
+      round(col("max_c").cast("double") / 10000.0, 4).as("max_value"))
+}
+
 /** Algebraic IVM — the variance/stddev extension of [[IvmMatview]]:
   * aggregates whose partial state is a fixed vector of sums fold under
   * deltas exactly like count/sum. State per group is (n, Σc, Σc²) with

@@ -997,6 +997,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"expected map-side partial products:\n$p")
   }
 
+  test("i15: min/max retraction rescans survivors ONLY through the affected-key semi-join") {
+    val p = plan("i15_ivm_minmax").split("== Initial Plan ==")(0)
+    // the base rescan is bounded by the delta-derived affected key set
+    assert(p.contains("LeftSemi"),
+      s"survivor rescan must be semi-joined to the affected keys:\n$p")
+    // state AND delta are materialized (matview + temp delta table), so
+    // the ONLY base scan in the retraction plan is the semi-joined
+    // survivor rescan — untouched groups are provably not rescanned
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet"))
+    assert(scans == 1, s"expected 1 events scan (the bounded rescan), got $scans:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      s"state must read from the checkpoint, not recompute:\n$p")
+  }
+
   test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
     for (q <- Seq("f12_websearch", "t21_word_entropy")) {
       val p = plan(q)

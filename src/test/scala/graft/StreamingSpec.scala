@@ -395,6 +395,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b, "variance-state SUB then ADD of the same delta must restore the state")
   }
 
+  test("min/max IVM retraction recomputes ONLY affected groups, ≡ batch over survivors") {
+    import graft.streaming.MinMaxIvm
+    val events = Tables.df(spark, Sf, "events")
+    val deleted = events.filter(col("event_id") % 7 === 0)
+    val survivors = events.filter(col("event_id") % 7 =!= 0)
+    val st = MinMaxIvm.state(events).localCheckpoint(true)
+    val (newState, affectedKeys, recomputed) = MinMaxIvm.applyRetraction(st, deleted, survivors)
+    // the IVM correctness condition: retracted state ≡ one-shot batch
+    val batch = MinMaxIvm.state(survivors)
+    assert(newState.exceptAll(batch).isEmpty && batch.exceptAll(newState).isEmpty,
+      "min/max retraction must equal the batch aggregate over survivors")
+    // partial recompute: the affected key set is a strict subset of the
+    // view, and the rescan branch emitted at most one row per affected key
+    val nGroups = st.count()
+    val nAffected = affectedKeys.count()
+    assert(nAffected < nGroups,
+      s"recalculation must not touch every group ($nAffected of $nGroups)")
+    assert(recomputed.count() <= nAffected,
+      "recompute branch must be bounded by the affected key set")
+    // carried-forward groups really carried: every unaffected state row
+    // appears in the new state with only its count adjusted
+    val carried = newState.join(affectedKeys, Seq("user_id", "event_type"), "left_anti")
+    val stCarried = st.join(affectedKeys, Seq("user_id", "event_type"), "left_anti")
+      .select(col("user_id"), col("event_type"), col("min_c"), col("max_c"))
+    assert(carried.select("user_id", "event_type", "min_c", "max_c")
+      .exceptAll(stCarried).isEmpty,
+      "unaffected groups must carry their extremes forward unchanged")
+  }
+
   test("IVM state merge is associative: 2-batch and 4-batch folds agree") {
     import graft.streaming.IvmMatview._
     val events = Tables.df(spark, Sf, "events")
