@@ -54,7 +54,8 @@ object SparkEntry {
     (operators.Crypto.queries, operators.Crypto.oracle),
     (operators.CubeOps.queries, operators.CubeOps.oracle),
     (operators.Identifiers.queries, operators.Identifiers.oracle),
-    (operators.Ml.queries, operators.Ml.oracle)
+    (operators.Ml.queries, operators.Ml.oracle),
+    (operators.GpDdl.queries, operators.GpDdl.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

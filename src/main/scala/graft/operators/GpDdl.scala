@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** GP DDL text front-end — the `CREATE TABLE … DISTRIBUTED BY (k)
+  * PARTITION BY RANGE (c) (START … END … EVERY …)` surface a Cloudberry
+  * user migrates on day one (`src/backend/parser/gram.y:6610` PARTITION
+  * BY, `:6652` START/END/EVERY, DISTRIBUTED BY at `:6610`'s
+  * OptDistributedBy). The grammar subset is parsed from the DDL TEXT and
+  * translated onto the repo's existing physical layouts:
+  *
+  *  - `DISTRIBUTED BY (k)`       → `bucketBy(8, k)` + `sortBy(k)` (the
+  *    Bucketed.scala discipline: repartition-on-key first so each task
+  *    holds exactly one bucket → one file per bucket, co-located joins
+  *    with no Exchange);
+  *  - `DISTRIBUTED RANDOMLY`     → no bucketing (round-robin layout);
+  *  - `PARTITION BY RANGE (c) (START ('s') END ('e') EVERY (INTERVAL
+  *    'k month'))` → a derived hive partition column `<c>_prt` labelled
+  *    with the window start month (GP auto-generates one partition per
+  *    EVERY step); START is INCLUSIVE, END is EXCLUSIVE — gram.y's
+  *    defaults;
+  *  - `DEFAULT PARTITION name`   → out-of-range rows route to the
+  *    `name` directory; WITHOUT a default partition an out-of-range
+  *    insert THROWS, exactly PG's "no partition of relation … found for
+  *    row" contract.
+  *
+  * CREATE declares the layout; INSERT (`insertInto`) routes rows through
+  * it. At 100 TB the translation result is the same physical design the
+  * reference's DDL buys: equi-joins on the distribution key run
+  * motion-free, and month-range scans prune directories (static + DPP) —
+  * both plan-asserted in PlanShapeSpec over the ddl01 table.
+  */
+object GpDdl {
+
+  case class RangePart(col: String, start: String, end: String,
+      everyMonths: Int, defaultPartition: Option[String])
+
+  case class TableDef(name: String, cols: Seq[(String, String)],
+      distKeys: Seq[String], randomly: Boolean, part: Option[RangePart])
+
+  private val CreateRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)\s*(DISTRIBUTED\s+.*)$""".r
+  private val DistByRe = """(?is)DISTRIBUTED\s+BY\s*\(([^)]*)\)""".r
+  private val DistRandRe = """(?is)DISTRIBUTED\s+RANDOMLY""".r
+  private val PartRe =
+    """(?is)PARTITION\s+BY\s+RANGE\s*\(\s*(\w+)\s*\)\s*\((.*)\)\s*$""".r
+  private val StartRe = """(?is)START\s*\(\s*'([^']*)'\s*\)(\s+INCLUSIVE)?""".r
+  private val EndRe = """(?is)END\s*\(\s*'([^']*)'\s*\)(\s+EXCLUSIVE)?""".r
+  private val EveryRe = """(?is)EVERY\s*\(\s*INTERVAL\s+'(\d+)\s+month[s]?'\s*\)""".r
+  private val DefaultRe = """(?is)DEFAULT\s+PARTITION\s+(\w+)""".r
+
+  /** Parse the supported gram.y subset; loud errors on anything else. */
+  def parse(ddl: String): TableDef = ddl match {
+    case CreateRe(name, colList, rest) =>
+      val cols = colList.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+        val parts = c.split("\\s+", 2)
+        require(parts.length == 2, s"ddl: bad column def '$c'")
+        (parts(0).toLowerCase, parts(1).toUpperCase)
+      }.toSeq
+      val randomly = DistRandRe.findFirstIn(rest).isDefined
+      val distKeys =
+        if (randomly) Seq.empty
+        else DistByRe.findFirstMatchIn(rest) match {
+          case Some(m) => m.group(1).split(",").map(_.trim.toLowerCase).toSeq
+          case None => throw new IllegalArgumentException(
+            "ddl: expected DISTRIBUTED BY (k, ...) or DISTRIBUTED RANDOMLY")
+        }
+      val part = PartRe.findFirstMatchIn(rest).map { m =>
+        val body = m.group(2)
+        val start = StartRe.findFirstMatchIn(body).getOrElse(
+          throw new IllegalArgumentException("ddl: RANGE partition needs START ('…')")).group(1)
+        val end = EndRe.findFirstMatchIn(body).getOrElse(
+          throw new IllegalArgumentException("ddl: RANGE partition needs END ('…')")).group(1)
+        val every = EveryRe.findFirstMatchIn(body).getOrElse(
+          throw new IllegalArgumentException("ddl: RANGE partition needs EVERY (INTERVAL 'k month')")).group(1).toInt
+        RangePart(m.group(1).toLowerCase, start, end, every,
+          DefaultRe.findFirstMatchIn(body).map(_.group(1).toLowerCase))
+      }
+      TableDef(name.toLowerCase, cols, distKeys, randomly, part)
+    case _ => throw new IllegalArgumentException(
+      "ddl: expected CREATE TABLE name (cols...) DISTRIBUTED ...")
+  }
+
+  private val NumBuckets = 8
+
+  /** The partition-routing expression for a RANGE spec: window-start
+    * label for in-range rows; the default partition (or a loud error)
+    * otherwise. START inclusive, END exclusive. */
+  private def routeExpr(p: RangePart): org.apache.spark.sql.Column = {
+    val c = p.col
+    val lbl = s"""date_format(add_months(TIMESTAMP '${p.start} 00:00:00',
+        (CAST(months_between(date_trunc('MONTH', $c),
+          TIMESTAMP '${p.start} 00:00:00') AS INT) div ${p.everyMonths})
+          * ${p.everyMonths}), 'yyyy-MM')"""
+    val inRange =
+      s"$c >= TIMESTAMP '${p.start} 00:00:00' AND $c < TIMESTAMP '${p.end} 00:00:00'"
+    p.defaultPartition match {
+      case Some(d) => expr(s"CASE WHEN $inRange THEN $lbl ELSE '$d' END")
+      case None => expr(
+        s"""CASE WHEN $inRange THEN $lbl
+            ELSE raise_error(concat('no partition found for row: ',
+                 CAST($c AS STRING))) END""")
+    }
+  }
+
+  /** CREATE + INSERT: materialize the declared layout in the session
+    * warehouse and route `source` through it. Returns the table name
+    * (dir-tagged so SFs don't collide). Build-once per session. */
+  def create(s: SparkSession, ddl: String, source: DataFrame, tag: String): String = {
+    val td = parse(ddl)
+    val table = s"${td.name}_${tag.replaceAll("[^A-Za-z0-9.]", "_").replace(".", "_")}"
+    if (!s.catalog.tableExists(table)) {
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = new java.io.File(wh, table.toLowerCase)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+      val projected = source.select(td.cols.map(c => col(c._1)): _*)
+      val routed = td.part match {
+        case Some(p) => projected.withColumn(s"${p.col}_prt", routeExpr(p))
+        case None => projected
+      }
+      var w = (if (td.distKeys.nonEmpty)
+          routed.repartition(NumBuckets, td.distKeys.map(col): _*)
+        else routed)
+        .write.mode("overwrite").format("parquet")
+      td.part.foreach(p => w = w.partitionBy(s"${p.col}_prt"))
+      if (td.distKeys.nonEmpty)
+        w = w.bucketBy(NumBuckets, td.distKeys.head, td.distKeys.tail: _*)
+          .sortBy(td.distKeys.head, td.distKeys.tail: _*)
+      w.saveAsTable(table)
+    }
+    table
+  }
+
+  /** The ddl01 declaration: the canonical migrated-fact-table DDL —
+    * hash-distributed on the order key, month-range partitioned over
+    * 1997 with a default partition catching the out-of-range years. */
+  val OrdersDdl: String = """
+    CREATE TABLE orders_gp (
+      o_orderkey BIGINT,
+      o_custkey BIGINT,
+      o_totalprice DOUBLE,
+      o_orderdate TIMESTAMP
+    )
+    DISTRIBUTED BY (o_orderkey)
+    PARTITION BY RANGE (o_orderdate)
+    (START ('1997-01-01') INCLUSIVE END ('1998-01-01') EXCLUSIVE
+     EVERY (INTERVAL '1 month'),
+     DEFAULT PARTITION outliers)"""
+
+  def ensureOrders(s: SparkSession, dir: String): String = {
+    // layout reads must stay pinned for bucket-side plans (Bucketed.ensure's
+    // rationale); runners restore the conf after each query
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    create(s, OrdersDdl, Tables.df(s, dir, "orders"), dir)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- ddl01: DDL-text round trip — the declared layout answers the
+    //    peak-season revenue question with partition pruning doing the
+    //    data elimination (DPP via the month dim; the default partition
+    //    and off-year months are never read — plan-asserted) and the
+    //    bucketed layout standing by for motion-free key joins (also
+    //    plan-asserted, against lineitem's DISTRIBUTED BY twin) --
+    "ddl01_gp_ddl" -> { (s, dir) =>
+      val tbl = ensureOrders(s, dir)
+      val dim = Partitioned.monthDimTable(s, dir)
+      s.table(tbl)
+        .join(dim.filter(col("season") === "peak"),
+          col("o_orderdate_prt") === col("m_month"))
+        .groupBy(col("o_orderdate_prt").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+        .select(col("month"), col("n_orders"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"))
+        .orderBy(col("month"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    // re-derives the routed partition labels from the raw table: peak
+    // months are the dim's 1997-06..08; out-of-1997 rows land in the
+    // default partition and can never match a month label
+    "ddl01_gp_ddl" -> """
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        count(*) AS n_orders,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') IN ('1997-06', '1997-07', '1997-08')
+      GROUP BY 1 ORDER BY 1"""
+  )
+}

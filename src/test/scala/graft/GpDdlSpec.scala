@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.GpDdl
+
+/** GP DDL front-end: grammar subset parsing + partition routing
+  * semantics (gram.y START inclusive / END exclusive / EVERY windows /
+  * DEFAULT PARTITION / no-partition-found error). */
+class GpDdlSpec extends AnyFunSuite {
+  import SparkSuite._
+
+  test("parser: CREATE … DISTRIBUTED BY … PARTITION BY RANGE START/END/EVERY/DEFAULT") {
+    val td = GpDdl.parse(GpDdl.OrdersDdl)
+    assert(td.name == "orders_gp")
+    assert(td.cols.map(_._1) ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+    assert(td.cols.head._2 == "BIGINT")
+    assert(td.distKeys == Seq("o_orderkey") && !td.randomly)
+    val p = td.part.get
+    assert(p.col == "o_orderdate" && p.start == "1997-01-01" &&
+      p.end == "1998-01-01" && p.everyMonths == 1 &&
+      p.defaultPartition.contains("outliers"))
+  }
+
+  test("parser: DISTRIBUTED RANDOMLY, multi-key, EVERY k months; loud errors otherwise") {
+    val r = GpDdl.parse(
+      "CREATE TABLE t (a BIGINT, b TEXT) DISTRIBUTED RANDOMLY")
+    assert(r.randomly && r.distKeys.isEmpty && r.part.isEmpty)
+    val mk = GpDdl.parse(
+      """CREATE TABLE t (a BIGINT, b BIGINT, ts TIMESTAMP)
+         DISTRIBUTED BY (a, b)
+         PARTITION BY RANGE (ts)
+         (START ('2020-01-01') END ('2021-01-01') EVERY (INTERVAL '3 months'))""")
+    assert(mk.distKeys == Seq("a", "b") && mk.part.get.everyMonths == 3 &&
+      mk.part.get.defaultPartition.isEmpty)
+    intercept[IllegalArgumentException] {
+      GpDdl.parse("CREATE TABLE t (a BIGINT)") // no DISTRIBUTED clause
+    }
+    intercept[IllegalArgumentException] {
+      GpDdl.parse(
+        """CREATE TABLE t (a BIGINT, ts TIMESTAMP) DISTRIBUTED BY (a)
+           PARTITION BY RANGE (ts) (START ('2020-01-01') END ('2021-01-01'))""")
+    }
+  }
+
+  test("routing: START inclusive, END exclusive, EVERY windows; default partition catches strays") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, "1997-01-01 00:00:00"), // START boundary → first window
+      (2L, "1997-03-15 00:00:00"),
+      (3L, "1997-12-31 23:00:00"),
+      (4L, "1998-01-01 00:00:00"), // END boundary → EXCLUSIVE → default
+      (5L, "1995-06-01 00:00:00")  // before START → default
+    ).toDF("k", "ts_s").select(col("k"), col("ts_s").cast("timestamp").as("ts"))
+    val tbl = GpDdl.create(spark,
+      """CREATE TABLE route_probe (k BIGINT, ts TIMESTAMP)
+         DISTRIBUTED BY (k)
+         PARTITION BY RANGE (ts)
+         (START ('1997-01-01') END ('1998-01-01') EVERY (INTERVAL '1 month'),
+          DEFAULT PARTITION strays)""",
+      src, "spec")
+    val got = spark.table(tbl).select(col("k"), col("ts_prt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "1997-01", 2L -> "1997-03", 3L -> "1997-12",
+      4L -> "strays", 5L -> "strays"))
+  }
+
+  test("routing: out-of-range row with NO default partition fails the insert loudly") {
+    import spark.implicits._
+    val src = Seq((1L, "2005-01-01 00:00:00")).toDF("k", "ts_s")
+      .select(col("k"), col("ts_s").cast("timestamp").as("ts"))
+    val e = intercept[Exception] {
+      GpDdl.create(spark,
+        """CREATE TABLE route_fail (k BIGINT, ts TIMESTAMP)
+           DISTRIBUTED BY (k)
+           PARTITION BY RANGE (ts)
+           (START ('1997-01-01') END ('1998-01-01') EVERY (INTERVAL '1 month'))""",
+        src, "spec")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no partition found for row")),
+      s"expected PG's no-partition-found contract, got: $e")
+  }
+
+  test("layout: ensureOrders yields one directory per 1997 month plus the default") {
+    val tbl = GpDdl.ensureOrders(spark, Sf)
+    val parts = spark.table(tbl).select("o_orderdate_prt").distinct()
+      .collect().map(_.getString(0)).sorted
+    val expected = ((1 to 12).map(m => f"1997-$m%02d") :+ "outliers").sorted
+    assert(parts.toSeq == expected, s"got ${parts.toSeq}")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+}

@@ -1012,6 +1012,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"state must read from the checkpoint, not recompute:\n$p")
   }
 
+  test("ddl01: DDL-declared RANGE partitions prune dynamically (DPP rides the layout)") {
+    try {
+      val p = plan("ddl01_gp_ddl")
+      assert(p.toLowerCase.contains("dynamicpruning"),
+        s"the month-dim join must plant a dynamic partition filter on o_orderdate_prt:\n$p")
+      assert(p.contains("o_orderdate_prt"), p)
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
+
+  test("ddl01: DDL-declared DISTRIBUTED BY joins its twin co-located — no motion") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val tbl = operators.GpDdl.ensureOrders(spark, Sf)
+      val (_, lt) = operators.Bucketed.ensure(spark, Sf)
+      val joined = spark.table(tbl).join(spark.table(lt),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      val p = finalPlan(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"both sides declared DISTRIBUTED BY the join key — no motion allowed:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    }
+  }
+
   test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
     for (q <- Seq("f12_websearch", "t21_word_entropy")) {
       val p = plan(q)
