@@ -225,6 +225,28 @@ object Analytics {
         .orderBy(col("o_custkey"))
     },
 
+    // -- ct02: crosstab(text) — the DYNAMIC-category variant ad-hoc
+    //    users reach for first (contrib/tablefunc `tablefunc.c:396`
+    //    crosstab; ct01 is the fixed-category crosstab_hash at :638):
+    //    the output column set is DISCOVERED from the data in a first
+    //    pass (distinct categories, ordered), then fed to the pivot.
+    //    Spark-first: groupBy().pivot(col) with NO value list runs
+    //    exactly that two-pass plan — a distinct+sort job over the
+    //    category column (vocabulary-sized, broadcastable at any corpus
+    //    size), then the one-scan pivot aggregate. The discovery pass
+    //    is the price of not knowing the columns — which is why ct01's
+    //    fixed-list form stays the scale default. Cells stay BIGINT so
+    //    both engines agree exactly --
+    "ct02_crosstab_dynamic" -> { (s, dir) =>
+      Tables.df(s, dir, "events")
+        .filter(col("user_id") <= 50)
+        .withColumn("cents", expr("CAST(round(value * 10000) AS BIGINT)"))
+        .groupBy(col("user_id"))
+        .pivot("event_type") // discovery pass: distinct categories, ordered
+        .agg(sum(col("cents")))
+        .orderBy(col("user_id"))
+    },
+
     // -- FILTER'd aggregates (conditional aggregation) --
     "q43_conditional_agg" -> { (s, dir) =>
       Tables.df(s, dir, "events")
@@ -674,6 +696,16 @@ object Analytics {
         CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN cents END) AS BIGINT) AS p5,
         CAST(NULL AS BIGINT) AS p9
       FROM src GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // DuckDB's own dynamic PIVOT re-derives the discovery + pivot; the
+    // COLUMNS cast pins the HUGEINT sums back to BIGINT for the compare
+    "ct02_crosstab_dynamic" -> """
+      WITH src AS (
+        SELECT user_id, event_type, CAST(round(value * 10000) AS BIGINT) AS cents
+        FROM events WHERE user_id <= 50)
+      SELECT user_id, CAST(COLUMNS(* EXCLUDE (user_id)) AS BIGINT)
+      FROM (PIVOT src ON event_type USING sum(cents) GROUP BY user_id)
+      ORDER BY user_id""",
 
     "q43_conditional_agg" -> """
       SELECT user_id, count(*) AS n_events,
