@@ -132,6 +132,8 @@ object PgFunctions {
     "svec_dot" -> { args => SvecDot(args(0), args(1)) },
     "porter_stem" -> { args =>
       PorterStem(Cast(args(0), org.apache.spark.sql.types.StringType)) },
+    "french_stem" -> { args =>
+      FrenchStemExpr(Cast(args(0), org.apache.spark.sql.types.StringType)) },
     "unicode_normalize" -> { args =>
       UnicodeNorm(Cast(args(0), org.apache.spark.sql.types.StringType),
         Cast(args(1), org.apache.spark.sql.types.StringType)) },

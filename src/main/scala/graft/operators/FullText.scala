@@ -31,6 +31,54 @@ object FullText {
 
   private val toks = "filter(split(lower(text), ' '), x -> x <> '')"
 
+  /** Language-config registry — the snowball config surface as DATA
+    * (reference: `src/backend/snowball/libstemmer/` ships one stemmer
+    * per language and `snowball/stopwords/<lang>.stop` the stoplists;
+    * `CREATE TEXT SEARCH CONFIGURATION ... ( PARSER = ... )` binds them
+    * by NAME). A config here is a value: stopword list + registered
+    * stemmer function; f11 (english) and f17 (french) run the same
+    * pipeline differing ONLY in the config they resolve, and
+    * FullTextSpec parameterizes the dictionary test over both. */
+  object FtsConfig {
+    final case class TsConfig(language: String, stopwords: Seq[String], stemFn: String,
+        stem: String => String) {
+      def stopArr: String = stopwords.map("'" + _ + "'").mkString("array(", ",", ")")
+      def duckStopArr: String = stopwords.map("'" + _ + "'").mkString("[", ",", "]")
+    }
+    /** Fixed subset of snowball's french.stop, shared with the oracle. */
+    val FrenchStop: Seq[String] = Seq(
+      "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du", "elle",
+      "elles", "en", "et", "eux", "il", "ils", "je", "la", "le", "les",
+      "leur", "leurs", "lui", "ma", "mais", "me", "mes", "moi", "mon", "ne",
+      "nos", "notre", "nous", "on", "ou", "par", "pas", "pour", "que", "qui",
+      "sa", "se", "ses", "son", "sur", "ta", "te", "tes", "toi", "ton", "tu",
+      "un", "une", "vos", "votre", "vous")
+    val configs: Map[String, TsConfig] = Map(
+      "english" -> TsConfig("english", StopWords, "porter_stem",
+        graft.functions.PorterStem.stem),
+      "french" -> TsConfig("french", FrenchStop, "french_stem",
+        graft.functions.FrenchStem.stem))
+    def apply(lang: String): TsConfig = configs.getOrElse(lang,
+      throw new IllegalArgumentException(s"no FTS config for language '$lang'"))
+  }
+
+  /** The f17 French mini-corpus: 12 docs with planted inflection
+    * families (manger / nation / continuer / travailler / maison /
+    * rapide / habiter) so the french config's stemmer has real work. */
+  val FrenchCorpus: Seq[(Long, String)] = Seq(
+    1L -> "les enfants mangent des pommes rouges dans le jardin",
+    2L -> "elle mangeait une pomme rouge chaque matin",
+    3L -> "nous mangerons ensemble au restaurant national",
+    4L -> "la nation célèbre sa fête nationale avec majesté",
+    5L -> "les nations unies discutent des politiques nationales",
+    6L -> "il continue de travailler sur la continuation du projet",
+    7L -> "elles continuaient leurs travaux avec grande motivation",
+    8L -> "le travail continuera malgré les difficultés majeures",
+    9L -> "une grande maison blanche domine les collines vertes",
+    10L -> "ces maisons blanches furent construites rapidement",
+    11L -> "la rapidité de la construction surprend les habitants",
+    12L -> "ils habitaient une petite maison près du jardin fleuri")
+
   /** f14's inflection probe set — chosen to exercise Porter steps 1a/1b
     * (s, ing, ed), agentive er, and the multi-step 2→4 chains (ation,
     * ational, iveness). */
@@ -96,6 +144,36 @@ object FullText {
         .orderBy(col("rank").desc, col("doc_id"))
         .limit(30)
     },
+    // -- f17: SECOND-LANGUAGE FTS config — the same stemmed-retrieval
+    //    pipeline as f11/f15 with every language-specific piece resolved
+    //    from the `french` CONFIG VALUE (stopwords + stemmer function;
+    //    snowball ships them as per-language data files, and so does
+    //    FtsConfig). The French mini-corpus plants inflection families;
+    //    the INFLECTED query 'continuer' stems to 'continu' and matches
+    //    continue/continuation/continuaient/continuera across docs —
+    //    both sides through the french_stem expression (codegen'd; the
+    //    published Snowball French algorithm). The oracle joins an
+    //    embedded (word → stem) dictionary generated BY the unit-tested
+    //    implementation over the full non-stopword vocabulary — INNER
+    //    joins make any vocabulary drift a loud row-count failure --
+    "f17_french_config" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      import s.implicits._
+      val cfg = FtsConfig("french")
+      val qstem = cfg.stem("continuer") // config-resolved at PLAN time → 'continu'
+      FrenchCorpus.toDF("doc_id", "text")
+        .withColumn("lex", expr(
+          s"""transform(filter($toks, t -> NOT array_contains(${cfg.stopArr}, t)),
+                w -> ${cfg.stemFn}(w))"""))
+        .withColumn("n_lex", size(col("lex")).cast("bigint"))
+        .withColumn("tf_q", expr(s"size(filter(lex, x -> x = '$qstem'))").cast("bigint"))
+        .filter(col("tf_q") > 0)
+        .withColumn("rank", round(expr(
+          "(CAST(tf_q AS DOUBLE) / (1.0 + tf_q)) / (1.0 + ln(n_lex))"), 6))
+        .select(col("doc_id"), col("n_lex"), col("tf_q"), col("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+    },
+
     // -- f16: DISTANCE phrase operator `'hash' <N> 'join'` —
     //    tsquery_phrase with an explicit gap (tsquery_op.c
     //    tsquery_phrase_distance; f02 covers the adjacent `<->` = <1>
@@ -514,7 +592,99 @@ object FullText {
                WHEN w LIKE '%ed' AND length(w) > 4 THEN substring(w, 1, length(w) - 2)
                ELSE w END"""
 
+  /** The (word → stem) dictionary below was GENERATED by the unit-tested
+    * FrenchStem implementation over the full non-stopword vocabulary and
+    * FROZEN here (f14's discipline): a stemmer regression now fails the
+    * driver compare loudly instead of silently tracking the change;
+    * FullTextSpec re-derives it per run as the in-repo early warning. */
+  private[graft] val FrozenFrenchDict: String =
+    """('blanche', 'blanch'),
+          ('blanches', 'blanch'),
+          ('chaque', 'chaqu'),
+          ('collines', 'collin'),
+          ('construction', 'construct'),
+          ('construites', 'construit'),
+          ('continuaient', 'continu'),
+          ('continuation', 'continu'),
+          ('continue', 'continu'),
+          ('continuera', 'continu'),
+          ('célèbre', 'célebr'),
+          ('difficultés', 'difficult'),
+          ('discutent', 'discutent'),
+          ('domine', 'domin'),
+          ('enfants', 'enfant'),
+          ('ensemble', 'ensembl'),
+          ('fleuri', 'fleur'),
+          ('furent', 'furent'),
+          ('fête', 'fêt'),
+          ('grande', 'grand'),
+          ('habitaient', 'habit'),
+          ('habitants', 'habit'),
+          ('jardin', 'jardin'),
+          ('maison', 'maison'),
+          ('maisons', 'maison'),
+          ('majesté', 'majest'),
+          ('majeures', 'majeur'),
+          ('malgré', 'malgr'),
+          ('mangeait', 'mang'),
+          ('mangent', 'mangent'),
+          ('mangerons', 'mang'),
+          ('matin', 'matin'),
+          ('motivation', 'motiv'),
+          ('nation', 'nation'),
+          ('national', 'national'),
+          ('nationale', 'national'),
+          ('nationales', 'national'),
+          ('nations', 'nation'),
+          ('petite', 'petit'),
+          ('politiques', 'polit'),
+          ('pomme', 'pomm'),
+          ('pommes', 'pomm'),
+          ('projet', 'projet'),
+          ('près', 'pres'),
+          ('rapidement', 'rapid'),
+          ('rapidité', 'rapid'),
+          ('restaurant', 'restaur'),
+          ('rouge', 'roug'),
+          ('rouges', 'roug'),
+          ('surprend', 'surprend'),
+          ('travail', 'travail'),
+          ('travailler', 'travaill'),
+          ('travaux', 'traval'),
+          ('unies', 'uni'),
+          ('vertes', 'vert')"""
+
+  private def frenchOracle: String = {
+    val cfg = FtsConfig("french")
+    val corpusVals = FrenchCorpus.map { case (id, t) => s"($id, '$t')" }.mkString(",\n          ")
+    val dictVals = FrozenFrenchDict
+    val qstem = "continu" // frozen with the dictionary
+    s"""
+      WITH corpus(doc_id, text) AS (VALUES
+          $corpusVals),
+      toked AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM corpus),
+      filtered AS (
+        SELECT doc_id, w FROM toked
+        WHERE NOT list_contains(${cfg.duckStopArr}, w)),
+      dict(w, stem) AS (VALUES
+          $dictVals),
+      lexed AS (
+        SELECT f.doc_id, d.stem FROM filtered f JOIN dict d USING (w)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_lex,
+          sum(CASE WHEN stem = '$qstem' THEN 1 ELSE 0 END) AS tf_q
+        FROM lexed GROUP BY doc_id)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(n_lex AS BIGINT) AS n_lex, CAST(tf_q AS BIGINT) AS tf_q,
+        round((CAST(tf_q AS DOUBLE) / (1.0 + tf_q)) / (1.0 + ln(n_lex)), 6) AS rank
+      FROM agg WHERE tf_q > 0 ORDER BY rank DESC, doc_id"""
+  }
+
   def oracle: Map[String, String] = Map(
+
+    "f17_french_config" -> frenchOracle,
 
     "f16_phrase_distance" -> """
       WITH t AS (

@@ -237,7 +237,7 @@ class FunctionsSpec extends AnyFunSuite {
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
         "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
         "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24",
-        "frame_sums", "frame_energy"))
+        "frame_sums", "frame_energy", "french_stem"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -265,6 +265,69 @@ class FunctionsSpec extends AnyFunSuite {
     val sigma = math.sqrt(total * 0.1 * 0.9)
     assert(math.abs(n - total * 0.1) < 4 * sigma,
       s"sample of $total drew $n rows — outside 10% ± 4σ")
+  }
+
+  test("french_stem follows the published Snowball French rule table") {
+    import graft.functions.FrenchStem.stem
+    // one vector per rule family: step-1 standard suffixes (eaux→eau,
+    // aux→al, logie, ence→ent, amment/emment, ité/if/ive, euse),
+    // steps 2a/2b verb suffixes (iss-, er/é/ait/ant), step-3 marker
+    // tidy-up (essayer→essaY+er→essai — the documented Y case), step-4
+    // residual (ion after s/t, final e/s, guë), step-5 undouble
+    // (ancienne→ancien), step-6 un-accent (différence→différent carries
+    // è→e), prelude marking (yeux unchanged, essayer's y→Y)
+    val vectors = Seq(
+      "bateaux" -> "bateau", "journaux" -> "journal",
+      "biologie" -> "biolog", "biologies" -> "biolog",
+      "confusion" -> "confus", "solution" -> "solut",
+      "différence" -> "différent", "références" -> "référent",
+      "ancienne" -> "ancien", "bonne" -> "bon", "belle" -> "bel",
+      "nette" -> "net", "appelle" -> "appel", "veille" -> "veil",
+      "jouer" -> "jou", "joué" -> "jou", "jouait" -> "jou",
+      "jouant" -> "jou", "finissait" -> "fin", "finissant" -> "fin",
+      "finir" -> "fin", "finis" -> "fin",
+      "importance" -> "import", "importantes" -> "import",
+      "évidemment" -> "évident", "abondamment" -> "abond",
+      "activité" -> "activ", "active" -> "activ",
+      "rapidement" -> "rapid", "rapidité" -> "rapid",
+      "nationale" -> "national", "nationaux" -> "national",
+      "continuer" -> "continu", "continuation" -> "continu",
+      "continuaient" -> "continu", "habitaient" -> "habit",
+      "habitants" -> "habit", "majestueusement" -> "majestu",
+      "grandes" -> "grand", "essayer" -> "essai", "yeux" -> "yeux",
+      "aiguë" -> "aigu", "près" -> "pres", "célèbre" -> "célebr",
+      "travaux" -> "traval")
+    for ((w, s) <- vectors) assert(stem(w) == s, s"$w: got ${stem(w)}, want $s")
+    // inflection families collapse to a shared stem
+    assert(Seq("mangeait", "manger", "mangea", "mangerons").map(stem).distinct.size == 1)
+    assert(Seq("continue", "continuera", "continuer", "continuation").map(stem).distinct.size == 1)
+  }
+
+  test("FTS config registry: language resolved as data; frozen f17 dictionary is current") {
+    import graft.operators.FullText.{FtsConfig, FrenchCorpus, FrozenFrenchDict}
+    // the same pipeline parameterizes over both configs: stopwords and
+    // stemmer come from the config VALUE, never from code branches
+    for (lang <- Seq("english", "french")) {
+      val cfg = FtsConfig(lang)
+      assert(cfg.stopwords.nonEmpty && cfg.stemFn.nonEmpty)
+      // a language-specific inflection collapses under ITS config only
+      val (infl, base) =
+        if (lang == "french") ("continuait", "continuer") else ("merging", "merge")
+      assert(cfg.stem(infl) == cfg.stem(base),
+        s"$lang config must collapse $infl with $base")
+    }
+    // english and french resolve DIFFERENT stemmers through the same API
+    assert(FtsConfig("english").stem("continuait") !=
+      FtsConfig("french").stem("continuait"))
+    intercept[IllegalArgumentException](FtsConfig("klingon"))
+    // the frozen oracle dictionary must match a fresh derivation — a
+    // stemmer change shows up here before the driver compare sees it
+    val cfg = FtsConfig("french")
+    val regenerated = FrenchCorpus.flatMap(_._2.split(" "))
+      .filterNot(cfg.stopwords.contains).distinct.sorted
+      .map(w => s"('$w', '${cfg.stem(w)}')").mkString(",\n          ")
+    assert(regenerated == FrozenFrenchDict,
+      "FrenchStem drifted from the frozen f17 dictionary — regenerate it deliberately")
   }
 
   test("porter_stem matches the published 1980 algorithm examples") {
