@@ -127,6 +127,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${failed.distinct.size},"timing":"min_of_2_passes","queries_pass1":$raw1,"queries_pass2":$raw2,"env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":$loadStart,"load_avg_end":$loadEnd}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     println(line)
+    // The full line above is ~15 KB at 350+ queries; a driver that keeps
+    // only a tail of stdout truncates it mid-JSON and records
+    // "parsed": null (r9 verdict). Emit a SHORT, self-contained summary
+    // as the LAST line so any last-line / tail parser gets valid JSON,
+    // with a pointer to the per-query file it should ingest instead.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.distinct.size},"timing":"min_of_2_passes","queries_file":"bench_out.json"}"""
+    println(summary)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
