@@ -196,8 +196,83 @@ object Geo {
           round(expr("aggregate(vs, 0L, (a, v) -> a + v.y)").cast("double") / 5.0, 6)
             .as("cy"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // -- g07: lseg depth — dist_ps closest-point distances + proper
+    //    lseg_interpt intersections (shared SQL text; see g07Sql) --
+    "g07_lseg_ops" -> { (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.sql(g07Sql)
     }
   )
+
+  /** g07's SQL text, shared VERBATIM by both engines — geo_ops.c's line
+    * segment depth: `dist_ps` (point-to-segment distance through
+    * close_ps's clamped projection: t = ((p−a)·(b−a))/|b−a|² clipped to
+    * [0,1], closest point a + t(b−a)) and `lseg_interpt` (proper segment
+    * intersection via the parametric 2×2 solve). Everything before the
+    * final interpolation is EXACT BIGINT arithmetic: the projection's
+    * numerator/denominator are integer dot products (one IEEE division
+    * makes t), and the intersection test never divides at all — t,u ∈
+    * [0,1] is decided by sign-aware integer BETWEEN against the
+    * determinant, so the hit SET is exact and only the reported
+    * coordinates are (identically-rounded) doubles. Per-point distances
+    * quantize to micro-units before summing, the order-free Σ
+    * discipline. Scale shape: the 25-row segment dim broadcasts and the
+    * point corpus streams once; the segment-segment solve is dim×dim. */
+  private val g07Sql: String = """
+      WITH pts AS (
+        SELECT c_custkey, (c_custkey * 17) % 1000 AS px, (c_custkey * 31) % 1000 AS py
+        FROM customer),
+      segs AS (
+        SELECT n_nationkey AS seg_id,
+          (n_nationkey % 5) * 200 AS ax, ((n_nationkey * 7) % 5) * 200 AS ay,
+          ((n_nationkey + 2) % 5) * 200 + 150 AS bx, ((n_nationkey * 3 + 1) % 5) * 200 + 150 AS byy
+        FROM nation),
+      proj AS (
+        SELECT s.seg_id,
+          p.px, p.py, s.ax, s.ay, s.bx, s.byy,
+          least(greatest(
+            CAST((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.byy - s.ay) AS DOUBLE)
+              / ((s.bx - s.ax) * (s.bx - s.ax) + (s.byy - s.ay) * (s.byy - s.ay)),
+            0.0), 1.0) AS t
+        FROM pts p CROSS JOIN segs s),
+      dists AS (
+        SELECT seg_id,
+          sqrt((px - (ax + t * (bx - ax))) * (px - (ax + t * (bx - ax)))
+             + (py - (ay + t * (byy - ay))) * (py - (ay + t * (byy - ay)))) AS dp
+        FROM proj),
+      near AS (
+        SELECT seg_id, count(*) AS n_pts,
+          CAST(sum(CASE WHEN dp <= 120.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+          round(min(dp), 6) AS min_dist,
+          CAST(sum(CAST(round(dp * 1000000) AS BIGINT)) AS BIGINT) AS dist_micro_sum
+        FROM dists GROUP BY seg_id),
+      pairs AS (
+        SELECT s1.seg_id,
+          s1.ax, s1.ay, (s1.bx - s1.ax) AS d1x, (s1.byy - s1.ay) AS d1y,
+          (s2.ax - s1.ax) * (s2.byy - s2.ay) - (s2.ay - s1.ay) * (s2.bx - s2.ax) AS tn,
+          (s2.ax - s1.ax) * (s1.byy - s1.ay) - (s2.ay - s1.ay) * (s1.bx - s1.ax) AS un,
+          (s1.bx - s1.ax) * (s2.byy - s2.ay) - (s1.byy - s1.ay) * (s2.bx - s2.ax) AS dn
+        FROM segs s1 CROSS JOIN segs s2
+        WHERE s1.seg_id <> s2.seg_id),
+      hits AS (
+        SELECT seg_id,
+          ax + (CAST(tn AS DOUBLE) / dn) * d1x AS ix,
+          ay + (CAST(tn AS DOUBLE) / dn) * d1y AS iy
+        FROM pairs
+        WHERE (dn > 0 AND tn BETWEEN 0 AND dn AND un BETWEEN 0 AND dn)
+           OR (dn < 0 AND tn BETWEEN dn AND 0 AND un BETWEEN dn AND 0)),
+      x AS (
+        SELECT seg_id, count(*) AS n_crossings,
+          CAST(sum(CAST(round(ix * 1000000) AS BIGINT)
+                 + CAST(round(iy * 1000000) AS BIGINT)) AS BIGINT) AS interpt_micro_sum
+        FROM hits GROUP BY seg_id)
+      SELECT n.seg_id, n.n_pts, n.n_near, n.min_dist, n.dist_micro_sum,
+        CAST(coalesce(x.n_crossings, 0) AS BIGINT) AS n_crossings,
+        CAST(coalesce(x.interpt_micro_sum, 0) AS BIGINT) AS interpt_micro_sum
+      FROM near n LEFT JOIN x ON n.seg_id = x.seg_id
+      ORDER BY n.seg_id"""
 
   /** Even-odd crossing count for the fixed 7-gon, as SQL text shared by
     * both engines (px/py are the point columns). An edge (xi,yi)-(xj,yj)
@@ -213,6 +288,8 @@ object Geo {
   }
 
   def oracle: Map[String, String] = Map(
+    "g07_lseg_ops" -> g07Sql,
+
     "g05_point_in_polygon" -> s"""
       WITH pts AS (
         SELECT c_custkey, c_nationkey,
