@@ -65,6 +65,38 @@ object Identifiers {
         .withColumn("h", md5(concat(lit("graft-ns:doc-"), col("doc_id").cast("string"))))
         .select(col("doc_id"), expr(uuidExpr).as("uuid3"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- id01: sequence / nextval — distributed DENSE id allocation
+    //    (CREATE SEQUENCE + nextval, `src/backend/commands/sequence.c`;
+    //    GP grants each segment a preallocated RANGE from the sequence
+    //    server so executors never serialize on a counter). The 100 TB
+    //    shape for "number every row densely in a deterministic order"
+    //    WITHOUT a global sort: (1) range-bucket rows by the first hex
+    //    digit of their order key's md5 — a lexicographic PREFIX of the
+    //    global order, so buckets are contiguous id ranges (16
+    //    "segments"); (2) per-bucket counts partial-agg map-side to 16
+    //    rows whose running sum is each bucket's range START (the
+    //    sequence-server grant; ch02's distributed prefix sum); (3) a
+    //    bucket-partitioned window numbers rows inside their grant.
+    //    The ONLY corpus-wide window partitions by bucket — the
+    //    single-partition window lives on the 16-row grant relation.
+    //    Oracle: the same ids via one global row_number --
+    "id01_sequence_alloc" -> { (s, dir) =>
+      val w16 = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("b")).orderBy(col("h"), col("o_orderkey"))
+      val rows = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("h"))
+        .withColumn("b", substring(col("h"), 1, 1))
+      val grants = rows.groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum(col("n")).over(w16), lit(0L)))
+        .select(col("b"), col("off"))
+      rows.join(broadcast(grants), Seq("b"))
+        .withColumn("seq_id", (col("off") + row_number().over(wb)).cast("long"))
+        .select(col("o_orderkey"), col("seq_id"))
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -91,6 +123,14 @@ object Identifiers {
         SELECT doc_id, md5('graft-ns:doc-' || CAST(doc_id AS VARCHAR)) AS h
         FROM documents WHERE doc_id <= 200)
       SELECT doc_id, $uuidExpr AS uuid3
-      FROM src ORDER BY doc_id"""
+      FROM src ORDER BY doc_id""",
+
+    // the distributed two-phase allocation must equal one global
+    // row_number over the same deterministic order
+    "id01_sequence_alloc" -> """
+      SELECT o_orderkey,
+        CAST(row_number() OVER (
+          ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS BIGINT) AS seq_id
+      FROM orders ORDER BY o_orderkey"""
   )
 }

@@ -234,8 +234,67 @@ object Ml {
         .select(col("q_id"), col("true_label"), col("c_label").as("pred_label"),
           col("votes"), (col("c_label") === col("true_label")).as("correct"))
         .orderBy(col("q_id"))
+    },
+
+    // -- ml07: decision-stump training — exact-integer Gini split
+    //    search over map-side censuses (shared text; see StumpSql) --
+    "ml07_decision_stump" -> { (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.sql(StumpSql)
     }
   )
+
+  /** ml07: decision-stump training (one-level CART — MADlib's
+    * tree_train depth-1 case; the split-search census is the kernel
+    * every tree level runs). Shared Spark/DuckDB text. The search is
+    * EXACT: per (feature, bin) label censuses roll up map-side (the
+    * only corpus shuffle — ≤ 12+16 rows move), running sums over the
+    * tiny census give each candidate split's left/right label counts
+    * in BIGINTs, and the weighted Gini impurity is three IEEE
+    * divisions over those exact integers — identical in both engines,
+    * so the argmin (ties broken by feature, bin) is deterministic.
+    * At 100 TB: one linear scan, census-sized everything after. */
+  private val StumpSql = """
+    WITH f AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 5000000.0) AS BIGINT) AS price_bin,
+        CAST(o_custkey % 16 AS BIGINT) AS cust_bin
+      FROM orders),
+    census AS (
+      SELECT 'price_bin' AS feature, price_bin AS v,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM f GROUP BY 2
+      UNION ALL
+      SELECT 'cust_bin' AS feature, cust_bin AS v,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM f GROUP BY 2),
+    tot AS (
+      SELECT feature, CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS post
+      FROM census GROUP BY feature),
+    run AS (
+      SELECT feature, v,
+        CAST(sum(n) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS nl,
+        CAST(sum(pos) OVER (PARTITION BY feature ORDER BY v) AS BIGINT) AS al
+      FROM census),
+    split AS (
+      SELECT r.feature, r.v AS threshold, r.nl, t.nt - r.nl AS nr,
+        r.al AS a_l, r.nl - r.al AS b_l,
+        t.post - r.al AS a_r, (t.nt - r.nl) - (t.post - r.al) AS b_r
+      FROM run r JOIN tot t ON r.feature = t.feature
+      WHERE r.nl > 0 AND t.nt - r.nl > 0),
+    scored AS (
+      SELECT feature, threshold, nl, nr,
+        (CAST(nl AS DOUBLE) - CAST(a_l * a_l + b_l * b_l AS DOUBLE) / nl
+       + CAST(nr AS DOUBLE) - CAST(a_r * a_r + b_r * b_r AS DOUBLE) / nr)
+          / (nl + nr) AS gini,
+        CASE WHEN 2 * a_l > nl THEN 1 ELSE 0 END AS left_pred,
+        CASE WHEN 2 * a_r > nr THEN 1 ELSE 0 END AS right_pred
+      FROM split)
+    SELECT feature, threshold, nl, nr, round(gini, 9) AS gini,
+      left_pred, right_pred
+    FROM scored
+    ORDER BY gini, feature, threshold
+    LIMIT 5"""
 
   /** Shared Spark/DuckDB text: 24×16 A from part, 16×12 B from supplier,
     * both as deduplicated COO triples; C = A·B via join-on-k + (i,j) agg. */
@@ -288,6 +347,7 @@ object Ml {
 
   def oracle: Map[String, String] = Map(
     "ml01_linreg" -> LinregSql,
+    "ml07_decision_stump" -> StumpSql,
 
     // Identical integer micro-nat algebra; row_number DESC-score,
     // ASC-class ≙ the Spark min(struct(-score, c)) argmax.

@@ -91,6 +91,35 @@ object Recursive {
       SELECT depth, count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key
       FROM tree GROUP BY depth ORDER BY depth"""
 
+  /** r10: BOM explosion + cost rollup — THE canonical WITH RECURSIVE
+    * workload (PG docs' bill-of-materials example; the reference runs
+    * it through the same UnionLoop plan r03 exercises). The part
+    * forest is synthesized arithmetically: parent(p) = ⌊p/4⌋, roots
+    * 1–3, per-edge assembly quantity (p % 3) + 1. The recursion
+    * carries the PATH-PRODUCT multiplier (quantity folding down the
+    * tree — the part a BOM query can't express without recursion) in
+    * exact BIGINTs (≤ 3^depth), costs in cents; the rollup is one
+    * group-by over the explosion. O(depth) worktable joins, each an
+    * equi-join on the derived parent key — never a path self-join. */
+  private val r10Sql = """
+      WITH RECURSIVE parts AS (
+        SELECT p_partkey,
+          CAST(floor(p_partkey / 4.0) AS BIGINT) AS parent,
+          CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part),
+      bom(root, part, mult, depth, cents) AS (
+        SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0, cents
+        FROM parts WHERE p_partkey <= 3
+        UNION ALL
+        SELECT b.root, c.p_partkey, b.mult * ((c.p_partkey % 3) + 1),
+          b.depth + 1, c.cents
+        FROM parts c JOIN bom b ON c.parent = b.part
+        WHERE c.p_partkey > 3)
+      SELECT root, count(*) AS n_parts, max(depth) AS max_depth,
+        CAST(max(mult) AS BIGINT) AS max_mult,
+        CAST(sum(mult * cents) AS BIGINT) AS total_cents
+      FROM bom GROUP BY root ORDER BY root"""
+
   /** r06: degree-oriented triangle count, one text for both engines.
     * Edges u < v always (the pair join enforces it), so orientation
     * only compares (degree, id). */
@@ -264,6 +293,13 @@ object Recursive {
     "r03_recursive_sql" -> { (s, dir) =>
       Tables.register(s, dir)
       s.sql(r03Sql)
+    },
+
+    // -- r10: BOM explosion + cost rollup on native recursive SQL
+    //    (shared text; see r10Sql) --
+    "r10_bom_rollup" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(r10Sql)
     },
 
     // -- r06: triangle counting over the part co-purchase graph — the
@@ -567,6 +603,7 @@ object Recursive {
     // identical text to the Spark run — both engines execute the same
     // recursive union
     "r03_recursive_sql" -> r03Sql,
+    "r10_bom_rollup" -> r10Sql,
     "r09_search_order" -> r09Sql,
     "r06_triangle_count" -> r06Sql,
     "cb01_connectby" -> cb01Sql,

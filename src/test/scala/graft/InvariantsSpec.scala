@@ -681,4 +681,22 @@ class InvariantsSpec extends AnyFunSuite {
         r.getAs[Long]("n_frames").toDouble / r.getAs[Long]("n_scenes")) < 1e-5)
     }
   }
+
+  test("id01: ids are dense 1..N and the assignment is parallelism-invariant") {
+    val base = q("id01_sequence_alloc").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = base.map(_._2).sorted
+    assert(ids.toSeq == (1L to ids.length.toLong),
+      s"sequence must be dense 1..N, got ${ids.take(5).toSeq}…${ids.takeRight(3).toSeq}")
+    // the sequence-server contract: a different cluster parallelism must
+    // grant the SAME ids (allocation is a pure function of the data)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val again = q("id01_sequence_alloc").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(again.toMap == base.toMap,
+        "id assignment drifted under a different partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
 }

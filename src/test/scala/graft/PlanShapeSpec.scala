@@ -1041,6 +1041,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("id01: corpus-wide numbering window partitions by bucket; grants broadcast") {
+    val p = plan("id01_sequence_alloc").split("== Initial Plan ==")(0)
+    // the row_number over the corpus must ride the bucket partitioning —
+    // a single-partition corpus window would serialize 100 TB on one task
+    assert(p.contains("windowspecdefinition(b#") ||
+           p.contains("windowspecdefinition(b "),
+      s"corpus window must partition by the range bucket:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 16-row grant relation must broadcast:\n$p")
+  }
+
   test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
     for (q <- Seq("f12_websearch", "t21_word_entropy")) {
       val p = plan(q)
