@@ -139,6 +139,77 @@ object GpDdl {
     table
   }
 
+  // ---------------------------------------------------------------
+  // External tables — `CREATE EXTERNAL TABLE … LOCATION (…) FORMAT
+  // 'CSV' (…) SEGMENT REJECT LIMIT …` (gram.y:7195): the other DDL a
+  // migrating user types on day one. The translation target is the
+  // existing tolerant-CSV source (CsvSreh — PERMISSIVE parse, reject
+  // accounting, loud failure past the declared limit, exactly gpfdist's
+  // sreh contract).
+  // ---------------------------------------------------------------
+
+  case class ExternalDef(name: String, ddlSchema: String, locations: Seq[String],
+      delimiter: String, header: Boolean, rejectLimit: Option[(Long, Boolean)])
+
+  private val ExtRe =
+    """(?is)^\s*CREATE\s+(?:READABLE\s+)?EXTERNAL\s+TABLE\s+(\w+)\s*\((.*?)\)\s*LOCATION\s*\(([^)]*)\)\s*FORMAT\s+'CSV'(?:\s*\(([^)]*)\))?(.*)$""".r
+  private val RejectRe =
+    """(?is)SEGMENT\s+REJECT\s+LIMIT\s+(\d+)\s+(ROWS|PERCENT)""".r
+  private val DelimRe = """(?is)DELIMITER\s+'([^']*)'""".r
+
+  def parseExternal(ddl: String): ExternalDef = ddl match {
+    case ExtRe(name, colList, locs, fmtOpts, rest) =>
+      val schema = colList.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+        val parts = c.split("\\s+", 2)
+        require(parts.length == 2, s"ddl: bad column def '$c'")
+        // PG type names Spark's DDL parser doesn't know
+        val ty = parts(1).toUpperCase match {
+          case "TEXT" => "STRING"
+          case "FLOAT8" | "DOUBLE PRECISION" => "DOUBLE"
+          case "INT8" => "BIGINT"
+          case "INT4" => "INT"
+          case other => other
+        }
+        s"${parts(0).toLowerCase} $ty"
+      }.mkString(", ")
+      val locations = locs.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+        .filter(_.nonEmpty).toSeq
+      require(locations.nonEmpty, "ddl: external table needs at least one LOCATION")
+      val opts = Option(fmtOpts).getOrElse("")
+      val delim = DelimRe.findFirstMatchIn(opts).map(_.group(1)).getOrElse(",")
+      val header = "(?i)HEADER".r.findFirstIn(opts).isDefined
+      val reject = RejectRe.findFirstMatchIn(rest).map(m =>
+        (m.group(1).toLong, m.group(2).equalsIgnoreCase("PERCENT")))
+      ExternalDef(name.toLowerCase, schema, locations, delim, header, reject)
+    case _ => throw new IllegalArgumentException(
+      "ddl: expected CREATE EXTERNAL TABLE name (cols...) LOCATION ('uri', ...) FORMAT 'CSV'")
+  }
+
+  /** Read through the declared external table: tolerant CSV parse with
+    * sreh reject accounting; a declared SEGMENT REJECT LIMIT that the
+    * data exceeds throws (gpfdist's abort contract). Returns (good
+    * rows, n_good, n_rejected). */
+  def readExternal(s: SparkSession, ddl: String): (DataFrame, Long, Long) = {
+    val ed = parseExternal(ddl)
+    val paths = ed.locations.map(_.stripPrefix("file://"))
+    val withCorrupt = ed.ddlSchema + ", _corrupt STRING"
+    val raw = s.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("sep", ed.delimiter)
+      .option("header", ed.header.toString)
+      .csv(paths: _*)
+      .cache()
+    val nBad = raw.filter(col("_corrupt").isNotNull).count()
+    val nAll = raw.count()
+    ed.rejectLimit.foreach { case (lim, isPercent) =>
+      val limit = if (isPercent) nAll * lim / 100 else lim
+      if (nBad > limit)
+        throw new graft.sources.CsvSreh.RejectLimitExceeded(nBad, limit)
+    }
+    (raw.filter(col("_corrupt").isNull).drop("_corrupt"), nAll - nBad, nBad)
+  }
+
   /** The ddl01 declaration: the canonical migrated-fact-table DDL —
     * hash-distributed on the order key, month-range partitioned over
     * 1997 with a default partition catching the out-of-range years. */
@@ -162,7 +233,46 @@ object GpDdl {
     create(s, OrdersDdl, Tables.df(s, dir, "orders"), dir)
   }
 
+  /** Build-once CSV behind ddl02's LOCATION: orders rendered as text
+    * with a deterministic malformed-cents rule (c01's discipline), so
+    * the sreh accounting is oracle-checkable. */
+  private def externalCsvPath(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"target/derived/$tag/ext_orders_csv"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      Tables.df(s, dir, "orders").select(concat_ws(",",
+        col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 3, lit("notanumber"))
+          .otherwise(expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("string")),
+        col("o_orderstatus")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(path)
+    }
+    path
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- ddl02: external-table DDL text (gram.y:7195) — LOCATION +
+    //    FORMAT 'CSV' + SEGMENT REJECT LIMIT parsed from the statement
+    //    and translated onto the tolerant CSV source: PERMISSIVE parse,
+    //    per-row reject accounting, loud abort past the declared limit
+    //    (the gpfdist sreh contract; the exceeded path is spec-tested).
+    //    The planted malformed rows (key % 10 = 3) reject; the load
+    //    report carries both the per-status rollup of what loaded and
+    //    the totals a COPY log would print --
+    "ddl02_external_table" -> { (s, dir) =>
+      val path = new java.io.File(externalCsvPath(s, dir)).getAbsolutePath
+      val ddl = s"""CREATE READABLE EXTERNAL TABLE ext_orders (
+          o_orderkey BIGINT, cents BIGINT, o_orderstatus TEXT)
+        LOCATION ('file://$path')
+        FORMAT 'CSV' (DELIMITER ',')
+        SEGMENT REJECT LIMIT 15 PERCENT"""
+      val (good, nGood, nBad) = readExternal(s, ddl)
+      good.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        .withColumn("n_loaded", lit(nGood))
+        .withColumn("n_rejected", lit(nBad))
+        .orderBy(col("o_orderstatus"))
+    },
     // -- ddl01: DDL-text round trip — the declared layout answers the
     //    peak-season revenue question with partition pruning doing the
     //    data elimination (DPP via the month dim; the default partition
@@ -185,6 +295,26 @@ object GpDdl {
   )
 
   def oracle: Map[String, String] = Map(
+    // the malformed rule is deterministic, so the oracle re-derives both
+    // the surviving rollup and the reject accounting from the raw table
+    "ddl02_external_table" -> """
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      tot AS (
+        SELECT count(CASE WHEN o_orderkey % 10 <> 3 THEN 1 END) AS n_loaded,
+               count(CASE WHEN o_orderkey % 10 = 3 THEN 1 END) AS n_rejected
+        FROM src)
+      SELECT o_orderstatus, count(*) AS n_rows,
+        CAST(sum(cents) AS BIGINT) AS cents_sum,
+        CAST(t.n_loaded AS BIGINT) AS n_loaded,
+        CAST(t.n_rejected AS BIGINT) AS n_rejected
+      FROM src CROSS JOIN tot t
+      WHERE o_orderkey % 10 <> 3
+      GROUP BY o_orderstatus, t.n_loaded, t.n_rejected
+      ORDER BY o_orderstatus""",
+
     // re-derives the routed partition labels from the raw table: peak
     // months are the dim's 1997-06..08; out-of-1997 rows land in the
     // default partition and can never match a month label

@@ -84,6 +84,43 @@ class GpDdlSpec extends AnyFunSuite {
       s"expected PG's no-partition-found contract, got: $e")
   }
 
+  test("external DDL: LOCATION / FORMAT / SEGMENT REJECT LIMIT parse; PG type mapping") {
+    val ed = GpDdl.parseExternal(
+      """CREATE READABLE EXTERNAL TABLE t (a BIGINT, b TEXT, c FLOAT8)
+         LOCATION ('file:///x/part1.csv', 'file:///x/part2.csv')
+         FORMAT 'CSV' (DELIMITER '|' HEADER)
+         SEGMENT REJECT LIMIT 10 ROWS""")
+    assert(ed.name == "t" && ed.ddlSchema == "a BIGINT, b STRING, c DOUBLE")
+    assert(ed.locations == Seq("file:///x/part1.csv", "file:///x/part2.csv"))
+    assert(ed.delimiter == "|" && ed.header)
+    assert(ed.rejectLimit.contains((10L, false)))
+    val pct = GpDdl.parseExternal(
+      """CREATE EXTERNAL TABLE p (a BIGINT) LOCATION ('file:///y')
+         FORMAT 'CSV' SEGMENT REJECT LIMIT 15 PERCENT""")
+    assert(pct.rejectLimit.contains((15L, true)) && pct.delimiter == ",")
+    intercept[IllegalArgumentException] {
+      GpDdl.parseExternal("CREATE EXTERNAL TABLE t (a BIGINT) FORMAT 'CSV'")
+    }
+  }
+
+  test("external DDL: data past the declared reject limit aborts the load (sreh contract)") {
+    val dirF = new java.io.File("target/tmp/ext_abort"); dirF.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/tmp/ext_abort/data.csv"),
+      "1,10\n2,bad\n3,30\n4,worse\n".getBytes("UTF-8"))
+    val ddl = s"""CREATE EXTERNAL TABLE abortive (k BIGINT, v BIGINT)
+      LOCATION ('file://${dirF.getAbsolutePath}/data.csv')
+      FORMAT 'CSV' SEGMENT REJECT LIMIT 1 ROWS"""
+    val e = intercept[graft.sources.CsvSreh.RejectLimitExceeded] {
+      GpDdl.readExternal(spark, ddl)
+    }
+    assert(e.nBad == 2 && e.limit == 1)
+    // the same data under a permissive-enough limit loads the good rows
+    val ok = ddl.replace("LIMIT 1 ROWS", "LIMIT 50 PERCENT")
+    val (good, nGood, nBad) = GpDdl.readExternal(spark, ok)
+    assert(nGood == 2 && nBad == 2 && good.count() == 2)
+  }
+
   test("layout: ensureOrders yields one directory per 1997 month plus the default") {
     val tbl = GpDdl.ensureOrders(spark, Sf)
     val parts = spark.table(tbl).select("o_orderdate_prt").distinct()
