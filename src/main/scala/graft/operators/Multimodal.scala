@@ -316,6 +316,48 @@ object Multimodal {
           round(sum(col("scene_len")).cast("double") / count(lit(1)), 6)
             .as("mean_scene_len"))
         .orderBy(col("doc_id"))
+    },
+
+    // -- m09: SCENE-AWARE frame sampling — the consumer m08's scene
+    //    detection exists for (PySceneDetect save_images: k
+    //    representative frames PER SCENE, first/middle/last, instead of
+    //    a fixed stride that oversamples long static shots and misses
+    //    short ones). Picks per scene: start, start + (len−1) div 2,
+    //    start + len − 1, deduplicated for short scenes. The pick set
+    //    joins BACK to the frame relation on (doc_id, f) — an equi-join,
+    //    so the full frame payloads never travel through the windows —
+    //    and the sampled-feature sum is exact BIGINT arithmetic both
+    //    engines replay. Same scale shape as m08: doc-partitioned
+    //    windows, one explode, one equi-join --
+    "m09_scene_frame_sample" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("f"))
+      val frames = Tables.df(s, dir, "documents")
+        .filter(col("n_chars") >= 64)
+        .select(col("doc_id"),
+          posexplode(expr("frame_sums(text, 16)")).as(Seq("f", "feat")))
+        .localCheckpoint(true) // spooled: windows AND the pick join read it
+      val scenes = frames
+        .withColumn("prev", lag(col("feat"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev").isNull || abs(col("feat") - col("prev")) > 40, 1L)
+            .otherwise(0L))
+        .withColumn("scene", sum(col("cut")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("scene"))
+        .agg(min(col("f")).as("s0"), count(lit(1)).as("len"))
+      val picks = scenes.select(col("doc_id"), col("scene"),
+          explode(expr(
+            """array_distinct(array(CAST(s0 AS INT),
+                 CAST(s0 + (len - 1) div 2 AS INT),
+                 CAST(s0 + len - 1 AS INT)))""")).as("f"))
+      picks.join(frames, Seq("doc_id", "f"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("scene")).as("n_scenes"),
+          count(lit(1)).as("n_sampled"),
+          sum(col("feat")).as("sampled_feat_sum"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -461,6 +503,44 @@ object Multimodal {
         FROM documents
         WHERE octet_length(encode(text)) >= 16)
       ORDER BY doc_id, frame_no""",
+
+    // the pick rule (first / middle / last frame of each scene,
+    // deduplicated) replayed over the same scene derivation as m08
+    "m09_scene_frame_sample" -> """
+      WITH frames AS (
+        SELECT doc_id, f,
+          list_sum(list_transform(generate_series(1, 16),
+            i -> CAST(ascii(substring(text, CAST(f * 16 + i AS INT), 1)) AS BIGINT)))
+            AS feat
+        FROM (SELECT doc_id, text,
+                unnest(generate_series(0, CAST(n_chars // 16 AS INT) - 1)) AS f
+              FROM documents WHERE n_chars >= 64) t),
+      cuts AS (
+        SELECT doc_id, f, feat,
+          CASE WHEN lag(feat) OVER (PARTITION BY doc_id ORDER BY f) IS NULL
+                 OR abs(feat - lag(feat) OVER (PARTITION BY doc_id ORDER BY f)) > 40
+               THEN 1 ELSE 0 END AS cut
+        FROM frames),
+      scn AS (
+        SELECT doc_id, f,
+          sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+        FROM cuts),
+      scenes AS (
+        SELECT doc_id, scene, min(f) AS s0, count(*) AS len
+        FROM scn GROUP BY doc_id, scene),
+      picks AS (
+        SELECT doc_id, scene,
+          unnest(list_distinct([CAST(s0 AS INT),
+            CAST(s0 + (len - 1) // 2 AS INT),
+            CAST(s0 + len - 1 AS INT)])) AS f
+        FROM scenes)
+      SELECT p.doc_id,
+        count(DISTINCT p.scene) AS n_scenes,
+        count(*) AS n_sampled,
+        CAST(sum(fr.feat) AS BIGINT) AS sampled_feat_sum
+      FROM picks p JOIN frames fr ON p.doc_id = fr.doc_id AND p.f = fr.f
+      GROUP BY p.doc_id ORDER BY p.doc_id""",
 
     "m08_scene_cuts" -> """
       WITH frames AS (
