@@ -54,7 +54,7 @@ object Scaling {
     * long-doc corpus ships nothing else). */
   val LenTargets: Seq[String] = Seq(
     "m02_media_features", "m04_resize", "m05_phash_neardup",
-    "m06_energy_segments", "m08_scene_cuts",
+    "m06_energy_segments", "m08_scene_cuts", "m09_scene_frame_sample",
     "d12_line_dedup", "d13_winnowing",
     "f14_porter_stems", "f15_stemmed_rank", "f16_phrase_distance",
     "fz03_strict_word_sml",

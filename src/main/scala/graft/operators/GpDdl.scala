@@ -210,6 +210,72 @@ object GpDdl {
     (raw.filter(col("_corrupt").isNull).drop("_corrupt"), nAll - nBad, nBad)
   }
 
+  // ---------------------------------------------------------------
+  // Partition maintenance — `ALTER TABLE … ADD/DROP/TRUNCATE/EXCHANGE
+  // PARTITION` (gram.y's AlterPartitionCmd family): the lifecycle
+  // statements a GP operator runs nightly. On the hive month layout
+  // these are DIRECTORY operations (p05's scale argument: "older than
+  // cutoff" is a directory selection, not a data filter) — DROP removes
+  // the partition directory, TRUNCATE empties it, EXCHANGE swaps its
+  // contents with a staged table's rows, ADD creates the (empty)
+  // directory. Each touches exactly one partition's files; the rest of
+  // a 100 TB table is never read.
+  // ---------------------------------------------------------------
+
+  sealed trait AlterOp { def table: String; def forValue: String }
+  case class AddPart(table: String, forValue: String) extends AlterOp
+  case class DropPart(table: String, forValue: String) extends AlterOp
+  case class TruncatePart(table: String, forValue: String) extends AlterOp
+  case class ExchangePart(table: String, forValue: String, withTable: String) extends AlterOp
+
+  private val AlterDropRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(DROP|TRUNCATE)\s+PARTITION\s+FOR\s*\(\s*'([^']*)'\s*\)\s*$""".r
+  private val AlterAddRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+PARTITION\s+START\s*\(\s*'([^']*)'\s*\).*$""".r
+  private val AlterExchRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+EXCHANGE\s+PARTITION\s+FOR\s*\(\s*'([^']*)'\s*\)\s+WITH\s+TABLE\s+(\w+)\s*$""".r
+
+  def parseAlter(ddl: String): AlterOp = ddl match {
+    case AlterDropRe(t, kind, v) =>
+      if (kind.equalsIgnoreCase("DROP")) DropPart(t.toLowerCase, v)
+      else TruncatePart(t.toLowerCase, v)
+    case AlterExchRe(t, v, w) => ExchangePart(t.toLowerCase, v, w.toLowerCase)
+    case AlterAddRe(t, v) => AddPart(t.toLowerCase, v)
+    case _ => throw new IllegalArgumentException(
+      s"ddl: unsupported ALTER TABLE partition statement: $ddl")
+  }
+
+  /** Apply a partition-maintenance statement to a hive-layout table at
+    * `basePath` whose partition column is `partCol`; `route` maps the
+    * FOR value to its partition label (the same routing CREATE used).
+    * `stages` resolves EXCHANGE's staged tables. */
+  def applyAlter(s: SparkSession, ddl: String, basePath: String, partCol: String,
+      route: String => String, stages: Map[String, DataFrame] = Map.empty): AlterOp = {
+    val op = parseAlter(ddl)
+    val dirF = new java.io.File(basePath, s"$partCol=${route(op.forValue)}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    op match {
+      case _: AddPart => dirF.mkdirs()
+      case _: DropPart =>
+        require(dirF.exists(), s"ddl: partition for '${op.forValue}' does not exist")
+        rm(dirF)
+      case _: TruncatePart =>
+        require(dirF.exists(), s"ddl: partition for '${op.forValue}' does not exist")
+        dirF.listFiles().foreach(rm)
+      case ExchangePart(_, _, w) =>
+        val stage = stages.getOrElse(w, throw new IllegalArgumentException(
+          s"ddl: EXCHANGE references unknown table '$w'"))
+        // the staged relation becomes the partition's contents (written
+        // WITHOUT the partition column — the directory name carries it)
+        stage.drop(partCol).write.mode("overwrite").parquet(dirF.getAbsolutePath)
+        new java.io.File(dirF, "_SUCCESS").delete()
+    }
+    op
+  }
+
   /** The ddl01 declaration: the canonical migrated-fact-table DDL —
     * hash-distributed on the order key, month-range partitioned over
     * 1997 with a default partition catching the out-of-range years. */
@@ -273,6 +339,42 @@ object GpDdl {
         .withColumn("n_rejected", lit(nBad))
         .orderBy(col("o_orderstatus"))
     },
+    // -- ddl03: partition-maintenance ALTER statements — a nightly
+    //    lifecycle script (DROP a bad month, TRUNCATE another, EXCHANGE
+    //    a restated month with its staged correction) parsed from DDL
+    //    text and applied as directory operations on the month-hive
+    //    layout. The scratch table rebuilds from source each run so the
+    //    script is idempotent; the read-back rollup proves exactly the
+    //    declared months changed and every other partition's bytes were
+    //    never touched --
+    "ddl03_partition_maintenance" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/derived/$tag/ddl03_orders"
+      val monthOf: String => String = d => d.substring(0, 7)
+      // rebuild the scratch table (fresh every run → idempotent script)
+      Tables.df(s, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(base)
+      // staged correction: June 1997 restated at 90% of price
+      val stage = Tables.df(s, dir, "orders")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") === "1997-06")
+        .withColumn("o_totalprice", col("o_totalprice") * 0.9)
+        .withColumn("o_month", lit("1997-06"))
+      applyAlter(s, "ALTER TABLE ddl03_orders DROP PARTITION FOR ('1997-02-14')",
+        base, "o_month", monthOf)
+      applyAlter(s, "ALTER TABLE ddl03_orders TRUNCATE PARTITION FOR ('1997-04-01')",
+        base, "o_month", monthOf)
+      applyAlter(s,
+        "ALTER TABLE ddl03_orders EXCHANGE PARTITION FOR ('1997-06-01') WITH TABLE stage",
+        base, "o_month", monthOf, Map("stage" -> stage))
+      s.read.parquet(base)
+        .filter(col("o_month").between("1997-01", "1997-12"))
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+        .orderBy(col("o_month"))
+    },
+
     // -- ddl01: DDL-text round trip — the declared layout answers the
     //    peak-season revenue question with partition pruning doing the
     //    data elimination (DPP via the month dim; the default partition
@@ -295,6 +397,20 @@ object GpDdl {
   )
 
   def oracle: Map[String, String] = Map(
+    // the maintenance script's effects re-derived from the raw table:
+    // Feb dropped, Apr truncated (both vanish from the rollup), Jun
+    // restated at 90%, every other 1997 month untouched
+    "ddl03_partition_maintenance" -> """
+      SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        count(*) AS n_orders,
+        CAST(sum(CAST(round(CASE WHEN strftime(o_orderdate, '%Y-%m') = '1997-06'
+                                 THEN o_totalprice * 0.9 ELSE o_totalprice END * 100)
+                 AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1997-01' AND '1997-12'
+        AND strftime(o_orderdate, '%Y-%m') NOT IN ('1997-02', '1997-04')
+      GROUP BY 1 ORDER BY 1""",
+
     // the malformed rule is deterministic, so the oracle re-derives both
     // the surviving rollup and the reject accounting from the raw table
     "ddl02_external_table" -> """

@@ -121,6 +121,35 @@ class GpDdlSpec extends AnyFunSuite {
     assert(nGood == 2 && nBad == 2 && good.count() == 2)
   }
 
+  test("ALTER partition statements parse; ADD creates the directory; unknown forms fail loudly") {
+    assert(GpDdl.parseAlter(
+      "ALTER TABLE t DROP PARTITION FOR ('1997-02-14')") ==
+      GpDdl.DropPart("t", "1997-02-14"))
+    assert(GpDdl.parseAlter(
+      "alter table T truncate partition for ('1997-04-01')") ==
+      GpDdl.TruncatePart("t", "1997-04-01"))
+    assert(GpDdl.parseAlter(
+      "ALTER TABLE t EXCHANGE PARTITION FOR ('1997-06-01') WITH TABLE stg") ==
+      GpDdl.ExchangePart("t", "1997-06-01", "stg"))
+    assert(GpDdl.parseAlter(
+      "ALTER TABLE t ADD PARTITION START ('1998-01-01') END ('1998-02-01')") ==
+      GpDdl.AddPart("t", "1998-01-01"))
+    intercept[IllegalArgumentException] {
+      GpDdl.parseAlter("ALTER TABLE t SPLIT PARTITION FOR ('x') AT ('y')")
+    }
+    // ADD on the hive layout creates the (empty) partition directory;
+    // DROP on a missing partition is a loud error, not a silent no-op
+    val base = new java.io.File("target/tmp/ddl_alter_add"); base.mkdirs()
+    GpDdl.applyAlter(spark,
+      "ALTER TABLE t ADD PARTITION START ('1998-01-01') END ('1998-02-01')",
+      base.getAbsolutePath, "o_month", _.substring(0, 7))
+    assert(new java.io.File(base, "o_month=1998-01").isDirectory)
+    intercept[IllegalArgumentException] {
+      GpDdl.applyAlter(spark, "ALTER TABLE t DROP PARTITION FOR ('2050-01-01')",
+        base.getAbsolutePath, "o_month", _.substring(0, 7))
+    }
+  }
+
   test("layout: ensureOrders yields one directory per 1997 month plus the default") {
     val tbl = GpDdl.ensureOrders(spark, Sf)
     val parts = spark.table(tbl).select("o_orderdate_prt").distinct()
