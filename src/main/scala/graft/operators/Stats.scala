@@ -270,10 +270,78 @@ object Stats {
         .select(col("bucket").cast("bigint").as("bucket"), col("lo"), col("hi"),
           col("n_rows"))
         .orderBy(col("bucket"))
+    },
+
+    // -- x09: query fingerprinting / workload normalization — the
+    //    pg_stat_statements surface (contrib/pg_stat_statements:
+    //    generate_normalized_query replaces every constant with a $n
+    //    parameter and groups executions by the resulting queryid; the
+    //    workload dashboard every operator lives in). The same
+    //    normalization, relationally: string/number literals mask to a
+    //    sentinel, the split re-joins with POSITIONAL $1..$n (not a
+    //    bare '?' — numbering is what pg_stat_statements displays), and
+    //    the rollup groups calls by fingerprint while counting distinct
+    //    raw texts. Per-row codegen'd regex + HOF fold, one census-size
+    //    shuffle — at 100 TB of query logs the shape is unchanged --
+    "x09_query_fingerprint" -> { (s, dir) =>
+      val o = Tables.df(s, dir, "orders").filter(col("o_orderkey") <= 3000)
+      val wl = o.select(concat(
+          lit("SELECT * FROM orders WHERE o_custkey = "), col("o_custkey"),
+          lit(" AND o_orderpriority = '"), col("o_orderpriority"), lit("'")).as("q"))
+        .unionAll(o.filter(col("o_orderkey") % 3 === 0).select(concat(
+          lit("SELECT count(*) FROM lineitem WHERE l_orderkey = "),
+          col("o_orderkey")).as("q")))
+        .unionAll(o.filter(col("o_orderkey") % 5 === 0).select(concat(
+          lit("UPDATE orders SET o_orderpriority = '"), col("o_orderpriority"),
+          lit("' WHERE o_orderkey = "), col("o_orderkey")).as("q")))
+      wl
+        .withColumn("masked",
+          regexp_replace(col("q"), "('[^']*')|(\\b[0-9]+\\b)", "\u0001"))
+        .withColumn("parts", split(col("masked"), "\u0001", -1))
+        .withColumn("query", expr(
+          """concat(element_at(parts, 1),
+               aggregate(sequence(1, size(parts) - 1), '',
+                 (acc, i) -> concat(acc, '$', CAST(i AS STRING),
+                                    element_at(parts, i + 1))))"""))
+        .groupBy(col("query"))
+        .agg(count(lit(1)).as("n_calls"), countDistinct(col("q")).as("n_texts"))
+        .select(md5(col("query").cast("binary")).as("queryid"), col("query"),
+          col("n_calls"), col("n_texts"))
+        .orderBy(col("query"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    // the identical mask → split → $n-rejoin normalization, re-derived
+    // with DuckDB's regex/list primitives
+    "x09_query_fingerprint" -> """
+      WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 3000),
+      wl AS (
+        SELECT 'SELECT * FROM orders WHERE o_custkey = ' || o_custkey ||
+               ' AND o_orderpriority = ''' || o_orderpriority || '''' AS q
+        FROM o
+        UNION ALL
+        SELECT 'SELECT count(*) FROM lineitem WHERE l_orderkey = ' || o_orderkey
+        FROM o WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'UPDATE orders SET o_orderpriority = ''' || o_orderpriority ||
+               ''' WHERE o_orderkey = ' || o_orderkey
+        FROM o WHERE o_orderkey % 5 = 0),
+      p AS (
+        SELECT q, string_split(
+          regexp_replace(q, '(''[^'']*'')|(\b[0-9]+\b)', chr(1), 'g'),
+          chr(1)) AS parts
+        FROM wl),
+      f AS (
+        SELECT q, parts[1] || coalesce(list_aggregate(
+            list_transform(generate_series(1, len(parts) - 1),
+              i -> '$' || CAST(i AS VARCHAR) || parts[i + 1]),
+            'string_agg', ''), '') AS query
+        FROM p)
+      SELECT md5(query) AS queryid, query,
+        count(*) AS n_calls, count(DISTINCT q) AS n_texts
+      FROM f GROUP BY 1, 2 ORDER BY query""",
+
     "x05_skew_audit" -> """
       WITH g AS (
         SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n
