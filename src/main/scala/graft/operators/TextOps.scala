@@ -38,6 +38,42 @@ object TextOps {
     FROM tagged GROUP BY split ORDER BY split"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- t26: DICTIONARY language ID driven by the FTS config registry —
+    //    the classic stopword-evidence classifier (every curation
+    //    pipeline's cheap first-pass langid; CLD/langdetect's prior):
+    //    each language CONFIG contributes its stoplist, a doc's language
+    //    is the config whose stopwords it hits most. Because both hit
+    //    counts share the doc's token denominator, the argmax is decided
+    //    on EXACT integer counts — no rates, no ties by rounding. Run
+    //    over the bilingual corpus (English documents ∪ f17's French
+    //    mini-corpus); the census shows the decision matrix per source.
+    //    Adding a language to the registry grows the classifier with
+    //    ZERO code changes — the registry-is-data payoff --
+    "t26_config_langid" -> { (s, dir) =>
+      import s.implicits._
+      val en = FullText.FtsConfig("english")
+      val fr = FullText.FtsConfig("french")
+      val lowToks = "filter(split(lower(text), ' '), x -> x <> '')"
+      val docs = Tables.df(s, dir, "documents")
+        .select(lit("en_corpus").as("source"), col("text"))
+        .unionByName(FullText.FrenchCorpus.toDF("doc_id", "text")
+          .select(lit("fr_corpus").as("source"), col("text")))
+      docs
+        .withColumn("en_hits", expr(
+          s"size(filter($lowToks, t -> array_contains(${en.stopArr}, t)))").cast("long"))
+        .withColumn("fr_hits", expr(
+          s"size(filter($lowToks, t -> array_contains(${fr.stopArr}, t)))").cast("long"))
+        .withColumn("pred", expr(
+          """CASE WHEN fr_hits > en_hits THEN 'french'
+                  WHEN en_hits > fr_hits THEN 'english'
+                  ELSE 'unknown' END"""))
+        .groupBy(col("source"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("en_hits")).as("en_hits_sum"),
+          sum(col("fr_hits")).as("fr_hits_sum"))
+        .orderBy(col("source"), col("pred"))
+    },
+
     // -- token counting --
     "t01_token_stats" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
@@ -667,7 +703,36 @@ object TextOps {
     }
   )
 
+  private def t26Oracle: String = {
+    val en = FullText.FtsConfig("english")
+    val fr = FullText.FtsConfig("french")
+    val frVals = FullText.FrenchCorpus
+      .map { case (_, t) => s"('fr_corpus', '$t')" }.mkString(",\n          ")
+    s"""
+      WITH corpus(source, text) AS (
+        SELECT 'en_corpus', text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+          $frVals) v(source, text)),
+      hits AS (
+        SELECT source,
+          CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+            t -> list_contains(${en.duckStopArr}, t))) AS BIGINT) AS en_hits,
+          CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+            t -> list_contains(${fr.duckStopArr}, t))) AS BIGINT) AS fr_hits
+        FROM corpus)
+      SELECT source,
+        CASE WHEN fr_hits > en_hits THEN 'french'
+             WHEN en_hits > fr_hits THEN 'english'
+             ELSE 'unknown' END AS pred,
+        count(*) AS n_docs,
+        CAST(sum(en_hits) AS BIGINT) AS en_hits_sum,
+        CAST(sum(fr_hits) AS BIGINT) AS fr_hits_sum
+      FROM hits GROUP BY 1, 2 ORDER BY source, pred"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "t26_config_langid" -> t26Oracle,
     "t15_train_split" -> TrainSplitSql,
 
     "t18_charlm_score" -> """

@@ -424,6 +424,26 @@ class StreamingSpec extends AnyFunSuite {
       "unaffected groups must carry their extremes forward unchanged")
   }
 
+  test("min/max IVM: micro-batched delete stream composes to the one-shot retraction") {
+    import graft.streaming.MinMaxIvm
+    val events = Tables.df(spark, Sf, "events")
+    val allDeleted = events.filter(col("event_id") % 7 === 0)
+    // the delete stream arrives in 3 micro-batches; state folds forward,
+    // survivors shrink batch by batch (what a foreachBatch sink sees)
+    var state = MinMaxIvm.state(events).localCheckpoint(true)
+    var removed = events.filter(lit(false))
+    for (k <- 0 to 2) {
+      val batch = allDeleted.filter(pmod(col("event_id"), lit(3)) === k)
+      removed = removed.unionByName(batch)
+      val survivors = events.exceptAll(removed)
+      val (next, _, _) = MinMaxIvm.applyRetraction(state, batch, survivors)
+      state = next.localCheckpoint(true)
+    }
+    val oneShot = MinMaxIvm.state(events.filter(col("event_id") % 7 =!= 0))
+    assert(state.exceptAll(oneShot).isEmpty && oneShot.exceptAll(state).isEmpty,
+      "3-batch retraction fold must equal the one-shot retracted state")
+  }
+
   test("IVM state merge is associative: 2-batch and 4-batch folds agree") {
     import graft.streaming.IvmMatview._
     val events = Tables.df(spark, Sf, "events")
