@@ -219,6 +219,45 @@ object Incremental {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // -- i16: INCREMENTAL ANN-index maintenance — the IVF complement of
+    //    i11's LSH probe (a vector store ingesting embeddings cannot
+    //    re-index the corpus per batch; reference analog: pgvector's
+    //    ivfflat insert path assigns each NEW vector to its nearest
+    //    list). The persisted index (vec → list, materialized like a
+    //    real index) grows by assigning ONLY the delta batch against
+    //    the broadcast centroids — O(|Δ|·k) per batch, the corpus is
+    //    never re-scanned (the census over the materialized index reads
+    //    NO embeddings files at all — plan-asserted) — and the
+    //    result must equal the index built from scratch (the IVM
+    //    condition, enforced by the oracle's full re-derivation).
+    //    Output: per-list occupancy census with base/delta provenance —
+    //    the index-health report a vector store surfaces --
+    "i16_ivf_maintain" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val emb = Tables.df(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      def assign(df: DataFrame) = df
+        .join(broadcast(centroids))
+        .withColumn("d2", expr("vec_l2sq(embedding, cent_emb)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
+        .select(col("vec_id"), col("best").getField("cent_id").as("list_id"))
+      // the standing index over the base corpus, materialized
+      val baseIdx = assign(emb.filter(col("vec_id") >= 100))
+        .withColumn("is_delta", lit(0L)).localCheckpoint(true)
+      // two ingest batches arrive; each assigns ONLY its own vectors
+      val idx = (0 to 1).foldLeft(baseIdx) { (cur, k) =>
+        val delta = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100 &&
+          pmod(col("vec_id"), lit(2)) === k)
+        cur.unionByName(assign(delta).withColumn("is_delta", lit(1L)))
+          .localCheckpoint(true)
+      }
+      idx.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("is_delta")).as("n_delta"))
+        .orderBy(col("list_id"))
+    },
+
     // -- join-IVM: a two-table JOIN matview (orders ⋈ lineitem) maintained
     //    under append deltas on BOTH sides via ΔJ = ΔA⋈B_new ∪ A_old⋈ΔB,
     //    then aggregated at read time. The two sides are batched on
@@ -442,6 +481,27 @@ object Incremental {
       FROM events WHERE event_id % 7 <> 0
       GROUP BY user_id, event_type
       ORDER BY user_id, event_type""",
+
+    // the incrementally-grown index must equal a from-scratch build:
+    // the oracle re-derives every assignment (vec_id >= 50) in one pass
+    "i16_ivf_maintain" -> """
+      WITH centroids AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, cent_id AS list_id FROM (
+          SELECT e.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_sum(list_transform(generate_series(1, len(e.embedding)), i ->
+                (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE)))),
+              c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN centroids c
+          WHERE e.vec_id >= 50) t
+        WHERE rn = 1)
+      SELECT list_id, count(*) AS n_vecs,
+        CAST(sum(CASE WHEN vec_id < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+      FROM assigned GROUP BY list_id ORDER BY list_id""",
 
     // min/max retraction correctness: carried-forward groups plus the
     // recalculated-affected groups == batch min/max over the survivors

@@ -1052,6 +1052,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the 16-row grant relation must broadcast:\n$p")
   }
 
+  test("i16: index census reads the materialized index, never the vector corpus") {
+    val p = plan("i16_ivf_maintain").split("== Initial Plan ==")(0)
+    assert(!p.contains("embeddings.parquet"),
+      s"the maintained index must answer without re-scanning the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan"),
+      s"expected the checkpointed index as the census input:\n$p")
+  }
+
   test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
     for (q <- Seq("f12_websearch", "t21_word_entropy")) {
       val p = plan(q)
