@@ -276,6 +276,46 @@ object GpDdl {
     op
   }
 
+  // ---------------------------------------------------------------
+  // Redistribution — `ALTER TABLE … SET DISTRIBUTED BY (k)` /
+  // `SET DISTRIBUTED RANDOMLY` (gram.y's AlterTableCmd distributed-by
+  // branch): GP's change-the-distribution-key operation, which moves
+  // every row once. The translation is honest about that cost: ONE
+  // repartition-by-new-key shuffle rewrites the table into the new
+  // bucket layout (partitioning preserved) — after which equi-joins on
+  // the NEW key run motion-free again.
+  // ---------------------------------------------------------------
+
+  private val AlterDistRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+DISTRIBUTED\s+BY\s*\(([^)]*)\)\s*$""".r
+  private val AlterDistRandRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+DISTRIBUTED\s+RANDOMLY\s*$""".r
+
+  /** Parse + apply SET DISTRIBUTED to the catalog table `resolve` maps
+    * the DDL's logical name to. Rewrites through one shuffle on the new
+    * keys; hive partition columns (…_prt) are preserved as partitioning. */
+  def applySetDistributed(s: SparkSession, ddl: String,
+      resolve: String => String): String = {
+    val (logical, keys) = ddl match {
+      case AlterDistRe(t, ks) =>
+        (t.toLowerCase, ks.split(",").map(_.trim.toLowerCase).toSeq)
+      case AlterDistRandRe(t) => (t.toLowerCase, Seq.empty[String])
+      case _ => throw new IllegalArgumentException(
+        s"ddl: expected ALTER TABLE t SET DISTRIBUTED BY (k, ...) | RANDOMLY, got: $ddl")
+    }
+    val table = resolve(logical)
+    val df = s.table(table).localCheckpoint(true)
+    val partCols = df.columns.filter(_.endsWith("_prt")).toSeq
+    s.sql(s"DROP TABLE $table")
+    var w = (if (keys.nonEmpty) df.repartition(NumBuckets, keys.map(col): _*) else df)
+      .write.mode("overwrite").format("parquet")
+    partCols.foreach(p => w = w.partitionBy(p))
+    if (keys.nonEmpty)
+      w = w.bucketBy(NumBuckets, keys.head, keys.tail: _*).sortBy(keys.head, keys.tail: _*)
+    w.saveAsTable(table)
+    table
+  }
+
   /** The ddl01 declaration: the canonical migrated-fact-table DDL —
     * hash-distributed on the order key, month-range partitioned over
     * 1997 with a default partition catching the out-of-range years. */
@@ -375,6 +415,36 @@ object GpDdl {
         .orderBy(col("o_month"))
     },
 
+    // -- ddl04: SET DISTRIBUTED BY — the key-change migration: a copy
+    //    of the fact table declared DISTRIBUTED BY (o_orderkey) is
+    //    redistributed onto o_custkey (one full shuffle, the honest
+    //    cost), after which its join with the customer dimension —
+    //    itself declared DISTRIBUTED BY (c_custkey) — runs co-located
+    //    with no Exchange (plan-asserted). The rollup proves every row
+    //    survived the rewrite --
+    "ddl04_set_distributed" -> { (s, dir) =>
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val factTbl = create(s, """
+        CREATE TABLE orders_redist (
+          o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        DISTRIBUTED BY (o_orderkey)""",
+        Tables.df(s, dir, "orders"), dir)
+      val custTbl = create(s, """
+        CREATE TABLE customer_gp (
+          c_custkey BIGINT, c_mktsegment TEXT)
+        DISTRIBUTED BY (c_custkey)""",
+        Tables.df(s, dir, "customer"), dir)
+      applySetDistributed(s,
+        "ALTER TABLE orders_redist SET DISTRIBUTED BY (o_custkey)",
+        _ => factTbl)
+      s.table(factTbl)
+        .join(s.table(custTbl), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // -- ddl01: DDL-text round trip — the declared layout answers the
     //    peak-season revenue question with partition pruning doing the
     //    data elimination (DPP via the month dim; the default partition
@@ -397,6 +467,13 @@ object GpDdl {
   )
 
   def oracle: Map[String, String] = Map(
+    // redistribution preserves content: the rollup equals the raw join
+    "ddl04_set_distributed" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     // the maintenance script's effects re-derived from the raw table:
     // Feb dropped, Apr truncated (both vanish from the rollup), Jun
     // restated at 90%, every other 1997 month untouched

@@ -1060,6 +1060,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the checkpointed index as the census input:\n$p")
   }
 
+  test("ddl04: after SET DISTRIBUTED BY the new-key join runs with no Exchange") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // run the redistribution, then compile the new-key join fresh
+      SparkEntry.queries("ddl04_set_distributed")(spark, Sf).queryExecution.toRdd.count()
+      val tag = Sf.replaceAll("[^A-Za-z0-9.]", "_").replace(".", "_")
+      val joined = spark.table(s"orders_redist_$tag")
+        .join(spark.table(s"customer_gp_$tag"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val p = finalPlan(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"redistributed fact must join the dimension motion-free:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    }
+  }
+
   test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
     for (q <- Seq("f12_websearch", "t21_word_entropy")) {
       val p = plan(q)
