@@ -304,6 +304,12 @@ object GpDdl {
         s"ddl: expected ALTER TABLE t SET DISTRIBUTED BY (k, ...) | RANDOMLY, got: $ddl")
     }
     val table = resolve(logical)
+    // GP semantics: ALTER to the policy the table already has is a no-op
+    // (no data movement) — also what keeps repeated runs cheap
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val current = meta.bucketSpec.map(_.bucketColumnNames.map(_.toLowerCase)).getOrElse(Nil)
+    if (current == keys) return table
     val df = s.table(table).localCheckpoint(true)
     val partCols = df.columns.filter(_.endsWith("_prt")).toSeq
     s.sql(s"DROP TABLE $table")
