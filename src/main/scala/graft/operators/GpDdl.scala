@@ -397,9 +397,14 @@ object GpDdl {
       val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val base = s"target/derived/$tag/ddl03_orders"
       val monthOf: String => String = d => d.substring(0, 7)
-      // rebuild the scratch table (fresh every run → idempotent script)
+      // rebuild the scratch table (fresh every run → idempotent script);
+      // scoped to the maintenance window the script touches/reports, and
+      // repartitioned on the partition key so each month lands as ONE
+      // file (the writer small-files discipline, IngestSpec)
       Tables.df(s, dir, "orders")
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .filter(col("o_month").between("1997-01", "1997-12"))
+        .repartition(col("o_month"))
         .write.mode("overwrite").partitionBy("o_month").parquet(base)
       // staged correction: June 1997 restated at 90% of price
       val stage = Tables.df(s, dir, "orders")

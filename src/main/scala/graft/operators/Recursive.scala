@@ -94,8 +94,8 @@ object Recursive {
   /** r10: BOM explosion + cost rollup — THE canonical WITH RECURSIVE
     * workload (PG docs' bill-of-materials example; the reference runs
     * it through the same UnionLoop plan r03 exercises). The part
-    * forest is synthesized arithmetically: parent(p) = ⌊p/4⌋, roots
-    * 1–3, per-edge assembly quantity (p % 3) + 1. The recursion
+    * forest is synthesized arithmetically: parent(p) = ⌊p/32⌋ (wide fan-out, the common BOM shape), roots
+    * ≤ 31, per-edge assembly quantity (p % 3) + 1. The recursion
     * carries the PATH-PRODUCT multiplier (quantity folding down the
     * tree — the part a BOM query can't express without recursion) in
     * exact BIGINTs (≤ 3^depth), costs in cents; the rollup is one
@@ -104,17 +104,17 @@ object Recursive {
   private val r10Sql = """
       WITH RECURSIVE parts AS (
         SELECT p_partkey,
-          CAST(floor(p_partkey / 4.0) AS BIGINT) AS parent,
+          CAST(floor(p_partkey / 32.0) AS BIGINT) AS parent,
           CAST(round(p_retailprice * 100) AS BIGINT) AS cents
         FROM part),
       bom(root, part, mult, depth, cents) AS (
         SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0, cents
-        FROM parts WHERE p_partkey <= 3
+        FROM parts WHERE p_partkey <= 31
         UNION ALL
         SELECT b.root, c.p_partkey, b.mult * ((c.p_partkey % 3) + 1),
           b.depth + 1, c.cents
         FROM parts c JOIN bom b ON c.parent = b.part
-        WHERE c.p_partkey > 3)
+        WHERE c.p_partkey > 31)
       SELECT root, count(*) AS n_parts, max(depth) AS max_depth,
         CAST(max(mult) AS BIGINT) AS max_mult,
         CAST(sum(mult * cents) AS BIGINT) AS total_cents
