@@ -43,6 +43,40 @@ case class FrameFeats(child: Expression, width: Int, energy: Boolean)
     copy(child = newChild)
 }
 
+/** Character n-grams in ONE pass — the t18 kernel. `substring(t, i, n)`
+  * per exploded position is an O(position) UTF8String walk (quadratic in
+  * document length, the same hazard class FrameFeats fixes for m06/m08;
+  * caught by the r10 length-axis sweep at 4.8×/64× length); this
+  * materializes the codepoint array once and emits all ⌈L−n+1⌉ grams in
+  * O(L·n). Same gram set/order as the positional form. */
+case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharGrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
+object CharGrams {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val m = math.max(cps.length - n + 1, 0)
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromString(new String(cps, i, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object FrameFeats {
   /** One O(L) pass: codepoint array once, then a strided integer fold. */
   def compute(s: UTF8String, width: Int, energy: Boolean): ArrayData = {

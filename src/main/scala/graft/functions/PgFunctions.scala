@@ -183,6 +183,15 @@ object PgFunctions {
           s"frame_energy width must be an int literal, got $other")
       }
     },
+    // char_grams(text, n): all character n-grams in one O(L·n) pass
+    "char_grams" -> { args =>
+      args(1) match {
+        case Literal(n: Int, org.apache.spark.sql.types.IntegerType) =>
+          CharGrams(args(0), n)
+        case other => throw new IllegalArgumentException(
+          s"char_grams n must be an int literal, got $other")
+      }
+    },
     // winnow_fps(text, k, w): winnowed k-gram fingerprint set (d13)
     "winnow_fps" -> { args =>
       (args(1), args(2)) match {

@@ -183,13 +183,22 @@ object FullText {
     //    number of phrase anchors, PG's phrase-match multiplicity --
     "f16_phrase_distance" -> { (s, dir) =>
       val n = 2 // 'hash' <2> 'join': one token between them
+      // zip_with over two slices, NOT element_at(toks, i) inside a
+      // sequence lambda: projection collapse inlines the split() into
+      // the lambda body, re-tokenizing the document once PER POSITION —
+      // O(L²) in document length (the r10 length-axis sweep measured it
+      // at 55× under 64× length). The slice form evaluates the token
+      // array a constant number of times per row and each lambda touches
+      // only its own arguments.
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
         .withColumn("n_hits", expr(
           s"""CASE WHEN size(toks) <= $n THEN 0L ELSE
-                CAST(size(filter(sequence(1, size(toks) - $n),
-                  i -> element_at(toks, i) = 'hash'
-                   AND element_at(toks, i + $n) = 'join')) AS BIGINT) END"""))
+                CAST(size(filter(
+                  zip_with(slice(toks, 1, size(toks) - $n),
+                           slice(toks, $n + 1, size(toks) - $n),
+                           (a, b) -> a = 'hash' AND b = 'join'),
+                  x -> x)) AS BIGINT) END"""))
         .filter(col("n_hits") > 0)
         .select(col("doc_id"), col("n_hits"),
           size(col("toks")).cast("bigint").as("doclen"))
@@ -537,15 +546,22 @@ object FullText {
     // malformed or injectable expression (r8 advice).
     private def esc(w: String) = w.replace("'", "''")
 
-    // Spark: array_contains; phrase via exists over a position range.
-    // sequence() is guarded (size >= n) because Spark's sequence(1, 0)
-    // DESCENDS instead of being empty — the t19 short-doc trap.
+    // Spark: array_contains; phrase via a fold of shifted-slice matches
+    // — NOT element_at(toks, i + k) inside a sequence lambda, which
+    // after projection collapse re-tokenizes the document once per
+    // position (O(L²) in doc length; the f16 lesson from the r10
+    // length-axis sweep). Each word's positional match vector comes
+    // from ONE slice + transform whose lambda touches only its own
+    // argument; the phrase hits are the AND-fold of those vectors.
     private def sparkContains(w: String) = s"array_contains(toks, '${esc(w)}')"
     private def sparkPhrase(ws: Seq[String]) = {
       val n = ws.size
-      val conds = ws.zipWithIndex
-        .map { case (w, i) => s"element_at(toks, i + $i) = '${esc(w)}'" }.mkString(" AND ")
-      s"(size(toks) >= $n AND exists(sequence(1, size(toks) - ${n - 1}), i -> $conds))"
+      val win = s"(size(toks) - ${n - 1})"
+      val vecs = ws.zipWithIndex.map { case (w, i) =>
+        s"transform(slice(toks, ${i + 1}, $win), x -> x = '${esc(w)}')"
+      }
+      val folded = vecs.reduce((a, b) => s"zip_with($a, $b, (p, q) -> p AND q)")
+      s"(size(toks) >= $n AND array_contains($folded, true))"
     }
     def sparkAtom(a: Atom): String = atom(a, sparkContains, sparkPhrase)
     def sparkBranch(b: Seq[Atom]): String = b.map(sparkAtom).mkString("(", " AND ", ")")

@@ -447,6 +447,7 @@ object TextOps {
     //       — immune to float summation order across engines and
     //       partitionings (the q110/money discipline applied to logs) --
     "t18_charlm_score" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
       // per-(doc, trigram) pre-aggregate BEFORE any spool or join: the
       // position stream (Σ doc lengths) collapses map-side to at most
       // |docs| × |charset³-observed| rows, so the spool, the census,
@@ -461,12 +462,14 @@ object TextOps {
       // on a 5000-row input, silently single-threading the explode.
       // doc_id partitioning also makes both per-doc aggregates
       // exchange-free (clustering satisfied)
+      // char_grams materializes the codepoint array ONCE per doc (the
+      // FrameFeats discipline): the former per-position substring(t,i,3)
+      // re-walked the string per gram — O(L²) in document length, caught
+      // by the r10 length-axis sweep at 4.8× under 64× length
       val dt = Tables.df(s, dir, "documents")
         .repartition(32, col("doc_id"))
-        .select(col("doc_id"), lower(col("text")).as("t"))
-        .select(col("doc_id"), col("t"),
-          explode(expr("sequence(1, greatest(length(t) - 2, 0))")).as("i"))
-        .select(col("doc_id"), expr("substring(t, i, 3)").as("tri"))
+        .select(col("doc_id"),
+          explode(expr("char_grams(lower(text), 3)")).as("tri"))
         .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // spool: feeds the census AND the scoring join
       // ONE census: the bigram-context count is the prefix-group sum of
@@ -541,7 +544,13 @@ object TextOps {
           // guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
           // (DuckDB's generate_series(1, 0) is empty) — a <5-token doc
           // must contribute zero grams, not a slice(toks, 0, 5) crash
-          // (the ch01 short-doc lesson, re-caught by review here)
+          // (the ch01 short-doc lesson, re-caught by review here).
+          // slice-in-lambda here is measured LINEAR in doc length (the
+          // r10 length-axis sweep: 1.95× under 64× length, and the
+          // residual is the tiled corpus's real gram duplication — toks
+          // is multiply-referenced so projection collapse does not
+          // inline the tokenizer into the lambda, unlike f16's
+          // single-path element_at form which it did)
           posexplode(expr(
             """CASE WHEN size(toks) >= 5
                  THEN transform(sequence(1, size(toks) - 4),

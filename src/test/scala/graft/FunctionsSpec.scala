@@ -237,7 +237,7 @@ class FunctionsSpec extends AnyFunSuite {
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
         "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
         "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24",
-        "frame_sums", "frame_energy", "french_stem"))
+        "frame_sums", "frame_energy", "french_stem", "char_grams"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -565,6 +565,15 @@ class FunctionsSpec extends AnyFunSuite {
     // len < width → no complete frame; non-ASCII codepoints count once
     assert(kernel("short", 16, false).isEmpty)
     assert(kernel("é" * 16, 16, false) == Seq(16L * 0xE9))
+    // CharGrams ≡ the positional substring form, one pass
+    def grams(s: String, n: Int): Seq[String] = {
+      val ad = graft.functions.CharGrams.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+      (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+    }
+    assert(grams("abcdef", 3) == Seq("abc", "bcd", "cde", "def"))
+    assert(grams("ab", 3).isEmpty && grams("", 2).isEmpty)
+    assert(grams("héllo", 2) == Seq("hé", "él", "ll", "lo"))
     // the m06/m08 oracles iterate frames from n_chars while frame_sums
     // derives them from text itself — sound only while n_chars ==
     // length(text); assert the corpus invariant loudly
