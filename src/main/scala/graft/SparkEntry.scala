@@ -55,7 +55,8 @@ object SparkEntry {
     (operators.CubeOps.queries, operators.CubeOps.oracle),
     (operators.Identifiers.queries, operators.Identifiers.oracle),
     (operators.Ml.queries, operators.Ml.oracle),
-    (operators.GpDdl.queries, operators.GpDdl.oracle)
+    (operators.GpDdl.queries, operators.GpDdl.oracle),
+    (operators.DirTable.queries, operators.DirTable.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

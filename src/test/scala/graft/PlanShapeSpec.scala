@@ -1081,6 +1081,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dt02: directory-table content scan streams against a broadcast catalog") {
+    val p = plan("dt02_directory_table_read")
+    assert(p.contains("BroadcastHashJoin"), s"catalog must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the file-content relation must not shuffle for the catalog join:\n$p")
+  }
+
   test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
     for (q <- Seq("f12_websearch", "t21_word_entropy")) {
       val p = plan(q)
