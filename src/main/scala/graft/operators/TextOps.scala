@@ -38,6 +38,67 @@ object TextOps {
     FROM tagged GROUP BY split ORDER BY split"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- t27: BPE TRAINER + ENCODER, the real iterative algorithm
+    //    (Sennrich et al. 2016): R rounds of [count adjacent token
+    //    pairs → merge the most frequent pair everywhere → re-count].
+    //    t16 ranks pairs from ONE census; t27 actually APPLIES each
+    //    merge and re-counts, so later merges see earlier ones (the
+    //    't'+'h' → 'th'+'e' chain) and the corpus is encoded as it
+    //    trains. Scale + plan shape:
+    //     * all mutable state lives in the WORD CENSUS (distinct word →
+    //       freq, current token string) — Heaps-law small however big
+    //       the corpus; the corpus itself is read ONCE at round 0;
+    //     * each round is two map-side-combined aggregates over the
+    //       census plus a 1-row broadcast crossJoin of the winning pair
+    //       into the rewrite — the winner never touches the driver;
+    //     * per-round localCheckpoint cuts the 8-round lineage (the
+    //       r-family fixpoint spool discipline).
+    //    Token boundaries ride a chr(1) separator with sentinels at
+    //    both ends, so replace(sep‖x‖sep‖y‖sep → sep‖xy‖sep) is
+    //    token-exact; both engines' replace() scans left-to-right and
+    //    never rescans the replacement, which IS BPE's leftmost-first
+    //    application order for a self-chaining pair. Output: one row
+    //    per merge rank — the learned rule, its pair count, and the
+    //    corpus token count after applying it (compression falls
+    //    monotonically) --
+    "t27_bpe_train_encode" -> { (s, dir) =>
+      val toksOf = "filter(split(rep, chr(1)), z -> z <> '')"
+      var census = Tables.df(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .withColumn("rep",
+          expr("concat(chr(1), regexp_replace(w, '(.)', concat('$1', chr(1))))"))
+        .localCheckpoint()
+      val mergeRows = (1 to 8).map { r =>
+        val base = census
+        val pairs = base
+          .select(col("freq"), expr(toksOf).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS x, toks[i] AS y))"))
+            .as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"), col("freq"))
+        val best = pairs.groupBy(col("x"), col("y"))
+          .agg(sum(col("freq")).cast("bigint").as("n"))
+          .orderBy(col("n").desc, col("x"), col("y"))
+          .limit(1)
+        census = base.crossJoin(broadcast(best.select(col("x"), col("y"))))
+          .withColumn("rep", expr(
+            "replace(rep, concat(chr(1), x, chr(1), y, chr(1)), concat(chr(1), x, y, chr(1)))"))
+          .select(col("w"), col("freq"), col("rep"))
+          .localCheckpoint()
+        val stat = census.agg(
+          sum(expr(s"freq * size($toksOf)")).cast("bigint").as("corpus_tokens"))
+        best.withColumn("merge_rank", lit(r)).crossJoin(stat)
+      }
+      mergeRows.reduce(_ unionByName _)
+        .select(col("merge_rank"),
+          concat(col("x"), lit("+"), col("y")).as("rule"),
+          col("n").as("pair_freq"), col("corpus_tokens"))
+        .orderBy(col("merge_rank"))
+    },
+
     // -- t26: DICTIONARY language ID driven by the FTS config registry —
     //    the classic stopword-evidence classifier (every curation
     //    pipeline's cheap first-pass langid; CLD/langdetect's prior):
@@ -712,6 +773,45 @@ object TextOps {
     }
   )
 
+  /** 8 unrolled BPE rounds as chained CTEs — the oracle re-derives the
+    * identical census/best/rewrite/recount sequence the Spark loop runs. */
+  private def t27Oracle: String = {
+    val rounds = (1 to 8).map { r =>
+      val prev = s"census${r - 1}"
+      s"""pairs$r AS (
+        SELECT toks[i] AS x, toks[i + 1] AS y, freq
+        FROM (SELECT freq,
+                list_filter(string_split(rep, chr(1)), z -> z <> '') AS toks
+              FROM $prev) c,
+          LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        WHERE len(toks) >= 2),
+      best$r AS (
+        SELECT x, y, CAST(sum(freq) AS BIGINT) AS n
+        FROM pairs$r GROUP BY x, y
+        ORDER BY n DESC, x, y LIMIT 1),
+      census$r AS (
+        SELECT w, freq,
+          replace(rep, chr(1) || x || chr(1) || y || chr(1),
+                       chr(1) || x || y || chr(1)) AS rep
+        FROM $prev, best$r),
+      stat$r AS (
+        SELECT CAST(sum(freq * len(list_filter(string_split(rep, chr(1)),
+          z -> z <> ''))) AS BIGINT) AS corpus_tokens FROM census$r)"""
+    }.mkString(",\n      ")
+    val rows = (1 to 8).map { r =>
+      s"SELECT $r AS merge_rank, x || '+' || y AS rule, n AS pair_freq, corpus_tokens FROM best$r, stat$r"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH census0 AS (
+        SELECT w, count(*) AS freq,
+          chr(1) || regexp_replace(w, '(.)', '\\1' || chr(1), 'g') AS rep
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> '' GROUP BY w),
+      $rounds
+      $rows
+      ORDER BY merge_rank"""
+  }
+
   private def t26Oracle: String = {
     val en = FullText.FtsConfig("english")
     val fr = FullText.FtsConfig("french")
@@ -741,6 +841,7 @@ object TextOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "t27_bpe_train_encode" -> t27Oracle,
     "t26_config_langid" -> t26Oracle,
     "t15_train_split" -> TrainSplitSql,
 
