@@ -51,6 +51,44 @@ object Extras {
       ORDER BY o_orderkey"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- lo01: LARGE OBJECTS as page rows — PG stores each large object
+    //    as LOBLKSIZE-sized pages in pg_largeobject {loid, pageno, data}
+    //    (`src/backend/storage/large_object/inv_api.c` inv_write splits
+    //    on LOBLKSIZE; `contrib/lo` manages the refs), and lo_read
+    //    reassembles pages in pageno order. The same shape is how any
+    //    blob column outgrows a row store. Spark-first: the page
+    //    relation is one explode over codepoint-sliced substrings (no
+    //    shuffle to WRITE pages); reassembly is a per-loid sort_array
+    //    over collected {pageno, data} structs — page count per object
+    //    is bounded (size/LOBLKSIZE), so the collect_list state is
+    //    bounded, never corpus-wide. The audit proves chunk∘assemble =
+    //    id per object: md5(reassembled) rides the output and pages_ok
+    //    compares against the original — any lost, reordered, or
+    //    truncated page flips it --
+    "lo01_largeobject_pages" -> { (s, dir) =>
+      val pageChars = 128
+      Tables.df(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id").as("loid"), col("text"),
+          explode(expr(
+            s"""transform(sequence(0, (length(text) - 1) div $pageChars),
+                 p -> struct(p AS pageno,
+                   substring(text, p * $pageChars + 1, $pageChars) AS data))"""))
+            .as("pg"))
+        .select(col("loid"), col("text"),
+          col("pg.pageno").as("pageno"), col("pg.data").as("data"))
+        .groupBy(col("loid"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_pages"),
+          sum(length(col("data"))).cast("bigint").as("n_chars"),
+          expr("array_join(transform(sort_array(collect_list(struct(pageno, data))), x -> x.data), '')")
+            .as("obj"),
+          max(col("text")).as("orig"))
+        .select(col("loid"), col("n_pages"), col("n_chars"),
+          md5(col("obj")).as("obj_md5"),
+          (col("obj") === col("orig")).cast("int").as("pages_ok"))
+        .orderBy(col("loid"))
+    },
     // -- stratified TABLESAMPLE with a deterministic per-stratum coin --
     "q90_stratified_sample" -> { (s, dir) =>
       Tables.register(s, dir)
@@ -316,6 +354,23 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "lo01_largeobject_pages" -> """
+      WITH pages AS (
+        SELECT doc_id AS loid, text, (i - 1) AS pageno,
+               substring(text, (i - 1) * 128 + 1, 128) AS data
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(1, ((length(text) - 1) // 128) + 1)) AS i) g
+        WHERE length(text) > 0),
+      asm AS (
+        SELECT loid, CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(length(data)) AS BIGINT) AS n_chars,
+               string_agg(data, '' ORDER BY pageno) AS obj,
+               max(text) AS orig
+        FROM pages GROUP BY loid)
+      SELECT loid, n_pages, n_chars, md5(obj) AS obj_md5,
+             CAST(obj = orig AS INT) AS pages_ok
+      FROM asm ORDER BY loid""",
+
     "q101_count_min" -> """
       WITH wc AS (
         SELECT word, count(*) AS n,
