@@ -56,7 +56,8 @@ object SparkEntry {
     (operators.Identifiers.queries, operators.Identifiers.oracle),
     (operators.Ml.queries, operators.Ml.oracle),
     (operators.GpDdl.queries, operators.GpDdl.oracle),
-    (operators.DirTable.queries, operators.DirTable.oracle)
+    (operators.DirTable.queries, operators.DirTable.oracle),
+    (operators.Hints.queries, operators.Hints.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
