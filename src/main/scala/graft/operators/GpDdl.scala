@@ -199,15 +199,20 @@ object GpDdl {
       .option("sep", ed.delimiter)
       .option("header", ed.header.toString)
       .csv(paths: _*)
-      .cache()
-    val nBad = raw.filter(col("_corrupt").isNotNull).count()
-    val nAll = raw.count()
-    ed.rejectLimit.foreach { case (lim, isPercent) =>
-      val limit = if (isPercent) nAll * lim / 100 else lim
-      if (nBad > limit)
-        throw new graft.sources.CsvSreh.RejectLimitExceeded(nBad, limit)
-    }
-    (raw.filter(col("_corrupt").isNull).drop("_corrupt"), nAll - nBad, nBad)
+      .cache() // Spark disallows corrupt-column-only queries on an uncached scan
+    try {
+      val nBad = raw.filter(col("_corrupt").isNotNull).count()
+      val nAll = raw.count()
+      ed.rejectLimit.foreach { case (lim, isPercent) =>
+        val limit = if (isPercent) nAll * lim / 100 else lim
+        if (nBad > limit)
+          throw new graft.sources.CsvSreh.RejectLimitExceeded(nBad, limit)
+      }
+      // Materialize the good rows while the cache is warm, so the frame
+      // we hand back never re-reads through the (about-to-drop) cache.
+      val good = raw.filter(col("_corrupt").isNull).drop("_corrupt").localCheckpoint()
+      (good, nAll - nBad, nBad)
+    } finally raw.unpersist()
   }
 
   // ---------------------------------------------------------------

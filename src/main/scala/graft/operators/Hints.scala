@@ -7,7 +7,8 @@ import graft.Tables
 /** pg_hint_plan front-end (`gpcontrib/pg_hint_plan/pg_hint_plan.c:142`
   * HintKeyword inventory: scan methods, NestLoop/MergeJoin/HashJoin,
   * Leading, Set, Rows, Parallel) — planner hints embedded in a leading
-  * `/*+ … *` `/` comment, parsed before planning and applied to the
+  * leading hint comment (slash-star-plus … star-slash), parsed before
+  * planning and applied to the
   * matching join levels; inapplicable hints are reported and IGNORED,
   * never an error (the extension's own contract).
   *
@@ -39,7 +40,7 @@ object Hints {
   final case class Leaf(t: String) extends JTree
   final case class Node(l: JTree, r: JTree) extends JTree
 
-  /** Extract (keyword, body) pairs from the first `/*+ … *``/` block. */
+  /** Extract (keyword, body) pairs from the first slash-star-plus hint block. */
   def parseHints(sql: String): Seq[(String, String)] = {
     val block = """(?s)/\*\+(.*?)\*/""".r.findFirstMatchIn(sql)
       .map(_.group(1)).getOrElse("")
@@ -62,7 +63,10 @@ object Hints {
         }
         require(done, s"pg_hint_plan: unbalanced parens in hint '$kw'")
         out += ((kw.toLowerCase, block.substring(bs, i - 1).trim))
-      } else if (kw.isEmpty && i < block.length) {
+      } else if (kw.nonEmpty) {
+        throw new IllegalArgumentException(
+          s"pg_hint_plan: hint '$kw' has no argument list")
+      } else if (i < block.length) {
         throw new IllegalArgumentException(
           s"pg_hint_plan: unparsable hint text at '${block.substring(i).take(20)}'")
       }
@@ -76,6 +80,7 @@ object Hints {
     def skipWs(): Unit = while (i < body.length && body(i).isWhitespace) i += 1
     def elem(): JTree = {
       skipWs()
+      require(i < body.length, s"Leading: truncated body '$body'")
       if (body(i) == '(') {
         i += 1
         val l = elem()
@@ -116,10 +121,16 @@ object Hints {
       (parts(0), parts(1).toInt)
     }.toMap
 
+    // pg_hint_plan keeps a used/unused ledger: a recognized hint that
+    // never binds to a join level or relation is reported as unused.
+    val consumed = scala.collection.mutable.Set.empty[Any]
     def leafDf(name: String): DataFrame = {
       val base = rels.getOrElse(name,
         sys.error(s"pg_hint_plan: unknown relation '$name'"))
-      parallel.get(name).map(base.repartition(_)).getOrElse(base)
+      parallel.get(name) match {
+        case Some(n) => consumed += (("parallel", name)); base.repartition(n)
+        case None => base
+      }
     }
     def build(t: JTree): (DataFrame, Set[String]) = t match {
       case Leaf(n) => (leafDf(n), Set(n))
@@ -134,14 +145,18 @@ object Hints {
           .reduceOption(_ && _)
           .getOrElse(sys.error(s"pg_hint_plan: no join predicate spans $ls × $rs"))
         val hinted = methods.collectFirst {
-          case ("hashjoin", ts) if ts.subsetOf(all) &&
-            ts.intersect(ls).nonEmpty && ts.intersect(rs).nonEmpty => rd.hint("shuffle_hash")
-          case ("mergejoin", ts) if ts.subsetOf(all) &&
-            ts.intersect(ls).nonEmpty && ts.intersect(rs).nonEmpty => rd.hint("merge")
+          case h @ ("hashjoin", ts) if ts.subsetOf(all) &&
+            ts.intersect(ls).nonEmpty && ts.intersect(rs).nonEmpty =>
+            consumed += h; rd.hint("shuffle_hash")
+          case h @ ("mergejoin", ts) if ts.subsetOf(all) &&
+            ts.intersect(ls).nonEmpty && ts.intersect(rs).nonEmpty =>
+            consumed += h; rd.hint("merge")
         }.getOrElse(rd)
         (ld.join(hinted, cond), all)
     }
-    (build(leading)._1, app.size, ign.size)
+    val joined = build(leading)._1
+    val nApplied = 1 + consumed.size // Leading itself + bound method/parallel hints
+    (joined, nApplied, hints.size - nApplied)
   }
 
   /** The ph01 hinted query text — every hint class exercised once. */

@@ -1088,6 +1088,54 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the file-content relation must not shuffle for the catalog join:\n$p")
   }
 
+  test("ph01: pg_hint_plan hints bind to the hinted join levels") {
+    import org.apache.spark.sql.functions.col
+    val rels = Map(
+      "region" -> Tables.df(spark, Sf, "region"),
+      "nation" -> Tables.df(spark, Sf, "nation"),
+      "customer" -> Tables.df(spark, Sf, "customer"),
+      "orders" -> Tables.df(spark, Sf, "orders"))
+    val conds = Seq(
+      (Set("region", "nation"), col("r_regionkey") === col("n_regionkey")),
+      (Set("nation", "customer"), col("n_nationkey") === col("c_nationkey")),
+      (Set("customer", "orders"), col("c_custkey") === col("o_custkey")))
+    val (joined, nApp, nIgn) = graft.operators.Hints.run(
+      graft.operators.Hints.Ph01Sql, rels, conds)
+    // the used/unused ledger: Leading+HashJoin+MergeJoin+Parallel bound,
+    // Rows and Set reported ignored (pg_hint_plan.c's hint_state ledger)
+    assert(nApp == 4 && nIgn == 2, s"ledger was ($nApp, $nIgn)")
+    val p = finalPlan(joined)
+    // HashJoin(region nation) → a shuffled hash join somewhere in the plan
+    // (AQE may still plan it as SHJ post-exchange; the hint forbids SMJ/BHJ
+    // at that level)
+    assert(p.contains("ShuffledHashJoin"), s"HashJoin hint must bind:\n$p")
+    // MergeJoin(customer nation) → a sort-merge join at the customer level
+    assert(p.contains("SortMergeJoin"), s"MergeJoin hint must bind:\n$p")
+    // Parallel(orders 16) → an explicit 16-way round-robin motion on orders
+    assert(p.contains("RoundRobinPartitioning(16"),
+      s"Parallel hint must emit the repartition(16) motion:\n$p")
+    // Leading(((region nation) customer) orders): construction order IS
+    // logical join order — the outermost Join's right child must be the
+    // bare orders relation, and the innermost Join spans region × nation.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val joins = joined.queryExecution.analyzed.collect { case j: LJoin => j }
+    assert(joins.size == 3, s"expected 3 join levels, got ${joins.size}")
+    val top = joins.head
+    val topRightCols = top.right.output.map(_.name).toSet
+    assert(topRightCols.contains("o_custkey") && !topRightCols.contains("c_custkey"),
+      s"outermost join's right side must be orders alone, was $topRightCols")
+    val inner = joins.last
+    val innerCols = inner.output.map(_.name).toSet
+    assert(innerCols.contains("r_regionkey") && innerCols.contains("n_nationkey")
+      && !innerCols.contains("c_custkey"),
+      s"innermost join must be region × nation, was $innerCols")
+    // unhinted queries on the same tiny dims broadcast — proving the SHJ/SMJ
+    // above came from the hints, not from size estimates
+    val unhinted = rels("region")
+      .join(rels("nation"), col("r_regionkey") === col("n_regionkey"))
+    assert(finalPlan(unhinted).contains("BroadcastHashJoin"))
+  }
+
   test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
     for (q <- Seq("f12_websearch", "t21_word_entropy")) {
       val p = plan(q)
