@@ -1,10 +1,9 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-import java.nio.file.attribute.FileTime
-import java.time.Instant
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -32,10 +31,16 @@ import graft.Tables
   *    columns;
   *  - BULK upload (the gpdirtableload path) is a distributed
   *    `mapPartitions` over the source relation: every executor writes
-  *    its slice of files straight to the shared location and emits the
+  *    its slice of files straight to the SHARED store and emits the
   *    catalog rows — content never moves through the driver, so upload
   *    bandwidth scales with the cluster exactly like the reference's
-  *    per-segment ufile writes;
+  *    per-segment ufile writes. All storage I/O (upload, COPY,
+  *    remove_file, the doc-7 glob) goes through the Hadoop
+  *    `FileSystem` API resolved from the table root's scheme — the
+  *    ufile-FileAm analog: the same code writes file:/, hdfs:/ or
+  *    s3a:/ roots, and executors open the FS from a broadcast Hadoop
+  *    conf rather than touching their local disk (which on a real
+  *    cluster the driver-side read could never see);
   *  - the `directory_table()` READ is Spark's `binaryFile` source (one
   *    row per file: path, length, modificationTime, content) joined to
   *    the broadcast catalog — the content relation STREAMS, so a 100 TB
@@ -72,6 +77,14 @@ object DirTable {
     md.digest(bytes).map("%02x".format(_)).mkString
   }
 
+  /** Write one file via the Hadoop FS, stamping the catalog mtime. */
+  private def putFile(fs: FileSystem, p: Path, bytes: Array[Byte],
+      mtimeEpoch: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+    fs.setTimes(p, mtimeEpoch * 1000L, -1L)
+  }
+
   /** One directory-table build per (JVM, sf dir) — later queries and
     * bench re-runs reuse the layout, like GpDdl.create's build-once. */
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -79,40 +92,57 @@ object DirTable {
   private def rootFor(dir: String): String =
     s"target/derived/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/dirtable_doc_store"
 
+  /** The table's file store as a FULLY-QUALIFIED Hadoop path (scheme
+    * included), plus its FileSystem — executors re-resolve the same URI
+    * against the shipped conf, so driver and executors always address
+    * one shared store. */
+  private def filesFs(s: SparkSession, root: String): (FileSystem, Path) = {
+    val raw = new Path(root, "files")
+    val fs = raw.getFileSystem(s.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(raw))
+  }
+
   /** Build the directory table: bulk-upload `documents`, then run the
     * parsed single-statement ops (CREATE / COPY one staged file with a
     * tag / remove_file on doc 7's file). Returns the table root. */
   private def setup(s: SparkSession, dir: String): String =
     built.computeIfAbsent(dir, { _ =>
       val root = rootFor(dir)
-      val rootF = new java.io.File(root)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      if (rootF.exists()) rm(rootF)
-      val filesAbs = new java.io.File(rootF, "files").getAbsolutePath
-      Files.createDirectories(Paths.get(filesAbs))
+      val (fs0, filesQual) = filesFs(s, root)
+      val rootQual = fs0.makeQualified(new Path(root))
+      if (fs0.exists(rootQual)) fs0.delete(rootQual, true)
 
       // CREATE DIRECTORY TABLE (gram.y:9045) — parsed, names the table
       val tableName = exec(s, root, "CREATE DIRECTORY TABLE doc_store")
 
       // bulk upload (the gpdirtableload path): executors write files +
       // emit catalog rows; the parquet write FORCES the distributed
-      // upload before any utility statement runs
+      // upload before any utility statement runs. The Hadoop conf rides
+      // a broadcast (serialized as key/value pairs — Configuration
+      // itself is not Serializable) so object-store credentials and
+      // defaultFS reach the executors.
       import s.implicits._
+      val confEntries = {
+        val c = s.sparkContext.hadoopConfiguration
+        val it = c.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+        buf.toArray
+      }
+      val bcConf = s.sparkContext.broadcast(confEntries)
+      val filesUri = filesQual.toString
       val docs = Tables.df(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .as[(Long, String, String, String)]
       docs.repartition(8).mapPartitions { it =>
+        val conf = new Configuration(false)
+        bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+        val base = new Path(filesUri)
+        val fs = base.getFileSystem(conf)
         it.map { case (id, lang, source, text) =>
           val rel = f"$lang%s/doc_$id%05d.txt"
-          val p = Paths.get(filesAbs, rel)
-          Files.createDirectories(p.getParent)
           val bytes = text.getBytes(StandardCharsets.UTF_8)
-          Files.write(p, bytes)
-          Files.setLastModifiedTime(p,
-            FileTime.from(Instant.ofEpochSecond(EpochBase + id)))
+          putFile(fs, new Path(base, rel), bytes, EpochBase + id)
           (rel, bytes.length.toLong, EpochBase + id, md5hex(bytes), source)
         }
       }.toDF("relative_path", "size", "mtime_epoch", "md5", "tag")
@@ -120,21 +150,23 @@ object DirTable {
         .write.mode("overwrite").parquet(s"$root/catalog_upload.parquet")
 
       // single-file COPY with a tag (gram.y:5095 + copy.c:868): stage a
-      // local file, then COPY it into the table under a relative path
-      val stage = Paths.get(root, "stage", "README.txt")
-      Files.createDirectories(stage.getParent)
-      Files.write(stage, ReadmeText.getBytes(StandardCharsets.UTF_8))
+      // file (dispatcher-side, like COPY FROM's source), then COPY it
+      // into the table under a relative path
+      val stage = fs0.makeQualified(new Path(new Path(root, "stage"), "README.txt"))
+      val out = fs0.create(stage, true)
+      try out.write(ReadmeText.getBytes(StandardCharsets.UTF_8)) finally out.close()
       exec(s, root,
         s"COPY BINARY DIRECTORY TABLE $tableName 'meta/README.txt' " +
           s"FROM '$stage' WITH (tag 'meta')")
 
       // remove_file utility (catalog + storage together): doc 7's file,
-      // located by its upload naming rule
-      val seven = new java.io.File(filesAbs).listFiles().iterator
-        .filter(_.isDirectory)
-        .flatMap(d => Option(d.listFiles()).iterator.flatten
-          .filter(_.getName == "doc_00007.txt").map(f => s"${d.getName}/${f.getName}"))
-        .toSeq.headOption
+      // located by its upload naming rule via a storage glob
+      val seven = Option(fs0.globStatus(new Path(filesQual, "*/doc_00007.txt")))
+        .toSeq.flatten.headOption
+        .map { st =>
+          val full = st.getPath.toUri.getPath
+          full.substring(full.indexOf("/files/") + "/files/".length)
+        }
         .getOrElse(sys.error("dirtable: doc 7 not found after upload"))
       exec(s, root, s"SELECT remove_file('$tableName', '$seven')")
 
@@ -166,24 +198,33 @@ object DirTable {
     new scala.collection.concurrent.TrieMap[String, Set[String]]()
 
   /** Parse + execute one directory-table statement against `root`.
-    * Returns the table name. Loud errors on unsupported text. */
+    * Returns the table name. Loud errors on unsupported text. All
+    * storage mutations go through the root's Hadoop FileSystem. */
   def exec(s: SparkSession, root: String, stmt: String): String = stmt match {
     case CreateRe(name) =>
-      Files.createDirectories(Paths.get(root, "files"))
+      val (fs, files) = filesFs(s, root)
+      fs.mkdirs(files)
       name.toLowerCase
     case CopyRe(name, rel, from, tagOrNull) =>
-      val bytes = Files.readAllBytes(Paths.get(from))
-      val dst = Paths.get(new java.io.File(root, "files").getAbsolutePath, rel)
-      Files.createDirectories(dst.getParent)
-      Files.write(dst, bytes)
-      Files.setLastModifiedTime(dst, FileTime.from(Instant.ofEpochSecond(ReadmeEpoch)))
+      val (fs, files) = filesFs(s, root)
+      val src = new Path(from)
+      val in = src.getFileSystem(s.sparkContext.hadoopConfiguration).open(src)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      putFile(fs, new Path(files, rel), bytes, ReadmeEpoch)
       val tag = Option(tagOrNull).orNull
       pendingRows.updateWith(root)(prev => Some(prev.getOrElse(Seq.empty) :+
         ((rel, bytes.length.toLong, ReadmeEpoch, md5hex(bytes), tag))))
       name.toLowerCase
     case RemoveRe(name, rel) =>
-      val f = Paths.get(new java.io.File(root, "files").getAbsolutePath, rel)
-      require(Files.deleteIfExists(f), s"remove_file: no such file '$rel'")
+      val (fs, files) = filesFs(s, root)
+      require(fs.delete(new Path(files, rel), false),
+        s"remove_file: no such file '$rel'")
       removedPaths.updateWith(root)(prev => Some(prev.getOrElse(Set.empty) + rel))
       name.toLowerCase
     case other => throw new IllegalArgumentException(
@@ -221,9 +262,10 @@ object DirTable {
     //    metadata drift breaks a count --
     "dt02_directory_table_read" -> { (s, dir) =>
       val root = setup(s, dir)
+      val (_, filesQual) = filesFs(s, root)
       val files = s.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
-        .load(new java.io.File(root, "files").getAbsolutePath)
+        .load(filesQual.toString)
       val cat = s.read.parquet(s"$root/catalog.parquet")
       files
         .select(

@@ -57,26 +57,29 @@ object Extras {
     //    on LOBLKSIZE; `contrib/lo` manages the refs), and lo_read
     //    reassembles pages in pageno order. The same shape is how any
     //    blob column outgrows a row store. Spark-first: the page
-    //    relation is one explode over codepoint-sliced substrings (no
-    //    shuffle to WRITE pages); reassembly is a per-loid sort_array
-    //    over collected {pageno, data} structs — page count per object
-    //    is bounded (size/LOBLKSIZE), so the collect_list state is
-    //    bounded, never corpus-wide. The audit proves chunk∘assemble =
-    //    id per object: md5(reassembled) rides the output and pages_ok
-    //    compares against the original — any lost, reordered, or
-    //    truncated page flips it --
+    //    relation is ONE LINEAR SLICING PASS — `regexp_extract_all`
+    //    with a dotall `.{1,N}` chunker walks the string once (each
+    //    match resumes where the last ended), where a per-page
+    //    `substring(text, p*N+1, N)` would re-scan from the start of
+    //    the UTF8String for every page: O(L²/N) on book-length objects,
+    //    the exact quadratic the r10 length sweep caught in m08/t18.
+    //    posexplode numbers the pages (no shuffle to WRITE pages);
+    //    reassembly is a per-loid sort_array over collected
+    //    {pageno, data} structs — page count per object is bounded
+    //    (size/LOBLKSIZE), so the collect_list state is bounded, never
+    //    corpus-wide. The audit proves chunk∘assemble = id per object:
+    //    md5(reassembled) rides the output and pages_ok compares
+    //    against the original — any lost, reordered, or truncated page
+    //    flips it --
     "lo01_largeobject_pages" -> { (s, dir) =>
       val pageChars = 128
       Tables.df(s, dir, "documents")
         .filter(length(col("text")) > 0)
         .select(col("doc_id").as("loid"), col("text"),
-          explode(expr(
-            s"""transform(sequence(0, (length(text) - 1) div $pageChars),
-                 p -> struct(p AS pageno,
-                   substring(text, p * $pageChars + 1, $pageChars) AS data))"""))
-            .as("pg"))
+          posexplode(expr(
+            s"""regexp_extract_all(text, '(?s).{1,$pageChars}', 0)""")))
         .select(col("loid"), col("text"),
-          col("pg.pageno").as("pageno"), col("pg.data").as("data"))
+          col("pos").as("pageno"), col("col").as("data"))
         .groupBy(col("loid"))
         .agg(
           count(lit(1)).cast("bigint").as("n_pages"),

@@ -312,6 +312,37 @@ class IngestSpec extends AnyFunSuite {
       s"a file exceeds the 200-row ceiling: ${perFile.map(_.getLong(1)).max}")
   }
 
+  test("directory table storage ops round-trip through the Hadoop FileSystem API") {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.DirTable
+    val root = java.nio.file.Files.createTempDirectory("graft_dirtable").toString + "/dt"
+    val name = DirTable.exec(spark, root, "CREATE DIRECTORY TABLE t1")
+    assert(name == "t1")
+    // stage a source file, COPY it in, then read it back via Hadoop FS
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_dt_stage")
+    val stage = stageDir.resolve("hello.bin")
+    java.nio.file.Files.write(stage, "hadoop fs round trip\n".getBytes("UTF-8"))
+    DirTable.exec(spark, root,
+      s"COPY BINARY DIRECTORY TABLE t1 'a/b/hello.bin' FROM '$stage' WITH (tag 'x')")
+    val files = new Path(root, "files")
+    val fs = files.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(files, "a/b/hello.bin")
+    assert(fs.exists(dst), "COPY must land the file under the table root")
+    val in = fs.open(dst)
+    val got = try {
+      val buf = new Array[Byte](64); val n = in.read(buf); new String(buf, 0, n, "UTF-8")
+    } finally in.close()
+    assert(got == "hadoop fs round trip\n")
+    // mtime is stamped by the upload clock rule (second granularity)
+    assert(fs.getFileStatus(dst).getModificationTime % 1000 == 0)
+    // remove_file deletes storage; a second call is a loud error
+    DirTable.exec(spark, root, "SELECT remove_file('t1', 'a/b/hello.bin')")
+    assert(!fs.exists(dst))
+    intercept[IllegalArgumentException] {
+      DirTable.exec(spark, root, "SELECT remove_file('t1', 'a/b/hello.bin')")
+    }
+  }
+
   test("write sizing: repartition by partition key yields exactly one file per partition") {
     // partitionBy without co-partitioning writes |tasks| x |partitions|
     // files; repartitioning on the partition column first collapses
