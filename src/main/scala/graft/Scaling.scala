@@ -59,7 +59,8 @@ object Scaling {
     "f14_porter_stems", "f15_stemmed_rank", "f16_phrase_distance",
     "fz03_strict_word_sml",
     "t11_repetition", "t18_charlm_score", "t19_dup_ngram_coverage",
-    "t21_word_entropy", "t23_kl_novelty")
+    "t21_word_entropy", "t23_kl_novelty",
+    "lo01_largeobject_pages")
 
   /** Total chars are ~equal across the two corpora, so a linear kernel
     * lands ~1×; 2.5 allows window/partition-count second-order effects
