@@ -57,7 +57,8 @@ object SparkEntry {
     (operators.Ml.queries, operators.Ml.oracle),
     (operators.GpDdl.queries, operators.GpDdl.oracle),
     (operators.DirTable.queries, operators.DirTable.oracle),
-    (operators.Hints.queries, operators.Hints.oracle)
+    (operators.Hints.queries, operators.Hints.oracle),
+    (operators.Federated.queries, operators.Federated.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

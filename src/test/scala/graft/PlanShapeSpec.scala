@@ -1136,6 +1136,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(finalPlan(unhinted).contains("BroadcastHashJoin"))
   }
 
+  test("c12: FDW predicate + column pushdown reach the remote JDBC scan") {
+    val p = plan("c12_fdw_join")
+    // the range predicate is deparsed into the remote SQL, not evaluated
+    // Spark-side (postgres_fdw deparse.c's contract)
+    assert(p.contains("NATION_REMOTE"), s"expected the remote scan:\n$p")
+    assert(p.contains("n_regionkey >= 1") && p.contains("n_regionkey <= 3"),
+      s"range filter must be pushed to the remote scan:\n$p")
+    // the filtered remote dim broadcasts into the local fact
+    assert(p.contains("BroadcastHashJoin"), s"remote dim must broadcast:\n$p")
+  }
+
+  test("c13: the whole aggregate is pushed to the remote server") {
+    val p = plan("c13_fdw_remote_agg")
+    assert(p.contains("PushedAggregates: [COUNT(") &&
+      p.contains("MIN(") && p.contains("MAX("),
+      s"aggregate must be computed remotely:\n$p")
+    assert(p.contains("PushedGroupByExpressions: [n_regionkey]"),
+      s"GROUP BY must be deparsed into the remote SQL:\n$p")
+  }
+
   test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
     for (q <- Seq("f12_websearch", "t21_word_entropy")) {
       val p = plan(q)
