@@ -241,6 +241,13 @@ object Ml {
     "ml07_decision_stump" -> { (s, dir) =>
       graft.Tables.register(s, dir)
       s.sql(StumpSql)
+    },
+
+    // -- ml08: recursive decision tree (depth 3) — ml07's census split
+    //    iterated per node (shared generated text; see TreeSql) --
+    "ml08_decision_tree" -> { (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.sql(TreeSql)
     }
   )
 
@@ -296,6 +303,102 @@ object Ml {
     ORDER BY gini, feature, threshold
     LIMIT 5"""
 
+  /** ml08: full recursive CART (MADlib tree_train's general case —
+    * the reference ecosystem's in-DB tree; ml07 is its depth-1 kernel).
+    * The recursion is UNROLLED into one generated CTE chain, the t27
+    * trainer's pattern: level k computes per-(node, feature, bin) label
+    * censuses in ONE scan of the featurized rows (map-side combined —
+    * the only corpus-sized work), picks each node's argmin-Gini split
+    * from the tiny census via running sums, and routes rows to children
+    * through a join against the ≤2^k-row best-split relation (broadcast
+    * by size — rows never move for the assignment). Nodes with no valid
+    * split (pure / single-bin) simply emit no best row and stop
+    * growing. All censuses are exact BIGINTs and the Gini argmin ties
+    * break on (feature, threshold), so the grown tree is deterministic
+    * across engines and partitionings; both engines run the IDENTICAL
+    * generated text. Output: every internal node (depth, path, split,
+    * sizes, impurity, majority) plus the depth-3 leaves with their
+    * class census and prediction.
+    * At 100 TB: `depth` linear scans + census-sized everything else —
+    * exactly the reference trainer's per-level aggregation shape. */
+  private def treeLevel(k: Int): String = s"""
+    census$k AS (
+      SELECT node, 'price_bin' AS feature, price_bin AS v,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM f$k GROUP BY node, price_bin
+      UNION ALL
+      SELECT node, 'cust_bin' AS feature, cust_bin AS v,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM f$k GROUP BY node, cust_bin),
+    tot$k AS (
+      SELECT node, feature, CAST(sum(n) AS BIGINT) AS nt,
+        CAST(sum(pos) AS BIGINT) AS post
+      FROM census$k GROUP BY node, feature),
+    run$k AS (
+      SELECT node, feature, v,
+        CAST(sum(n) OVER (PARTITION BY node, feature ORDER BY v) AS BIGINT) AS nl,
+        CAST(sum(pos) OVER (PARTITION BY node, feature ORDER BY v) AS BIGINT) AS al
+      FROM census$k),
+    split$k AS (
+      SELECT r.node, r.feature, r.v AS threshold, r.nl, t.nt - r.nl AS nr,
+        r.al AS a_l, r.nl - r.al AS b_l,
+        t.post - r.al AS a_r, (t.nt - r.nl) - (t.post - r.al) AS b_r
+      FROM run$k r JOIN tot$k t ON r.node = t.node AND r.feature = t.feature
+      WHERE r.nl > 0 AND t.nt - r.nl > 0),
+    scored$k AS (
+      SELECT node, feature, threshold, nl, nr, a_l, a_r,
+        (CAST(nl AS DOUBLE) - CAST(a_l * a_l + b_l * b_l AS DOUBLE) / nl
+       + CAST(nr AS DOUBLE) - CAST(a_r * a_r + b_r * b_r AS DOUBLE) / nr)
+          / (nl + nr) AS gini
+      FROM split$k),
+    best$k AS (
+      SELECT node, feature, threshold, nl, nr, a_l, a_r, gini FROM (
+        SELECT s.*, row_number() OVER (
+          PARTITION BY node ORDER BY gini, feature, threshold) AS rn
+        FROM scored$k s) x
+      WHERE rn = 1),
+    f${k + 1} AS (
+      SELECT f.y, f.price_bin, f.cust_bin,
+        f.node || CASE WHEN (CASE WHEN b.feature = 'price_bin'
+                             THEN f.price_bin ELSE f.cust_bin END) <= b.threshold
+                  THEN 'L' ELSE 'R' END AS node
+      FROM f$k f JOIN best$k b ON f.node = b.node)"""
+
+  private val TreeDepth = 3
+
+  private val TreeSql: String = {
+    val levels = (0 until TreeDepth).map(treeLevel).mkString(",")
+    val internal = (0 until TreeDepth).map { k =>
+      s"""SELECT $k AS depth, node, feature,
+        CAST(threshold AS BIGINT) AS threshold,
+        CAST(nl + nr AS BIGINT) AS n, CAST(a_l + a_r AS BIGINT) AS pos,
+        round(gini, 9) AS gini,
+        CASE WHEN 2 * (a_l + a_r) > (nl + nr) THEN 1 ELSE 0 END AS pred
+      FROM best$k"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH f0 AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 5000000.0) AS BIGINT) AS price_bin,
+        CAST(o_custkey % 16 AS BIGINT) AS cust_bin,
+        '' AS node
+      FROM orders),
+    $levels,
+    internal AS ($internal),
+    leaves AS (
+      SELECT $TreeDepth AS depth, node, 'leaf' AS feature,
+        CAST(-1 AS BIGINT) AS threshold,
+        CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
+        round((CAST(count(*) AS DOUBLE)
+          - CAST(sum(y) * sum(y) + (count(*) - sum(y)) * (count(*) - sum(y)) AS DOUBLE)
+            / count(*)) / count(*), 9) AS gini,
+        CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS pred
+      FROM f$TreeDepth GROUP BY node)
+    SELECT depth, node, feature, threshold, n, pos, gini, pred
+    FROM (SELECT * FROM internal UNION ALL SELECT * FROM leaves) t
+    ORDER BY depth, node, feature"""
+  }
+
   /** Shared Spark/DuckDB text: 24×16 A from part, 16×12 B from supplier,
     * both as deduplicated COO triples; C = A·B via join-on-k + (i,j) agg. */
   private val MatmulSql = """
@@ -348,6 +451,7 @@ object Ml {
   def oracle: Map[String, String] = Map(
     "ml01_linreg" -> LinregSql,
     "ml07_decision_stump" -> StumpSql,
+    "ml08_decision_tree" -> TreeSql,
 
     // Identical integer micro-nat algebra; row_number DESC-score,
     // ASC-class ≙ the Spark min(struct(-score, c)) argmax.
