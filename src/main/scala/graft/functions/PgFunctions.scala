@@ -134,6 +134,8 @@ object PgFunctions {
       PorterStem(Cast(args(0), org.apache.spark.sql.types.StringType)) },
     "french_stem" -> { args =>
       FrenchStemExpr(Cast(args(0), org.apache.spark.sql.types.StringType)) },
+    "russian_stem" -> { args =>
+      RussianStemExpr(Cast(args(0), org.apache.spark.sql.types.StringType)) },
     "unicode_normalize" -> { args =>
       UnicodeNorm(Cast(args(0), org.apache.spark.sql.types.StringType),
         Cast(args(1), org.apache.spark.sql.types.StringType)) },

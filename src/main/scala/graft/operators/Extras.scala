@@ -98,6 +98,33 @@ object Extras {
       s.sql(stratifiedSql)
     },
 
+    // -- q138: TABLESAMPLE SYSTEM_ROWS(n) — the exact-row-count sample
+    //    (`contrib/tsm_system_rows/tsm_system_rows.c`: returns EXACTLY
+    //    n rows regardless of table size, the notebook "give me 1000
+    //    rows" sample; its sibling tsm_system_time is wall-clock-bound
+    //    and therefore has no deterministic analog). Deterministic
+    //    variant: rank by a content-keyed md5 coin and take exactly n —
+    //    Spark plans orderBy+limit as TakeOrderedAndProject (per-
+    //    partition top-n, then one tiny merge; NO global sort shuffle,
+    //    plan-asserted), so the 100 TB cost is one scan + n rows moved.
+    //    Coins are unique (md5 of unique keys), so the cut is
+    //    unambiguous in both engines; the oracle pins n exactly --
+    "q138_system_rows" -> { (s, dir) =>
+      val n = 1000
+      val sample = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          md5(concat(lit("sysrows-42-"), col("o_orderkey").cast("string")))
+            .as("coin"))
+        .orderBy(col("coin")).limit(n)
+      sample.agg(
+        count(lit(1)).cast("bigint").as("n_rows"),
+        (count(lit(1)) === n).cast("int").as("exact_n"),
+        min(col("coin")).as("first_coin"),
+        max(col("coin")).as("last_coin"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("bigint").as("cents"))
+    },
+
     // -- INTERSECT ALL (multiset semantics) --
     "q59_intersect_all" -> { (s, dir) =>
       val l = Tables.df(s, dir, "lineitem")
@@ -402,6 +429,17 @@ object Extras {
       ORDER BY n_exact DESC, word""",
 
     "q90_stratified_sample" -> stratifiedSql,
+
+    "q138_system_rows" -> """
+      WITH sample AS (
+        SELECT o_orderkey, o_totalprice,
+          md5('sysrows-42-' || CAST(o_orderkey AS VARCHAR)) AS coin
+        FROM orders ORDER BY coin LIMIT 1000)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) = 1000 AS INT) AS exact_n,
+        min(coin) AS first_coin, max(coin) AS last_coin,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM sample""",
     "q62_tablesample" -> bernoulliSql,
     // physical-position oracle via the documents layout invariant (one
     // parquet file, written in doc_id order): tid = rank(doc_id) − 1

@@ -53,11 +53,24 @@ object FullText {
       "nos", "notre", "nous", "on", "ou", "par", "pas", "pour", "que", "qui",
       "sa", "se", "ses", "son", "sur", "ta", "te", "tes", "toi", "ton", "tu",
       "un", "une", "vos", "votre", "vous")
+    /** Fixed subset of snowball's russian.stop, shared with the oracle.
+      * (ё-forms omitted: the corpus and stop-matching stay ё-free; the
+      * stemmer still normalizes ё→е for suffix logic.) */
+    val RussianStop: Seq[String] = Seq(
+      "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как",
+      "а", "то", "все", "она", "так", "его", "но", "да", "ты", "к",
+      "у", "же", "вы", "за", "бы", "по", "только", "мне", "было",
+      "вот", "от", "меня", "еще", "нет", "о", "из", "ему", "теперь",
+      "когда", "даже", "ну", "ли", "если", "уже", "или", "ни", "быть",
+      "был", "до", "вас", "для", "мы", "они", "есть", "чем", "была",
+      "без", "тоже", "себе", "под")
     val configs: Map[String, TsConfig] = Map(
       "english" -> TsConfig("english", StopWords, "porter_stem",
         graft.functions.PorterStem.stem),
       "french" -> TsConfig("french", FrenchStop, "french_stem",
-        graft.functions.FrenchStem.stem))
+        graft.functions.FrenchStem.stem),
+      "russian" -> TsConfig("russian", RussianStop, "russian_stem",
+        graft.functions.RussianStem.stem))
     def apply(lang: String): TsConfig = configs.getOrElse(lang,
       throw new IllegalArgumentException(s"no FTS config for language '$lang'"))
   }
@@ -78,6 +91,25 @@ object FullText {
     10L -> "ces maisons blanches furent construites rapidement",
     11L -> "la rapidité de la construction surprend les habitants",
     12L -> "ils habitaient une petite maison près du jardin fleuri")
+
+  /** The f18 Russian mini-corpus: 12 docs with planted inflection
+    * families (работать / книга / говорить / учиться / красивый /
+    * город) so the russian config's stemmer has real work. Pure
+    * Cyrillic, lowercase, space-tokenized, apostrophe- and ё-free so
+    * the same literals ride inside the oracle SQL. */
+  val RussianCorpus: Seq[(Long, String)] = Seq(
+    1L -> "он любит работать в большом городе на севере",
+    2L -> "она работает в новой библиотеке каждый день",
+    3L -> "мы работали вместе над важным проектом",
+    4L -> "студент работал вечером и читал книги",
+    5L -> "эта книга лежит на столе у окна",
+    6L -> "в библиотеке есть редкие книги и журналы",
+    7L -> "учитель говорит медленно и очень ясно",
+    8L -> "дети любят говорить о красивых городах",
+    9L -> "они говорили про новости все утро",
+    10L -> "студенты учатся в школе и учились дома",
+    11L -> "красивая площадь украшает старый город",
+    12L -> "туристы видят красивые здания и широкие улицы")
 
   /** f14's inflection probe set — chosen to exercise Porter steps 1a/1b
     * (s, ing, ed), agentive er, and the multi-step 2→4 chains (ation,
@@ -162,6 +194,32 @@ object FullText {
       val cfg = FtsConfig("french")
       val qstem = cfg.stem("continuer") // config-resolved at PLAN time → 'continu'
       FrenchCorpus.toDF("doc_id", "text")
+        .withColumn("lex", expr(
+          s"""transform(filter($toks, t -> NOT array_contains(${cfg.stopArr}, t)),
+                w -> ${cfg.stemFn}(w))"""))
+        .withColumn("n_lex", size(col("lex")).cast("bigint"))
+        .withColumn("tf_q", expr(s"size(filter(lex, x -> x = '$qstem'))").cast("bigint"))
+        .filter(col("tf_q") > 0)
+        .withColumn("rank", round(expr(
+          "(CAST(tf_q AS DOUBLE) / (1.0 + tf_q)) / (1.0 + ln(n_lex))"), 6))
+        .select(col("doc_id"), col("n_lex"), col("tf_q"), col("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+    },
+
+    // -- f18: the SAME config-driven pipeline as f17, resolving the
+    //    russian CONFIG — the registry's first non-Latin script
+    //    (`src/backend/snowball/libstemmer/stem_UTF_8_russian.c` +
+    //    `snowball/stopwords/russian.stop`). Every suffix decision runs
+    //    over Cyrillic code points; the INFLECTED query 'работать'
+    //    stems to 'работа' and matches работает/работали/работал
+    //    across docs. Zero pipeline changes vs f17 — the registry-is-
+    //    data proof now spans scripts, not just languages --
+    "f18_russian_config" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      import s.implicits._
+      val cfg = FtsConfig("russian")
+      val qstem = cfg.stem("работать") // config-resolved at PLAN time → 'работа'
+      RussianCorpus.toDF("doc_id", "text")
         .withColumn("lex", expr(
           s"""transform(filter($toks, t -> NOT array_contains(${cfg.stopArr}, t)),
                 w -> ${cfg.stemFn}(w))"""))
@@ -670,6 +728,100 @@ object FullText {
           ('unies', 'uni'),
           ('vertes', 'vert')"""
 
+  /** Generated by the unit-tested RussianStem over the f18 corpus's
+    * full non-stopword vocabulary and FROZEN (FrozenFrenchDict's
+    * discipline — FunctionsSpec re-derives it per run). */
+  private[graft] val FrozenRussianDict: String =
+    """('библиотеке', 'библиотек'),
+          ('большом', 'больш'),
+          ('важным', 'важн'),
+          ('вечером', 'вечер'),
+          ('видят', 'вид'),
+          ('вместе', 'вмест'),
+          ('говорили', 'говор'),
+          ('говорит', 'говор'),
+          ('говорить', 'говор'),
+          ('город', 'город'),
+          ('городах', 'город'),
+          ('городе', 'город'),
+          ('день', 'ден'),
+          ('дети', 'дет'),
+          ('дома', 'дом'),
+          ('журналы', 'журнал'),
+          ('здания', 'здан'),
+          ('каждый', 'кажд'),
+          ('книга', 'книг'),
+          ('книги', 'книг'),
+          ('красивая', 'красив'),
+          ('красивые', 'красив'),
+          ('красивых', 'красив'),
+          ('лежит', 'леж'),
+          ('любит', 'люб'),
+          ('любят', 'люб'),
+          ('медленно', 'медлен'),
+          ('над', 'над'),
+          ('новой', 'нов'),
+          ('новости', 'новост'),
+          ('окна', 'окн'),
+          ('очень', 'очен'),
+          ('площадь', 'площад'),
+          ('про', 'про'),
+          ('проектом', 'проект'),
+          ('работает', 'работа'),
+          ('работал', 'работа'),
+          ('работали', 'работа'),
+          ('работать', 'работа'),
+          ('редкие', 'редк'),
+          ('севере', 'север'),
+          ('старый', 'стар'),
+          ('столе', 'стол'),
+          ('студент', 'студент'),
+          ('студенты', 'студент'),
+          ('туристы', 'турист'),
+          ('украшает', 'украша'),
+          ('улицы', 'улиц'),
+          ('утро', 'утр'),
+          ('учатся', 'учат'),
+          ('учились', 'уч'),
+          ('учитель', 'учител'),
+          ('читал', 'чита'),
+          ('широкие', 'широк'),
+          ('школе', 'школ'),
+          ('эта', 'эт'),
+          ('ясно', 'ясн')"""
+
+  /** f17/f18 share one oracle builder: the config-driven ranked search
+    * differs only in (corpus, frozen dictionary, query stem). */
+  private def configOracle(corpus: Seq[(Long, String)], dictVals: String,
+      duckStopArr: String, qstem: String): String = {
+    val corpusVals = corpus.map { case (id, t) => s"($id, '$t')" }.mkString(",\n          ")
+    s"""
+      WITH corpus(doc_id, text) AS (VALUES
+          $corpusVals),
+      toked AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM corpus),
+      filtered AS (
+        SELECT doc_id, w FROM toked
+        WHERE NOT list_contains($duckStopArr, w)),
+      dict(w, stem) AS (VALUES
+          $dictVals),
+      lexed AS (
+        SELECT f.doc_id, d.stem FROM filtered f JOIN dict d USING (w)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_lex,
+          sum(CASE WHEN stem = '$qstem' THEN 1 ELSE 0 END) AS tf_q
+        FROM lexed GROUP BY doc_id)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(n_lex AS BIGINT) AS n_lex, CAST(tf_q AS BIGINT) AS tf_q,
+        round((CAST(tf_q AS DOUBLE) / (1.0 + tf_q)) / (1.0 + ln(n_lex)), 6) AS rank
+      FROM agg WHERE tf_q > 0 ORDER BY rank DESC, doc_id"""
+  }
+
+  private def russianOracle: String =
+    configOracle(RussianCorpus, FrozenRussianDict,
+      FtsConfig("russian").duckStopArr, "работа")
+
   private def frenchOracle: String = {
     val cfg = FtsConfig("french")
     val corpusVals = FrenchCorpus.map { case (id, t) => s"($id, '$t')" }.mkString(",\n          ")
@@ -701,6 +853,7 @@ object FullText {
   def oracle: Map[String, String] = Map(
 
     "f17_french_config" -> frenchOracle,
+    "f18_russian_config" -> russianOracle,
 
     "f16_phrase_distance" -> """
       WITH t AS (

@@ -109,29 +109,33 @@ object TextOps {
     //    over the bilingual corpus (English documents ∪ f17's French
     //    mini-corpus); the census shows the decision matrix per source.
     //    Adding a language to the registry grows the classifier with
-    //    ZERO code changes — the registry-is-data payoff --
+    //    ZERO code changes — the classifier below and its oracle both
+    //    FOLD OVER THE REGISTRY (sorted config keys): evidence columns,
+    //    the argmax CASE, and the output sums are all generated from
+    //    the config list, so f18's russian entry (the first non-Latin
+    //    script) appeared here by adding its corpus line alone --
     "t26_config_langid" -> { (s, dir) =>
       import s.implicits._
-      val en = FullText.FtsConfig("english")
-      val fr = FullText.FtsConfig("french")
+      val langs = T26Langs
       val lowToks = "filter(split(lower(text), ' '), x -> x <> '')"
-      val docs = Tables.df(s, dir, "documents")
-        .select(lit("en_corpus").as("source"), col("text"))
-        .unionByName(FullText.FrenchCorpus.toDF("doc_id", "text")
-          .select(lit("fr_corpus").as("source"), col("text")))
-      docs
-        .withColumn("en_hits", expr(
-          s"size(filter($lowToks, t -> array_contains(${en.stopArr}, t)))").cast("long"))
-        .withColumn("fr_hits", expr(
-          s"size(filter($lowToks, t -> array_contains(${fr.stopArr}, t)))").cast("long"))
-        .withColumn("pred", expr(
-          """CASE WHEN fr_hits > en_hits THEN 'french'
-                  WHEN en_hits > fr_hits THEN 'english'
-                  ELSE 'unknown' END"""))
+      val docs = Seq(
+        "fr_corpus" -> FullText.FrenchCorpus,
+        "ru_corpus" -> FullText.RussianCorpus)
+        .map { case (src, corpus) =>
+          corpus.toDF("doc_id", "text").select(lit(src).as("source"), col("text"))
+        }
+        .foldLeft(Tables.df(s, dir, "documents")
+          .select(lit("en_corpus").as("source"), col("text")))(_ unionByName _)
+      val withHits = langs.foldLeft(docs) { (d, l) =>
+        d.withColumn(s"${l.take(2)}_hits", expr(
+          s"size(filter($lowToks, t -> array_contains(${FullText.FtsConfig(l).stopArr}, t)))")
+          .cast("long"))
+      }
+      withHits
+        .withColumn("pred", expr(t26PredCase(langs)))
         .groupBy(col("source"), col("pred"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("en_hits")).as("en_hits_sum"),
-          sum(col("fr_hits")).as("fr_hits_sum"))
+          langs.map(l => sum(col(s"${l.take(2)}_hits")).as(s"${l.take(2)}_hits_sum")): _*)
         .orderBy(col("source"), col("pred"))
     },
 
@@ -812,31 +816,52 @@ object TextOps {
       ORDER BY merge_rank"""
   }
 
+  /** t26's language list IS the registry (sorted keys — english,
+    * french, russian); classifier and oracle both generate from it. */
+  private def T26Langs: Seq[String] = FullText.FtsConfig.configs.keys.toSeq.sorted
+
+  /** The deterministic argmax: a language wins only with STRICTLY more
+    * stopword evidence than every other; any tie is 'unknown'. */
+  private def t26PredCase(langs: Seq[String]): String =
+    langs.map { l =>
+      val mine = s"${l.take(2)}_hits"
+      val beats = langs.filterNot(_ == l)
+        .map(o => s"$mine > ${o.take(2)}_hits").mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'unknown' END")
+
   private def t26Oracle: String = {
-    val en = FullText.FtsConfig("english")
-    val fr = FullText.FtsConfig("french")
-    val frVals = FullText.FrenchCorpus
-      .map { case (_, t) => s"('fr_corpus', '$t')" }.mkString(",\n          ")
+    val langs = T26Langs
+    val extraCorpora = Seq(
+      "fr_corpus" -> FullText.FrenchCorpus,
+      "ru_corpus" -> FullText.RussianCorpus)
+      .map { case (src, corpus) =>
+        val vals = corpus.map { case (_, t) => s"('$src', '$t')" }
+          .mkString(",\n          ")
+        s"""SELECT * FROM (VALUES
+          $vals) v(source, text)"""
+      }
+      .mkString("\n        UNION ALL\n        ")
+    val hitCols = langs.map { l =>
+      s"""CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+            t -> list_contains(${FullText.FtsConfig(l).duckStopArr}, t))) AS BIGINT) AS ${l.take(2)}_hits"""
+    }.mkString(",\n          ")
+    val sumCols = langs.map { l =>
+      s"CAST(sum(${l.take(2)}_hits) AS BIGINT) AS ${l.take(2)}_hits_sum"
+    }.mkString(",\n        ")
     s"""
       WITH corpus(source, text) AS (
         SELECT 'en_corpus', text FROM documents
         UNION ALL
-        SELECT * FROM (VALUES
-          $frVals) v(source, text)),
+        $extraCorpora),
       hits AS (
         SELECT source,
-          CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
-            t -> list_contains(${en.duckStopArr}, t))) AS BIGINT) AS en_hits,
-          CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
-            t -> list_contains(${fr.duckStopArr}, t))) AS BIGINT) AS fr_hits
+          $hitCols
         FROM corpus)
       SELECT source,
-        CASE WHEN fr_hits > en_hits THEN 'french'
-             WHEN en_hits > fr_hits THEN 'english'
-             ELSE 'unknown' END AS pred,
+        ${t26PredCase(langs)} AS pred,
         count(*) AS n_docs,
-        CAST(sum(en_hits) AS BIGINT) AS en_hits_sum,
-        CAST(sum(fr_hits) AS BIGINT) AS fr_hits_sum
+        $sumCols
       FROM hits GROUP BY 1, 2 ORDER BY source, pred"""
   }
 

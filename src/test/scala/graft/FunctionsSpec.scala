@@ -237,7 +237,8 @@ class FunctionsSpec extends AnyFunSuite {
         "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
         "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
         "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24",
-        "frame_sums", "frame_energy", "french_stem", "char_grams"))
+        "frame_sums", "frame_energy", "french_stem", "russian_stem",
+        "char_grams"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -303,31 +304,67 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Seq("continue", "continuera", "continuer", "continuation").map(stem).distinct.size == 1)
   }
 
-  test("FTS config registry: language resolved as data; frozen f17 dictionary is current") {
-    import graft.operators.FullText.{FtsConfig, FrenchCorpus, FrozenFrenchDict}
-    // the same pipeline parameterizes over both configs: stopwords and
+  test("FTS config registry: language resolved as data; frozen dictionaries are current") {
+    import graft.operators.FullText.{FtsConfig, FrenchCorpus, RussianCorpus,
+      FrozenFrenchDict, FrozenRussianDict}
+    // the same pipeline parameterizes over every config: stopwords and
     // stemmer come from the config VALUE, never from code branches
-    for (lang <- Seq("english", "french")) {
+    val probes = Map(
+      "english" -> ("merging", "merge"),
+      "french" -> ("continuait", "continuer"),
+      "russian" -> ("работает", "работать"))
+    for ((lang, (infl, base)) <- probes) {
       val cfg = FtsConfig(lang)
       assert(cfg.stopwords.nonEmpty && cfg.stemFn.nonEmpty)
       // a language-specific inflection collapses under ITS config only
-      val (infl, base) =
-        if (lang == "french") ("continuait", "continuer") else ("merging", "merge")
       assert(cfg.stem(infl) == cfg.stem(base),
         s"$lang config must collapse $infl with $base")
     }
-    // english and french resolve DIFFERENT stemmers through the same API
+    // distinct languages resolve DIFFERENT stemmers through the same API
     assert(FtsConfig("english").stem("continuait") !=
       FtsConfig("french").stem("continuait"))
     intercept[IllegalArgumentException](FtsConfig("klingon"))
-    // the frozen oracle dictionary must match a fresh derivation — a
+    // the frozen oracle dictionaries must match a fresh derivation — a
     // stemmer change shows up here before the driver compare sees it
-    val cfg = FtsConfig("french")
-    val regenerated = FrenchCorpus.flatMap(_._2.split(" "))
-      .filterNot(cfg.stopwords.contains).distinct.sorted
-      .map(w => s"('$w', '${cfg.stem(w)}')").mkString(",\n          ")
-    assert(regenerated == FrozenFrenchDict,
+    def derive(lang: String, corpus: Seq[(Long, String)]): String = {
+      val cfg = FtsConfig(lang)
+      corpus.flatMap(_._2.split(" "))
+        .filterNot(cfg.stopwords.contains).distinct.sorted
+        .map(w => s"('$w', '${cfg.stem(w)}')").mkString(",\n          ")
+    }
+    assert(derive("french", FrenchCorpus) == FrozenFrenchDict,
       "FrenchStem drifted from the frozen f17 dictionary — regenerate it deliberately")
+    assert(derive("russian", RussianCorpus) == FrozenRussianDict,
+      "RussianStem drifted from the frozen f18 dictionary — regenerate it deliberately")
+  }
+
+  test("russian_stem follows the published Snowball Russian rule table") {
+    import graft.functions.RussianStem.stem
+    // one vector per rule family: step-1 noun endings (а/и/у/ь/ия/ии/
+    // ом/ах), adjective (ый/ая/ые/их/ой), verb groups 1 and 2 (ть/ет/
+    // ли/л after а; ить/ит/или), perfective gerund (в after а, вшись),
+    // reflexive (ся/сь), step-2 и, step-3 derivational ость in R2,
+    // step-4 tidy (нн undouble, superlative ейш, trailing ь), ё→е
+    val vectors = Seq(
+      "книга" -> "книг", "книги" -> "книг", "книгу" -> "книг",
+      "красивый" -> "красив", "красивая" -> "красив",
+      "красивые" -> "красив", "красивых" -> "красив",
+      "работать" -> "работа", "работает" -> "работа",
+      "работали" -> "работа", "работал" -> "работа",
+      "говорить" -> "говор", "говорит" -> "говор",
+      "возможность" -> "возможн", "важность" -> "важност",
+      "весенний" -> "весен", "новейший" -> "нов",
+      "сделав" -> "сдела", "учиться" -> "уч", "учились" -> "уч",
+      "жизнь" -> "жизн", "деревня" -> "деревн",
+      "россия" -> "росс", "россии" -> "росс",
+      "нация" -> "нац", "нации" -> "нац",
+      "медленно" -> "медлен", "быстрее" -> "быстр",
+      "городах" -> "город", "люди" -> "люд")
+    for ((w, s) <- vectors) assert(stem(w) == s, s"$w: got ${stem(w)}, want $s")
+    // inflection families collapse to a shared stem
+    assert(Seq("работать", "работает", "работали", "работал")
+      .map(stem).distinct.size == 1)
+    assert(Seq("книга", "книги", "книгу").map(stem).distinct.size == 1)
   }
 
   test("porter_stem matches the published 1980 algorithm examples") {

@@ -1136,6 +1136,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(finalPlan(unhinted).contains("BroadcastHashJoin"))
   }
 
+  test("q138: SYSTEM_ROWS sample plans as top-n, never a global sort") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    // assert on the sample stage itself (the query aggregates after):
+    // orderBy+limit must become TakeOrderedAndProject — per-partition
+    // top-n + one tiny merge, the only 100 TB-safe exact-n sample
+    val sample = Tables.df(spark, Sf, "orders")
+      .select(col("o_orderkey"),
+        md5(concat(lit("sysrows-42-"), col("o_orderkey").cast("string"))).as("coin"))
+      .orderBy(col("coin")).limit(1000)
+    val p = finalPlan(sample)
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-n plan:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"an exact-n sample must not global-sort:\n$p")
+  }
+
   test("c12: FDW predicate + column pushdown reach the remote JDBC scan") {
     val p = plan("c12_fdw_join")
     // the range predicate is deparsed into the remote SQL, not evaluated
