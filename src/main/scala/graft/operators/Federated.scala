@@ -56,18 +56,19 @@ object Federated {
         .option("dbtable", "NATION_REMOTE")
         .option("createTableColumnTypes", "n_name VARCHAR(32)")
         .save()
+      // "CREATE SERVER": register the V2 catalog for this remote DB
+      s.conf.set("spark.sql.catalog.fed",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.fed.url", url)
+      s.conf.set("spark.sql.catalog.fed.driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      s.conf.set("spark.sql.catalog.fed.pushDownAggregate", "true")
+      s.conf.set("spark.sql.catalog.fed.pushDownLimit", "true")
       url
     })
 
   /** The foreign table via the V2 catalog (FDW foreign scan). */
   def remoteNation(s: SparkSession, dir: String): DataFrame = {
-    val url = setup(s, dir)
-    s.conf.set("spark.sql.catalog.fed",
-      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
-    s.conf.set("spark.sql.catalog.fed.url", url)
-    s.conf.set("spark.sql.catalog.fed.driver", "org.apache.derby.jdbc.EmbeddedDriver")
-    s.conf.set("spark.sql.catalog.fed.pushDownAggregate", "true")
-    s.conf.set("spark.sql.catalog.fed.pushDownLimit", "true")
+    setup(s, dir)
     s.table("fed.APP.NATION_REMOTE")
   }
 
@@ -87,6 +88,36 @@ object Federated {
         .agg(count(lit(1)).as("n_cust"),
           sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
         .orderBy(col("n_regionkey"), col("n_name"))
+    },
+
+    // -- c14: FDW WRITE-BACK — ModifyTable on a foreign relation
+    //    (postgres_fdw's ExecForeignInsert: INSERT INTO a remote table
+    //    from a local query; the warehouse pushes a rollup back to the
+    //    operational DB). The warehouse-side aggregate is computed over
+    //    local parquet, written to the remote server through the same
+    //    JDBC wire (executors write their partitions — the per-segment
+    //    FDW insert shape), then read BACK via the V2 catalog joined to
+    //    the remote dimension — the oracle recomputes the round trip
+    //    from parquet alone, so any lost/duplicated remote row breaks
+    //    counts --
+    "c14_fdw_writeback" -> { (s, dir) =>
+      val url = setup(s, dir)
+      Tables.df(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("bal_cents"))
+        .write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", "CUST_ROLLUP")
+        .save()
+      s.table("fed.APP.CUST_ROLLUP")
+        .join(remoteNation(s, dir),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_cust").cast("bigint").as("n_cust"),
+          col("bal_cents").cast("bigint").as("bal_cents"))
+        .orderBy(col("n_name"))
     },
 
     // -- c13: dblink-style remote aggregate — the WHOLE aggregate is
@@ -113,6 +144,13 @@ object Federated {
       WHERE n_regionkey BETWEEN 1 AND 3
       GROUP BY n_regionkey, n_name
       ORDER BY n_regionkey, n_name""",
+
+    "c14_fdw_writeback" -> """
+      SELECT n_name,
+        CAST(count(*) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
 
     "c13_fdw_remote_agg" -> """
       SELECT n_regionkey,

@@ -248,6 +248,15 @@ object Ml {
     "ml08_decision_tree" -> { (s, dir) =>
       graft.Tables.register(s, dir)
       s.sql(TreeSql)
+    },
+
+    // -- ml09: tree INFERENCE on a held-out split — train on 9/10 of
+    //    orders, route the holdout through the same best-split
+    //    relations, score against the train leaves (shared generated
+    //    text; see TreeScoreSql) --
+    "ml09_tree_confusion" -> { (s, dir) =>
+      graft.Tables.register(s, dir)
+      s.sql(TreeScoreSql)
     }
   )
 
@@ -399,6 +408,52 @@ object Ml {
     ORDER BY depth, node, feature"""
   }
 
+  /** ml09: distributed tree INFERENCE (MADlib tree_predict) — the
+    * scoring half ml08's trainer implies. Train/holdout is the t15
+    * deterministic key split (o_orderkey % 10). The holdout rows are
+    * routed down the tree by the SAME mechanism training used: one
+    * equi-join per level against the ≤2^k-row best-split relation
+    * (broadcast by size), so scoring 100 TB is `depth` map-side joins —
+    * rows never shuffle. Leaf predictions come from the TRAIN leaf
+    * censuses (COALESCE 0 for a path no train row took), and the output
+    * is the per-leaf confusion matrix — the honest holdout evidence a
+    * model gate needs. Identical generated text in both engines. */
+  private val TreeScoreSql: String = {
+    val levels = (0 until TreeDepth).map(treeLevel).mkString(",")
+    val routing = (0 until TreeDepth).map { k =>
+      s"""g${k + 1} AS (
+      SELECT g.y, g.price_bin, g.cust_bin,
+        g.node || CASE WHEN (CASE WHEN b.feature = 'price_bin'
+                             THEN g.price_bin ELSE g.cust_bin END) <= b.threshold
+                  THEN 'L' ELSE 'R' END AS node
+      FROM g$k g JOIN best$k b ON g.node = b.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH base AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 5000000.0) AS BIGINT) AS price_bin,
+        CAST(o_custkey % 16 AS BIGINT) AS cust_bin
+      FROM orders),
+    f0 AS (
+      SELECT y, price_bin, cust_bin, '' AS node
+      FROM base WHERE o_orderkey % 10 <> 3),
+    g0 AS (
+      SELECT y, price_bin, cust_bin, '' AS node
+      FROM base WHERE o_orderkey % 10 = 3),
+    $levels,
+    $routing,
+    leafpred AS (
+      SELECT node,
+        CASE WHEN 2 * CAST(sum(y) AS BIGINT) > count(*) THEN 1 ELSE 0 END AS pred
+      FROM f$TreeDepth GROUP BY node)
+    SELECT g.node AS node, COALESCE(l.pred, 0) AS pred, g.y AS y,
+      CAST(count(*) AS BIGINT) AS n_holdout
+    FROM g$TreeDepth g LEFT JOIN leafpred l ON g.node = l.node
+    GROUP BY g.node, COALESCE(l.pred, 0), g.y
+    ORDER BY g.node, g.y"""
+  }
+
   /** Shared Spark/DuckDB text: 24×16 A from part, 16×12 B from supplier,
     * both as deduplicated COO triples; C = A·B via join-on-k + (i,j) agg. */
   private val MatmulSql = """
@@ -452,6 +507,7 @@ object Ml {
     "ml01_linreg" -> LinregSql,
     "ml07_decision_stump" -> StumpSql,
     "ml08_decision_tree" -> TreeSql,
+    "ml09_tree_confusion" -> TreeScoreSql,
 
     // Identical integer micro-nat algebra; row_number DESC-score,
     // ASC-class ≙ the Spark min(struct(-score, c)) argmax.
