@@ -136,6 +136,16 @@ object PgFunctions {
       FrenchStemExpr(Cast(args(0), org.apache.spark.sql.types.StringType)) },
     "russian_stem" -> { args =>
       RussianStemExpr(Cast(args(0), org.apache.spark.sql.types.StringType)) },
+    // jump_hash(key, n): the cdbhash row->segment mapper; n folds at
+    // registration like pair_emit's cap
+    "jump_hash" -> { args =>
+      val n = args(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"jump_hash buckets must be an int literal, got $other")
+      }
+      JumpHash(Cast(args(0), org.apache.spark.sql.types.LongType), n)
+    },
     "unicode_normalize" -> { args =>
       UnicodeNorm(Cast(args(0), org.apache.spark.sql.types.StringType),
         Cast(args(1), org.apache.spark.sql.types.StringType)) },

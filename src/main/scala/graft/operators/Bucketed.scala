@@ -134,6 +134,34 @@ object Bucketed {
         .groupBy(col("n_lines"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_lines"))
+    },
+
+    // -- b05: JUMP CONSISTENT HASH — the reference's actual row→segment
+    //    mapper (`cdbhash.c:530` jump_consistent_hash, reduced onto
+    //    segments at `cdbhash.c:280`; Lamping & Veach's published
+    //    algorithm) and the property gpexpand banks on: growing 16→24
+    //    segments, a key remaps IFF its 24-way bucket is ≥ 16, so ONLY
+    //    rows destined for the 8 NEW segments move and the surviving 16
+    //    segments keep every row. The audit computes both placements
+    //    per row in one codegen scan (graft.functions.JumpHash) and
+    //    proves the invariant exactly: n_anomalies counts rows where
+    //    (moved) ≠ (new segment ≥ 16) — pinned to 0 per segment. The
+    //    oracle replays the identical LCG+jump recursion in a DuckDB
+    //    recursive CTE over HUGEINTs (mod-2^64 arithmetic spelled out),
+    //    so per-segment counts — not just the invariant — cross-check --
+    "b05_jump_consistent_hash" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("jump_hash(o_orderkey, 16)").as("seg16"),
+          expr("jump_hash(o_orderkey, 24)").as("seg24"))
+        .groupBy(col("seg24").as("segment"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum((col("seg16") =!= col("seg24")).cast("long")).as("n_moved"),
+          sum(((col("seg16") =!= col("seg24")) =!= (col("seg24") >= 16))
+            .cast("long")).as("n_anomalies"))
+        .orderBy(col("segment"))
     }
   )
 
@@ -162,6 +190,38 @@ object Bucketed {
       SELECT n_lines, count(*) AS n_orders
       FROM (SELECT l_orderkey, count(*) AS n_lines
             FROM lineitem GROUP BY l_orderkey) t
-      GROUP BY n_lines ORDER BY n_lines"""
+      GROUP BY n_lines ORDER BY n_lines""",
+
+    // The identical Lamping-Veach recursion: 64-bit LCG emulated in
+    // HUGEINT mod 2^64 (key>>33 is integer division by 2^33), the jump
+    // computed with the same IEEE double expression shape as the C.
+    "b05_jump_consistent_hash" -> """
+      WITH RECURSIVE it AS (
+        SELECT CAST(o_orderkey AS HUGEINT) AS key0, s.n,
+               CAST(o_orderkey AS HUGEINT) AS key,
+               CAST(-1 AS HUGEINT) AS b, CAST(0 AS HUGEINT) AS j
+        FROM orders CROSS JOIN (SELECT UNNEST([16, 24]) AS n) s
+        UNION ALL
+        SELECT nk.key0, nk.n, nk.key, nk.b,
+               CAST(floor(CAST(nk.b + 1 AS DOUBLE) *
+                 (2147483648.0 / (CAST(nk.key // 8589934592 AS DOUBLE) + 1.0)))
+                 AS HUGEINT) AS j
+        FROM (
+          SELECT key0, n,
+                 ((key * 2862933555777941757 + 1) % 18446744073709551616) AS key,
+                 j AS b
+          FROM it WHERE j < n) nk),
+      done AS (
+        SELECT key0, n, CAST(b AS INT) AS seg FROM it WHERE j >= n),
+      placed AS (
+        SELECT d16.key0, d16.seg AS seg16, d24.seg AS seg24
+        FROM done d16 JOIN done d24 ON d16.key0 = d24.key0
+        WHERE d16.n = 16 AND d24.n = 24)
+      SELECT seg24 AS segment,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN seg16 <> seg24 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        CAST(sum(CASE WHEN (seg16 <> seg24) <> (seg24 >= 16) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_anomalies
+      FROM placed GROUP BY seg24 ORDER BY segment"""
   )
 }

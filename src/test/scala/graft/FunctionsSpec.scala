@@ -238,7 +238,7 @@ class FunctionsSpec extends AnyFunSuite {
         "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
         "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24",
         "frame_sums", "frame_energy", "french_stem", "russian_stem",
-        "char_grams"))
+        "char_grams", "jump_hash"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -336,6 +336,35 @@ class FunctionsSpec extends AnyFunSuite {
       "FrenchStem drifted from the frozen f17 dictionary — regenerate it deliberately")
     assert(derive("russian", RussianCorpus) == FrozenRussianDict,
       "RussianStem drifted from the frozen f18 dictionary — regenerate it deliberately")
+  }
+
+  test("jump_hash: consistent-hash contract (range, monotone moves, balance)") {
+    import graft.functions.JumpHash.compute
+    val keys = (1L to 20000L).map(_ * 2654435761L) // spread keys
+    for (n <- Seq(1, 2, 16, 24, 100)) {
+      val segs = keys.map(compute(_, n))
+      assert(segs.forall(s => s >= 0 && s < n), s"out of range for n=$n")
+      if (n == 1) assert(segs.forall(_ == 0))
+    }
+    // THE consistent-hash property (what gpexpand relies on): growing
+    // n→m moves a key iff its m-bucket is new, and placements for the
+    // surviving buckets are unchanged
+    for ((n, m) <- Seq((16, 24), (24, 25), (2, 16))) {
+      keys.foreach { k =>
+        val a = compute(k, n); val b = compute(k, m)
+        assert((a != b) == (b >= n), s"key $k: $n->$m moved $a->$b")
+      }
+      // expected moved fraction is (m-n)/m; allow wide tolerance
+      val moved = keys.count(k => compute(k, n) != compute(k, m)).toDouble / keys.size
+      val want = (m - n).toDouble / m
+      assert(math.abs(moved - want) < 0.05, s"$n->$m moved $moved, want ~$want")
+    }
+    // balance: max/min segment load within 3x at 20k keys over 24 segs
+    val loads = keys.groupBy(compute(_, 24)).values.map(_.size)
+    assert(loads.size == 24 && loads.max < 3 * loads.min,
+      s"imbalanced: ${loads.toSeq.sorted}")
+    // deterministic: same input, same output (pure function of (k, n))
+    assert(compute(123456789L, 24) == compute(123456789L, 24))
   }
 
   test("russian_stem follows the published Snowball Russian rule table") {
