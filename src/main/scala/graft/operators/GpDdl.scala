@@ -431,6 +431,59 @@ object GpDdl {
         .orderBy(col("o_month"))
     },
 
+    // -- ddl05: VACUUM — append-optimized compaction
+    //    (`src/backend/access/appendonly/vacuum_ao.c`: AO segfiles
+    //    accumulate dead rows recorded in the visimap auxiliary
+    //    relation (`appendonly_visimap.c`); VACUUM rewrites each
+    //    segfile's VISIBLE rows into fresh compacted segfiles and swaps
+    //    the relfilenode — space from deletes/aborts reclaimed without
+    //    blocking readers). Spark-first: the fragmented relation is 64
+    //    tiny parquet files; the visimap is the tombstone predicate;
+    //    VACUUM is ONE distributed rewrite of visible rows into
+    //    right-sized files (repartition(4) — the writer small-files
+    //    discipline), landing in a new generation directory = the
+    //    relfilenode swap. The audit reads the POST-vacuum relation:
+    //    tombstoned rows gone, every visible row's cents preserved,
+    //    file count 64→4 — and the oracle re-derives all counts from
+    //    the source table, so a row lost or duplicated by the rewrite
+    //    breaks the compare. At 100 TB: one scan + one write of the
+    //    surviving fraction; untouched generations are never read --
+    "ddl05_vacuum_compact" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/derived/$tag/ddl05_orders"
+      val gen2 = s"target/derived/$tag/ddl05_orders_gen2"
+      // build the fragmented AO relation (fresh each run → idempotent)
+      Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(base)
+      def countFiles(p: String): Long = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet")).toLong
+      }
+      val before = s.read.parquet(base)
+      val nFilesBefore = countFiles(base)
+      val nBefore = before.count()
+      // VACUUM: visible rows (visimap predicate) → compacted generation
+      before.filter(col("o_orderkey") % 97 =!= 0)
+        .repartition(4)
+        .write.mode("overwrite").parquet(gen2)
+      val nFilesAfter = countFiles(gen2)
+      s.read.parquet(gen2)
+        .agg(
+          count(lit(1)).as("n_rows_after"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .as("cents_after"),
+          sum((col("o_orderkey") % 97 === 0).cast("long")).as("n_dead_left"))
+        .select(
+          lit(nFilesBefore).as("n_files_before"),
+          lit(nFilesAfter).as("n_files_after"),
+          lit(nBefore).as("n_rows_before"),
+          (lit(nBefore) - col("n_rows_after")).as("n_tombstones"),
+          col("n_rows_after"), col("n_dead_left"), col("cents_after"))
+    },
+
     // -- ddl04: SET DISTRIBUTED BY — the key-change migration: a copy
     //    of the fact table declared DISTRIBUTED BY (o_orderkey) is
     //    redistributed onto o_custkey (one full shuffle, the honest
@@ -484,6 +537,20 @@ object GpDdl {
 
   def oracle: Map[String, String] = Map(
     // redistribution preserves content: the rollup equals the raw join
+    "ddl05_vacuum_compact" -> """
+      SELECT CAST(64 AS BIGINT) AS n_files_before,
+        CAST(4 AS BIGINT) AS n_files_after,
+        CAST(count(*) AS BIGINT) AS n_rows_before,
+        CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tombstones,
+        CAST(sum(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_rows_after,
+        CAST(0 AS BIGINT) AS n_dead_left,
+        CAST(sum(CASE WHEN o_orderkey % 97 <> 0
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS cents_after
+      FROM orders""",
+
     "ddl04_set_distributed" -> """
       SELECT c_mktsegment, count(*) AS n_orders,
         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
