@@ -244,21 +244,59 @@ object Ml {
     },
 
     // -- ml08: recursive decision tree (depth 3) — ml07's census split
-    //    iterated per node (shared generated text; see TreeSql) --
+    //    iterated per node. Spark executes the SAME per-level SQL
+    //    fragments the oracle's CTE chain is assembled from, but
+    //    MATERIALIZES each level (localCheckpoint + temp view): Spark
+    //    inlines CTEs, so running the whole unrolled chain as one
+    //    statement re-derives every lower level at each reference —
+    //    exponential re-computation in depth (measured: 9 s at sf0.1 vs
+    //    ~1 s materialized). With per-level spools the execution really
+    //    is `depth` linear scans, which is the 100 TB claim --
     "ml08_decision_tree" -> { (s, dir) =>
       graft.Tables.register(s, dir)
-      s.sql(TreeSql)
+      val bests = growTree(s, "ml08_", baseSql(None))
+      s.sql(treeReportSql("ml08_", bests.size))
     },
 
     // -- ml09: tree INFERENCE on a held-out split — train on 9/10 of
     //    orders, route the holdout through the same best-split
-    //    relations, score against the train leaves (shared generated
-    //    text; see TreeScoreSql) --
+    //    relations (one broadcast-sized equi-join per level), score
+    //    against the train leaves. Same per-level materialization --
     "ml09_tree_confusion" -> { (s, dir) =>
       graft.Tables.register(s, dir)
-      s.sql(TreeScoreSql)
+      growTree(s, "ml09_", baseSql(Some("o_orderkey % 10 <> 3")))
+      var g = s.sql(baseSql(Some("o_orderkey % 10 = 3"))).localCheckpoint()
+      for (k <- 0 until TreeDepth) {
+        g.createOrReplaceTempView(s"ml09_g$k")
+        g = s.sql(routeSql(s"ml09_g$k", s"ml09_best$k")).localCheckpoint()
+      }
+      g.createOrReplaceTempView(s"ml09_g$TreeDepth")
+      s.sql(confusionSql("ml09_", TreeDepth))
     }
   )
+
+  /** Train the depth-`TreeDepth` tree: per level, census+argmin over
+    * the materialized node relation, then child routing via a join to
+    * the tiny best-split relation. BOTH the per-level row relation and
+    * the best-split relation are materialized (localCheckpoint): the
+    * best cut breaks the CTE chain's exponential re-derivation, and
+    * spooling f(k) keeps each census a block scan instead of replaying
+    * the k-join routing lineage per reference (measured 3.5 s vs 4.6 s
+    * vs 9 s for the one-statement chain at sf0.1; the residual is
+    * local-mode job overhead that amortizes at scale). Views `<p>f{k}`
+    * / `<p>best{k}` are left registered for downstream scoring. */
+  private def growTree(s: SparkSession, p: String, base: String): Seq[DataFrame] = {
+    var f = s.sql(base).localCheckpoint()
+    val bests = (0 until TreeDepth).map { k =>
+      f.createOrReplaceTempView(s"${p}f$k")
+      val best = s.sql(bestSql(s"${p}f$k")).localCheckpoint()
+      best.createOrReplaceTempView(s"${p}best$k")
+      f = s.sql(routeSql(s"${p}f$k", s"${p}best$k")).localCheckpoint()
+      best
+    }
+    f.createOrReplaceTempView(s"${p}f$TreeDepth")
+    bests
+  }
 
   /** ml07: decision-stump training (one-level CART — MADlib's
     * tree_train depth-1 case; the split-search census is the kernel
@@ -330,82 +368,118 @@ object Ml {
     * class census and prediction.
     * At 100 TB: `depth` linear scans + census-sized everything else —
     * exactly the reference trainer's per-level aggregation shape. */
-  private def treeLevel(k: Int): String = s"""
-    census$k AS (
+  private val TreeDepth = 3
+
+  /** Featurized base relation; `where` narrows to a key split. */
+  private def baseSql(where: Option[String]): String = s"""
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+      CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 5000000.0) AS BIGINT) AS price_bin,
+      CAST(o_custkey % 16 AS BIGINT) AS cust_bin,
+      '' AS node
+    FROM orders${where.map(w => s" WHERE $w").getOrElse("")}"""
+
+  /** One level's split search over `src` {y, price_bin, cust_bin,
+    * node}: per-(node, feature, bin) label censuses (the only
+    * corpus-sized work, map-side combined), running sums, exact-BIGINT
+    * Gini, deterministic per-node argmin. */
+  private def bestSql(src: String): String = s"""
+    WITH census AS (
       SELECT node, 'price_bin' AS feature, price_bin AS v,
         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
-      FROM f$k GROUP BY node, price_bin
+      FROM $src GROUP BY node, price_bin
       UNION ALL
       SELECT node, 'cust_bin' AS feature, cust_bin AS v,
         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
-      FROM f$k GROUP BY node, cust_bin),
-    tot$k AS (
+      FROM $src GROUP BY node, cust_bin),
+    tot AS (
       SELECT node, feature, CAST(sum(n) AS BIGINT) AS nt,
         CAST(sum(pos) AS BIGINT) AS post
-      FROM census$k GROUP BY node, feature),
-    run$k AS (
+      FROM census GROUP BY node, feature),
+    run AS (
       SELECT node, feature, v,
         CAST(sum(n) OVER (PARTITION BY node, feature ORDER BY v) AS BIGINT) AS nl,
         CAST(sum(pos) OVER (PARTITION BY node, feature ORDER BY v) AS BIGINT) AS al
-      FROM census$k),
-    split$k AS (
+      FROM census),
+    split AS (
       SELECT r.node, r.feature, r.v AS threshold, r.nl, t.nt - r.nl AS nr,
         r.al AS a_l, r.nl - r.al AS b_l,
         t.post - r.al AS a_r, (t.nt - r.nl) - (t.post - r.al) AS b_r
-      FROM run$k r JOIN tot$k t ON r.node = t.node AND r.feature = t.feature
+      FROM run r JOIN tot t ON r.node = t.node AND r.feature = t.feature
       WHERE r.nl > 0 AND t.nt - r.nl > 0),
-    scored$k AS (
+    scored AS (
       SELECT node, feature, threshold, nl, nr, a_l, a_r,
         (CAST(nl AS DOUBLE) - CAST(a_l * a_l + b_l * b_l AS DOUBLE) / nl
        + CAST(nr AS DOUBLE) - CAST(a_r * a_r + b_r * b_r AS DOUBLE) / nr)
           / (nl + nr) AS gini
-      FROM split$k),
-    best$k AS (
-      SELECT node, feature, threshold, nl, nr, a_l, a_r, gini FROM (
-        SELECT s.*, row_number() OVER (
-          PARTITION BY node ORDER BY gini, feature, threshold) AS rn
-        FROM scored$k s) x
-      WHERE rn = 1),
-    f${k + 1} AS (
-      SELECT f.y, f.price_bin, f.cust_bin,
-        f.node || CASE WHEN (CASE WHEN b.feature = 'price_bin'
-                             THEN f.price_bin ELSE f.cust_bin END) <= b.threshold
-                  THEN 'L' ELSE 'R' END AS node
-      FROM f$k f JOIN best$k b ON f.node = b.node)"""
+      FROM split)
+    SELECT node, feature, threshold, nl, nr, a_l, a_r, gini FROM (
+      SELECT s.*, row_number() OVER (
+        PARTITION BY node ORDER BY gini, feature, threshold) AS rn
+      FROM scored s) x
+    WHERE rn = 1"""
 
-  private val TreeDepth = 3
+  /** Child routing: rows of `src` descend to L/R by `best`'s split. */
+  private def routeSql(src: String, best: String): String = s"""
+    SELECT f.y, f.price_bin, f.cust_bin,
+      f.node || CASE WHEN (CASE WHEN b.feature = 'price_bin'
+                           THEN f.price_bin ELSE f.cust_bin END) <= b.threshold
+                THEN 'L' ELSE 'R' END AS node
+    FROM $src f JOIN $best b ON f.node = b.node"""
 
-  private val TreeSql: String = {
-    val levels = (0 until TreeDepth).map(treeLevel).mkString(",")
-    val internal = (0 until TreeDepth).map { k =>
+  /** ml08's report: every internal node + the depth-`d` leaves, read
+    * from the `<p>best{k}` / `<p>f{d}` relations (`p` = view prefix,
+    * empty inside the oracle's CTE chain). */
+  private def treeReportSql(p: String, d: Int): String = {
+    val internal = (0 until d).map { k =>
       s"""SELECT $k AS depth, node, feature,
         CAST(threshold AS BIGINT) AS threshold,
         CAST(nl + nr AS BIGINT) AS n, CAST(a_l + a_r AS BIGINT) AS pos,
         round(gini, 9) AS gini,
         CASE WHEN 2 * (a_l + a_r) > (nl + nr) THEN 1 ELSE 0 END AS pred
-      FROM best$k"""
+      FROM ${p}best$k"""
     }.mkString(" UNION ALL ")
     s"""
-    WITH f0 AS (
-      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
-        CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 5000000.0) AS BIGINT) AS price_bin,
-        CAST(o_custkey % 16 AS BIGINT) AS cust_bin,
-        '' AS node
-      FROM orders),
-    $levels,
-    internal AS ($internal),
+    WITH internal AS ($internal),
     leaves AS (
-      SELECT $TreeDepth AS depth, node, 'leaf' AS feature,
+      SELECT $d AS depth, node, 'leaf' AS feature,
         CAST(-1 AS BIGINT) AS threshold,
         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos,
         round((CAST(count(*) AS DOUBLE)
           - CAST(sum(y) * sum(y) + (count(*) - sum(y)) * (count(*) - sum(y)) AS DOUBLE)
             / count(*)) / count(*), 9) AS gini,
         CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS pred
-      FROM f$TreeDepth GROUP BY node)
+      FROM ${p}f$d GROUP BY node)
     SELECT depth, node, feature, threshold, n, pos, gini, pred
     FROM (SELECT * FROM internal UNION ALL SELECT * FROM leaves) t
     ORDER BY depth, node, feature"""
+  }
+
+  /** ml09's report: holdout confusion against the train leaf preds. */
+  private def confusionSql(p: String, d: Int): String = s"""
+    WITH leafpred AS (
+      SELECT node,
+        CASE WHEN 2 * CAST(sum(y) AS BIGINT) > count(*) THEN 1 ELSE 0 END AS pred
+      FROM ${p}f$d GROUP BY node)
+    SELECT g.node AS node, COALESCE(l.pred, 0) AS pred, g.y AS y,
+      CAST(count(*) AS BIGINT) AS n_holdout
+    FROM ${p}g$d g LEFT JOIN leafpred l ON g.node = l.node
+    GROUP BY g.node, COALESCE(l.pred, 0), g.y
+    ORDER BY g.node, g.y"""
+
+  /** Oracle assembly: the SAME fragments, chained as CTEs (DuckDB
+    * materializes multiply-referenced CTEs, so the chain is fine
+    * there; Spark executes the materialized per-level path above). */
+  private def treeLevel(k: Int): String = s"""
+    best$k AS (${bestSql(s"f$k")}),
+    f${k + 1} AS (${routeSql(s"f$k", s"best$k")})"""
+
+  private val TreeSql: String = {
+    val levels = (0 until TreeDepth).map(treeLevel).mkString(",")
+    s"""
+    WITH f0 AS (${baseSql(None)}),
+    $levels,
+    tree AS (${treeReportSql("", TreeDepth)})
+    SELECT * FROM tree ORDER BY depth, node, feature"""
   }
 
   /** ml09: distributed tree INFERENCE (MADlib tree_predict) — the
@@ -421,37 +495,15 @@ object Ml {
   private val TreeScoreSql: String = {
     val levels = (0 until TreeDepth).map(treeLevel).mkString(",")
     val routing = (0 until TreeDepth).map { k =>
-      s"""g${k + 1} AS (
-      SELECT g.y, g.price_bin, g.cust_bin,
-        g.node || CASE WHEN (CASE WHEN b.feature = 'price_bin'
-                             THEN g.price_bin ELSE g.cust_bin END) <= b.threshold
-                  THEN 'L' ELSE 'R' END AS node
-      FROM g$k g JOIN best$k b ON g.node = b.node)"""
+      s"""g${k + 1} AS (${routeSql(s"g$k", s"best$k")})"""
     }.mkString(",\n    ")
     s"""
-    WITH base AS (
-      SELECT o_orderkey,
-        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
-        CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 5000000.0) AS BIGINT) AS price_bin,
-        CAST(o_custkey % 16 AS BIGINT) AS cust_bin
-      FROM orders),
-    f0 AS (
-      SELECT y, price_bin, cust_bin, '' AS node
-      FROM base WHERE o_orderkey % 10 <> 3),
-    g0 AS (
-      SELECT y, price_bin, cust_bin, '' AS node
-      FROM base WHERE o_orderkey % 10 = 3),
+    WITH f0 AS (${baseSql(Some("o_orderkey % 10 <> 3"))}),
+    g0 AS (${baseSql(Some("o_orderkey % 10 = 3"))}),
     $levels,
     $routing,
-    leafpred AS (
-      SELECT node,
-        CASE WHEN 2 * CAST(sum(y) AS BIGINT) > count(*) THEN 1 ELSE 0 END AS pred
-      FROM f$TreeDepth GROUP BY node)
-    SELECT g.node AS node, COALESCE(l.pred, 0) AS pred, g.y AS y,
-      CAST(count(*) AS BIGINT) AS n_holdout
-    FROM g$TreeDepth g LEFT JOIN leafpred l ON g.node = l.node
-    GROUP BY g.node, COALESCE(l.pred, 0), g.y
-    ORDER BY g.node, g.y"""
+    conf AS (${confusionSql("", TreeDepth)})
+    SELECT * FROM conf ORDER BY node, y"""
   }
 
   /** Shared Spark/DuckDB text: 24×16 A from part, 16×12 B from supplier,
