@@ -517,6 +517,99 @@ object Similarity {
     //    but still distributed); the fusion is a K∪K full outer join.
     //    Both rankings order by (rounded score DESC, id) so the two
     //    engines break ties identically --
+    // -- s14: IVF-PQ with EXACT RE-RANK — the production billion-vector
+    //    recipe (FAISS's IndexIVFPQ + refine; pgvector's ivfflat probes
+    //    + exact distance): s04's inverted lists give the candidate
+    //    POOL (nprobe=2 — each query probes its 2 nearest centroids'
+    //    lists, trading one extra list scan for recall), s08's PQ codes
+    //    give the CHEAP SCORE inside the pool (ADC table sums — corpus
+    //    embeddings untouched), and the final step fetches ONLY the
+    //    top-8 shortlist's exact embeddings for a true-L2 re-rank. At
+    //    100 TB: centroids/codebooks broadcast, candidates ≈ nprobe/k
+    //    of the corpus, the exact fetch touches 8 vectors per query —
+    //    the whole point of the funnel. All distances ride micro-unit
+    //    BIGINTs with (distance, id) tie order, so both engines produce
+    //    the identical shortlist, re-rank, and recall audit --
+    "s14_ivfpq_rerank" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      s.udf.register("top8_pairs", udaf(new graft.functions.TopKPairs(8)))
+      s.udf.register("top3_pairs_s14", udaf(new graft.functions.TopKPairs(3)))
+      val emb = Tables.df(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      // corpus → inverted lists (s04's map-side argmin assignment)
+      val assignedCorpus = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .join(broadcast(centroids))
+        .withColumn("d2u", expr(
+          "CAST(round(vec_l2sq(c_emb, cent_emb) * 1000000) AS BIGINT)"))
+        .groupBy(col("c_id"))
+        .agg(min(struct(col("d2u"), col("cent_id"))).as("best"),
+          first(col("c_emb")).as("c_emb"))
+        .select(col("c_id"), col("c_emb"), col("best.cent_id").as("c_list"))
+      // queries probe their nprobe=2 nearest centroids
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probes = qs.join(broadcast(centroids))
+        .withColumn("d2u", expr(
+          "CAST(round(vec_l2sq(q_emb, cent_emb) * 1000000) AS BIGINT)"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("d2u"), col("cent_id"))))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("cent_id").as("probe_list"))
+      // PQ codes (s08's encode) + per-query ADC tables
+      val codebook = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("code"),
+          explode(expr("sequence(0, 3)")).as("m"), col("embedding"))
+        .select(col("m"), col("code"),
+          expr("slice(embedding, m * 16 + 1, 16)").as("cw"))
+      val codes = assignedCorpus
+        .crossJoin(broadcast(codebook))
+        .withColumn("d2", expr("vec_l2sq(slice(c_emb, m * 16 + 1, 16), cw)"))
+        .groupBy(col("c_id"), col("c_list"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("c_id"), col("c_list"), col("m"), col("best.code").as("code"))
+      val adc = qs.crossJoin(broadcast(codebook))
+        .select(col("q_id"), col("m"), col("code"),
+          expr("CAST(round(vec_l2sq(slice(q_emb, m * 16 + 1, 16), cw) * 1000000) AS BIGINT)")
+            .as("d2u"))
+      // ADC-score candidates inside the probed lists → top-8 shortlist
+      val shortlist = codes
+        .join(broadcast(probes), col("c_list") === col("probe_list"))
+        .filter(col("c_id") =!= col("q_id"))
+        .join(broadcast(adc), Seq("q_id", "m", "code"))
+        .groupBy(col("q_id"), col("c_id"))
+        .agg(sum(col("d2u")).as("u"))
+        .groupBy(col("q_id"))
+        .agg(expr("top8_pairs(CAST(-u AS DOUBLE), c_id)").as("top"))
+        .select(col("q_id"), explode(expr("transform(top, e -> e._2)")).as("c_id"))
+      // EXACT re-rank of the 8-vector shortlist (the targeted fetch)
+      val reranked = shortlist
+        .join(assignedCorpus.select(col("c_id"), col("c_emb")), Seq("c_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .withColumn("exu", expr(
+          "CAST(round(vec_l2sq(c_emb, q_emb) * 1000000) AS BIGINT)"))
+        .groupBy(col("q_id"))
+        .agg(expr("top3_pairs_s14(CAST(-exu AS DOUBLE), c_id)").as("top"))
+      // audit: recall@3 vs the exact global top-3 (self excluded)
+      val exactTop = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .crossJoin(broadcast(qs))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("exu", expr(
+          "CAST(round(vec_l2sq(c_emb, q_emb) * 1000000) AS BIGINT)"))
+        .groupBy(col("q_id"))
+        .agg(expr("top3_pairs_s14(CAST(-exu AS DOUBLE), c_id)").as("etop"))
+        .select(col("q_id"), expr("transform(etop, e -> e._2)").as("eids"))
+      reranked.join(broadcast(exactTop), Seq("q_id"))
+        .withColumn("recall3",
+          expr("size(array_intersect(transform(top, e -> e._2), eids))").cast("bigint"))
+        .select(col("q_id"), posexplode(col("top")), col("recall3"))
+        .select(col("q_id"), (col("pos") + 1).as("rn"), col("col._2").as("c_id"),
+          round(expr("-col._1") / 1e6, 6).as("exact_d2"), col("recall3"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
     "s10_hybrid_rrf" -> { (s, dir) =>
       graft.functions.PgFunctions.register(s)
       val K = 20
@@ -977,6 +1070,102 @@ object Similarity {
 
     // PQ encode/ADC mirrored with the s04 argmin form: subspace m covers
     // embedding[m*16+1 .. m*16+16]; codebooks are the first 4 vectors.
+    "s14_ivfpq_rerank" -> """
+      WITH ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT c_id, c_emb, cent_id AS c_list FROM (
+          SELECT e.vec_id AS c_id, e.embedding AS c_emb, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              CAST(round(list_sum(list_transform(generate_series(1, 64), i ->
+                (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE)))) * 1000000) AS BIGINT),
+              c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN cents c) t
+        WHERE rn = 1),
+      qs AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 10),
+      probes AS (
+        SELECT q_id, cent_id AS probe_list FROM (
+          SELECT q.q_id, c.cent_id,
+            row_number() OVER (PARTITION BY q.q_id ORDER BY
+              CAST(round(list_sum(list_transform(generate_series(1, 64), i ->
+                (CAST(q.q_emb[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE))
+              * (CAST(q.q_emb[i] AS DOUBLE) - CAST(c.cent_emb[i] AS DOUBLE)))) * 1000000) AS BIGINT),
+              c.cent_id) AS rn
+          FROM qs q CROSS JOIN cents c) t
+        WHERE rn <= 2),
+      cb AS (
+        SELECT m, CAST(vec_id AS INT) AS code, embedding AS cbemb
+        FROM embeddings, ms WHERE vec_id < 4),
+      enc AS (
+        SELECT c_id, c_list, m, code FROM (
+          SELECT a.c_id, a.c_list, cb.m, cb.code,
+            row_number() OVER (PARTITION BY a.c_id, cb.m ORDER BY
+              list_sum(list_transform(generate_series(1, 16), i ->
+                (CAST(a.c_emb[cb.m*16+i] AS DOUBLE) - CAST(cb.cbemb[cb.m*16+i] AS DOUBLE))
+              * (CAST(a.c_emb[cb.m*16+i] AS DOUBLE) - CAST(cb.cbemb[cb.m*16+i] AS DOUBLE)))),
+              cb.code) AS rn
+          FROM assigned a CROSS JOIN cb) t
+        WHERE rn = 1),
+      adc AS (
+        SELECT q.q_id, cb.m, cb.code,
+          CAST(round(list_sum(list_transform(generate_series(1, 16), i ->
+            (CAST(q.q_emb[cb.m*16+i] AS DOUBLE) - CAST(cb.cbemb[cb.m*16+i] AS DOUBLE))
+          * (CAST(q.q_emb[cb.m*16+i] AS DOUBLE) - CAST(cb.cbemb[cb.m*16+i] AS DOUBLE)))) * 1000000) AS BIGINT) AS d2u
+        FROM qs q CROSS JOIN cb),
+      shortlist AS (
+        SELECT q_id, c_id FROM (
+          SELECT s.q_id, s.c_id,
+            row_number() OVER (PARTITION BY s.q_id ORDER BY s.u, s.c_id) AS rn
+          FROM (
+            SELECT p.q_id, e.c_id, CAST(sum(adc.d2u) AS BIGINT) AS u
+            FROM enc e
+            JOIN probes p ON e.c_list = p.probe_list
+            JOIN adc ON adc.q_id = p.q_id AND adc.m = e.m AND adc.code = e.code
+            WHERE e.c_id <> p.q_id
+            GROUP BY p.q_id, e.c_id) s) t
+        WHERE rn <= 8),
+      rerank AS (
+        SELECT q_id, c_id, exu, rn FROM (
+          SELECT sl.q_id, sl.c_id,
+            CAST(round(list_sum(list_transform(generate_series(1, 64), i ->
+              (CAST(a.c_emb[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+            * (CAST(a.c_emb[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE)))) * 1000000) AS BIGINT) AS exu,
+            row_number() OVER (PARTITION BY sl.q_id ORDER BY
+              CAST(round(list_sum(list_transform(generate_series(1, 64), i ->
+                (CAST(a.c_emb[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+              * (CAST(a.c_emb[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE)))) * 1000000) AS BIGINT),
+              sl.c_id) AS rn
+          FROM shortlist sl
+          JOIN assigned a ON a.c_id = sl.c_id
+          JOIN qs q ON q.q_id = sl.q_id) t
+        WHERE rn <= 3),
+      extop AS (
+        SELECT q_id, c_id FROM (
+          SELECT q.q_id, e.vec_id AS c_id,
+            row_number() OVER (PARTITION BY q.q_id ORDER BY
+              CAST(round(list_sum(list_transform(generate_series(1, 64), i ->
+                (CAST(e.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE)))) * 1000000) AS BIGINT),
+              e.vec_id) AS rn
+          FROM embeddings e CROSS JOIN qs q
+          WHERE e.vec_id <> q.q_id) t
+        WHERE rn <= 3),
+      rec AS (
+        SELECT r.q_id, count(x.c_id) AS recall3
+        FROM rerank r LEFT JOIN extop x
+          ON r.q_id = x.q_id AND r.c_id = x.c_id
+        GROUP BY r.q_id)
+      SELECT r.q_id, r.rn, r.c_id,
+        round(CAST(r.exu AS DOUBLE) / 1000000.0, 6) AS exact_d2,
+        CAST(rec.recall3 AS BIGINT) AS recall3
+      FROM rerank r JOIN rec ON r.q_id = rec.q_id
+      ORDER BY r.q_id, r.rn""",
+
     "s08_pq_ann" -> """
       WITH ms AS (SELECT unnest(generate_series(0, 3)) AS m),
       cb AS (

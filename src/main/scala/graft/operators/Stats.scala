@@ -308,10 +308,69 @@ object Stats {
         .select(md5(col("query").cast("binary")).as("queryid"), col("query"),
           col("n_calls"), col("n_texts"))
         .orderBy(col("query"))
+    },
+
+    // -- x11: ANALYZE → pg_statistic — the per-column stats tuple the
+    //    planner reads (`src/backend/commands/analyze.c`
+    //    compute_scalar_stats fills stanullfrac / stawidth /
+    //    stadistinct / the MCV slot; users read it as the pg_stats
+    //    view). One statement emits the tuple for each analyzed column:
+    //    null fraction, average datum width, exact distinct count (the
+    //    honest version of stadistinct), and the top-3 most-common
+    //    values with frequencies, ties broken (count desc, value asc)
+    //    so the MCV string is deterministic in both engines. Per
+    //    column: one scan + one census-sized groupBy (map-side
+    //    combined) + a 3-row top-k — at 100 TB this is exactly the
+    //    ANALYZE sample-and-count shape, minus the sampling --
+    "x11_analyze_stats" -> { (s, dir) =>
+      Tables.register(s, dir)
+      s.sql(analyzeSql(spark = true))
     }
   )
 
+  /** x11's analyzed column list — the generator emits one stats tuple
+    * per entry, for both engines. */
+  private val AnalyzeCols = Seq("o_custkey", "o_orderkey", "o_orderpriority",
+    "o_orderstatus")
+
+  /** pg_statistic tuple per column; `spark` toggles only the ordered
+    * top-3 MCV aggregation (sort_array-of-structs vs string_agg). */
+  private def analyzeSql(spark: Boolean): String = {
+    val blocks = AnalyzeCols.map { c =>
+      val mcv =
+        if (spark)
+          s"""SELECT array_join(transform(
+                slice(sort_array(collect_list(struct(-cnt AS nc, v))), 1, 3),
+                x -> concat(x.v, ':', CAST(-x.nc AS STRING))), ',') AS mcv
+              FROM census_$c"""
+        else
+          s"""SELECT string_agg(v || ':' || CAST(cnt AS VARCHAR), ','
+                                ORDER BY cnt DESC, v) AS mcv
+              FROM (SELECT v, cnt FROM census_$c ORDER BY cnt DESC, v LIMIT 3) t"""
+      s"""
+      SELECT '$c' AS column_name,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n,
+        (SELECT round(CAST(count(*) - count($c) AS DOUBLE) / count(*), 6)
+         FROM orders) AS null_frac,
+        (SELECT round(CAST(sum(length(CAST($c AS STRING))) AS DOUBLE)
+                      / count($c), 6) FROM orders) AS avg_width,
+        (SELECT CAST(count(*) AS BIGINT) FROM census_$c) AS n_distinct,
+        ($mcv) AS mcv"""
+    }
+    val censuses = AnalyzeCols.map { c =>
+      s"""census_$c AS (
+        SELECT CAST($c AS STRING) AS v, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders WHERE $c IS NOT NULL GROUP BY CAST($c AS STRING))"""
+    }.mkString(",\n      ")
+    s"""
+      WITH $censuses
+      ${blocks.mkString(" UNION ALL ")}
+      ORDER BY column_name"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "x11_analyze_stats" -> analyzeSql(spark = false),
+
     // the identical mask → split → $n-rejoin normalization, re-derived
     // with DuckDB's regex/list primitives
     "x09_query_fingerprint" -> """
