@@ -64,10 +64,129 @@ object EntityResolution {
           sum(col("n_rows")).cast("bigint").as("n_rows"),
           min(col("cluster")).as("sample_rep"))
         .orderBy(col("n_names"))
+    },
+
+    // -- er02: INCREMENTAL entity resolution — the i11/i16 maintenance
+    //    story applied to er01: yesterday's batch clustering stands;
+    //    today's delta mentions (p_partkey%10=3) are resolved with
+    //    O(Δ)-shaped work. Stages: (1) census merge = base ∪ delta
+    //    summed by name (incremental agg); (2) candidate generation
+    //    blocks ONLY delta names against the full name census (the
+    //    base×base quadrant is never re-paired); (3) new edges are
+    //    CONTRACTED onto base cluster labels (a base component is one
+    //    node now — min-label contraction preserves the component min,
+    //    so the merged label equals the batch label); (4) label
+    //    propagation runs on the TINY contracted graph (delta names +
+    //    touched base labels), and base names remap through their old
+    //    label. The oracle is the FROM-SCRATCH batch closure over all
+    //    mentions — the compare IS the incremental ≡ batch proof --
+    "er02_incremental_clusters" -> { (s, dir) =>
+      val part = Tables.df(s, dir, "part")
+      def census(f: org.apache.spark.sql.Column) = part.filter(f)
+        .select(lower(col("p_name")).as("name"))
+        .groupBy(col("name")).agg(count(lit(1)).as("n_rows"))
+      val base = census(col("p_partkey") % 10 =!= 3).localCheckpoint()
+      val delta = census(col("p_partkey") % 10 === 3).localCheckpoint()
+
+      // yesterday's batch stage over base names (er01's pipeline)
+      def blockedWithin(ents: DataFrame): DataFrame = {
+        def one(key: org.apache.spark.sql.Column) = {
+          val a = ents.select(col("name").as("a"), key.as("blk"))
+          val b = ents.select(col("name").as("b"), key.as("blk"))
+          a.join(b, Seq("blk")).filter(col("a") < col("b")).select(col("a"), col("b"))
+        }
+        one(expr("substring(name, 1, 2)"))
+          .unionAll(one(expr("right(name, 2)"))).distinct()
+      }
+      val baseEdges = blockedWithin(base).filter(expr("levenshtein(a, b, 2) <> -1"))
+      val baseUnd = baseEdges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(baseEdges.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint()
+      val baseLabels = Recursive.minLabelPropagate(baseUnd).localCheckpoint()
+
+      // today: block the DELTA names against base ∪ delta names
+      val allNames = base.select("name").unionAll(delta.select("name"))
+        .distinct().localCheckpoint()
+      def deltaPairs(key: String): DataFrame = {
+        val d = delta.select(col("name").as("a"), expr(key).as("blk"))
+        val all = allNames.select(col("name").as("b"),
+          expr(key.replace("name", "name")).as("blk"))
+        d.join(all, Seq("blk")).filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+      }
+      val dCands = deltaPairs("substring(name, 1, 2)")
+        .unionAll(deltaPairs("right(name, 2)")).distinct()
+      val dEdges = dCands.filter(expr("levenshtein(a, b, 2) <> -1"))
+
+      // contract new edges onto base labels, propagate on the small graph
+      def toLabel(c: String) = {
+        val l = baseLabels.withColumnRenamed("node", c).withColumnRenamed("lbl", c + "_l")
+        (df: DataFrame) => df.join(broadcast(l), Seq(c), "left")
+          .withColumn(c, coalesce(col(c + "_l"), col(c))).drop(c + "_l")
+      }
+      val contracted = toLabel("b")(toLabel("a")(dEdges))
+        .filter(col("a") =!= col("b"))
+      val cUnd = contracted.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(contracted.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint()
+      val merged = Recursive.minLabelPropagate(cUnd)
+        .withColumnRenamed("node", "lbl0").withColumnRenamed("lbl", "lbl_final")
+
+      // final label: name → old label (or self) → merged label (or same)
+      val ents = base.unionAll(delta)
+        .groupBy(col("name")).agg(sum(col("n_rows")).cast("bigint").as("n_rows"))
+      val labeled = ents
+        .join(broadcast(baseLabels.withColumnRenamed("node", "name")), Seq("name"), "left")
+        .withColumn("lbl0", coalesce(col("lbl"), col("name")))
+        .join(broadcast(merged), Seq("lbl0"), "left")
+        .withColumn("cluster", coalesce(col("lbl_final"), col("lbl0")))
+      labeled.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_names"), sum(col("n_rows")).cast("bigint").as("n_rows"))
+        .groupBy(col("n_names"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_rows")).cast("bigint").as("n_rows"),
+          min(col("cluster")).as("sample_rep"))
+        .orderBy(col("n_names"))
     }
   )
 
+  /** er02's oracle IS er01's from-scratch batch closure — the compare
+    * proves incremental ≡ batch. */
   def oracle: Map[String, String] = Map(
+    "er02_incremental_clusters" -> """
+      WITH RECURSIVE ents AS (
+        SELECT lower(p_name) AS name, count(*) AS n_rows
+        FROM part GROUP BY name),
+      cands AS (
+        SELECT a.name AS a, b.name AS b
+        FROM ents a JOIN ents b ON substring(a.name, 1, 2) = substring(b.name, 1, 2)
+        WHERE a.name < b.name
+        UNION
+        SELECT a.name, b.name
+        FROM ents a JOIN ents b ON right(a.name, 2) = right(b.name, 2)
+        WHERE a.name < b.name),
+      edges AS (
+        SELECT a, b FROM cands WHERE levenshtein(a, b) <= 2),
+      und AS (
+        SELECT a AS u, b AS v FROM edges
+        UNION ALL SELECT b, a FROM edges),
+      reach(src, dst) AS (
+        SELECT name, name FROM ents
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN und e ON e.u = r.dst),
+      labels AS (
+        SELECT src AS name, min(dst) AS cluster FROM reach GROUP BY src),
+      clustered AS (
+        SELECT l.cluster, count(*) AS n_names,
+               CAST(sum(e.n_rows) AS BIGINT) AS n_rows
+        FROM ents e JOIN labels l ON e.name = l.name
+        GROUP BY l.cluster)
+      SELECT n_names, count(*) AS n_clusters,
+        CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        min(cluster) AS sample_rep
+      FROM clustered GROUP BY n_names ORDER BY n_names""",
+
     "er01_entity_clusters" -> """
       WITH RECURSIVE ents AS (
         SELECT lower(p_name) AS name, count(*) AS n_rows
