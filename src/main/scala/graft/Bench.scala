@@ -74,6 +74,10 @@ object Bench {
       // regardless of sweep order (r8 advice)
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
       graft.rules.RlsRule.clearPolicies(spark)
+        // i03/i04/i10 enable the AQUMV rewrite and register matviews;
+        // no later query may plan under them (the r11 x11 lesson)
+        spark.conf.set(graft.rules.AqumvRule.EnabledConf, "false")
+        graft.rules.AqumvRule.clear()
     }
     // Every query is timed in TWO FULL SWEEPS over the whole set, and the
     // official per-query number is the MIN of its two sweep times (r6

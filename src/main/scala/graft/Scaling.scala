@@ -96,6 +96,10 @@ object Scaling {
       spark.conf.set("spark.graft.eageragg.enabled", "false")
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
       graft.rules.RlsRule.clearPolicies(spark)
+        // i03/i04/i10 enable the AQUMV rewrite and register matviews;
+        // no later query may plan under them (the r11 x11 lesson)
+        spark.conf.set(graft.rules.AqumvRule.EnabledConf, "false")
+        graft.rules.AqumvRule.clear()
     }
 
     // warmup (codegen + JVM) on a small query at each dir

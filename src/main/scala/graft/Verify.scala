@@ -53,6 +53,10 @@ object Verify {
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
         // x07 registers an RLS policy; no later query may run under it
         graft.rules.RlsRule.clearPolicies(spark)
+        // i03/i04/i10 enable the AQUMV rewrite and register matviews;
+        // no later query may plan under them (the r11 x11 lesson)
+        spark.conf.set(graft.rules.AqumvRule.EnabledConf, "false")
+        graft.rules.AqumvRule.clear()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

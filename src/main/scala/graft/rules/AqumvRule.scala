@@ -138,6 +138,33 @@ class AqumvRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val mvPlan = mvCond.map(Filter(_, mvPlan0)).getOrElse(mvPlan0)
       var failed = false
       def rollupOne(e: NamedExpression): NamedExpression = {
+        // EVERY aggregate in the query expression must be one of the
+        // decomposable rollup forms below. Without this pre-check, an
+        // aggregate whose CHILD is a matview group column — e.g.
+        // count(o_orderstatus), sum(length(k)) — would survive the
+        // substitution as an aggregate over matview ROWS (one row per
+        // group, not per base row): no base attribute remains, so the
+        // old "clean" test accepted a wrong-multiplicity rewrite
+        // (caught by x11's ANALYZE query running after i03 in r11).
+        val allRewritable = e.collect { case ae: AggregateExpression => ae }
+          .forall { ae =>
+            val rollable = !ae.isDistinct && byShape.contains(shapeOf(ae)) &&
+              (ae.aggregateFunction match {
+                case _: Sum | _: Count | _: Min | _: Max => true
+                case _ => false
+              })
+            val avgDecomposable = !ae.isDistinct &&
+              ae.aggregateFunction.isInstanceOf[Average] &&
+              (ae.dataType == DoubleType || ae.dataType.isInstanceOf[DecimalType]) && {
+                val c = ae.aggregateFunction.asInstanceOf[Average].child
+                byShape.contains(shapeOf(
+                  AggregateExpression(Sum(c), Complete, isDistinct = false))) &&
+                byShape.contains(shapeOf(
+                  AggregateExpression(Count(Seq(c)), Complete, isDistinct = false)))
+              }
+            rollable || avgDecomposable
+          }
+        if (!allRewritable) { failed = true; return e }
         val replaced = e.transformDown {
           case ae: AggregateExpression if !ae.isDistinct && byShape.contains(shapeOf(ae)) =>
             val mvCol = byShape(shapeOf(ae))

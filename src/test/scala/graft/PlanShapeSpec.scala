@@ -360,6 +360,33 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set(graft.rules.AqumvRule.EnabledConf, "true")
   }
 
+  test("AQUMV rollup rejects aggregates over group columns (wrong multiplicity)") {
+    import org.apache.spark.sql.functions._
+    // registers the (status, priority) matview and enables the rule
+    SparkEntry.queries("i04_aqumv_rollup")(spark, Sf).collect()
+    try {
+      // count(group_col) / sum(f(group_col)) are NOT derivable from the
+      // matview (one row per GROUP, not per base row): the rule must
+      // leave the base-table plan alone. This was r11's x11 corruption:
+      // the old clean-check accepted count(o_orderstatus) rewritten to
+      // a count over 15 matview rows.
+      val df = Tables.df(spark, Sf, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(col("o_orderstatus")).as("n_nonnull"),
+          sum(length(col("o_orderstatus"))).as("width"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("mv_cents#") && !optimized.contains("mv_cnt#"),
+        s"aggregate over a group column must not be answered by the matview:\n$optimized")
+      // and the values are the base-table truth
+      val n = df.agg(sum(col("n_nonnull"))).head().getLong(0)
+      val base = Tables.df(spark, Sf, "orders").count()
+      assert(n == base, s"count(group col) must count base rows: $n vs $base")
+    } finally {
+      spark.conf.set(graft.rules.AqumvRule.EnabledConf, "false")
+      graft.rules.AqumvRule.clear()
+    }
+  }
+
   test("i10: AQUMV answers a WHERE on a group column from the filtered matview") {
     val df = SparkEntry.queries("i10_aqumv_filter")(spark, Sf)
     val optimized = df.queryExecution.optimizedPlan.toString
