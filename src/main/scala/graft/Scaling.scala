@@ -45,7 +45,13 @@ object Scaling {
     "t19_dup_ngram_coverage", "t21_word_entropy", "t22_filter_funnel",
     "t23_kl_novelty", "t24_source_overlap",
     "ch06_token_budget_mix", "ml05_naive_bayes", "ml06_knn_classify",
-    "er01_entity_clusters")
+    "er01_entity_clusters",
+    // round-11 additions: the census tree + inference, IVF-PQ funnel,
+    // incremental ER, segment mapper, ANALYZE pass, exact-n sample,
+    // and the vacuum rewrite (measures the compaction write itself)
+    "ml08_decision_tree", "ml09_tree_confusion", "s14_ivfpq_rerank",
+    "er02_incremental_clusters", "b05_jump_consistent_hash",
+    "x11_analyze_stats", "q138_system_rows", "ddl05_vacuum_compact")
 
   val MaxRatio = 13.0
 
