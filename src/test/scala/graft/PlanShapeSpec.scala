@@ -1163,6 +1163,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(finalPlan(unhinted).contains("BroadcastHashJoin"))
   }
 
+  test("b05: jump-hash segment audit is one scan, no join") {
+    val p = plan("b05_jump_consistent_hash")
+    assert(!p.contains("Join"), s"the audit must not join:\n$p")
+    // one scan of orders (AQE explain repeats the tree — count only the
+    // final-plan section), one partial/final aggregate pair
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("FileScan".r.findAllIn(finalSection).length == 1,
+      s"expected exactly one scan:\n$p")
+    assert(p.contains("partial_"), s"expected map-side combine:\n$p")
+  }
+
+  test("ml08: the tree report reads materialized levels, never re-deriving") {
+    val p = plan("ml08_decision_tree")
+    // every best{k}/f{depth} reference is a checkpointed RDD scan; a
+    // FileScan here would mean the CTE-inlining re-derivation came back
+    assert(!p.contains("FileScan"),
+      s"tree report must read only materialized level state:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpointed level scans:\n$p")
+  }
+
+  test("er02: the incremental merge never rescans the mention table") {
+    val p = plan("er02_incremental_clusters")
+    // censuses and base labels are spooled; the final plan must not
+    // contain a parquet scan of part (that would be batch, not O(delta))
+    assert(!p.contains("part.parquet"),
+      s"incremental ER must not rescan the base mentions:\n$p")
+  }
+
   test("q138: SYSTEM_ROWS sample plans as top-n, never a global sort") {
     import org.apache.spark.sql.functions.{col, concat, lit, md5}
     // assert on the sample stage itself (the query aggregates after):
