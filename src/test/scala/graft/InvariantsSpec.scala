@@ -699,4 +699,27 @@ class InvariantsSpec extends AnyFunSuite {
         "id assignment drifted under a different partitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
+
+  test("parallelism invariance: order-sensitive pipelines are partitioning-proof") {
+    // The repo's determinism claims (exact-integer argmins, (score, id)
+    // tie orders, census-bounded merges) made mechanical: each of these
+    // pipelines — iterative trainers, sketch dedup, contracted ER,
+    // quantized ANN, the segment mapper — must produce IDENTICAL rows
+    // under a different shuffle partitioning. Merge-order drift in any
+    // double sum, undeclared tie, or partition-dependent sample would
+    // fail here before the cross-engine oracle ever sees it.
+    val targets = Seq("ml08_decision_tree", "d03_minhash_lsh",
+      "t27_bpe_train_encode", "er02_incremental_clusters",
+      "s14_ivfpq_rerank", "b05_jump_consistent_hash")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (name <- targets) {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val base = SparkEntry.queries(name)(spark, Sf).collect().map(_.toString).toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val again = SparkEntry.queries(name)(spark, Sf).collect().map(_.toString).toSeq
+        assert(again == base, s"$name drifted under a different partitioning")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
 }
