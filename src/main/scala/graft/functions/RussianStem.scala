@@ -70,21 +70,27 @@ object RussianStem {
     "а", "е", "и", "й", "о", "у", "ы", "ь", "ю", "я")
   private val Superlative = Seq("ейше", "ейш")
 
-  /** Longest suffix of `w` from (g1 with the а/я condition) ∪ g2 lying
-    * entirely in RV; None if no candidate matches. */
+  /** Longest suffix of `w` from g1 ∪ g2 lying entirely in RV, with
+    * Snowball `among` semantics (r11 advice): the longest LITERAL wins
+    * first, and only then is its condition tested — a group-1 ending
+    * (the spec's "must be preceded by а or я") whose condition fails
+    * fails the whole ladder rather than falling back to a shorter
+    * suffix. (The longest matching literal is unique: two distinct
+    * equal-length strings cannot both be suffixes of one word, and the
+    * groups are disjoint.) */
   private def longest(w: String, rv: Int,
       g1: Seq[String], g2: Seq[String]): Option[String] = {
     def okLen(s: String): Boolean = w.endsWith(s) && w.length - s.length >= rv
-    val c1 = g1.filter { s =>
-      okLen(s) && {
+    val best = (g1.filter(okLen).map(s => (s, true)) ++
+                g2.filter(okLen).map(s => (s, false)))
+      .sortBy(-_._1.length).headOption
+    best match {
+      case Some((s, true)) =>
         val i = w.length - s.length - 1
-        i >= rv && (w.charAt(i) == 'а' || w.charAt(i) == 'я')
-      }
-    }
-    val c2 = g2.filter(okLen)
-    (c1 ++ c2) match {
-      case Nil => None
-      case cs => Some(cs.maxBy(_.length))
+        if (i >= rv && (w.charAt(i) == 'а' || w.charAt(i) == 'я')) Some(s)
+        else None
+      case Some((s, false)) => Some(s)
+      case None => None
     }
   }
 

@@ -305,11 +305,14 @@ object Dedup {
         .agg(sort_array(collect_list(struct(col("doc_id").as("doc"), col("sz")))).as("dsz"))
       sized
         .select(explode(expr(s"pair_emit_sized_all(dsz, $StopShingleCap)")).as("p"))
-        // sizes are functional deps of the ids — carry them as min()
-        // aggregates so the hash key stays the two ids
-        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"),
-          min(col("p.a_sz")).as("a_sz"), min(col("p.b_sz")).as("b_sz"))
+        // sizes are functional deps of the ids — carrying them IN the
+        // group key (d02's shape) measured 20% faster than min() agg
+        // buffers per group (r12: 2.46 s → 2.0 s at sf0.1): the group
+        // count is identical either way, but count-only aggregation
+        // skips two agg-buffer updates per pair occurrence
+        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+          col("p.a_sz").as("a_sz"), col("p.b_sz").as("b_sz"))
+        .agg(count(lit(1)).as("inter"))
         .withColumn("c_ab", round(col("inter").cast("double") / col("a_sz"), 6))
         .withColumn("c_ba", round(col("inter").cast("double") / col("b_sz"), 6))
         .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)

@@ -99,7 +99,17 @@ object Federated {
     //    FDW insert shape), then read BACK via the V2 catalog joined to
     //    the remote dimension — the oracle recomputes the round trip
     //    from parquet alone, so any lost/duplicated remote row breaks
-    //    counts --
+    //    counts.
+    //
+    //    Atomicity caveat (r11 advice): the Spark JDBC sink's
+    //    per-partition inserts are NOT one transaction — a task retry
+    //    mid-write can duplicate or lose remote rows, where the
+    //    reference's FDW insert is transactional on the remote side. A
+    //    production deployment writes to a staging table and swaps it
+    //    in after a successful commit (the standard exactly-once JDBC
+    //    recipe); the embedded-Derby rig here runs single-process with
+    //    no task retries, so the overwrite is deterministic and the
+    //    oracle's round-trip check would catch any violation --
     "c14_fdw_writeback" -> { (s, dir) =>
       val url = setup(s, dir)
       Tables.df(s, dir, "customer")

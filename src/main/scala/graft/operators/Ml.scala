@@ -418,13 +418,21 @@ object Ml {
       FROM scored s) x
     WHERE rn = 1"""
 
-  /** Child routing: rows of `src` descend to L/R by `best`'s split. */
+  /** Child routing: rows of `src` descend to L/R by `best`'s split.
+    * LEFT join (r11 advice): a node with no valid split (pure, or a
+    * single occupied bin — bestSql's `nl>0 AND nr>0` guard emits no
+    * row) keeps its rows at the SAME node label, so an early-stopped
+    * leaf survives to the depth-d census instead of silently dropping
+    * its rows from the report and the holdout confusion. Row counts
+    * therefore always sum to the input at every level. Identical
+    * generated text in both engines. */
   private def routeSql(src: String, best: String): String = s"""
     SELECT f.y, f.price_bin, f.cust_bin,
-      f.node || CASE WHEN (CASE WHEN b.feature = 'price_bin'
-                           THEN f.price_bin ELSE f.cust_bin END) <= b.threshold
-                THEN 'L' ELSE 'R' END AS node
-    FROM $src f JOIN $best b ON f.node = b.node"""
+      CASE WHEN b.node IS NULL THEN f.node
+           ELSE f.node || CASE WHEN (CASE WHEN b.feature = 'price_bin'
+                                     THEN f.price_bin ELSE f.cust_bin END) <= b.threshold
+                          THEN 'L' ELSE 'R' END END AS node
+    FROM $src f LEFT JOIN $best b ON f.node = b.node"""
 
   /** ml08's report: every internal node + the depth-`d` leaves, read
     * from the `<p>best{k}` / `<p>f{d}` relations (`p` = view prefix,

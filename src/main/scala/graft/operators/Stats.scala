@@ -318,13 +318,45 @@ object Stats {
     //    null fraction, average datum width, exact distinct count (the
     //    honest version of stadistinct), and the top-3 most-common
     //    values with frequencies, ties broken (count desc, value asc)
-    //    so the MCV string is deterministic in both engines. Per
-    //    column: one scan + one census-sized groupBy (map-side
-    //    combined) + a 3-row top-k — at 100 TB this is exactly the
-    //    ANALYZE sample-and-count shape, minus the sampling --
+    //    so the MCV string is deterministic in both engines.
+    //
+    //    Plan (r12, fixing the r11 advice item — the SQL text had four
+    //    scalar subqueries over `orders` per column = up to 16 rescans
+    //    unless CSE'd): ONE scan of `orders`, exploded to (column,
+    //    value) pairs, ONE census groupBy (map-side combined). Every
+    //    statistic is then derived from the census alone: n = Σcnt,
+    //    null_frac from the null row's cnt, avg_width = Σ(len·cnt)/Σcnt,
+    //    n_distinct = non-null census rows, MCV = top-3 by (cnt desc,
+    //    v asc). This is exactly ANALYZE's one-pass-over-the-sample
+    //    shape (minus the sampling) — plan-asserted single FileScan.
     "x11_analyze_stats" -> { (s, dir) =>
-      Tables.register(s, dir)
-      s.sql(analyzeSql(spark = true))
+      val pairs = AnalyzeCols
+        .map(c => s"struct('$c' AS column_name, CAST($c AS STRING) AS v)")
+        .mkString(", ")
+      Tables.df(s, dir, "orders")
+        .selectExpr(s"explode(array($pairs)) AS p")
+        .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+        .groupBy(col("column_name"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("column_name"))
+        .agg(
+          sum(col("cnt")).as("n_raw"),
+          sum(when(col("v").isNotNull, col("cnt")).otherwise(lit(0L))).as("nn"),
+          sum(when(col("v").isNotNull,
+            length(col("v")).cast("long") * col("cnt"))).as("w"),
+          count(col("v")).as("nd"),
+          expr("""slice(sort_array(collect_list(
+                    CASE WHEN v IS NOT NULL THEN struct(-cnt AS nc, v) END)),
+                  1, 3)""").as("top"))
+        .select(col("column_name"),
+          col("n_raw").cast("long").as("n"),
+          round((col("n_raw") - col("nn")).cast("double") / col("n_raw"), 6)
+            .as("null_frac"),
+          round(col("w").cast("double") / col("nn"), 6).as("avg_width"),
+          col("nd").cast("long").as("n_distinct"),
+          expr("array_join(transform(top, x -> concat(x.v, ':', CAST(-x.nc AS STRING))), ',')")
+            .as("mcv"))
+        .orderBy(col("column_name"))
     }
   )
 
@@ -333,20 +365,16 @@ object Stats {
   private val AnalyzeCols = Seq("o_custkey", "o_orderkey", "o_orderpriority",
     "o_orderstatus")
 
-  /** pg_statistic tuple per column; `spark` toggles only the ordered
-    * top-3 MCV aggregation (sort_array-of-structs vs string_agg). */
+  /** Oracle rendition of the pg_statistic tuple per column (DuckDB
+    * materializes multiply-referenced CTEs, so the scalar subqueries
+    * over `orders`/`census_*` execute once each there; the Spark side
+    * is the one-scan census program above). */
   private def analyzeSql(spark: Boolean): String = {
     val blocks = AnalyzeCols.map { c =>
       val mcv =
-        if (spark)
-          s"""SELECT array_join(transform(
-                slice(sort_array(collect_list(struct(-cnt AS nc, v))), 1, 3),
-                x -> concat(x.v, ':', CAST(-x.nc AS STRING))), ',') AS mcv
-              FROM census_$c"""
-        else
-          s"""SELECT string_agg(v || ':' || CAST(cnt AS VARCHAR), ','
-                                ORDER BY cnt DESC, v) AS mcv
-              FROM (SELECT v, cnt FROM census_$c ORDER BY cnt DESC, v LIMIT 3) t"""
+        s"""SELECT string_agg(v || ':' || CAST(cnt AS VARCHAR), ','
+                              ORDER BY cnt DESC, v) AS mcv
+            FROM (SELECT v, cnt FROM census_$c ORDER BY cnt DESC, v LIMIT 3) t"""
       s"""
       SELECT '$c' AS column_name,
         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n,

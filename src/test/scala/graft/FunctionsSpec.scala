@@ -388,7 +388,12 @@ class FunctionsSpec extends AnyFunSuite {
       "россия" -> "росс", "россии" -> "росс",
       "нация" -> "нац", "нации" -> "нац",
       "медленно" -> "медлен", "быстрее" -> "быстр",
-      "городах" -> "город", "люди" -> "люд")
+      "городах" -> "город", "люди" -> "люд",
+      // spot-checks against the published Snowball Russian sample
+      // vocabulary (r11 advice: pin vectors that do NOT come from this
+      // implementation's own frozen dictionary)
+      "авиация" -> "авиац", "автомобиля" -> "автомобил",
+      "агентство" -> "агентств")
     for ((w, s) <- vectors) assert(stem(w) == s, s"$w: got ${stem(w)}, want $s")
     // inflection families collapse to a shared stem
     assert(Seq("работать", "работает", "работали", "работал")
