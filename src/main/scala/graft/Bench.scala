@@ -50,6 +50,7 @@ object Bench {
       operators.Partitioned.monthDimTable(spark, sfDir)
       operators.Bucketed.ensure(spark, sfDir)
       operators.Stats.ensure(spark, sfDir)
+      operators.EntityResolution.ensureBaseState(spark, sfDir)
     } catch { // warmup only; the measured loop reports errors — but say so,
       // or a broken build-once step silently charges its cost to the
       // first measured query

@@ -31,6 +31,7 @@ object Prof {
       operators.Partitioned.monthDimTable(spark, sfDir)
       operators.Bucketed.ensure(spark, sfDir)
       operators.Stats.ensure(spark, sfDir)
+      operators.EntityResolution.ensureBaseState(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"[prof] warmup: ${e.getMessage}") }
     for (i <- 1 to passes) {
       val t0 = System.nanoTime()

@@ -136,6 +136,17 @@ object PgFunctions {
       FrenchStemExpr(Cast(args(0), org.apache.spark.sql.types.StringType)) },
     "russian_stem" -> { args =>
       RussianStemExpr(Cast(args(0), org.apache.spark.sql.types.StringType)) },
+    // metaphone(word, maxlen): PG fuzzystrmatch phonetic code; maxlen
+    // folds at registration like pair_emit's cap
+    "metaphone" -> { args =>
+      val maxLen = args(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"metaphone maxlen must be an int literal, got $other")
+      }
+      require(maxLen > 0, "metaphone: Requested output length must be > 0")
+      MetaphoneExpr(Cast(args(0), org.apache.spark.sql.types.StringType), maxLen)
+    },
     // jump_hash(key, n): the cdbhash row->segment mapper; n folds at
     // registration like pair_emit's cap
     "jump_hash" -> { args =>

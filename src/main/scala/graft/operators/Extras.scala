@@ -125,6 +125,40 @@ object Extras {
           .cast("bigint").as("cents"))
     },
 
+    // -- q139: TABLESAMPLE SYSTEM_TIME analog — the reference's sibling
+    //    sampler (`contrib/tsm_system_time/tsm_system_time.c`): BLOCK
+    //    sampling under a budget, visiting blocks "starting at a random
+    //    block, advancing with a stride relatively prime to nblocks"
+    //    until time runs out. Wall-clock is inherently unrepeatable, so
+    //    the deterministic analog fixes the two nondeterminism sources:
+    //    the visit order becomes the q138 content-keyed md5 coin over
+    //    PAGE ids (a deterministic pseudo-random permutation — same
+    //    role as the random stride), and the time budget becomes its
+    //    expectation, an exact PAGE count (time ∝ blocks read). Rows
+    //    per sampled page stay data-dependent — the "as many rows as
+    //    fit" flavor — while the page count is pinned, so the oracle
+    //    can assert it exactly. Scale shape: one scan collapses rows to
+    //    the page census (map-side combined, |rows|/64), the page
+    //    top-k plans as TakeOrderedAndProject (never a global sort —
+    //    plan-asserted), and the final aggregate reads 24 census rows --
+    "q139_system_time" -> { (s, dir) =>
+      val nPages = 24
+      val pages = Tables.df(s, dir, "orders")
+        .groupBy(expr("o_orderkey div 64").as("page"))
+        .agg(count(lit(1)).as("pg_rows"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("pg_cents"))
+        .withColumn("coin",
+          md5(concat(lit("systime-42-"), col("page").cast("string"))))
+      pages.orderBy(col("coin")).limit(nPages)
+        .agg(
+          count(lit(1)).cast("bigint").as("n_pages"),
+          (count(lit(1)) === nPages).cast("int").as("exact_n_pages"),
+          sum(col("pg_rows")).cast("bigint").as("n_rows"),
+          min(col("coin")).as("first_coin"),
+          max(col("coin")).as("last_coin"),
+          sum(col("pg_cents")).cast("bigint").as("cents"))
+    },
+
     // -- INTERSECT ALL (multiset semantics) --
     "q59_intersect_all" -> { (s, dir) =>
       val l = Tables.df(s, dir, "lineitem")
@@ -440,6 +474,21 @@ object Extras {
         min(coin) AS first_coin, max(coin) AS last_coin,
         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM sample""",
+    "q139_system_time" -> """
+      WITH pages AS (
+        SELECT o_orderkey // 64 AS page, count(*) AS pg_rows,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS pg_cents
+        FROM orders GROUP BY 1),
+      visit AS (
+        SELECT pg_rows, pg_cents,
+          md5('systime-42-' || CAST(page AS VARCHAR)) AS coin
+        FROM pages ORDER BY coin LIMIT 24)
+      SELECT CAST(count(*) AS BIGINT) AS n_pages,
+        CAST(count(*) = 24 AS INT) AS exact_n_pages,
+        CAST(sum(pg_rows) AS BIGINT) AS n_rows,
+        min(coin) AS first_coin, max(coin) AS last_coin,
+        CAST(sum(pg_cents) AS BIGINT) AS cents
+      FROM visit""",
     "q62_tablesample" -> bernoulliSql,
     // physical-position oracle via the documents layout invariant (one
     // parquet file, written in doc_id order): tid = rank(doc_id) − 1

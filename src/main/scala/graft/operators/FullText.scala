@@ -41,9 +41,49 @@ object FullText {
     * FullTextSpec parameterizes the dictionary test over both. */
   object FtsConfig {
     final case class TsConfig(language: String, stopwords: Seq[String], stemFn: String,
-        stem: String => String) {
+        stem: String => String,
+        synonyms: Seq[(String, Seq[String])] = Nil) {
       def stopArr: String = stopwords.map("'" + _ + "'").mkString("array(", ",", ")")
       def duckStopArr: String = stopwords.map("'" + _ + "'").mkString("[", ",", "]")
+
+      /** Derive a configuration with a synonym dictionary CHAINED before
+        * the stemmer — PG's `CREATE TEXT SEARCH CONFIGURATION … (COPY =
+        * lang)` + `ALTER … ALTER MAPPING … WITH xsyn_dict, lang_stem`
+        * move (`contrib/dict_xsyn/dict_xsyn.c`). Each rule is (key →
+        * output lexemes); with dict_xsyn's defaults (matchorig=true,
+        * keeporig=true, matchsynonyms=false, keepsynonyms=true) the
+        * output list is the original word followed by its synonyms, so
+        * callers pass exactly that. The language registry itself is
+        * untouched — a derived config is a mapping change, not a new
+        * language (t26's language fold sees nothing). */
+      def withSynonyms(rules: Seq[(String, Seq[String])]): TsConfig =
+        copy(synonyms = rules)
+
+      /** The config's full lexize pipeline over a token-array expression:
+        * stopword drop, then PG's dictionary-chain contract per token —
+        * the FIRST dictionary that accepts a token consumes it (a synonym
+        * match emits its lexeme list UNSTEMMED, exactly dxsyn_lexize's
+        * output), anything unmatched falls through to the stemmer. One
+        * generated expression, fully codegen; configs without synonyms
+        * produce the same text f11/f17/f18 always ran. */
+      def lexExpr(toksExpr: String): String = {
+        val base = s"filter($toksExpr, t -> NOT array_contains($stopArr, t))"
+        if (synonyms.isEmpty) s"transform($base, w -> $stemFn(w))"
+        else {
+          val cases = synonyms.map { case (k, out) =>
+            s"WHEN w = '$k' THEN array(${out.map("'" + _ + "'").mkString(",")})"
+          }.mkString(" ")
+          s"flatten(transform($base, w -> CASE $cases ELSE array($stemFn(w)) END))"
+        }
+      }
+
+      /** Query-side lexize of one term through the same chain (dict
+        * first — matchsynonyms=false means only rule KEYS match — then
+        * the stemmer). A key expands to its lexeme list (an OR-query in
+        * PG); a plain term stems to one lexeme. */
+      def queryLex(term: String): Seq[String] =
+        synonyms.collectFirst { case (k, out) if k == term => out }
+          .getOrElse(Seq(stem(term)))
     }
     /** Fixed subset of snowball's french.stop, shared with the oracle. */
     val FrenchStop: Seq[String] = Seq(
@@ -115,6 +155,38 @@ object FullText {
     * (s, ing, ed), agentive er, and the multi-step 2→4 chains (ation,
     * ational, iveness). */
   private val StemSuffixes = Seq("", "s", "ing", "ed", "er", "ation", "ational", "iveness")
+
+  /** f19's synonym rules — dict_xsyn rules-file lines as data ("key
+    * syn1 syn2…"; with keeporig=true the output leads with the key).
+    * ONE source of truth: the Spark config derives from this Seq and
+    * the oracle's CASE is generated from it. */
+  private[graft] val F19Rules: Seq[(String, Seq[String])] = Seq(
+    "fast" -> Seq("fast", "quick", "rapid"),
+    "big" -> Seq("big", "large", "huge"),
+    "sort" -> Seq("sort", "order"))
+
+  /** The config-driven stemmed-retrieval pipeline shared VERBATIM by
+    * f17 (french), f18 (russian), and f19 (english + synonym chain):
+    * every language- or dictionary-specific piece resolves from the
+    * CONFIG VALUE (stoplist, stemmer, synonym rules), so registry
+    * growth — new language, new script, new dictionary stage — never
+    * touches this code. Scale shape unchanged from f11: one pass, all
+    * lexize work codegen'd HOFs, rank a per-row formula. */
+  private def configRank(s: SparkSession, cfg: FtsConfig.TsConfig,
+      corpus: DataFrame, queryTerm: String): DataFrame = {
+    graft.functions.PgFunctions.register(s)
+    val qlex = cfg.queryLex(queryTerm) // chain-resolved at PLAN time
+    val tfExpr = qlex.map(q => s"size(filter(lex, x -> x = '$q'))").mkString(" + ")
+    corpus
+      .withColumn("lex", expr(cfg.lexExpr(toks)))
+      .withColumn("n_lex", size(col("lex")).cast("bigint"))
+      .withColumn("tf_q", expr(tfExpr).cast("bigint"))
+      .filter(col("tf_q") > 0)
+      .withColumn("rank", round(expr(
+        "(CAST(tf_q AS DOUBLE) / (1.0 + tf_q)) / (1.0 + ln(n_lex))"), 6))
+      .select(col("doc_id"), col("n_lex"), col("tf_q"), col("rank"))
+      .orderBy(col("rank").desc, col("doc_id"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -189,21 +261,9 @@ object FullText {
     //    implementation over the full non-stopword vocabulary — INNER
     //    joins make any vocabulary drift a loud row-count failure --
     "f17_french_config" -> { (s, dir) =>
-      graft.functions.PgFunctions.register(s)
       import s.implicits._
-      val cfg = FtsConfig("french")
-      val qstem = cfg.stem("continuer") // config-resolved at PLAN time → 'continu'
-      FrenchCorpus.toDF("doc_id", "text")
-        .withColumn("lex", expr(
-          s"""transform(filter($toks, t -> NOT array_contains(${cfg.stopArr}, t)),
-                w -> ${cfg.stemFn}(w))"""))
-        .withColumn("n_lex", size(col("lex")).cast("bigint"))
-        .withColumn("tf_q", expr(s"size(filter(lex, x -> x = '$qstem'))").cast("bigint"))
-        .filter(col("tf_q") > 0)
-        .withColumn("rank", round(expr(
-          "(CAST(tf_q AS DOUBLE) / (1.0 + tf_q)) / (1.0 + ln(n_lex))"), 6))
-        .select(col("doc_id"), col("n_lex"), col("tf_q"), col("rank"))
-        .orderBy(col("rank").desc, col("doc_id"))
+      configRank(s, FtsConfig("french"), FrenchCorpus.toDF("doc_id", "text"),
+        "continuer") // config-resolved at PLAN time → 'continu'
     },
 
     // -- f18: the SAME config-driven pipeline as f17, resolving the
@@ -215,21 +275,28 @@ object FullText {
     //    across docs. Zero pipeline changes vs f17 — the registry-is-
     //    data proof now spans scripts, not just languages --
     "f18_russian_config" -> { (s, dir) =>
-      graft.functions.PgFunctions.register(s)
       import s.implicits._
-      val cfg = FtsConfig("russian")
-      val qstem = cfg.stem("работать") // config-resolved at PLAN time → 'работа'
-      RussianCorpus.toDF("doc_id", "text")
-        .withColumn("lex", expr(
-          s"""transform(filter($toks, t -> NOT array_contains(${cfg.stopArr}, t)),
-                w -> ${cfg.stemFn}(w))"""))
-        .withColumn("n_lex", size(col("lex")).cast("bigint"))
-        .withColumn("tf_q", expr(s"size(filter(lex, x -> x = '$qstem'))").cast("bigint"))
-        .filter(col("tf_q") > 0)
-        .withColumn("rank", round(expr(
-          "(CAST(tf_q AS DOUBLE) / (1.0 + tf_q)) / (1.0 + ln(n_lex))"), 6))
-        .select(col("doc_id"), col("n_lex"), col("tf_q"), col("rank"))
-        .orderBy(col("rank").desc, col("doc_id"))
+      configRank(s, FtsConfig("russian"), RussianCorpus.toDF("doc_id", "text"),
+        "работать") // config-resolved at PLAN time → 'работа'
+    },
+
+    // -- f19: SYNONYM DICTIONARY stage in the config chain — dict_xsyn
+    //    (`contrib/dict_xsyn/dict_xsyn.c`, defaults matchorig/keeporig/
+    //    keepsynonyms true): a derived english configuration chains a
+    //    synonym dictionary BEFORE the stemmer, so a matched token emits
+    //    its lexeme list (original + synonyms, unstemmed — dxsyn_lexize's
+    //    exact output) and everything else falls through to porter. The
+    //    classifier/pipeline code is configRank — the SAME function f17
+    //    and f18 run, untouched (the registry-is-data claim now covers
+    //    dictionary CHAINS, not just stoplists + stemmers). The query
+    //    term 'quick' matches documents containing 'fast' purely through
+    //    the config's expansion; the oracle replays the same rules as
+    //    data over the raw tokens --
+    "f19_synonym_config" -> { (s, dir) =>
+      configRank(s, FtsConfig("english").withSynonyms(F19Rules),
+        Tables.df(s, dir, "documents").select(col("doc_id"), col("text")),
+        "quick")
+        .limit(30)
     },
 
     // -- f16: DISTANCE phrase operator `'hash' <N> 'join'` —
@@ -853,6 +920,39 @@ object FullText {
   def oracle: Map[String, String] = Map(
 
     "f17_french_config" -> frenchOracle,
+
+    // f19: the synonym rules replay as DATA (generated from F19Rules —
+    // one source of truth with the Spark config). Unmatched tokens map
+    // to [w] rather than [stem(w)]: lexeme VALUES of unmatched tokens
+    // only reach the result through equality with the query lexeme
+    // 'quick', and the corpus vocabulary (fixed, 31 words, audited)
+    // contains no token whose raw form or porter stem is 'quick', so
+    // the identity map is value-equivalent and keeps the oracle free of
+    // an embedded stem dictionary. Counts (n_lex) are unaffected: both
+    // maps emit exactly one lexeme per unmatched token.
+    "f19_synonym_config" -> {
+      val cases = F19Rules.map { case (k, out) =>
+        s"WHEN w = '$k' THEN [${out.map("'" + _ + "'").mkString(",")}]"
+      }.mkString(" ")
+      s"""
+      WITH toked AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents),
+      lexed AS (
+        SELECT doc_id,
+          flatten(list_transform(
+            list_filter(toks, t -> NOT list_contains($duckStopArr, t)),
+            w -> CASE $cases ELSE [w] END)) AS lex
+        FROM toked),
+      scored AS (
+        SELECT doc_id, CAST(len(lex) AS BIGINT) AS n_lex,
+          CAST(len(list_filter(lex, x -> x = 'quick')) AS BIGINT) AS tf_q
+        FROM lexed)
+      SELECT doc_id, n_lex, tf_q,
+        round((CAST(tf_q AS DOUBLE) / (1.0 + tf_q)) / (1.0 + ln(n_lex)), 6) AS rank
+      FROM scored WHERE tf_q > 0
+      ORDER BY rank DESC, doc_id LIMIT 30"""
+    },
     "f18_russian_config" -> russianOracle,
 
     "f16_phrase_distance" -> """

@@ -53,6 +53,31 @@ object Fuzzy {
         .orderBy(col("probe_key"))
     },
 
+    // -- fz06: metaphone (fuzzystrmatch.c:345 `_metaphone`) — the finer
+    //    phonetic key users move to when soundex over-merges: consonant
+    //    PHONEMES instead of consonant classes (gear → JR where soundex
+    //    keeps G600; red/rod collide at RT — same code class, which is
+    //    the phonetic-recall point). Same census + probe shape as fz04:
+    //    one explode, one hash aggregate, the code computed by the
+    //    codegen kernel (graft.functions.Metaphone). The DuckDB oracle
+    //    carries the word→code map as a frozen VALUES dict (the f14/f18
+    //    discipline — the vocabulary is data, fixed across scales);
+    //    algorithm fidelity is pinned separately by FunctionsSpec
+    //    vectors hand-audited against the C's control flow --
+    "fz06_metaphone" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      Tables.df(s, dir, "part")
+        .select(explode(split(lower(org.apache.spark.sql.functions.col("p_name")), "[^a-z0-9]+")).as("word"))
+        .filter(col("word") =!= "")
+        .withColumn("code", expr("metaphone(word, 4)"))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("word")).as("n_words"),
+          array_join(sort_array(collect_set(col("word"))), ",").as("words"))
+        .withColumn("matches_widget", col("code") === lit("WJT"))
+        .orderBy(col("code"))
+    },
+
     // -- soundex + difference (fuzzystrmatch.c _soundex/difference):
     //    phonetic bucketing of the mention stream — group every part-name
     //    word by its soundex code, with difference() against a probe
@@ -97,6 +122,18 @@ object Fuzzy {
     * fz04's `difference()` column, precomputed as a constant. */
   private val WidgetCode = "W323"
 
+  /** fz06's frozen word→metaphone dictionary — the full part-name
+    * vocabulary (fixed across scales; the oracle treats the code map as
+    * data, exactly like the f14/f17/f18 stemmer dicts). Every entry is
+    * hand-audited against `fuzzystrmatch.c:345`'s control flow in
+    * FunctionsSpec ("metaphone follows the PG variant..."). */
+  private val MetaphoneDict: String = Seq(
+    "anvil" -> "ANFL", "blue" -> "BL", "bolt" -> "BLT", "cold" -> "KLT",
+    "gear" -> "JR", "gizmo" -> "JSM", "hot" -> "HT", "large" -> "LRJ",
+    "new" -> "N", "old" -> "OLT", "plate" -> "PLT", "red" -> "RT",
+    "ring" -> "RNK", "rod" -> "RT", "small" -> "SML", "widget" -> "WJT")
+    .map { case (w, c) => s"          ('$w', '$c')," }.mkString("\n")
+
   private def differenceSql(codeCol: String): String =
     (1 to 4).map { i =>
       s"(CASE WHEN substring($codeCol, $i, 1) = substring('$WidgetCode', $i, 1) THEN 1 ELSE 0 END)"
@@ -120,6 +157,27 @@ object Fuzzy {
         CAST(min(enc) % 100000000 AS BIGINT) AS best_key,
         CAST(sum(CASE WHEN close THEN 1 ELSE 0 END) AS BIGINT) AS n_within_3
       FROM j GROUP BY probe_key, probe ORDER BY probe_key""",
+
+    "fz06_metaphone" -> s"""
+      WITH words AS (
+        SELECT w AS word FROM (
+          SELECT unnest(string_split_regex(lower(p_name), '[^a-z0-9]+')) AS w
+          FROM part) WHERE w <> ''),
+      dict(word, code) AS (VALUES
+$MetaphoneDict
+          ('', '')),
+      coded AS (SELECT w.word, d.code FROM words w JOIN dict d USING (word)),
+      grouped AS (
+        SELECT code, count(*) AS n_mentions,
+          count(DISTINCT word) AS n_words
+        FROM coded GROUP BY code),
+      names AS (
+        SELECT code, string_agg(word, ',' ORDER BY word) AS words
+        FROM (SELECT DISTINCT code, word FROM coded) GROUP BY code)
+      SELECT g.code, g.n_mentions, g.n_words, n.words,
+        g.code = 'WJT' AS matches_widget
+      FROM grouped g JOIN names n ON g.code = n.code
+      ORDER BY g.code""",
 
     "fz04_soundex" -> {
       val sdx = soundexSql("word", g = true)

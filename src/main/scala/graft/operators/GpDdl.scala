@@ -140,6 +140,64 @@ object GpDdl {
   }
 
   // ---------------------------------------------------------------
+  // Dynamic tables — `CREATE DYNAMIC TABLE name SCHEDULE '<cron>' AS
+  // SELECT …` (gram.y:7615-7667; createas.c:1858 creates the matview
+  // plus the `gp_dynamic_table_refresh_<oid>` pg_cron task, default
+  // schedule pg_task.h:76 `*/5 * * * *`). The DDL text binds onto the
+  // machinery i02 already exercises: the materialization is
+  // [[graft.streaming.DynamicTable]], the task is
+  // [[graft.streaming.RefreshScheduler]] with the interval parsed from
+  // the SCHEDULE cron text.
+  // ---------------------------------------------------------------
+
+  case class DynamicTableDef(name: String, schedule: String, selectSql: String)
+
+  private val DynRe =
+    """(?is)^\s*CREATE\s+DYNAMIC\s+TABLE\s+(\w+)(?:\s+SCHEDULE\s+'([^']+)')?\s+AS\s+(SELECT\b.*)$""".r
+
+  /** Parse the gram.y:7615 form; SCHEDULE is optional exactly as in the
+    * grammar (createas.c:1866 falls back to the 5-minute default). */
+  def parseDynamicTable(ddl: String): DynamicTableDef = ddl match {
+    case DynRe(name, sched, sel) =>
+      DynamicTableDef(name.toLowerCase,
+        Option(sched).map(_.trim).getOrElse("*/5 * * * *"), sel.trim)
+    case _ => throw new IllegalArgumentException(
+      "ddl: expected CREATE DYNAMIC TABLE name [SCHEDULE '<cron>'] AS SELECT ...")
+  }
+
+  private val CronEveryNMin = """\*/(\d+) \* \* \* \*""".r
+  private val CronHourlyAt = """(\d+) \* \* \* \*""".r
+  private val CronDailyAt = """(\d+) (\d+) \* \* \*""".r
+  private val IntervalSecs = """(?i)(\d+)\s+seconds?""".r
+
+  /** pg_cron schedule text → firing interval in ms. Supports the
+    * fixed-period 5-field forms a refresh task uses (every-N-minutes,
+    * hourly-at-minute, daily-at-time) plus pg_cron's 'N seconds'
+    * shorthand; anything else errs loudly rather than guessing. */
+  def scheduleIntervalMs(schedule: String): Long = schedule.trim match {
+    case CronEveryNMin(n) => n.toLong * 60000L
+    case CronHourlyAt(_) => 3600000L
+    case CronDailyAt(_, _) => 86400000L
+    case IntervalSecs(n) => n.toLong * 1000L
+    case other => throw new IllegalArgumentException(
+      s"ddl: unsupported SCHEDULE '$other'")
+  }
+
+  /** CREATE DYNAMIC TABLE: parse, materialize (WITH DATA — the grammar
+    * default), and return the bound scheduler. The caller drives the
+    * logical clock, as pg_cron's loop would. */
+  def createDynamicTable(s: SparkSession, ddl: String, tag: String)
+      : (graft.streaming.DynamicTable, graft.streaming.RefreshScheduler, DynamicTableDef) = {
+    val dt = parseDynamicTable(ddl)
+    val path =
+      s"target/derived/${tag.replaceAll("[^A-Za-z0-9.]", "_")}/ddl06_${dt.name}"
+    val table = new graft.streaming.DynamicTable(s, path, () => s.sql(dt.selectSql))
+    val sched = new graft.streaming.RefreshScheduler(table,
+      scheduleIntervalMs(dt.schedule))
+    (table, sched, dt)
+  }
+
+  // ---------------------------------------------------------------
   // External tables — `CREATE EXTERNAL TABLE … LOCATION (…) FORMAT
   // 'CSV' (…) SEGMENT REJECT LIMIT …` (gram.y:7195): the other DDL a
   // migrating user types on day one. The translation target is the
@@ -150,6 +208,47 @@ object GpDdl {
 
   case class ExternalDef(name: String, ddlSchema: String, locations: Seq[String],
       delimiter: String, header: Boolean, rejectLimit: Option[(Long, Boolean)])
+
+  /** Fixed-width external table (`contrib/formatter_fixedwidth/`):
+    * `FORMAT 'CUSTOM' (formatter=fixedwidth_in, col='width', …)`. Cols
+    * carry (name, type, width); rejectLimit is (n, isPercent). */
+  case class FixedWidthDef(name: String, cols: Seq[(String, String, Int)],
+      rejectLimit: Option[(Long, Boolean)]) {
+    def totalWidth: Int = cols.map(_._3).sum
+  }
+
+  private val FixedRe =
+    """(?is)^\s*CREATE\s+(?:READABLE\s+)?EXTERNAL\s+TABLE\s+(\w+)\s*\((.*?)\)\s*LOCATION\s*\(([^)]*)\)\s*FORMAT\s+'CUSTOM'\s*\(\s*formatter\s*=\s*fixedwidth_in\s*,([^)]*)\)(.*)$""".r
+
+  /** Parse the fixedwidth_in DDL form. Every declared column must have
+    * a width option (the formatter errs the same way); unknown widths
+    * for undeclared columns err loudly too. */
+  def parseFixedWidth(ddl: String): FixedWidthDef = ddl match {
+    case FixedRe(name, colList, _, opts, rest) =>
+      val types = colList.split(",").map(_.trim).filter(_.nonEmpty).map { c =>
+        val p = c.split("\\s+", 2)
+        require(p.length == 2, s"fixedwidth: bad column def '$c'")
+        (p(0).toLowerCase, p(1).toUpperCase)
+      }.toSeq
+      val widths = opts.split(",").map(_.trim).filter(_.nonEmpty).map { o =>
+        val kv = o.split("=", 2)
+        require(kv.length == 2, s"fixedwidth: bad formatter option '$o'")
+        kv(0).trim.toLowerCase ->
+          kv(1).trim.stripPrefix("'").stripSuffix("'").toInt
+      }.toMap
+      val unknown = widths.keySet -- types.map(_._1).toSet
+      require(unknown.isEmpty, s"fixedwidth: widths for undeclared columns $unknown")
+      val cols = types.map { case (n, t) =>
+        (n, t, widths.getOrElse(n, throw new IllegalArgumentException(
+          s"fixedwidth: no width for column '$n'")))
+      }
+      val rl = RejectRe.findFirstMatchIn(rest)
+        .map(m => (m.group(1).toLong, m.group(2).equalsIgnoreCase("PERCENT")))
+      FixedWidthDef(name.toLowerCase, cols, rl)
+    case _ => throw new IllegalArgumentException(
+      "ddl: expected CREATE EXTERNAL TABLE name (cols...) LOCATION (...) " +
+        "FORMAT 'CUSTOM' (formatter=fixedwidth_in, col='width', ...)")
+  }
 
   private val ExtRe =
     """(?is)^\s*CREATE\s+(?:READABLE\s+)?EXTERNAL\s+TABLE\s+(\w+)\s*\((.*?)\)\s*LOCATION\s*\(([^)]*)\)\s*FORMAT\s+'CSV'(?:\s*\(([^)]*)\))?(.*)$""".r
@@ -499,6 +598,36 @@ object GpDdl {
           col("n_rows_after"), col("n_dead_left"), col("cents_after"))
     },
 
+    // -- ddl06: CREATE DYNAMIC TABLE … SCHEDULE — the one GP DDL family
+    //    GpDdl didn't front until r12 (r11 verdict #2): the DDL text is
+    //    parsed (gram.y:7615), the SCHEDULE cron becomes the refresh
+    //    interval of the pg_cron-equivalent scheduler (createas.c:1858's
+    //    gp_dynamic_table_refresh task), and the materialization is the
+    //    DynamicTable i02 exercises. The query drives a deterministic
+    //    logical clock through the canonical tick pattern — create-time
+    //    refresh, a half-interval tick that must NOT fire, an on-time
+    //    firing, and a long downtime that catches up with ONE run (full
+    //    re-materialization semantics) — then reads the MATERIALIZED
+    //    parquet (plan-asserted: no base-table rescan), so the compare
+    //    proves both the refresh result and the schedule accounting --
+    "ddl06_dynamic_table_ddl" -> { (s, dir) =>
+      Tables.register(s, dir)
+      val (table, sched, dt) = createDynamicTable(s,
+        s"""CREATE DYNAMIC TABLE order_status_rollup SCHEDULE '*/5 * * * *'
+            AS $Ddl06Select""",
+        dir)
+      val interval = scheduleIntervalMs(dt.schedule)
+      val t0 = 1700000000000L
+      sched.tick(t0) // creation materializes WITH DATA (grammar default)
+      sched.tick(t0 + interval / 2) // not due — must not fire
+      sched.tick(t0 + interval) // due — fires
+      sched.tick(t0 + 10 * interval) // downtime: ONE catch-up, not 9
+      table.read()
+        .withColumn("n_refreshes", lit(sched.refreshCount))
+        .withColumn("interval_sec", lit(interval / 1000L))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // -- ddl04: SET DISTRIBUTED BY — the key-change migration: a copy
     //    of the fact table declared DISTRIBUTED BY (o_orderkey) is
     //    redistributed onto o_custkey (one full shuffle, the honest
@@ -550,7 +679,23 @@ object GpDdl {
     }
   )
 
+  /** ddl06's definition query — ONE text, run by Spark as the refresh
+    * body and by DuckDB as the oracle's base expression. */
+  private val Ddl06Select = """
+    SELECT o_orderstatus, count(*) AS n_orders,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_orderstatus"""
+
   def oracle: Map[String, String] = Map(
+    // the refresh result re-derived from the base table, plus the pinned
+    // schedule accounting: 4 ticks at (t0, +½T, +T, +10T) fire exactly 3
+    // refreshes under pg_cron catch-up semantics, T = 5 min
+    "ddl06_dynamic_table_ddl" -> s"""
+      SELECT o_orderstatus, n_orders, cents,
+        CAST(3 AS BIGINT) AS n_refreshes,
+        CAST(300 AS BIGINT) AS interval_sec
+      FROM ($Ddl06Select) t
+      ORDER BY o_orderstatus""",
     // redistribution preserves content: the rollup equals the raw join
     "ddl05_vacuum_compact" -> """
       SELECT TRUE AS files_before_ok,

@@ -156,6 +156,46 @@ object Ingest {
         .orderBy(col("o_orderstatus"))
     },
 
+    // -- c15: FIXED-WIDTH external format (`contrib/formatter_fixedwidth/
+    //    fixedwidth.c`, DDL FORMAT 'CUSTOM' (formatter=fixedwidth_in,
+    //    col='width', …)) — the mainframe/COBOL extract layout. The
+    //    column widths come from the ddl02-style DDL TEXT (GpDdl.
+    //    parseFixedWidth) and compile to a substring/rtrim/try_cast
+    //    projection (sources/FixedWidth — one codegen pass, no UDF).
+    //    Planted defects exercise both sreh reject classes: a NON-NUMERIC
+    //    value in a numeric field (key%10=7 → conversion reject) and a
+    //    TRUNCATED line (key%100=51 → "missing data for column"), both
+    //    under the declared SEGMENT REJECT LIMIT 15 PERCENT (the
+    //    over-limit abort is IngestSpec's contract test). The audit
+    //    aggregates the LOADED relation — positions, trims, and casts
+    //    all proven by the cents sum --
+    "c15_fixedwidth" -> { (s, dir) =>
+      val fw = GpDdl.parseFixedWidth("""
+        CREATE READABLE EXTERNAL TABLE orders_fw (
+          o_orderkey BIGINT, o_orderpriority TEXT, total_cents BIGINT)
+        LOCATION ('demo://orders_fixedwidth')
+        FORMAT 'CUSTOM' (formatter=fixedwidth_in,
+          o_orderkey='10', o_orderpriority='16', total_cents='12')
+        SEGMENT REJECT LIMIT 15 PERCENT""")
+      val lines = Tables.df(s, dir, "orders")
+        .select(col("o_orderkey"), concat(
+          rpad(col("o_orderkey").cast("string"), 10, " "),
+          rpad(col("o_orderpriority"), 16, " "),
+          rpad(when(col("o_orderkey") % 10 === 7, lit("notanumber"))
+            .otherwise(expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)")),
+            12, " ")).as("full"))
+        .select(when(col("o_orderkey") % 100 === 51,
+          expr("substring(full, 1, 20)")).otherwise(col("full")).as("line"))
+      val res = graft.sources.FixedWidth.parse(lines, fw)
+      res.good.agg(
+        lit(res.nGood).as("n_loaded"),
+        lit(res.nBad).as("n_rejected"),
+        lit(1).as("within_limit"),
+        sum(col("total_cents")).cast("long").as("total_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+    },
+
     "c01_csv_sreh" -> { (s, dir) =>
       val lines = Tables.df(s, dir, "documents")
         .select(col("doc_id"),
@@ -343,6 +383,23 @@ object Ingest {
              CAST(sum(i) AS BIGINT) AS sum_i,
              round(CAST(sum(v) AS DOUBLE), 2) AS total_v
       FROM t GROUP BY 1 ORDER BY 1""",
+
+    // both planted defect rules are deterministic, so the oracle audits
+    // the load arithmetic and the loaded-content rollup directly
+    "c15_fixedwidth" -> """
+      WITH flagged AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               (o_orderkey % 10 = 7 OR o_orderkey % 100 = 51) AS bad
+        FROM orders)
+      SELECT
+        count(CASE WHEN NOT bad THEN 1 END) AS n_loaded,
+        count(CASE WHEN bad THEN 1 END) AS n_rejected,
+        CAST(1 AS INTEGER) AS within_limit,
+        CAST(sum(CASE WHEN NOT bad THEN cents END) AS BIGINT) AS total_cents,
+        min(CASE WHEN NOT bad THEN o_orderkey END) AS min_key,
+        max(CASE WHEN NOT bad THEN o_orderkey END) AS max_key
+      FROM flagged""",
 
     // the malformed-line rule is deterministic, so the oracle audits the
     // same load arithmetic directly

@@ -238,6 +238,7 @@ class FunctionsSpec extends AnyFunSuite {
         "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
         "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24",
         "frame_sums", "frame_energy", "french_stem", "russian_stem",
+        "metaphone",
         "char_grams", "jump_hash"))
   }
 
@@ -338,6 +339,30 @@ class FunctionsSpec extends AnyFunSuite {
       "RussianStem drifted from the frozen f18 dictionary — regenerate it deliberately")
   }
 
+  test("FTS config registry: synonym dictionary chains as data (dict_xsyn)") {
+    import graft.operators.FullText.FtsConfig
+    // deriving a config with a synonym chain is a config-VALUE change;
+    // the pipeline expression and query lexize come from the same value
+    val cfg = FtsConfig("english").withSynonyms(Seq(
+      "fast" -> Seq("fast", "quick", "rapid"),
+      "sort" -> Seq("sort", "order")))
+    // query side: rule keys expand (matchorig), plain terms stem
+    assert(cfg.queryLex("fast") == Seq("fast", "quick", "rapid"))
+    assert(cfg.queryLex("quick") == Seq("quick")) // matchsynonyms=false
+    assert(cfg.queryLex("merging") == Seq("merg")) // falls through to porter
+    // corpus side: the generated chain — matched tokens emit their
+    // lexeme list UNSTEMMED, unmatched tokens stem; stopwords drop first
+    graft.functions.PgFunctions.register(spark)
+    import spark.implicits._
+    val lex = Seq((1L, "the fast merging sort")).toDF("doc_id", "text")
+      .selectExpr(s"${cfg.lexExpr("split(text, ' ')")} AS lex")
+      .collect().head.getSeq[String](0)
+    assert(lex == Seq("fast", "quick", "rapid", "merg", "sort", "order"),
+      s"got $lex")
+    // a synonym-free config generates the exact classic pipeline text
+    assert(!FtsConfig("english").lexExpr("toks").contains("CASE"))
+  }
+
   test("jump_hash: consistent-hash contract (range, monotone moves, balance)") {
     import graft.functions.JumpHash.compute
     val keys = (1L to 20000L).map(_ * 2654435761L) // spread keys
@@ -399,6 +424,53 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Seq("работать", "работает", "работали", "работал")
       .map(stem).distinct.size == 1)
     assert(Seq("книга", "книги", "книгу").map(stem).distinct.size == 1)
+  }
+
+  test("metaphone follows the PG variant of Philips' algorithm") {
+    import graft.functions.Metaphone.code
+    // each vector hand-audited against fuzzystrmatch.c:345 _metaphone
+    // (USE_TRADITIONAL_METAPHONE undefined — the shipped behavior)
+    val vectors = Seq(
+      // initial-letter special cases (fuzzystrmatch.c:388)
+      "aebersold" -> "EBRS", // AE → E
+      "gnome" -> "NM", // GN → N
+      "knight" -> "NFT", // KN → N; GH → F (3-back 'K' is not in BDH)
+      "pneumonia" -> "NMN", // PN → N
+      "wham" -> "HM", // WH → H
+      "wrack" -> "RK", // WR → R
+      "water" -> "WTR", // W + vowel keeps W (and consumes the vowel)
+      "xavier" -> "SFR", // initial X → S
+      "ox" -> "OKS", // initial vowel kept; X → KS
+      // consonant ladder
+      "thompson" -> "0MPS", // TH → '0'
+      "widget" -> "WJT", // DG[E] → J
+      "school" -> "SKL", // SCH stays hard K (the PG departure)
+      "christmas" -> "KRST", // CHR stays hard K
+      "cia" -> "X", // CIA → SH
+      "science" -> "SNS", // SC[IEY]: C dropped
+      "nation" -> "NXN", // TIO → SH
+      "mission" -> "MSN", // dup-S dropped BEFORE the SIO check fires
+      "vision" -> "FXN", // SIO → SH (single S)
+      "phone" -> "FN", // PH → F
+      "laugh" -> "LF", // -GH → F (lookback A not in BDH)
+      "high" -> "HF", // GH → F (3-back off-start, not the -H--GH case)
+      "sign" -> "SN", // GN (word end) dropped
+      "signed" -> "SNT", // GNED: G dropped
+      "lamb" -> "LM", // B silent after M
+      "back" -> "BK", // K after C dropped (CK → K)
+      "quick" -> "KK", // Q → K
+      "vivid" -> "FFT", // V → F
+      "zebra" -> "SBR", // Z → S
+      "yellow" -> "YL", // Y + vowel kept
+      "boy" -> "B", // trailing Y dropped
+      "accept" -> "AKSP", // CC kept (dup rule exempts C): A,K,S,P
+      "bubble" -> "BBL") // raw-letter dup drop: B,U,B… second B kept (prev=U)
+    for ((w, c) <- vectors)
+      assert(code(w, 4) == c, s"$w: got ${code(w, 4)}, want $c")
+    // maxLen truncation and case/non-alpha handling
+    assert(code("Thompson", 2) == "0M")
+    assert(code("  42 ", 4) == "")
+    assert(code("o'brien", 4) == "OBRN")
   }
 
   test("porter_stem matches the published 1980 algorithm examples") {

@@ -150,6 +150,38 @@ class GpDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic table DDL: parse, schedule interval, scheduler binding") {
+    // grammar subset (gram.y:7615): SCHEDULE present / omitted (default
+    // pg_task.h:76 */5), the select body carried verbatim
+    val dt = GpDdl.parseDynamicTable(
+      "CREATE DYNAMIC TABLE dt1 SCHEDULE '*/5 * * * *' AS SELECT 1 AS x")
+    assert(dt.name == "dt1" && dt.schedule == "*/5 * * * *" &&
+      dt.selectSql == "SELECT 1 AS x")
+    assert(GpDdl.parseDynamicTable(
+      "CREATE DYNAMIC TABLE dt2 AS SELECT 2 AS x").schedule == "*/5 * * * *")
+    intercept[IllegalArgumentException] {
+      GpDdl.parseDynamicTable("CREATE DYNAMIC TABLE dt3 SCHEDULE '*/5 * * * *'")
+    }
+    // cron subset → firing interval
+    assert(GpDdl.scheduleIntervalMs("*/5 * * * *") == 300000L)
+    assert(GpDdl.scheduleIntervalMs("*/1 * * * *") == 60000L)
+    assert(GpDdl.scheduleIntervalMs("30 * * * *") == 3600000L)
+    assert(GpDdl.scheduleIntervalMs("15 3 * * *") == 86400000L)
+    assert(GpDdl.scheduleIntervalMs("10 seconds") == 10000L)
+    intercept[IllegalArgumentException] {
+      GpDdl.scheduleIntervalMs("* * * * 1-5") // non-fixed-period form
+    }
+    // binding: the parsed schedule drives the scheduler's due decision
+    val (_, sched, parsed) = GpDdl.createDynamicTable(spark,
+      "CREATE DYNAMIC TABLE dt_bind SCHEDULE '*/5 * * * *' AS SELECT 42 AS x",
+      "testbind")
+    assert(parsed.schedule == "*/5 * * * *")
+    assert(sched.tick(0L)) // create-time refresh
+    assert(!sched.tick(299999L)) // one ms early — not due
+    assert(sched.tick(300000L)) // exactly the parsed interval — fires
+    assert(sched.refreshCount == 2L)
+  }
+
   test("layout: ensureOrders yields one directory per 1997 month plus the default") {
     val tbl = GpDdl.ensureOrders(spark, Sf)
     val parts = spark.table(tbl).select("o_orderdate_prt").distinct()

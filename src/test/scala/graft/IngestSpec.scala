@@ -362,4 +362,56 @@ class IngestSpec extends AnyFunSuite {
         s"${d.getName} has ${parts.length} files; expected 1 after repartition")
     }
   }
+
+  test("fixedwidth: field slicing, both reject classes, reject-limit abort") {
+    import graft.operators.GpDdl
+    import graft.sources.{CsvSreh, FixedWidth}
+    import spark.implicits._
+    val fw = GpDdl.parseFixedWidth("""
+      CREATE READABLE EXTERNAL TABLE t (k BIGINT, name TEXT, v BIGINT)
+      LOCATION ('demo://x')
+      FORMAT 'CUSTOM' (formatter=fixedwidth_in, k='4', name='6', v='5')
+      SEGMENT REJECT LIMIT 25 PERCENT""")
+    assert(fw.cols == Seq(("k", "BIGINT", 4), ("name", "TEXT", 6), ("v", "BIGINT", 5)))
+    assert(fw.totalWidth == 15 && fw.rejectLimit.contains((25L, true)))
+    // 15-wide lines: k[1..4] name[5..10] v[11..15]
+    val ok = FixedWidth.parse(Seq(
+      "1   alpha 42   ",
+      "22  bee   7    ",
+      "333 sea   111  ").toDF("line"), fw)
+    assert(ok.nBad == 0 && ok.nGood == 3)
+    val rows = ok.good.orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 22L, 333L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("alpha", "bee", "sea"),
+      "blank padding must be trimmed (preserve_blanks=off default)")
+    assert(rows.map(_.getLong(2)).toSeq == Seq(42L, 7L, 111L))
+    // both reject classes, still within the 25% limit (1/4 rows)
+    val mixed = FixedWidth.parse(Seq(
+      "1   alpha 42   ",
+      "2   bad   xx   ", // conversion reject
+      "3   ok    5    ",
+      "4   more  6    ").toDF("line"), fw)
+    assert(mixed.nBad == 1 && mixed.nGood == 3)
+    val short = FixedWidth.parse(Seq(
+      "1   alpha 42   ",
+      "2   cut", // missing data for column
+      "3   ok    5    ",
+      "4   more  6    ").toDF("line"), fw)
+    assert(short.nBad == 1 && short.nGood == 3)
+    // past the limit: 2/4 = 50% > 25% → loud abort, cdbsreh's contract
+    val e = intercept[CsvSreh.RejectLimitExceeded] {
+      FixedWidth.parse(Seq(
+        "1   alpha 42   ",
+        "2   bad   xx   ",
+        "3   cut",
+        "4   more  6    ").toDF("line"), fw)
+    }
+    assert(e.nBad == 2)
+    // parser is loud on a missing width
+    intercept[IllegalArgumentException] {
+      GpDdl.parseFixedWidth("""
+        CREATE EXTERNAL TABLE t (k BIGINT, v BIGINT) LOCATION ('demo://x')
+        FORMAT 'CUSTOM' (formatter=fixedwidth_in, k='4')""")
+    }
+  }
 }

@@ -1186,10 +1186,26 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("er02: the incremental merge never rescans the mention table") {
     val p = plan("er02_incremental_clusters")
-    // censuses and base labels are spooled; the final plan must not
+    // the delta census is spooled and the base state is PERSISTED (r12:
+    // the i16 materialized-index pattern) — the final plan must not
     // contain a parquet scan of part (that would be batch, not O(delta))
     assert(!p.contains("part.parquet"),
       s"incremental ER must not rescan the base mentions:\n$p")
+    // and the base labels must come from the persisted parquet state
+    assert(p.contains("er02_base_"),
+      s"expected the persisted base-state scan:\n$p")
+  }
+
+  test("ddl06: the dynamic-table read scans the materialization, not the base") {
+    val p = plan("ddl06_dynamic_table_ddl")
+    // the returned relation is the refreshed matview; a scan of
+    // orders.parquet here would mean the report re-derives the
+    // definition query instead of reading the materialized state
+    // the location string is elided in the render — match the prefix
+    assert(p.contains("ddl06_order_stat"),
+      s"expected the materialized dynamic-table scan:\n$p")
+    assert(!p.contains("orders.parquet"),
+      s"dynamic-table read must not rescan the base table:\n$p")
   }
 
   test("q138: SYSTEM_ROWS sample plans as top-n, never a global sort") {
@@ -1205,6 +1221,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-n plan:\n$p")
     assert(!p.contains("rangepartitioning"),
       s"an exact-n sample must not global-sort:\n$p")
+  }
+
+  test("q139: SYSTEM_TIME page sample plans as census top-n, never a global sort") {
+    import org.apache.spark.sql.functions.{col, concat, count, expr, lit, md5, sum}
+    // the page-visit stage: census (map-side combined groupBy) then
+    // orderBy(coin)+limit — must plan as TakeOrderedAndProject over the
+    // census, with no range partitioning anywhere
+    val visit = Tables.df(spark, Sf, "orders")
+      .groupBy(expr("o_orderkey div 64").as("page"))
+      .agg(count(lit(1)).as("pg_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("pg_cents"))
+      .withColumn("coin",
+        md5(concat(lit("systime-42-"), col("page").cast("string"))))
+      .orderBy(col("coin")).limit(24)
+    val p = finalPlan(visit)
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-n plan:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"a page-budget sample must not global-sort:\n$p")
   }
 
   test("c12: FDW predicate + column pushdown reach the remote JDBC scan") {
