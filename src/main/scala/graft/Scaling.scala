@@ -51,7 +51,12 @@ object Scaling {
     // and the vacuum rewrite (measures the compaction write itself)
     "ml08_decision_tree", "ml09_tree_confusion", "s14_ivfpq_rerank",
     "er02_incremental_clusters", "b05_jump_consistent_hash",
-    "x11_analyze_stats", "q138_system_rows", "ddl05_vacuum_compact")
+    "x11_analyze_stats", "q138_system_rows", "ddl05_vacuum_compact",
+    // round-12 additions: the page-budget sampler, the metaphone census,
+    // the synonym-chain retrieval, the fixed-width tolerant load, and
+    // the dynamic-table refresh (measures the re-materialization write)
+    "q139_system_time", "fz06_metaphone", "f19_synonym_config",
+    "c15_fixedwidth", "ddl06_dynamic_table_ddl")
 
   val MaxRatio = 13.0
 
@@ -66,7 +71,9 @@ object Scaling {
     "fz03_strict_word_sml",
     "t11_repetition", "t18_charlm_score", "t19_dup_ngram_coverage",
     "t21_word_entropy", "t23_kl_novelty",
-    "lo01_largeobject_pages")
+    "lo01_largeobject_pages",
+    // r12: the synonym-chain lexize is a per-token HOF — linear in L
+    "f19_synonym_config")
 
   /** Total chars are ~equal across the two corpora, so a linear kernel
     * lands ~1×; 2.5 allows window/partition-count second-order effects

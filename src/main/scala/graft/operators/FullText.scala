@@ -40,9 +40,19 @@ object FullText {
     * pipeline differing ONLY in the config they resolve, and
     * FullTextSpec parameterizes the dictionary test over both. */
   object FtsConfig {
+    /** Integer-token dictionary options (`contrib/dict_int/dict_int.c`
+      * dintdict_init defaults): tokens of the INTEGER class longer than
+      * `maxlen` digits are truncated (or dropped when `rejectlong`);
+      * `absval` strips a leading sign first. */
+    final case class IntDict(maxlen: Int = 6, rejectlong: Boolean = false,
+        absval: Boolean = false) {
+      require(maxlen >= 1, "maxlen value has to be >= 1") // dict_int.c:44
+    }
+
     final case class TsConfig(language: String, stopwords: Seq[String], stemFn: String,
         stem: String => String,
-        synonyms: Seq[(String, Seq[String])] = Nil) {
+        synonyms: Seq[(String, Seq[String])] = Nil,
+        intDict: Option[IntDict] = None) {
       def stopArr: String = stopwords.map("'" + _ + "'").mkString("array(", ",", ")")
       def duckStopArr: String = stopwords.map("'" + _ + "'").mkString("[", ",", "]")
 
@@ -59,6 +69,12 @@ object FullText {
       def withSynonyms(rules: Seq[(String, Seq[String])]): TsConfig =
         copy(synonyms = rules)
 
+      /** Chain an integer dictionary (dict_int) for INTEGER-class
+        * tokens — PG's per-token-class mapping: the int dictionary owns
+        * numeric tokens, the word chain (synonyms → stemmer) never sees
+        * them. */
+      def withIntDict(d: IntDict): TsConfig = copy(intDict = Some(d))
+
       /** The config's full lexize pipeline over a token-array expression:
         * stopword drop, then PG's dictionary-chain contract per token —
         * the FIRST dictionary that accepts a token consumes it (a synonym
@@ -68,22 +84,37 @@ object FullText {
         * produce the same text f11/f17/f18 always ran. */
       def lexExpr(toksExpr: String): String = {
         val base = s"filter($toksExpr, t -> NOT array_contains($stopArr, t))"
-        if (synonyms.isEmpty) s"transform($base, w -> $stemFn(w))"
-        else {
-          val cases = synonyms.map { case (k, out) =>
-            s"WHEN w = '$k' THEN array(${out.map("'" + _ + "'").mkString(",")})"
-          }.mkString(" ")
-          s"flatten(transform($base, w -> CASE $cases ELSE array($stemFn(w)) END))"
+        val intCase = intDict.toSeq.map { d =>
+          val t = if (d.absval) "regexp_replace(w, '^[+-]', '')" else "w"
+          val longOut =
+            if (d.rejectlong) "CAST(array() AS ARRAY<STRING>)" // dropped
+            else s"array(substring($t, 1, ${d.maxlen}))" // trimmed
+          s"WHEN w rlike '^[+-]?[0-9]+$$' THEN " +
+            s"IF(length($t) > ${d.maxlen}, $longOut, array($t))"
         }
+        val synCases = synonyms.map { case (k, out) =>
+          s"WHEN w = '$k' THEN array(${out.map("'" + _ + "'").mkString(",")})"
+        }
+        val cases = intCase ++ synCases
+        if (cases.isEmpty) s"transform($base, w -> $stemFn(w))"
+        else s"flatten(transform($base, w -> CASE ${cases.mkString(" ")} ELSE array($stemFn(w)) END))"
       }
 
-      /** Query-side lexize of one term through the same chain (dict
-        * first — matchsynonyms=false means only rule KEYS match — then
-        * the stemmer). A key expands to its lexeme list (an OR-query in
-        * PG); a plain term stems to one lexeme. */
-      def queryLex(term: String): Seq[String] =
-        synonyms.collectFirst { case (k, out) if k == term => out }
-          .getOrElse(Seq(stem(term)))
+      /** Query-side lexize of one term through the same chain (int
+        * dictionary for INTEGER-class terms; synonym dict first for
+        * words — matchsynonyms=false means only rule KEYS match — then
+        * the stemmer). A synonym key expands to its lexeme list (an
+        * OR-query in PG); a plain term stems to one lexeme. */
+      def queryLex(term: String): Seq[String] = intDict match {
+        case Some(d) if term.matches("[+-]?[0-9]+") =>
+          val t = if (d.absval) term.replaceFirst("^[+-]", "") else term
+          if (t.length > d.maxlen) {
+            if (d.rejectlong) Seq.empty else Seq(t.substring(0, d.maxlen))
+          } else Seq(t)
+        case _ =>
+          synonyms.collectFirst { case (k, out) if k == term => out }
+            .getOrElse(Seq(stem(term)))
+      }
     }
     /** Fixed subset of snowball's french.stop, shared with the oracle. */
     val FrenchStop: Seq[String] = Seq(
@@ -297,6 +328,38 @@ object FullText {
         Tables.df(s, dir, "documents").select(col("doc_id"), col("text")),
         "quick")
         .limit(30)
+    },
+
+    // -- f20: INTEGER dictionary in the config chain — dict_int
+    //    (`contrib/dict_int/dict_int.c`): INTEGER-class tokens are
+    //    normalized by their own dictionary (absval strips the sign,
+    //    tokens past maxlen digits truncate — the "index only the
+    //    prefix of long numbers" FTS hygiene), while word tokens flow
+    //    through the usual synonym→stemmer chain untouched. The corpus
+    //    is an invoice-line rendering of `orders` (numbers of 2–11
+    //    digits, one signed), so every dict_int branch fires on data.
+    //    The census pins the behavior: no lexeme exceeds 6 digits, and
+    //    the per-length counts/extrema match the oracle's replay of the
+    //    same truncation arithmetic. Config-data-only, zero pipeline
+    //    changes (the same lexExpr text f17/f18/f19 run) --
+    "f20_intdict_config" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val cfg = FtsConfig("english")
+        .withIntDict(FtsConfig.IntDict(maxlen = 6, absval = true))
+      Tables.df(s, dir, "orders")
+        .select(concat(
+          lit("invoice "), (col("o_orderkey") * 31).cast("string"),
+          lit(" net -"), expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
+          lit(" ref "), (col("o_orderkey") * 1000003L).cast("string")).as("text"))
+        .withColumn("lex", expr(cfg.lexExpr(toks)))
+        .select(explode(col("lex")).as("lexeme"))
+        .filter(col("lexeme").rlike("^[0-9]+$"))
+        .groupBy(length(col("lexeme")).as("len"))
+        .agg(count(lit(1)).as("n_lexemes"),
+          countDistinct(col("lexeme")).as("n_distinct"),
+          min(col("lexeme")).as("min_lexeme"),
+          max(col("lexeme")).as("max_lexeme"))
+        .orderBy(col("len"))
     },
 
     // -- f16: DISTANCE phrase operator `'hash' <N> 'join'` —
@@ -953,6 +1016,26 @@ object FullText {
       FROM scored WHERE tf_q > 0
       ORDER BY rank DESC, doc_id LIMIT 30"""
     },
+
+    // f20: the dict_int truncation arithmetic replayed directly over
+    // the integer-class tokens (the word chain never touches digit
+    // lexemes, so the oracle may skip it wholesale)
+    "f20_intdict_config" -> """
+      WITH lines AS (
+        SELECT 'invoice ' || CAST(o_orderkey * 31 AS VARCHAR) || ' net -' ||
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) ||
+               ' ref ' || CAST(o_orderkey * 1000003 AS VARCHAR) AS text
+        FROM orders),
+      toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM lines),
+      ints AS (
+        SELECT CASE WHEN length(t) > 6 THEN substring(t, 1, 6) ELSE t END AS lexeme
+        FROM (SELECT regexp_replace(w, '^[+-]', '') AS t FROM toks
+              WHERE regexp_matches(w, '^[+-]?[0-9]+$')) s)
+      SELECT CAST(length(lexeme) AS INT) AS len,
+        CAST(count(*) AS BIGINT) AS n_lexemes,
+        CAST(count(DISTINCT lexeme) AS BIGINT) AS n_distinct,
+        min(lexeme) AS min_lexeme, max(lexeme) AS max_lexeme
+      FROM ints GROUP BY 1 ORDER BY len""",
     "f18_russian_config" -> russianOracle,
 
     "f16_phrase_distance" -> """

@@ -183,6 +183,18 @@ object GpDdl {
       s"ddl: unsupported SCHEDULE '$other'")
   }
 
+  private val RefreshDynRe =
+    """(?is)^\s*REFRESH\s+DYNAMIC\s+TABLE\s+(\w+)\s*$""".r
+
+  /** Parse the task body createas.c:1880 generates
+    * (`REFRESH DYNAMIC TABLE <name>`) — the statement the scheduled
+    * task executes each firing. Returns the table name. */
+  def parseRefreshDynamicTable(sql: String): String = sql match {
+    case RefreshDynRe(name) => name.toLowerCase
+    case _ => throw new IllegalArgumentException(
+      "ddl: expected REFRESH DYNAMIC TABLE name")
+  }
+
   /** CREATE DYNAMIC TABLE: parse, materialize (WITH DATA — the grammar
     * default), and return the bound scheduler. The caller drives the
     * logical clock, as pg_cron's loop would. */

@@ -363,6 +363,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!FtsConfig("english").lexExpr("toks").contains("CASE"))
   }
 
+  test("FTS config registry: integer dictionary chains as data (dict_int)") {
+    import graft.operators.FullText.FtsConfig
+    import graft.operators.FullText.FtsConfig.IntDict
+    graft.functions.PgFunctions.register(spark)
+    import spark.implicits._
+    def lexOf(cfg: FtsConfig.TsConfig, text: String): Seq[String] =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .selectExpr(s"${cfg.lexExpr("split(text, ' ')")} AS lex")
+        .collect().head.getSeq[String](0)
+    // defaults (dintdict_init): maxlen 6, truncate, keep sign
+    val d = FtsConfig("english").withIntDict(IntDict())
+    assert(lexOf(d, "code 12345678 ok 123") == Seq("code", "123456", "ok", "123"))
+    // absval strips the sign BEFORE the length check
+    val a = FtsConfig("english").withIntDict(IntDict(absval = true))
+    assert(lexOf(a, "-1234567 +42") == Seq("123456", "42"))
+    // rejectlong drops the token instead of trimming
+    val r = FtsConfig("english").withIntDict(IntDict(rejectlong = true))
+    assert(lexOf(r, "keep 123 drop 12345678") == Seq("keep", "123", "drop"))
+    // the word chain is untouched: words still stem, stopwords drop
+    assert(lexOf(d, "the merging 99") == Seq("merg", "99"))
+    // query-side lexize mirrors the chain; maxlen guard is loud
+    assert(d.queryLex("12345678") == Seq("123456"))
+    assert(r.queryLex("12345678") == Seq.empty)
+    assert(d.queryLex("merging") == Seq("merg"))
+    intercept[IllegalArgumentException](IntDict(maxlen = 0))
+  }
+
   test("jump_hash: consistent-hash contract (range, monotone moves, balance)") {
     import graft.functions.JumpHash.compute
     val keys = (1L to 20000L).map(_ * 2654435761L) // spread keys

@@ -180,6 +180,11 @@ class GpDdlSpec extends AnyFunSuite {
     assert(!sched.tick(299999L)) // one ms early — not due
     assert(sched.tick(300000L)) // exactly the parsed interval — fires
     assert(sched.refreshCount == 2L)
+    // the generated task body (createas.c:1880) parses back to the name
+    assert(GpDdl.parseRefreshDynamicTable("REFRESH DYNAMIC TABLE dt_bind") == "dt_bind")
+    intercept[IllegalArgumentException] {
+      GpDdl.parseRefreshDynamicTable("REFRESH MATERIALIZED VIEW x")
+    }
   }
 
   test("layout: ensureOrders yields one directory per 1997 month plus the default") {
