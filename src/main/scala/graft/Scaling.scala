@@ -56,7 +56,7 @@ object Scaling {
     // the synonym-chain retrieval, the fixed-width tolerant load, and
     // the dynamic-table refresh (measures the re-materialization write)
     "q139_system_time", "fz06_metaphone", "f19_synonym_config",
-    "c15_fixedwidth", "ddl06_dynamic_table_ddl")
+    "f20_intdict_config", "c15_fixedwidth", "ddl06_dynamic_table_ddl")
 
   val MaxRatio = 13.0
 

@@ -82,22 +82,48 @@ object FullText {
         * output), anything unmatched falls through to the stemmer. One
         * generated expression, fully codegen; configs without synonyms
         * produce the same text f11/f17/f18 always ran. */
-      def lexExpr(toksExpr: String): String = {
-        val base = s"filter($toksExpr, t -> NOT array_contains($stopArr, t))"
+      /** The per-token dictionary-chain CASE branches over a token
+        * expression `w` — shared text between the array pipeline
+        * ([[lexExpr]], `w` = the lambda variable) and the row-wise
+        * pipeline ([[tokenLexExpr]], `w` = a column, fully codegen). */
+      private def tokenCases(w: String): Seq[String] = {
         val intCase = intDict.toSeq.map { d =>
-          val t = if (d.absval) "regexp_replace(w, '^[+-]', '')" else "w"
-          val longOut =
-            if (d.rejectlong) "CAST(array() AS ARRAY<STRING>)" // dropped
-            else s"array(substring($t, 1, ${d.maxlen}))" // trimmed
-          s"WHEN w rlike '^[+-]?[0-9]+$$' THEN " +
-            s"IF(length($t) > ${d.maxlen}, $longOut, array($t))"
+          // sign strip without a regex pass (absval, dict_int.c:107)
+          val t =
+            if (d.absval) s"IF(substring($w, 1, 1) IN ('+', '-'), substring($w, 2), $w)"
+            else w
+          val out =
+            if (d.rejectlong) // long tokens DROP instead of trimming
+              s"IF(length($t) > ${d.maxlen}, CAST(array() AS ARRAY<STRING>), array($t))"
+            else // substring is the identity on short tokens — no branch
+              s"array(substring($t, 1, ${d.maxlen}))"
+          s"WHEN $w rlike '^[+-]?[0-9]+$$' THEN $out"
         }
         val synCases = synonyms.map { case (k, out) =>
-          s"WHEN w = '$k' THEN array(${out.map("'" + _ + "'").mkString(",")})"
+          s"WHEN $w = '$k' THEN array(${out.map("'" + _ + "'").mkString(",")})"
         }
-        val cases = intCase ++ synCases
+        intCase ++ synCases
+      }
+
+      def lexExpr(toksExpr: String): String = {
+        val base = s"filter($toksExpr, t -> NOT array_contains($stopArr, t))"
+        val cases = tokenCases("w")
         if (cases.isEmpty) s"transform($base, w -> $stemFn(w))"
         else s"flatten(transform($base, w -> CASE ${cases.mkString(" ")} ELSE array($stemFn(w)) END))"
+      }
+
+      /** The same chain for ONE token held in a column — the census
+        * shape: explode tokens first, then run the chain as a plain
+        * row expression so every stage (the class regex, the dict
+        * CASE, the stemmer) stays inside WholeStageCodegen instead of
+        * an interpreted HOF lambda (Spark HOFs are CodegenFallback —
+        * the f20 census measured 4.6 s lambda-side vs sub-second
+        * row-wise at sf0.1, identical lexemes by construction: the
+        * CASE text is generated once and spliced into both forms). */
+      def tokenLexExpr(tokCol: String): String = {
+        val cases = tokenCases(tokCol)
+        if (cases.isEmpty) s"array($stemFn($tokCol))"
+        else s"CASE ${cases.mkString(" ")} ELSE array($stemFn($tokCol)) END"
       }
 
       /** Query-side lexize of one term through the same chain (int
@@ -336,27 +362,38 @@ object FullText {
     //    tokens past maxlen digits truncate — the "index only the
     //    prefix of long numbers" FTS hygiene), while word tokens flow
     //    through the usual synonym→stemmer chain untouched. The corpus
-    //    is an invoice-line rendering of `orders` (numbers of 2–11
-    //    digits, one signed), so every dict_int branch fires on data.
-    //    The census pins the behavior: no lexeme exceeds 6 digits, and
-    //    the per-length counts/extrema match the oracle's replay of the
+    //    is an invoice-line rendering of an `orders` slice (numbers of
+    //    1–11 digits, one signed), so every dict_int branch fires on
+    //    data; the slice keeps the corpus at the config family's
+    //    documents scale (the growth law is the scaling sweep's job —
+    //    f20 rides the row axis there over the FULL table). The census
+    //    pins the behavior: no lexeme exceeds 6 digits, and the
+    //    per-length counts/extrema match the oracle's replay of the
     //    same truncation arithmetic. Config-data-only, zero pipeline
-    //    changes (the same lexExpr text f17/f18/f19 run) --
+    //    changes (the same generated chain text f17/f18/f19 run) --
     "f20_intdict_config" -> { (s, dir) =>
       graft.functions.PgFunctions.register(s)
       val cfg = FtsConfig("english")
         .withIntDict(FtsConfig.IntDict(maxlen = 6, absval = true))
       Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
         .select(concat(
           lit("invoice "), (col("o_orderkey") * 31).cast("string"),
           lit(" net -"), expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)"),
           lit(" ref "), (col("o_orderkey") * 1000003L).cast("string")).as("text"))
-        .withColumn("lex", expr(cfg.lexExpr(toks)))
-        .select(explode(col("lex")).as("lexeme"))
+        // census shape: explode tokens FIRST, then the chain as a row
+        // expression — all codegen (see TsConfig.tokenLexExpr)
+        .select(explode(expr(
+          s"filter($toks, t -> NOT array_contains(${cfg.stopArr}, t))")).as("w"))
+        .select(explode(expr(cfg.tokenLexExpr("w"))).as("lexeme"))
         .filter(col("lexeme").rlike("^[0-9]+$"))
-        .groupBy(length(col("lexeme")).as("len"))
-        .agg(count(lit(1)).as("n_lexemes"),
-          countDistinct(col("lexeme")).as("n_distinct"),
+        // census first (map-side combined), then the per-length rollup —
+        // a direct countDistinct would Expand-duplicate the lexeme stream
+        .groupBy(length(col("lexeme")).as("len"), col("lexeme"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("len"))
+        .agg(sum(col("n")).cast("bigint").as("n_lexemes"),
+          count(lit(1)).as("n_distinct"),
           min(col("lexeme")).as("min_lexeme"),
           max(col("lexeme")).as("max_lexeme"))
         .orderBy(col("len"))
@@ -1025,7 +1062,7 @@ object FullText {
         SELECT 'invoice ' || CAST(o_orderkey * 31 AS VARCHAR) || ' net -' ||
                CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) ||
                ' ref ' || CAST(o_orderkey * 1000003 AS VARCHAR) AS text
-        FROM orders),
+        FROM orders WHERE o_orderkey % 10 = 0),
       toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM lines),
       ints AS (
         SELECT CASE WHEN length(t) > 6 THEN substring(t, 1, 6) ELSE t END AS lexeme
