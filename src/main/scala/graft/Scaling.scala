@@ -55,8 +55,9 @@ object Scaling {
     // round-12 additions: the page-budget sampler, the metaphone census,
     // the synonym-chain retrieval, the fixed-width tolerant load, and
     // the dynamic-table refresh (measures the re-materialization write)
-    "q139_system_time", "fz06_metaphone", "f19_synonym_config",
-    "f20_intdict_config", "c15_fixedwidth", "ddl06_dynamic_table_ddl")
+    "q139_system_time", "fz06_metaphone", "fz07_daitch_mokotoff",
+    "f19_synonym_config", "f20_intdict_config", "c15_fixedwidth",
+    "ddl06_dynamic_table_ddl", "ddl07_split_partition")
 
   val MaxRatio = 13.0
 

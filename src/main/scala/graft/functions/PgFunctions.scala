@@ -136,6 +136,9 @@ object PgFunctions {
       FrenchStemExpr(Cast(args(0), org.apache.spark.sql.types.StringType)) },
     "russian_stem" -> { args =>
       RussianStemExpr(Cast(args(0), org.apache.spark.sql.types.StringType)) },
+    // daitch_mokotoff(word): the multi-code genealogy soundex (text[])
+    "daitch_mokotoff" -> { args =>
+      DaitchMokotoffExpr(Cast(args(0), org.apache.spark.sql.types.StringType)) },
     // metaphone(word, maxlen): PG fuzzystrmatch phonetic code; maxlen
     // folds at registration like pair_emit's cap
     "metaphone" -> { args =>

@@ -78,6 +78,32 @@ object Fuzzy {
         .orderBy(col("code"))
     },
 
+    // -- fz07: Daitch-Mokotoff soundex (fuzzystrmatch's third phonetic
+    //    system, `daitch_mokotoff.c`) — returns a SET of codes per
+    //    word (alternative sounds fork: cold → {483000, 583000}), so a
+    //    word lands in EVERY phonetic bucket it could sound like — the
+    //    cross-transliteration recall soundex/metaphone trade away.
+    //    On this vocabulary the multi-code property shows directly:
+    //    bolt/plate collide at 783000 (B/P share phoneme 7) and
+    //    red/rod at 930000. Same census shape as fz04/fz06 with one
+    //    extra explode for the code set; the kernel is codegen
+    //    (functions/DaitchMokotoff, state-set walk over the chart —
+    //    verified against the reference's own regression vectors in
+    //    FunctionsSpec). Oracle: frozen (word, code) dict, the f14
+    //    discipline --
+    "fz07_daitch_mokotoff" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      Tables.df(s, dir, "part")
+        .select(explode(split(lower(org.apache.spark.sql.functions.col("p_name")), "[^a-z0-9]+")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("word"), explode(expr("daitch_mokotoff(word)")).as("code"))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("word")).as("n_words"),
+          array_join(sort_array(collect_set(col("word"))), ",").as("words"))
+        .orderBy(col("code"))
+    },
+
     // -- soundex + difference (fuzzystrmatch.c _soundex/difference):
     //    phonetic bucketing of the mention stream — group every part-name
     //    word by its soundex code, with difference() against a probe
@@ -134,6 +160,19 @@ object Fuzzy {
     "ring" -> "RNK", "rod" -> "RT", "small" -> "SML", "widget" -> "WJT")
     .map { case (w, c) => s"          ('$w', '$c')," }.mkString("\n")
 
+  /** fz07's frozen word→code-set dictionary (one row per alternative
+    * code — cold forks on the C): same discipline as MetaphoneDict;
+    * the ALGORITHM is pinned by the PG regression vectors in
+    * FunctionsSpec, so the dict only carries vocabulary. */
+  private val DaitchMokotoffDict: String = Seq(
+    "anvil" -> "067800", "blue" -> "780000", "bolt" -> "783000",
+    "cold" -> "483000", "cold" -> "583000", "gear" -> "590000",
+    "gizmo" -> "546000", "hot" -> "530000", "large" -> "895000",
+    "new" -> "670000", "old" -> "083000", "plate" -> "783000",
+    "red" -> "930000", "ring" -> "965000", "rod" -> "930000",
+    "small" -> "468000", "widget" -> "735300")
+    .map { case (w, c) => s"          ('$w', '$c')," }.mkString("\n")
+
   private def differenceSql(codeCol: String): String =
     (1 to 4).map { i =>
       s"(CASE WHEN substring($codeCol, $i, 1) = substring('$WidgetCode', $i, 1) THEN 1 ELSE 0 END)"
@@ -157,6 +196,26 @@ object Fuzzy {
         CAST(min(enc) % 100000000 AS BIGINT) AS best_key,
         CAST(sum(CASE WHEN close THEN 1 ELSE 0 END) AS BIGINT) AS n_within_3
       FROM j GROUP BY probe_key, probe ORDER BY probe_key""",
+
+    "fz07_daitch_mokotoff" -> s"""
+      WITH words AS (
+        SELECT w AS word FROM (
+          SELECT unnest(string_split_regex(lower(p_name), '[^a-z0-9]+')) AS w
+          FROM part) WHERE w <> ''),
+      dict(word, code) AS (VALUES
+$DaitchMokotoffDict
+          ('', '')),
+      coded AS (SELECT w.word, d.code FROM words w JOIN dict d USING (word)),
+      grouped AS (
+        SELECT code, count(*) AS n_mentions,
+          count(DISTINCT word) AS n_words
+        FROM coded GROUP BY code),
+      names AS (
+        SELECT code, string_agg(word, ',' ORDER BY word) AS words
+        FROM (SELECT DISTINCT code, word FROM coded) GROUP BY code)
+      SELECT g.code, g.n_mentions, g.n_words, n.words
+      FROM grouped g JOIN names n ON g.code = n.code
+      ORDER BY g.code""",
 
     "fz06_metaphone" -> s"""
       WITH words AS (

@@ -343,6 +343,11 @@ object GpDdl {
   case class DropPart(table: String, forValue: String) extends AlterOp
   case class TruncatePart(table: String, forValue: String) extends AlterOp
   case class ExchangePart(table: String, forValue: String, withTable: String) extends AlterOp
+  /** `SPLIT PARTITION FOR ('v') AT ('a') INTO (PARTITION p1, PARTITION
+    * p2)` (gram.y:4840 AT_PartSplit): the partition holding `v` splits
+    * at boundary `a` — p1 takes rows below it, p2 the rest. */
+  case class SplitPart(table: String, forValue: String, atValue: String,
+      firstName: String, secondName: String) extends AlterOp
 
   private val AlterDropRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(DROP|TRUNCATE)\s+PARTITION\s+FOR\s*\(\s*'([^']*)'\s*\)\s*$""".r
@@ -350,12 +355,16 @@ object GpDdl {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+PARTITION\s+START\s*\(\s*'([^']*)'\s*\).*$""".r
   private val AlterExchRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+EXCHANGE\s+PARTITION\s+FOR\s*\(\s*'([^']*)'\s*\)\s+WITH\s+TABLE\s+(\w+)\s*$""".r
+  private val AlterSplitRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SPLIT\s+PARTITION\s+FOR\s*\(\s*'([^']*)'\s*\)\s+AT\s*\(\s*'([^']*)'\s*\)\s+INTO\s*\(\s*PARTITION\s+(\w+)\s*,\s*PARTITION\s+(\w+)\s*\)\s*$""".r
 
   def parseAlter(ddl: String): AlterOp = ddl match {
     case AlterDropRe(t, kind, v) =>
       if (kind.equalsIgnoreCase("DROP")) DropPart(t.toLowerCase, v)
       else TruncatePart(t.toLowerCase, v)
     case AlterExchRe(t, v, w) => ExchangePart(t.toLowerCase, v, w.toLowerCase)
+    case AlterSplitRe(t, v, a, p1, p2) =>
+      SplitPart(t.toLowerCase, v, a, p1.toLowerCase, p2.toLowerCase)
     case AlterAddRe(t, v) => AddPart(t.toLowerCase, v)
     case _ => throw new IllegalArgumentException(
       s"ddl: unsupported ALTER TABLE partition statement: $ddl")
@@ -388,7 +397,44 @@ object GpDdl {
         // WITHOUT the partition column — the directory name carries it)
         stage.drop(partCol).write.mode("overwrite").parquet(dirF.getAbsolutePath)
         new java.io.File(dirF, "_SUCCESS").delete()
+      case sp: SplitPart =>
+        throw new IllegalArgumentException(
+          s"ddl: SPLIT PARTITION needs a boundary predicate — use applySplit (got $sp)")
     }
+    op
+  }
+
+  /** `SPLIT PARTITION FOR ('v') AT ('a') INTO (PARTITION p1, PARTITION
+    * p2)` on the hive layout: reads ONLY the source partition's
+    * directory, routes its rows by `belowAt(atValue)` into two fresh
+    * directories labelled by the new partition names, and removes the
+    * original — the rest of the table is never read or written (the
+    * one-partition's-files contract the header promises; GpDdlSpec
+    * pins that the sibling directories' files are untouched). The two
+    * writes land before the source directory is removed, so a failure
+    * mid-split leaves a recoverable superset, never a loss. */
+  def applySplit(s: SparkSession, ddl: String, basePath: String, partCol: String,
+      route: String => String,
+      belowAt: String => org.apache.spark.sql.Column): SplitPart = {
+    val op = parseAlter(ddl) match {
+      case sp: SplitPart => sp
+      case other => throw new IllegalArgumentException(
+        s"ddl: applySplit expects SPLIT PARTITION, got $other")
+    }
+    val dirF = new java.io.File(basePath, s"$partCol=${route(op.forValue)}")
+    require(dirF.exists(), s"ddl: partition for '${op.forValue}' does not exist")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val rows = s.read.parquet(dirF.getAbsolutePath).localCheckpoint(true)
+    val pred = belowAt(op.atValue)
+    Seq((op.firstName, pred), (op.secondName, !pred)).foreach { case (name, p) =>
+      val d = new java.io.File(basePath, s"$partCol=$name")
+      rows.filter(p).write.mode("overwrite").parquet(d.getAbsolutePath)
+      new java.io.File(d, "_SUCCESS").delete()
+    }
+    rm(dirF)
     op
   }
 
@@ -540,6 +586,36 @@ object GpDdl {
         .agg(count(lit(1)).as("n_orders"),
           expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
         .orderBy(col("o_month"))
+    },
+
+    // -- ddl07: SPLIT PARTITION — the one AlterPartitionCmd verb ddl03
+    //    didn't cover (gram.y:4840 `SPLIT PARTITION <id> AT (v) INTO
+    //    (PARTITION a, PARTITION b)`): June 1997 splits at mid-month
+    //    into two named partitions. Directory-op scale contract: the
+    //    split reads and rewrites ONLY the June directory (sibling
+    //    months' files untouched — GpDdlSpec pins their file lists);
+    //    the report then groups by the PARTITION LABEL, so the two
+    //    halves and every untouched month are all visible to the
+    //    oracle, which re-derives the labels from the raw dates --
+    "ddl07_split_partition" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/derived/$tag/ddl07_orders"
+      val monthOf: String => String = d => d.substring(0, 7)
+      Tables.df(s, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .filter(col("o_month").between("1997-01", "1997-12"))
+        .repartition(col("o_month"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(base)
+      applySplit(s,
+        """ALTER TABLE ddl07_orders SPLIT PARTITION FOR ('1997-06-15')
+           AT ('1997-06-16') INTO (PARTITION m06_h1, PARTITION m06_h2)""",
+        base, "o_month", monthOf,
+        at => col("o_orderdate") < expr(s"TIMESTAMP '$at 00:00:00'"))
+      s.read.parquet(base)
+        .groupBy(col("o_month").as("part_label"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("cents"))
+        .orderBy(col("part_label"))
     },
 
     // -- ddl05: VACUUM — append-optimized compaction
@@ -732,6 +808,19 @@ object GpDdl {
     // the maintenance script's effects re-derived from the raw table:
     // Feb dropped, Apr truncated (both vanish from the rollup), Jun
     // restated at 90%, every other 1997 month untouched
+    // the split boundary is deterministic, so the oracle re-derives the
+    // partition labels (two June halves, untouched months verbatim)
+    "ddl07_split_partition" -> """
+      SELECT CASE WHEN strftime(o_orderdate, '%Y-%m') = '1997-06'
+                  THEN CASE WHEN o_orderdate < TIMESTAMP '1997-06-16 00:00:00'
+                            THEN 'm06_h1' ELSE 'm06_h2' END
+                  ELSE strftime(o_orderdate, '%Y-%m') END AS part_label,
+        count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1997-01' AND '1997-12'
+      GROUP BY 1 ORDER BY part_label""",
+
     "ddl03_partition_maintenance" -> """
       SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
         count(*) AS n_orders,

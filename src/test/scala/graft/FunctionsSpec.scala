@@ -238,7 +238,7 @@ class FunctionsSpec extends AnyFunSuite {
         "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
         "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24",
         "frame_sums", "frame_energy", "french_stem", "russian_stem",
-        "metaphone",
+        "metaphone", "daitch_mokotoff",
         "char_grams", "jump_hash"))
   }
 
@@ -498,6 +498,49 @@ class FunctionsSpec extends AnyFunSuite {
     assert(code("Thompson", 2) == "0M")
     assert(code("  42 ", 4) == "")
     assert(code("o'brien", 4) == "OBRN")
+  }
+
+  test("daitch_mokotoff matches the PG regression vectors") {
+    import graft.functions.DaitchMokotoff.code
+    // contrib/fuzzystrmatch/expected/fuzzystrmatch{,_utf8}.out — the
+    // reference's own regression set (codes compared as SETS; PG's
+    // array order is accumulation order, ours is sorted)
+    val vectors = Seq(
+      "Augsburg" -> Set("054795"), "Breuer" -> Set("791900"),
+      "Freud" -> Set("793000"), "Halberstadt" -> Set("587943", "587433"),
+      "Mannheim" -> Set("665600"),
+      "Chernowitz" -> Set("596740", "496740"),
+      "Cherkassy" -> Set("595400", "495400"),
+      "Kleinman" -> Set("586660"), "Nowy Targ" -> Set("673950"),
+      "Berlin" -> Set("798600"), "Ceniow" -> Set("567000", "467000"),
+      "Tsenyuv" -> Set("467000"), "Holubica" -> Set("587500", "587400"),
+      "Golubitsa" -> Set("587400"),
+      "Przemysl" -> Set("794648", "746480"), "Pshemeshil" -> Set("746480"),
+      "Rosochowaciec" -> Set("945755", "945754", "945745", "945744",
+        "944755", "944754", "944745", "944744"),
+      "Rosokhovatsets" -> Set("945744"),
+      "'OBrien" -> Set("079600"), "O'Brien" -> Set("079600"),
+      "CJC" -> Set("550000", "540000", "545000", "450000", "400000", "440000"),
+      "BESST" -> Set("743000"), // adjacent-code collapse across double digits
+      "BOUEY" -> Set("710000"), // the unofficial UE rule
+      "HANNMANN" -> Set("566600"),
+      "MCCOYJR" -> Set("651900", "654900", "654190", "654490",
+        "645190", "645490", "641900", "644900"),
+      "ACCURSO" -> Set("059400", "054000", "054940", "054400",
+        "045940", "045400", "049400", "044000"),
+      "BIERSCHBACH" -> Set("794575", "794574", "794750", "794740",
+        "745750", "745740", "747500", "747400"),
+      // accent folds + the Ą/Ę/Ţ substitute slots (…_utf8.out)
+      "Müller" -> Set("689000"), "Schäfer" -> Set("479000"),
+      "Straßburg" -> Set("294795"), "Éregon" -> Set("095600"),
+      "gąszczu" -> Set("564000", "540000"),
+      "brzęczy" -> Set("794640", "794400", "746400", "744000"),
+      "ţamas" -> Set("364000", "464000"), "țamas" -> Set("364000", "464000"))
+    for ((w, cs) <- vectors)
+      assert(code(w).toSet == cs, s"$w: got ${code(w)}")
+    // vowel-separated identical codes must NOT collapse
+    assert(code("BOB") == Seq("770000"))
+    assert(code("123") == Seq.empty) // nothing codable
   }
 
   test("porter_stem matches the published 1980 algorithm examples") {

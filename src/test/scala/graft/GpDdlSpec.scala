@@ -187,6 +187,52 @@ class GpDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("SPLIT PARTITION: one-directory surgery, row conservation, loud errors") {
+    import org.apache.spark.sql.functions.{col, date_format, expr}
+    // scratch two-month table
+    val base = java.nio.file.Files.createTempDirectory("graft_ddl_split").toString
+    Tables.df(spark, Sf, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month").isin("1997-05", "1997-06"))
+      .repartition(col("o_month"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(base)
+    def files(label: String): Seq[String] = {
+      val d = new java.io.File(base, s"o_month=$label")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().map(f => f.getName + ":" + f.lastModified()).sorted.toSeq
+    }
+    val mayBefore = files("1997-05")
+    val juneRows = spark.read.parquet(s"$base/o_month=1997-06").count()
+    val op = GpDdl.applySplit(spark,
+      """ALTER TABLE t SPLIT PARTITION FOR ('1997-06-15') AT ('1997-06-16')
+         INTO (PARTITION h1, PARTITION h2)""",
+      base, "o_month", _.substring(0, 7),
+      at => col("o_orderdate") < expr(s"TIMESTAMP '$at 00:00:00'"))
+    assert(op == GpDdl.SplitPart("t", "1997-06-15", "1997-06-16", "h1", "h2"))
+    // the source partition is gone; the two halves conserve its rows
+    assert(files("1997-06").isEmpty, "source partition must be removed")
+    val h1 = spark.read.parquet(s"$base/o_month=h1")
+    val h2 = spark.read.parquet(s"$base/o_month=h2")
+    assert(h1.count() + h2.count() == juneRows, "split lost or duplicated rows")
+    assert(h1.filter(col("o_orderdate") >= expr("TIMESTAMP '1997-06-16 00:00:00'")).count() == 0)
+    assert(h2.filter(col("o_orderdate") < expr("TIMESTAMP '1997-06-16 00:00:00'")).count() == 0)
+    // directory-op contract: the sibling partition's files are untouched
+    assert(files("1997-05") == mayBefore, "sibling partition was touched")
+    // loud: splitting a missing partition; SPLIT routed through applyAlter
+    intercept[IllegalArgumentException] {
+      GpDdl.applySplit(spark,
+        """ALTER TABLE t SPLIT PARTITION FOR ('2050-01-01') AT ('2050-01-02')
+           INTO (PARTITION a, PARTITION b)""",
+        base, "o_month", _.substring(0, 7), at => col("o_orderdate") < expr(s"TIMESTAMP '$at 00:00:00'"))
+    }
+    intercept[IllegalArgumentException] {
+      GpDdl.applyAlter(spark,
+        """ALTER TABLE t SPLIT PARTITION FOR ('1997-05-01') AT ('1997-05-02')
+           INTO (PARTITION a, PARTITION b)""",
+        base, "o_month", _.substring(0, 7))
+    }
+  }
+
   test("layout: ensureOrders yields one directory per 1997 month plus the default") {
     val tbl = GpDdl.ensureOrders(spark, Sf)
     val parts = spark.table(tbl).select("o_orderdate_prt").distinct()

@@ -700,6 +700,51 @@ class InvariantsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  test("er01: the metaphone blocking key blocks, and is the only key catching double-ended typos") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, lower}
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    graft.functions.PgFunctions.register(spark)
+    def blocked(ents: DataFrame, key: String): DataFrame = {
+      val a = ents.select(col("name").as("a"), expr(key).as("blk"))
+      val b = ents.select(col("name").as("b"), expr(key).as("blk"))
+      a.join(b, Seq("blk")).filter(col("a") < col("b")).select(col("a"), col("b"))
+    }
+    val PhoneticKey = "metaphone(split(name, ' ')[0], 4)"
+    // 1. On the real vocabulary the phonetic key generates pairs (it
+    //    blocks) but every one is already lexically blocked — the
+    //    adjective heads are phonetically distinct — which is exactly
+    //    why the er01 oracle (two lexical keys) keeps matching after
+    //    the third key landed. Pin the containment so a vocabulary
+    //    change that breaks it is caught HERE, not by a driver FAIL.
+    val ents = Tables.df(spark, Sf, "part")
+      .select(lower(col("p_name")).as("name"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint()
+    val lexical = blocked(ents, "substring(name, 1, 2)")
+      .unionAll(blocked(ents, "right(name, 2)")).distinct()
+    assert(blocked(ents, PhoneticKey).count() > 0, "phonetic key blocked nothing")
+    val phoneticOnlySurvivors = blocked(ents, PhoneticKey).except(lexical)
+      .filter(expr("levenshtein(a, b, 2) <> -1")).count()
+    assert(phoneticOnlySurvivors == 0,
+      s"$phoneticOnlySurvivors phonetic-only matches at current data — the er01 oracle would diverge")
+    // 2. The mechanism: a head typo'd at BOTH ends ('kold platee' for
+    //    'cold plate': k↔c swap + trailing e, edit distance 2) defeats
+    //    both lexical keys (prefix 'ko'≠'co', suffix 'ee'≠'te') but
+    //    keeps the head phoneme (kold → KLT = cold → KLT) — the recall
+    //    case metaphone blocking exists for.
+    val mentions = Seq("cold plate", "kold platee", "hot gear").toDF("name")
+    val lex2 = blocked(mentions, "substring(name, 1, 2)")
+      .unionAll(blocked(mentions, "right(name, 2)")).distinct()
+      .filter(expr("levenshtein(a, b, 2) <> -1"))
+    assert(lex2.count() == 0, "lexical keys unexpectedly caught the double-ended typo")
+    val phon2 = blocked(mentions, PhoneticKey)
+      .filter(expr("levenshtein(a, b, 2) <> -1"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(phon2.toSeq == Seq(("cold plate", "kold platee")),
+      s"expected the phonetic key to recover the typo pair, got ${phon2.toSeq}")
+  }
+
   test("parallelism invariance: order-sensitive pipelines are partitioning-proof") {
     // The repo's determinism claims (exact-integer argmins, (score, id)
     // tie orders, census-bounded merges) made mechanical: each of these
@@ -710,7 +755,13 @@ class InvariantsSpec extends AnyFunSuite {
     // fail here before the cross-engine oracle ever sees it.
     val targets = Seq("ml08_decision_tree", "d03_minhash_lsh",
       "t27_bpe_train_encode", "er02_incremental_clusters",
-      "s14_ivfpq_rerank", "b05_jump_consistent_hash")
+      "s14_ivfpq_rerank", "b05_jump_consistent_hash",
+      // r12: the phonetic census, the page-budget sampler (coin top-k
+      // ties), the synonym/int dictionary chains, and the fixed-width
+      // tolerant load (reject accounting must not depend on which
+      // partition a bad line lands in)
+      "fz06_metaphone", "fz07_daitch_mokotoff", "q139_system_time",
+      "f19_synonym_config", "f20_intdict_config", "c15_fixedwidth")
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- targets) {
