@@ -1196,6 +1196,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the persisted base-state scan:\n$p")
   }
 
+  test("fz06/fz07: phonetic censuses are one scan with map-side combine") {
+    for (name <- Seq("fz06_metaphone", "fz07_daitch_mokotoff")) {
+      val p = plan(name)
+      val finalSection = p.split("== Initial Plan ==").head
+      // one pass over part; the census partial-aggregates before the
+      // exchange (codes are low-cardinality — the map side collapses
+      // the word stream to |codes| rows per partition)
+      assert("FileScan".r.findAllIn(finalSection).length == 1,
+        s"$name: expected exactly one scan:\n$p")
+      assert(p.contains("partial_"), s"$name: expected map-side combine:\n$p")
+    }
+  }
+
+  test("c15: the fixed-width load parses in one codegen pass, audited off the spool") {
+    val p = plan("c15_fixedwidth")
+    // the tolerant parse is substring/rtrim/try_cast row expressions —
+    // no UDF, no Python, and the final audit reads the cached parse
+    // (InMemoryTableScan), never rescanning orders a second time
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"fixed-width parse must be native row expressions:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the audit must read the cached parse result:\n$p")
+    // (the InMemoryRelation subtree renders its ORIGIN plan, so a raw
+    // FileScan string appears inside it — the executed stages above the
+    // cache read are what must stay scan-free, pinned by the aggregate
+    // sitting directly on the InMemoryTableScan with map-side combine)
+    assert(p.contains("partial_"), s"expected map-side combine:\n$p")
+  }
+
   test("ddl06: the dynamic-table read scans the materialization, not the base") {
     val p = plan("ddl06_dynamic_table_ddl")
     // the returned relation is the refreshed matview; a scan of
