@@ -57,7 +57,7 @@ object Scaling {
     // the dynamic-table refresh (measures the re-materialization write)
     "q139_system_time", "fz06_metaphone", "fz07_daitch_mokotoff",
     "f19_synonym_config", "f20_intdict_config", "c15_fixedwidth",
-    "ddl06_dynamic_table_ddl", "ddl07_split_partition")
+    "c16_fixedwidth_out", "ddl06_dynamic_table_ddl", "ddl07_split_partition")
 
   val MaxRatio = 13.0
 

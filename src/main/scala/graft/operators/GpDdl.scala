@@ -230,7 +230,7 @@ object GpDdl {
   }
 
   private val FixedRe =
-    """(?is)^\s*CREATE\s+(?:READABLE\s+)?EXTERNAL\s+TABLE\s+(\w+)\s*\((.*?)\)\s*LOCATION\s*\(([^)]*)\)\s*FORMAT\s+'CUSTOM'\s*\(\s*formatter\s*=\s*fixedwidth_in\s*,([^)]*)\)(.*)$""".r
+    """(?is)^\s*CREATE\s+(?:READABLE\s+|WRITABLE\s+)?EXTERNAL\s+TABLE\s+(\w+)\s*\((.*?)\)\s*LOCATION\s*\(([^)]*)\)\s*FORMAT\s+'CUSTOM'\s*\(\s*formatter\s*=\s*fixedwidth_(?:in|out)\s*,([^)]*)\)(.*)$""".r
 
   /** Parse the fixedwidth_in DDL form. Every declared column must have
     * a width option (the formatter errs the same way); unknown widths

@@ -196,6 +196,45 @@ object Ingest {
         max(col("o_orderkey")).as("max_key"))
     },
 
+    // -- c16: the WRITE side of the fixed-width formatter
+    //    (fixedwidth.c:555 fixedwidth_out — blank-padded fields, a
+    //    value longer than its declared width ERRORS rather than
+    //    silently truncating; the abort contract is IngestSpec's).
+    //    Round-trip audit: an orders slice renders to lines through the
+    //    SAME DDL-parsed widths c15 reads with, parses back through the
+    //    c15 reader, and the aggregate proves zero rejects, exact line
+    //    geometry, and value preservation — the oracle re-derives
+    //    everything from the raw table, so any pad/slice asymmetry
+    //    breaks the compare --
+    "c16_fixedwidth_out" -> { (s, dir) =>
+      val fw = GpDdl.parseFixedWidth("""
+        CREATE WRITABLE EXTERNAL TABLE orders_fw_out (
+          o_orderkey BIGINT, o_orderpriority TEXT, total_cents BIGINT)
+        LOCATION ('demo://orders_fixedwidth_out')
+        FORMAT 'CUSTOM' (formatter=fixedwidth_out,
+          o_orderkey='10', o_orderpriority='16', total_cents='12')""")
+      val src = Tables.df(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 4)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_cents"))
+      val lines = graft.sources.FixedWidth.format(src, fw)
+      // line-geometry audit stays distributed: a 1-row aggregate
+      // cross-joined onto the 1-row result (no driver collect)
+      val widthAgg = lines.agg(
+        (min(length(col("line"))) === fw.totalWidth &&
+          max(length(col("line"))) === fw.totalWidth).as("width_ok"))
+      val res = graft.sources.FixedWidth.parse(lines, fw)
+      res.good.agg(
+        count(lit(1)).cast("bigint").as("n_rows"),
+        lit(res.nBad == 0).as("zero_rejects"),
+        sum(col("total_cents")).cast("long").as("total_cents"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+        .crossJoin(widthAgg)
+        .select(col("n_rows"), col("zero_rejects"), col("width_ok"),
+          col("total_cents"), col("min_key"), col("max_key"))
+    },
+
     "c01_csv_sreh" -> { (s, dir) =>
       val lines = Tables.df(s, dir, "documents")
         .select(col("doc_id"),
@@ -383,6 +422,17 @@ object Ingest {
              CAST(sum(i) AS BIGINT) AS sum_i,
              round(CAST(sum(v) AS DOUBLE), 2) AS total_v
       FROM t GROUP BY 1 ORDER BY 1""",
+
+    // the round trip is lossless by construction, so the oracle derives
+    // everything from the raw slice and pins the audit booleans
+    "c16_fixedwidth_out" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        TRUE AS zero_rejects,
+        TRUE AS width_ok,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        min(o_orderkey) AS min_key,
+        max(o_orderkey) AS max_key
+      FROM orders WHERE o_orderkey % 10 = 4""",
 
     // both planted defect rules are deterministic, so the oracle audits
     // the load arithmetic and the loaded-content rollup directly

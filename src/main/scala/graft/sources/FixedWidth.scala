@@ -46,6 +46,22 @@ object FixedWidth {
     expr(s"try_cast($sliced AS $target)")
   }
 
+  /** fixedwidth_out — render rows to fixed-width lines: each declared
+    * column's string value padded with blanks to its width, a value
+    * LONGER than its field erroring loudly (fixedwidth.c:307
+    * STRING_DATA_LENGTH_MISMATCH — fixed layouts cannot truncate
+    * silently). One codegen projection; columns taken in DDL order. */
+  def format(df: DataFrame, fw: FixedWidthDef): DataFrame = {
+    val parts = fw.cols.map { case (n, _, w) =>
+      s"""IF(length(CAST($n AS STRING)) > $w,
+            raise_error(concat(
+              'The size of the value cannot be bigger than the field size: ',
+              CAST($n AS STRING), ', field_size $w')),
+            rpad(CAST($n AS STRING), $w, ' '))"""
+    }
+    df.selectExpr(s"concat(${parts.mkString(", ")}) AS line")
+  }
+
   /** Parse a `line`-column DataFrame through the declared widths.
     * Rejects: short line (missing data) or any failed conversion of a
     * non-blank field. Enforces the DDL's reject limit. */

@@ -413,5 +413,19 @@ class IngestSpec extends AnyFunSuite {
         CREATE EXTERNAL TABLE t (k BIGINT, v BIGINT) LOCATION ('demo://x')
         FORMAT 'CUSTOM' (formatter=fixedwidth_in, k='4')""")
     }
+    // write side (fixedwidth_out): blank padding, exact line geometry,
+    // and the too-long abort (fixedwidth.c:307 — a fixed layout never
+    // truncates silently)
+    val out = FixedWidth.format(
+      Seq((7L, "bee", 42L)).toDF("k", "name", "v"), fw)
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("7   bee   42   "))
+    val boom = intercept[Exception] {
+      FixedWidth.format(
+        Seq((7L, "sevenchars", 42L)).toDF("k", "name", "v"), fw)
+        .collect()
+    }
+    assert(boom.getMessage.contains("cannot be bigger than the field size"),
+      s"got: ${boom.getMessage}")
   }
 }

@@ -761,7 +761,8 @@ class InvariantsSpec extends AnyFunSuite {
       // tolerant load (reject accounting must not depend on which
       // partition a bad line lands in)
       "fz06_metaphone", "fz07_daitch_mokotoff", "q139_system_time",
-      "f19_synonym_config", "f20_intdict_config", "c15_fixedwidth")
+      "f19_synonym_config", "f20_intdict_config", "c15_fixedwidth",
+      "c16_fixedwidth_out")
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- targets) {
