@@ -348,6 +348,10 @@ object GpDdl {
     * at boundary `a` — p1 takes rows below it, p2 the rest. */
   case class SplitPart(table: String, forValue: String, atValue: String,
       firstName: String, secondName: String) extends AlterOp
+  /** `RENAME PARTITION FOR ('v') TO name` (gram.y:4759 AT_PartRename):
+    * pure metadata — the directory label changes, no data moves. */
+  case class RenamePart(table: String, forValue: String, toName: String)
+      extends AlterOp
 
   private val AlterDropRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+(DROP|TRUNCATE)\s+PARTITION\s+FOR\s*\(\s*'([^']*)'\s*\)\s*$""".r
@@ -357,6 +361,8 @@ object GpDdl {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+EXCHANGE\s+PARTITION\s+FOR\s*\(\s*'([^']*)'\s*\)\s+WITH\s+TABLE\s+(\w+)\s*$""".r
   private val AlterSplitRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SPLIT\s+PARTITION\s+FOR\s*\(\s*'([^']*)'\s*\)\s+AT\s*\(\s*'([^']*)'\s*\)\s+INTO\s*\(\s*PARTITION\s+(\w+)\s*,\s*PARTITION\s+(\w+)\s*\)\s*$""".r
+  private val AlterRenameRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+PARTITION\s+FOR\s*\(\s*'([^']*)'\s*\)\s+TO\s+(\w+)\s*$""".r
 
   def parseAlter(ddl: String): AlterOp = ddl match {
     case AlterDropRe(t, kind, v) =>
@@ -365,6 +371,7 @@ object GpDdl {
     case AlterExchRe(t, v, w) => ExchangePart(t.toLowerCase, v, w.toLowerCase)
     case AlterSplitRe(t, v, a, p1, p2) =>
       SplitPart(t.toLowerCase, v, a, p1.toLowerCase, p2.toLowerCase)
+    case AlterRenameRe(t, v, to) => RenamePart(t.toLowerCase, v, to.toLowerCase)
     case AlterAddRe(t, v) => AddPart(t.toLowerCase, v)
     case _ => throw new IllegalArgumentException(
       s"ddl: unsupported ALTER TABLE partition statement: $ddl")
@@ -397,6 +404,11 @@ object GpDdl {
         // WITHOUT the partition column — the directory name carries it)
         stage.drop(partCol).write.mode("overwrite").parquet(dirF.getAbsolutePath)
         new java.io.File(dirF, "_SUCCESS").delete()
+      case RenamePart(_, _, to) =>
+        require(dirF.exists(), s"ddl: partition for '${op.forValue}' does not exist")
+        val target = new java.io.File(basePath, s"$partCol=$to")
+        require(!target.exists(), s"ddl: partition '$to' already exists")
+        require(dirF.renameTo(target), s"ddl: rename to '$to' failed")
       case sp: SplitPart =>
         throw new IllegalArgumentException(
           s"ddl: SPLIT PARTITION needs a boundary predicate — use applySplit (got $sp)")

@@ -231,6 +231,25 @@ class GpDdlSpec extends AnyFunSuite {
            INTO (PARTITION a, PARTITION b)""",
         base, "o_month", _.substring(0, 7))
     }
+    // RENAME PARTITION (gram.y:4759): pure directory-label metadata —
+    // same files, same rows, new label; colliding target is loud
+    val mayRows = spark.read.parquet(s"$base/o_month=1997-05").count()
+    val rn = GpDdl.applyAlter(spark,
+      "ALTER TABLE t RENAME PARTITION FOR ('1997-05-01') TO may_sales",
+      base, "o_month", _.substring(0, 7))
+    assert(rn == GpDdl.RenamePart("t", "1997-05-01", "may_sales"))
+    assert(!new java.io.File(base, "o_month=1997-05").exists())
+    assert(spark.read.parquet(s"$base/o_month=may_sales").count() == mayRows)
+    intercept[IllegalArgumentException] {
+      GpDdl.applyAlter(spark,
+        "ALTER TABLE t RENAME PARTITION FOR ('2050-01-01') TO nope",
+        base, "o_month", _.substring(0, 7))
+    }
+    intercept[IllegalArgumentException] { // target collision
+      GpDdl.applyAlter(spark,
+        "ALTER TABLE t RENAME PARTITION FOR ('1997-06-15') TO h1",
+        base, "o_month", _ => "h2")
+    }
   }
 
   test("layout: ensureOrders yields one directory per 1997 month plus the default") {
