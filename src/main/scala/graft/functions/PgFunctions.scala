@@ -142,6 +142,7 @@ object PgFunctions {
     // metaphone(word, maxlen): PG fuzzystrmatch phonetic code; maxlen
     // folds at registration like pair_emit's cap
     "metaphone" -> { args =>
+      require(args.length == 2, "metaphone(word, maxlen) takes 2 arguments")
       val maxLen = args(1) match {
         case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
         case other => throw new IllegalArgumentException(

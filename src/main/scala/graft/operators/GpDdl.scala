@@ -195,9 +195,11 @@ object GpDdl {
       "ddl: expected REFRESH DYNAMIC TABLE name")
   }
 
-  /** CREATE DYNAMIC TABLE: parse, materialize (WITH DATA — the grammar
-    * default), and return the bound scheduler. The caller drives the
-    * logical clock, as pg_cron's loop would. */
+  /** CREATE DYNAMIC TABLE: parse the DDL and return the bound table +
+    * scheduler. Materialization (WITH DATA — the grammar default) happens
+    * on the caller's FIRST tick(), which plays the create-time refresh;
+    * the caller drives the logical clock, as pg_cron's loop would, so
+    * table.read() before any tick fails loudly on the missing path. */
   def createDynamicTable(s: SparkSession, ddl: String, tag: String)
       : (graft.streaming.DynamicTable, graft.streaming.RefreshScheduler, DynamicTableDef) = {
     val dt = parseDynamicTable(ddl)
@@ -416,15 +418,59 @@ object GpDdl {
     op
   }
 
+  /** Hidden staging prefix for SPLIT PARTITION halves: dot-prefixed, so
+    * Spark's hive-layout file index never lists a half-written stage. */
+  private val SplitTmpPrefix = ".graft_split_tmp."
+  private val SplitSrcMarker = "_graft_split_src"
+
+  /** Repair an interrupted SPLIT PARTITION. The commit protocol stages
+    * both halves under hidden [[SplitTmpPrefix]] directories (each
+    * carrying a marker naming its source), removes the source, then
+    * renames the stages into place — so a leftover stage means exactly
+    * one of two states: (a) its source still exists (crash before the
+    * source removal) → discard the stage, the source is intact and no
+    * reader ever double-counted; (b) the source is gone (crash between
+    * removal and rename) → finish the rename. In neither window can a
+    * read see source AND half together; the worst case is half-invisible
+    * rows that this repair restores. Called on every applySplit entry;
+    * public so GpDdlSpec can pin both crash states directly. */
+  def recoverInterruptedSplits(basePath: String): Int = {
+    val base = new java.io.File(basePath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    val stages = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(SplitTmpPrefix))
+    stages.foreach { tmp =>
+      val marker = new java.io.File(tmp, SplitSrcMarker)
+      require(marker.exists(),
+        s"ddl: stage ${tmp.getName} has no source marker — manual cleanup needed")
+      val srcName = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (new java.io.File(base, srcName).exists()) rm(tmp) // state (a)
+      else { // state (b): complete the publish
+        marker.delete()
+        val dst = new java.io.File(base, tmp.getName.stripPrefix(SplitTmpPrefix))
+        require(!dst.exists() && tmp.renameTo(dst),
+          s"ddl: could not publish interrupted split stage ${tmp.getName}")
+      }
+    }
+    stages.length
+  }
+
   /** `SPLIT PARTITION FOR ('v') AT ('a') INTO (PARTITION p1, PARTITION
     * p2)` on the hive layout: reads ONLY the source partition's
     * directory, routes its rows by `belowAt(atValue)` into two fresh
     * directories labelled by the new partition names, and removes the
     * original — the rest of the table is never read or written (the
     * one-partition's-files contract the header promises; GpDdlSpec
-    * pins that the sibling directories' files are untouched). The two
-    * writes land before the source directory is removed, so a failure
-    * mid-split leaves a recoverable superset, never a loss. */
+    * pins that the sibling directories' files are untouched).
+    * Crash-safe commit: both halves are staged under hidden
+    * [[SplitTmpPrefix]] names first, the source is removed, then the
+    * stages rename into place — a crash at any point leaves a state
+    * [[recoverInterruptedSplits]] (run on every entry) repairs, and no
+    * window exists where a reader double-counts source + half. */
   def applySplit(s: SparkSession, ddl: String, basePath: String, partCol: String,
       route: String => String,
       belowAt: String => org.apache.spark.sql.Column): SplitPart = {
@@ -433,20 +479,32 @@ object GpDdl {
       case other => throw new IllegalArgumentException(
         s"ddl: applySplit expects SPLIT PARTITION, got $other")
     }
-    val dirF = new java.io.File(basePath, s"$partCol=${route(op.forValue)}")
+    recoverInterruptedSplits(basePath)
+    val srcDirName = s"$partCol=${route(op.forValue)}"
+    val dirF = new java.io.File(basePath, srcDirName)
     require(dirF.exists(), s"ddl: partition for '${op.forValue}' does not exist")
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
     }
     val rows = s.read.parquet(dirF.getAbsolutePath).localCheckpoint(true)
     val pred = belowAt(op.atValue)
-    Seq((op.firstName, pred), (op.secondName, !pred)).foreach { case (name, p) =>
-      val d = new java.io.File(basePath, s"$partCol=$name")
-      rows.filter(p).write.mode("overwrite").parquet(d.getAbsolutePath)
-      new java.io.File(d, "_SUCCESS").delete()
+    val stages = Seq((op.firstName, pred), (op.secondName, !pred)).map {
+      case (name, p) =>
+        val tmp = new java.io.File(basePath, s"$SplitTmpPrefix$partCol=$name")
+        rows.filter(p).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        new java.io.File(tmp, "_SUCCESS").delete()
+        java.nio.file.Files.write(
+          new java.io.File(tmp, SplitSrcMarker).toPath,
+          srcDirName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (tmp, new java.io.File(basePath, s"$partCol=$name"))
     }
     rm(dirF)
+    stages.foreach { case (tmp, dst) =>
+      new java.io.File(tmp, SplitSrcMarker).delete()
+      require(!dst.exists() && tmp.renameTo(dst),
+        s"ddl: could not publish split partition ${dst.getName}")
+    }
     op
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.operators.GpDdl.FixedWidthDef
 
@@ -80,9 +80,14 @@ object FixedWidth {
     }
     val isBad = badConv.foldLeft(col("_short"))(_ || _)
     val flagged = parsed.withColumn("_bad", isBad)
-      .cache() // one parse, two counts, like CsvSreh
-    val nBad = flagged.filter(col("_bad")).count()
-    val nTotal = flagged.count()
+    // both counts in ONE action — no cache to leak across repeated
+    // invocations (bench passes, the c16 round-trip parses twice/run);
+    // the good-row consumer below re-runs the codegen'd parse, which is
+    // cheaper than pinning a session-lifetime cached relation
+    val Row(nBadL: Long, nTotal: Long) = flagged
+      .agg(coalesce(sum(col("_bad").cast("long")), lit(0L)), count(lit(1)))
+      .head()
+    val nBad = nBadL
     fw.rejectLimit.foreach { case (limit, isPercent) =>
       val over = if (isPercent) nBad * 100 > nTotal * limit else nBad > limit
       if (over) throw new CsvSreh.RejectLimitExceeded(nBad, limit)

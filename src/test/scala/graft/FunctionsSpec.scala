@@ -498,6 +498,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(code("Thompson", 2) == "0M")
     assert(code("  42 ", 4) == "")
     assert(code("o'brien", 4) == "OBRN")
+    // registration arity guard: metaphone(word) alone is a loud,
+    // descriptive error, not a raw IndexOutOfBounds (r12 advice)
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.PgFunctions.builders.toMap.apply("metaphone")(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal("x")))
+    }
+    assert(ex.getMessage.contains("takes 2 arguments"))
   }
 
   test("daitch_mokotoff matches the PG regression vectors") {

@@ -252,6 +252,47 @@ class GpDdlSpec extends AnyFunSuite {
     }
   }
 
+  test("SPLIT PARTITION crash recovery: hidden stages repair both interrupt states") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val base = java.nio.file.Files.createTempDirectory("graft_ddl_split_cr").toString
+    Tables.df(spark, Sf, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month") === "1997-07")
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("o_month").parquet(base)
+    val total = spark.read.parquet(base).count()
+    // hand-build the on-disk state an interrupted split leaves: a hidden
+    // stage directory carrying a marker that names its source partition
+    def stage(name: String, srcName: String, mark: Boolean): java.io.File = {
+      val tmp = new java.io.File(base, s".graft_split_tmp.o_month=$name")
+      spark.read.parquet(s"$base/o_month=1997-07").limit(5)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      if (mark) java.nio.file.Files.write(
+        new java.io.File(tmp, "_graft_split_src").toPath,
+        srcName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      tmp
+    }
+    // state (a): crash BEFORE the source removal — the stage coexists with
+    // its source. The dot-prefix keeps it invisible to readers (never a
+    // double count), and recovery discards it, leaving the source intact.
+    val tmpA = stage("ha", "o_month=1997-07", mark = true)
+    assert(spark.read.parquet(base).count() == total, "hidden stage leaked into reads")
+    assert(GpDdl.recoverInterruptedSplits(base) == 1)
+    assert(!tmpA.exists(), "state-(a) stage must be discarded")
+    assert(spark.read.parquet(base).count() == total)
+    // state (b): crash AFTER the source removal, before the rename — the
+    // marker names a source that no longer exists; recovery publishes the
+    // stage so the temporarily-invisible rows come back.
+    val tmpB = stage("hb", "o_month=no_such_dir", mark = true)
+    assert(GpDdl.recoverInterruptedSplits(base) == 1)
+    assert(!tmpB.exists(), "state-(b) stage must be renamed into place")
+    assert(spark.read.parquet(s"$base/o_month=hb").count() == 5)
+    // a stage with no marker is never guessed at — loud, manual cleanup
+    val tmpC = stage("hc", "", mark = false)
+    intercept[IllegalArgumentException] { GpDdl.recoverInterruptedSplits(base) }
+    assert(tmpC.exists())
+  }
+
   test("layout: ensureOrders yields one directory per 1997 month plus the default") {
     val tbl = GpDdl.ensureOrders(spark, Sf)
     val parts = spark.table(tbl).select("o_orderdate_prt").distinct()
