@@ -24,6 +24,7 @@ object LongDocGen {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("testdata_longdoc")
     val factor = args.lift(2).map(_.toInt).getOrElse(64)
+    val heapsDst = args.lift(3).getOrElse("testdata_longdoc_heaps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,17 +35,37 @@ object LongDocGen {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = Tables.df(spark, src, "documents")
-    val long = docs
-      .filter(col("doc_id") % factor === 0)
+    val kept = docs.filter(col("doc_id") % factor === 0)
+    val long = kept
       .withColumn("text",
         expr(s"concat_ws(' ', transform(sequence(1, $factor), r -> text))"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     long.write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
-    val stats = spark.read.parquet(s"$dst/documents.parquet")
-      .agg(count(lit(1)), sum(col("n_chars")), max(col("n_chars"))).head
-    println(s"[longdocgen] docs=${stats.getLong(0)} total_chars=${stats.getLong(1)} " +
-      s"max_len=${stats.getLong(2)} (src=$src factor=$factor)")
+    // Heaps-law variant (r12 verdict #1): same tiling, but every repeat
+    // suffixes its tokens with the repeat index — per-doc VOCABULARY now
+    // grows with length (distinct ∝ L, the realistic Heaps regime),
+    // while token count per doc and total corpus tokens stay identical
+    // to the verbatim corpus. A census-shaped kernel stays ~1× (work is
+    // linear in tokens regardless of how many are distinct); an
+    // O(distinct × L) per-row kernel — the quadratic class the verbatim
+    // corpus's fixed vocabulary let hide — reads ~factor×.
+    val heaps = kept
+      .withColumn("text", expr(
+        s"""concat_ws(' ', transform(sequence(1, $factor),
+              r -> array_join(transform(
+                     filter(split(text, ' '), x -> x != ''),
+                     t -> concat(t, '~', r)), ' ')))"""))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    heaps.write.mode("overwrite").parquet(s"$heapsDst/documents.parquet")
+
+    for ((d, label) <- Seq(dst -> "verbatim", heapsDst -> "heaps")) {
+      val stats = spark.read.parquet(s"$d/documents.parquet")
+        .agg(count(lit(1)), sum(col("n_chars")), max(col("n_chars"))).head
+      println(s"[longdocgen] $label docs=${stats.getLong(0)} " +
+        s"total_chars=${stats.getLong(1)} max_len=${stats.getLong(2)} " +
+        s"(src=$src factor=$factor)")
+    }
     spark.stop()
   }
 }

@@ -82,11 +82,26 @@ object Scaling {
     * kernel would read ~64×). */
   val MaxLenRatio = 2.5
 
+  /** HEAPS axis (r12 verdict #1): the verbatim long-doc corpus holds
+    * vocabulary FIXED while length grows, which lets an O(distinct × L)
+    * kernel hide (t21's old HOF read 0.86× there). The heaps corpus
+    * (LongDocGen's ~r-suffixed tiling) grows per-doc vocabulary with
+    * length — distinct ∝ L — so that kernel class reads ~64×. Targets
+    * are the census-shaped distinct-sensitive text kernels. */
+  val HeapsTargets: Seq[String] = Seq(
+    "t21_word_entropy", "t22_filter_funnel", "t23_kl_novelty")
+
+  /** Token count is held constant and census work is linear in tokens,
+    * so the linear expectation is ~1× here too; same second-order
+    * allowance as the verbatim length axis. */
+  val MaxHeapsRatio = 2.5
+
   def main(args: Array[String]): Unit = {
     val smallDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val bigDir = args.lift(1).getOrElse("testdata_sf1")
     val outPath = args.lift(2).getOrElse("SCALING_r10.json")
     val longDir = args.lift(3).getOrElse("testdata_longdoc")
+    val heapsDir = args.lift(4).getOrElse("testdata_longdoc_heaps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -172,11 +187,30 @@ object Scaling {
     }
     val lenSuper = lenRows.collect { case (n, _, _, r) if r > MaxLenRatio => n }
 
+    // HEAPS axis: short (sf0.1) vs vocabulary-growing long-doc corpus
+    try SparkEntry.queries("t21_word_entropy")(spark, heapsDir).queryExecution.toRdd.count()
+    catch { case e: Throwable => System.err.println(s"[scaling] warmup $heapsDir failed: ${e.getMessage}") }
+    hygiene()
+    val hShort1 = sweep(smallDir, HeapsTargets)
+    val hLong1 = sweep(heapsDir, HeapsTargets)
+    val hShort2 = sweep(smallDir, HeapsTargets)
+    val hLong2 = sweep(heapsDir, HeapsTargets)
+    val heapsRows = HeapsTargets.map { n =>
+      val ts = official(hShort1, hShort2)(n)
+      val tl = official(hLong1, hLong2)(n)
+      val ratio = if (ts > 0 && tl > 0) tl / ts else -1.0
+      (n, ts, tl, ratio)
+    }
+    val heapsSuper = heapsRows.collect { case (n, _, _, r) if r > MaxHeapsRatio => n }
+
     def fmt(d: Double) = f"$d%.3f"
     val qjson = rows.map { case (n, ts, tb, r) =>
       s""""$n":{"sf0_1_sec":${fmt(ts)},"sf1_sec":${fmt(tb)},"ratio":${fmt(r)}}"""
     }.mkString("{", ",", "}")
     val lenJson = lenRows.map { case (n, ts, tl, r) =>
+      s""""$n":{"short_sec":${fmt(ts)},"long_sec":${fmt(tl)},"ratio":${fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    val heapsJson = heapsRows.map { case (n, ts, tl, r) =>
       s""""$n":{"short_sec":${fmt(ts)},"long_sec":${fmt(tl)},"ratio":${fmt(r)}}"""
     }.mkString("{", ",", "}")
     val line =
@@ -187,11 +221,15 @@ object Scaling {
       s""""expected_linear_ratio":1.0,"max_ratio":$MaxLenRatio,"long_dir":"$longDir",""" +
       s""""queries":$lenJson,""" +
       s""""superlinear":[${lenSuper.map("\"" + _ + "\"").mkString(",")}]},""" +
+      s""""heaps_axis":{"length_factor":64,"vocab":"grows_with_length",""" +
+      s""""expected_linear_ratio":1.0,"max_ratio":$MaxHeapsRatio,"heaps_dir":"$heapsDir",""" +
+      s""""queries":$heapsJson,""" +
+      s""""superlinear":[${heapsSuper.map("\"" + _ + "\"").mkString(",")}]},""" +
       s""""n_failed":${failed.distinct.size},"timing":"min_of_2_alternating_sweeps",""" +
       s""""env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":$loadStart,"load_avg_end":$loadAvg}}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
     spark.stop()
-    if (failed.nonEmpty || superlinear.nonEmpty || lenSuper.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || superlinear.nonEmpty || lenSuper.nonEmpty || heapsSuper.nonEmpty) sys.exit(1)
   }
 }

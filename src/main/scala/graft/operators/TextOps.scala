@@ -651,29 +651,32 @@ object TextOps {
     // -- t21: unigram entropy + type-token ratio — the lexical-diversity
     //    quality gate (CCNet/Gopher-family filters drop low-entropy docs:
     //    keyword-stuffed or template pages have H ≪ random text).
-    //    Pure per-row HOF arithmetic, no explode, no shuffle: counts
-    //    come from one transform over the distinct-word list, and the
-    //    Σ c·ln(c) term accumulates in integer MICRO-NATS (t18's trick)
-    //    so the sum is order-free — DuckDB's list_distinct does not
-    //    guarantee element order, and a double Σ would drift by
-    //    summation order; integer addition cannot.
+    //    Shape: explode→(doc,tok) census→per-doc rollup — the t22/t23
+    //    kernel (r12 verdict #1: the earlier per-row
+    //    transform(array_distinct, w -> size(filter(toks, =w))) HOF was
+    //    O(distinct × length) per row AND CodegenFallback; with
+    //    Heaps-law vocabulary growth that kernel is superlinear in doc
+    //    length, while the census is one codegen'd shuffle that scales
+    //    with corpus token count). The Σ c·ln(c) term accumulates in
+    //    integer MICRO-NATS (t18's trick) so the sum is order-free
+    //    under any partitioning — a double Σ would drift by summation
+    //    order; integer addition cannot.
     //    H = ln(n) − Σ c·ln(c) / n, via per-term round(ln(c)·1e6) --
     "t21_word_entropy" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
-        .withColumn("toks", expr(toks))
-        .withColumn("n", size(col("toks")).cast("bigint"))
-        .filter(col("n") > 0)
-        .withColumn("cs", expr(
-          "transform(array_distinct(toks), w -> size(filter(toks, x -> x = w)))"))
-        .withColumn("slc", expr(
-          """aggregate(cs, 0L,
-               (acc, c) -> acc + c * CAST(round(ln(c) * 1000000.0) AS BIGINT))"""))
+        .select(col("doc_id"), explode(expr(toks)).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).as("n"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr("cnt * CAST(round(ln(cnt) * 1000000.0) AS BIGINT)")).as("slc"))
         .withColumn("entropy", round(
           expr("ln(n) - CAST(slc AS DOUBLE) / (n * 1000000.0)"), 6))
-        .select(col("doc_id"), col("n").as("n_tokens"),
-          size(col("cs")).cast("bigint").as("n_distinct"),
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
           col("entropy"),
-          round(size(col("cs")).cast("double") / col("n"), 6).as("ttr"),
+          round(col("n_distinct").cast("double") / col("n"), 6).as("ttr"),
           (col("entropy") >= 2.0).cast("int").as("keep"))
         .orderBy(col("doc_id"))
     },

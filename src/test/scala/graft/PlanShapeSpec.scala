@@ -1290,16 +1290,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"GROUP BY must be deparsed into the remote SQL:\n$p")
   }
 
-  test("f12/t21: per-row text analyses keep a join-free single-pass plan") {
-    for (q <- Seq("f12_websearch", "t21_word_entropy")) {
-      val p = plan(q)
-      assert(!p.contains("Join"), s"$q should not join:\n$p")
-      assert(!p.contains("windowspecdefinition"), s"$q should not window:\n$p")
-      // the only exchange allowed is the output sort's range partitioning
-      val exchanges = "Exchange".r.findAllIn(p).length
-      val rangeEx = "rangepartitioning".r.findAllIn(p).length
-      assert(exchanges == rangeEx,
-        s"$q: every exchange must be the output sort, got $exchanges vs $rangeEx:\n$p")
-    }
+  test("f12: per-row text analysis keeps a join-free single-pass plan") {
+    val p = plan("f12_websearch")
+    assert(!p.contains("Join"), s"f12 should not join:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"f12 should not window:\n$p")
+    // the only exchange allowed is the output sort's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).length
+    val rangeEx = "rangepartitioning".r.findAllIn(p).length
+    assert(exchanges == rangeEx,
+      s"f12: every exchange must be the output sort, got $exchanges vs $rangeEx:\n$p")
+  }
+
+  test("t21: entropy rides the explode census — codegen'd, no HOF lambdas") {
+    val p = plan("t21_word_entropy")
+    assert(!p.contains("Join"), s"t21 should not join:\n$p")
+    // the census shape: map-side partial combine on (doc_id, tok)
+    assert(p.contains("partial_"), s"census must combine map-side:\n$p")
+    // the r12 verdict's kernel class must stay dead: the only HOF lambda
+    // allowed is the O(L) tokenizer filter — the old per-row counting
+    // kernel carried three more (transform/filter/aggregate, all
+    // CodegenFallback, O(distinct × length) together)
+    val body = p.split("== Initial Plan ==")(0)
+    val lambdas = "lambdafunction".r.findAllIn(body).length
+    assert(lambdas <= 1,
+      s"t21 must not count via interpreted HOF lambdas (got $lambdas):\n$p")
   }
 }
