@@ -43,16 +43,17 @@ object Chunking {
   private val S = 24
 
   /** 8-gram md5 stream, one row per gram position. */
-  private def grams(s: SparkSession, dir: String): DataFrame =
+  /** 8-gram BIGINT fingerprints (d06/x02). r13 (r12 verdict #3): the
+    * word_grams31 kernel replaces md5-of-concat — the census/join key
+    * through every exchange is 8 bytes instead of a 32-char hex string,
+    * and the gram is never materialized as a string. `true` = docs with
+    * < 8 tokens emit no grams (the empty-series semantics the md5 form
+    * guarded by hand). */
+  private def grams(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.PgFunctions.register(s)
     Tables.df(s, dir, "documents")
-      .withColumn("toks", expr(toks))
-      // Guard short docs: sequence(1, 0) in Spark is DESCENDING [1, 0] (and the
-      // i=0 slice throws), while the oracle's generate_series(1, 0) is empty —
-      // emit an empty array for docs with < 8 tokens to match empty-series
-      // semantics on both engines.
-      .withColumn("i", explode(expr(
-        "if(size(toks) >= 8, sequence(1, CAST(size(toks) - 7 AS INT)), CAST(array() AS ARRAY<INT>))")))
-      .select(col("doc_id"), md5(concat_ws(" ", expr("slice(toks, i, 8)"))).as("gram"))
+      .select(col("doc_id"), explode(expr("word_grams31(text, 8, true)")).as("gram"))
+  }
 
   /** ch02: training-sequence packing parameters. Capacity is the context
     * window (tokens per packed sequence); the prefix-sum bucket width is
@@ -532,11 +533,17 @@ object Chunking {
       FROM c WHERE len(chunk) > 0 ORDER BY doc_id, chunk_no""",
 
     "d06_boilerplate_ngrams" -> """
-      WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      WITH t AS (SELECT doc_id,
+                   list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                     tok -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                list_transform(generate_series(1, length(tok)), i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+                              (acc, c) -> (acc * 31 + c) % 1000000007)) AS ths
                  FROM documents),
-      g AS (SELECT doc_id, md5(array_to_string(toks[CAST(i AS INT) : CAST(i+7 AS INT)], ' ')) AS gram
+      g AS (SELECT doc_id, list_reduce(ths[CAST(i AS INT) : CAST(i+7 AS INT)],
+                     (a, b) -> (a * 1000003 + b) % 1000000007) AS gram
             FROM t, LATERAL (SELECT unnest(generate_series(1,
-                   CAST(greatest(len(toks)-7, 0) AS INT)))) AS u(i)),
+                   CAST(greatest(len(ths)-7, 0) AS INT)))) AS u(i)),
       boiler AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
                                    FROM g GROUP BY 1) WHERE nd >= 5)
       SELECT doc_id,
@@ -547,11 +554,17 @@ object Chunking {
       FROM g GROUP BY doc_id ORDER BY doc_id""",
 
     "x02_contamination" -> """
-      WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      WITH t AS (SELECT doc_id,
+                   list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                     tok -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                list_transform(generate_series(1, length(tok)), i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+                              (acc, c) -> (acc * 31 + c) % 1000000007)) AS ths
                  FROM documents),
-      g AS (SELECT doc_id, md5(array_to_string(toks[CAST(i AS INT) : CAST(i+7 AS INT)], ' ')) AS gram
+      g AS (SELECT doc_id, list_reduce(ths[CAST(i AS INT) : CAST(i+7 AS INT)],
+                     (a, b) -> (a * 1000003 + b) % 1000000007) AS gram
             FROM t, LATERAL (SELECT unnest(generate_series(1,
-                   CAST(greatest(len(toks)-7, 0) AS INT)))) AS u(i)),
+                   CAST(greatest(len(ths)-7, 0) AS INT)))) AS u(i)),
       train AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 < 8)
       SELECT doc_id,
              count(*) AS n_test_grams,

@@ -37,12 +37,6 @@ object Dedup {
 
   private val toks = "filter(split(text, ' '), x -> x <> '')"
 
-  /** Word 3-gram shingles from a `toks` array column (0-indexed Spark). */
-  private val shingles =
-    """CASE WHEN size(toks) >= 3
-         THEN transform(sequence(3, size(toks)), i -> concat(toks[i-3], ' ', toks[i-2], ' ', toks[i-1]))
-         ELSE array(text) END"""
-
   /** Polynomial hash of a string mod 1e9+7 — same formula as the oracle,
     * run as the native codegen kernel (graft.functions.StrHash): one
     * primitive loop per string instead of an interpreted HOF lambda per
@@ -99,13 +93,19 @@ object Dedup {
 
   /** Shingle fingerprints of an arbitrary (doc_id, text) relation —
     * factored so the streaming incremental-dedup proof (i11's
-    * foreachBatch rendition) can fingerprint one micro-batch. */
+    * foreachBatch rendition) can fingerprint one micro-batch.
+    *
+    * r13 (r12 verdict #3): the word_grams31 kernel replaces the
+    * concat-then-rehash shingle pipeline — gram ids are Horner combines
+    * of per-token hashes (base 1000003 mod 1e9+7) computed in one
+    * codegen pass, so the gram is never materialized as a string and
+    * each corpus character is hashed exactly once. A doc of < 3 tokens
+    * fingerprints as its raw text's rolling hash (`false` = d02-family
+    * short-doc semantics), as before. */
   private[graft] def shingleFpsOf(docs: DataFrame): DataFrame = {
     graft.functions.PgFunctions.register(docs.sparkSession)
-    docs
-      .withColumn("toks", expr(toks))
-      .select(col("doc_id"), explode(expr(shingles)).as("shingle"))
-      .select(col("doc_id"), expr(polyHash("shingle")).as("fp"))
+    docs.select(col("doc_id"),
+      explode(expr("word_grams31(text, 3, false)")).as("fp"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -780,18 +780,27 @@ object Dedup {
         SELECT doc_id, simhash, simhash // 4096 AS hi_band, simhash % 4096 AS lo_band
         FROM sim)"""
 
-  /** DuckDB rendition of `shingleFps` — identical algorithm. */
+  /** DuckDB rendition of `shingleFps` — identical algorithm to the
+    * word_grams31 kernel: per-token 31-base rolling hash, then a Horner
+    * combine (base 1000003 mod 1e9+7) of each 3-token window; a doc of
+    * < 3 tokens fingerprints as its raw text's rolling hash. */
   private def oracleShingleFps: String = """
-      SELECT DISTINCT doc_id,
-        list_reduce(
-          list_prepend(CAST(0 AS BIGINT),
-            list_transform(generate_series(1, length(shingle)), i -> CAST(ascii(substring(shingle, i, 1)) AS BIGINT))),
-          (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-      FROM (
+      SELECT DISTINCT doc_id, fp FROM (
         SELECT doc_id, unnest(
-          CASE WHEN len(toks) >= 3
-            THEN list_transform(generate_series(3, len(toks)), i -> toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i])
-            ELSE [text] END) AS shingle
-        FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-              FROM documents) a) b"""
+          CASE WHEN len(ths) >= 3
+            THEN list_transform(generate_series(3, len(ths)),
+                   i -> ((ths[i-2] * 1000003 + ths[i-1]) % 1000000007
+                          * 1000003 + ths[i]) % 1000000007)
+            ELSE [list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)] END) AS fp
+        FROM (
+          SELECT doc_id, text,
+            list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+              t -> list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+                     (acc, c) -> (acc * 31 + c) % 1000000007)) AS ths
+          FROM documents) a) b"""
 }

@@ -491,11 +491,14 @@ class InvariantsSpec extends AnyFunSuite {
     // keeper is a member with exactly that length (join back to check)
     val sim = operators.Dedup.simhashDf(spark, Sf).select(col("doc_id"), col("hi_band"))
     val docs = Tables.df(spark, Sf, "documents").select(col("doc_id"), col("n_chars"))
-    val members = sim.join(docs, Seq("doc_id"))
-    val bad = reps.join(members,
-        reps("keeper_id") === members("doc_id") && reps("cluster") === members("hi_band"),
+    // alias-qualified references: the memoized Tables.df means the
+    // query's internal documents read and this one share attribute ids,
+    // so Dataset-column references would trip DetectAmbiguousSelfJoin
+    val members = sim.join(docs, Seq("doc_id")).as("m")
+    val bad = reps.as("r").join(members,
+        col("r.keeper_id") === col("m.doc_id") && col("r.cluster") === col("m.hi_band"),
         "left")
-      .filter(members("doc_id").isNull || reps("keeper_chars") =!= members("n_chars"))
+      .filter(col("m.doc_id").isNull || col("r.keeper_chars") =!= col("m.n_chars"))
     assert(bad.count() == 0, "a representative is not a max-length member of its cluster")
   }
 
