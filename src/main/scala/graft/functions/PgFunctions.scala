@@ -38,6 +38,15 @@ object PgFunctions {
     * double-quote unless the value already matches
     * `[a-z_][a-z0-9_]*`; the reserved-keyword check is omitted), `%%`,
     * and `%n$` positional references. */
+  /** Fold a string-literal argument at registration (the metaphone /
+    * jump_hash pattern for plan-time constants), loud otherwise. */
+  private def stringLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   private def pgFormat(args: Seq[Expression]): Expression = {
     import org.apache.spark.sql.types.StringType
     val fmt = args.headOption match {
@@ -150,6 +159,44 @@ object PgFunctions {
       }
       require(maxLen > 0, "metaphone: Requested output length must be > 0")
       MetaphoneExpr(Cast(args(0), org.apache.spark.sql.types.StringType), maxLen)
+    },
+    // pgp_sym_encrypt/decrypt family (cr04): passphrase folds at
+    // registration (the one-signing-key deployment shape, like cr02)
+    "pgp_sym_encrypt" -> { args =>
+      require(args.length == 2, "pgp_sym_encrypt(text, pass) takes 2 arguments")
+      PgpSymEncrypt(Cast(args(0), org.apache.spark.sql.types.StringType),
+        stringLit(args(1), "pgp_sym_encrypt pass"))
+    },
+    "pgp_sym_decrypt" -> { args =>
+      require(args.length == 2, "pgp_sym_decrypt(bytea, pass) takes 2 arguments")
+      PgpSymDecrypt(args(0), stringLit(args(1), "pgp_sym_decrypt pass"))
+    },
+    "pgp_sym_decrypt_ok" -> { args =>
+      require(args.length == 2, "pgp_sym_decrypt_ok(bytea, pass) takes 2 arguments")
+      PgpSymDecryptOk(args(0), stringLit(args(1), "pgp_sym_decrypt_ok pass"))
+    },
+    "aes_cfb128" -> { args =>
+      require(args.length == 3, "aes_cfb128(data, key_hex, iv_hex) takes 3 arguments")
+      AesCfb128Enc(args(0), stringLit(args(1), "aes_cfb128 key"),
+        stringLit(args(2), "aes_cfb128 iv"))
+    },
+    // word_grams31(text, n, empty_on_short): one-pass word n-gram
+    // BIGINT fingerprints (the d-family kernel); n and the short-doc
+    // mode fold at registration like pair_emit's cap
+    "word_grams31" -> { args =>
+      require(args.length == 3,
+        "word_grams31(text, n, empty_on_short) takes 3 arguments")
+      val n = args(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"word_grams31 n must be an int literal, got $other")
+      }
+      val emptyOnShort = args(2) match {
+        case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+        case other => throw new IllegalArgumentException(
+          s"word_grams31 empty_on_short must be a boolean literal, got $other")
+      }
+      WordGrams(Cast(args(0), org.apache.spark.sql.types.StringType), n, emptyOnShort)
     },
     // jump_hash(key, n): the cdbhash row->segment mapper; n folds at
     // registration like pair_emit's cap

@@ -28,7 +28,20 @@ import graft.functions.PgCrypto
   *    composition ever breaks, (b) or (c) flips and the driver's hash
   *    compare fails — no `no_oracle` hole in the artifact.
   *
-  * The random/crypt half of pgcrypto (gen_salt, crypt, pgp_*,
+  *  - cr04: the pgp_sym_encrypt/decrypt round-trip (pgp-encrypt.c,
+  *    pgp-decrypt.c — the PII-column encryption users reach for). The
+  *    construction is pgcrypto's default parameter set re-expressed
+  *    deterministically (functions/PgpSym.scala: RFC 4880 iterated+
+  *    salted S2K, OpenPGP-CFB AES-128 with resync + prefix quick
+  *    check; fixed salt / content-keyed prefix replacing
+  *    pg_strong_random — documented there). AES itself is never
+  *    SQL-expressible, so the oracle checks what IS exact: the
+  *    no-padding length arithmetic len(ct) = 26 + octet_length(pt),
+  *    decrypt∘encrypt = id per row, wrong-key rejection per row, and
+  *    the in-plan NIST SP 800-38A CFB128-AES128 vector (the cr02
+  *    rfc4231 pattern).
+  *
+  * The remaining random half of pgcrypto (gen_salt, crypt,
   * gen_random_uuid) is deliberately out: nondeterministic by design,
   * nothing a reproducible analytics pipeline can assert on.
   */
@@ -85,6 +98,27 @@ object Crypto {
     //    wrapped payload back and compares — generate∘shred = id, per
     //    row. Pure per-row expression pipeline: no shuffle before the
     //    presentation sort.
+    "cr04_pgp_sym" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      // SP 800-38A F.3.13 CFB128-AES128.Encrypt, segment 1:
+      // E(key=2b7e..., iv=000102...) over the canonical plaintext block
+      val vecOk = expr(
+        """hex(aes_cfb128(unhex('6bc1bee22e409f96e93d7e117393172a'),
+                          '2b7e151628aed2a6abf7158809cf4f3c',
+                          '000102030405060708090a0b0c0d0e0f'))""") ===
+        lit("3B3FD92EB72DAD20333449F8E83CFB4A")
+      Tables.df(s, dir, "documents")
+        .withColumn("ct", expr(s"pgp_sym_encrypt(text, '$Key')"))
+        .select(col("doc_id"),
+          length(col("ct")).cast("bigint").as("ct_len"),
+          (expr(s"pgp_sym_decrypt(ct, '$Key')") === col("text")).as("rt_ok"),
+          (!expr(s"pgp_sym_decrypt_ok(ct, 'not-the-key')") ||
+            expr(s"pgp_sym_decrypt(ct, 'not-the-key')") =!= col("text"))
+            .as("wrong_key_rejected"),
+          vecOk.as("aes_cfb_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     "cr03_armor" -> { (s, dir) =>
       graft.functions.PgFunctions.register(s)
       Tables.df(s, dir, "documents")
@@ -131,6 +165,19 @@ object Crypto {
           sha256(concat(${sq(opad)}, sha256(concat(${sq(ipad)}, text)))) AS tag_hexpad,
           TRUE AS tag_wellformed,
           TRUE AS rfc4231_ok
+        FROM documents
+        ORDER BY doc_id""",
+
+      // AES is not SQL-expressible; the oracle checks the exact
+      // arithmetic the construction guarantees (no-padding CFB length)
+      // and the per-row self-checks folded into the compared result
+      // (the cr02 contract — see scaladoc above).
+      "cr04_pgp_sym" -> """
+        SELECT doc_id,
+          CAST(26 + octet_length(encode(text)) AS BIGINT) AS ct_len,
+          TRUE AS rt_ok,
+          TRUE AS wrong_key_rejected,
+          TRUE AS aes_cfb_ok
         FROM documents
         ORDER BY doc_id""",
 

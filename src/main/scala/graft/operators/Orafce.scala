@@ -48,6 +48,48 @@ object Orafce {
         .orderBy(col("o_orderkey"))
     },
 
+    // -- or03: the datefce ROUND family (datefce.c:472 _ora_date_round)
+    //    + trunc breadth (datefce.c:425) + the months_between both-
+    //    month-end rule (datefce.c:316) or01's mb31 didn't carry +
+    //    bitand. Round thresholds, verbatim from the C switch:
+    //    MON rounds up from the 16th; YYYY from July 1; Q from the 16th
+    //    of the quarter's SECOND month; WW/DAY round within the week
+    //    anchored at Jan 1 / Sunday, up from the 4th day. Week
+    //    arithmetic rides epoch-day diffs against a Sunday anchor
+    //    (1970-01-04), so both engines compute the identical integer —
+    //    no engine dayofweek convention in the compared value. --
+    "or03_ora_round_trunc" -> { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .withColumn("od", to_date(col("o_orderdate")))
+        .withColumn("zww", expr("datediff(od, trunc(od, 'YEAR')) % 7"))
+        .withColumn("zday", expr("datediff(od, DATE'1970-01-04') % 7"))
+        .select(
+          col("o_orderkey"), col("od"),
+          trunc(col("od"), "MM").as("t_mon"),
+          when(dayofmonth(col("od")) >= 16, add_months(trunc(col("od"), "MM"), 1))
+            .otherwise(trunc(col("od"), "MM")).as("r_mon"),
+          trunc(col("od"), "YEAR").as("t_yr"),
+          when(month(col("od")) >= 7, add_months(trunc(col("od"), "YEAR"), 12))
+            .otherwise(trunc(col("od"), "YEAR")).as("r_yr"),
+          trunc(col("od"), "QUARTER").as("t_q"),
+          when(col("od") < date_add(add_months(trunc(col("od"), "QUARTER"), 1), 15),
+            trunc(col("od"), "QUARTER"))
+            .otherwise(add_months(trunc(col("od"), "QUARTER"), 3)).as("r_q"),
+          expr("date_sub(od, zww)").as("t_ww"),
+          expr("date_add(date_sub(od, zww), IF(zww < 4, 0, 7))").as("r_ww"),
+          expr("date_sub(od, zday)").as("t_day"),
+          expr("date_add(date_sub(od, zday), IF(zday < 4, 0, 7))").as("r_day"),
+          // months_between(od, DATE'1997-06-30') — the ref IS a month
+          // end, so the both-last-day integer rule fires iff od is one
+          expr("""CAST(CASE WHEN od = last_day(od)
+                    THEN ((year(od) - 1997) * 12 + month(od) - 6) * 31
+                    ELSE (year(od) - 1997) * 372 + (month(od) - 6) * 31
+                         + day(od) - 30 END AS BIGINT)""").as("mbme31"),
+          expr("o_orderkey & 255").as("ba"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "or02_nvl_decode" -> { (s, dir) =>
       Tables.df(s, dir, "orders")
         .filter(col("o_custkey") <= 50)
@@ -84,6 +126,40 @@ object Orafce {
         CAST((year(od) - 1995) * 372 + (month(od) - 6) * 31
              + (day(od) - 15) AS BIGINT) AS mb31
       FROM src ORDER BY o_orderkey""",
+
+    "or03_ora_round_trunc" -> """
+      WITH src AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+        FROM orders WHERE o_custkey <= 50),
+      z AS (
+        SELECT o_orderkey, od,
+          datediff('day', CAST(date_trunc('year', od) AS DATE), od) % 7 AS zww,
+          datediff('day', DATE '1970-01-04', od) % 7 AS zday
+        FROM src)
+      SELECT o_orderkey, od,
+        CAST(date_trunc('month', od) AS DATE) AS t_mon,
+        CAST(CASE WHEN day(od) >= 16
+          THEN date_trunc('month', od) + INTERVAL 1 MONTH
+          ELSE date_trunc('month', od) END AS DATE) AS r_mon,
+        CAST(date_trunc('year', od) AS DATE) AS t_yr,
+        CAST(CASE WHEN month(od) >= 7
+          THEN date_trunc('year', od) + INTERVAL 12 MONTH
+          ELSE date_trunc('year', od) END AS DATE) AS r_yr,
+        CAST(date_trunc('quarter', od) AS DATE) AS t_q,
+        CAST(CASE WHEN od < CAST(date_trunc('quarter', od)
+                     + INTERVAL 1 MONTH AS DATE) + 15
+          THEN date_trunc('quarter', od)
+          ELSE date_trunc('quarter', od) + INTERVAL 3 MONTH END AS DATE) AS r_q,
+        od - CAST(zww AS INT) AS t_ww,
+        od - CAST(zww AS INT) + CAST(CASE WHEN zww < 4 THEN 0 ELSE 7 END AS INT) AS r_ww,
+        od - CAST(zday AS INT) AS t_day,
+        od - CAST(zday AS INT) + CAST(CASE WHEN zday < 4 THEN 0 ELSE 7 END AS INT) AS r_day,
+        CAST(CASE WHEN od = last_day(od)
+          THEN ((year(od) - 1997) * 12 + month(od) - 6) * 31
+          ELSE (year(od) - 1997) * 372 + (month(od) - 6) * 31
+               + day(od) - 30 END AS BIGINT) AS mbme31,
+        o_orderkey & 255 AS ba
+      FROM z ORDER BY o_orderkey""",
 
     "or02_nvl_decode" -> """
       WITH src AS (

@@ -239,7 +239,9 @@ class FunctionsSpec extends AnyFunSuite {
         "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24",
         "frame_sums", "frame_energy", "french_stem", "russian_stem",
         "metaphone", "daitch_mokotoff",
-        "char_grams", "jump_hash"))
+        "char_grams", "jump_hash", "word_grams31",
+        "pgp_sym_encrypt", "pgp_sym_decrypt", "pgp_sym_decrypt_ok",
+        "aes_cfb128"))
   }
 
   test("q66 tids are dense, zero-based, unique (ctid semantics)") {
@@ -505,6 +507,57 @@ class FunctionsSpec extends AnyFunSuite {
         Seq(org.apache.spark.sql.catalyst.expressions.Literal("x")))
     }
     assert(ex.getMessage.contains("takes 2 arguments"))
+  }
+
+  test("pgp_sym: AES-CFB128 pinned to NIST SP 800-38A + FIPS-197; round trip; quick check") {
+    import graft.functions.PgpSym
+    def hx(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    def unhx(s: String) = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val key = unhx("2b7e151628aed2a6abf7158809cf4f3c")
+    val iv = unhx("000102030405060708090a0b0c0d0e0f")
+    // SP 800-38A F.3.13 CFB128-AES128.Encrypt, all four segments chained
+    val pt = unhx("6bc1bee22e409f96e93d7e117393172a" +
+      "ae2d8a571e03ac9c9eb76fac45af8e51" +
+      "30c81c46a35ce411e5fbc1191a0a52ef" +
+      "f69f2445df4f9b17ad2b417be66c3710")
+    assert(hx(PgpSym.cfb128Encrypt(key, iv, pt)) ==
+      "3b3fd92eb72dad20333449f8e83cfb4a" +
+      "c8a64537a0b3a93fcde3cdad9f1ce58b" +
+      "26751f67a3cbb140b1808cf187a4f4df" +
+      "c04b05357c5d1c0eeac4c66f9ff7f2e6")
+    // FIPS-197 appendix C.1 single-block pin: CFB of a zero block makes
+    // the ciphertext the raw AES encryption of the IV
+    assert(hx(PgpSym.cfb128Encrypt(
+      unhx("000102030405060708090a0b0c0d0e0f"),
+      unhx("00112233445566778899aabbccddeeff"),
+      new Array[Byte](16))) == "69c4e0d86a7b0430d8cdb78070b4c55a")
+    // S2K: deterministic, 16 bytes, salt- and pass-sensitive
+    val s1 = PgpSym.s2k("passphrase".getBytes("UTF-8"), PgpSym.QuerySalt)
+    assert(s1.length == 16 && s1.sameElements(
+      PgpSym.s2k("passphrase".getBytes("UTF-8"), PgpSym.QuerySalt)))
+    assert(!s1.sameElements(PgpSym.s2k("other".getBytes("UTF-8"), PgpSym.QuerySalt)))
+    assert(!s1.sameElements(PgpSym.s2k("passphrase".getBytes("UTF-8"),
+      unhx("0001020304050607"))))
+    // round trip incl. empty / non-ASCII / longer-than-block texts
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    for (t <- Seq("", "a", "héllo wörld", "x" * 1000)) {
+      val ct = PgpSym.encrypt(u(t), u("k3y"))
+      assert(ct.length == PgpSym.Overhead + t.getBytes("UTF-8").length)
+      assert(PgpSym.decrypt(ct, u("k3y")).toString == t)
+      assert(!PgpSym.decryptOk(ct, u("wrong")))
+    }
+    // corrupt prefix rejects loudly (pgp-decrypt.c "corrupt prefix")
+    val ct = PgpSym.encrypt(u("secret"), u("k3y"))
+    ct(PgpSym.SaltLen + 3) = (ct(PgpSym.SaltLen + 3) ^ 0x40).toByte
+    assert(!PgpSym.decryptOk(ct, u("k3y")))
+    intercept[IllegalArgumentException] { PgpSym.decrypt(ct, u("k3y")) }
+    // payload corruption past the prefix does NOT trip the quick check —
+    // the honest non-MDC contract (pgcrypto without pgp_sym_encrypt's
+    // MDC packet behaves the same): decrypt succeeds, text differs
+    val ct2 = PgpSym.encrypt(u("secret"), u("k3y"))
+    ct2(ct2.length - 1) = (ct2(ct2.length - 1) ^ 0x01).toByte
+    assert(PgpSym.decryptOk(ct2, u("k3y")) &&
+      PgpSym.decrypt(ct2, u("k3y")).toString != "secret")
   }
 
   test("daitch_mokotoff matches the PG regression vectors") {
