@@ -25,6 +25,20 @@ import graft.Tables
   *    JOINed, gap-filled with running MAX, filtered where one channel's
   *    cumulative total overtakes the other.
   *
+  * Round 13 extends the battery to the NEXT four slowest published
+  * queries (performance.md:83/93/103/107 — q4 0:22, q14 0:25, q24
+  * 0:15 PAX / 0:36 AOCS, q28 0:21):
+  *
+  *  - ds04: year_total CTE × 4-way self-join, growth-ratio comparison
+  *    across two channels (q4's year-over-year shape).
+  *  - ds14: cross-channel item INTERSECT + scalar average threshold +
+  *    ROLLUP-with-HAVING (q14's cross_items/avg_sales shape).
+  *  - ds24: compound-key purchase⋈return match + HAVING vs a scalar
+  *    average over the same grouped relation (q24's netpaid shape).
+  *  - ds28: six OR'd-predicate bands with count(DISTINCT) each,
+  *    collapsed from the spec's six scans into ONE FILTER'd-aggregate
+  *    scan sharing a single Expand for the distinct counts.
+  *
   * Like TpcH, each query is ONE SQL text shared verbatim between the
   * Spark plan and the DuckDB oracle; money stays in BIGINT cents until
   * the output edge, and every DuckDB HUGEINT-producing sum is cast back
@@ -39,6 +53,30 @@ import graft.Tables
 object TpcDs {
 
   private val epc = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+
+  /** ds04's multi-referenced CTE body — spooled once on the Spark side
+    * (see the ds04 comment below), inlined into the oracle text. */
+  private val Ds04YearTotal = """
+        SELECT o_custkey AS cust, l_returnflag AS channel, year(o_orderdate) AS yr,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey AND l_returnflag IN ('N', 'R')
+          AND year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2, 3"""
+
+  /** ds04's outer self-join — IDENTICAL text both engines; `year_total`
+    * resolves to the spooled temp view in Spark, the CTE in DuckDB. */
+  private val Ds04Outer = """
+      SELECT n1.cust,
+             round(CAST(n2.total_c AS DOUBLE) / CAST(n1.total_c AS DOUBLE), 4) AS kept_ratio,
+             round(CAST(r2.total_c AS DOUBLE) / CAST(r1.total_c AS DOUBLE), 4) AS ret_ratio
+      FROM year_total n1, year_total n2, year_total r1, year_total r2
+      WHERE n1.cust = n2.cust AND n1.cust = r1.cust AND n1.cust = r2.cust
+        AND n1.channel = 'N' AND n2.channel = 'N' AND r1.channel = 'R' AND r2.channel = 'R'
+        AND n1.yr = 1996 AND n2.yr = 1997 AND r1.yr = 1996 AND r2.yr = 1997
+        AND n1.total_c > 0 AND r1.total_c > 0
+        AND r2.total_c * n1.total_c > n2.total_c * r1.total_c
+      ORDER BY n1.cust"""
 
   val sqlText: Map[String, String] = Map(
     // q72's defining feature is the join of two fact-scale relations on
@@ -161,7 +199,117 @@ object TpcDs {
         count(*) FILTER (WHERE hour(ts) = 14 AND value > 5.0)  AS h14,
         count(*) FILTER (WHERE hour(ts) = 15 AND value > 5.0)  AS h15
       FROM events
-      WHERE event_type IN ('view', 'click', 'purchase')"""
+      WHERE event_type IN ('view', 'click', 'purchase')""",
+
+    // q4 (0:22 published): the year-over-year growth comparison. One
+    // year_total CTE aggregated per (customer, channel, year), then a
+    // 4-way self-join picks each channel's first/second year and keeps
+    // customers whose second-channel growth ratio beats the first's.
+    // Channels here are kept ('N') vs returned ('R') lines. The growth
+    // predicate is cross-multiplied in exact BIGINT cents (r2·n1 >
+    // n2·r1, products ≤ ~1e16 at bench SF) so the FILTER is
+    // drift-free; the emitted ratios divide once at the output edge.
+    // Scale shape: year_total is |customers × 2 × 2|-sized — the
+    // self-joins are over an aggregate, never the fact table, and all
+    // four sides share one shuffle key (cust). PG materializes a
+    // multi-referenced CTE (ShareInputScan / ORCA CTEProducer); Spark
+    // INLINES it, which would re-derive year_total four times = 8 fact
+    // scans. The queries-entry therefore spools year_total once (the
+    // q65 ShareInputScan discipline) and runs the identical outer text
+    // over the spool; the oracle runs the assembled one-statement form.
+    "ds04_yoy_growth" -> s"WITH year_total AS ($Ds04YearTotal) $Ds04Outer",
+
+    // q14 (0:25 published): cross_items = the INTERSECT of the item
+    // sets sold on every channel, an uncorrelated average-sales scalar
+    // threshold, then ROLLUP(channel, brand) over cross-item sales
+    // HAVING sum > threshold. Channels are the three returnflag
+    // classes. Scale shape: cross_items is a distinct-key set
+    // (semi-joined into the fact scan, broadcastable), the threshold
+    // is one scalar, the rollup Expands the post-filter aggregate.
+    // The INTERSECT's three branches each re-scan lineitem, but pruned
+    // to (l_partkey, l_returnflag) — the same 2-column scans PG plans
+    // for this text; the set op itself shuffles only distinct keys.
+    "ds14_cross_channel" -> """
+      WITH cross_items AS (
+        SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      avg_sales AS (
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               / count(*) AS average_sales
+        FROM lineitem),
+      sales AS (
+        SELECT l_returnflag AS channel, p_brand,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sales_c,
+               count(*) AS n_lines
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_partkey IN (SELECT item FROM cross_items)
+          AND year(l_shipdate) = 1997
+        GROUP BY ROLLUP(l_returnflag, p_brand)
+        HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               > (SELECT average_sales FROM avg_sales))
+      SELECT channel, p_brand, round(CAST(sales_c AS DOUBLE) / 100.0, 2) AS sales, n_lines
+      FROM sales
+      ORDER BY channel NULLS FIRST, p_brand NULLS FIRST, sales""",
+
+    // q24 (0:15 published): returns matched back to purchases on a
+    // compound key, grouped, HAVING sum(netpaid) above a scalar
+    // average computed over the SAME grouped relation. The pair key
+    // here is (customer, part) — a kept line pays out only if that
+    // customer also returned that part somewhere (the returned side is
+    // DISTINCT, so each kept line matches at most once — multiplicity
+    // is bounded by construction, never |kept|×|returned|).
+    "ds24_returned_netpaid" -> """
+      WITH kept AS (
+        SELECT o_custkey AS cust, l_partkey AS pkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS paid_c
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'N'),
+      returned AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS pkey
+        FROM lineitem, orders
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'),
+      grouped AS (
+        SELECT n_name, p_brand, CAST(sum(paid_c) AS BIGINT) AS netpaid_c, count(*) AS n_lines
+        FROM kept k, returned r, customer, nation, part
+        WHERE k.cust = r.cust AND k.pkey = r.pkey
+          AND k.cust = c_custkey AND c_nationkey = n_nationkey AND k.pkey = p_partkey
+        GROUP BY 1, 2)
+      SELECT n_name, p_brand, round(CAST(netpaid_c AS DOUBLE) / 100.0, 2) AS netpaid, n_lines
+      FROM grouped
+      WHERE CAST(netpaid_c AS DOUBLE) > (SELECT CAST(sum(netpaid_c) AS DOUBLE) / count(*) FROM grouped)
+      ORDER BY n_name, p_brand""",
+
+    // q28 (0:21 published): six price-band aggregates, each with OR'd
+    // alternative predicates and a count(DISTINCT) — the spec writes
+    // them as six separate fact scans cross-joined into one row; the
+    // scale-correct plan is ONE scan with FILTER'd aggregates (ds88's
+    // collapse) where the five DISTINCT counts share a single Expand.
+    // The band average divides exact sums once at the output edge
+    // (never avg() over doubles — accumulation order drifts).
+    "ds28_band_stats" -> """
+      WITH li AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               l_discount, l_tax
+        FROM lineitem)
+      SELECT
+        round(CAST(sum(price_c) FILTER (WHERE qty BETWEEN 1 AND 10  AND (price_c BETWEEN 100000 AND 400000 OR l_discount BETWEEN 0.00 AND 0.04 OR l_tax BETWEEN 0.00 AND 0.02)) AS DOUBLE)
+              / count(*)  FILTER (WHERE qty BETWEEN 1 AND 10  AND (price_c BETWEEN 100000 AND 400000 OR l_discount BETWEEN 0.00 AND 0.04 OR l_tax BETWEEN 0.00 AND 0.02)) / 100.0, 2) AS b1_avg,
+        count(*)          FILTER (WHERE qty BETWEEN 1 AND 10  AND (price_c BETWEEN 100000 AND 400000 OR l_discount BETWEEN 0.00 AND 0.04 OR l_tax BETWEEN 0.00 AND 0.02)) AS b1_n,
+        count(DISTINCT price_c) FILTER (WHERE qty BETWEEN 1 AND 10  AND (price_c BETWEEN 100000 AND 400000 OR l_discount BETWEEN 0.00 AND 0.04 OR l_tax BETWEEN 0.00 AND 0.02)) AS b1_nd,
+        count(*)          FILTER (WHERE qty BETWEEN 11 AND 20 AND (price_c BETWEEN 200000 AND 500000 OR l_discount BETWEEN 0.02 AND 0.06 OR l_tax BETWEEN 0.01 AND 0.03)) AS b2_n,
+        count(DISTINCT price_c) FILTER (WHERE qty BETWEEN 11 AND 20 AND (price_c BETWEEN 200000 AND 500000 OR l_discount BETWEEN 0.02 AND 0.06 OR l_tax BETWEEN 0.01 AND 0.03)) AS b2_nd,
+        count(*)          FILTER (WHERE qty BETWEEN 21 AND 30 AND (price_c BETWEEN 300000 AND 600000 OR l_discount BETWEEN 0.04 AND 0.08 OR l_tax BETWEEN 0.02 AND 0.04)) AS b3_n,
+        count(DISTINCT price_c) FILTER (WHERE qty BETWEEN 21 AND 30 AND (price_c BETWEEN 300000 AND 600000 OR l_discount BETWEEN 0.04 AND 0.08 OR l_tax BETWEEN 0.02 AND 0.04)) AS b3_nd,
+        count(*)          FILTER (WHERE qty BETWEEN 31 AND 40 AND (price_c BETWEEN 400000 AND 700000 OR l_discount BETWEEN 0.06 AND 0.10 OR l_tax BETWEEN 0.03 AND 0.05)) AS b4_n,
+        count(DISTINCT price_c) FILTER (WHERE qty BETWEEN 31 AND 40 AND (price_c BETWEEN 400000 AND 700000 OR l_discount BETWEEN 0.06 AND 0.10 OR l_tax BETWEEN 0.03 AND 0.05)) AS b4_nd,
+        count(*)          FILTER (WHERE qty BETWEEN 41 AND 50 AND (price_c BETWEEN 500000 AND 800000 OR l_discount BETWEEN 0.08 AND 0.10 OR l_tax BETWEEN 0.04 AND 0.06)) AS b5_n,
+        count(DISTINCT price_c) FILTER (WHERE qty BETWEEN 41 AND 50 AND (price_c BETWEEN 500000 AND 800000 OR l_discount BETWEEN 0.08 AND 0.10 OR l_tax BETWEEN 0.04 AND 0.06)) AS b5_nd
+      FROM li"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -177,7 +325,14 @@ object TpcDs {
           graft.rules.EagerAggRule.install(s)
           s.conf.set(graft.rules.EagerAggRule.EnabledConf, "true")
         }
-        s.sql(text)
+        if (name == "ds04_yoy_growth") {
+          // spool the 4×-referenced CTE once (PG materializes it; Spark
+          // would inline → 8 fact scans). localCheckpoint = the q65
+          // ShareInputScan analog; Bench/Prof unpersist between passes.
+          s.sql(Ds04YearTotal).localCheckpoint()
+            .createOrReplaceTempView("year_total")
+          s.sql(Ds04Outer)
+        } else s.sql(text)
       })
     }
 

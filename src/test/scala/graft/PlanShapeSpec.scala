@@ -989,6 +989,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"expected map-side partial counts:\n$p")
   }
 
+  test("ds04: year_total is spooled once — 2 fact scans, not 8") {
+    // the 4-way self-join must run over the localCheckpoint spool (PG's
+    // materialized multi-ref CTE); inlining would scan lineitem+orders
+    // 4x each
+    val p = plan("ds04_yoy_growth").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"self-joins must read the spool, got $scans parquet scans:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("ExistingRDD"),
+      s"expected the checkpointed year_total spool:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds04 went cartesian:\n$p")
+  }
+
+  test("ds14: cross_items semi-joins into the fact scan; branch scans are column-pruned") {
+    val p = plan("ds14_cross_channel")
+    assert(p.contains("LeftSemi"), s"expected IN-subquery as semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds14 went cartesian:\n$p")
+    // the INTERSECT branches must not drag unreferenced lineitem columns
+    assert(!p.contains("l_comment") && !p.contains("l_suppkey"),
+      s"INTERSECT branch scans are not column-pruned:\n$p")
+    assert(p.contains("Expand"), s"expected the ROLLUP Expand:\n$p")
+  }
+
+  test("ds24: purchase-return match is an equi-join on the compound key, never all-pairs") {
+    val p = plan("ds24_returned_netpaid")
+    assert(!p.contains("CartesianProduct"), s"ds24 went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"ds24 is nested-loop:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("ds28: six band aggregates run as ONE scan with ONE shared Expand") {
+    // the spec's literal six-subquery form is six fact scans; the
+    // FILTER'd-aggregate collapse (ds88) plus a single Expand for the
+    // five DISTINCT counts is the scale-correct plan
+    val p = plan("ds28_band_stats").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans:\n$p")
+    assert(!p.contains("Join"), s"band stats must not join:\n$p")
+    val expands = "Expand".r.findAllIn(p).length
+    assert(expands == 1, s"the five DISTINCT counts must share ONE Expand, got $expands:\n$p")
+  }
+
   test("d12: line dedup is census + equi-join + bounded per-doc rebuild") {
     val p = plan("d12_line_dedup")
     assert(!p.contains("CartesianProduct"), s"line dedup went all-pairs:\n$p")
