@@ -57,7 +57,11 @@ object Scaling {
     // the dynamic-table refresh (measures the re-materialization write)
     "q139_system_time", "fz06_metaphone", "fz07_daitch_mokotoff",
     "f19_synonym_config", "f20_intdict_config", "c15_fixedwidth",
-    "c16_fixedwidth_out", "ddl06_dynamic_table_ddl", "ddl07_split_partition")
+    "c16_fixedwidth_out", "ddl06_dynamic_table_ddl", "ddl07_split_partition",
+    // round-13 additions: the exact-substring span dedup and the four
+    // new TPC-DS signature shapes
+    "d14_substring_span_dedup", "ds04_yoy_growth", "ds14_cross_channel",
+    "ds24_returned_netpaid", "ds28_band_stats")
 
   val MaxRatio = 13.0
 
@@ -74,7 +78,9 @@ object Scaling {
     "t21_word_entropy", "t23_kl_novelty",
     "lo01_largeobject_pages",
     // r12: the synonym-chain lexize is a per-token HOF — linear in L
-    "f19_synonym_config")
+    "f19_synonym_config",
+    // r13: window fps + per-doc gaps-and-islands are linear in L
+    "d14_substring_span_dedup")
 
   /** Total chars are ~equal across the two corpora, so a linear kernel
     * lands ~1×; 2.5 allows window/partition-count second-order effects

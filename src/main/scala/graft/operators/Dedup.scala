@@ -422,8 +422,70 @@ object Dedup {
         .filter(col("overlap") >= 0.5 && col("shared") >= 5)
         .select(col("a_id"), col("b_id"), col("shared"), col("overlap"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // -- exact-substring span dedup (Lee et al. 2022, "Deduplicating
+    //    Training Data Makes Language Models Better"): the suffix-array
+    //    method's OUTPUT — maximal runs of >= W consecutive tokens that
+    //    appear verbatim in another document — re-expressed distributed.
+    //    Positional W-token window fingerprints (the word_grams31 kernel,
+    //    one hash per corpus character), a duplicated-window census
+    //    (cross-doc: count(DISTINCT doc) >= 2), then per-doc
+    //    gaps-and-islands twice: strict runs (maximal duplicated
+    //    substrings; run of L windows = L+W-1 tokens) and W-1-gap merged
+    //    intervals (the union of [pos, pos+W-1] spans a cut pass would
+    //    remove). Scale: the only wide exchange is the fp census/join
+    //    shuffle carrying BIGINTs; the dup join is a SEMI join (|hits| <=
+    //    |windows| regardless of a window's document frequency — no pair
+    //    emission, so no hot-shingle quadratic and no cap needed); run
+    //    windows partition per doc, bounded by doc length. --
+    "d14_substring_span_dedup" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val W = SpanDedupW
+      val docs = Tables.df(s, dir, "documents")
+      val wins = docs.select(col("doc_id"),
+          posexplode(expr(s"word_grams31(text, $W, false)")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("fp"))
+      val dup = wins.groupBy(col("fp"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+      val hits = wins.join(dup, Seq("fp"), "left_semi").select("doc_id", "pos")
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      val runagg = hits
+        .withColumn("island", col("pos") - row_number().over(byPos))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)).as("len"), min("pos").as("st"), max("pos").as("en"))
+      val bySt = Window.partitionBy("doc_id").orderBy("st")
+      val cover = runagg
+        .withColumn("prev_en", lag(col("en"), 1).over(bySt))
+        .withColumn("brk",
+          when(col("prev_en").isNull || col("st") - col("prev_en") > W - 1, 1).otherwise(0))
+        .withColumn("g", sum(col("brk"))
+          .over(bySt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(min("st").as("mst"), max("en").as("men"))
+      val perRuns = runagg.groupBy("doc_id").agg(
+        sum("len").as("n_dup_windows"), count(lit(1)).as("n_runs"),
+        (max("len") + lit(W - 1)).as("max_run_raw"))
+      val perCov = cover.groupBy("doc_id")
+        .agg(sum(col("men") - col("mst") + lit(W)).as("covered_raw"))
+      val ntok = docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
+      perRuns.join(perCov, "doc_id").join(ntok, "doc_id")
+        .select(col("doc_id"), col("n_dup_windows"), col("n_runs"),
+          least(col("max_run_raw"), col("n_tokens")).as("max_run_tokens"),
+          least(col("covered_raw"), col("n_tokens")).as("covered_tokens"),
+          col("n_tokens"),
+          round(least(col("covered_raw"), col("n_tokens")).cast("double") / col("n_tokens"), 4)
+            .as("dup_pct"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** d14's window width in tokens (the paper's 50-token threshold scaled
+    * to this corpus's ~dozens-of-tokens documents; shared with the
+    * oracle text). */
+  private val SpanDedupW = 8
 
   /** doc_id → (band, band_key) rows for the 4-band MinHash-LSH layout
     * (d03). k universal hashes h_j(f) = (a_j·f + b_j) mod p, coefficients
@@ -738,7 +800,75 @@ object Dedup {
       JOIN sizes sb ON sb.doc_id = b_id
       WHERE round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.5
         AND shared >= 5
-      ORDER BY a_id, b_id"""
+      ORDER BY a_id, b_id""",
+
+    // Same algorithm as the Spark plan: positional word_grams31 windows
+    // (per-token 31-base rolling hash, Horner combine base 1000003 mod
+    // 1e9+7), cross-doc dup census, strict gaps-and-islands runs, then
+    // (W-1)-gap interval merge for coverage. Short docs (< W tokens)
+    // fingerprint as the raw text's rolling hash at pos 0.
+    "d14_substring_span_dedup" -> s"""
+      WITH toks AS (
+        SELECT doc_id, text,
+          list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+            t -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(generate_series(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007)) AS ths
+        FROM documents),
+      wins AS (
+        SELECT doc_id, u.pos AS pos, u.fp AS fp FROM (
+          SELECT doc_id, unnest(list_transform(generate_series($SpanDedupW, len(ths)),
+            i -> struct_pack(pos := CAST(i - $SpanDedupW AS BIGINT),
+                             fp := list_reduce(ths[i-${SpanDedupW - 1}:i], (acc, c) -> (acc * 1000003 + c) % 1000000007)))) AS u
+          FROM toks) q
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        FROM toks WHERE len(ths) < $SpanDedupW),
+      dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (fp)),
+      runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM hits),
+      runagg AS (
+        SELECT doc_id, island, count(*) AS len, min(pos) AS st, max(pos) AS en
+        FROM runs GROUP BY 1, 2),
+      brks AS (
+        SELECT doc_id, st, en,
+               CASE WHEN lag(en) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
+                     OR st - lag(en) OVER (PARTITION BY doc_id ORDER BY st) > ${SpanDedupW - 1}
+                    THEN 1 ELSE 0 END AS brk
+        FROM runagg),
+      grp AS (
+        SELECT doc_id, st, en,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY st
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM brks),
+      cover AS (SELECT doc_id, g, min(st) AS mst, max(en) AS men FROM grp GROUP BY 1, 2),
+      perdoc_runs AS (
+        SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_dup_windows,
+               count(*) AS n_runs, CAST(max(len) + ${SpanDedupW - 1} AS BIGINT) AS max_run_raw
+        FROM runagg GROUP BY doc_id),
+      perdoc_cov AS (
+        SELECT doc_id, CAST(sum(men - mst + $SpanDedupW) AS BIGINT) AS covered_raw
+        FROM cover GROUP BY doc_id),
+      ntok AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT r.doc_id, n_dup_windows, n_runs,
+             least(max_run_raw, n_tokens) AS max_run_tokens,
+             least(covered_raw, n_tokens) AS covered_tokens, n_tokens,
+             round(CAST(least(covered_raw, n_tokens) AS DOUBLE) / n_tokens, 4) AS dup_pct
+      FROM perdoc_runs r
+      JOIN perdoc_cov c ON r.doc_id = c.doc_id
+      JOIN ntok t ON r.doc_id = t.doc_id
+      ORDER BY r.doc_id"""
   )
 
   /** DuckDB rendition of `bandCandidates` (capped hi/lo posting lists) as

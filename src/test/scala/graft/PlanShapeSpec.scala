@@ -1030,6 +1030,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(expands == 1, s"the five DISTINCT counts must share ONE Expand, got $expands:\n$p")
   }
 
+  test("d14: span dedup joins the dup census as a SEMI join — no pair emission, no cap needed") {
+    val p = plan("d14_substring_span_dedup")
+    assert(p.contains("LeftSemi"), s"dup-window probe must be a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"span dedup went all-pairs:\n$p")
+    assert(!p.contains("pair_emit"), s"span dedup must not emit pairs:\n$p")
+    // the run/merge windows are per-doc, never corpus-wide
+    val corpusWide = "windowspecdefinition\\((pos|st)#".r.findFirstIn(p)
+    assert(corpusWide.isEmpty, s"found a window not partitioned by doc_id:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial census:\n$p")
+  }
+
   test("d12: line dedup is census + equi-join + bounded per-doc rebuild") {
     val p = plan("d12_line_dedup")
     assert(!p.contains("CartesianProduct"), s"line dedup went all-pairs:\n$p")
