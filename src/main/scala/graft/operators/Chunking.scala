@@ -403,19 +403,24 @@ object Chunking {
     "t24_source_overlap" -> { (s, dir) =>
       graft.functions.PgFunctions.register(s)
       val P = 16
-      val g = Tables.df(s, dir, "documents")
-        .withColumn("toks", expr(toks))
-        .select(col("source"), col("text"), explode(expr(
-          """CASE WHEN size(toks) >= 3
-               THEN transform(sequence(3, size(toks)),
-                 i -> concat(toks[i-3], ' ', toks[i-2], ' ', toks[i-1]))
-               ELSE array(text) END""")).as("shingle"))
-      val sigs = g
-        .select(col("source"), col("shingle"),
-          explode(expr(s"sequence(0, ${P - 1})")).as("p"))
-        .withColumn("h", expr("str_hash31(concat(CAST(p AS STRING), ':', shingle))"))
-        .groupBy(col("source"), col("p"))
-        .agg(min(col("h")).as("m"))
+      // r13 (the d-family kernel follow-through): shingles are
+      // word_grams31 BIGINT fps (one hash per corpus character) and the
+      // 16 permutations are UNIVERSAL hashes over the fp — the d03
+      // pattern h_p(f) = (a_p·f + b_p) mod M — instead of 16
+      // 'p:'‖shingle string concats re-walked per shingle. All 16 mins
+      // fold in ONE aggregation pass (16 min() columns, map-side
+      // combined), so nothing explodes ×16 and no gram string ever
+      // exists. Short docs (< 3 tokens) fingerprint as the raw text's
+      // rolling hash, as before.
+      val fps = Tables.df(s, dir, "documents")
+        .select(col("source"), explode(expr("word_grams31(text, 3, false)")).as("fp"))
+      val sigCols = (0 until P).map { p =>
+        min(expr(s"((1000003 * $p + 12345) * fp + 7919 * $p + 271) % 1000000007")).as(s"m$p")
+      }
+      val sigsWide = fps.groupBy(col("source")).agg(sigCols.head, sigCols.tail: _*)
+      val sigs = sigsWide.select(col("source"), explode(array(
+          (0 until P).map(p => struct(lit(p).as("p"), col(s"m$p").as("m"))): _*)).as("pm"))
+        .select(col("source"), col("pm.p").as("p"), col("pm.m").as("m"))
       val a = sigs.select(col("source").as("src_a"), col("p"), col("m").as("ma"))
       val b = sigs.select(col("source").as("src_b"), col("p"), col("m").as("mb"))
       a.join(b, Seq("p")).filter(col("src_a") < col("src_b"))
@@ -600,21 +605,25 @@ object Chunking {
     "t24_source_overlap" -> """
       WITH sh AS (
         SELECT source, unnest(
-          CASE WHEN len(toks) >= 3
-            THEN list_transform(generate_series(3, len(toks)),
-                   i -> toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i])
-            ELSE [text] END) AS shingle
+          CASE WHEN len(ths) >= 3
+            THEN list_transform(generate_series(3, len(ths)),
+                   i -> ((ths[i-2] * 1000003 + ths[i-1]) % 1000000007
+                          * 1000003 + ths[i]) % 1000000007)
+            ELSE [list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 1000000007)] END) AS fp
         FROM (SELECT source, text,
-                list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                  t -> list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(generate_series(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+                         (acc, c) -> (acc * 31 + c) % 1000000007)) AS ths
               FROM documents) t),
       hashed AS (
         SELECT source, p.p,
-          list_reduce(
-            list_prepend(CAST(0 AS BIGINT),
-              list_transform(generate_series(1, length(CAST(p.p AS VARCHAR) || ':' || shingle)),
-                i -> CAST(ascii(substring(CAST(p.p AS VARCHAR) || ':' || shingle, i, 1)) AS BIGINT))),
-            (acc, c) -> (acc * 31 + c) % 1000000007) AS h
-        FROM sh, (SELECT unnest(generate_series(0, 15)) AS p) p),
+          ((1000003 * p.p + 12345) * fp + 7919 * p.p + 271) % 1000000007 AS h
+        FROM sh, (SELECT unnest(generate_series(CAST(0 AS BIGINT), CAST(15 AS BIGINT))) AS p) p),
       sigs AS (
         SELECT source, p, min(h) AS m FROM hashed GROUP BY source, p)
       SELECT a.source AS src_a, b.source AS src_b,

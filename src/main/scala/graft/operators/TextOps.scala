@@ -603,26 +603,18 @@ object TextOps {
     //    by doc so state is bounded by document length at any corpus
     //    size --
     "t19_dup_ngram_coverage" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      // r13: gram ids ride the word_grams31 kernel (the d-family/d14
+      // discipline) — the old transform(sequence...) lambda built a
+      // ~25-char gram STRING per position inside a CodegenFallback HOF;
+      // now each position is one codegen'd BIGINT (per-token 31-base
+      // hash, Horner combine), the dup-census window partitions on an
+      // 8-byte key, and the oracle computes the identical arithmetic.
+      // emptyOnShort=true: a <5-token doc contributes zero grams (the
+      // old CASE guard's semantics).
       val grams = Tables.df(s, dir, "documents")
-        .withColumn("toks", expr(toks))
-        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-          // guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
-          // (DuckDB's generate_series(1, 0) is empty) — a <5-token doc
-          // must contribute zero grams, not a slice(toks, 0, 5) crash
-          // (the ch01 short-doc lesson, re-caught by review here).
-          // slice-in-lambda here is measured LINEAR in doc length (the
-          // r10 length-axis sweep: 1.95× under 64× length, and the
-          // residual is the tiled corpus's real gram duplication — toks
-          // is multiply-referenced so projection collapse does not
-          // inline the tokenizer into the lambda, unlike f16's
-          // single-path element_at form which it did)
-          posexplode(expr(
-            """CASE WHEN size(toks) >= 5
-                 THEN transform(sequence(1, size(toks) - 4),
-                        i -> concat_ws(' ', slice(toks, i, 5)))
-                 ELSE CAST(array() AS array<string>) END""")))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("pos") + 1).as("start"), col("col").as("gram"))
+        .select(col("doc_id"), posexplode(expr("word_grams31(text, 5, true)")))
+        .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("gram"))
       val dupStarts = grams
         .withColumn("n_occ", count(lit(1))
           .over(Window.partitionBy(col("doc_id"), col("gram"))))
@@ -630,14 +622,17 @@ object TextOps {
       val covered = dupStarts
         .withColumn("nxt", lead(col("start"), 1)
           .over(Window.partitionBy(col("doc_id")).orderBy(col("start"))))
-        .groupBy(col("doc_id"), col("n_tokens"))
+        .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_dup_occ"),
           sum(least(lit(5L), coalesce(col("nxt") - col("start"), lit(5L))))
             .as("covered_toks"))
       Tables.df(s, dir, "documents")
-        .withColumn("n_tokens", size(expr(toks)).cast("bigint"))
+        // token count as size(1-grams): same tokenizer as the kernel,
+        // fully codegen (the filter(split(...)) HOF is CodegenFallback)
+        .withColumn("n_tokens",
+          size(expr("word_grams31(text, 1, true)")).cast("bigint"))
         .select(col("doc_id"), col("n_tokens"))
-        .join(covered.drop("n_tokens"), Seq("doc_id"), "left")
+        .join(covered, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(col("n_dup_occ"), lit(0L)).as("n_dup_occ"),
           coalesce(col("covered_toks"), lit(0L)).as("covered_toks"),
@@ -1149,11 +1144,19 @@ object TextOps {
       WITH toked AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
         FROM documents),
+      ths AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+          list_transform(toks,
+            t -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(generate_series(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+        FROM toked),
       grams AS (
-        SELECT doc_id, len(toks) AS n_tokens, i AS start,
-          array_to_string(toks[i:i+4], ' ') AS gram
-        FROM toked, LATERAL (SELECT unnest(generate_series(1,
-          greatest(len(toks) - 4, 0))) AS i) g),
+        SELECT doc_id, n_tokens, i AS start,
+          list_reduce(hs[i:i+4], (acc, c) -> (acc * 1000003 + c) % 1000000007) AS gram
+        FROM ths, LATERAL (SELECT unnest(generate_series(1,
+          greatest(n_tokens - 4, 0))) AS i) g),
       dup AS (
         SELECT doc_id, n_tokens, start,
           count(*) OVER (PARTITION BY doc_id, gram) AS n_occ

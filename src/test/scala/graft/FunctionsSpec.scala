@@ -700,23 +700,24 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
-  test("t19 survives documents shorter than the 5-gram window (review r8)") {
-    // Spark's sequence(1, 0) is DESCENDING [1, 0]; the gram build must
-    // emit zero grams for a <5-token doc, not crash in slice()
+  test("t19 survives documents shorter than the 5-gram window (review r8; r13 kernel)") {
+    // The gram build must emit zero grams for a <5-token doc, not crash
+    // (originally a sequence(1,0)-descends trap in the lambda form; now
+    // word_grams31's emptyOnShort=true contract, pinned here). A repeated
+    // token must yield equal gram ids (the dup census's equality).
     import spark.implicits._
+    graft.functions.PgFunctions.register(spark)
     Seq((1L, "a b c"), (2L, "one two three four five six six six six six six"),
       (3L, "")).toDF("doc_id", "text")
       .createOrReplaceTempView("t19_short_docs")
     val grams = spark.sql("""
-      SELECT doc_id,
-        CASE WHEN size(toks) >= 5
-          THEN transform(sequence(1, size(toks) - 4),
-                 i -> concat_ws(' ', slice(toks, i, 5)))
-          ELSE CAST(array() AS array<string>) END AS grams
-      FROM (SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS toks
-            FROM t19_short_docs) t""").collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
-    assert(grams == Map(1L -> 0, 2L -> 7, 3L -> 0))
+      SELECT doc_id, word_grams31(text, 5, true) AS grams
+      FROM t19_short_docs""").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(grams.view.mapValues(_.length).toMap == Map(1L -> 0, 2L -> 7, 3L -> 0))
+    // positions 5 and 6 are both "six six six six six" — identical ids
+    assert(grams(2L)(5) == grams(2L)(6))
+    assert(grams(2L)(0) != grams(2L)(5))
   }
 
   test("pg_to_timestamp parses the formatting.c template subset (do_to_timestamp)") {
