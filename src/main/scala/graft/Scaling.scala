@@ -60,8 +60,8 @@ object Scaling {
     "c16_fixedwidth_out", "ddl06_dynamic_table_ddl", "ddl07_split_partition",
     // round-13 additions: the exact-substring span dedup and the four
     // new TPC-DS signature shapes
-    "d14_substring_span_dedup", "ds04_yoy_growth", "ds14_cross_channel",
-    "ds24_returned_netpaid", "ds28_band_stats")
+    "d14_substring_span_dedup", "d15_span_cut_rewrite", "ds04_yoy_growth",
+    "ds14_cross_channel", "ds24_returned_netpaid", "ds28_band_stats")
 
   val MaxRatio = 13.0
 
@@ -80,7 +80,7 @@ object Scaling {
     // r12: the synonym-chain lexize is a per-token HOF — linear in L
     "f19_synonym_config",
     // r13: window fps + per-doc gaps-and-islands are linear in L
-    "d14_substring_span_dedup")
+    "d14_substring_span_dedup", "d15_span_cut_rewrite")
 
   /** Total chars are ~equal across the two corpora, so a linear kernel
     * lands ~1×; 2.5 allows window/partition-count second-order effects

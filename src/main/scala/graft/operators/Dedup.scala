@@ -441,46 +441,110 @@ object Dedup {
     //    windows partition per doc, bounded by doc length. --
     "d14_substring_span_dedup" -> { (s, dir) =>
       graft.functions.PgFunctions.register(s)
-      val W = SpanDedupW
-      val docs = Tables.df(s, dir, "documents")
-      val wins = docs.select(col("doc_id"),
-          posexplode(expr(s"word_grams31(text, $W, false)")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("fp"))
-      val dup = wins.groupBy(col("fp"))
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("fp")
-      val hits = wins.join(dup, Seq("fp"), "left_semi").select("doc_id", "pos")
-      val byPos = Window.partitionBy("doc_id").orderBy("pos")
-      val runagg = hits
-        .withColumn("island", col("pos") - row_number().over(byPos))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(count(lit(1)).as("len"), min("pos").as("st"), max("pos").as("en"))
-      val bySt = Window.partitionBy("doc_id").orderBy("st")
-      val cover = runagg
-        .withColumn("prev_en", lag(col("en"), 1).over(bySt))
-        .withColumn("brk",
-          when(col("prev_en").isNull || col("st") - col("prev_en") > W - 1, 1).otherwise(0))
-        .withColumn("g", sum(col("brk"))
-          .over(bySt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(min("st").as("mst"), max("en").as("men"))
-      val perRuns = runagg.groupBy("doc_id").agg(
-        sum("len").as("n_dup_windows"), count(lit(1)).as("n_runs"),
-        (max("len") + lit(W - 1)).as("max_run_raw"))
-      val perCov = cover.groupBy("doc_id")
-        .agg(sum(col("men") - col("mst") + lit(W)).as("covered_raw"))
-      val ntok = docs.select(col("doc_id"),
-        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
-      perRuns.join(perCov, "doc_id").join(ntok, "doc_id")
-        .select(col("doc_id"), col("n_dup_windows"), col("n_runs"),
-          least(col("max_run_raw"), col("n_tokens")).as("max_run_tokens"),
-          least(col("covered_raw"), col("n_tokens")).as("covered_tokens"),
-          col("n_tokens"),
-          round(least(col("covered_raw"), col("n_tokens")).cast("double") / col("n_tokens"), 4)
-            .as("dup_pct"))
-        .orderBy(col("doc_id"))
+      spanDedupOf(Tables.df(s, dir, "documents"))
+    },
+
+    // -- span-CUT corpus rewrite: d14's removable intervals APPLIED (the
+    //    Lee et al. remove step — the paper cuts the duplicated spans
+    //    out of the training text rather than dropping whole docs).
+    //    Tokens inside any merged interval are cut via one per-doc
+    //    ANTI range-join (equi on doc_id, the range as the extra
+    //    condition — never a cartesian); survivors reassemble in token
+    //    order with d12's bounded collect_list pattern, and the rewrite
+    //    is content-addressed (md5 of the rebuilt text) so the oracle
+    //    compare proves byte-identical reassembly cross-engine. --
+    "d15_span_cut_rewrite" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      spanCutOf(Tables.df(s, dir, "documents"))
     }
   )
+
+  /** d15's pipeline over an arbitrary (doc_id, text) relation. */
+  private[graft] def spanCutOf(docs: DataFrame): DataFrame = {
+    val W = SpanDedupW
+    val spans = mergedSpansOf(spanRunsOf(docs))
+      .select(col("doc_id"), col("mst"), (col("men") + lit(W - 1)).as("cut_end"))
+      .localCheckpoint() // spool: feeds the anti join AND the affected-doc list
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(filter(split(col("text"), " "), x => x =!= "")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+    val kept = toksPos.alias("t").join(spans.alias("sp"),
+      col("t.doc_id") === col("sp.doc_id")
+        && col("t.pos") >= col("sp.mst") && col("t.pos") <= col("sp.cut_end"),
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("new_text"))
+    val affected = spans.select("doc_id").distinct()
+    val nBefore = docs.select(col("doc_id"),
+      size(expr("word_grams31(text, 1, true)")).cast("long").as("n_before"))
+    affected.join(nBefore, "doc_id")
+      .join(rebuilt, Seq("doc_id"), "left") // a fully-cut doc rebuilds to ''
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_kept"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_kept"), lit(0L))).as("cut_tokens"),
+        md5(coalesce(col("new_text"), lit(""))).as("new_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d14's per-doc strict runs: (doc_id, island, len, st, en). */
+  private def spanRunsOf(docs: DataFrame): DataFrame = {
+    val W = SpanDedupW
+    val wins = docs.select(col("doc_id"),
+        posexplode(expr(s"word_grams31(text, $W, false)")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("fp"))
+    val dup = wins.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("fp")
+    val hits = wins.join(dup, Seq("fp"), "left_semi").select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("island", col("pos") - row_number().over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min("pos").as("st"), max("pos").as("en"))
+  }
+
+  /** d14's (W-1)-gap merged removable intervals: (doc_id, mst, men) in
+    * WINDOW positions — the cut token range is [mst, men + W - 1].
+    * Factored for the d15 cut transform. */
+  private[graft] def mergedSpansOf(runagg: DataFrame): DataFrame = {
+    val W = SpanDedupW
+    val bySt = Window.partitionBy("doc_id").orderBy("st")
+    runagg
+      .withColumn("prev_en", lag(col("en"), 1).over(bySt))
+      .withColumn("brk",
+        when(col("prev_en").isNull || col("st") - col("prev_en") > W - 1, 1).otherwise(0))
+      .withColumn("g", sum(col("brk"))
+        .over(bySt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min("st").as("mst"), max("en").as("men"))
+  }
+
+  /** d14's pipeline over an arbitrary (doc_id, text) relation — factored
+    * (the shingleFpsOf pattern) so the planted-span semantic test can
+    * feed a corpus with known duplicate spans. */
+  private[graft] def spanDedupOf(docs: DataFrame): DataFrame = {
+    val W = SpanDedupW
+    val runagg = spanRunsOf(docs)
+    val cover = mergedSpansOf(runagg)
+    val perRuns = runagg.groupBy("doc_id").agg(
+      sum("len").as("n_dup_windows"), count(lit(1)).as("n_runs"),
+      (max("len") + lit(W - 1)).as("max_run_raw"))
+    val perCov = cover.groupBy("doc_id")
+      .agg(sum(col("men") - col("mst") + lit(W)).as("covered_raw"))
+    val ntok = docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
+    perRuns.join(perCov, "doc_id").join(ntok, "doc_id")
+      .select(col("doc_id"), col("n_dup_windows"), col("n_runs"),
+        least(col("max_run_raw"), col("n_tokens")).as("max_run_tokens"),
+        least(col("covered_raw"), col("n_tokens")).as("covered_tokens"),
+        col("n_tokens"),
+        round(least(col("covered_raw"), col("n_tokens")).cast("double") / col("n_tokens"), 4)
+          .as("dup_pct"))
+      .orderBy(col("doc_id"))
+  }
 
   /** d14's window width in tokens (the paper's 50-token threshold scaled
     * to this corpus's ~dozens-of-tokens documents; shared with the
@@ -808,48 +872,7 @@ object Dedup {
     // (W-1)-gap interval merge for coverage. Short docs (< W tokens)
     // fingerprint as the raw text's rolling hash at pos 0.
     "d14_substring_span_dedup" -> s"""
-      WITH toks AS (
-        SELECT doc_id, text,
-          list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
-            t -> list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                     list_transform(generate_series(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
-                   (acc, c) -> (acc * 31 + c) % 1000000007)) AS ths
-        FROM documents),
-      wins AS (
-        SELECT doc_id, u.pos AS pos, u.fp AS fp FROM (
-          SELECT doc_id, unnest(list_transform(generate_series($SpanDedupW, len(ths)),
-            i -> struct_pack(pos := CAST(i - $SpanDedupW AS BIGINT),
-                             fp := list_reduce(ths[i-${SpanDedupW - 1}:i], (acc, c) -> (acc * 1000003 + c) % 1000000007)))) AS u
-          FROM toks) q
-        UNION ALL
-        SELECT doc_id, CAST(0 AS BIGINT) AS pos,
-               list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
-                 (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
-        FROM toks WHERE len(ths) < $SpanDedupW),
-      dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
-      hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (fp)),
-      runs AS (
-        SELECT doc_id, pos,
-               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        FROM hits),
-      runagg AS (
-        SELECT doc_id, island, count(*) AS len, min(pos) AS st, max(pos) AS en
-        FROM runs GROUP BY 1, 2),
-      brks AS (
-        SELECT doc_id, st, en,
-               CASE WHEN lag(en) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
-                     OR st - lag(en) OVER (PARTITION BY doc_id ORDER BY st) > ${SpanDedupW - 1}
-                    THEN 1 ELSE 0 END AS brk
-        FROM runagg),
-      grp AS (
-        SELECT doc_id, st, en,
-               sum(brk) OVER (PARTITION BY doc_id ORDER BY st
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-        FROM brks),
-      cover AS (SELECT doc_id, g, min(st) AS mst, max(en) AS men FROM grp GROUP BY 1, 2),
+      WITH $oracleSpanCtes,
       perdoc_runs AS (
         SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_dup_windows,
                count(*) AS n_runs, CAST(max(len) + ${SpanDedupW - 1} AS BIGINT) AS max_run_raw
@@ -868,7 +891,34 @@ object Dedup {
       FROM perdoc_runs r
       JOIN perdoc_cov c ON r.doc_id = c.doc_id
       JOIN ntok t ON r.doc_id = t.doc_id
-      ORDER BY r.doc_id"""
+      ORDER BY r.doc_id""",
+
+    // d15: the same CTE front, then the cut applied — NOT EXISTS is the
+    // anti range-join, string_agg(tok, ' ' ORDER BY pos) the rebuild.
+    "d15_span_cut_rewrite" -> s"""
+      WITH $oracleSpanCtes,
+      spans AS (SELECT doc_id, mst, men + ${SpanDedupW - 1} AS cut_end FROM cover),
+      tp AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+        FROM toked, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g),
+      kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM tp t
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+          WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.mst AND s.cut_end)),
+      reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS new_text
+        FROM kept GROUP BY doc_id),
+      aff AS (SELECT DISTINCT doc_id FROM spans),
+      nb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before FROM toked)
+      SELECT a.doc_id, nb.n_before,
+             coalesce(reb.n_kept, 0) AS n_after,
+             nb.n_before - coalesce(reb.n_kept, 0) AS cut_tokens,
+             md5(coalesce(reb.new_text, '')) AS new_md5
+      FROM aff a
+      JOIN nb ON a.doc_id = nb.doc_id
+      LEFT JOIN reb ON a.doc_id = reb.doc_id
+      ORDER BY a.doc_id"""
   )
 
   /** DuckDB rendition of `bandCandidates` (capped hi/lo posting lists) as
@@ -909,6 +959,58 @@ object Dedup {
       banded AS (
         SELECT doc_id, simhash, simhash // 4096 AS hi_band, simhash % 4096 AS lo_band
         FROM sim)"""
+
+  /** DuckDB rendition of d14/d15's shared front (toks → positional
+    * W-gram windows → dup census → strict runs → merged intervals) as
+    * CTEs ending in `cover(doc_id, g, mst, men)`; `toked` (token
+    * strings) stays in scope for d15's rebuild. Identical arithmetic to
+    * `spanRunsOf`/`mergedSpansOf`. */
+  private def oracleSpanCtes: String = s"""toked AS (
+        SELECT doc_id, text,
+          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents),
+      tokh AS (
+        SELECT doc_id, text,
+          list_transform(toks,
+            t -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(generate_series(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007)) AS ths
+        FROM toked),
+      wins AS (
+        SELECT doc_id, u.pos AS pos, u.fp AS fp FROM (
+          SELECT doc_id, unnest(list_transform(generate_series($SpanDedupW, len(ths)),
+            i -> struct_pack(pos := CAST(i - $SpanDedupW AS BIGINT),
+                             fp := list_reduce(ths[i-${SpanDedupW - 1}:i], (acc, c) -> (acc * 1000003 + c) % 1000000007)))) AS u
+          FROM tokh) q
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        FROM tokh WHERE len(ths) < $SpanDedupW),
+      dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (fp)),
+      runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM hits),
+      runagg AS (
+        SELECT doc_id, island, count(*) AS len, min(pos) AS st, max(pos) AS en
+        FROM runs GROUP BY 1, 2),
+      brks AS (
+        SELECT doc_id, st, en,
+               CASE WHEN lag(en) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
+                     OR st - lag(en) OVER (PARTITION BY doc_id ORDER BY st) > ${SpanDedupW - 1}
+                    THEN 1 ELSE 0 END AS brk
+        FROM runagg),
+      grp AS (
+        SELECT doc_id, st, en,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY st
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM brks),
+      cover AS (SELECT doc_id, g, min(st) AS mst, max(en) AS men FROM grp GROUP BY 1, 2)"""
 
   /** DuckDB rendition of `shingleFps` — identical algorithm to the
     * word_grams31 kernel: per-token 31-base rolling hash, then a Horner

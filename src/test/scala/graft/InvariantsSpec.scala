@@ -632,6 +632,54 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("d14: planted duplicate spans produce exact runs, merges, and coverage") {
+    // W = 8. Docs 1/2 share one 10-token span S → each reports 3 dup
+    // windows in ONE run of 10 tokens. Doc 3 overlaps span X (shared
+    // with doc 4) at positions 2-11 and span Y (shared with doc 5) at
+    // 8-17: two strict runs {2,3,4} and {8,9,10} whose covered
+    // intervals are 4 apart (≤ W-1) — they must MERGE into one
+    // [2, 17] = 16-token removable interval while n_runs stays 2.
+    import spark.implicits._
+    graft.functions.PgFunctions.register(spark)
+    val s10 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val x6 = "x1 x2 x3 x4 x5 x6"; val s4 = "s1 s2 s3 s4"; val y6 = "y1 y2 y3 y4 y5 y6"
+    val docs = Seq(
+      1L -> s"a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 $s10 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10",
+      2L -> s"c1 c2 c3 c4 c5 $s10 d1 d2 d3 d4 d5",
+      3L -> s"g1 g2 $x6 $s4 $y6 g3 g4",
+      4L -> s"m1 m2 $x6 $s4 m3 m4",
+      5L -> s"n1 n2 $s4 $y6 n3 n4"
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.spanDedupOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 10L, 10L, 30L, 0.3333),
+      (2L, 3L, 1L, 10L, 10L, 20L, 0.5),
+      (3L, 6L, 2L, 10L, 16L, 20L, 0.8),
+      (4L, 3L, 1L, 10L, 10L, 14L, 0.7143),
+      (5L, 3L, 1L, 10L, 10L, 14L, 0.7143)), got.mkString("\n"))
+    // d15 applies the cuts: doc 1 loses exactly S (tokens 10-19) and
+    // rebuilds to its flanks; doc 3's MERGED interval [2, 17] cuts 16
+    // tokens (including the 2-token bridge y-side straddle the merge
+    // absorbed), leaving only the g's.
+    val cut = graft.operators.Dedup.spanCutOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val exp = Seq(
+      1L -> ("a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10", 30L),
+      2L -> ("c1 c2 c3 c4 c5 d1 d2 d3 d4 d5", 20L),
+      3L -> ("g1 g2 g3 g4", 20L),
+      4L -> ("m1 m2 m3 m4", 14L),
+      5L -> ("n1 n2 n3 n4", 14L))
+    val expRows = exp.map { case (id, (txt, nb)) =>
+      val na = txt.split(" ").length.toLong
+      (id, nb, na, nb - na,
+        java.security.MessageDigest.getInstance("MD5").digest(txt.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    }
+    assert(cut.toSeq == expRows, cut.mkString("\n"))
+  }
+
   test("t24: overlap estimates are within [0,1] and the matrix covers all pairs") {
     val rows = SparkEntry.queries("t24_source_overlap")(spark, Sf).collect()
     val srcs = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
@@ -765,7 +813,10 @@ class InvariantsSpec extends AnyFunSuite {
       // partition a bad line lands in)
       "fz06_metaphone", "fz07_daitch_mokotoff", "q139_system_time",
       "f19_synonym_config", "f20_intdict_config", "c15_fixedwidth",
-      "c16_fixedwidth_out")
+      "c16_fixedwidth_out",
+      // r13: span dedup (window positions ride a row_number), the
+      // spooled-CTE self-join, and the one-Expand multi-DQA collapse
+      "d14_substring_span_dedup", "ds04_yoy_growth", "ds28_band_stats")
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       for (name <- targets) {

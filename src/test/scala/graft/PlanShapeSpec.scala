@@ -1041,6 +1041,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"expected map-side partial census:\n$p")
   }
 
+  test("d15: the span cut is an equi-keyed ANTI range-join, never a cartesian") {
+    val p = plan("d15_span_cut_rewrite")
+    assert(p.contains("LeftAnti"), s"cut must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"span cut went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"anti join lost its doc_id equi-key (BNLJ):\n$p")
+  }
+
   test("d12: line dedup is census + equi-join + bounded per-doc rebuild") {
     val p = plan("d12_line_dedup")
     assert(!p.contains("CartesianProduct"), s"line dedup went all-pairs:\n$p")
