@@ -680,6 +680,23 @@ class InvariantsSpec extends AnyFunSuite {
     assert(cut.toSeq == expRows, cut.mkString("\n"))
   }
 
+  test("d15 ≡ d14: the cut removes exactly the tokens d14 reports as covered") {
+    // cut_tokens (what the anti-join actually removed) must equal
+    // covered_tokens (what the report claims removable) for every doc —
+    // merged intervals never overlap, the last window ends at n-1, and
+    // the short-doc interval clips to n on both sides identically. A
+    // drift here means the report and the transform disagree on spans.
+    val report = SparkEntry.queries("d14_substring_span_dedup")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("covered_tokens"), r.getAs[Long]("n_tokens"))).toMap
+    val cut = SparkEntry.queries("d15_span_cut_rewrite")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("cut_tokens"), r.getAs[Long]("n_before"))).toMap
+    assert(report.keySet == cut.keySet, "d14 and d15 disagree on affected docs")
+    for ((id, (cov, n)) <- report) {
+      assert(cut(id)._1 == cov, s"doc $id: d15 cut ${cut(id)._1} != d14 covered $cov")
+      assert(cut(id)._2 == n, s"doc $id: n_before ${cut(id)._2} != n_tokens $n")
+    }
+  }
+
   test("t24: overlap estimates are within [0,1] and the matrix covers all pairs") {
     val rows = SparkEntry.queries("t24_source_overlap")(spark, Sf).collect()
     val srcs = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
