@@ -50,22 +50,29 @@ object Tables {
       spark.conf.set("spark.graft.configured", "true")
     }
 
-  /** Per-(session, dir, table) memo of the analyzed base-table frame.
+  /** Per-path memo of the inferred parquet SCHEMA (not the DataFrame).
     * `spark.read.parquet` re-reads footers for schema inference on every
     * call (~70 ms/table) — at one `register()` per query that inference
     * was ~0.7 s of fixed floor inside EVERY timed bench window. Base
-    * testdata is immutable for a session's lifetime, so the analyzed
-    * plan is safe to reuse; keyed by session identity so parallel test
-    * sessions (InvariantsSpec) never share temp-view state. */
-  private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    * testdata is immutable for a process's lifetime, so the inferred
+    * schema is safe to reuse; `spark.read.schema(cached)` then skips
+    * footer inference entirely. Caching the schema instead of the frame
+    * keeps SparkSession references out of the memo altogether: a
+    * StructType is plain data, so stopped sessions (and their analyzed
+    * plans) are collectable, and there is no identity-hash key to be
+    * reused by a later session (the r13 advice finding). Each call hands
+    * the caller a frame bound to ITS session, so parallel test sessions
+    * (InvariantsSpec) never share state. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    dfCache.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events") withNormalizedTs(raw) else raw
-    })
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val raw = spark.read.schema(schema).parquet(path)
+    if (name == "events") withNormalizedTs(raw) else raw
   }
 
   /** Normalize an events-shaped frame's `ts` to session-TZ TIMESTAMP

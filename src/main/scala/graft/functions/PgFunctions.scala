@@ -161,11 +161,28 @@ object PgFunctions {
       MetaphoneExpr(Cast(args(0), org.apache.spark.sql.types.StringType), maxLen)
     },
     // pgp_sym_encrypt/decrypt family (cr04): passphrase folds at
-    // registration (the one-signing-key deployment shape, like cr02)
+    // registration (the one-signing-key deployment shape, like cr02).
+    // SEMANTIC DIVERGENCE FROM PG pgcrypto, visible here because this is
+    // where a migrating user reaches for the name: our pgp_sym_encrypt is
+    // DETERMINISTIC (fixed query salt + SHA-256(salt‖plaintext)-derived
+    // prefix, required so distributed retries/speculative tasks and the
+    // DuckDB oracle see one ciphertext per row), whereas PG's pgcrypto
+    // draws a random salt per call. Consequence: identical
+    // (plaintext, passphrase) pairs produce identical ciphertext, so
+    // ciphertext equality leaks plaintext equality across rows. Do NOT
+    // use for PII columns where that linkage matters; the alias
+    // pgp_sym_encrypt_det below names the semantics explicitly.
     "pgp_sym_encrypt" -> { args =>
       require(args.length == 2, "pgp_sym_encrypt(text, pass) takes 2 arguments")
       PgpSymEncrypt(Cast(args(0), org.apache.spark.sql.types.StringType),
         stringLit(args(1), "pgp_sym_encrypt pass"))
+    },
+    // Honest-name alias for the deterministic semantics above (same
+    // expression; lets pipelines state the determinism in the query text)
+    "pgp_sym_encrypt_det" -> { args =>
+      require(args.length == 2, "pgp_sym_encrypt_det(text, pass) takes 2 arguments")
+      PgpSymEncrypt(Cast(args(0), org.apache.spark.sql.types.StringType),
+        stringLit(args(1), "pgp_sym_encrypt_det pass"))
     },
     "pgp_sym_decrypt" -> { args =>
       require(args.length == 2, "pgp_sym_decrypt(bytea, pass) takes 2 arguments")

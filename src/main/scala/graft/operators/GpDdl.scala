@@ -423,39 +423,67 @@ object GpDdl {
   private val SplitTmpPrefix = ".graft_split_tmp."
   private val SplitSrcMarker = "_graft_split_src"
 
+  /** Hidden tombstone prefix: the source directory is RENAMED to this
+    * (one atomic rename) before its contents are deleted, so a crash
+    * midway through the recursive delete can never leave a directory
+    * that still answers to the source name while missing rows — the
+    * partial-delete window the r13 advice flagged. Tombstone present ⇒
+    * the source was safely copied into fully-written stages. */
+  private val SplitRmPrefix = ".graft_split_rm."
+
   /** Repair an interrupted SPLIT PARTITION. The commit protocol stages
     * both halves under hidden [[SplitTmpPrefix]] directories (each
-    * carrying a marker naming its source), removes the source, then
-    * renames the stages into place — so a leftover stage means exactly
-    * one of two states: (a) its source still exists (crash before the
-    * source removal) → discard the stage, the source is intact and no
-    * reader ever double-counted; (b) the source is gone (crash between
-    * removal and rename) → finish the rename. In neither window can a
-    * read see source AND half together; the worst case is half-invisible
-    * rows that this repair restores. Called on every applySplit entry;
-    * public so GpDdlSpec can pin both crash states directly. */
+    * carrying a marker naming its source), validates both destination
+    * names are free, renames the source to a hidden [[SplitRmPrefix]]
+    * tombstone, deletes the tombstone, then renames the stages into
+    * place (the underscore-prefixed marker rides through the rename —
+    * invisible to Spark's file index — and is deleted only AFTER a
+    * successful publish, so no crash window leaves a marker-less
+    * stage). A leftover stage therefore means exactly one of two
+    * states: (a) its source still exists under its own name AND has no
+    * tombstone (crash before the tombstone rename) → discard the
+    * stage, the source is intact and no reader ever double-counted;
+    * (b) the source is absent or tombstoned (crash at/after the
+    * tombstone rename) → drop any tombstone remnant and finish the
+    * publish. In neither window can a read see source AND half
+    * together; the worst case is half-invisible rows that this repair
+    * restores. Called on every applySplit entry; public so GpDdlSpec
+    * can pin the crash states directly. */
   def recoverInterruptedSplits(basePath: String): Int = {
     val base = new java.io.File(basePath)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
     }
-    val stages = Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(SplitTmpPrefix))
+    val all = Option(base.listFiles()).getOrElse(Array.empty)
+    val stages = all.filter(f => f.isDirectory && f.getName.startsWith(SplitTmpPrefix))
     stages.foreach { tmp =>
       val marker = new java.io.File(tmp, SplitSrcMarker)
       require(marker.exists(),
         s"ddl: stage ${tmp.getName} has no source marker — manual cleanup needed")
       val srcName = new String(java.nio.file.Files.readAllBytes(marker.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim
-      if (new java.io.File(base, srcName).exists()) rm(tmp) // state (a)
+      val src = new java.io.File(base, srcName)
+      val tomb = new java.io.File(base, s"$SplitRmPrefix$srcName")
+      if (src.exists() && !tomb.exists()) rm(tmp) // state (a)
       else { // state (b): complete the publish
-        marker.delete()
+        if (tomb.exists()) rm(tomb)
         val dst = new java.io.File(base, tmp.getName.stripPrefix(SplitTmpPrefix))
         require(!dst.exists() && tmp.renameTo(dst),
           s"ddl: could not publish interrupted split stage ${tmp.getName}")
+        new java.io.File(dst, SplitSrcMarker).delete()
       }
     }
+    // sweep (i) markers left inside already-published halves (crash
+    // after rename, before marker delete) and (ii) orphan tombstones
+    // (both halves published, tombstone delete interrupted) — tombstone
+    // presence implies the data is complete in the stages/halves.
+    all.filter(f => f.isDirectory && !f.getName.startsWith(".")).foreach { d =>
+      new java.io.File(d, SplitSrcMarker).delete()
+    }
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(SplitRmPrefix))
+      .foreach(rm)
     stages.length
   }
 
@@ -499,11 +527,27 @@ object GpDdl {
           srcDirName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         (tmp, new java.io.File(basePath, s"$partCol=$name"))
     }
-    rm(dirF)
+    // validate BOTH destinations are free before touching the source —
+    // a name collision must fail while the source is still intact and
+    // the stages still carry their markers (recovery then discards the
+    // stages as state (a); nothing is wedged, nothing is lost)
+    stages.foreach { case (_, dst) =>
+      require(!dst.exists(),
+        s"ddl: split destination partition ${dst.getName} already exists")
+    }
+    // atomic retirement: one rename moves the source out of its name,
+    // then the tombstone's contents are deleted — a crash mid-delete
+    // leaves a tombstone, never a partially-emptied source directory
+    val tomb = new java.io.File(basePath, s"$SplitRmPrefix$srcDirName")
+    require(dirF.renameTo(tomb),
+      s"ddl: could not retire source partition $srcDirName")
+    rm(tomb)
     stages.foreach { case (tmp, dst) =>
-      new java.io.File(tmp, SplitSrcMarker).delete()
-      require(!dst.exists() && tmp.renameTo(dst),
+      require(tmp.renameTo(dst),
         s"ddl: could not publish split partition ${dst.getName}")
+      // marker rode through the rename (underscore-prefixed: invisible
+      // to Spark's file index); deleted only after a successful publish
+      new java.io.File(dst, SplitSrcMarker).delete()
     }
     op
   }

@@ -238,6 +238,7 @@ class FunctionsSpec extends AnyFunSuite {
         "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
         "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24",
         "frame_sums", "frame_energy", "french_stem", "russian_stem",
+        "pgp_sym_encrypt_det",
         "metaphone", "daitch_mokotoff",
         "char_grams", "jump_hash", "word_grams31",
         "pgp_sym_encrypt", "pgp_sym_decrypt", "pgp_sym_decrypt_ok",
@@ -558,6 +559,14 @@ class FunctionsSpec extends AnyFunSuite {
     ct2(ct2.length - 1) = (ct2(ct2.length - 1) ^ 0x01).toByte
     assert(PgpSym.decryptOk(ct2, u("k3y")) &&
       PgpSym.decrypt(ct2, u("k3y")).toString != "secret")
+    // pgp_sym_encrypt_det is a true alias: same expression, byte-equal
+    // output — and the determinism the name advertises is real
+    val det = spark.sql(
+      """SELECT pgp_sym_encrypt('pii', 'k') AS a,
+                pgp_sym_encrypt_det('pii', 'k') AS b,
+                pgp_sym_encrypt('pii', 'k') AS c""").head()
+    assert(java.util.Arrays.equals(det.getAs[Array[Byte]]("a"), det.getAs[Array[Byte]]("b")))
+    assert(java.util.Arrays.equals(det.getAs[Array[Byte]]("a"), det.getAs[Array[Byte]]("c")))
   }
 
   test("daitch_mokotoff matches the PG regression vectors") {

@@ -293,6 +293,74 @@ class GpDdlSpec extends AnyFunSuite {
     assert(tmpC.exists())
   }
 
+  test("SPLIT PARTITION crash recovery: a mid-delete tombstone never masquerades as an intact source") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val base = java.nio.file.Files.createTempDirectory("graft_ddl_split_tomb").toString
+    Tables.df(spark, Sf, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month") === "1997-07")
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("o_month").parquet(base)
+    val src = new java.io.File(base, "o_month=1997-07")
+    val srcRows = spark.read.parquet(src.getAbsolutePath).count()
+    def stage(name: String): java.io.File = {
+      val tmp = new java.io.File(base, s".graft_split_tmp.o_month=$name")
+      spark.read.parquet(src.getAbsolutePath).limit(5)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.write(
+        new java.io.File(tmp, "_graft_split_src").toPath,
+        "o_month=1997-07".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      tmp
+    }
+    // hand-build the r13-advice crash window: both halves fully staged,
+    // source atomically renamed to its tombstone, recursive delete of
+    // the tombstone interrupted halfway (one data file already gone).
+    // Pre-tombstone protocol this read as "source still exists" →
+    // state (a) → both stages (the only complete copy) were destroyed.
+    val t1 = stage("td1"); val t2 = stage("td2")
+    val tomb = new java.io.File(base, ".graft_split_rm.o_month=1997-07")
+    assert(src.renameTo(tomb))
+    tomb.listFiles().filter(_.getName.endsWith(".parquet")).take(1).foreach(_.delete())
+    assert(GpDdl.recoverInterruptedSplits(base) == 2)
+    assert(!t1.exists() && !t2.exists(), "stages must be published, not discarded")
+    assert(!tomb.exists(), "tombstone remnant must be cleared")
+    assert(!src.exists(), "retired source name must not come back")
+    assert(spark.read.parquet(s"$base/o_month=td1").count() == 5)
+    assert(spark.read.parquet(s"$base/o_month=td2").count() == 5)
+    // markers were deleted after publish — published halves are marker-free
+    assert(!new java.io.File(s"$base/o_month=td1", "_graft_split_src").exists())
+    assert(srcRows > 5) // the window genuinely hid rows until repair
+  }
+
+  test("SPLIT PARTITION: destination collision fails BEFORE the source is touched, and recovery unwedges") {
+    import org.apache.spark.sql.functions.{col, date_format, expr}
+    val base = java.nio.file.Files.createTempDirectory("graft_ddl_split_coll").toString
+    Tables.df(spark, Sf, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .filter(col("o_month").isin("1997-06", "1997-07"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("o_month").parquet(base)
+    val juneRows = spark.read.parquet(s"$base/o_month=1997-06").count()
+    // pre-create a colliding destination name for the second half
+    new java.io.File(base, "o_month=h2").mkdirs()
+    intercept[IllegalArgumentException] {
+      GpDdl.applySplit(spark,
+        """ALTER TABLE t SPLIT PARTITION FOR ('1997-06-15') AT ('1997-06-16')
+           INTO (PARTITION h1, PARTITION h2)""",
+        base, "o_month", _.substring(0, 7),
+        at => col("o_orderdate") < expr(s"TIMESTAMP '$at 00:00:00'"))
+    }
+    // the source was never touched — no data loss, no partial delete
+    assert(spark.read.parquet(s"$base/o_month=1997-06").count() == juneRows)
+    // and the leftover stages still carry markers, so the next entry's
+    // recovery discards them as state (a) instead of hard-failing —
+    // the r13 "wedged until manual cleanup" window is gone
+    assert(GpDdl.recoverInterruptedSplits(base) == 2)
+    assert(new java.io.File(base).listFiles()
+      .count(_.getName.startsWith(".graft_split_tmp.")) == 0)
+    assert(spark.read.parquet(s"$base/o_month=1997-06").count() == juneRows)
+  }
+
   test("layout: ensureOrders yields one directory per 1997 month plus the default") {
     val tbl = GpDdl.ensureOrders(spark, Sf)
     val parts = spark.table(tbl).select("o_orderdate_prt").distinct()
