@@ -54,6 +54,81 @@ object TpcDs {
 
   private val epc = "CAST(round(l_extendedprice * 100) AS BIGINT)"
 
+  /** ds39's twice-referenced per-(part,month) moment CTE — spooled once
+    * on the Spark side (GP materializes multi-referenced CTEs; Spark
+    * would inline → two fact scans + two aggregates), inlined into the
+    * oracle text. Moments are EXACT BIGINTs (n, Σq, Σq²); the
+    * coefficient-of-variation filter is the cross-multiplied integer
+    * inequality var_samp > θ²·mean² ⇔ den²·n·(n·Σq² − (Σq)²) >
+    * num²·(n−1)·(Σq)² with θ = 4/5 — no floating accumulation, no
+    * drift (stddev()/avg() over doubles is order-dependent; the spec's
+    * `stdev/mean > 1` threshold keeps ~1 row at bench SF on this data,
+    * so the published shape is kept and only θ is retuned). Products
+    * stay BIGINT-safe far past bench SF; at true 100 TB group sizes
+    * the same filter re-derives over (mean, var) doubles at the edge. */
+  private val Ds39Cov = """
+        SELECT part, mon, n, s, ss FROM (
+          SELECT l_partkey AS part, month(l_shipdate) AS mon,
+                 count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                 CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
+          FROM lineitem WHERE year(l_shipdate) = 1997
+          GROUP BY 1, 2) inv
+        WHERE n >= 2 AND 25 * n * (n * ss - s * s) > 16 * (n - 1) * s * s"""
+
+  /** ds39's outer consecutive-month self-join — IDENTICAL text both
+    * engines; `cov39` resolves to the spooled temp view in Spark, the
+    * CTE in DuckDB. Emitted mean/cov divide the exact moments once at
+    * the output edge (sqrt and / are correctly-rounded IEEE ops —
+    * bit-identical across engines given identical integer inputs). */
+  private val Ds39Outer = """
+      SELECT i1.part, i1.mon AS mon1,
+             round(CAST(i1.s AS DOUBLE) / i1.n, 2) AS mean1,
+             round(sqrt((CAST(i1.n AS DOUBLE) * i1.ss - CAST(i1.s AS DOUBLE) * i1.s)
+                        / (CAST(i1.n AS DOUBLE) * (i1.n - 1)))
+                   / (CAST(i1.s AS DOUBLE) / i1.n), 4) AS cov1,
+             round(CAST(i2.s AS DOUBLE) / i2.n, 2) AS mean2,
+             round(sqrt((CAST(i2.n AS DOUBLE) * i2.ss - CAST(i2.s AS DOUBLE) * i2.s)
+                        / (CAST(i2.n AS DOUBLE) * (i2.n - 1)))
+                   / (CAST(i2.s AS DOUBLE) / i2.n), 4) AS cov2
+      FROM cov39 i1, cov39 i2
+      WHERE i1.part = i2.part AND i1.mon + 1 = i2.mon
+      ORDER BY i1.part, i1.mon"""
+
+  /** ds64's twice-referenced wide-join CTE (8 relations) — the expensive
+    * one; spooled once on the Spark side like ds04's year_total. */
+  private val Ds64CrossSales = """
+        SELECT p_partkey AS item, p_brand AS brand, year(o_orderdate) AS yr,
+               count(*) AS cnt,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sale_c,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_c,
+               count(DISTINCT n_name) AS n_nations,
+               count(DISTINCT s_suppkey) AS n_supps
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE year(o_orderdate) IN (1996, 1997) AND l_returnflag = 'N'
+          AND l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        GROUP BY 1, 2, 3"""
+
+  /** ds64's outer two-year self-join over the spool. */
+  private val Ds64Outer = """
+      SELECT cs1.item, cs1.brand, cs1.cnt AS cnt1, cs2.cnt AS cnt2,
+             cs1.n_nations AS nat1, cs2.n_nations AS nat2,
+             cs1.n_supps AS sup1, cs2.n_supps AS sup2,
+             round(CAST(cs1.sale_c AS DOUBLE) / 100.0, 2) AS sale1,
+             round(CAST(cs2.sale_c AS DOUBLE) / 100.0, 2) AS sale2,
+             round(CAST(cs1.net_c AS DOUBLE) / 100.0, 2) AS net1,
+             round(CAST(cs2.net_c AS DOUBLE) / 100.0, 2) AS net2
+      FROM cross_sales64 cs1 JOIN cross_sales64 cs2
+        ON cs1.item = cs2.item AND cs1.brand = cs2.brand
+      WHERE cs1.yr = 1996 AND cs2.yr = 1997 AND cs2.cnt <= cs1.cnt
+      ORDER BY cs1.item, cs1.brand"""
+
   /** ds04's multi-referenced CTE body — spooled once on the Spark side
     * (see the ds04 comment below), inlined into the oracle text. */
   private val Ds04YearTotal = """
@@ -309,7 +384,90 @@ object TpcDs {
         count(DISTINCT price_c) FILTER (WHERE qty BETWEEN 31 AND 40 AND (price_c BETWEEN 400000 AND 700000 OR l_discount BETWEEN 0.06 AND 0.10 OR l_tax BETWEEN 0.03 AND 0.05)) AS b4_nd,
         count(*)          FILTER (WHERE qty BETWEEN 41 AND 50 AND (price_c BETWEEN 500000 AND 800000 OR l_discount BETWEEN 0.08 AND 0.10 OR l_tax BETWEEN 0.04 AND 0.06)) AS b5_n,
         count(DISTINCT price_c) FILTER (WHERE qty BETWEEN 41 AND 50 AND (price_c BETWEEN 500000 AND 800000 OR l_discount BETWEEN 0.08 AND 0.10 OR l_tax BETWEEN 0.04 AND 0.06)) AS b5_nd
-      FROM li"""
+      FROM li""",
+
+    // q39 (0:27 published, performance.md:118): the inventory-variance
+    // pair — one CTE of per-(warehouse,item,month) moments with a
+    // coefficient-of-variation filter, self-joined on the ADJACENT
+    // month so only keys volatile in BOTH periods survive. Analog:
+    // per-(part, ship-month) quantity moments; see Ds39Cov for the
+    // exact-integer cov filter. Scale shape: the moment aggregate is
+    // one fact scan pruned to 2 columns; the self-join runs over the
+    // |parts × 12|-sized spool, never the fact table.
+    "ds39_inventory_cov" -> s"WITH cov39 AS ($Ds39Cov) $Ds39Outer",
+
+    // q78 (0:27 published, performance.md:157): the three-channel
+    // LEFT-JOIN-no-return rollup — each channel's sales are LEFT
+    // JOINed to returns on the sale's key and only return-less rows
+    // aggregate (LEFT JOIN + IS NULL = the NAAJ shape, q8's family),
+    // then the channels join on (year, customer, item) and emit the
+    // cross-channel quantity ratio. Channels here are the kept ('N')
+    // vs accepted ('A') line classes; the return key is the ds24
+    // (customer, part) compound with the returned side DISTINCT.
+    // Scale shape: both channel aggregates shuffle on the same
+    // (yr, cust, part) key — the final join re-uses the exchange; the
+    // DISTINCT return set is |returned pairs|-sized, never |fact|².
+    "ds78_channel_ratio" -> """
+      WITH rets AS (
+        SELECT DISTINCT o_custkey AS rcust, l_partkey AS rpk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'),
+      ss AS (
+        SELECT year(o_orderdate) AS yr, o_custkey AS cust, l_partkey AS part,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s_amt_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        LEFT JOIN rets ON o_custkey = rcust AND l_partkey = rpk
+        WHERE l_returnflag = 'N' AND rcust IS NULL
+        GROUP BY 1, 2, 3),
+      ws AS (
+        SELECT year(o_orderdate) AS yr, o_custkey AS cust, l_partkey AS part,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w_amt_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        LEFT JOIN rets ON o_custkey = rcust AND l_partkey = rpk
+        WHERE l_returnflag = 'A' AND rcust IS NULL
+        GROUP BY 1, 2, 3)
+      SELECT ss.yr, ss.cust, ss.part, s_qty, w_qty,
+             round(CAST(s_qty AS DOUBLE) / w_qty, 4) AS qty_ratio,
+             round(CAST(s_amt_c AS DOUBLE) / 100.0, 2) AS s_amt,
+             round(CAST(w_amt_c AS DOUBLE) / 100.0, 2) AS w_amt
+      FROM ss JOIN ws ON ss.yr = ws.yr AND ss.cust = ws.cust AND ss.part = ws.part
+      ORDER BY qty_ratio DESC, ss.yr, ss.cust, ss.part LIMIT 100""",
+
+    // q95 (0:15 published, performance.md:174): the chained-EXISTS
+    // query — line-level rows kept only when their order ALSO appears
+    // in a self-joined multi-warehouse pair set AND in the returns
+    // set; count(DISTINCT order) + sums over the survivors. Analog:
+    // orders shipped by more than one supplier (lineitem self-join on
+    // order with supplier inequality) that also had a returned line.
+    // Scale shape: both IN-subqueries plan as LEFT SEMI joins on the
+    // order key (never pair emission into the outer); the self-join
+    // pair set is bounded by per-order line count (~4), not |fact|².
+    "ds95_chained_exists" -> """
+      WITH multi_supp AS (
+        SELECT DISTINCT l1.l_orderkey AS ok
+        FROM lineitem l1, lineitem l2
+        WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey)
+      SELECT count(DISTINCT l_orderkey) AS order_count,
+             round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_price,
+             round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_disc
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-05-01'
+        AND l_orderkey IN (SELECT ok FROM multi_supp)
+        AND l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""",
+
+    // q64 (0:13 published, performance.md:143): the wide multi-join
+    // monster — one CTE joining the fact to ~everything (here all six
+    // dimension-side relations plus a returned-order semi-join),
+    // grouped per (item, brand, year), then self-joined across two
+    // consecutive years keeping pairs where the second year's count
+    // does not exceed the first's. Scale shape: all dims broadcast,
+    // the fact shuffles ONCE on the group key; the year-pair self-join
+    // runs over the aggregate spool (see queries() — GP materializes
+    // the 2×-referenced CTE; Spark would inline → two 8-relation
+    // joins).
+    "ds64_wide_twoyear" -> s"WITH cross_sales64 AS ($Ds64CrossSales) $Ds64Outer"
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -332,6 +490,18 @@ object TpcDs {
           s.sql(Ds04YearTotal).localCheckpoint()
             .createOrReplaceTempView("year_total")
           s.sql(Ds04Outer)
+        } else if (name == "ds39_inventory_cov") {
+          // same spool discipline for the 2×-referenced moment CTE:
+          // inlined it costs a second full fact scan; spooled it is
+          // |parts × months| rows
+          s.sql(Ds39Cov).localCheckpoint().createOrReplaceTempView("cov39")
+          s.sql(Ds39Outer)
+        } else if (name == "ds64_wide_twoyear") {
+          // the 8-relation join runs ONCE; the year-pair self-join
+          // probes the spool
+          s.sql(Ds64CrossSales).localCheckpoint()
+            .createOrReplaceTempView("cross_sales64")
+          s.sql(Ds64Outer)
         } else s.sql(text)
       })
     }

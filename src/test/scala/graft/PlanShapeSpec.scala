@@ -1030,6 +1030,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(expands == 1, s"the five DISTINCT counts must share ONE Expand, got $expands:\n$p")
   }
 
+  test("ds39: the moment CTE is spooled — the month-pair self-join reads no parquet") {
+    // inlined, the 2x-referenced cov CTE would scan lineitem twice;
+    // spooled, the self-join runs over the |parts x months| checkpoint
+    val p = plan("ds39_inventory_cov").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"self-join must read the spool, got $scans parquet scans:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed cov39 spool:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds39 went cartesian:\n$p")
+  }
+
+  test("ds78: channel joins are equi-joins on the shared key — never all-pairs") {
+    val p = plan("ds78_channel_ratio")
+    assert(!p.contains("CartesianProduct"), s"ds78 went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"ds78 is nested-loop:\n$p")
+    // the LEFT JOIN + IS NULL return filter keeps its outer join form
+    // (the spec's literal text); the final ss x ws join is an equi-join
+    // on (yr, cust, part) with map-side partial aggregation below it
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("ds95: both chained EXISTS plan as semi-joins on the order key") {
+    val p = plan("ds95_chained_exists")
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      s"both IN-subqueries must be semi-joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds95 went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"ds95 is nested-loop:\n$p")
+  }
+
+  test("ds64: the 8-relation CTE is spooled — the year-pair self-join reads no parquet") {
+    val p = plan("ds64_wide_twoyear").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"self-join must read the spool, got $scans parquet scans:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed cross_sales64 spool:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds64 went cartesian:\n$p")
+  }
+
   test("d14: span dedup joins the dup census as a SEMI join — no pair emission, no cap needed") {
     val p = plan("d14_substring_span_dedup")
     assert(p.contains("LeftSemi"), s"dup-window probe must be a semi-join:\n$p")
