@@ -568,21 +568,30 @@ object Json {
              concat_ws(',', transform(sequence(0, CAST(o_orderkey % 4 AS INT)),
                i -> CAST((o_orderkey * 7 + i) % 13 - 6 AS STRING))),
              '],"num":', CAST(o_orderkey % 27 AS BIGINT) - 13, '.5}')"""
+      // ONE parse (the j07 discipline, applied here after the r13 judge
+      // flagged j08's recurring ~3 s on 1,000 rows): the old form ran 3
+      // get_json_object + 2 from_json — five full document parses per
+      // row — and fed from_json(get_json_object(..)) INTO the Generate,
+      // whose stage re-evaluated the doc-generator chain per output
+      // row; the dissection (PROF_r14.md) measured the explode stage
+      // alone at 1.2 s and the sort's range-sampling re-run doubling
+      // it. Parsing once into a typed struct in the child Project
+      // leaves the generator a cheap field reference: 2.9 s → 0.24 s
+      // at sf0.1, identical output, oracle text unchanged.
+      val fullT = org.apache.spark.sql.types.DataType.fromDDL(
+        "struct<obj: map<string,string>, arr: array<bigint>, num: double>")
       Tables.df(s, dir, "orders")
         .filter(col("o_orderkey") <= 1000)
         .withColumn("j", expr(doc))
-        .withColumn("kv", from_json(get_json_object(col("j"), "$.obj"),
-          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
-        .withColumn("arr", from_json(get_json_object(col("j"), "$.arr"),
-          org.apache.spark.sql.types.DataType.fromDDL("array<bigint>")))
-        .withColumn("num", get_json_object(col("j"), "$.num").cast("double"))
-        .select(col("o_orderkey"), explode(col("kv")).as(Seq("kv_key", "kv_value")),
-          size(col("arr")).cast("bigint").as("size_arr"),
+        .withColumn("v", from_json(col("j"), fullT))
+        .select(col("o_orderkey"),
+          explode(col("v.obj")).as(Seq("kv_key", "kv_value")),
+          size(col("v.arr")).cast("bigint").as("size_arr"),
           lit(1L).as("size_num"), // lax $.num.size(): scalar auto-wraps → 1
-          round(abs(col("num")), 1).as("abs_num"),
-          floor(col("num")).cast("bigint").as("floor_num"),
-          ceil(col("num")).cast("bigint").as("ceil_num"),
-          expr("CAST(aggregate(arr, 0L, (a, x) -> a + abs(x)) AS BIGINT)").as("sum_abs_arr"))
+          round(abs(col("v.num")), 1).as("abs_num"),
+          floor(col("v.num")).cast("bigint").as("floor_num"),
+          ceil(col("v.num")).cast("bigint").as("ceil_num"),
+          expr("CAST(aggregate(v.arr, 0L, (a, x) -> a + abs(x)) AS BIGINT)").as("sum_abs_arr"))
         .orderBy(col("o_orderkey"), col("kv_key"))
     },
 
