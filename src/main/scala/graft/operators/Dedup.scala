@@ -456,6 +456,25 @@ object Dedup {
     "d15_span_cut_rewrite" -> { (s, dir) =>
       graft.functions.PgFunctions.register(s)
       spanCutOf(Tables.df(s, dir, "documents"))
+    },
+
+    // -- i17: INCREMENTAL exact-substring span dedup — d14's missing
+    //    refresh story (r13 verdict "what's missing" #3). The base
+    //    corpus's window index + fp census + token counts persist
+    //    (buildSpanState); an ingest batch (doc_id % 4 = 0, ~25%)
+    //    probes the census in O(|Δ|) and emits ONLY the changed
+    //    coverage rows: the new docs that gained duplicated windows
+    //    plus the base docs whose previously-unique window the batch
+    //    just duplicated. Base text is never re-read (probe plan has
+    //    ZERO parquet scans — PlanShapeSpec), unaffected docs are
+    //    never re-emitted, and every emitted row is byte-identical to
+    //    d14's full-corpus row for that doc (the IVM condition — the
+    //    oracle below re-derives from scratch and restricts). --
+    "i17_span_dedup_incremental" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val docs = Tables.df(s, dir, "documents")
+      val st = buildSpanState(docs.filter(col("doc_id") % 4 =!= 0))
+      spanDedupProbe(st, docs.filter(col("doc_id") % 4 === 0))
     }
   )
 
@@ -489,21 +508,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** d14's per-doc strict runs: (doc_id, island, len, st, en). */
-  private def spanRunsOf(docs: DataFrame): DataFrame = {
+  /** d14's positional W-token window fingerprints of a (doc_id, text)
+    * relation: (doc_id, pos, fp). Factored for the i17 incremental
+    * state, which persists exactly this relation as its index. */
+  private[graft] def positionalWindowsOf(docs: DataFrame): DataFrame = {
     val W = SpanDedupW
-    val wins = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
         posexplode(expr(s"word_grams31(text, $W, false)")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("fp"))
-    val dup = wins.groupBy(col("fp"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("fp")
-    val hits = wins.join(dup, Seq("fp"), "left_semi").select("doc_id", "pos")
+  }
+
+  /** Gaps-and-islands over a (doc_id, pos) hit set → per-doc strict
+    * runs (doc_id, island, len, st, en). Factored so i17's probe can
+    * run the identical island logic over hits derived from the
+    * persisted index instead of a fresh corpus scan. */
+  private[graft] def runsFromHits(hits: DataFrame): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("island", col("pos") - row_number().over(byPos))
       .groupBy(col("doc_id"), col("island"))
       .agg(count(lit(1)).as("len"), min("pos").as("st"), max("pos").as("en"))
+  }
+
+  /** d14's per-doc strict runs: (doc_id, island, len, st, en). */
+  private def spanRunsOf(docs: DataFrame): DataFrame = {
+    val wins = positionalWindowsOf(docs)
+    val dup = wins.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("fp")
+    runsFromHits(wins.join(dup, Seq("fp"), "left_semi").select("doc_id", "pos"))
   }
 
   /** d14's (W-1)-gap merged removable intervals: (doc_id, mst, men) in
@@ -522,20 +555,24 @@ object Dedup {
       .agg(min("st").as("mst"), max("en").as("men"))
   }
 
-  /** d14's pipeline over an arbitrary (doc_id, text) relation — factored
-    * (the shingleFpsOf pattern) so the planted-span semantic test can
-    * feed a corpus with known duplicate spans. */
-  private[graft] def spanDedupOf(docs: DataFrame): DataFrame = {
+  /** Per-doc token counts — the denominator relation of d14's coverage
+    * rows. */
+  private def ntokOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
+
+  /** d14's coverage-row assembly from per-doc runs + a token-count
+    * relation. Factored so i17's probe can feed PERSISTED token counts
+    * for base docs (no base-text re-read) while d14 derives them from
+    * the corpus directly. */
+  private[graft] def coverageRowsOf(runagg: DataFrame, ntok: DataFrame): DataFrame = {
     val W = SpanDedupW
-    val runagg = spanRunsOf(docs)
     val cover = mergedSpansOf(runagg)
     val perRuns = runagg.groupBy("doc_id").agg(
       sum("len").as("n_dup_windows"), count(lit(1)).as("n_runs"),
       (max("len") + lit(W - 1)).as("max_run_raw"))
     val perCov = cover.groupBy("doc_id")
       .agg(sum(col("men") - col("mst") + lit(W)).as("covered_raw"))
-    val ntok = docs.select(col("doc_id"),
-      size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
     perRuns.join(perCov, "doc_id").join(ntok, "doc_id")
       .select(col("doc_id"), col("n_dup_windows"), col("n_runs"),
         least(col("max_run_raw"), col("n_tokens")).as("max_run_tokens"),
@@ -544,6 +581,101 @@ object Dedup {
         round(least(col("covered_raw"), col("n_tokens")).cast("double") / col("n_tokens"), 4)
           .as("dup_pct"))
       .orderBy(col("doc_id"))
+  }
+
+  /** d14's pipeline over an arbitrary (doc_id, text) relation — factored
+    * (the shingleFpsOf pattern) so the planted-span semantic test can
+    * feed a corpus with known duplicate spans. */
+  private[graft] def spanDedupOf(docs: DataFrame): DataFrame =
+    coverageRowsOf(spanRunsOf(docs), ntokOf(docs))
+
+  /** i17's persisted incremental span-dedup state (the er02/i16 "the
+    * index persists, the corpus is read once per doc ever" discipline):
+    *  - `wins`  — the positional window index (doc_id, pos, fp): the
+    *    distributed analog of Lee et al.'s suffix-array structure,
+    *    8 bytes per corpus token through every exchange;
+    *  - `census` — per-fp (nd = distinct holders, solo = the one holder
+    *    when nd = 1): what a delta probes to find newly-duplicated
+    *    windows WITHOUT touching base text;
+    *  - `ntok` — per-doc token counts (coverage denominators).
+    * All three are eager localCheckpoints — a real deployment writes
+    * them as fp-/doc-bucketed tables; the append path is a partition
+    * append + fp-keyed census merge, never a corpus rescan. */
+  private[graft] final case class SpanState(
+    wins: DataFrame, census: DataFrame, ntok: DataFrame)
+
+  private[graft] def buildSpanState(docs: DataFrame): SpanState = {
+    val wins = positionalWindowsOf(docs).localCheckpoint(true)
+    // `solo` is defined ONLY at nd = 1 (null otherwise) so a fold and a
+    // from-scratch build produce the identical census relation
+    val census = wins.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("nd"), max(col("doc_id")).as("m"))
+      .select(col("fp"), col("nd"), when(col("nd") === 1, col("m")).as("solo"))
+      .localCheckpoint(true)
+    SpanState(wins, census, ntokOf(docs).localCheckpoint(true))
+  }
+
+  /** Fold a delta batch INTO the state (the i16 union-fold): the window
+    * index and token counts append (O(|Δ|)); the census merges on fp —
+    * doc sets are disjoint across batches, so counts add and `solo`
+    * survives only while the merged count stays 1. InvariantsSpec pins
+    * the IVM condition: two folds ≡ the state built from scratch. */
+  private[graft] def appendSpanState(st: SpanState, delta: DataFrame): SpanState = {
+    val wd = positionalWindowsOf(delta).localCheckpoint(true)
+    val cd = wd.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("nd"), max(col("doc_id")).as("solo"))
+    val merged = st.census.select(col("fp"), col("nd").as("nb"), col("solo").as("sb"))
+      .join(cd.select(col("fp"), col("nd").as("ndd"), col("solo").as("sd")),
+        Seq("fp"), "full_outer")
+      .select(col("fp"),
+        (coalesce(col("nb"), lit(0L)) + coalesce(col("ndd"), lit(0L))).as("nd"),
+        when(coalesce(col("nb"), lit(0L)) + coalesce(col("ndd"), lit(0L)) === 1,
+          coalesce(col("sb"), col("sd"))).as("solo"))
+    SpanState(
+      st.wins.unionByName(wd).localCheckpoint(true),
+      merged.localCheckpoint(true),
+      st.ntok.unionByName(ntokOf(delta)).localCheckpoint(true))
+  }
+
+  /** i17's O(Δ) probe: the delta slice is fingerprinted ONCE (windows
+    * and token counts from the same pass, checkpointed), its fps join
+    * the persisted census, and CHANGED coverage rows are emitted for
+    * (a) delta docs that hold a now-duplicated window and (b) base docs
+    * whose previously-solo fp the delta duplicated. Base doc windows
+    * come from the persisted index via a semi-join — base TEXT is never
+    * re-read (PlanShapeSpec pins zero parquet scans in the probe plan),
+    * and unaffected docs are never re-emitted. Output rows are exactly
+    * d14's full-corpus rows restricted to the affected set (the IVM
+    * condition, enforced by the DuckDB oracle's full re-derivation and
+    * by InvariantsSpec). */
+  private[graft] def spanDedupProbe(st: SpanState, delta: DataFrame): DataFrame = {
+    val W = SpanDedupW
+    val deltaFeat = delta.select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"),
+        posexplode(expr(s"word_grams31(text, $W, false)")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("pos"), col("col").as("fp"))
+      .localCheckpoint(true)
+    val winsDelta = deltaFeat.select("doc_id", "pos", "fp")
+    val ntokDelta = deltaFeat.select("doc_id", "n_tokens").distinct()
+    val deltaCensus = winsDelta.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("ndd"))
+    // the post-delta dup universe: merged per-fp distinct-holder counts
+    // (doc sets are disjoint, so the counts add) >= 2
+    val dupTotal = st.census.select(col("fp"), col("nd"))
+      .join(deltaCensus, Seq("fp"), "full_outer")
+      .filter(coalesce(col("nd"), lit(0L)) + coalesce(col("ndd"), lit(0L)) >= 2)
+      .select("fp")
+    // base docs whose coverage CHANGED = the solo holders of fps the
+    // delta just duplicated (an fp with nd >= 2 was already dup; one
+    // with nd = 1 flips exactly its solo holder)
+    val affBase = st.census.filter(col("nd") === 1)
+      .join(deltaCensus, Seq("fp"), "left_semi")
+      .select(col("solo").as("doc_id")).distinct()
+    val affWins = st.wins.join(affBase, Seq("doc_id"), "left_semi")
+      .unionByName(winsDelta)
+    val hits = affWins.join(dupTotal, Seq("fp"), "left_semi").select("doc_id", "pos")
+    coverageRowsOf(runsFromHits(hits), st.ntok.unionByName(ntokDelta))
   }
 
   /** d14's window width in tokens (the paper's 50-token threshold scaled
@@ -918,7 +1050,41 @@ object Dedup {
       FROM aff a
       JOIN nb ON a.doc_id = nb.doc_id
       LEFT JOIN reb ON a.doc_id = reb.doc_id
-      ORDER BY a.doc_id"""
+      ORDER BY a.doc_id""",
+
+    // i17: the full-corpus re-derivation restricted to the affected
+    // set — the IVM condition. `affected` mirrors the probe exactly:
+    // base solo-holders of delta-probed fps, plus delta docs holding a
+    // duplicated window.
+    "i17_span_dedup_incremental" -> s"""
+      WITH $oracleSpanCtes,
+      base_census AS (
+        SELECT fp, count(DISTINCT doc_id) AS nd, max(doc_id) AS solo
+        FROM wins WHERE doc_id % 4 <> 0 GROUP BY fp),
+      delta_fps AS (SELECT DISTINCT fp FROM wins WHERE doc_id % 4 = 0),
+      affected AS (
+        SELECT solo AS doc_id FROM base_census JOIN delta_fps USING (fp) WHERE nd = 1
+        UNION
+        SELECT DISTINCT doc_id FROM hits WHERE doc_id % 4 = 0),
+      perdoc_runs AS (
+        SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_dup_windows,
+               count(*) AS n_runs, CAST(max(len) + ${SpanDedupW - 1} AS BIGINT) AS max_run_raw
+        FROM runagg WHERE doc_id IN (SELECT doc_id FROM affected) GROUP BY doc_id),
+      perdoc_cov AS (
+        SELECT doc_id, CAST(sum(men - mst + $SpanDedupW) AS BIGINT) AS covered_raw
+        FROM cover WHERE doc_id IN (SELECT doc_id FROM affected) GROUP BY doc_id),
+      ntok AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT r.doc_id, n_dup_windows, n_runs,
+             least(max_run_raw, n_tokens) AS max_run_tokens,
+             least(covered_raw, n_tokens) AS covered_tokens, n_tokens,
+             round(CAST(least(covered_raw, n_tokens) AS DOUBLE) / n_tokens, 4) AS dup_pct
+      FROM perdoc_runs r
+      JOIN perdoc_cov c ON r.doc_id = c.doc_id
+      JOIN ntok t ON r.doc_id = t.doc_id
+      ORDER BY r.doc_id"""
   )
 
   /** DuckDB rendition of `bandCandidates` (capped hi/lo posting lists) as

@@ -697,6 +697,61 @@ class InvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("i17 ≡ d14: every emitted incremental row is byte-equal to the full-corpus row, and the changed set is exact") {
+    import org.apache.spark.sql.Row
+    // (1) row-level IVM condition: each probe row equals d14's
+    // full-corpus row for that doc — the incremental path may never
+    // disagree with the batch path on a doc it emits
+    val full = q("d14_substring_span_dedup").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val inc = q("i17_span_dedup_incremental").collect()
+    assert(inc.nonEmpty, "probe emitted nothing — the delta slice is degenerate")
+    for (r <- inc) {
+      val id = r.getLong(0)
+      assert(full.contains(id), s"probe emitted doc $id that d14 does not report")
+      assert(r == full(id), s"doc $id: incremental row $r != batch row ${full(id)}")
+    }
+    // (2) completeness on the delta side: every delta doc d14 reports
+    // is emitted (a new doc's coverage is changed by definition)
+    val deltaReported = full.keySet.filter(_ % 4 == 0)
+    val emitted = inc.map(_.getLong(0)).toSet
+    assert(deltaReported.subsetOf(emitted),
+      s"delta docs with coverage missing from the probe: ${deltaReported -- emitted}")
+    // (3) minimality on the base side: an emitted base doc must hold a
+    // window fingerprint that is UNIQUE within the base corpus and also
+    // present in the delta — the only way a delta can change base
+    // coverage (fps already duplicated in base changed nothing)
+    graft.functions.PgFunctions.register(spark)
+    val docs = Tables.df(spark, Sf, "documents")
+    val wins = operators.Dedup.positionalWindowsOf(docs)
+      .withColumn("is_delta", (col("doc_id") % 4 === 0).cast("int"))
+    val flips = wins.groupBy(col("fp"))
+      .agg(countDistinct(when(col("is_delta") === 0, col("doc_id"))).as("nb"),
+        countDistinct(when(col("is_delta") === 1, col("doc_id"))).as("ndd"),
+        max(when(col("is_delta") === 0, col("doc_id"))).as("solo"))
+      .filter(col("nb") === 1 && col("ndd") >= 1)
+      .select(col("solo")).collect().map(_.getLong(0)).toSet
+    val emittedBase = emitted.filter(_ % 4 != 0)
+    assert(emittedBase == flips.intersect(full.keySet),
+      s"changed-base set mismatch: emitted $emittedBase vs expected ${flips.intersect(full.keySet)}")
+  }
+
+  test("i17: two state folds are equivalent to the state built from scratch (IVM condition)") {
+    graft.functions.PgFunctions.register(spark)
+    val docs = Tables.df(spark, Sf, "documents")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 8 === 0)
+    val b2 = docs.filter(col("doc_id") % 8 === 4)
+    val folded = operators.Dedup.appendSpanState(
+      operators.Dedup.appendSpanState(operators.Dedup.buildSpanState(base), b1), b2)
+    val scratch = operators.Dedup.buildSpanState(docs)
+    def sig(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(sig(folded.wins, "doc_id", "pos", "fp") == sig(scratch.wins, "doc_id", "pos", "fp"))
+    assert(sig(folded.census, "fp", "nd", "solo") == sig(scratch.census, "fp", "nd", "solo"))
+    assert(sig(folded.ntok, "doc_id", "n_tokens") == sig(scratch.ntok, "doc_id", "n_tokens"))
+  }
+
   test("t24: overlap estimates are within [0,1] and the matrix covers all pairs") {
     val rows = SparkEntry.queries("t24_source_overlap")(spark, Sf).collect()
     val srcs = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length

@@ -1251,6 +1251,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the checkpointed index as the census input:\n$p")
   }
 
+  test("i17: the incremental span-dedup probe never rescans the corpus") {
+    // the O(|delta|) contract: once the window index / census / token
+    // counts persist and the delta slice is fingerprinted (one pass,
+    // checkpointed inside the probe), the emitted-rows plan reads ONLY
+    // checkpoints — zero parquet scans of documents (or anything else)
+    val p = plan("i17_span_dedup_incremental").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"probe must read state + delta checkpoints only, got $scans parquet scans:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the persisted span state:\n$p")
+    assert(p.contains("LeftSemi"), s"base windows must arrive via semi-join, never pair emission:\n$p")
+  }
+
   test("ddl04: after SET DISTRIBUTED BY the new-key join runs with no Exchange") {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
