@@ -683,6 +683,51 @@ object PgCompat {
         .orderBy(col("ci_key"))
     },
 
+    // -- q142: language-TAILORED ICU collation — the da-DK locale, the
+    //    last slice of the varlena.c ICU dispatch surface after q141's
+    //    und-ci/ai class (r13 verdict missing #2: "realize one tailored
+    //    locale the q141 way or close it"). Danish tailoring has the
+    //    two famous rules: æ/ø/å are LETTERS sorting after z (not
+    //    accent-folded to a/o — the exact opposite of q141's und
+    //    treatment of å!), and the digraph 'aa' collates as å, so
+    //    Aalborg ≡ Ålborg and both sort after Zebra. Realized the q141
+    //    way: the collation IS a shared sort-key expression —
+    //    replace(lower(x),'aa','å') applies the digraph tailoring, then
+    //    translate('æøå' → '{|}') ranks the three extra letters past
+    //    'z' in plain binary order. dense_rank over the keys pins the
+    //    ORDER itself in data (Ålborg-group ranks after the
+    //    Zebra-group), and n_forms proves the Aalborg/Ålborg collapse.
+    //    Scope note: the da tailoring table here is the published
+    //    primary-weight rules (DUCET + da tailoring for æøå/aa);
+    //    secondary/tertiary weights (case, accents beyond the three
+    //    letters) fall back to binary tiebreak — same boundary q141
+    //    documents --
+    "q142_da_collation" -> { (s, dir) =>
+      val names = "array('Aalborg','Ålborg','Aarhus','Århus','Ærøskøbing'," +
+        "'Æblegård','Odense','Øster','Ødis','Zebra','Viborg','Aabenraa'," +
+        "'Albertslund','København')"
+      // suffix from (c div 14) so adjacent custkeys hit DIFFERENT names
+      // with the SAME suffix — Aalborg-k and Ålborg-k both occur at
+      // every SF and must collapse into one '}lborg-k' key (a %m suffix
+      // with m sharing a factor with 14 would make the pair unreachable)
+      Tables.df(s, dir, "customer")
+        .select(concat(
+          expr(s"element_at($names, CAST(c_custkey % 14 AS INT) + 1)"),
+          lit("-"), expr("CAST((c_custkey div 14) % 10 AS STRING)")).as("raw"))
+        .withColumn("da_key",
+          expr("translate(replace(lower(raw), 'aa', 'å'), 'æøå', '{|}')"))
+        .groupBy(col("da_key"))
+        .agg(countDistinct(col("raw")).as("n_forms"),
+          count(lit(1)).as("n_rows"),
+          min(col("raw")).as("first_form"),
+          max(col("raw")).as("last_form"))
+        .withColumn("da_rank",
+          dense_rank().over(Window.orderBy(col("da_key"))).cast("long"))
+        .select(col("da_key"), col("da_rank"), col("n_forms"), col("n_rows"),
+          col("first_form"), col("last_form"))
+        .orderBy(col("da_key"))
+    },
+
     // -- q125: enum type ordering (reference `src/backend/utils/adt/
     //    enum.c` enum_cmp + catalog pg_enum.enumsortorder): an enum
     //    column compares by DECLARATION position, not label text.
@@ -1455,6 +1500,24 @@ object PgCompat {
       FROM v
       GROUP BY ci_key
       ORDER BY ci_key""",
+
+    "q142_da_collation" -> """
+      WITH v AS (
+        SELECT (['Aalborg','Ålborg','Aarhus','Århus','Ærøskøbing','Æblegård',
+                 'Odense','Øster','Ødis','Zebra','Viborg','Aabenraa',
+                 'Albertslund','København'])[CAST(c_custkey % 14 AS INT) + 1]
+               || '-' || CAST((c_custkey // 14) % 10 AS VARCHAR) AS raw
+        FROM customer),
+      g AS (
+        SELECT translate(replace(lower(raw), 'aa', 'å'), 'æøå', '{|}') AS da_key,
+               count(DISTINCT raw) AS n_forms,
+               count(*) AS n_rows,
+               min(raw) AS first_form,
+               max(raw) AS last_form
+        FROM v GROUP BY da_key)
+      SELECT da_key, CAST(dense_rank() OVER (ORDER BY da_key) AS BIGINT) AS da_rank,
+             n_forms, n_rows, first_form, last_form
+      FROM g ORDER BY da_key""",
 
     "q124_natural_sort" -> """
       WITH vers AS (

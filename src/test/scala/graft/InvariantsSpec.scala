@@ -752,6 +752,30 @@ class InvariantsSpec extends AnyFunSuite {
     assert(sig(folded.ntok, "doc_id", "n_tokens") == sig(scratch.ntok, "doc_id", "n_tokens"))
   }
 
+  test("q142: the da-DK tailoring holds — aa ≡ å, and æ/ø/å rank after every a-z name") {
+    val rows = q("q142_da_collation").collect()
+    val byKey = rows.map(r => r.getString(0) -> r).toMap
+    // digraph rule: Aalborg-k and Ålborg-k landed in ONE key with both
+    // raw spellings preserved under it
+    val aal = rows.filter(_.getString(0).startsWith("}lborg"))
+    assert(aal.nonEmpty && aal.forall(_.getAs[Long]("n_forms") == 2),
+      s"Aalborg/Ålborg must collapse per suffix: ${aal.mkString(",")}")
+    assert(aal.exists(r => r.getAs[String]("first_form").startsWith("Aalborg")
+      && r.getAs[String]("last_form").startsWith("Ålborg")))
+    // letter rule: every æ/ø/å-keyed group ranks after every a-z group
+    // (Zebra included) — the opposite of q141's accent-fold
+    val maxLatin = rows.filter(r => r.getString(0).head <= 'z')
+      .map(_.getAs[Long]("da_rank")).max
+    val minDanish = rows.filter(r => "{|}".contains(r.getString(0).head))
+      .map(_.getAs[Long]("da_rank")).min
+    assert(maxLatin < minDanish,
+      s"æ/ø/å must sort after z: max latin rank $maxLatin vs min danish $minDanish")
+    // and the three extra letters keep the Danish order æ < ø < å
+    def minRank(c: Char) = rows.filter(_.getString(0).head == c)
+      .map(_.getAs[Long]("da_rank")).min
+    assert(minRank('{') < minRank('|') && minRank('|') < minRank('}'))
+  }
+
   test("t24: overlap estimates are within [0,1] and the matrix covers all pairs") {
     val rows = SparkEntry.queries("t24_source_overlap")(spark, Sf).collect()
     val srcs = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
