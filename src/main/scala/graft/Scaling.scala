@@ -61,7 +61,12 @@ object Scaling {
     // round-13 additions: the exact-substring span dedup and the four
     // new TPC-DS signature shapes
     "d14_substring_span_dedup", "d15_span_cut_rewrite", "ds04_yoy_growth",
-    "ds14_cross_channel", "ds24_returned_netpaid", "ds28_band_stats")
+    "ds14_cross_channel", "ds24_returned_netpaid", "ds28_band_stats",
+    // round-14 additions: the four new TPC-DS shapes and the
+    // incremental span-dedup probe (state build + O(Δ) probe together)
+    "ds39_inventory_cov", "ds78_channel_ratio", "ds95_chained_exists",
+    "ds64_wide_twoyear", "ds59_weekly_pivot", "ds73_visit_band",
+    "i17_span_dedup_incremental")
 
   val MaxRatio = 13.0
 
@@ -80,7 +85,9 @@ object Scaling {
     // r12: the synonym-chain lexize is a per-token HOF — linear in L
     "f19_synonym_config",
     // r13: window fps + per-doc gaps-and-islands are linear in L
-    "d14_substring_span_dedup", "d15_span_cut_rewrite")
+    "d14_substring_span_dedup", "d15_span_cut_rewrite",
+    // r14: the incremental probe's window/census work is linear in L too
+    "i17_span_dedup_incremental")
 
   /** Total chars are ~equal across the two corpora, so a linear kernel
     * lands ~1×; 2.5 allows window/partition-count second-order effects

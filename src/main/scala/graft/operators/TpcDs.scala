@@ -115,6 +115,47 @@ object TpcDs {
           AND l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
         GROUP BY 1, 2, 3"""
 
+  /** q59 (0:12 published, performance.md:129): weekly sales pivoted to
+    * weekday columns, self-joined on the SAME (key, week) one year
+    * apart, emitting per-weekday growth ratios. The weekday pivot is
+    * FILTER'd sums in one aggregate (the ds88 collapse — never seven
+    * scans); the self-join runs over the |nations × weeks| aggregate.
+    * Parameterized on the day-of-week expression because the engines
+    * spell Monday=0 differently (Spark `weekday()`, DuckDB
+    * `isodow()-1`) — the ONLY divergent token; weeks clip to 2..50 so
+    * ISO week-of-year edge conventions can't disagree at the year
+    * boundary. */
+  private def ds59Wk(dow: String): String = s"""
+        SELECT n_name AS nat, year(o_orderdate) AS yr, weekofyear(o_orderdate) AS wk,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE $dow = 0) AS BIGINT) AS mon_c,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE $dow = 1) AS BIGINT) AS tue_c,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE $dow = 2) AS BIGINT) AS wed_c,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE $dow = 3) AS BIGINT) AS thu_c,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE $dow = 4) AS BIGINT) AS fri_c,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE $dow >= 5) AS BIGINT) AS wend_c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE weekofyear(o_orderdate) BETWEEN 2 AND 50 AND year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2, 3"""
+
+  /** ds59's outer one-year-apart self-join — runs over the spooled wk
+    * aggregate in Spark (2×-referenced CTE, the ds39 discipline), the
+    * CTE in DuckDB. */
+  private val Ds59Outer = """
+      SELECT w1.nat, w1.wk,
+             round(CAST(w2.mon_c AS DOUBLE) / w1.mon_c, 4) AS mon_ratio,
+             round(CAST(w2.tue_c AS DOUBLE) / w1.tue_c, 4) AS tue_ratio,
+             round(CAST(w2.wed_c AS DOUBLE) / w1.wed_c, 4) AS wed_ratio,
+             round(CAST(w2.thu_c AS DOUBLE) / w1.thu_c, 4) AS thu_ratio,
+             round(CAST(w2.fri_c AS DOUBLE) / w1.fri_c, 4) AS fri_ratio,
+             round(CAST(w2.wend_c AS DOUBLE) / w1.wend_c, 4) AS wend_ratio
+      FROM wk59 w1 JOIN wk59 w2 ON w1.nat = w2.nat AND w1.wk = w2.wk
+      WHERE w1.yr = 1996 AND w2.yr = 1997
+      ORDER BY w1.nat, w1.wk"""
+
+  private def ds59Text(dow: String): String =
+    s"WITH wk59 AS (${ds59Wk(dow)}) $Ds59Outer"
+
   /** ds64's outer two-year self-join over the spool. */
   private val Ds64Outer = """
       SELECT cs1.item, cs1.brand, cs1.cnt AS cnt1, cs2.cnt AS cnt2,
@@ -457,6 +498,25 @@ object TpcDs {
         AND l_orderkey IN (SELECT ok FROM multi_supp)
         AND l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""",
 
+    // q73 (0:16 published, performance.md:151): the visit-frequency
+    // band — per-customer order counts under date + priority
+    // predicates, HAVING the count inside a band, then joined back to
+    // the customer dimension for display. Scale shape: the band filter
+    // runs ON the aggregate (|customers|-sized) before the dim joins;
+    // the dims broadcast into the survivors.
+    "ds73_visit_band" -> """
+      SELECT c_custkey, c_name, n_name, cnt
+      FROM (
+        SELECT o_custkey, count(*) AS cnt
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_custkey
+        HAVING count(*) BETWEEN 3 AND 7) t
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY cnt DESC, c_custkey""",
+
     // q64 (0:13 published, performance.md:143): the wide multi-join
     // monster — one CTE joining the fact to ~everything (here all six
     // dimension-side relations plus a returned-order semi-join),
@@ -467,7 +527,11 @@ object TpcDs {
     // runs over the aggregate spool (see queries() — GP materializes
     // the 2×-referenced CTE; Spark would inline → two 8-relation
     // joins).
-    "ds64_wide_twoyear" -> s"WITH cross_sales64 AS ($Ds64CrossSales) $Ds64Outer"
+    "ds64_wide_twoyear" -> s"WITH cross_sales64 AS ($Ds64CrossSales) $Ds64Outer",
+
+    // the oracle spelling of ds59 (see ds59Text); queries() runs the
+    // identical text with Spark's weekday() as the one divergent token
+    "ds59_weekly_pivot" -> ds59Text("isodow(o_orderdate) - 1")
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -496,6 +560,12 @@ object TpcDs {
           // |parts × months| rows
           s.sql(Ds39Cov).localCheckpoint().createOrReplaceTempView("cov39")
           s.sql(Ds39Outer)
+        } else if (name == "ds59_weekly_pivot") {
+          // the 2×-referenced weekly pivot spools once; Spark's weekday()
+          // is the one token that differs from the oracle's isodow()-1
+          s.sql(ds59Wk("weekday(o_orderdate)")).localCheckpoint()
+            .createOrReplaceTempView("wk59")
+          s.sql(Ds59Outer)
         } else if (name == "ds64_wide_twoyear") {
           // the 8-relation join runs ONCE; the year-pair self-join
           // probes the spool

@@ -1066,6 +1066,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"ds64 went cartesian:\n$p")
   }
 
+  test("ds59: the weekday pivot spools once — the year-pair self-join reads no parquet") {
+    // the six FILTER'd day sums share ONE aggregate (never seven
+    // scans), and the 2x-referenced pivot is spooled (the ds39
+    // discipline) so the self-join reads |nations x weeks| rows
+    val p = plan("ds59_weekly_pivot").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"self-join must read the spool, got $scans parquet scans:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed wk59 spool:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds59 went cartesian:\n$p")
+  }
+
+  test("ds73: the visit band filters ON the aggregate; dims broadcast into the survivors") {
+    val p = plan("ds73_visit_band")
+    assert(!p.contains("CartesianProduct"), s"ds73 went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"customer/nation dims should broadcast:\n$p")
+  }
+
   test("d14: span dedup joins the dup census as a SEMI join — no pair emission, no cap needed") {
     val p = plan("d14_substring_span_dedup")
     assert(p.contains("LeftSemi"), s"dup-window probe must be a semi-join:\n$p")
