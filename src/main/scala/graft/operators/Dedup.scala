@@ -649,15 +649,16 @@ object Dedup {
     * condition, enforced by the DuckDB oracle's full re-derivation and
     * by InvariantsSpec). */
   private[graft] def spanDedupProbe(st: SpanState, delta: DataFrame): DataFrame = {
-    val W = SpanDedupW
-    val deltaFeat = delta.select(col("doc_id"),
-        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"),
-        posexplode(expr(s"word_grams31(text, $W, false)")))
-      .select(col("doc_id"), col("n_tokens"),
-        col("pos").cast("long").as("pos"), col("col").as("fp"))
-      .localCheckpoint(true)
-    val winsDelta = deltaFeat.select("doc_id", "pos", "fp")
-    val ntokDelta = deltaFeat.select("doc_id", "n_tokens").distinct()
+    // TWO column-pruned delta passes, deliberately: windows and token
+    // counts must NOT share one select — an n_tokens expression beside
+    // posexplode lands in the Project ABOVE the Generate (text rides
+    // requiredChildOutput) and re-splits the full text per WINDOW row,
+    // O(L) × L windows = O(L²) per doc. The r14 length-axis sweep
+    // caught exactly that shape at 66× (92.5 s on the 64×-long corpus);
+    // split into separate checkpointed plans it reads ~1× (the j08
+    // Generate lesson, see PROF_r14.md §1).
+    val winsDelta = positionalWindowsOf(delta).localCheckpoint(true)
+    val ntokDelta = ntokOf(delta).localCheckpoint(true)
     val deltaCensus = winsDelta.groupBy(col("fp"))
       .agg(count_distinct(col("doc_id")).as("ndd"))
     // the post-delta dup universe: merged per-fp distinct-holder counts

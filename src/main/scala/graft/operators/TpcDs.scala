@@ -529,6 +529,63 @@ object TpcDs {
     // joins).
     "ds64_wide_twoyear" -> s"WITH cross_sales64 AS ($Ds64CrossSales) $Ds64Outer",
 
+    // q75 (0:12 published, performance.md:154): net sales = sold MINUS
+    // returned per (brand, year) — the spec UNION-ALLs positive sales
+    // rows with negated return rows before aggregating (sales and
+    // returns live in separate tables there), then self-joins the two
+    // years and keeps brands whose net quantity declined. The signed
+    // UNION ALL is kept (one branch per sign, both pruned to 4 columns
+    // + pushed flag filters); the decline threshold is the
+    // cross-multiplied integer form (cur·100 < prev·98 ⇔ >2% drop).
+    // Scale shape: the union is scan-parallel, one shuffle on the
+    // group key; the year-pair join runs over the |brands × 2| spool.
+    "ds75_net_decline" -> """
+      WITH all_sales AS (
+        SELECT p_brand AS brand, year(l_shipdate) AS yr,
+               CAST(sum(sign * CAST(l_quantity AS BIGINT)) AS BIGINT) AS net_qty,
+               CAST(sum(sign * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS net_amt_c
+        FROM (
+          SELECT l_partkey, l_shipdate, l_quantity, l_extendedprice, CAST(1 AS BIGINT) AS sign
+          FROM lineitem WHERE l_returnflag <> 'R'
+          UNION ALL
+          SELECT l_partkey, l_shipdate, l_quantity, l_extendedprice, CAST(-1 AS BIGINT) AS sign
+          FROM lineitem WHERE l_returnflag = 'R') s
+        JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) IN (1996, 1997)
+        GROUP BY 1, 2)
+      SELECT prev.brand, prev.net_qty AS qty_1996, cur.net_qty AS qty_1997,
+             round(CAST(cur.net_qty AS DOUBLE) / prev.net_qty, 4) AS qty_ratio,
+             round(CAST(prev.net_amt_c AS DOUBLE) / 100.0, 2) AS amt_1996,
+             round(CAST(cur.net_amt_c AS DOUBLE) / 100.0, 2) AS amt_1997
+      FROM all_sales prev JOIN all_sales cur ON prev.brand = cur.brand
+      WHERE prev.yr = 1996 AND cur.yr = 1997
+        AND prev.net_qty > 0 AND cur.net_qty * 100 < prev.net_qty * 98
+      ORDER BY qty_ratio, prev.brand""",
+
+    // q77 (0:11 published, performance.md:156): per-channel
+    // (sales, returns, profit) totals with a grand-total ROLLUP row.
+    // The spec UNION-ALLs one aggregate block per channel because its
+    // channels are separate fact tables; here the channels classify
+    // ONE fact relation, so the scale-correct plan collapses the
+    // blocks into a single scan (the ds88/ds28 discipline): channel is
+    // a CASE over order priority, sales/returns are FILTER'd sums,
+    // profit is a signed net sum, and ROLLUP(channel) adds the total
+    // row the spec's final cross-channel aggregate produces.
+    "ds77_channel_totals" -> """
+      WITH ch AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+                    WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                    ELSE 'low' END AS channel,
+               l_returnflag, l_extendedprice, l_discount
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT channel,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_returnflag <> 'R') AS BIGINT) AS sales_c,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS returns_c,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END
+                      * CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_c
+      FROM ch GROUP BY ROLLUP(channel)
+      ORDER BY channel NULLS FIRST""",
+
     // the oracle spelling of ds59 (see ds59Text); queries() runs the
     // identical text with Spark's weekday() as the one divergent token
     "ds59_weekly_pivot" -> ds59Text("isodow(o_orderdate) - 1")

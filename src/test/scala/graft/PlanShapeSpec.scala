@@ -1083,6 +1083,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"customer/nation dims should broadcast:\n$p")
   }
 
+  test("ds75: the signed UNION branches are column-pruned; the year-pair join is equi, never all-pairs") {
+    val p = plan("ds75_net_decline")
+    assert(!p.contains("CartesianProduct"), s"ds75 went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"ds75 is nested-loop:\n$p")
+    assert(p.contains("Union"), s"expected the signed sales/returns UNION ALL:\n$p")
+    // neither branch drags unreferenced lineitem columns through the union
+    assert(!p.contains("l_comment") && !p.contains("l_suppkey") && !p.contains("l_tax"),
+      s"union branches are not column-pruned:\n$p")
+  }
+
+  test("ds77: channel totals are ONE scan + ONE rollup Expand — never a block per channel") {
+    val p = plan("ds77_channel_totals").split("== Initial Plan ==")(0)
+    val scans = "lineitem".r.findAllIn(p).length
+    assert(scans <= 1, s"the per-channel blocks must collapse to one lineitem scan, got $scans:\n$p")
+    val expands = "Expand".r.findAllIn(p).length
+    assert(expands == 1, s"expected exactly the ROLLUP Expand, got $expands:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds77 went cartesian:\n$p")
+  }
+
   test("d14: span dedup joins the dup census as a SEMI join — no pair emission, no cap needed") {
     val p = plan("d14_substring_span_dedup")
     assert(p.contains("LeftSemi"), s"dup-window probe must be a semi-join:\n$p")
