@@ -672,6 +672,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(verdicts.nonEmpty && verdicts.map(_._1).distinct.size == verdicts.size,
       "each delta doc verdicts exactly once across micro-batches")
   }
+
+  test("i17 streamed: per-micro-batch span probes + state folds compose to the batch result") {
+    // The production rendition of i17: the window index/census persist,
+    // each ingest micro-batch probes in O(|Δ|) via foreachBatch and then
+    // FOLDS into the state (appendSpanState), so the next batch probes
+    // base ∪ earlier batches. Changed-coverage rows compose by
+    // last-write-wins per doc (a doc re-affected by a later batch is
+    // re-emitted with its updated row; a fp moving nd 2→3 changes no
+    // coverage, so un-re-emitted rows stay final) — and the composed
+    // relation must equal the one-shot i17 query exactly.
+    Tables.configure(spark)
+    graft.functions.PgFunctions.register(spark)
+    import graft.operators.Dedup
+    val docs = Tables.df(spark, Sf, "documents")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    var state = Dedup.buildSpanState(base)
+    val median = delta.selectExpr("percentile(doc_id, 0.5)").head.getDouble(0)
+    val landing = java.nio.file.Files.createTempDirectory("graft_i17_stream").toString
+    delta.filter(col("doc_id") <= median).coalesce(1).write.parquet(s"$landing/b0")
+    delta.filter(col("doc_id") > median).coalesce(1).write.parquet(s"$landing/b1")
+    val composed = scala.collection.mutable.Map.empty[Long, Seq[Any]]
+    var batches = 0
+    val q = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$landing/*")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = Dedup.spanDedupProbe(state, batch).collect()
+        composed.synchronized {
+          out.foreach(r => composed(r.getLong(0)) = r.toSeq)
+          batches += 1
+        }
+        state = Dedup.appendSpanState(state, batch)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    assert(batches == 2, s"expected two micro-batches, got $batches")
+    val oneShot = SparkEntry.queries("i17_span_dedup_incremental")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(composed.nonEmpty, "streamed probes emitted nothing")
+    assert(composed.toMap == oneShot,
+      "last-write-wins composition of streamed probes must equal the one-shot i17 relation")
+    // and the folded state equals the from-scratch full-corpus state
+    val scratch = Dedup.buildSpanState(docs)
+    assert(state.census.collect().map(_.toString).sorted.toSeq ==
+      scratch.census.collect().map(_.toString).sorted.toSeq,
+      "state after both folds must equal the from-scratch census")
+  }
 }
 
 object StreamingSpec {
