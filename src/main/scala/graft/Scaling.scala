@@ -66,7 +66,7 @@ object Scaling {
     // incremental span-dedup probe (state build + O(Δ) probe together)
     "ds39_inventory_cov", "ds78_channel_ratio", "ds95_chained_exists",
     "ds64_wide_twoyear", "ds59_weekly_pivot", "ds73_visit_band",
-    "ds75_net_decline", "ds77_channel_totals",
+    "ds75_net_decline", "ds77_channel_totals", "ds54_revenue_segments",
     "i17_span_dedup_incremental")
 
   val MaxRatio = 13.0

@@ -562,6 +562,38 @@ object TpcDs {
         AND prev.net_qty > 0 AND cur.net_qty * 100 < prev.net_qty * 98
       ORDER BY qty_ratio, prev.brand""",
 
+    // q54 (published performance.md:133): the customer-revenue
+    // segmentation funnel — items sold on one channel in a month build
+    // a customer set (two chained IN-subqueries → semi-joins), those
+    // customers' next-quarter revenue on the other channel aggregates
+    // per customer, and the histogram buckets revenue into $50
+    // segments. Scale shape: month_items and my_customers are
+    // distinct-key sets (broadcastable) semi-joined into fact scans
+    // with pushed date filters; the segment histogram groups the
+    // |customers|-sized aggregate.
+    "ds54_revenue_segments" -> """
+      WITH month_items AS (
+        SELECT DISTINCT l_partkey AS item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'A'
+          AND o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-04-01'),
+      my_customers AS (
+        SELECT DISTINCT o_custkey AS cust
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_partkey IN (SELECT item FROM month_items)
+          AND o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-04-01'),
+      my_revenue AS (
+        SELECT o_custkey AS cust,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IN (SELECT cust FROM my_customers)
+          AND l_returnflag = 'N'
+          AND o_orderdate >= TIMESTAMP '1997-04-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        GROUP BY 1)
+      SELECT CAST(floor(rev_c / 500000.0) AS BIGINT) AS segment, count(*) AS num_customers,
+             CAST(floor(rev_c / 500000.0) AS BIGINT) * 5000 AS segment_base
+      FROM my_revenue GROUP BY 1 ORDER BY 1""",
+
     // q77 (0:11 published, performance.md:156): per-channel
     // (sales, returns, profit) totals with a grand-total ROLLUP row.
     // The spec UNION-ALLs one aggregate block per channel because its

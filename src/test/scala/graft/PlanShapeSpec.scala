@@ -1083,6 +1083,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"customer/nation dims should broadcast:\n$p")
   }
 
+  test("ds54: both funnel IN-subqueries plan as semi-joins; date filters reach the scans") {
+    val p = plan("ds54_revenue_segments")
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      s"month_items and my_customers must semi-join into the fact scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds54 went cartesian:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)")
+      || p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"the date-window filters must reach the orders scan:\n$p")
+  }
+
   test("ds75: the signed UNION branches are column-pruned; the year-pair join is equi, never all-pairs") {
     val p = plan("ds75_net_decline")
     assert(!p.contains("CartesianProduct"), s"ds75 went cartesian:\n$p")
