@@ -498,6 +498,26 @@ object TpcDs {
         AND l_orderkey IN (SELECT ok FROM multi_supp)
         AND l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""",
 
+    // q87 (0:08 published, performance.md:166): the EXCEPT chain —
+    // count the composite (customer, day) keys that appear in ONE
+    // channel's sales and in NEITHER of the other two. Each branch
+    // distincts its channel's key set (2-column pruned scans); the two
+    // EXCEPTs shuffle only distinct keys (ds14's INTERSECT sibling —
+    // this pins the other set-op at fact scale).
+    "ds87_except_chain" -> """
+      SELECT count(*) AS n_store_only FROM (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'N' AND year(o_orderdate) = 1997
+        EXCEPT
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'A' AND year(o_orderdate) = 1997
+        EXCEPT
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997) t""",
+
     // q73 (0:16 published, performance.md:151): the visit-frequency
     // band — per-customer order counts under date + priority
     // predicates, HAVING the count inside a band, then joined back to

@@ -1093,6 +1093,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the date-window filters must reach the orders scan:\n$p")
   }
 
+  test("ds87: the EXCEPT chain plans as anti-joins over distinct keys — no cartesian, pruned branches") {
+    val p = plan("ds87_except_chain")
+    assert(p.contains("LeftAnti"), s"EXCEPT must plan as anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds87 went cartesian:\n$p")
+    assert(!p.contains("l_extendedprice") && !p.contains("l_quantity"),
+      s"EXCEPT branch scans are not column-pruned:\n$p")
+  }
+
   test("ds75: the signed UNION branches are column-pruned; the year-pair join is equi, never all-pairs") {
     val p = plan("ds75_net_decline")
     assert(!p.contains("CartesianProduct"), s"ds75 went cartesian:\n$p")
