@@ -68,7 +68,7 @@ object Scaling {
     "ds64_wide_twoyear", "ds59_weekly_pivot", "ds73_visit_band",
     "ds75_net_decline", "ds77_channel_totals", "ds54_revenue_segments",
     "ds87_except_chain",
-    "i17_span_dedup_incremental")
+    "i17_span_dedup_incremental", "i18_span_dedup_retract")
 
   val MaxRatio = 13.0
 
@@ -89,7 +89,7 @@ object Scaling {
     // r13: window fps + per-doc gaps-and-islands are linear in L
     "d14_substring_span_dedup", "d15_span_cut_rewrite",
     // r14: the incremental probe's window/census work is linear in L too
-    "i17_span_dedup_incremental")
+    "i17_span_dedup_incremental", "i18_span_dedup_retract")
 
   /** Total chars are ~equal across the two corpora, so a linear kernel
     * lands ~1×; 2.5 allows window/partition-count second-order effects

@@ -475,6 +475,23 @@ object Dedup {
       val docs = Tables.df(s, dir, "documents")
       val st = buildSpanState(docs.filter(col("doc_id") % 4 =!= 0))
       spanDedupProbe(st, docs.filter(col("doc_id") % 4 === 0))
+    },
+
+    // -- i18: span-dedup RETRACTION — the deletion half of the
+    //    incremental story (i15's min/max-retraction analog: coverage
+    //    has no inverse, so the affected survivors re-derive from the
+    //    persisted index). A ~20% slice of the corpus is deleted; the
+    //    emitted rows are the post-delete coverage for EXACTLY the
+    //    survivors whose windows lost their last duplicate partner
+    //    (nd ≥ 2 → 1 flips), including n_runs = 0 retractions for docs
+    //    whose last duplicate vanished. The whole plan is index-keyed —
+    //    zero parquet scans, even the deleted-id set comes from state
+    //    (plan-asserted); the oracle re-derives the survivor corpus
+    //    from scratch and restricts to the same flip set. --
+    "i18_span_dedup_retract" -> { (s, dir) =>
+      graft.functions.PgFunctions.register(s)
+      val st = buildSpanState(Tables.df(s, dir, "documents"))
+      spanDedupRetract(st, st.ntok.filter(col("doc_id") % 5 === 3).select("doc_id"))
     }
   )
 
@@ -635,6 +652,85 @@ object Dedup {
       st.wins.unionByName(wd).localCheckpoint(true),
       merged.localCheckpoint(true),
       st.ntok.unionByName(ntokOf(delta)).localCheckpoint(true))
+  }
+
+  /** i18's RETRACTION — the hard IVM direction (the i15 min/max story
+    * applied to span dedup): deleting docs can UN-duplicate a
+    * survivor's windows, so coverage must shrink without a corpus
+    * rescan. A surviving doc is affected iff one of its window fps
+    * drops from nd ≥ 2 to exactly one surviving holder (2→2, 3→2,
+    * 1→0, ≥2→0 flips change no survivor). Everything derives from the
+    * persisted index: the deleted docs' windows, the flip set, the
+    * remaining-holder lookup, and the affected docs' re-scored windows
+    * are all fp-/doc-keyed joins against state — the retraction plan
+    * touches ZERO parquet (plan-asserted; even the deleted-id set is
+    * carved from the state's ntok relation). Emitted rows are the
+    * post-delete d14 rows for exactly the affected survivors, with
+    * zero-coverage rows kept (a doc whose last duplicate vanished
+    * reports n_runs = 0 — its old row is retracted, not merely
+    * missing). coalesce-BEFORE-least in the zero fill: least(NULL, n)
+    * ignores the NULL in both engines and would resurrect n. */
+  private[graft] def spanDedupRetract(st: SpanState, deleted: DataFrame): DataFrame = {
+    val W = SpanDedupW
+    val delCensus = st.wins.join(deleted, Seq("doc_id"), "left_semi")
+      .groupBy(col("fp")).agg(count_distinct(col("doc_id")).as("ndd"))
+    val survWins = st.wins.join(deleted, Seq("doc_id"), "left_anti")
+    val flipped = st.census.join(delCensus, Seq("fp"))
+      .filter(col("nd") >= 2 && col("nd") - col("ndd") === 1)
+      .select("fp")
+    val affected = survWins.join(flipped, Seq("fp"), "left_semi")
+      .select("doc_id").distinct()
+    val dupNew = st.census.join(delCensus, Seq("fp"), "left_outer")
+      .filter(col("nd") - coalesce(col("ndd"), lit(0L)) >= 2)
+      .select("fp")
+    val affWins = survWins.join(affected, Seq("doc_id"), "left_semi")
+    val hits = affWins.join(dupNew, Seq("fp"), "left_semi").select("doc_id", "pos")
+    val runagg = runsFromHits(hits)
+    val cover = mergedSpansOf(runagg)
+    val perRuns = runagg.groupBy("doc_id").agg(
+      sum("len").as("n_dup_windows"), count(lit(1)).as("n_runs"),
+      (max("len") + lit(W - 1)).as("max_run_raw"))
+    val perCov = cover.groupBy("doc_id")
+      .agg(sum(col("men") - col("mst") + lit(W)).as("covered_raw"))
+    affected.join(st.ntok, "doc_id")
+      .join(perRuns, Seq("doc_id"), "left")
+      .join(perCov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        least(coalesce(col("max_run_raw"), lit(0L)), col("n_tokens")).as("max_run_tokens"),
+        least(coalesce(col("covered_raw"), lit(0L)), col("n_tokens")).as("covered_tokens"),
+        col("n_tokens"),
+        round(least(coalesce(col("covered_raw"), lit(0L)), col("n_tokens")).cast("double")
+          / col("n_tokens"), 4).as("dup_pct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fold a deletion INTO the state: windows/token counts anti-join the
+    * deleted set; the census subtracts per-fp deleted-holder counts,
+    * drops emptied fps, and recomputes `solo` for fps that flipped to
+    * one holder by probing the surviving index (the only piece the
+    * compact (nd, solo) summary cannot answer alone). InvariantsSpec
+    * pins retraction ≡ from-scratch build over the survivors. */
+  private[graft] def retractSpanState(st: SpanState, deleted: DataFrame): SpanState = {
+    val survWins = st.wins.join(deleted, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val delCensus = st.wins.join(deleted, Seq("doc_id"), "left_semi")
+      .groupBy(col("fp")).agg(count_distinct(col("doc_id")).as("ndd"))
+    val merged = st.census.join(delCensus, Seq("fp"), "left_outer")
+      .select(col("fp"),
+        (col("nd") - coalesce(col("ndd"), lit(0L))).as("nd"),
+        col("solo"), col("ndd").isNotNull.as("touched"))
+      .filter(col("nd") >= 1)
+    val soloNew = survWins
+      .join(merged.filter(col("nd") === 1 && col("touched")).select("fp"),
+        Seq("fp"), "left_semi")
+      .groupBy(col("fp")).agg(max(col("doc_id")).as("solo_new"))
+    val census = merged.join(soloNew, Seq("fp"), "left_outer")
+      .select(col("fp"), col("nd"),
+        when(col("nd") === 1, coalesce(col("solo_new"), col("solo"))).as("solo"))
+      .localCheckpoint(true)
+    SpanState(survWins, census,
+      st.ntok.join(deleted, Seq("doc_id"), "left_anti").localCheckpoint(true))
   }
 
   /** i17's O(Δ) probe: the delta slice is fingerprinted ONCE (windows
@@ -1085,7 +1181,68 @@ object Dedup {
       FROM perdoc_runs r
       JOIN perdoc_cov c ON r.doc_id = c.doc_id
       JOIN ntok t ON r.doc_id = t.doc_id
-      ORDER BY r.doc_id"""
+      ORDER BY r.doc_id""",
+
+    // i18: survivor-corpus re-derivation restricted to the flip set.
+    // s_* CTEs are the d14 pipeline over survivors only; `affected`
+    // mirrors the retraction exactly (fps with nd_all >= 2 whose
+    // surviving holder count is 1 name their survivor); LEFT JOINs keep
+    // the zero-coverage retraction rows, with coalesce BEFORE least so
+    // a NULL aggregate cannot resurrect n_tokens.
+    "i18_span_dedup_retract" -> s"""
+      WITH $oracleSpanCtes,
+      s_wins AS (SELECT * FROM wins WHERE doc_id % 5 <> 3),
+      s_dup AS (SELECT fp FROM s_wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+      s_hits AS (SELECT doc_id, pos FROM s_wins JOIN s_dup USING (fp)),
+      s_runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM s_hits),
+      s_runagg AS (
+        SELECT doc_id, island, count(*) AS len, min(pos) AS st, max(pos) AS en
+        FROM s_runs GROUP BY 1, 2),
+      s_brks AS (
+        SELECT doc_id, st, en,
+               CASE WHEN lag(en) OVER (PARTITION BY doc_id ORDER BY st) IS NULL
+                     OR st - lag(en) OVER (PARTITION BY doc_id ORDER BY st) > ${SpanDedupW - 1}
+                    THEN 1 ELSE 0 END AS brk
+        FROM s_runagg),
+      s_grp AS (
+        SELECT doc_id, st, en,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY st
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM s_brks),
+      s_cover AS (SELECT doc_id, g, min(st) AS mst, max(en) AS men FROM s_grp GROUP BY 1, 2),
+      all_census AS (SELECT fp, count(DISTINCT doc_id) AS nd_all FROM wins GROUP BY fp),
+      affected AS (
+        SELECT DISTINCT last_solo AS doc_id FROM (
+          SELECT s.fp, max(s.doc_id) AS last_solo
+          FROM s_wins s JOIN all_census a ON s.fp = a.fp
+          WHERE a.nd_all >= 2
+          GROUP BY s.fp HAVING count(DISTINCT s.doc_id) = 1) f),
+      i18_runs AS (
+        SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_dup_windows,
+               count(*) AS n_runs, CAST(max(len) + ${SpanDedupW - 1} AS BIGINT) AS max_run_raw
+        FROM s_runagg WHERE doc_id IN (SELECT doc_id FROM affected) GROUP BY doc_id),
+      i18_cov AS (
+        SELECT doc_id, CAST(sum(men - mst + $SpanDedupW) AS BIGINT) AS covered_raw
+        FROM s_cover WHERE doc_id IN (SELECT doc_id FROM affected) GROUP BY doc_id),
+      ntok AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT a.doc_id,
+             CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+             CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs,
+             CAST(least(coalesce(max_run_raw, 0), n_tokens) AS BIGINT) AS max_run_tokens,
+             CAST(least(coalesce(covered_raw, 0), n_tokens) AS BIGINT) AS covered_tokens,
+             n_tokens,
+             round(CAST(least(coalesce(covered_raw, 0), n_tokens) AS DOUBLE) / n_tokens, 4) AS dup_pct
+      FROM affected a
+      LEFT JOIN i18_runs r ON a.doc_id = r.doc_id
+      LEFT JOIN i18_cov c ON a.doc_id = c.doc_id
+      JOIN ntok t ON a.doc_id = t.doc_id
+      ORDER BY a.doc_id"""
   )
 
   /** DuckDB rendition of `bandCandidates` (capped hi/lo posting lists) as

@@ -776,6 +776,57 @@ class InvariantsSpec extends AnyFunSuite {
     assert(minRank('{') < minRank('|') && minRank('|') < minRank('}'))
   }
 
+  test("i18 ≡ d14-over-survivors: retraction emits the exact flip set with post-delete rows") {
+    graft.functions.PgFunctions.register(spark)
+    val docs = Tables.df(spark, Sf, "documents")
+    val survivors = docs.filter(col("doc_id") % 5 =!= 3)
+    val out = q("i18_span_dedup_retract").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.nonEmpty, "retraction emitted nothing — the deleted slice is degenerate")
+    assert(out.keySet.forall(_ % 5 != 3), "retraction emitted a deleted doc")
+    // (1) non-zero rows must equal the survivor-corpus batch rows
+    val batch = operators.Dedup.spanDedupOf(survivors).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((id, r) <- out) {
+      if (r.getAs[Long]("n_runs") > 0)
+        assert(r == batch(id), s"doc $id: retraction row $r != survivor-batch row ${batch(id)}")
+      else {
+        // (2) zero rows are true retractions: the doc has NO runs in the
+        // survivor corpus but HAD coverage in the full corpus
+        assert(!batch.contains(id), s"doc $id reported n_runs=0 but survivor batch has runs")
+        assert(r.getAs[Long]("covered_tokens") == 0 && r.getAs[Long]("n_dup_windows") == 0)
+      }
+    }
+    // (3) every emitted doc's coverage strictly SHRANK vs the full corpus
+    val before = q("d14_substring_span_dedup").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup_windows")).toMap
+    for ((id, r) <- out) {
+      assert(before.contains(id), s"doc $id emitted but had no coverage before the delete")
+      assert(r.getAs[Long]("n_dup_windows") < before(id),
+        s"doc $id: retraction did not shrink coverage (${r.getAs[Long]("n_dup_windows")} vs ${before(id)})")
+    }
+    // (4) minimality: no survivor outside the emitted set changed — the
+    // survivor-batch rows for unemitted docs match the full-corpus rows
+    val fullRows = q("d14_substring_span_dedup").collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    for ((id, r) <- batch if id % 5 != 3 && !out.contains(id))
+      assert(fullRows.get(id).contains(r.toSeq),
+        s"unemitted survivor $id changed between full and survivor corpora")
+  }
+
+  test("i18: retracting the state equals building it from the survivors (IVM condition)") {
+    graft.functions.PgFunctions.register(spark)
+    val docs = Tables.df(spark, Sf, "documents")
+    val st = operators.Dedup.buildSpanState(docs)
+    val deleted = st.ntok.filter(col("doc_id") % 5 === 3).select("doc_id")
+    val retracted = operators.Dedup.retractSpanState(st, deleted)
+    val scratch = operators.Dedup.buildSpanState(docs.filter(col("doc_id") % 5 =!= 3))
+    def sig(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(sig(retracted.wins, "doc_id", "pos", "fp") == sig(scratch.wins, "doc_id", "pos", "fp"))
+    assert(sig(retracted.census, "fp", "nd", "solo") == sig(scratch.census, "fp", "nd", "solo"))
+    assert(sig(retracted.ntok, "doc_id", "n_tokens") == sig(scratch.ntok, "doc_id", "n_tokens"))
+  }
+
   test("t24: overlap estimates are within [0,1] and the matrix covers all pairs") {
     val rows = SparkEntry.queries("t24_source_overlap")(spark, Sf).collect()
     val srcs = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length

@@ -1317,6 +1317,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"base windows must arrive via semi-join, never pair emission:\n$p")
   }
 
+  test("i18: the retraction plan is fully index-derived — zero parquet scans anywhere") {
+    // deletions must never rescan the corpus: deleted windows, the
+    // flip set, the remaining-holder lookup, and the re-scored rows
+    // all come from the persisted state (even the deleted-id set is
+    // carved from state's ntok)
+    val p = plan("i18_span_dedup_retract").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"retraction must read state only, got $scans parquet scans:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the persisted span state:\n$p")
+    assert(p.contains("LeftAnti"), s"survivor windows must arrive via anti-join on the deleted set:\n$p")
+  }
+
   test("ddl04: after SET DISTRIBUTED BY the new-key join runs with no Exchange") {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
