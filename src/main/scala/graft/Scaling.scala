@@ -67,7 +67,7 @@ object Scaling {
     "ds39_inventory_cov", "ds78_channel_ratio", "ds95_chained_exists",
     "ds64_wide_twoyear", "ds59_weekly_pivot", "ds73_visit_band",
     "ds75_net_decline", "ds77_channel_totals", "ds54_revenue_segments",
-    "ds87_except_chain",
+    "ds87_except_chain", "ds38_intersect_count",
     "i17_span_dedup_incremental", "i18_span_dedup_retract")
 
   val MaxRatio = 13.0

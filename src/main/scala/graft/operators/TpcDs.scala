@@ -498,6 +498,26 @@ object TpcDs {
         AND l_orderkey IN (SELECT ok FROM multi_supp)
         AND l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""",
 
+    // q38 (0:08 published, performance.md:118): q87's complement —
+    // count the composite (customer, day) keys present in ALL THREE
+    // channels via a 3-way INTERSECT of distinct key sets (ds14 pins
+    // INTERSECT feeding a join; this pins the standalone
+    // count-of-intersection the spec runs). Same 2-column-pruned
+    // branch scans; the set op shuffles only distinct keys.
+    "ds38_intersect_count" -> """
+      SELECT count(*) AS n_all_channels FROM (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'N' AND year(o_orderdate) = 1997
+        INTERSECT
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'A' AND year(o_orderdate) = 1997
+        INTERSECT
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R' AND year(o_orderdate) = 1997) t""",
+
     // q87 (0:08 published, performance.md:166): the EXCEPT chain —
     // count the composite (customer, day) keys that appear in ONE
     // channel's sales and in NEITHER of the other two. Each branch

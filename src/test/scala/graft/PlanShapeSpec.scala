@@ -1093,6 +1093,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the date-window filters must reach the orders scan:\n$p")
   }
 
+  test("ds38: the 3-way INTERSECT count plans as semi-joins over distinct keys") {
+    val p = plan("ds38_intersect_count")
+    assert(p.contains("LeftSemi"), s"INTERSECT must plan as semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds38 went cartesian:\n$p")
+    assert(!p.contains("l_extendedprice") && !p.contains("l_quantity"),
+      s"INTERSECT branch scans are not column-pruned:\n$p")
+  }
+
   test("ds87: the EXCEPT chain plans as anti-joins over distinct keys — no cartesian, pruned branches") {
     val p = plan("ds87_except_chain")
     assert(p.contains("LeftAnti"), s"EXCEPT must plan as anti-join:\n$p")
