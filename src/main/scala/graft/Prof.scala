@@ -32,6 +32,8 @@ object Prof {
       operators.Bucketed.ensure(spark, sfDir)
       operators.Stats.ensure(spark, sfDir)
       operators.EntityResolution.ensureBaseState(spark, sfDir)
+      operators.Dedup.ensureSpanState(spark, sfDir, baseSlice = true)
+      operators.Dedup.ensureSpanState(spark, sfDir, baseSlice = false)
     } catch { case e: Throwable => System.err.println(s"[prof] warmup: ${e.getMessage}") }
     for (i <- 1 to passes) {
       val t0 = System.nanoTime()

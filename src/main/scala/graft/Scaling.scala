@@ -146,9 +146,18 @@ object Scaling {
         graft.rules.AqumvRule.clear()
     }
 
-    // warmup (codegen + JVM) on a small query at each dir
+    // warmup (codegen + JVM) on a small query at each dir; i17/i18's
+    // persisted span state builds here too (state build is DDL — the
+    // measured window must contain only the O(Δ) probe)
+    def warmDerived(dir: String): Unit = {
+      operators.Dedup.ensureSpanState(spark, dir, baseSlice = true)
+      operators.Dedup.ensureSpanState(spark, dir, baseSlice = false)
+    }
     Seq(smallDir, bigDir).foreach { dir =>
-      try SparkEntry.queries("t21_word_entropy")(spark, dir).queryExecution.toRdd.count()
+      try {
+        SparkEntry.queries("t21_word_entropy")(spark, dir).queryExecution.toRdd.count()
+        warmDerived(dir)
+      }
       catch { case e: Throwable => System.err.println(s"[scaling] warmup $dir failed: ${e.getMessage}") }
       hygiene()
     }
@@ -187,7 +196,10 @@ object Scaling {
 
     // LENGTH axis: short (sf0.1) vs long-doc corpus, same min-of-2
     // alternating-sweep discipline
-    try SparkEntry.queries("t21_word_entropy")(spark, longDir).queryExecution.toRdd.count()
+    try {
+      SparkEntry.queries("t21_word_entropy")(spark, longDir).queryExecution.toRdd.count()
+      warmDerived(longDir)
+    }
     catch { case e: Throwable => System.err.println(s"[scaling] warmup $longDir failed: ${e.getMessage}") }
     hygiene()
     val lenShort1 = sweep(smallDir, LenTargets)

@@ -62,15 +62,20 @@ object Tables {
     * plans) are collectable, and there is no identity-hash key to be
     * reused by a later session (the r13 advice finding). Each call hands
     * the caller a frame bound to ITS session, so parallel test sessions
-    * (InvariantsSpec) never share state. */
+    * (InvariantsSpec) never share state. The key carries the path's
+    * (mtime, size) fingerprint (one stat — ~µs against the ~70 ms
+    * inference it saves), so a path rewritten with a different schema in
+    * the same JVM re-infers instead of silently misreading through a
+    * stale schema (missing columns as nulls — the r14 advice finding). */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    val f = new java.io.File(path)
+    val schema = schemaCache.computeIfAbsent((path, f.lastModified, f.length),
+      k => spark.read.parquet(k._1).schema)
     val raw = spark.read.schema(schema).parquet(path)
     if (name == "events") withNormalizedTs(raw) else raw
   }

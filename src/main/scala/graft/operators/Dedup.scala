@@ -470,11 +470,17 @@ object Dedup {
     //    never re-emitted, and every emitted row is byte-identical to
     //    d14's full-corpus row for that doc (the IVM condition — the
     //    oracle below re-derives from scratch and restricts). --
+    //    r15: the state now persists as parquet tables (ensureSpanState,
+    //    idempotent — built in Bench/Prof warmup like er02's base state
+    //    or any CREATE INDEX), so the measured window contains ONLY the
+    //    O(Δ) probe — the number that supports the IVM claim (r14
+    //    verdict finding #2). The probe plan's only documents.parquet
+    //    read is the delta slice itself (pushed doc_id filter);
+    //    PlanShapeSpec pins that base text is never rescanned. --
     "i17_span_dedup_incremental" -> { (s, dir) =>
       graft.functions.PgFunctions.register(s)
-      val docs = Tables.df(s, dir, "documents")
-      val st = buildSpanState(docs.filter(col("doc_id") % 4 =!= 0))
-      spanDedupProbe(st, docs.filter(col("doc_id") % 4 === 0))
+      val st = ensureSpanState(s, dir, baseSlice = true)
+      spanDedupProbe(st, Tables.df(s, dir, "documents").filter(col("doc_id") % 4 === 0))
     },
 
     // -- i18: span-dedup RETRACTION — the deletion half of the
@@ -488,9 +494,12 @@ object Dedup {
     //    zero parquet scans, even the deleted-id set comes from state
     //    (plan-asserted); the oracle re-derives the survivor corpus
     //    from scratch and restricts to the same flip set. --
+    //    r15: state persisted as parquet (see i17) — the measured window
+    //    is the retraction probe alone, and every scan in its plan reads
+    //    a state table, never documents.parquet. --
     "i18_span_dedup_retract" -> { (s, dir) =>
       graft.functions.PgFunctions.register(s)
-      val st = buildSpanState(Tables.df(s, dir, "documents"))
+      val st = ensureSpanState(s, dir, baseSlice = false)
       spanDedupRetract(st, st.ntok.filter(col("doc_id") % 5 === 3).select("doc_id"))
     }
   )
@@ -615,11 +624,46 @@ object Dedup {
     *    when nd = 1): what a delta probes to find newly-duplicated
     *    windows WITHOUT touching base text;
     *  - `ntok` — per-doc token counts (coverage denominators).
-    * All three are eager localCheckpoints — a real deployment writes
-    * them as fp-/doc-bucketed tables; the append path is a partition
-    * append + fp-keyed census merge, never a corpus rescan. */
+    * Two renditions share the case class: [[ensureSpanState]] WRITES
+    * the three relations as parquet tables — the real deployment shape
+    * (fp-/doc-bucketed at 100 TB); the i17/i18 queries read state this
+    * way, so their measured window contains ONLY the O(Δ) probe and
+    * the state build is DDL like er02's ensureBaseState (r14 verdict
+    * finding #2). [[buildSpanState]] keeps the eager-localCheckpoint
+    * in-memory form for the IVM invariant tests and the streamed fold
+    * composition. The append path is a partition append + fp-keyed
+    * census merge, never a corpus rescan. */
   private[graft] final case class SpanState(
     wins: DataFrame, census: DataFrame, ntok: DataFrame)
+
+  /** Build-and-persist the span state as parquet, idempotent per
+    * (warehouse, SF dir, slice): the window index (the big relation,
+    * 8 B/token keys) writes once, and the census derives from the
+    * WRITTEN index, so the corpus text is fingerprinted exactly once
+    * ever. `baseSlice` selects i17's base corpus (doc_id % 4 ≠ 0, what
+    * the append probe runs against) vs the full corpus (i18's
+    * retraction state). Bench/Prof/Scaling build it in warmup like any
+    * other derived table (er02's ensureBaseState discipline). */
+  private[graft] def ensureSpanState(s: SparkSession, dir: String,
+                                     baseSlice: Boolean): SpanState = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stem = if (baseSlice) "span_base" else "span_full"
+    val (wp, cp, np) = (s"target/derived/$tag/${stem}_wins",
+      s"target/derived/$tag/${stem}_census", s"target/derived/$tag/${stem}_ntok")
+    val done = Seq(wp, cp, np).forall(p => new java.io.File(p, "_SUCCESS").exists())
+    if (!done) {
+      graft.functions.PgFunctions.register(s)
+      val all = graft.Tables.df(s, dir, "documents")
+      val docs = if (baseSlice) all.filter(col("doc_id") % 4 =!= 0) else all
+      positionalWindowsOf(docs).write.mode("overwrite").parquet(wp)
+      s.read.parquet(wp).groupBy(col("fp"))
+        .agg(count_distinct(col("doc_id")).as("nd"), max(col("doc_id")).as("m"))
+        .select(col("fp"), col("nd"), when(col("nd") === 1, col("m")).as("solo"))
+        .write.mode("overwrite").parquet(cp)
+      ntokOf(docs).write.mode("overwrite").parquet(np)
+    }
+    SpanState(s.read.parquet(wp), s.read.parquet(cp), s.read.parquet(np))
+  }
 
   private[graft] def buildSpanState(docs: DataFrame): SpanState = {
     val wins = positionalWindowsOf(docs).localCheckpoint(true)
@@ -634,10 +678,20 @@ object Dedup {
 
   /** Fold a delta batch INTO the state (the i16 union-fold): the window
     * index and token counts append (O(|Δ|)); the census merges on fp —
-    * doc sets are disjoint across batches, so counts add and `solo`
-    * survives only while the merged count stays 1. InvariantsSpec pins
-    * the IVM condition: two folds ≡ the state built from scratch. */
+    * counts ADD, which is correct ONLY because batch doc sets are
+    * disjoint from the state's (count_distinct over a union of disjoint
+    * sets = the sum). PRECONDITION (asserted): no delta doc_id already
+    * exists in the state — re-ingesting a doc (an update) would
+    * double-count `nd` and corrupt `solo` silently; route updates as a
+    * [[retractSpanState]] of the old version followed by an append of
+    * the new one. The check is one O(|Δ|) semi-join against the ntok
+    * index (never the corpus) — the r14 advice finding. InvariantsSpec
+    * pins the IVM condition: two folds ≡ the state built from scratch. */
   private[graft] def appendSpanState(st: SpanState, delta: DataFrame): SpanState = {
+    require(delta.select("doc_id").join(st.ntok, Seq("doc_id"), "left_semi").isEmpty,
+      "appendSpanState: delta re-ingests doc_ids already in the state — " +
+        "the disjoint-merge invariant (fold ≡ from-scratch) only holds for " +
+        "new docs; retract the old versions first")
     val wd = positionalWindowsOf(delta).localCheckpoint(true)
     val cd = wd.groupBy(col("fp"))
       .agg(count_distinct(col("doc_id")).as("nd"), max(col("doc_id")).as("solo"))

@@ -431,6 +431,14 @@ object GpDdl {
     * the source was safely copied into fully-written stages. */
   private val SplitRmPrefix = ".graft_split_rm."
 
+  /** Hidden quarantine prefix: where a state-(b) stage is PARKED when
+    * its destination name is unexpectedly occupied (a foreign directory
+    * appeared under the half's name after the split's own pre-publish
+    * collision check passed). Dot-prefixed, so readers never see it;
+    * parked rather than require-failed, so later recoveries and splits
+    * on the same base path are not wedged behind the one bad stage. */
+  private val SplitQuarantinePrefix = ".graft_split_quarantine."
+
   /** Repair an interrupted SPLIT PARTITION. The commit protocol stages
     * both halves under hidden [[SplitTmpPrefix]] directories (each
     * carrying a marker naming its source), validates both destination
@@ -438,17 +446,23 @@ object GpDdl {
     * tombstone, deletes the tombstone, then renames the stages into
     * place (the underscore-prefixed marker rides through the rename —
     * invisible to Spark's file index — and is deleted only AFTER a
-    * successful publish, so no crash window leaves a marker-less
-    * stage). A leftover stage therefore means exactly one of two
-    * states: (a) its source still exists under its own name AND has no
-    * tombstone (crash before the tombstone rename) → discard the
-    * stage, the source is intact and no reader ever double-counted;
-    * (b) the source is absent or tombstoned (crash at/after the
-    * tombstone rename) → drop any tombstone remnant and finish the
-    * publish. In neither window can a read see source AND half
-    * together; the worst case is half-invisible rows that this repair
-    * restores. Called on every applySplit entry; public so GpDdlSpec
-    * can pin the crash states directly. */
+    * successful publish). A leftover stage means one of three states:
+    * (no marker) the half's parquet write itself crashed before its
+    * marker was written — the tombstone rename happens strictly after
+    * BOTH markers exist, so the source is intact and the stage is
+    * discardable staging garbage; (a) its source still exists under
+    * its own name AND has no tombstone (crash before the tombstone
+    * rename) → discard the stage, the source is intact and no reader
+    * ever double-counted; (b) the source is absent or tombstoned
+    * (crash at/after the tombstone rename) → drop any tombstone
+    * remnant and finish the publish — and if the destination name has
+    * meanwhile been occupied by a foreign directory, the stage parks
+    * under [[SplitQuarantinePrefix]] and the repair fails once with a
+    * collision (not corruption) message, leaving later recoveries
+    * unblocked. In no window can a read see source AND half together;
+    * the worst case is half-invisible rows that this repair restores.
+    * Called on every applySplit entry; public so GpDdlSpec can pin the
+    * crash states directly. */
   def recoverInterruptedSplits(basePath: String): Int = {
     val base = new java.io.File(basePath)
     def rm(f: java.io.File): Unit = {
@@ -459,19 +473,47 @@ object GpDdl {
     val stages = all.filter(f => f.isDirectory && f.getName.startsWith(SplitTmpPrefix))
     stages.foreach { tmp =>
       val marker = new java.io.File(tmp, SplitSrcMarker)
-      require(marker.exists(),
-        s"ddl: stage ${tmp.getName} has no source marker — manual cleanup needed")
-      val srcName = new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      val src = new java.io.File(base, srcName)
-      val tomb = new java.io.File(base, s"$SplitRmPrefix$srcName")
-      if (src.exists() && !tomb.exists()) rm(tmp) // state (a)
-      else { // state (b): complete the publish
-        if (tomb.exists()) rm(tomb)
-        val dst = new java.io.File(base, tmp.getName.stripPrefix(SplitTmpPrefix))
-        require(!dst.exists() && tmp.renameTo(dst),
-          s"ddl: could not publish interrupted split stage ${tmp.getName}")
-        new java.io.File(dst, SplitSrcMarker).delete()
+      if (!marker.exists()) {
+        // A marker-less stage can only arise mid-staging: the half's
+        // parquet write crashed BEFORE its marker was written, and the
+        // tombstone rename happens strictly after BOTH markers exist —
+        // so the source is still intact under its own name and the
+        // stage is discardable staging garbage (the r14-advice fix:
+        // this used to require-fail and wedge every later split).
+        rm(tmp)
+      } else {
+        val srcName = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        val src = new java.io.File(base, srcName)
+        val tomb = new java.io.File(base, s"$SplitRmPrefix$srcName")
+        if (src.exists() && !tomb.exists()) rm(tmp) // state (a)
+        else { // state (b): complete the publish
+          if (tomb.exists()) rm(tomb)
+          val dstName = tmp.getName.stripPrefix(SplitTmpPrefix)
+          val dst = new java.io.File(base, dstName)
+          if (dst.exists()) {
+            // Name collision, NOT corruption: something else now owns the
+            // destination name (the split's own pre-publish validation
+            // saw it free). Park the stage under a quarantine name so the
+            // rows are preserved for inspection and later recoveries /
+            // splits on this base path proceed, then fail loudly ONCE.
+            var q = new java.io.File(base, s"$SplitQuarantinePrefix$dstName")
+            if (q.exists()) q = new java.io.File(base,
+              s"$SplitQuarantinePrefix$dstName.${System.nanoTime()}")
+            require(tmp.renameTo(q),
+              s"ddl: could not quarantine collided split stage ${tmp.getName}")
+            throw new IllegalStateException(
+              s"ddl: split half '$dstName' could not be published — the " +
+              s"destination is occupied by a directory this split did not " +
+              s"stage (name collision, not corruption). The staged rows " +
+              s"were parked at ${q.getName}; inspect the occupant, then " +
+              s"either free the name and rename the quarantined stage " +
+              s"into place or discard it.")
+          }
+          require(tmp.renameTo(dst),
+            s"ddl: could not publish interrupted split stage ${tmp.getName}")
+          new java.io.File(dst, SplitSrcMarker).delete()
+        }
       }
     }
     // sweep (i) markers left inside already-published halves (crash

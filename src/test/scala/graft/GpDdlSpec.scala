@@ -287,10 +287,31 @@ class GpDdlSpec extends AnyFunSuite {
     assert(GpDdl.recoverInterruptedSplits(base) == 1)
     assert(!tmpB.exists(), "state-(b) stage must be renamed into place")
     assert(spark.read.parquet(s"$base/o_month=hb").count() == 5)
-    // a stage with no marker is never guessed at — loud, manual cleanup
+    // a stage with no marker arose mid-staging (crash during the half's
+    // parquet write, BEFORE its marker was written — the tombstone rename
+    // happens strictly after both markers exist, so the source is intact):
+    // discardable staging garbage, never a wedge (r14 advice #1)
+    val afterB = spark.read.parquet(base).count()
     val tmpC = stage("hc", "", mark = false)
-    intercept[IllegalArgumentException] { GpDdl.recoverInterruptedSplits(base) }
-    assert(tmpC.exists())
+    assert(GpDdl.recoverInterruptedSplits(base) == 1)
+    assert(!tmpC.exists(), "marker-less stage must be discarded as staging garbage")
+    assert(spark.read.parquet(base).count() == afterB, "readable rows untouched")
+    // state (b) with an occupied destination: the stage parks under a
+    // quarantine name (rows preserved, invisible to readers) and the
+    // repair fails ONCE with a collision-not-corruption message; the
+    // NEXT recovery is not blocked (r14 advice #4)
+    val tmpD = stage("hd", "o_month=no_such_dir2", mark = true)
+    new java.io.File(base, "o_month=hd").mkdirs() // foreign occupant
+    val ex = intercept[IllegalStateException] { GpDdl.recoverInterruptedSplits(base) }
+    assert(ex.getMessage.contains("name collision, not corruption"))
+    assert(!tmpD.exists(), "collided stage must be parked, not left in place")
+    val parked = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith(".graft_split_quarantine."))
+    assert(parked.length == 1, "exactly one quarantined stage expected")
+    assert(spark.read.parquet(parked.head.getAbsolutePath).count() == 5,
+      "quarantined rows must be preserved for inspection")
+    assert(GpDdl.recoverInterruptedSplits(base) == 0,
+      "later recoveries must not be blocked by the quarantined stage")
   }
 
   test("SPLIT PARTITION crash recovery: a mid-delete tombstone never masquerades as an intact source") {

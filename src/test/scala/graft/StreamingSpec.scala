@@ -722,6 +722,61 @@ class StreamingSpec extends AnyFunSuite {
       scratch.census.collect().map(_.toString).sorted.toSeq,
       "state after both folds must equal the from-scratch census")
   }
+
+  test("i18 streamed: micro-batched deletes + retraction folds compose to the one-shot retraction") {
+    // The deletion symmetry of the i17 composition proof (r14 verdict
+    // #5): deletes arrive as micro-batches of doc_ids via foreachBatch;
+    // each batch emits the affected survivors' post-delete rows
+    // (spanDedupRetract) and then FOLDS into the state
+    // (retractSpanState), so the next batch retracts against the
+    // already-shrunk state. Rows compose by last-write-wins per doc,
+    // MINUS docs deleted by a later batch (a delete retracts the doc's
+    // own earlier emission downstream); un-re-emitted rows are final
+    // because deletion never raises a fp's holder count, so a doc that
+    // batch k left alone keeps its coverage until some later batch
+    // flips one of ITS fps — which re-emits it. The composed relation
+    // must equal the one-shot i18 retraction exactly.
+    Tables.configure(spark)
+    graft.functions.PgFunctions.register(spark)
+    import graft.operators.Dedup
+    val docs = Tables.df(spark, Sf, "documents")
+    val deleted = docs.filter(col("doc_id") % 5 === 3).select("doc_id")
+    var state = Dedup.buildSpanState(docs)
+    val median = deleted.selectExpr("percentile(doc_id, 0.5)").head.getDouble(0)
+    val landing = java.nio.file.Files.createTempDirectory("graft_i18_stream").toString
+    deleted.filter(col("doc_id") <= median).coalesce(1).write.parquet(s"$landing/b0")
+    deleted.filter(col("doc_id") > median).coalesce(1).write.parquet(s"$landing/b1")
+    val composed = scala.collection.mutable.Map.empty[Long, Seq[Any]]
+    var batches = 0
+    val q = spark.readStream.schema(deleted.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$landing/*")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.select("doc_id").collect().map(_.getLong(0))
+        val out = Dedup.spanDedupRetract(state, batch.select("doc_id")).collect()
+        composed.synchronized {
+          ids.foreach(composed.remove) // the delete retracts earlier emissions
+          out.foreach(r => composed(r.getLong(0)) = r.toSeq)
+          batches += 1
+        }
+        state = Dedup.retractSpanState(state, batch.select("doc_id"))
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    assert(batches == 2, s"expected two delete micro-batches, got $batches")
+    val oneShot = SparkEntry.queries("i18_span_dedup_retract")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(composed.nonEmpty, "streamed retractions emitted nothing")
+    assert(composed.toMap == oneShot,
+      "last-write-wins composition of streamed retractions must equal the one-shot i18 relation")
+    // and the folded state equals the state built from the survivors
+    val scratch = Dedup.buildSpanState(docs.filter(col("doc_id") % 5 =!= 3))
+    assert(state.census.collect().map(_.toString).sorted.toSeq ==
+      scratch.census.collect().map(_.toString).sorted.toSeq,
+      "state after both delete folds must equal the from-scratch survivor census")
+  }
 }
 
 object StreamingSpec {
