@@ -49,6 +49,21 @@ import graft.Tables
   * needs; ds23's dim-sized CTE results broadcast into the fact scan;
   * ds67's rollup is one Expand + hash aggregate, rank a single ordered
   * window per brand partition.
+  *
+  * Round 15 extends to the next four slowest uncovered published rows
+  * (performance.md:88/90/145/153 — q9 0:10, q11 0:14, q66 0:09, q74
+  * 0:13): ds09 (the banded-probe scalar sheet, collapsed to one
+  * FILTER'd-aggregate scan), ds11 (year_total with customer dims in
+  * the aggregate key + CASE-guarded ratios), ds66 (two-carrier monthly
+  * pivot-rollup, the channel blocks collapsed to one (wh, carrier)
+  * scan), ds74 (the union-tagged year_total from two DIFFERENT source
+  * relations). Row-0 adjudication (r14 verdict): the published table
+  * lists rows 0–99 for a 99-query benchmark; rows 1..99 align 1:1
+  * with q1..q99 (every named slow row matches its spec shape — 72 the
+  * fact-to-fact monster, 23/14/4 the funnel family), and TPC-DS
+  * defines no "query 0", so row 0 (0:50) is a harness artifact (the
+  * kit's warmup/validation statement), not an additional spec shape —
+  * nothing to carry.
   */
 object TpcDs {
 
@@ -169,6 +184,88 @@ object TpcDs {
         ON cs1.item = cs2.item AND cs1.brand = cs2.brand
       WHERE cs1.yr = 1996 AND cs2.yr = 1997 AND cs2.cnt <= cs1.cnt
       ORDER BY cs1.item, cs1.brand"""
+
+  /** ds11's multi-referenced CTE body (q11's year_total — the customer
+    * DIMENSION columns ride the aggregate key, q11's signature: the
+    * spec groups by every customer attribute). Functionally dependent
+    * on cust, so the group-by widening adds no rows; the self-joins
+    * still key on cust alone. Spooled once on the Spark side (4 refs),
+    * inlined into the oracle text. */
+  private val Ds11YearTotal = """
+        SELECT o_custkey AS cust, c_name, n_name AS nation,
+               l_returnflag AS channel, year(o_orderdate) AS yr,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag IN ('N', 'R') AND year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2, 3, 4, 5"""
+
+  /** ds11's outer 4-way self-join with q11's CASE-guarded ratio
+    * comparison (vs ds04's cross-multiplied integer predicate — this
+    * pins the OTHER published spelling: each side's growth ratio is a
+    * CASE WHEN first_year > 0 THEN second/first ELSE 0 END, and the
+    * division of identical exact BIGINTs is a correctly-rounded IEEE
+    * op, so the comparison can't drift cross-engine). */
+  private val Ds11Outer = """
+      SELECT n1.cust, n1.c_name, n1.nation,
+             round(CASE WHEN r1.total_c > 0
+                        THEN CAST(r2.total_c AS DOUBLE) / r1.total_c
+                        ELSE 0.0 END, 4) AS ret_ratio,
+             round(CASE WHEN n1.total_c > 0
+                        THEN CAST(n2.total_c AS DOUBLE) / n1.total_c
+                        ELSE 0.0 END, 4) AS kept_ratio
+      FROM year_total11 n1, year_total11 n2, year_total11 r1, year_total11 r2
+      WHERE n1.cust = n2.cust AND n1.cust = r1.cust AND n1.cust = r2.cust
+        AND n1.channel = 'N' AND n2.channel = 'N'
+        AND r1.channel = 'R' AND r2.channel = 'R'
+        AND n1.yr = 1996 AND n2.yr = 1997 AND r1.yr = 1996 AND r2.yr = 1997
+        AND CASE WHEN r1.total_c > 0
+                 THEN CAST(r2.total_c AS DOUBLE) / r1.total_c ELSE 0.0 END
+          > CASE WHEN n1.total_c > 0
+                 THEN CAST(n2.total_c AS DOUBLE) / n1.total_c ELSE 0.0 END
+      ORDER BY n1.cust"""
+
+  /** ds74's multi-referenced CTE body (q74's year_total — the channels
+    * come from DIFFERENT source relations, each branch tagged with a
+    * sale_type literal and UNION ALLed; q4/q11 classify ONE relation
+    * instead, so this pins the union-tagged construction the spec uses
+    * because its channels are separate fact tables). Branch 's' =
+    * per-customer order-header totals (orders alone); branch 'w' =
+    * per-customer kept-line revenue (lineitem ⋈ orders). */
+  private val Ds74YearTotal = """
+        SELECT o_custkey AS cust, 's' AS sale_type, year(o_orderdate) AS yr,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 3
+        UNION ALL
+        SELECT o_custkey AS cust, 'w' AS sale_type, year(o_orderdate) AS yr,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'N' AND year(o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 3"""
+
+  /** ds74's outer 4-way self-join over the union — q74's CASE-guarded
+    * ratio comparison between the two differently-sourced channels. */
+  private val Ds74Outer = """
+      SELECT s1.cust,
+             round(CASE WHEN s1.total_c > 0
+                        THEN CAST(s2.total_c AS DOUBLE) / s1.total_c
+                        ELSE 0.0 END, 4) AS s_ratio,
+             round(CASE WHEN w1.total_c > 0
+                        THEN CAST(w2.total_c AS DOUBLE) / w1.total_c
+                        ELSE 0.0 END, 4) AS w_ratio
+      FROM year_total74 s1, year_total74 s2, year_total74 w1, year_total74 w2
+      WHERE s1.cust = s2.cust AND s1.cust = w1.cust AND s1.cust = w2.cust
+        AND s1.sale_type = 's' AND s2.sale_type = 's'
+        AND w1.sale_type = 'w' AND w2.sale_type = 'w'
+        AND s1.yr = 1996 AND s2.yr = 1997 AND w1.yr = 1996 AND w2.yr = 1997
+        AND CASE WHEN w1.total_c > 0
+                 THEN CAST(w2.total_c AS DOUBLE) / w1.total_c ELSE 0.0 END
+          > CASE WHEN s1.total_c > 0
+                 THEN CAST(s2.total_c AS DOUBLE) / s1.total_c ELSE 0.0 END
+      ORDER BY s1.cust"""
 
   /** ds04's multi-referenced CTE body — spooled once on the Spark side
     * (see the ds04 comment below), inlined into the oracle text. */
@@ -660,7 +757,116 @@ object TpcDs {
 
     // the oracle spelling of ds59 (see ds59Text); queries() runs the
     // identical text with Spark's weekday() as the one divergent token
-    "ds59_weekly_pivot" -> ds59Text("isodow(o_orderdate) - 1")
+    "ds59_weekly_pivot" -> ds59Text("isodow(o_orderdate) - 1"),
+
+    // q9 (0:10 published, performance.md:88): the banded-probe scalar
+    // sheet — five quantity bands, each choosing between two averages
+    // by a count threshold, selected FROM a one-row dimension scan
+    // (the spec's `reason WHERE r_reason_sk = 1`; region row 0 here).
+    // Executed literally that is 15 scalar subqueries = 15 fact scans;
+    // the scale-correct plan is ONE FILTER'd-aggregate scan (the
+    // ds28/ds88 collapse) producing all 15 quantities in one pass, the
+    // CASE sheet then a one-row projection cross-joined to the one-row
+    // dim. Averages divide exact BIGINT sums once at the output edge.
+    "ds09_banded_probes" -> """
+      WITH li AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) AS disc_c
+        FROM lineitem),
+      probes AS (
+        SELECT
+          count(*) FILTER (WHERE qty BETWEEN 1 AND 10)  AS n1,
+          CAST(sum(price_c) FILTER (WHERE qty BETWEEN 1 AND 10)  AS BIGINT) AS sp1,
+          CAST(sum(disc_c)  FILTER (WHERE qty BETWEEN 1 AND 10)  AS BIGINT) AS sd1,
+          count(*) FILTER (WHERE qty BETWEEN 11 AND 20) AS n2,
+          CAST(sum(price_c) FILTER (WHERE qty BETWEEN 11 AND 20) AS BIGINT) AS sp2,
+          CAST(sum(disc_c)  FILTER (WHERE qty BETWEEN 11 AND 20) AS BIGINT) AS sd2,
+          count(*) FILTER (WHERE qty BETWEEN 21 AND 30) AS n3,
+          CAST(sum(price_c) FILTER (WHERE qty BETWEEN 21 AND 30) AS BIGINT) AS sp3,
+          CAST(sum(disc_c)  FILTER (WHERE qty BETWEEN 21 AND 30) AS BIGINT) AS sd3,
+          count(*) FILTER (WHERE qty BETWEEN 31 AND 40) AS n4,
+          CAST(sum(price_c) FILTER (WHERE qty BETWEEN 31 AND 40) AS BIGINT) AS sp4,
+          CAST(sum(disc_c)  FILTER (WHERE qty BETWEEN 31 AND 40) AS BIGINT) AS sd4,
+          count(*) FILTER (WHERE qty BETWEEN 41 AND 50) AS n5,
+          CAST(sum(price_c) FILTER (WHERE qty BETWEEN 41 AND 50) AS BIGINT) AS sp5,
+          CAST(sum(disc_c)  FILTER (WHERE qty BETWEEN 41 AND 50) AS BIGINT) AS sd5
+        FROM li)
+      SELECT r_name,
+        CASE WHEN n1 > 10000  THEN round(CAST(sp1 AS DOUBLE) / n1 / 100.0, 2)
+             ELSE round(CAST(sd1 AS DOUBLE) / n1 / 100.0, 2) END AS bucket1,
+        CASE WHEN n2 > 100000 THEN round(CAST(sp2 AS DOUBLE) / n2 / 100.0, 2)
+             ELSE round(CAST(sd2 AS DOUBLE) / n2 / 100.0, 2) END AS bucket2,
+        CASE WHEN n3 > 10000  THEN round(CAST(sp3 AS DOUBLE) / n3 / 100.0, 2)
+             ELSE round(CAST(sd3 AS DOUBLE) / n3 / 100.0, 2) END AS bucket3,
+        CASE WHEN n4 > 100000 THEN round(CAST(sp4 AS DOUBLE) / n4 / 100.0, 2)
+             ELSE round(CAST(sd4 AS DOUBLE) / n4 / 100.0, 2) END AS bucket4,
+        CASE WHEN n5 > 10000  THEN round(CAST(sp5 AS DOUBLE) / n5 / 100.0, 2)
+             ELSE round(CAST(sd5 AS DOUBLE) / n5 / 100.0, 2) END AS bucket5
+      FROM region, probes WHERE r_regionkey = 0""",
+
+    // q11 (0:14 published, performance.md:90): q4's 2-channel sibling
+    // with the customer DIMENSION columns riding the aggregate key and
+    // the CASE-guarded ratio comparison (the spec's other published
+    // spelling of year-over-year growth — ds04 pins the 3-CTE
+    // cross-multiplied form). Spark side spools the 4×-referenced CTE
+    // (the ds04 ShareInputScan discipline).
+    "ds11_yoy_customer_dims" -> s"WITH year_total11 AS ($Ds11YearTotal) $Ds11Outer",
+
+    // q66 (0:09 published, performance.md:145): the two-carrier monthly
+    // pivot-rollup — per warehouse, twelve monthly sales columns per
+    // carrier, then an outer re-aggregation summing the month columns
+    // across carriers. The spec UNION-ALLs one pivot block per channel
+    // because web_sales/catalog_sales are separate tables; here the
+    // carriers (line status O/F) classify ONE relation, so the blocks
+    // collapse to a single scan grouped by (warehouse, carrier) — the
+    // ds77 discipline — and the outer rollup runs over the
+    // |nations × 2| aggregate. Warehouse = supplier nation.
+    "ds66_carrier_monthly" -> """
+      WITH monthly AS (
+        SELECT n_name AS wh, l_linestatus AS carrier,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 1)  AS BIGINT) AS jan_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 2)  AS BIGINT) AS feb_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 3)  AS BIGINT) AS mar_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 4)  AS BIGINT) AS apr_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 5)  AS BIGINT) AS may_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 6)  AS BIGINT) AS jun_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 7)  AS BIGINT) AS jul_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 8)  AS BIGINT) AS aug_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 9)  AS BIGINT) AS sep_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 10) AS BIGINT) AS oct_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 11) AS BIGINT) AS nov_c,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE month(l_shipdate) = 12) AS BIGINT) AS dec_c
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE l_linestatus IN ('O', 'F') AND year(l_shipdate) = 1997
+        GROUP BY 1, 2)
+      SELECT wh, count(*) AS n_carriers,
+        CAST(sum(coalesce(jan_c, 0)) AS BIGINT) AS jan_c,
+        CAST(sum(coalesce(feb_c, 0)) AS BIGINT) AS feb_c,
+        CAST(sum(coalesce(mar_c, 0)) AS BIGINT) AS mar_c,
+        CAST(sum(coalesce(apr_c, 0)) AS BIGINT) AS apr_c,
+        CAST(sum(coalesce(may_c, 0)) AS BIGINT) AS may_c,
+        CAST(sum(coalesce(jun_c, 0)) AS BIGINT) AS jun_c,
+        CAST(sum(coalesce(jul_c, 0)) AS BIGINT) AS jul_c,
+        CAST(sum(coalesce(aug_c, 0)) AS BIGINT) AS aug_c,
+        CAST(sum(coalesce(sep_c, 0)) AS BIGINT) AS sep_c,
+        CAST(sum(coalesce(oct_c, 0)) AS BIGINT) AS oct_c,
+        CAST(sum(coalesce(nov_c, 0)) AS BIGINT) AS nov_c,
+        CAST(sum(coalesce(dec_c, 0)) AS BIGINT) AS dec_c,
+        round(CAST(sum(coalesce(jan_c, 0)) + sum(coalesce(feb_c, 0)) + sum(coalesce(mar_c, 0))
+                 + sum(coalesce(apr_c, 0)) + sum(coalesce(may_c, 0)) + sum(coalesce(jun_c, 0))
+                 + sum(coalesce(jul_c, 0)) + sum(coalesce(aug_c, 0)) + sum(coalesce(sep_c, 0))
+                 + sum(coalesce(oct_c, 0)) + sum(coalesce(nov_c, 0)) + sum(coalesce(dec_c, 0))
+               AS DOUBLE) / 100.0, 2) AS total
+      FROM monthly GROUP BY wh ORDER BY wh""",
+
+    // q74 (0:13 published, performance.md:153): the union-tagged
+    // year_total — see Ds74YearTotal; the 4-way self-join compares the
+    // two channels' CASE-guarded growth ratios. Spark side spools the
+    // 4×-referenced union CTE once.
+    "ds74_union_yoy" -> s"WITH year_total74 AS ($Ds74YearTotal) $Ds74Outer"
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -701,6 +907,17 @@ object TpcDs {
           s.sql(Ds64CrossSales).localCheckpoint()
             .createOrReplaceTempView("cross_sales64")
           s.sql(Ds64Outer)
+        } else if (name == "ds11_yoy_customer_dims") {
+          // the 4×-referenced dim-carrying year_total spools once
+          // (ds04's ShareInputScan discipline)
+          s.sql(Ds11YearTotal).localCheckpoint()
+            .createOrReplaceTempView("year_total11")
+          s.sql(Ds11Outer)
+        } else if (name == "ds74_union_yoy") {
+          // the 4×-referenced union-tagged year_total spools once
+          s.sql(Ds74YearTotal).localCheckpoint()
+            .createOrReplaceTempView("year_total74")
+          s.sql(Ds74Outer)
         } else s.sql(text)
       })
     }

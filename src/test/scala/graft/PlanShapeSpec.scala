@@ -1119,6 +1119,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"union branches are not column-pruned:\n$p")
   }
 
+  test("ds09: the 15-probe sheet collapses to ONE lineitem scan") {
+    // the spec's literal form is 15 scalar subqueries = 15 fact scans;
+    // the FILTER'd-aggregate collapse reads the fact exactly once (the
+    // one-row region dim rides a bounded 1x1 join)
+    val p = plan("ds09_banded_probes").split("== Initial Plan ==")(0)
+    val scans = "lineitem".r.findAllIn(p).length
+    assert(scans <= 1, s"the probe sheet must collapse to one lineitem scan, got $scans:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("ds11: the dim-carrying year_total is spooled once — the 4-way self-join reads no parquet") {
+    val p = plan("ds11_yoy_customer_dims").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"self-joins must read the spool, got $scans parquet scans:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed year_total spool:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds11 went cartesian:\n$p")
+  }
+
+  test("ds66: the two carrier pivot blocks collapse to ONE scan grouped by (wh, carrier)") {
+    // the spec's per-channel UNION ALL blocks exist because its channels
+    // are separate fact tables; same-relation carriers read once (ds77)
+    val p = plan("ds66_carrier_monthly").split("== Initial Plan ==")(0)
+    val scans = "lineitem".r.findAllIn(p).length
+    assert(scans <= 1, s"carrier blocks must collapse to one lineitem scan, got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds66 went cartesian:\n$p")
+    assert(!p.contains("l_tax") && !p.contains("l_comment"),
+      s"pivot scan is not column-pruned:\n$p")
+  }
+
+  test("ds74: the union-tagged year_total is spooled once — the 4-way self-join reads no parquet") {
+    val p = plan("ds74_union_yoy").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"self-joins must read the spool, got $scans parquet scans:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed union spool:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds74 went cartesian:\n$p")
+  }
+
   test("ds77: channel totals are ONE scan + ONE rollup Expand — never a block per channel") {
     val p = plan("ds77_channel_totals").split("== Initial Plan ==")(0)
     val scans = "lineitem".r.findAllIn(p).length
