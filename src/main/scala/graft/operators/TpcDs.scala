@@ -50,14 +50,18 @@ import graft.Tables
   * ds67's rollup is one Expand + hash aggregate, rank a single ordered
   * window per brand partition.
   *
-  * Round 15 extends to the next four slowest uncovered published rows
-  * (performance.md:88/90/145/153 — q9 0:10, q11 0:14, q66 0:09, q74
-  * 0:13): ds09 (the banded-probe scalar sheet, collapsed to one
-  * FILTER'd-aggregate scan), ds11 (year_total with customer dims in
-  * the aggregate key + CASE-guarded ratios), ds66 (two-carrier monthly
-  * pivot-rollup, the channel blocks collapsed to one (wh, carrier)
-  * scan), ds74 (the union-tagged year_total from two DIFFERENT source
-  * relations). Row-0 adjudication (r14 verdict): the published table
+  * Round 15 extends to the next seven slowest uncovered published rows
+  * (performance.md — q11 0:14, q74 0:13, q9 0:10, q66 0:09, and the
+  * three 0:08 rows q13/q47/q80): ds09 (the banded-probe scalar sheet,
+  * collapsed to one FILTER'd-aggregate scan), ds11 (year_total with
+  * customer dims in the aggregate key + CASE-guarded ratios), ds66
+  * (two-carrier monthly pivot-rollup, the channel blocks collapsed to
+  * one (wh, carrier) scan), ds74 (the union-tagged year_total from two
+  * DIFFERENT source relations), ds13 (OR'd conjunct-pairs spanning
+  * fact + two dims), ds47 (the windowed-deviation shape — year-avg +
+  * lag + lead over the monthly aggregate), ds80 (three-channel
+  * sales/returns/profit ROLLUP under EagerAggRule — its second user).
+  * Row-0 adjudication (r14 verdict): the published table
   * lists rows 0–99 for a 99-query benchmark; rows 1..99 align 1:1
   * with q1..q99 (every named slow row matches its spec shape — 72 the
   * fact-to-fact monster, 23/14/4 the funnel family), and TPC-DS
@@ -866,7 +870,104 @@ object TpcDs {
     // year_total — see Ds74YearTotal; the 4-way self-join compares the
     // two channels' CASE-guarded growth ratios. Spark side spools the
     // 4×-referenced union CTE once.
-    "ds74_union_yoy" -> s"WITH year_total74 AS ($Ds74YearTotal) $Ds74Outer"
+    "ds74_union_yoy" -> s"WITH year_total74 AS ($Ds74YearTotal) $Ds74Outer",
+
+    // q13 (0:08 published, performance.md:92): the multi-dimensional
+    // OR'd band report — q13's signature is that each OR alternative is
+    // a CONJUNCTION spanning the fact AND two different dimensions
+    // (demographics × sales band, address × profit band), so no single
+    // branch pushes to one table; the dims broadcast and the whole
+    // disjunction evaluates in the scan's codegen span. One-row output
+    // of averages — exact BIGINT sums divided once at the edge (never
+    // avg() over doubles). Demographics analog = (order priority,
+    // market segment); address analog = (region, discount band).
+    "ds13_band_join_report" -> """
+      SELECT count(*) AS n,
+        round(CAST(sum(qty) AS DOUBLE) / count(*), 2) AS avg_qty,
+        round(CAST(sum(price_c) AS DOUBLE) / count(*) / 100.0, 2) AS avg_price,
+        round(CAST(sum(price_c) AS DOUBLE) / 100.0, 2) AS total_price
+      FROM (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               l_discount, o_orderpriority, c_mktsegment, n_regionkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey) t
+      WHERE ((o_orderpriority = '1-URGENT' AND c_mktsegment = 'BUILDING'   AND qty BETWEEN 1 AND 20)
+          OR (o_orderpriority = '3-MEDIUM' AND c_mktsegment = 'AUTOMOBILE' AND qty BETWEEN 10 AND 35)
+          OR (o_orderpriority = '5-LOW'    AND c_mktsegment = 'MACHINERY'  AND qty BETWEEN 25 AND 50))
+        AND ((n_regionkey IN (0, 1) AND l_discount BETWEEN 0.00 AND 0.05)
+          OR (n_regionkey IN (2, 3) AND l_discount BETWEEN 0.03 AND 0.08)
+          OR (n_regionkey = 4       AND l_discount BETWEEN 0.06 AND 0.10))""",
+
+    // q47 (0:08 published, performance.md:126): the windowed-deviation
+    // shape — monthly sales per brand carry THREE window columns in one
+    // relation (the year average over (brand, yr), lag and lead over
+    // (brand) ordered by month), the deviation filter keeps months >10%
+    // off their year's average, and the year restriction applies AFTER
+    // the windows so lag/lead reach into the adjacent year (q47's
+    // v1/v1_lag/v1_lead construction). The deviation test is
+    // cross-multiplied integer arithmetic (10·|s·n − T| > T ⇔
+    // |s − T/n|/(T/n) > 0.1) — no floating accumulation; emitted
+    // averages divide once at the edge. Scale shape: windows run over
+    // the |brands × 24| aggregate, never the fact.
+    "ds47_monthly_deviation" -> """
+      WITH monthly AS (
+        SELECT p_brand AS brand, year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sales_c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) IN (1996, 1997)
+        GROUP BY 1, 2, 3),
+      v1 AS (
+        SELECT brand, yr, mon, sales_c,
+               CAST(sum(sales_c) OVER (PARTITION BY brand, yr) AS BIGINT) AS yr_total_c,
+               count(*) OVER (PARTITION BY brand, yr) AS n_months,
+               lag(sales_c) OVER (PARTITION BY brand ORDER BY yr, mon) AS prev_c,
+               lead(sales_c) OVER (PARTITION BY brand ORDER BY yr, mon) AS next_c
+        FROM monthly)
+      SELECT brand, yr, mon,
+             round(CAST(sales_c AS DOUBLE) / 100.0, 2) AS sales,
+             round(CAST(yr_total_c AS DOUBLE) / n_months / 100.0, 2) AS avg_monthly,
+             round(CAST(prev_c AS DOUBLE) / 100.0, 2) AS prev_sales,
+             round(CAST(next_c AS DOUBLE) / 100.0, 2) AS next_sales
+      FROM v1
+      WHERE yr = 1997 AND 10 * abs(sales_c * n_months - yr_total_c) > yr_total_c
+      ORDER BY brand, mon""",
+
+    // q80 (0:08 published, performance.md:159): the three-channel
+    // sales/returns/profit report rolled up over (channel, item) —
+    // each channel's sales LEFT JOIN returns on the sale's compound
+    // key (the ds78 (customer, part) analog), promo/price exclusions
+    // pushed into the scan (p_retailprice, order status), then
+    // ROLLUP(channel, brand) with the returned amount and net-loss
+    // subtraction per q80's arithmetic. The spec's three per-channel
+    // blocks collapse to ONE scan (the ds77 discipline — channels
+    // classify one relation here); the ROLLUP runs under EagerAggRule
+    // like ds67, so the Expand sees the (channel, brand) pre-aggregate,
+    // never the fact rows.
+    "ds80_channel_report" -> """
+      WITH rets AS (
+        SELECT DISTINCT o_custkey AS rcust, l_partkey AS rpk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'),
+      base AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+                    WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                    ELSE 'low' END AS channel,
+               p_brand,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS net_c,
+               CASE WHEN rcust IS NOT NULL THEN 1 ELSE 0 END AS was_returned
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        LEFT JOIN rets ON o_custkey = rcust AND l_partkey = rpk
+        WHERE l_returnflag <> 'R' AND p_retailprice > 905 AND o_orderstatus <> 'F')
+      SELECT channel, p_brand,
+        CAST(sum(price_c) AS BIGINT) AS sales_c,
+        CAST(sum(CASE WHEN was_returned = 1 THEN price_c ELSE 0 END) AS BIGINT) AS returns_c,
+        CAST(sum(net_c - CASE WHEN was_returned = 1 THEN price_c ELSE 0 END) AS BIGINT) AS profit_c
+      FROM base GROUP BY ROLLUP(channel, p_brand)
+      ORDER BY channel NULLS FIRST, p_brand NULLS FIRST"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -878,7 +979,9 @@ object TpcDs {
         // at the finest (brand,type,yr,mon) key below the Expand. Same
         // opt-in conf discipline as x03; the SQL text (and the oracle)
         // stays the naive spec form — the rewrite is the optimizer's job.
-        if (name == "ds67_rollup_rank") {
+        if (name == "ds67_rollup_rank" || name == "ds80_channel_report") {
+          // both ROLLUP over a fact-scale input: the eager-agg rollup
+          // variant pre-aggregates at the finest key below the Expand
           graft.rules.EagerAggRule.install(s)
           s.conf.set(graft.rules.EagerAggRule.EnabledConf, "true")
         }

@@ -1156,6 +1156,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"ds74 went cartesian:\n$p")
   }
 
+  test("ds13: the OR'd band report is one fact pass with broadcast dims — no cartesian") {
+    val p = plan("ds13_band_join_report").split("== Initial Plan ==")(0)
+    val scans = "lineitem".r.findAllIn(p).length
+    assert(scans <= 1, s"expected one lineitem pass, got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast into the fact scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds13 went cartesian:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("ds47: the three window columns run over the monthly aggregate, never the fact") {
+    // q47's shape: year-average + lag + lead in one windowed relation;
+    // the windows must sit ABOVE the (brand, yr, mon) aggregate — a
+    // window over the raw join would sort the fact per brand
+    val p = plan("ds47_monthly_deviation").split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.matches(".*\\bWindow\\b.*"))
+    assert(winIdx >= 0, s"no Window in:\n$p")
+    val aggBelow = lines.drop(winIdx + 1).exists(_.contains("HashAggregate"))
+    assert(aggBelow, s"windows must run over the monthly aggregate (HashAggregate below Window):\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds47 went cartesian:\n$p")
+  }
+
+  test("ds80: the report ROLLUP Expands the (channel, brand) pre-aggregate, not the fact join") {
+    // second user of EagerAggRule's rollup variant (after ds67): the
+    // ×3 Expand must multiply the ~75-row pre-aggregate, never the
+    // 4-relation join output
+    val p = plan("ds80_channel_report").split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, s"no Expand in:\n$p")
+    val below = lines.drop(expandIdx + 1)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val joinIdx = below.indexWhere(l =>
+      l.contains("Join") || l.contains("CartesianProduct"))
+    assert(aggIdx >= 0 && (joinIdx < 0 || aggIdx < joinIdx),
+      s"Expand must sit on the pre-aggregate (HashAggregate before any Join below it):\n$p")
+    assert(p.contains("partial_sum"), s"pre-agg must split partial/final:\n$p")
+  }
+
   test("ds77: channel totals are ONE scan + ONE rollup Expand — never a block per channel") {
     val p = plan("ds77_channel_totals").split("== Initial Plan ==")(0)
     val scans = "lineitem".r.findAllIn(p).length
