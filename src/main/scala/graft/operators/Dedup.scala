@@ -652,6 +652,7 @@ object Dedup {
       s"target/derived/$tag/${stem}_census", s"target/derived/$tag/${stem}_ntok")
     val done = Seq(wp, cp, np).forall(p => new java.io.File(p, "_SUCCESS").exists())
     if (!done) {
+      val t0 = System.nanoTime()
       graft.functions.PgFunctions.register(s)
       val all = graft.Tables.df(s, dir, "documents")
       val docs = if (baseSlice) all.filter(col("doc_id") % 4 =!= 0) else all
@@ -661,6 +662,9 @@ object Dedup {
         .select(col("fp"), col("nd"), when(col("nd") === 1, col("m")).as("solo"))
         .write.mode("overwrite").parquet(cp)
       ntokOf(docs).write.mode("overwrite").parquet(np)
+      // one-line build log: the DDL cost is visible and attributable
+      // (it runs in warmup / first use, never inside a measured window)
+      println(f"[span-state] built $stem at $dir in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     SpanState(s.read.parquet(wp), s.read.parquet(cp), s.read.parquet(np))
   }

@@ -50,17 +50,21 @@ import graft.Tables
   * ds67's rollup is one Expand + hash aggregate, rank a single ordered
   * window per brand partition.
   *
-  * Round 15 extends to the next seven slowest uncovered published rows
-  * (performance.md — q11 0:14, q74 0:13, q9 0:10, q66 0:09, and the
-  * three 0:08 rows q13/q47/q80): ds09 (the banded-probe scalar sheet,
-  * collapsed to one FILTER'd-aggregate scan), ds11 (year_total with
-  * customer dims in the aggregate key + CASE-guarded ratios), ds66
-  * (two-carrier monthly pivot-rollup, the channel blocks collapsed to
-  * one (wh, carrier) scan), ds74 (the union-tagged year_total from two
-  * DIFFERENT source relations), ds13 (OR'd conjunct-pairs spanning
-  * fact + two dims), ds47 (the windowed-deviation shape — year-avg +
-  * lag + lead over the monthly aggregate), ds80 (three-channel
-  * sales/returns/profit ROLLUP under EagerAggRule — its second user).
+  * Round 15 extends to the next nine slowest uncovered published rows
+  * (performance.md — q11 0:14, q74 0:13, q9 0:10, q66 0:09, the three
+  * 0:08 rows q13/q47/q80, and q65/q70 at 0:07): ds09 (the banded-probe
+  * scalar sheet, collapsed to one FILTER'd-aggregate scan), ds11
+  * (year_total with customer dims in the aggregate key + CASE-guarded
+  * ratios), ds66 (two-carrier monthly pivot-rollup, the channel blocks
+  * collapsed to one (wh, carrier) scan), ds74 (the union-tagged
+  * year_total from two DIFFERENT source relations), ds13 (OR'd
+  * conjunct-pairs spanning fact + two dims), ds47 (the windowed-
+  * deviation shape — year-avg + lag + lead over the monthly
+  * aggregate), ds80 (three-channel sales/returns/profit ROLLUP under
+  * EagerAggRule — its second user), ds65 (one aggregate referenced at
+  * two derivation levels — the ShareInputScan motivating query), ds70
+  * (ROLLUP × GROUPING()-partitioned rank × ranked-subquery filter,
+  * EagerAggRule's third user).
   * Row-0 adjudication (r14 verdict): the published table
   * lists rows 0–99 for a 99-query benchmark; rows 1..99 align 1:1
   * with q1..q99 (every named slow row matches its spec shape — 72 the
@@ -270,6 +274,28 @@ object TpcDs {
           > CASE WHEN s1.total_c > 0
                  THEN CAST(s2.total_c AS DOUBLE) / s1.total_c ELSE 0.0 END
       ORDER BY s1.cust"""
+
+  /** ds65's twice-referenced per-(store, item) revenue aggregate —
+    * spooled once on the Spark side (q65 is the ShareInputScan
+    * motivating query), inlined into the oracle text. */
+  private val Ds65ItemRev = """
+        SELECT n_name AS nat, l_partkey AS part,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2"""
+
+  /** ds65's outer: the spool re-aggregated per store joins back to the
+    * spool's own rows; the below-half-average test is exact-integer. */
+  private val Ds65Outer = """
+      SELECT ir.nat, ir.part,
+             round(CAST(ir.rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+             round(CAST(sa.total_c AS DOUBLE) / sa.n_items / 100.0, 2) AS avg_item_revenue
+      FROM item_rev ir
+      JOIN (SELECT nat, CAST(sum(rev_c) AS BIGINT) AS total_c, count(*) AS n_items
+            FROM item_rev GROUP BY nat) sa ON ir.nat = sa.nat
+      WHERE 2 * ir.rev_c * sa.n_items < sa.total_c
+      ORDER BY ir.nat, ir.part"""
 
   /** ds04's multi-referenced CTE body — spooled once on the Spark side
     * (see the ds04 comment below), inlined into the oracle text. */
@@ -967,7 +993,59 @@ object TpcDs {
         CAST(sum(CASE WHEN was_returned = 1 THEN price_c ELSE 0 END) AS BIGINT) AS returns_c,
         CAST(sum(net_c - CASE WHEN was_returned = 1 THEN price_c ELSE 0 END) AS BIGINT) AS profit_c
       FROM base GROUP BY ROLLUP(channel, p_brand)
-      ORDER BY channel NULLS FIRST, p_brand NULLS FIRST"""
+      ORDER BY channel NULLS FIRST, p_brand NULLS FIRST""",
+
+    // q65 (0:07 published, performance.md:144): the underperforming-
+    // items shape — q65's defining structure is ONE per-(store, item)
+    // revenue aggregate referenced at TWO derivation levels: directly
+    // (the candidate rows) and re-aggregated per store (the avg-item-
+    // revenue threshold), with items kept when their revenue falls
+    // below a fraction of their store's average. Spark side spools the
+    // twice-referenced aggregate (ds39's discipline; q65 is literally
+    // the query the reference's ShareInputScan motivates); the
+    // threshold test is cross-multiplied integers (2·rev·n < total ⇔
+    // rev < avg/2). Store analog = supplier nation.
+    "ds65_underperforming" -> s"WITH item_rev AS ($Ds65ItemRev) $Ds65Outer",
+
+    // q70 (0:07 published, performance.md:149): the ROLLUP × window ×
+    // GROUPING() interplay — profit rolled up over (region, nation),
+    // lochierarchy = grouping(r)+grouping(n), rank() PARTITIONED BY
+    // (lochierarchy, CASE WHEN grouping(n)=0 THEN r END) so subtotal
+    // rows rank among subtotals and detail rows within their region,
+    // and the region universe pre-filtered by a RANKED SUBQUERY (top
+    // regions by their own windowed rank — q70's s_state IN (...rnk ≤
+    // 5) funnel). The rollup runs under EagerAggRule (third user); the
+    // ranked subquery's fact re-derivation is 2-column pruned and the
+    // final windows run over the ~30-row rollup.
+    "ds70_grouping_rank" -> """
+      WITH top_regions AS (
+        SELECT r_name FROM (
+          SELECT r_name,
+                 rank() OVER (ORDER BY CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) DESC) AS rnk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name) t
+        WHERE rnk <= 3),
+      agg AS (
+        SELECT r_name, n_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_c,
+               grouping(r_name) + grouping(n_name) AS lochierarchy,
+               grouping(n_name) AS g_n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN (SELECT r_name FROM top_regions)
+        GROUP BY ROLLUP(r_name, n_name))
+      SELECT lochierarchy, r_name, n_name,
+             round(CAST(profit_c AS DOUBLE) / 100.0, 2) AS profit,
+             rank() OVER (PARTITION BY lochierarchy,
+                            CASE WHEN g_n = 0 THEN r_name END
+                          ORDER BY profit_c DESC) AS rank_within
+      FROM agg
+      ORDER BY lochierarchy DESC, r_name NULLS FIRST, rank_within, n_name NULLS FIRST"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -979,8 +1057,9 @@ object TpcDs {
         // at the finest (brand,type,yr,mon) key below the Expand. Same
         // opt-in conf discipline as x03; the SQL text (and the oracle)
         // stays the naive spec form — the rewrite is the optimizer's job.
-        if (name == "ds67_rollup_rank" || name == "ds80_channel_report") {
-          // both ROLLUP over a fact-scale input: the eager-agg rollup
+        if (name == "ds67_rollup_rank" || name == "ds80_channel_report"
+            || name == "ds70_grouping_rank") {
+          // all ROLLUP over a fact-scale input: the eager-agg rollup
           // variant pre-aggregates at the finest key below the Expand
           graft.rules.EagerAggRule.install(s)
           s.conf.set(graft.rules.EagerAggRule.EnabledConf, "true")
@@ -1021,6 +1100,12 @@ object TpcDs {
           s.sql(Ds74YearTotal).localCheckpoint()
             .createOrReplaceTempView("year_total74")
           s.sql(Ds74Outer)
+        } else if (name == "ds65_underperforming") {
+          // the twice-referenced per-(store, item) aggregate spools once
+          // (its second reference is its OWN re-aggregation per store)
+          s.sql(Ds65ItemRev).localCheckpoint()
+            .createOrReplaceTempView("item_rev")
+          s.sql(Ds65Outer)
         } else s.sql(text)
       })
     }

@@ -1195,6 +1195,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"pre-agg must split partial/final:\n$p")
   }
 
+  test("ds65: the per-(store,item) aggregate is spooled — its re-aggregation and join read no parquet") {
+    val p = plan("ds65_underperforming").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"both references must read the spool, got $scans parquet scans:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed item_rev spool:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds65 went cartesian:\n$p")
+  }
+
+  test("ds70: the rollup Expand sits on the pre-aggregate; the rank windows run over the rollup") {
+    // third user of EagerAggRule's rollup variant; the GROUPING()-
+    // partitioned rank must window the ~30-row rollup output
+    val p = plan("ds70_grouping_rank").split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, s"no Expand in:\n$p")
+    val below = lines.drop(expandIdx + 1)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val joinIdx = below.indexWhere(l =>
+      l.contains("Join") || l.contains("CartesianProduct"))
+    assert(aggIdx >= 0 && (joinIdx < 0 || aggIdx < joinIdx),
+      s"Expand must sit on the pre-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds70 went cartesian:\n$p")
+    assert(p.contains("LeftSemi"), s"the ranked-subquery region filter must plan as a semi-join:\n$p")
+  }
+
   test("ds77: channel totals are ONE scan + ONE rollup Expand — never a block per channel") {
     val p = plan("ds77_channel_totals").split("== Initial Plan ==")(0)
     val scans = "lineitem".r.findAllIn(p).length
