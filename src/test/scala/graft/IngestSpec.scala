@@ -428,4 +428,21 @@ class IngestSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("cannot be bigger than the field size"),
       s"got: ${boom.getMessage}")
   }
+
+  test("Tables schema memo: a path rewritten with a different schema re-infers (mtime/size key)") {
+    // the r14-advice finding: a process-lifetime memo keyed on path alone
+    // would silently misread a rewritten file through the stale schema
+    // (missing columns surface as nulls); the (path, mtime, size) key
+    // makes the rewrite visible
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_schema_memo").toString
+    Seq((1L, "a")).toDF("k", "v1").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    assert(Tables.df(spark, dir, "region").columns.toSeq == Seq("k", "v1"))
+    Thread.sleep(1100) // distinct mtime even on coarse filesystems
+    Seq((1L, 2.5, true)).toDF("k", "v2", "v3").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    assert(Tables.df(spark, dir, "region").columns.toSeq == Seq("k", "v2", "v3"),
+      "rewritten parquet must re-infer, not misread through the stale memo")
+  }
 }
