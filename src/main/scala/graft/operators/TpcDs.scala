@@ -64,7 +64,11 @@ import graft.Tables
   * EagerAggRule — its second user), ds65 (one aggregate referenced at
   * two derivation levels — the ShareInputScan motivating query), ds70
   * (ROLLUP × GROUPING()-partitioned rank × ranked-subquery filter,
-  * EagerAggRule's third user).
+  * EagerAggRule's third user). The 0:06 class adds three more shapes:
+  * ds16 (the EXISTS + NOT EXISTS shipping audit — q94's web sibling
+  * shares the shape), ds18 (3-deep averages rollup in exact integer
+  * micro-units — EagerAggRule's fourth user), ds31 (the 6×-referenced
+  * quarter-over-quarter growth chain). 32 published rows total.
   * Row-0 adjudication (r14 verdict): the published table
   * lists rows 0–99 for a 99-query benchmark; rows 1..99 align 1:1
   * with q1..q99 (every named slow row matches its spec shape — 72 the
@@ -296,6 +300,70 @@ object TpcDs {
             FROM item_rev GROUP BY nat) sa ON ir.nat = sa.nat
       WHERE 2 * ir.rev_c * sa.n_items < sa.total_c
       ORDER BY ir.nat, ir.part"""
+
+  /** ds18's shared text modulo the integer-division token (Spark
+    * `div`, DuckDB `//`): every average is (2·sum·u + n) div (2·n) —
+    * round-half-up of sum·u/n in pure BIGINT arithmetic (all measures
+    * non-negative, so truncating vs flooring division cannot
+    * diverge); u picks the micro-unit (1e-4 of the measure's natural
+    * unit; discount's natural unit is already 1e-4, so its column is
+    * 1e-6 of the raw fraction). */
+  private def ds18Text(idiv: String): String = s"""
+      WITH base AS (
+        SELECT r_name, n_name, c_mktsegment,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+               CAST(round(l_discount * 10000) AS BIGINT) AS disc_4,
+               CAST(round(l_tax * 10000) AS BIGINT) AS tax_4
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE year(o_orderdate) = 1997)
+      SELECT r_name, n_name, c_mktsegment,
+        CAST((2 * sum(qty) * 10000 + count(*)) $idiv (2 * count(*)) AS BIGINT) AS avg_qty_1e4,
+        CAST((2 * sum(price_c) * 100 + count(*)) $idiv (2 * count(*)) AS BIGINT) AS avg_price_1e4,
+        CAST((2 * sum(disc_4) * 100 + count(*)) $idiv (2 * count(*)) AS BIGINT) AS avg_disc_1e6,
+        CAST((2 * sum(tax_4) * 100 + count(*)) $idiv (2 * count(*)) AS BIGINT) AS avg_tax_1e6,
+        count(*) AS n
+      FROM base GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, c_mktsegment NULLS FIRST"""
+
+  /** ds31's SIX-times-referenced per-(geo, quarter, channel) total —
+    * the widest CTE fan-out in the battery (q31 joins its ss/ws CTEs
+    * six ways across three consecutive quarters × two channels).
+    * Spooled once on the Spark side; inlined in the oracle. */
+  private val Ds31QTotal = """
+        SELECT n_name AS geo, quarter(o_orderdate) AS q, l_returnflag AS ch,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE year(o_orderdate) = 1997 AND l_returnflag IN ('N', 'R')
+          AND quarter(o_orderdate) <= 3
+        GROUP BY 1, 2, 3"""
+
+  /** ds31's outer 6-way self-join: both growth transitions (q1→q2,
+    * q2→q3) must be faster on the 'R' channel than the 'N' channel —
+    * the comparisons are cross-multiplied exact BIGINTs (a/b > c/d ⇔
+    * a·d > c·b for positive totals), never ratio doubles. */
+  private val Ds31Outer = """
+      SELECT n1.geo,
+             round(CAST(n2.total_c AS DOUBLE) / n1.total_c, 4) AS n_g1,
+             round(CAST(n3.total_c AS DOUBLE) / n2.total_c, 4) AS n_g2,
+             round(CAST(r2.total_c AS DOUBLE) / r1.total_c, 4) AS r_g1,
+             round(CAST(r3.total_c AS DOUBLE) / r2.total_c, 4) AS r_g2
+      FROM qt31 n1, qt31 n2, qt31 n3, qt31 r1, qt31 r2, qt31 r3
+      WHERE n1.geo = n2.geo AND n1.geo = n3.geo
+        AND n1.geo = r1.geo AND n1.geo = r2.geo AND n1.geo = r3.geo
+        AND n1.ch = 'N' AND n2.ch = 'N' AND n3.ch = 'N'
+        AND r1.ch = 'R' AND r2.ch = 'R' AND r3.ch = 'R'
+        AND n1.q = 1 AND n2.q = 2 AND n3.q = 3
+        AND r1.q = 1 AND r2.q = 2 AND r3.q = 3
+        AND n1.total_c > 0 AND n2.total_c > 0 AND r1.total_c > 0 AND r2.total_c > 0
+        AND r2.total_c * n1.total_c > n2.total_c * r1.total_c
+        AND r3.total_c * n2.total_c > n3.total_c * r2.total_c
+      ORDER BY n1.geo"""
 
   /** ds04's multi-referenced CTE body — spooled once on the Spark side
     * (see the ds04 comment below), inlined into the oracle text. */
@@ -1045,7 +1113,54 @@ object TpcDs {
                             CASE WHEN g_n = 0 THEN r_name END
                           ORDER BY profit_c DESC) AS rank_within
       FROM agg
-      ORDER BY lochierarchy DESC, r_name NULLS FIRST, rank_within, n_name NULLS FIRST"""
+      ORDER BY lochierarchy DESC, r_name NULLS FIRST, rank_within, n_name NULLS FIRST""",
+
+    // q16 (0:06 published, performance.md:95; q94 is the same shape on
+    // the web channel): the order-shipping audit — count orders that
+    // have lines from MORE THAN ONE supplier (correlated EXISTS → a
+    // LEFT SEMI join) and NO returned line (correlated NOT EXISTS → a
+    // LEFT ANTI join), under date + priority pushdown. This pins the
+    // EXISTS/NOT-EXISTS pair as explicit correlated subqueries (ds95
+    // pins the same family spelled as chained INs); the multi-supplier
+    // probe set is the per-order self-join, bounded by per-order line
+    // count, and both probes semi/anti-join the orders stream — pair
+    // emission never reaches the outer.
+    "ds16_shipping_audit" -> """
+      SELECT count(DISTINCT o_orderkey) AS order_count,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_price
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1997-02-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+                      ON l1.l_orderkey = l2.l_orderkey
+                    WHERE l1.l_orderkey = o.o_orderkey
+                      AND l1.l_suppkey <> l2.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem lr
+                        WHERE lr.l_orderkey = o.o_orderkey
+                          AND lr.l_returnflag = 'R')""",
+
+    // q18 (0:06 published, performance.md:97): the averages report
+    // rolled up over a THREE-deep dimension ladder (country, state,
+    // county → region, nation, segment here) — every output measure is
+    // an average, emitted in EXACT INTEGER micro-units via half-up
+    // integer division ((2·sum·u + n) div (2·n), positive measures
+    // only, so truncating and flooring division agree): a double
+    // division rounded to k decimals can TIE at the k-th digit and the
+    // engines break ties differently (measured: 3472.4272 vs
+    // 3472.4273 on the first cut of this query). The integer-division
+    // operator is the ONE divergent token (Spark `div`, DuckDB `//` —
+    // the ds59 weekday() precedent). Runs under EagerAggRule (fourth
+    // user): the ×4 Expand multiplies the ~130-row pre-aggregate,
+    // never the 5-relation join output.
+    "ds18_avg_rollup_dims" -> ds18Text("//"),
+
+    // q31 (0:06 published, performance.md:110): the quarter-over-
+    // quarter growth CHAIN — see Ds31QTotal/Ds31Outer; the one CTE is
+    // referenced SIX ways (3 consecutive quarters × 2 channels), the
+    // widest spool fan-out in the battery, and a geography survives
+    // only if the second channel outgrew the first in BOTH
+    // transitions (cross-multiplied exact-integer comparisons).
+    "ds31_qoq_chain" -> s"WITH qt31 AS ($Ds31QTotal) $Ds31Outer"
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1058,7 +1173,7 @@ object TpcDs {
         // opt-in conf discipline as x03; the SQL text (and the oracle)
         // stays the naive spec form — the rewrite is the optimizer's job.
         if (name == "ds67_rollup_rank" || name == "ds80_channel_report"
-            || name == "ds70_grouping_rank") {
+            || name == "ds70_grouping_rank" || name == "ds18_avg_rollup_dims") {
           // all ROLLUP over a fact-scale input: the eager-agg rollup
           // variant pre-aggregates at the finest key below the Expand
           graft.rules.EagerAggRule.install(s)
@@ -1106,6 +1221,16 @@ object TpcDs {
           s.sql(Ds65ItemRev).localCheckpoint()
             .createOrReplaceTempView("item_rev")
           s.sql(Ds65Outer)
+        } else if (name == "ds31_qoq_chain") {
+          // the 6×-referenced quarterly CTE spools once; inlined it
+          // would re-derive the 4-relation fact aggregate six times
+          s.sql(Ds31QTotal).localCheckpoint()
+            .createOrReplaceTempView("qt31")
+          s.sql(Ds31Outer)
+        } else if (name == "ds18_avg_rollup_dims") {
+          // Spark spells integer division `div`; the oracle text has
+          // DuckDB's `//` — the one divergent token (ds59 precedent)
+          s.sql(ds18Text("div"))
         } else s.sql(text)
       })
     }

@@ -1220,6 +1220,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"the ranked-subquery region filter must plan as a semi-join:\n$p")
   }
 
+  test("ds16: EXISTS plans as a semi-join, NOT EXISTS as an anti-join — no pair emission into the outer") {
+    val p = plan("ds16_shipping_audit")
+    assert(p.contains("LeftSemi"), s"correlated EXISTS must plan as semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"correlated NOT EXISTS must plan as anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds16 went cartesian:\n$p")
+  }
+
+  test("ds18: the 3-deep averages rollup Expands the pre-aggregate, not the 5-relation join") {
+    // fourth user of EagerAggRule's rollup variant
+    val p = plan("ds18_avg_rollup_dims").split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, s"no Expand in:\n$p")
+    val below = lines.drop(expandIdx + 1)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val joinIdx = below.indexWhere(l =>
+      l.contains("Join") || l.contains("CartesianProduct"))
+    assert(aggIdx >= 0 && (joinIdx < 0 || aggIdx < joinIdx),
+      s"Expand must sit on the pre-aggregate:\n$p")
+    assert(p.contains("partial_sum"), s"pre-agg must split partial/final:\n$p")
+  }
+
+  test("ds31: the 6x-referenced quarterly CTE is spooled — the chain join reads no parquet") {
+    val p = plan("ds31_qoq_chain").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"all six references must read the spool, got $scans parquet scans:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed quarterly spool:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds31 went cartesian:\n$p")
+  }
+
   test("ds77: channel totals are ONE scan + ONE rollup Expand — never a block per channel") {
     val p = plan("ds77_channel_totals").split("== Initial Plan ==")(0)
     val scans = "lineitem".r.findAllIn(p).length
