@@ -1124,18 +1124,27 @@ object TpcDs {
     // pins the same family spelled as chained INs); the multi-supplier
     // probe set is the per-order self-join, bounded by per-order line
     // count, and both probes semi/anti-join the orders stream — pair
-    // emission never reaches the outer.
+    // emission never reaches the outer. The /*+ MERGE */ hints are
+    // pg_hint_plan syntax (the reference's own hint mechanism, the
+    // ph01 front-end's dialect): every join side here is FACT-scale,
+    // and without the hints AQE broadcasts the 600 k-row self-join
+    // side at bench SF — a plan that cannot exist at 100 TB and that
+    // MEASURES 3× slower even locally (PROF_r15: 1.68 → 0.52 s idle;
+    // the single-threaded fact-table broadcast build dominates). The
+    // hints pin the shuffle sort-merge plan on the order key — the
+    // one a cluster needs — and DuckDB reads them as comments, so the
+    // oracle text stays byte-identical.
     "ds16_shipping_audit" -> """
-      SELECT count(DISTINCT o_orderkey) AS order_count,
+      SELECT /*+ MERGE(o) */ count(DISTINCT o_orderkey) AS order_count,
              round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_price
       FROM orders o
       WHERE o_orderdate >= TIMESTAMP '1997-02-01' AND o_orderdate < TIMESTAMP '1997-04-01'
         AND o_orderpriority IN ('1-URGENT', '2-HIGH')
-        AND EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+        AND EXISTS (SELECT /*+ MERGE(l1) */ 1 FROM lineitem l1 JOIN lineitem l2
                       ON l1.l_orderkey = l2.l_orderkey
                     WHERE l1.l_orderkey = o.o_orderkey
                       AND l1.l_suppkey <> l2.l_suppkey)
-        AND NOT EXISTS (SELECT 1 FROM lineitem lr
+        AND NOT EXISTS (SELECT /*+ MERGE(lr) */ 1 FROM lineitem lr
                         WHERE lr.l_orderkey = o.o_orderkey
                           AND lr.l_returnflag = 'R')""",
 

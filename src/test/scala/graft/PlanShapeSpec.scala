@@ -1220,11 +1220,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"the ranked-subquery region filter must plan as a semi-join:\n$p")
   }
 
-  test("ds16: EXISTS plans as a semi-join, NOT EXISTS as an anti-join — no pair emission into the outer") {
+  test("ds16: EXISTS plans as a semi-join, NOT EXISTS as an anti-join — and nothing broadcasts a fact side") {
     val p = plan("ds16_shipping_audit")
     assert(p.contains("LeftSemi"), s"correlated EXISTS must plan as semi-join:\n$p")
     assert(p.contains("LeftAnti"), s"correlated NOT EXISTS must plan as anti-join:\n$p")
     assert(!p.contains("CartesianProduct"), s"ds16 went cartesian:\n$p")
+    // every join side is fact-scale: the pg_hint_plan MERGE hints must
+    // pin shuffle sort-merge joins — a broadcast of the 600k-row
+    // self-join side cannot exist at 100 TB (and measures 3x slower
+    // locally, PROF_r15)
+    assert(!p.contains("BroadcastExchange"),
+      s"no fact-scale side may broadcast — the MERGE hints must hold:\n$p")
+    assert(p.contains("SortMergeJoin"), s"expected the hinted shuffle sort-merge plan:\n$p")
   }
 
   test("ds18: the 3-deep averages rollup Expands the pre-aggregate, not the 5-relation join") {
