@@ -643,13 +643,16 @@ object TpcDs {
     // Scale shape: both channel aggregates shuffle on the same
     // (yr, cust, part) key — the final join re-uses the exchange; the
     // DISTINCT return set is |returned pairs|-sized, never |fact|².
+    // r15: MERGE(rets) pins the return-set anti-condition join to
+    // shuffle — rets is lineitem-derived (fact-scale at 100 TB; AQE
+    // broadcast it at bench SF, measured ~15% slower even locally).
     "ds78_channel_ratio" -> """
       WITH rets AS (
         SELECT DISTINCT o_custkey AS rcust, l_partkey AS rpk
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R'),
       ss AS (
-        SELECT year(o_orderdate) AS yr, o_custkey AS cust, l_partkey AS part,
+        SELECT /*+ MERGE(rets) */ year(o_orderdate) AS yr, o_custkey AS cust, l_partkey AS part,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_qty,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS s_amt_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -657,7 +660,7 @@ object TpcDs {
         WHERE l_returnflag = 'N' AND rcust IS NULL
         GROUP BY 1, 2, 3),
       ws AS (
-        SELECT year(o_orderdate) AS yr, o_custkey AS cust, l_partkey AS part,
+        SELECT /*+ MERGE(rets) */ year(o_orderdate) AS yr, o_custkey AS cust, l_partkey AS part,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w_qty,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w_amt_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -680,18 +683,25 @@ object TpcDs {
     // Scale shape: both IN-subqueries plan as LEFT SEMI joins on the
     // order key (never pair emission into the outer); the self-join
     // pair set is bounded by per-order line count (~4), not |fact|².
+    //    r15: every join side here is fact-scale, and AQE was
+    //    broadcasting the 600 k-row self-join side (twice — the
+    //    inferred-constraint duplication) plus the orders build at
+    //    bench SF; the pg_hint_plan MERGE hints (the ds16 fix, see
+    //    PROF_r15) pin the shuffle sort-merge plan a cluster needs —
+    //    idle 1.2–1.5 → 0.6–0.9 s, zero BroadcastExchange
+    //    plan-asserted. DuckDB reads the hints as comments.
     "ds95_chained_exists" -> """
       WITH multi_supp AS (
-        SELECT DISTINCT l1.l_orderkey AS ok
+        SELECT /*+ MERGE(l1) */ DISTINCT l1.l_orderkey AS ok
         FROM lineitem l1, lineitem l2
         WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey)
-      SELECT count(DISTINCT l_orderkey) AS order_count,
+      SELECT /*+ MERGE(orders) */ count(DISTINCT l_orderkey) AS order_count,
              round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_price,
              round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_disc
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-05-01'
-        AND l_orderkey IN (SELECT ok FROM multi_supp)
-        AND l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')""",
+        AND l_orderkey IN (SELECT /*+ MERGE(multi_supp) */ ok FROM multi_supp)
+        AND l_orderkey IN (SELECT /*+ MERGE(lineitem) */ l_orderkey FROM lineitem WHERE l_returnflag = 'R')""",
 
     // q38 (0:08 published, performance.md:118): q87's complement —
     // count the composite (customer, day) keys present in ALL THREE

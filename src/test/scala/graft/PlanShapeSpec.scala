@@ -1056,6 +1056,11 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both IN-subqueries must be semi-joins:\n$p")
     assert(!p.contains("CartesianProduct"), s"ds95 went cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"ds95 is nested-loop:\n$p")
+    // r15: every join side is fact-scale — the MERGE hints must hold
+    // the shuffle plan (AQE used to broadcast the 600k-row self-join
+    // side twice; see PROF_r15's ds16/ds95 section)
+    assert(!p.contains("BroadcastExchange"),
+      s"no fact-scale side may broadcast in ds95:\n$p")
   }
 
   test("ds64: the 8-relation CTE is spooled — the year-pair self-join reads no parquet") {
