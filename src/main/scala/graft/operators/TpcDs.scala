@@ -68,7 +68,9 @@ import graft.Tables
   * ds16 (the EXISTS + NOT EXISTS shipping audit — q94's web sibling
   * shares the shape), ds18 (3-deep averages rollup in exact integer
   * micro-units — EagerAggRule's fourth user), ds31 (the 6×-referenced
-  * quarter-over-quarter growth chain). 32 published rows total.
+  * quarter-over-quarter growth chain); ds35 pins the disjunctive
+  * EXISTS (the battery's first ExistenceJoin — q10 shares the
+  * construction). 33 published rows total.
   * Row-0 adjudication (r14 verdict): the published table
   * lists rows 0–99 for a 99-query benchmark; rows 1..99 align 1:1
   * with q1..q99 (every named slow row matches its spec shape — 72 the
@@ -1179,7 +1181,31 @@ object TpcDs {
     // widest spool fan-out in the battery, and a geography survives
     // only if the second channel outgrew the first in BOTH
     // transitions (cross-multiplied exact-integer comparisons).
-    "ds31_qoq_chain" -> s"WITH qt31 AS ($Ds31QTotal) $Ds31Outer"
+    "ds31_qoq_chain" -> s"WITH qt31 AS ($Ds31QTotal) $Ds31Outer",
+
+    // q35 (0:04 published, performance.md:114; q10 at 0:03 shares the
+    // construction): the DISJUNCTIVE-EXISTS report — a conjunctive IN
+    // (→ plain semi-join) plus `EXISTS(...) OR EXISTS(...)`, which no
+    // semi-join can express alone: each EXISTS becomes an
+    // ExistenceJoin (a semi-join variant emitting a boolean column
+    // instead of filtering — the reference plans the same via
+    // hashed-SubPlan testexpr) and the OR filters on the two booleans.
+    // This is the one join FORM the battery had not pinned; the
+    // grouped report is |nation × segment|-sized, counts + exact
+    // cents sums at the edge.
+    "ds35_disjunctive_exists" -> """
+      SELECT n_name, c_mktsegment, count(*) AS n_customers,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE year(o_orderdate) = 1997)
+        AND (EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+          OR EXISTS (SELECT 1 FROM lineitem l JOIN orders o2
+                       ON l.l_orderkey = o2.o_orderkey
+                     WHERE o2.o_custkey = c_custkey
+                       AND l.l_returnflag = 'R'))
+      GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

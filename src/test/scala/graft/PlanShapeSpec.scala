@@ -1262,6 +1262,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"ds31 went cartesian:\n$p")
   }
 
+  test("ds35: EXISTS-or-EXISTS plans as ExistenceJoins; the conjunctive IN stays a semi-join") {
+    // the disjunctive form cannot filter through a plain semi-join —
+    // each EXISTS must become an ExistenceJoin (boolean-emitting semi
+    // variant; the reference's hashed-SubPlan testexpr) and the OR
+    // evaluates over the two booleans
+    val p = plan("ds35_disjunctive_exists")
+    assert("ExistenceJoin".r.findAllIn(p).length >= 2,
+      s"both OR'd EXISTS must plan as ExistenceJoins:\n$p")
+    assert(p.contains("LeftSemi"), s"the conjunctive IN must stay a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds35 went cartesian:\n$p")
+  }
+
   test("ds77: channel totals are ONE scan + ONE rollup Expand — never a block per channel") {
     val p = plan("ds77_channel_totals").split("== Initial Plan ==")(0)
     val scans = "lineitem".r.findAllIn(p).length
