@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object FloorControl {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.FloorControl <E> [passes=5] [rows=260000] [keys=27000]")
+      sys.exit(2)
+    }
     val e = args(0).toInt
     require(e >= 3, "chain needs >= 3 exchanges (groupBy + join + sort)")
     val passes = if (args.length > 1) args(1).toInt else 5
@@ -53,14 +58,21 @@ object FloorControl {
     }
     val exch = "Exchange".r
       .findAllIn(chain().queryExecution.executedPlan.toString).length
+    // The summary is keyed on the PLAN-AUDITED exchange count, not the
+    // requested E: the chain loop (2 to e-3) is empty for both e=3 and
+    // e=4, so e=4 would otherwise label a 3-exchange plan E=4 and a
+    // floor(E) reading keyed on the label would use the wrong E.
+    if (exch != e)
+      println(s"[floor] WARNING: requested E=$e but executed plan has " +
+        s"$exch exchanges — summary keyed on the audited count")
     val times = (1 to passes).map { i =>
       val t0 = System.nanoTime()
       chain().queryExecution.toRdd.count()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"[floor] E=$e pass$i: $t%.3f s (plan exchanges: $exch)")
+      println(f"[floor] E=$exch pass$i: $t%.3f s (requested: $e)")
       t
     }
-    println(f"[floor] E=$e plan_exchanges=$exch steady=${times.drop(1).min}%.3f s")
+    println(f"[floor] E=$exch plan_exchanges=$exch steady=${times.drop(1).min}%.3f s")
     spark.stop()
   }
 }

@@ -646,7 +646,14 @@ object Dedup {
     * other derived table (er02's ensureBaseState discipline). */
   private[graft] def ensureSpanState(s: SparkSession, dir: String,
                                      baseSlice: Boolean): SpanState = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // The derived-path tag carries the SOURCE corpus fingerprint
+    // (mtime, size of documents.parquet — the Tables.df schema-memo
+    // key, r15 advice finding): a documents.parquet regenerated in
+    // place gets a fresh tag and rebuilds, instead of the _SUCCESS
+    // check silently serving span state for the old corpus.
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_") +
+      s"_${src.lastModified}_${src.length}"
     val stem = if (baseSlice) "span_base" else "span_full"
     val (wp, cp, np) = (s"target/derived/$tag/${stem}_wins",
       s"target/derived/$tag/${stem}_census", s"target/derived/$tag/${stem}_ntok")

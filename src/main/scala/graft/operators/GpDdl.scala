@@ -471,9 +471,21 @@ object GpDdl {
     }
     val all = Option(base.listFiles()).getOrElse(Array.empty)
     val stages = all.filter(f => f.isDirectory && f.getName.startsWith(SplitTmpPrefix))
+    // Belt to the DSYNC marker write's braces: if ANY tombstone exists
+    // under the base path, some source has already been retired — a
+    // marker-less stage in that state could be the retired source's
+    // half whose marker was lost (not mid-staging garbage), so refuse
+    // the discard and wedge safely rather than silently drop rows.
+    val anyTombstone = all.exists(f =>
+      f.isDirectory && f.getName.startsWith(SplitRmPrefix))
     stages.foreach { tmp =>
       val marker = new java.io.File(tmp, SplitSrcMarker)
       if (!marker.exists()) {
+        require(!anyTombstone,
+          s"ddl: marker-less split stage ${tmp.getName} found alongside a " +
+          s"tombstone — a source has been retired, so this stage may be " +
+          s"its surviving half with a lost marker rather than staging " +
+          s"garbage; refusing the discard (inspect and repair manually)")
         // A marker-less stage can only arise mid-staging: the half's
         // parquet write crashed BEFORE its marker was written, and the
         // tombstone rename happens strictly after BOTH markers exist —
@@ -564,9 +576,19 @@ object GpDdl {
         val tmp = new java.io.File(basePath, s"$SplitTmpPrefix$partCol=$name")
         rows.filter(p).write.mode("overwrite").parquet(tmp.getAbsolutePath)
         new java.io.File(tmp, "_SUCCESS").delete()
+        // SYNC: the recovery protocol's marker-less-stage discard
+        // assumes the marker write is DURABLE before the tombstone
+        // rename (program order is not persistence order under power
+        // loss — the r15 advice finding). DSYNC forces the marker's
+        // bytes to media here, so a surviving tombstone can never
+        // coexist with a lost marker.
         java.nio.file.Files.write(
           new java.io.File(tmp, SplitSrcMarker).toPath,
-          srcDirName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          srcDirName.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.DSYNC)
         (tmp, new java.io.File(basePath, s"$partCol=$name"))
     }
     // validate BOTH destinations are free before touching the source —

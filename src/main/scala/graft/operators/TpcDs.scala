@@ -78,6 +78,30 @@ import graft.Tables
   * defines no "query 0", so row 0 (0:50) is a harness artifact (the
   * kit's warmup/validation statement), not an additional spec shape —
   * nothing to carry.
+  *
+  * Round 16 extends to the next four slowest uncovered rows
+  * (performance.md:128/84/87/158 — q49 0:07, q5 0:07, q8 0:07, q79
+  * 0:07): ds49 (the three-channel worst-return-ratios report — the
+  * battery's first window-then-UNION-then-dedup shape: per-channel
+  * windowed ranks, rank-≤-10 filters, UNION distinct across
+  * channels), ds05 (per-channel UNION ALL of sales and returns
+  * PROJECTIONS — returns zero the sales column and negate profit —
+  * feeding one ROLLUP(channel, nation), EagerAggRule's fifth user),
+  * ds08 (a literal VALUES code list INTERSECTed with an
+  * aggregate-HAVING-derived preferred-customer code set, the result
+  * semi-joined into the star — q8's zip-prefix funnel over phone
+  * country codes), ds79 (the store-visit shape: a fact-scale
+  * composite-visit-key aggregate — (order, nation) grain, ds72's
+  * cardinality class — under an OR'd dim band, with the customer dim
+  * joined OUTSIDE the aggregate and substr in the output ordering).
+  * Covered-elsewhere adjudications, same pass: q48 (0:07,
+  * performance.md:127) is the OR'd multi-dim conjunct-band scan —
+  * exactly ds13's pinned shape (q13 and q48 share the construction in
+  * the spec; q48 drops q13's averages for one sum, structurally a
+  * subset) — no new row spent; q2 (0:06, performance.md:81) is the
+  * week-over-year ratio sheet = ds59's weekday pivot × ds74's
+  * union-tagged two-source year totals, both pinned. 37 published
+  * rows total.
   */
 object TpcDs {
 
@@ -390,6 +414,35 @@ object TpcDs {
         AND n1.total_c > 0 AND r1.total_c > 0
         AND r2.total_c * n1.total_c > n2.total_c * r1.total_c
       ORDER BY n1.cust"""
+
+  /** One ds49 channel block: per-item return/currency ratios over the
+    * channel's priority slice, ranked by both ratios, head of either
+    * ranking kept. The ratios divide exact BIGINT sums as DOUBLEs —
+    * IEEE division of identical exact inputs is bit-identical across
+    * engines, so the rank ordering can never diverge; rounding happens
+    * only at the output edge (ds78's convention). The sold-side HAVING
+    * guards carry q49's `quantity > 0 AND net_paid > 0` zero-division
+    * guards. */
+  private def ds49Block(tag: String, pred: String): String = s"""
+    SELECT w49.* FROM (
+      SELECT '$tag' AS channel, item,
+             round(rr, 4) AS return_ratio, round(cr, 4) AS currency_ratio,
+             rank() OVER (ORDER BY rr) AS return_rank,
+             rank() OVER (ORDER BY cr) AS currency_rank
+      FROM (
+        SELECT l_partkey AS item,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN l_returnflag <> 'R' THEN CAST(l_quantity AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS DOUBLE) AS rr,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN $epc ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+                 / CAST(sum(CASE WHEN l_returnflag <> 'R' THEN $epc ELSE CAST(0 AS BIGINT) END) AS DOUBLE) AS cr
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE $pred
+        GROUP BY l_partkey
+        HAVING sum(CASE WHEN l_returnflag <> 'R' THEN CAST(l_quantity AS BIGINT) ELSE CAST(0 AS BIGINT) END) > 0
+           AND sum(CASE WHEN l_returnflag <> 'R' THEN $epc ELSE CAST(0 AS BIGINT) END) > 0
+           AND sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE CAST(0 AS BIGINT) END) > 0
+      ) t49
+    ) w49 WHERE return_rank <= 10 OR currency_rank <= 10"""
 
   val sqlText: Map[String, String] = Map(
     // q72's defining feature is the join of two fact-scale relations on
@@ -1205,7 +1258,118 @@ object TpcDs {
                        ON l.l_orderkey = o2.o_orderkey
                      WHERE o2.o_custkey = c_custkey
                        AND l.l_returnflag = 'R'))
-      GROUP BY 1, 2 ORDER BY 1, 2"""
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q49 (0:07 published, performance.md:128): the worst-return-ratios
+    // report — the battery's first WINDOW-then-UNION-then-dedup shape.
+    // Three channel blocks (priority bands, the ds80 convention), each
+    // ranking its items by return-quantity ratio AND return-currency
+    // ratio, each keeping rank ≤ 10 on either axis, UNION (distinct —
+    // the spec's dedup) across channels, globally ordered. The ranks
+    // are windows with no partition — per channel they run over the
+    // ~|parts-with-returns| aggregate, never the fact.
+    "ds49_worst_return_ratios" ->
+      (s"""
+      SELECT channel, item, return_ratio, currency_ratio, return_rank, currency_rank
+      FROM (${ds49Block("urgent", "o_orderpriority IN ('1-URGENT', '2-HIGH')")}
+      UNION
+      ${ds49Block("medium", "o_orderpriority = '3-MEDIUM'")}
+      UNION
+      ${ds49Block("low", "o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')")}
+      ) ranked49
+      ORDER BY channel, return_rank, currency_rank, item LIMIT 100"""),
+
+    // q5 (0:07 published, performance.md:84): the channel
+    // sales-and-returns report — per channel a UNION ALL of SALES
+    // projections (returns_c = 0) and RETURNS projections (sales_c =
+    // 0, profit NEGATED), aggregated per nation, ROLLUP(channel,
+    // nation) over the union. The defining element vs ds80 (which
+    // derives returns by a LEFT JOIN flag) is the aligned-projection
+    // UNION ALL of two heterogeneous fact slices feeding ONE rollup.
+    // The spec's three channel blocks collapse to a CASE channel
+    // column (the ds09/ds66 one-scan discipline — the six per-channel
+    // source scans become the two flag-disjoint slices); EagerAggRule
+    // (fifth user) pre-aggregates the union below the rollup Expand.
+    "ds05_channel_sales_returns" -> s"""
+      WITH sr AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+                    WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                    ELSE 'low' END AS channel,
+               n_name AS nat, $epc AS sales_c, CAST(0 AS BIGINT) AS returns_c,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS profit_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE l_returnflag <> 'R'
+        UNION ALL
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'urgent'
+                    WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                    ELSE 'low' END AS channel,
+               n_name AS nat, CAST(0 AS BIGINT) AS sales_c, $epc AS returns_c,
+               -CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS profit_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE l_returnflag = 'R')
+      SELECT channel, nat,
+             CAST(sum(sales_c) AS BIGINT) AS sales_c,
+             CAST(sum(returns_c) AS BIGINT) AS returns_c,
+             CAST(sum(profit_c) AS BIGINT) AS profit_c
+      FROM sr GROUP BY ROLLUP(channel, nat)
+      ORDER BY channel NULLS FIRST, nat NULLS FIRST""",
+
+    // q8 (0:07 published, performance.md:87): the preferred-zip funnel
+    // — a literal VALUES list INTERSECTed with an aggregate-HAVING-
+    // derived set (two-character brand codes of premium parts — the
+    // zip-prefix analog: substr(p_brand, 7, 2) ∈ '1'..'25'), the
+    // intersection semi-joined into the star. Scale shape: both
+    // INTERSECT branches are tiny distinct sets (≤ 25 codes), the IN
+    // plans as a broadcast semi-join under the pushed-down year filter.
+    "ds08_preferred_codes" -> """
+      WITH pref AS (
+        SELECT substr(p_brand, 7, 2) AS code
+        FROM part WHERE p_retailprice > 905.0
+        GROUP BY 1 HAVING count(*) >= 3),
+      codes AS (
+        SELECT code FROM (VALUES ('2'), ('5'), ('6'), ('11'), ('14'),
+                                 ('17'), ('20'), ('22'), ('24'), ('25')) AS t(code)
+        INTERSECT
+        SELECT code FROM pref)
+      SELECT n_name, count(*) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE substr(p_brand, 7, 2) IN (SELECT code FROM codes)
+        AND year(o_orderdate) = 1997
+      GROUP BY n_name ORDER BY n_name""",
+
+    // q79 (0:07 published, performance.md:158): the store-visit shape —
+    // a FACT-SCALE composite-visit-key aggregate ((order, supplier
+    // nation) grain ≙ q79's (ticket, customer, addr, city); ds72's
+    // near-row-distinct-group cardinality class) under an OR'd dim
+    // band (q79's household-demographics disjunction), with the
+    // customer dim joined OUTSIDE the aggregate and substr() in the
+    // output ordering. The month filter prunes before the join; the
+    // ORDER BY is totalized with the visit grain key so the LIMIT's
+    // row set is deterministic in both engines.
+    "ds79_store_visits" -> """
+      WITH visits AS (
+        SELECT l_orderkey AS visit, o_custkey AS cust, n_name AS city,
+               CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS amt_c,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE (s_acctbal > 5000.0 OR s_nationkey < 10)
+          AND month(o_orderdate) = 4
+        GROUP BY 1, 2, 3)
+      SELECT c_name, substr(city, 1, 8) AS city8, visit,
+             round(CAST(amt_c AS DOUBLE) / 100.0, 2) AS amt,
+             round(CAST(profit_c AS DOUBLE) / 100.0, 2) AS profit
+      FROM visits JOIN customer ON cust = c_custkey
+      ORDER BY c_name, city8, profit, visit, city LIMIT 100"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1218,7 +1382,8 @@ object TpcDs {
         // opt-in conf discipline as x03; the SQL text (and the oracle)
         // stays the naive spec form — the rewrite is the optimizer's job.
         if (name == "ds67_rollup_rank" || name == "ds80_channel_report"
-            || name == "ds70_grouping_rank" || name == "ds18_avg_rollup_dims") {
+            || name == "ds70_grouping_rank" || name == "ds18_avg_rollup_dims"
+            || name == "ds05_channel_sales_returns") {
           // all ROLLUP over a fact-scale input: the eager-agg rollup
           // variant pre-aggregates at the finest key below the Expand
           graft.rules.EagerAggRule.install(s)

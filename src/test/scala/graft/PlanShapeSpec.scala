@@ -1274,6 +1274,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"ds35 went cartesian:\n$p")
   }
 
+  test("ds49: per-channel ranks window the per-item AGGREGATE, unioned then deduped") {
+    val p = plan("ds49_worst_return_ratios")
+    // six rank windows (2 ratios × 3 channels), each fed by a
+    // partial/final per-item aggregate — the fact never enters a window
+    assert("\\+- Window \\[rank".r.findAllIn(p).length >= 6,
+      s"expected the six per-channel rank windows:\n$p")
+    assert(p.contains("partial_sum"), s"per-item ratios must combine map-side:\n$p")
+    // the UNION across channels is DISTINCT (the spec's dedup): it
+    // plans as an aggregate over the union
+    assert(p.contains("Union"), s"expected the three-channel union:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds49 went cartesian:\n$p")
+  }
+
+  test("ds05: the rollup Expand sits on the pre-aggregate, not the sales∪returns fact union") {
+    // EagerAggRule's fifth user — and the first whose rollup input is a
+    // UNION ALL of two heterogeneous fact projections
+    val p = plan("ds05_channel_sales_returns").split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, s"no rollup Expand in:\n$p")
+    val below = lines.drop(expandIdx + 1)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val unionIdx = below.indexWhere(_.contains("Union"))
+    assert(aggIdx >= 0 && unionIdx >= 0 && aggIdx < unionIdx,
+      s"Expand must sit on the (channel, nat) pre-aggregate above the union:\n$p")
+    assert(p.contains("partial_sum"), s"pre-agg must split partial/final:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds05 went cartesian:\n$p")
+  }
+
+  test("ds08: the VALUES∩pref code funnel plans as semi-joins over a LocalTableScan") {
+    val p = plan("ds08_preferred_codes")
+    // one semi for the INTERSECT, one for the IN — never a pair emission
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      s"INTERSECT and IN must both plan as semi-joins:\n$p")
+    assert(p.contains("LocalTableScan"), s"the VALUES list must be a local relation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds08 went cartesian:\n$p")
+  }
+
+  test("ds79: the visit aggregate shuffles on the fact-scale visit grain; customer joins above it") {
+    val p = plan("ds79_store_visits").split("== Initial Plan ==")(0)
+    assert(p.contains("hashpartitioning(l_orderkey") || p.contains("hashpartitioning(visit"),
+      s"visit aggregate must partition on the order-grain key:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the LIMIT must plan as TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds79 went cartesian:\n$p")
+    // the customer join reads the AGGREGATE, not the fact: the
+    // aggregate must appear below the customer-side join in the tree
+    assert(p.contains("partial_sum"), s"visit sums must combine map-side:\n$p")
+  }
+
   test("ds77: channel totals are ONE scan + ONE rollup Expand — never a block per channel") {
     val p = plan("ds77_channel_totals").split("== Initial Plan ==")(0)
     val scans = "lineitem".r.findAllIn(p).length

@@ -700,11 +700,14 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val out = Dedup.spanDedupProbe(state, batch).collect()
+        // the state fold joins the composed map inside the monitor so
+        // the test thread's post-awaitTermination reads of BOTH have a
+        // happens-before edge from the stream thread's writes
         composed.synchronized {
           out.foreach(r => composed(r.getLong(0)) = r.toSeq)
           batches += 1
+          state = Dedup.appendSpanState(state, batch)
         }
-        state = Dedup.appendSpanState(state, batch)
         ()
       }
       .start()
@@ -713,12 +716,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches == 2, s"expected two micro-batches, got $batches")
     val oneShot = SparkEntry.queries("i17_span_dedup_incremental")(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
-    assert(composed.nonEmpty, "streamed probes emitted nothing")
-    assert(composed.toMap == oneShot,
+    // acquire the same monitor the stream thread released: the formal
+    // happens-before edge for both the map contents and the state var
+    val (composedSnap, finalState) = composed.synchronized((composed.toMap, state))
+    assert(composedSnap.nonEmpty, "streamed probes emitted nothing")
+    assert(composedSnap == oneShot,
       "last-write-wins composition of streamed probes must equal the one-shot i17 relation")
     // and the folded state equals the from-scratch full-corpus state
     val scratch = Dedup.buildSpanState(docs)
-    assert(state.census.collect().map(_.toString).sorted.toSeq ==
+    assert(finalState.census.collect().map(_.toString).sorted.toSeq ==
       scratch.census.collect().map(_.toString).sorted.toSeq,
       "state after both folds must equal the from-scratch census")
   }
@@ -754,12 +760,15 @@ class StreamingSpec extends AnyFunSuite {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val ids = batch.select("doc_id").collect().map(_.getLong(0))
         val out = Dedup.spanDedupRetract(state, batch.select("doc_id")).collect()
+        // state fold inside the monitor: the test thread's final
+        // state.census read needs a happens-before edge from this write
+        // (r15 advice finding — only `composed` was inside the block)
         composed.synchronized {
           ids.foreach(composed.remove) // the delete retracts earlier emissions
           out.foreach(r => composed(r.getLong(0)) = r.toSeq)
           batches += 1
+          state = Dedup.retractSpanState(state, batch.select("doc_id"))
         }
-        state = Dedup.retractSpanState(state, batch.select("doc_id"))
         ()
       }
       .start()
@@ -768,12 +777,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches == 2, s"expected two delete micro-batches, got $batches")
     val oneShot = SparkEntry.queries("i18_span_dedup_retract")(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
-    assert(composed.nonEmpty, "streamed retractions emitted nothing")
-    assert(composed.toMap == oneShot,
+    // same-monitor acquire for the formal happens-before edge
+    val (composedSnap, finalState) = composed.synchronized((composed.toMap, state))
+    assert(composedSnap.nonEmpty, "streamed retractions emitted nothing")
+    assert(composedSnap == oneShot,
       "last-write-wins composition of streamed retractions must equal the one-shot i18 relation")
     // and the folded state equals the state built from the survivors
     val scratch = Dedup.buildSpanState(docs.filter(col("doc_id") % 5 =!= 3))
-    assert(state.census.collect().map(_.toString).sorted.toSeq ==
+    assert(finalState.census.collect().map(_.toString).sorted.toSeq ==
       scratch.census.collect().map(_.toString).sorted.toSeq,
       "state after both delete folds must equal the from-scratch survivor census")
   }
