@@ -138,6 +138,7 @@ object PgFunctions {
     "str_hash131" -> { args => StrHash(args(0), 131L, 7L) },
     "vec_l2sq" -> { args => VecL2Sq(args(0), args(1)) },
     "vec_doti" -> { args => VecDotInt(args(0), args(1)) },
+    "vec_signbucket" -> { args => VecSignBucket(args(0), args(1)) },
     "svec_dot" -> { args => SvecDot(args(0), args(1)) },
     "porter_stem" -> { args =>
       PorterStem(Cast(args(0), org.apache.spark.sql.types.StringType)) },

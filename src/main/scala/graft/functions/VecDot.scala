@@ -97,6 +97,53 @@ object VecDot {
     }
     java.lang.Long.valueOf(acc)
   }
+
+  /** Sign-projection LSH bucket: Σ_p 2^p·[Σ_j emb[j]·w(p,j) > 0] with
+    * the deterministic pseudo-random weights w(p,j) = (p·37 + j·17) mod
+    * 13 − 6 (j 0-based) — bit-identical to the HOF formulation it
+    * replaces (`aggregate(sequence(0, planes-1), ... aggregate(
+    * sequence(1, size(emb)), ...))`): each plane dot accumulates
+    * left-to-right in double, and a NULL element null-poisons every
+    * plane dot, whose `NULL > 0` CASE then contributes 0 — so the
+    * bucket of a null-holed vector is 0, exactly as the HOF computed. */
+  def signBucket(a: ArrayData, planes: Int): Long = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return 0L; i += 1 }
+    var acc = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += a.getFloat(j).toDouble * ((p * 37 + j * 17) % 13 - 6).toDouble
+        j += 1
+      }
+      if (dot > 0.0) acc += 1L << p
+      p += 1
+    }
+    acc
+  }
+}
+
+/** Sign-projection LSH bucket over `array<float>` — the s02/s03/s09/s13
+  * bucketing kernel (see [[VecDot]] for the native-vs-HOF rationale:
+  * the 16-plane × 64-dim projection was the s03 dissection's dominant
+  * term at 0.62 s of 0.83 — PROF_r16). `right` is the plane count (a
+  * foldable small int; 2^planes buckets). */
+case class VecSignBucket(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_signbucket"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecDot.signBucket(l.asInstanceOf[ArrayData], r.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, p) =>
+      s"${ev.value} = graft.functions.VecDot.signBucket($a, $p);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSignBucket =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Σ (a[i]-b[i])² over `array<float>` — see [[VecDot]] for rationale. */

@@ -646,15 +646,19 @@ object Dedup {
     * other derived table (er02's ensureBaseState discipline). */
   private[graft] def ensureSpanState(s: SparkSession, dir: String,
                                      baseSlice: Boolean): SpanState = {
-    // The derived-path tag carries the SOURCE corpus fingerprint
+    // The derived-path stem carries the SOURCE corpus fingerprint
     // (mtime, size of documents.parquet — the Tables.df schema-memo
     // key, r15 advice finding): a documents.parquet regenerated in
-    // place gets a fresh tag and rebuilds, instead of the _SUCCESS
-    // check silently serving span state for the old corpus.
+    // place gets a fresh path and rebuilds, instead of the _SUCCESS
+    // check silently serving span state for the old corpus. The
+    // fingerprint compresses to 8 hex chars IN THE LEAF name (not the
+    // tag) so the full path stays under plan-string location
+    // truncation — PlanShapeSpec greps the probe plan for the
+    // span_base_/span_full_ leaf.
     val src = new java.io.File(s"$dir/documents.parquet")
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_") +
-      s"_${src.lastModified}_${src.length}"
-    val stem = if (baseSlice) "span_base" else "span_full"
+    val fp = f"${(src.lastModified * 1000003L + src.length).hashCode}%08x"
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stem = (if (baseSlice) "span_base" else "span_full") + s"_$fp"
     val (wp, cp, np) = (s"target/derived/$tag/${stem}_wins",
       s"target/derived/$tag/${stem}_census", s"target/derived/$tag/${stem}_ntok")
     val done = Seq(wp, cp, np).forall(p => new java.io.File(p, "_SUCCESS").exists())

@@ -569,14 +569,25 @@ object FullText {
     //    the reference, rank_cd never leaves the row: no shuffle, no
     //    window, the only exchange is the final top-k sort --
     "f09_ts_rank_cd" -> { (s, dir) =>
+      //    r16 (PROF_r16 dissection): the original `.filter(n_covers >
+      //    0)` was SUBSTITUTED below the ents projection by predicate
+      //    pushdown, re-evaluating the full tokenize+ents chain three
+      //    times inside the Filter on every corpus row (the j08/i17
+      //    re-evaluation class, PROF_r14 §1). The filter is replaced by
+      //    its exact cheap equivalent: n_covers > 0 ⟺ the token array
+      //    contains BOTH query terms (a sequence holding two distinct
+      //    values must have an adjacent differing pair — and rank_cd's
+      //    covers are exactly those pairs). array_contains pushes down
+      //    at one tokenize per row; ents then builds once, above the
+      //    filter, and n_covers/rank_cd read the ents column.
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
+        .filter(expr("array_contains(toks, 'scan') AND array_contains(toks, 'join')"))
         .withColumn("ents", expr(
           "filter(transform(toks, (x, i) -> struct(i AS pos, x AS tok)), e -> e.tok = 'scan' OR e.tok = 'join')"))
         .withColumn("n_covers", expr(
           """size(filter(zip_with(ents, slice(ents, 2, size(ents)),
                (a, b) -> a.tok <> b.tok), x -> x))"""))
-        .filter(col("n_covers") > 0)
         .withColumn("rank_cd", round(expr(
           """aggregate(zip_with(ents, slice(ents, 2, size(ents)),
                (a, b) -> CASE WHEN a.tok <> b.tok

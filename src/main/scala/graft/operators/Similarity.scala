@@ -699,14 +699,16 @@ object Similarity {
     * [-6, 6]). Shared by s02 (bucket stats, 8 planes) and s03 (candidate
     * generation, `NearDupPlanes`). */
   private def bucketedDf(s: SparkSession, dir: String, planes: Int = 8): DataFrame = {
-    val bucketExpr = s"""
-      aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
-        acc + CASE WHEN
-          aggregate(sequence(1, size(embedding)), 0D, (a, j) ->
-            a + CAST(embedding[j-1] AS DOUBLE) * CAST((p * 37 + (j - 1) * 17) % 13 - 6 AS DOUBLE))
-          > 0D THEN CAST(pow(2, p) AS BIGINT) ELSE 0L END)"""
+    // native codegen kernel (graft.functions.VecSignBucket) — the HOF
+    // form (aggregate over sequence × aggregate over elements) was the
+    // s03 dissection's dominant term (0.62 s of 0.83 at sf0.1,
+    // PROF_r16): every element bounced through an interpreted lambda.
+    // Bit-identical accumulation order; the oracle keeps the
+    // generate_series spelling and still agrees exactly.
+    graft.functions.PgFunctions.register(s)
     Tables.df(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"), expr(bucketExpr).as("bucket"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(s"vec_signbucket(embedding, $planes)").as("bucket"))
   }
 
   /** Capped posting-list pair emission over an LSH-bucketed frame

@@ -234,7 +234,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.builders.map(_._1).toSet ==
       Set("pg_to_char", "pg_to_number", "pg_age", "pg_to_char_ts",
         "pg_to_timestamp", "string_to_array", "generate_series", "pg_format",
-        "vec_dot", "vec_l2sq", "vec_doti", "str_hash31", "str_hash131",
+        "vec_dot", "vec_l2sq", "vec_doti", "vec_signbucket",
+        "str_hash31", "str_hash131",
         "svec_dot", "porter_stem", "unicode_normalize", "pair_emit",
         "pair_emit_sized", "pair_emit_sized_all", "winnow_fps", "crc24",
         "frame_sums", "frame_energy", "french_stem", "russian_stem",
