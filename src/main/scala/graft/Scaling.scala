@@ -68,7 +68,14 @@ object Scaling {
     "ds64_wide_twoyear", "ds59_weekly_pivot", "ds73_visit_band",
     "ds75_net_decline", "ds77_channel_totals", "ds54_revenue_segments",
     "ds87_except_chain", "ds38_intersect_count",
-    "i17_span_dedup_incremental", "i18_span_dedup_retract")
+    "i17_span_dedup_incremental", "i18_span_dedup_retract",
+    // round-16 additions: the fact-bound new battery shapes — the
+    // window-over-union report, the sales∪returns rollup, the
+    // fact-grain visit aggregate, the full-outer overlap census, and
+    // the triple fact chain (chain count measured ~linear: 14/87/707
+    // at sf0.001/0.01/0.1)
+    "ds49_worst_return_ratios", "ds05_channel_sales_returns",
+    "ds79_store_visits", "ds97_channel_overlap", "ds17_return_repurchase")
 
   val MaxRatio = 13.0
 

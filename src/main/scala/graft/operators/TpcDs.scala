@@ -415,6 +415,33 @@ object TpcDs {
         AND r2.total_c * n1.total_c > n2.total_c * r1.total_c
       ORDER BY n1.cust"""
 
+  /** ds44's per-item performance aggregate — referenced SIX ways in the
+    * outer (two rank windows, four scalar threshold subqueries), spooled
+    * once on the Spark side; |parts|-bounded. */
+  private val Ds44Perf = """
+        SELECT l_partkey AS item,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_c
+        FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey"""
+
+  /** ds44's outer: ascending and descending ranks over the SAME
+    * above-threshold slice (items above 0.9× the mean item net — the
+    * threshold cross-multiplied in exact integers: 10·net·n > 9·tot ⇔
+    * net > 0.9·avg), joined ON RANK so row k pairs k-th best with k-th
+    * worst; the item dim joins twice above the windows. */
+  private val Ds44Outer = """
+      SELECT b.rnk, p1.p_name AS best_performing, p2.p_name AS worst_performing
+      FROM (SELECT item, rank() OVER (ORDER BY net_c DESC) AS rnk FROM perf
+            WHERE 10 * net_c * (SELECT count(*) FROM perf)
+                > 9 * (SELECT CAST(sum(net_c) AS BIGINT) FROM perf)) b
+      JOIN (SELECT item, rank() OVER (ORDER BY net_c ASC) AS rnk FROM perf
+            WHERE 10 * net_c * (SELECT count(*) FROM perf)
+                > 9 * (SELECT CAST(sum(net_c) AS BIGINT) FROM perf)) w
+        ON b.rnk = w.rnk
+      JOIN part p1 ON b.item = p1.p_partkey
+      JOIN part p2 ON w.item = p2.p_partkey
+      WHERE b.rnk <= 10
+      ORDER BY b.rnk, best_performing, worst_performing"""
+
   /** One ds49 channel block: per-item return/currency ratios over the
     * channel's priority slice, ranked by both ratios, head of either
     * ranking kept. The ratios divide exact BIGINT sums as DOUBLEs —
@@ -1369,7 +1396,100 @@ object TpcDs {
              round(CAST(amt_c AS DOUBLE) / 100.0, 2) AS amt,
              round(CAST(profit_c AS DOUBLE) / 100.0, 2) AS profit
       FROM visits JOIN customer ON cust = c_custkey
-      ORDER BY c_name, city8, profit, visit, city LIMIT 100"""
+      ORDER BY c_name, city8, profit, visit, city LIMIT 100""",
+
+    // q97 (0:05 published, performance.md:176): the channel-overlap
+    // census — two DISTINCT (customer, item) key sets FULL OUTER
+    // JOINed on the compound key, all three Venn regions counted in
+    // ONE pass of conditional sums (ds38/ds87 pin INTERSECT/EXCEPT,
+    // which each emit one region; q97's construction emits all three
+    // without re-deriving the sets). Both sides shuffle on the same
+    // compound key, so the full-outer join is co-partitioned.
+    "ds97_channel_overlap" -> """
+      WITH ssci AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'N'),
+      csci AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'A')
+      SELECT CAST(sum(CASE WHEN s.cust IS NOT NULL AND c.cust IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+             CAST(sum(CASE WHEN s.cust IS NULL AND c.cust IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+             CAST(sum(CASE WHEN s.cust IS NOT NULL AND c.cust IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+      FROM ssci s FULL OUTER JOIN csci c
+        ON s.cust = c.cust AND s.item = c.item""",
+
+    // q17 (0:05 published, performance.md:96): the purchase → return →
+    // repurchase TRIPLE fact chain (q25/q29 share the construction) —
+    // three lineitem-derived legs equi-joined on a fact-scale compound
+    // key with date-ordering predicates, grouped stats per brand. The
+    // chain key is (customer, brand) — the driver's part space grows
+    // with SF, so same-(customer, part) cross-flag repeats VANISH at
+    // scale (measured 13/1/0 chains at sf0.001/0.01/0.1); the brand
+    // key scales with |customers| (14/87/707 chains). All three legs
+    // derive from the biggest relation keyed fact-scale, so the joins
+    // carry the r15 MERGE-hint boundary (pg_hint_plan dialect; DuckDB
+    // reads the hints as comments) — an AQE broadcast of any leg is
+    // the ds16 defect class. Only the part dim broadcasts.
+    "ds17_return_repurchase" -> """
+      WITH purch AS (
+        SELECT o_custkey AS cust, p_brand AS brand,
+               CAST(l_quantity AS BIGINT) AS q, o_orderdate AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'N' AND year(o_orderdate) = 1996
+          AND quarter(o_orderdate) = 1),
+      ret AS (
+        SELECT o_custkey AS cust, p_brand AS brand,
+               CAST(l_quantity AS BIGINT) AS q, o_orderdate AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'),
+      rep AS (
+        SELECT o_custkey AS cust, p_brand AS brand,
+               CAST(l_quantity AS BIGINT) AS q, o_orderdate AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'A')
+      SELECT /*+ MERGE(pu), MERGE(r), MERGE(rp) */ pu.brand,
+             count(*) AS n_chains,
+             CAST(sum(pu.q) AS BIGINT) AS purch_qty,
+             CAST(sum(r.q) AS BIGINT) AS ret_qty,
+             CAST(sum(rp.q) AS BIGINT) AS rep_qty
+      FROM purch pu
+      JOIN ret r ON pu.cust = r.cust AND pu.brand = r.brand AND r.d > pu.d
+      JOIN rep rp ON pu.cust = rp.cust AND pu.brand = rp.brand AND rp.d > r.d
+      GROUP BY pu.brand ORDER BY pu.brand""",
+
+    // q61 (0:05 published, performance.md:140): the promotional-sales
+    // ratio — TWO uncorrelated scalar subqueries over differently
+    // filtered stars emitted as a one-row ratio (ds23 pins a scalar
+    // threshold feeding a filter; q61's construction makes the scalars
+    // THE output). Exact cents both sides; the ratio divides once at
+    // the output edge.
+    "ds61_promo_ratio" -> """
+      SELECT round(CAST(promo_c AS DOUBLE) / total_c, 6) AS promo_ratio,
+             round(CAST(promo_c AS DOUBLE) / 100.0, 2) AS promotional,
+             round(CAST(total_c AS DOUBLE) / 100.0, 2) AS total
+      FROM (SELECT
+        (SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE month(o_orderdate) = 4
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS promo_c,
+        (SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE month(o_orderdate) = 4) AS total_c) t""",
+
+    // q44 (0:05 published, performance.md:123): the best/worst report —
+    // ONE per-item performance aggregate referenced by an ASCENDING
+    // and a DESCENDING rank window plus an average threshold (items
+    // kept above 0.9× the mean, cross-multiplied exact integers), the
+    // two rankings JOINED ON RANK so row k pairs the k-th best with
+    // the k-th worst, item dim joined twice above. The thrice-
+    // referenced aggregate spools (ShareInputScan discipline; |parts|-
+    // bounded — see the PROF_r16 spool table).
+    "ds44_best_worst" -> s"WITH perf AS ($Ds44Perf) $Ds44Outer"
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1431,6 +1551,11 @@ object TpcDs {
           s.sql(Ds65ItemRev).localCheckpoint()
             .createOrReplaceTempView("item_rev")
           s.sql(Ds65Outer)
+        } else if (name == "ds44_best_worst") {
+          // the six-way-referenced per-item aggregate spools once
+          // (two rank windows + four scalar threshold subqueries)
+          s.sql(Ds44Perf).localCheckpoint().createOrReplaceTempView("perf")
+          s.sql(Ds44Outer)
         } else if (name == "ds31_qoq_chain") {
           // the 6×-referenced quarterly CTE spools once; inlined it
           // would re-derive the 4-relation fact aggregate six times

@@ -1278,7 +1278,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("ds49_worst_return_ratios")
     // six rank windows (2 ratios × 3 channels), each fed by a
     // partial/final per-item aggregate — the fact never enters a window
-    assert("\\+- Window \\[rank".r.findAllIn(p).length >= 6,
+    assert("Window \\[rank".r.findAllIn(p).length >= 6,
       s"expected the six per-channel rank windows:\n$p")
     assert(p.contains("partial_sum"), s"per-item ratios must combine map-side:\n$p")
     // the UNION across channels is DISTINCT (the spec's dedup): it
@@ -1322,6 +1322,50 @@ class PlanShapeSpec extends AnyFunSuite {
     // the customer join reads the AGGREGATE, not the fact: the
     // aggregate must appear below the customer-side join in the tree
     assert(p.contains("partial_sum"), s"visit sums must combine map-side:\n$p")
+  }
+
+  test("ds97: the overlap census FULL OUTER joins co-partitioned distinct key sets") {
+    val p = plan("ds97_channel_overlap")
+    assert(p.contains("FullOuter"), s"expected the full-outer overlap join:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"the compound-key full outer must be a shuffle sort-merge join (both sides fact-derived):\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds97 went cartesian:\n$p")
+  }
+
+  test("ds17: both chain joins are MERGE-pinned sort-merge — no fact-leg broadcast") {
+    // the r15 lineitem-derived-broadcast boundary: all three legs are
+    // fact-derived on a fact-scale key, so the chain joins must never
+    // build a broadcast table from a leg (orders/part dim builds inside
+    // each leg remain broadcast — that side of the boundary)
+    val p = plan("ds17_return_repurchase")
+    assert("SortMergeJoin".r.findAllIn(p).length >= 2,
+      s"both (cust, brand) chain joins must be sort-merge:\n$p")
+    // every broadcast build in the plan is a dim/orders scan inside a
+    // leg; a chain join that broadcast would show a seventh broadcast
+    // in the final plan (3 legs × (orders + part) = 6)
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(fin).length <= 6,
+      s"unexpected extra broadcast join (a chain join flipped?):\n$fin")
+    assert(!p.contains("CartesianProduct"), s"ds17 went cartesian:\n$p")
+  }
+
+  test("ds44: six references read the spooled per-item aggregate; two rank windows") {
+    // full AQE string (final + initial): the ascending-rank side lives
+    // inside a broadcast query stage the final-plan print references
+    // rather than inlines
+    val p = plan("ds44_best_worst")
+    // the only parquet in the plan is the part dim (joined twice);
+    // every perf reference reads the checkpointed spool
+    assert(!p.contains("lineitem"),
+      s"all six perf references must read the spool, not re-derive from lineitem:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed perf spool:\n$p")
+    assert("Window \\[rank".r.findAllIn(p).length >= 2,
+      s"expected the ascending and descending rank windows:\n$p")
+    // the rank<=10 filter must push INTO the windows — only the top-10
+    // band survives each sort (Spark's WindowGroupLimit)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=10 should push down as WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ds44 went cartesian:\n$p")
   }
 
   test("ds77: channel totals are ONE scan + ONE rollup Expand — never a block per channel") {
