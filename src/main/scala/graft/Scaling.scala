@@ -87,6 +87,11 @@ object Scaling {
     "m06_energy_segments", "m08_scene_cuts", "m09_scene_frame_sample",
     "d12_line_dedup", "d13_winnowing",
     "f14_porter_stems", "f15_stemmed_rank", "f16_phrase_distance",
+    // r16: f09's filter rewrite (array_contains prefilter + single
+    // ents build) is length-linear by design — gate it here so a
+    // future regression to the pushdown-duplicated form (still a
+    // constant factor) at least can't go superlinear unnoticed
+    "f09_ts_rank_cd",
     "fz03_strict_word_sml",
     "t11_repetition", "t18_charlm_score", "t19_dup_ngram_coverage",
     "t21_word_entropy", "t23_kl_novelty",
