@@ -32,11 +32,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir, oracle_path = args[0], args[1]
-    out_path = args[2] if len(args) > 2 else "duckdb_idle_sf0.1.json"
-    passes = int(sys.argv[sys.argv.index("--passes") + 1]) if "--passes" in sys.argv else 3
-    floor = float(sys.argv[sys.argv.index("--floor") + 1]) if "--floor" in sys.argv else 0.10
+    # consume --flag VALUE pairs BEFORE splitting positionals, so a
+    # flag's value can never leak into the positional list (a leaked
+    # "--passes 5" would silently become the out_path)
+    argv, flags = [], {"--passes": 3, "--floor": 0.10}
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a in flags:
+            flags[a] = type(flags[a])(next(it))
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a}; usage: duckdb_idle.py <sf_dir> "
+                     f"<oracle_sql.json> [out.json] [--passes N] [--floor S]")
+        else:
+            argv.append(a)
+    sf_dir, oracle_path = argv[0], argv[1]
+    out_path = argv[2] if len(argv) > 2 else "duckdb_idle_sf0.1.json"
+    passes, floor = flags["--passes"], flags["--floor"]
     oracles = json.load(open(oracle_path))
     con = duckdb.connect()
     con.execute("SET threads TO 32")

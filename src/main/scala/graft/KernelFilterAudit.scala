@@ -40,14 +40,20 @@ object KernelFilterAudit {
         val p = df.queryExecution.executedPlan.toString
         def occ(l: String, k: String): Int =
           l.split(java.util.regex.Pattern.quote(k), -1).length - 1
+        // the signature is repeated kernels in ONE filter line (the
+        // substitution duplicates the expression inside a single
+        // condition) — so report the per-line MAX per kernel, not a
+        // sum across unrelated filters
         val bad = p.linesIterator.filter(l =>
           l.contains("Filter") || l.contains("DataFilters")).flatMap { l =>
           kernels.map(k => k -> occ(l, k)).filter(_._2 >= 1)
         }.toSeq
-        val worst = bad.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        val worst = bad.groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
           .sortBy(-_._2).take(3)
-        if (worst.nonEmpty && worst.head._2 >= 1)
-          println(s"[audit] $n: " + worst.map { case (k, c) => s"$k=$c" }.mkString(" "))
+        if (worst.nonEmpty)
+          println(s"[audit] $n: " +
+            worst.map { case (k, c) => s"$k=$c/line" }.mkString(" ") +
+            (if (worst.head._2 >= 2) "  <-- substitution signature" else ""))
       } catch { case e: Throwable =>
         println(s"[audit] $n SKIP: ${e.getMessage.take(80)}")
       }

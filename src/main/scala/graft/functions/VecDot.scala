@@ -130,9 +130,25 @@ object VecDot {
   * bucketing kernel (see [[VecDot]] for the native-vs-HOF rationale:
   * the 16-plane × 64-dim projection was the s03 dissection's dominant
   * term at 0.62 s of 0.83 — PROF_r16). `right` is the plane count (a
-  * foldable small int; 2^planes buckets). */
+  * foldable small int; 2^planes buckets). Declares its input types
+  * (the VecDotInt convention — the kernel reads 4-byte float slots).
+  * NULL contract: like every kernel in this file the expression is
+  * null-intolerant (NULL in → NULL out); the HOF it replaced bucketed
+  * a NULL embedding to 0 (size(NULL) → NULL inner dot → `NULL > 0`
+  * CASE → 0 per plane — and the DuckDB oracle's generate_series
+  * spelling still computes that), so the derivation site
+  * (Similarity.bucketedDf) restores it with an explicit
+  * `CASE WHEN embedding IS NULL THEN 0` — the divergence is visible
+  * SQL, not a hidden kernel default. */
 case class VecSignBucket(left: Expression, right: Expression)
   extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_signbucket expects (array<float>, int), got (${l.sql}, ${r.sql})")
+    }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_signbucket"

@@ -656,9 +656,27 @@ object Dedup {
     // truncation — PlanShapeSpec greps the probe plan for the
     // span_base_/span_full_ leaf.
     val src = new java.io.File(s"$dir/documents.parquet")
+    // a missing source would fingerprint as (0, 0) and proceed to build
+    // state from an empty read — fail fast instead
+    require(src.exists, s"ensureSpanState: no documents.parquet under $dir")
     val fp = f"${(src.lastModified * 1000003L + src.length).hashCode}%08x"
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val stem = (if (baseSlice) "span_base" else "span_full") + s"_$fp"
+    val base = if (baseSlice) "span_base" else "span_full"
+    val stem = s"${base}_$fp"
+    // retire SIBLING fingerprints of the same slice: each in-place
+    // regeneration of the corpus would otherwise leave its three
+    // derived dirs behind forever (unbounded disk growth across rounds)
+    Option(new java.io.File(s"target/derived/$tag").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(base + "_")
+        && !f.getName.startsWith(stem))
+      .foreach { stale =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(stale)
+      }
     val (wp, cp, np) = (s"target/derived/$tag/${stem}_wins",
       s"target/derived/$tag/${stem}_census", s"target/derived/$tag/${stem}_ntok")
     val done = Seq(wp, cp, np).forall(p => new java.io.File(p, "_SUCCESS").exists())

@@ -577,12 +577,14 @@ object FullText {
       //    its exact cheap equivalent: n_covers > 0 ⟺ the token array
       //    contains BOTH query terms (a sequence holding two distinct
       //    values must have an adjacent differing pair — and rank_cd's
-      //    covers are exactly those pairs). array_contains pushes down
-      //    at one tokenize per row; ents then builds once, above the
-      //    filter, and n_covers/rank_cd read the ents column.
+      //    covers are exactly those pairs), spelled as ONE
+      //    array_intersect so pushdown's substitution inlines exactly
+      //    one tokenize per row (two array_contains would inline it
+      //    twice — each alias reference substitutes separately); ents
+      //    then builds once, above the filter.
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
-        .filter(expr("array_contains(toks, 'scan') AND array_contains(toks, 'join')"))
+        .filter(expr("size(array_intersect(toks, array('scan', 'join'))) = 2"))
         .withColumn("ents", expr(
           "filter(transform(toks, (x, i) -> struct(i AS pos, x AS tok)), e -> e.tok = 'scan' OR e.tok = 'join')"))
         .withColumn("n_covers", expr(

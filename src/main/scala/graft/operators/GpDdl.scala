@@ -431,6 +431,17 @@ object GpDdl {
     * the source was safely copied into fully-written stages. */
   private val SplitRmPrefix = ".graft_split_rm."
 
+  /** fsync a DIRECTORY so a just-written child's dirent is durable
+    * (Linux semantics; best-effort — some filesystems refuse opening a
+    * directory for read, in which case the wedge-safe recovery belt is
+    * the remaining guarantee). */
+  private def fsyncDir(dir: java.nio.file.Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        dir, java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Exception => () }
+
   /** Hidden quarantine prefix: where a state-(b) stage is PARKED when
     * its destination name is unexpectedly occupied (a foreign directory
     * appeared under the half's name after the split's own pre-publish
@@ -576,12 +587,18 @@ object GpDdl {
         val tmp = new java.io.File(basePath, s"$SplitTmpPrefix$partCol=$name")
         rows.filter(p).write.mode("overwrite").parquet(tmp.getAbsolutePath)
         new java.io.File(tmp, "_SUCCESS").delete()
-        // SYNC: the recovery protocol's marker-less-stage discard
-        // assumes the marker write is DURABLE before the tombstone
-        // rename (program order is not persistence order under power
-        // loss — the r15 advice finding). DSYNC forces the marker's
-        // bytes to media here, so a surviving tombstone can never
-        // coexist with a lost marker.
+        // Durability: the recovery protocol's marker-less-stage discard
+        // assumes the marker precedes the tombstone rename in the
+        // PERSISTED order (program order is not persistence order under
+        // power loss — the r15 advice finding). DSYNC forces the
+        // marker's BYTES to media, and the directory fsync below forces
+        // its ENTRY (a synced file an unsynced dirent still names
+        // nothing). Boundary stated honestly: the staged parquet
+        // part-files themselves are not fsynced — their durability
+        // rides the filesystem's ordering, which is why recovery ALSO
+        // refuses the marker-less discard whenever a tombstone exists
+        // (the wedge-safe belt for exactly the reorderings this cannot
+        // close).
         java.nio.file.Files.write(
           new java.io.File(tmp, SplitSrcMarker).toPath,
           srcDirName.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -589,6 +606,7 @@ object GpDdl {
           java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
           java.nio.file.StandardOpenOption.WRITE,
           java.nio.file.StandardOpenOption.DSYNC)
+        fsyncDir(tmp.toPath)
         (tmp, new java.io.File(basePath, s"$partCol=$name"))
     }
     // validate BOTH destinations are free before touching the source —

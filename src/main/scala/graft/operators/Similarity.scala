@@ -703,12 +703,16 @@ object Similarity {
     // form (aggregate over sequence × aggregate over elements) was the
     // s03 dissection's dominant term (0.62 s of 0.83 at sf0.1,
     // PROF_r16): every element bounced through an interpreted lambda.
-    // Bit-identical accumulation order; the oracle keeps the
-    // generate_series spelling and still agrees exactly.
+    // Bit-identical accumulation order. The CASE restores the HOF's
+    // NULL-embedding contract (NULL bucketed to 0 — its inner dot was
+    // NULL and `NULL > 0` fell to the 0 branch per plane; the oracle's
+    // generate_series spelling still computes that), which the
+    // null-intolerant kernel would otherwise turn into a NULL group.
     graft.functions.PgFunctions.register(s)
     Tables.df(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
-        expr(s"vec_signbucket(embedding, $planes)").as("bucket"))
+        expr(s"CASE WHEN embedding IS NULL THEN CAST(0 AS BIGINT) " +
+          s"ELSE vec_signbucket(embedding, $planes) END").as("bucket"))
   }
 
   /** Capped posting-list pair emission over an LSH-bucketed frame

@@ -699,21 +699,23 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(s"$landing/*")
       .writeStream.trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val out = Dedup.spanDedupProbe(state, batch).collect()
-        // the state fold joins the composed map inside the monitor so
-        // the test thread's post-awaitTermination reads of BOTH have a
-        // happens-before edge from the stream thread's writes
+        // state is read AND written under the monitor: consecutive
+        // micro-batches may run on different threads, so the read at
+        // the top of batch k+1 needs the edge from batch k's fold too
+        val st = composed.synchronized(state)
+        val out = Dedup.spanDedupProbe(st, batch).collect()
         composed.synchronized {
           out.foreach(r => composed(r.getLong(0)) = r.toSeq)
           batches += 1
-          state = Dedup.appendSpanState(state, batch)
+          state = Dedup.appendSpanState(st, batch)
         }
         ()
       }
       .start()
     q.awaitTermination(120000)
     assert(!q.isActive)
-    assert(batches == 2, s"expected two micro-batches, got $batches")
+    assert(composed.synchronized(batches) == 2,
+      s"expected two micro-batches, got $batches")
     val oneShot = SparkEntry.queries("i17_span_dedup_incremental")(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     // acquire the same monitor the stream thread released: the formal
@@ -774,7 +776,8 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     q.awaitTermination(120000)
     assert(!q.isActive)
-    assert(batches == 2, s"expected two delete micro-batches, got $batches")
+    assert(composed.synchronized(batches) == 2,
+      s"expected two delete micro-batches, got $batches")
     val oneShot = SparkEntry.queries("i18_span_dedup_retract")(spark, Sf)
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
     // same-monitor acquire for the formal happens-before edge
