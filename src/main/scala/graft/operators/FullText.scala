@@ -31,6 +31,18 @@ object FullText {
 
   private val toks = "filter(split(lower(text), ' '), x -> x <> '')"
 
+  /** Bind the token array ONCE inside a pushed-down filter predicate.
+    * `exists(array(toks), t -> P(t))` ⟺ `P(toks)` — the array holds one
+    * element, so `exists` evaluates P exactly once on it, and exists's
+    * null-result (when P is null) is filter-false exactly like P's own
+    * null — but predicate pushdown's alias substitution now inlines the
+    * tokenize exactly once (as the HOF's input) instead of once per
+    * `toks` reference inside P (the f09 substitution class, PROF_r16;
+    * f12's websearch filter carried EIGHT tokenizes per corpus row).
+    * Write P over the lambda variable `t`. */
+  private def toksBound(predOverT: String): String =
+    s"exists(array(toks), t -> ($predOverT))"
+
   /** Language-config registry — the snowball config surface as DATA
     * (reference: `src/backend/snowball/libstemmer/` ships one stemmer
     * per language and `snowball/stopwords/<lang>.stop` the stoplists;
@@ -424,7 +436,15 @@ object FullText {
                            slice(toks, $n + 1, size(toks) - $n),
                            (a, b) -> a = 'hash' AND b = 'join'),
                   x -> x)) AS BIGINT) END"""))
-        .filter(col("n_hits") > 0)
+        // r16: the n_hits > 0 filter bound via toksBound — one tokenize
+        // in the pushed filter (was five); the AND short-circuits like
+        // the original CASE so the slices never see a negative length
+        .filter(expr(toksBound(
+          s"""size(t) > $n AND exists(
+               zip_with(slice(t, 1, size(t) - $n),
+                        slice(t, $n + 1, size(t) - $n),
+                        (a, b) -> a = 'hash' AND b = 'join'),
+               x -> x)""")))
         .select(col("doc_id"), col("n_hits"),
           size(col("toks")).cast("bigint").as("doclen"))
         .orderBy(col("doc_id"))
@@ -434,9 +454,12 @@ object FullText {
     "f01_fts_rank" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
+        // r16: tf_merge > 0 AND tf_vector > 0 ⟺ both terms present —
+        // ONE array_intersect so pushdown inlines one tokenize (f09
+        // class); the tf columns compute above, on survivors only
+        .filter(expr("size(array_intersect(toks, array('merge', 'vector'))) = 2"))
         .withColumn("tf_merge", expr("size(filter(toks, x -> x = 'merge'))"))
         .withColumn("tf_vector", expr("size(filter(toks, x -> x = 'vector'))"))
-        .filter(col("tf_merge") > 0 && col("tf_vector") > 0)
         .withColumn("rank", round(expr(
           "(CAST(tf_merge AS DOUBLE) / (1.0 + tf_merge) + CAST(tf_vector AS DOUBLE) / (1.0 + tf_vector)) / (1.0 + ln(size(toks)))"), 6))
         .select(col("doc_id"), col("tf_merge"), col("tf_vector"), col("rank"))
@@ -451,10 +474,12 @@ object FullText {
     "f03_fts_weighted" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
+        // r16: tfa + tfd is the total 'merge' count, so the filter is
+        // exactly array_contains — one tokenize in the pushed filter
+        .filter(expr("array_contains(toks, 'merge')"))
         .withColumn("title", expr("slice(toks, 1, 8)"))
         .withColumn("tfa", expr("size(filter(title, x -> x = 'merge'))"))
         .withColumn("tfd", expr("size(filter(toks, x -> x = 'merge')) - tfa"))
-        .filter(col("tfa") + col("tfd") > 0)
         .withColumn("rank", round(expr(
           """(1.0 * CAST(tfa AS DOUBLE) / (1.0 + tfa) + 0.1 * CAST(tfd AS DOUBLE) / (1.0 + tfd))
              / (1.0 + ln(size(toks)))"""), 6))
@@ -472,10 +497,13 @@ object FullText {
     "f04_fts_boolean" -> { (s, dir) =>
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
+        // r16: the boolean tsquery filter bound via toksBound — one
+        // tokenize in the pushed filter (was three); tf columns above
+        .filter(expr(toksBound(
+          "size(array_intersect(t, array('merge', 'sort'))) >= 1 AND NOT array_contains(t, 'error')")))
         .withColumn("tf_merge", expr("size(filter(toks, x -> x = 'merge'))"))
         .withColumn("tf_sort", expr("size(filter(toks, x -> x = 'sort'))"))
         .withColumn("tf_error", expr("size(filter(toks, x -> x = 'error'))"))
-        .filter((col("tf_merge") > 0 || col("tf_sort") > 0) && col("tf_error") === 0)
         .withColumn("rank", round(expr(
           "(CAST(tf_merge AS DOUBLE) / (1.0 + tf_merge) + CAST(tf_sort AS DOUBLE) / (1.0 + tf_sort)) / (1.0 + ln(size(toks)))"), 6))
         .select(col("doc_id"), col("tf_merge"), col("tf_sort"), col("rank"))
@@ -543,10 +571,15 @@ object FullText {
         // single-pass pairwise zip (toks[i], toks[i+1]) — no per-index
         // array lookups; zip_with pads the shorter slice with null, whose
         // comparison is null and is dropped by the boolean filter
+        // r16: the n_phrase > 0 filter, bound via toksBound so pushdown
+        // inlines ONE tokenize (was three — the f09 class); n_phrase
+        // computes above, on survivors only
+        .filter(expr(toksBound(
+          """exists(zip_with(t, slice(t, 2, size(t)),
+               (a, b) -> a = 'hash' AND b = 'join'), x -> x)""")))
         .withColumn("n_phrase", expr(
           """size(filter(zip_with(toks, slice(toks, 2, size(toks)),
                (a, b) -> a = 'hash' AND b = 'join'), x -> x))"""))
-        .filter(col("n_phrase") > 0)
         .select(col("doc_id"), col("n_phrase"))
         .orderBy(col("n_phrase").desc, col("doc_id"))
     },
@@ -604,10 +637,14 @@ object FullText {
       val dist = 2 // 'merge <2> join': exactly one token between them
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
+        // r16: filter bound via toksBound — one tokenize in the pushed
+        // filter (f09 class); n_phrase computes above on survivors
+        .filter(expr(toksBound(
+          s"""exists(zip_with(t, slice(t, ${dist + 1}, size(t)),
+               (a, b) -> a = 'merge' AND b = 'join'), x -> x)""")))
         .withColumn("n_phrase", expr(
           s"""size(filter(zip_with(toks, slice(toks, ${dist + 1}, size(toks)),
                (a, b) -> a = 'merge' AND b = 'join'), x -> x))"""))
-        .filter(col("n_phrase") > 0)
         .select(col("doc_id"), col("n_phrase"))
         .orderBy(col("n_phrase").desc, col("doc_id"))
     },
@@ -642,6 +679,9 @@ object FullText {
               ($tf + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(sum_dl AS DOUBLE)))
             ELSE 0.0 END"""
       d.crossJoin(broadcast(stats))
+        // (not toksBound-rewritable: d projects toks away and feeds the
+        // UNFILTERED stats aggregate too — the pushed filter carries
+        // the two tf kernels, the 2/line class left documented)
         .filter(col("tf_merge") + col("tf_vector") > 0)
         .withColumn("score",
           round(expr(part("tf_merge", "df_merge") + " + " + part("tf_vector", "df_vector")), 6))
@@ -700,9 +740,13 @@ object FullText {
       val q = Websearch.parse(WebsearchQuery)
       Tables.df(s, dir, "documents")
         .withColumn("toks", expr(toks))
+        // r16: the OR-of-branches filter re-emitted over toksBound's
+        // lambda variable — ONE tokenize in the pushed filter (the
+        // worst case of the f09 class: eight per corpus row before)
+        .filter(expr(toksBound(
+          s"${Websearch.sparkBranch(q(0), "t")} OR ${Websearch.sparkBranch(q(1), "t")}")))
         .withColumn("b0", expr(Websearch.sparkBranch(q(0))))
         .withColumn("b1", expr(Websearch.sparkBranch(q(1))))
-        .filter(col("b0") || col("b1"))
         .withColumn("n_hits", expr(Websearch.sparkHits(q)).cast("bigint"))
         .select(col("doc_id"), col("b0"), col("b1"), col("n_hits"))
         .orderBy(col("n_hits").desc, col("doc_id"))
@@ -725,10 +769,13 @@ object FullText {
         .withColumn("tf_merge", expr("size(filter(toks, x -> x = 'merge'))"))
         .withColumn("tf_join", expr("size(filter(toks, x -> x = 'join'))"))
         .withColumn("tf_fast", expr("size(filter(toks, x -> x = 'fast'))"))
+        // r16: m_after's filter bound via toksBound — one tokenize in
+        // the pushed filter (was three); the m columns compute above
+        .filter(expr(toksBound(
+          "size(array_intersect(t, array('merge', 'join'))) >= 1 AND array_contains(t, 'fast')")))
         .withColumn("m_before", col("tf_merge") > 0 && col("tf_fast") > 0)
         .withColumn("m_after",
           (col("tf_merge") + col("tf_join")) > 0 && col("tf_fast") > 0)
-        .filter(col("m_after"))
         .withColumn("tf_or", col("tf_merge") + col("tf_join"))
         .withColumn("rank_after", round(expr(
           """(CAST(tf_or AS DOUBLE) / (1.0 + tf_or) +
@@ -791,18 +838,23 @@ object FullText {
     // length-axis sweep). Each word's positional match vector comes
     // from ONE slice + transform whose lambda touches only its own
     // argument; the phrase hits are the AND-fold of those vectors.
-    private def sparkContains(w: String) = s"array_contains(toks, '${esc(w)}')"
-    private def sparkPhrase(ws: Seq[String]) = {
+    private def sparkContains(w: String, v: String) =
+      s"array_contains($v, '${esc(w)}')"
+    private def sparkPhrase(ws: Seq[String], v: String) = {
       val n = ws.size
-      val win = s"(size(toks) - ${n - 1})"
+      val win = s"(size($v) - ${n - 1})"
       val vecs = ws.zipWithIndex.map { case (w, i) =>
-        s"transform(slice(toks, ${i + 1}, $win), x -> x = '${esc(w)}')"
+        s"transform(slice($v, ${i + 1}, $win), x -> x = '${esc(w)}')"
       }
       val folded = vecs.reduce((a, b) => s"zip_with($a, $b, (p, q) -> p AND q)")
-      s"(size(toks) >= $n AND array_contains($folded, true))"
+      s"(size($v) >= $n AND array_contains($folded, true))"
     }
-    def sparkAtom(a: Atom): String = atom(a, sparkContains, sparkPhrase)
-    def sparkBranch(b: Seq[Atom]): String = b.map(sparkAtom).mkString("(", " AND ", ")")
+    /** `v` names the token-array column (or a bound lambda variable —
+      * the toksBound filter rewrite emits the same tree over `t`). */
+    def sparkAtom(a: Atom, v: String = "toks"): String =
+      atom(a, sparkContains(_, v), sparkPhrase(_, v))
+    def sparkBranch(b: Seq[Atom], v: String = "toks"): String =
+      b.map(sparkAtom(_, v)).mkString("(", " AND ", ")")
     /** Count of positive atoms (words/phrases, not negations) that hit. */
     def sparkHits(q: Seq[Seq[Atom]]): String =
       q.flatten.collect {
