@@ -35,16 +35,22 @@ def main():
     # consume --flag VALUE pairs BEFORE splitting positionals, so a
     # flag's value can never leak into the positional list (a leaked
     # "--passes 5" would silently become the out_path)
+    usage = ("usage: duckdb_idle.py <sf_dir> <oracle_sql.json> "
+             "[out.json] [--passes N] [--floor S]")
     argv, flags = [], {"--passes": 3, "--floor": 0.10}
     it = iter(sys.argv[1:])
     for a in it:
         if a in flags:
-            flags[a] = type(flags[a])(next(it))
+            try:
+                flags[a] = type(flags[a])(next(it))
+            except (StopIteration, ValueError):
+                sys.exit(f"{a} needs a {type(flags[a]).__name__} value; {usage}")
         elif a.startswith("--"):
-            sys.exit(f"unknown flag {a}; usage: duckdb_idle.py <sf_dir> "
-                     f"<oracle_sql.json> [out.json] [--passes N] [--floor S]")
+            sys.exit(f"unknown flag {a}; {usage}")
         else:
             argv.append(a)
+    if len(argv) < 2:
+        sys.exit(usage)
     sf_dir, oracle_path = argv[0], argv[1]
     out_path = argv[2] if len(argv) > 2 else "duckdb_idle_sf0.1.json"
     passes, floor = flags["--passes"], flags["--floor"]
@@ -71,9 +77,20 @@ def main():
           f"{floor:.2f} s get {passes - 1} more passes", file=sys.stderr)
     for _ in range(passes - 1):
         for name in sorted(slow):
-            t0 = time.time()
-            con.execute(oracles[name]).fetchall()
-            all_passes[name].append(time.time() - t0)
+            # a query can succeed on pass 1 and throw later (e.g. a
+            # TABLESAMPLE edge or resource blip) — mark it failed
+            # instead of crashing and losing the whole artifact
+            if all_passes[name][0] < 0:
+                continue
+            try:
+                t0 = time.time()
+                con.execute(oracles[name]).fetchall()
+                all_passes[name].append(time.time() - t0)
+            except Exception as e:
+                print(f"[duckdb-idle] {name} FAILED on later pass: {e}",
+                      file=sys.stderr)
+                all_passes[name] = [-1.0]
+                failed.append(name)
 
     idle = {n: (min(p) if p[0] >= 0 else -1.0) for n, p in all_passes.items()}
     out = {"queries": idle, "passes": all_passes,

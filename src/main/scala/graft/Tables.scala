@@ -47,6 +47,20 @@ object Tables {
       // so a multi-file bucket can never produce a wrong merge join —
       // Bucketed.ensure writes exactly one file per bucket
       spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // InferFiltersFromGenerate plants `size(e) > 0 AND isnotnull(e)`
+      // under every explode — semantics-neutral (Generate already drops
+      // null/empty inputs) but BOTH conjuncts carry the generator's
+      // input expression, so an explode over a text-derived array pays
+      // the tokenize chain 3x per corpus row (twice in the guard, once
+      // in Generate) — the third face of the generate/pushdown
+      // re-evaluation class (PROF_r14 §1, PROF_r16, PROF_r17). Measured
+      // one-JVM alternating A/B at sf0.1: t10 0.617→0.541, d04
+      // 0.445→0.415, d02 1.606→1.569 idle; hashes unchanged (the guard
+      // never changes results). The guard's only upside — pre-Generate
+      // pruning of empty arrays — does not apply here: every audited
+      // explode input derives from non-null text/arrays.
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       spark.conf.set("spark.graft.configured", "true")
     }
 

@@ -659,7 +659,26 @@ object Dedup {
     // a missing source would fingerprint as (0, 0) and proceed to build
     // state from an empty read — fail fast instead
     require(src.exists, s"ensureSpanState: no documents.parquet under $dir")
-    val fp = f"${(src.lastModified * 1000003L + src.length).hashCode}%08x"
+    // (mtime, length) alone can collide: a corpus regenerated in place
+    // within the same millisecond at the same byte length would
+    // silently serve stale state (r16 advice). Fold the parquet FOOTER
+    // bytes (last ≤64 KiB — row-group metadata + column stats, which
+    // change with any content change) into a 64-bit FNV-1a; 16 hex
+    // chars still keeps the leaf name under plan-string truncation.
+    val fp = {
+      var h = 0xcbf29ce484222325L
+      def mix(b: Long): Unit = { h ^= b; h *= 0x100000001b3L }
+      mix(src.lastModified); mix(src.length)
+      val in = new java.io.RandomAccessFile(src, "r")
+      try {
+        val n = math.min(src.length, 65536L).toInt
+        in.seek(src.length - n)
+        val buf = new Array[Byte](n)
+        in.readFully(buf)
+        buf.foreach(b => mix(b & 0xffL))
+      } finally in.close()
+      f"$h%016x"
+    }
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = if (baseSlice) "span_base" else "span_full"
     val stem = s"${base}_$fp"

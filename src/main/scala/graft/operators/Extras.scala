@@ -283,14 +283,13 @@ object Extras {
     //    no native Spark API → dense_rank + RANGE on the rank key.
     //    Peer groups = equal order-key values. --
     "q63_groups_frame" -> { (s, dir) =>
-      val byDate = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderdate"))
-      val grpRange = Window.partitionBy(col("o_orderpriority")).orderBy(col("grp"))
-        .rangeBetween(-1, 0)
-      Tables.df(s, dir, "orders")
-        .filter(col("o_custkey") <= 50)
-        .withColumn("grp", dense_rank().over(byDate))
-        .withColumn("grp_sum",
-          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).over(grpRange))
+      // shared GROUPS rewriter (WindowFrames; property-tested vs the
+      // brute-force peer-group semantics in WindowFramesSpec)
+      WindowFrames.withGroupsSum(
+        Tables.df(s, dir, "orders").filter(col("o_custkey") <= 50),
+        out = "grp_sum", value = expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        part = Seq(col("o_orderpriority")), ord = col("o_orderdate"),
+        lo = -1, hi = 0)
         .select(col("o_orderkey"), col("o_orderpriority"),
           round(col("grp_sum").cast("double") / 100.0, 2).as("grp_sum_dollars"))
         .orderBy(col("o_orderkey"))
@@ -298,12 +297,14 @@ object Extras {
 
     // -- EXCLUDE CURRENT ROW: full-frame aggregate minus current row --
     "q64_exclude_current" -> { (s, dir) =>
-      val wFull = Window.partitionBy(col("o_orderstatus"))
+      // shared EXCLUDE rewriter (WindowFrames.sumExcluding)
       Tables.df(s, dir, "orders")
         .filter(col("o_custkey") <= 50)
         .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         .select(col("o_orderkey"), col("o_orderstatus"),
-          round((sum(col("cents")).over(wFull) - col("cents")).cast("double") / 100.0, 2)
+          round(WindowFrames.sumExcluding(col("cents"),
+            Seq(col("o_orderstatus")), col("o_orderdate"),
+            WindowFrames.ExcludeCurrentRow).cast("double") / 100.0, 2)
             .as("others_total"))
         .orderBy(col("o_orderkey"))
     },

@@ -309,7 +309,15 @@ object FullText {
         .withColumn("stoks", expr(s"transform($toks, w -> porter_stem(w))"))
         .withColumn("tf_q0", expr(s"size(filter(stoks, x -> x = '${qstems(0)}'))"))
         .withColumn("tf_q1", expr(s"size(filter(stoks, x -> x = '${qstems(1)}'))"))
-        .filter(col("tf_q0") > 0 && col("tf_q1") > 0)
+        // r17: the tf>0 pair bound via the single-binding pattern — the
+        // old `tf_q0 > 0 && tf_q1 > 0` spelling inlined the full
+        // tokenize+porter_stem chain TWICE per corpus row in the pushed
+        // filter (the f09 substitution class, PROF_r16); tf > 0 ⟺ the
+        // stem array contains the query stem, and binding stoks once as
+        // the exists input leaves exactly one chain per row
+        .filter(expr(
+          s"exists(array(stoks), st -> array_contains(st, '${qstems(0)}')" +
+          s" AND array_contains(st, '${qstems(1)}'))"))
         .withColumn("rank", round(expr(
           "(CAST(tf_q0 AS DOUBLE) / (1.0 + tf_q0) + CAST(tf_q1 AS DOUBLE) / (1.0 + tf_q1)) / (1.0 + ln(size(stoks)))"), 6))
         .select(col("doc_id"), col("tf_q0").cast("bigint").as("tf_merg"),
@@ -678,11 +686,23 @@ object FullText {
               ($tf * 2.2) /
               ($tf + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(sum_dl AS DOUBLE)))
             ELSE 0.0 END"""
-      d.crossJoin(broadcast(stats))
-        // (not toksBound-rewritable: d projects toks away and feeds the
-        // UNFILTERED stats aggregate too — the pushed filter carries
-        // the two tf kernels, the 2/line class left documented)
-        .filter(col("tf_merge") + col("tf_vector") > 0)
+      // r17: the probe branch derives separately from the stats branch
+      // (the plan already scanned documents twice — crossJoin of d with
+      // agg(d)) so the match filter can bind the tokenize ONCE:
+      // tf_merge + tf_vector > 0 ⟺ either term present (sizes are
+      // non-negative), and the exists-binding leaves one chain per row
+      // in the pushed filter where the old tf-sum spelling inlined two
+      // (the f09 substitution class; stats stays unfiltered as BM25
+      // requires)
+      val probe = Tables.df(s, dir, "documents")
+        .withColumn("toks", expr(toks))
+        .filter(expr("exists(array(toks), t -> array_contains(t, 'merge')" +
+          " OR array_contains(t, 'vector'))"))
+        .withColumn("dl", size(col("toks")))
+        .withColumn("tf_merge", expr("size(filter(toks, x -> x = 'merge'))"))
+        .withColumn("tf_vector", expr("size(filter(toks, x -> x = 'vector'))"))
+        .select(col("doc_id"), col("dl"), col("tf_merge"), col("tf_vector"))
+      probe.crossJoin(broadcast(stats))
         .withColumn("score",
           round(expr(part("tf_merge", "df_merge") + " + " + part("tf_vector", "df_vector")), 6))
         .select(col("doc_id"), col("tf_merge"), col("tf_vector"), col("score"))
@@ -715,6 +735,11 @@ object FullText {
           s"element_at(transform(array('merges'), $StemLadder), 1)"))
         .withColumn("n_lex", size(col("lex")).cast("bigint"))
         .withColumn("tf_stem", expr("size(filter(lex, x -> x = qlex))").cast("bigint"))
+        // NOT the f09 substitution class (r17 audit): tf_stem references
+        // lex exactly once, so the pushed filter carries ONE
+        // tokenize+stem chain — the minimum for stemmed-match filtering.
+        // (Its transform=2/line audit reading is qlex's one-element
+        // literal transform, constant work per row.)
         .filter(col("tf_stem") > 0)
         .withColumn("rank", round(expr(
           "(CAST(tf_stem AS DOUBLE) / (1.0 + tf_stem)) / (1.0 + ln(n_lex))"), 6))

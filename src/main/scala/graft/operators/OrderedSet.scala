@@ -112,17 +112,15 @@ object OrderedSet {
     // -- EXCLUDE GROUP: full-frame aggregate minus the peer group
     //    (peers = rows equal under the window ORDER BY) --
     "q72_exclude_group" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val wFull = Window.partitionBy(col("o_orderstatus"))
-      val wPeers = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderdate"))
-        .rangeBetween(org.apache.spark.sql.expressions.Window.currentRow,
-          org.apache.spark.sql.expressions.Window.currentRow)
+      // shared EXCLUDE rewriter (WindowFrames.sumExcluding)
       Tables.df(s, dir, "orders")
         .filter(col("o_custkey") <= 50)
         .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         .select(col("o_orderkey"), col("o_orderstatus"),
-          round((sum(col("cents")).over(wFull) - sum(col("cents")).over(wPeers))
-            .cast("double") / 100.0, 2).as("non_peer_total"))
+          round(WindowFrames.sumExcluding(col("cents"),
+            Seq(col("o_orderstatus")), col("o_orderdate"),
+            WindowFrames.ExcludeGroup).cast("double") / 100.0, 2)
+            .as("non_peer_total"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -132,17 +130,15 @@ object OrderedSet {
     //    GROUP). Same two-window rewrite as q72 with the row's own value
     //    added back --
     "q93_exclude_ties" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val wFull = Window.partitionBy(col("o_orderstatus"))
-      val wPeers = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderdate"))
-        .rangeBetween(org.apache.spark.sql.expressions.Window.currentRow,
-          org.apache.spark.sql.expressions.Window.currentRow)
+      // shared EXCLUDE rewriter (WindowFrames.sumExcluding)
       Tables.df(s, dir, "orders")
         .filter(col("o_custkey") <= 50)
         .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         .select(col("o_orderkey"), col("o_orderstatus"),
-          round((sum(col("cents")).over(wFull) - sum(col("cents")).over(wPeers) + col("cents"))
-            .cast("double") / 100.0, 2).as("non_ties_total"))
+          round(WindowFrames.sumExcluding(col("cents"),
+            Seq(col("o_orderstatus")), col("o_orderdate"),
+            WindowFrames.ExcludeTies).cast("double") / 100.0, 2)
+            .as("non_ties_total"))
         .orderBy(col("o_orderkey"))
     },
 

@@ -629,8 +629,18 @@ object Similarity {
               ln((n_docs - $df + 0.5) / ($df + 0.5) + 1.0) * ($tf * 2.2) /
               ($tf + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(sum_dl AS DOUBLE)))
             ELSE 0.0 END"""
-      val bmTop = d.crossJoin(broadcast(stats))
-        .filter(col("tf_merge") + col("tf_vector") > 0)
+      // r17: probe branch separate from the stats branch (two scans
+      // either way) so the match filter binds the tokenize ONCE — the
+      // f10 treatment; tf sum > 0 ⟺ either term present
+      val lexProbe = Tables.df(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+        .filter(expr("exists(array(toks), t -> array_contains(t, 'merge')" +
+          " OR array_contains(t, 'vector'))"))
+        .withColumn("dl", size(col("toks")))
+        .withColumn("tf_merge", expr("size(filter(toks, x -> x = 'merge'))"))
+        .withColumn("tf_vector", expr("size(filter(toks, x -> x = 'vector'))"))
+        .select(col("doc_id"), col("dl"), col("tf_merge"), col("tf_vector"))
+      val bmTop = lexProbe.crossJoin(broadcast(stats))
         .withColumn("score",
           round(expr(part("tf_merge", "df_merge") + " + " + part("tf_vector", "df_vector")), 6))
         .select(col("doc_id"), col("score"))

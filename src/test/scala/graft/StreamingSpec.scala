@@ -761,15 +761,17 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val ids = batch.select("doc_id").collect().map(_.getLong(0))
-        val out = Dedup.spanDedupRetract(state, batch.select("doc_id")).collect()
-        // state fold inside the monitor: the test thread's final
-        // state.census read needs a happens-before edge from this write
-        // (r15 advice finding — only `composed` was inside the block)
+        // state is read AND written under the monitor (mirror i17, r16
+        // advice): consecutive micro-batches may run on different
+        // threads, so the probe read at the top of batch k+1 needs the
+        // happens-before edge from batch k's fold
+        val st = composed.synchronized(state)
+        val out = Dedup.spanDedupRetract(st, batch.select("doc_id")).collect()
         composed.synchronized {
           ids.foreach(composed.remove) // the delete retracts earlier emissions
           out.foreach(r => composed(r.getLong(0)) = r.toSeq)
           batches += 1
-          state = Dedup.retractSpanState(state, batch.select("doc_id"))
+          state = Dedup.retractSpanState(st, batch.select("doc_id"))
         }
         ()
       }
