@@ -15,6 +15,17 @@ queries is normal; changing an existing query's plan needs a look.
 import json
 import sys
 
+# AQE's opportunistic stage reuse races on IDENTICAL subtrees: when two
+# equal shuffle stages materialize concurrently, the loser is sometimes
+# reused and sometimes duplicated, so the exchange count flaps by 1 run
+# to run (measured: ds38 3/4/4 and ds87 3/4/3 over three same-code
+# dumps; only exchange.shuffle.* moves, never joins/aggs/scans). These
+# rows WARN instead of failing the gate; any other delta still fails.
+KNOWN_FLAKY = {
+    "ds38_intersect_count": "AQE stage-reuse race on INTERSECT's two identical fact scans",
+    "ds87_except_chain": "AQE stage-reuse race on EXCEPT's two identical fact scans",
+}
+
 
 def main():
     if len(sys.argv) != 3:
@@ -24,26 +35,36 @@ def main():
 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
-    changed = []
+    changed, flaky = [], []
     for name in sorted(set(old) & set(new)):
         a, b = old[name], new[name]
         if a == b:
             continue
         deltas = []
+        only_exchanges = True
         for k in sorted(set(a) | set(b)):
             va, vb = a.get(k, 0), b.get(k, 0)
             if va != vb:
                 deltas.append(f"{k}: {va}->{vb}")
-        changed.append((name, deltas))
+                if not k.startswith("exchange.shuffle."):
+                    only_exchanges = False
+        if name in KNOWN_FLAKY and only_exchanges:
+            flaky.append((name, deltas))
+        else:
+            changed.append((name, deltas))
 
     if added:
         print(f"[plan-diff] {len(added)} new queries: {', '.join(added)}")
     if removed:
         print(f"[plan-diff] {len(removed)} removed queries: {', '.join(removed)}")
+    for name, deltas in flaky:
+        print(f"[plan-diff] {name} (known-flaky, warn only — "
+              f"{KNOWN_FLAKY[name]}): " + "; ".join(deltas))
     for name, deltas in changed:
         print(f"[plan-diff] {name}: " + "; ".join(deltas))
-    print(f"[plan-diff] {len(changed)} changed, {len(added)} added, "
-          f"{len(removed)} removed over {len(set(old) & set(new))} common")
+    print(f"[plan-diff] {len(changed)} changed, {len(flaky)} known-flaky, "
+          f"{len(added)} added, {len(removed)} removed over "
+          f"{len(set(old) & set(new))} common")
     sys.exit(1 if changed else 0)
 
 

@@ -26,6 +26,12 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   */
 object PlanDump {
 
+  /** Join types print ExistenceJoin's witness attribute WITH its
+    * expression id (`ExistenceJoin(exists#18091)`) — strip ids so the
+    * fingerprint is stable across sessions. */
+  private def jt(t: org.apache.spark.sql.catalyst.plans.JoinType): String =
+    t.toString.replaceAll("#\\d+", "")
+
   /** Count scale-relevant node kinds in a FINAL (post-AQE) plan tree.
     * Keys are stable strings so the JSON diffs cleanly. */
   def fingerprint(root: SparkPlan): Map[String, Int] = {
@@ -37,10 +43,10 @@ object PlanDump {
           Some(s"exchange.shuffle.${s.outputPartitioning.getClass.getSimpleName}")
         case _: BroadcastExchangeExec => Some("exchange.broadcast")
         case _: ReusedExchangeExec => Some("exchange.reused")
-        case j: BroadcastHashJoinExec => Some(s"join.broadcast_hash.${j.joinType}")
-        case j: ShuffledHashJoinExec => Some(s"join.shuffled_hash.${j.joinType}")
-        case j: SortMergeJoinExec => Some(s"join.sort_merge.${j.joinType}")
-        case j: BroadcastNestedLoopJoinExec => Some(s"join.bnl.${j.joinType}")
+        case j: BroadcastHashJoinExec => Some(s"join.broadcast_hash.${jt(j.joinType)}")
+        case j: ShuffledHashJoinExec => Some(s"join.shuffled_hash.${jt(j.joinType)}")
+        case j: SortMergeJoinExec => Some(s"join.sort_merge.${jt(j.joinType)}")
+        case j: BroadcastNestedLoopJoinExec => Some(s"join.bnl.${jt(j.joinType)}")
         case _: CartesianProductExec => Some("join.cartesian")
         case _: HashAggregateExec => Some("agg.hash")
         case _: ObjectHashAggregateExec => Some("agg.object_hash")
@@ -83,6 +89,9 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = if (args.length > 1) args(1) else "PLANS_sf0.001.json"
+    // optional comma-separated subset for quick re-checks of named rows
+    val subset: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -105,7 +114,8 @@ object PlanDump {
     val sb = new StringBuilder("{\n  \"sf\": \"").append(dir).append("\",\n  \"queries\": {\n")
     var first = true
     var nFailed = 0
-    for (n <- SparkEntry.queries.keys.toSeq.sorted) {
+    for (n <- SparkEntry.queries.keys.toSeq.sorted
+           if subset.forall(_.contains(n))) {
       try {
         val df = SparkEntry.queries(n)(spark, dir)
         df.queryExecution.toRdd.count() // settle AQE
@@ -127,7 +137,9 @@ object PlanDump {
     sb.append("\n  }\n}\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))
-    println(s"[plandump] wrote $out (${SparkEntry.queries.size - nFailed} queries, $nFailed failed)")
+    val nRun = subset.map(s => SparkEntry.queries.keys.count(s.contains))
+      .getOrElse(SparkEntry.queries.size)
+    println(s"[plandump] wrote $out (${nRun - nFailed} queries, $nFailed failed)")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }
