@@ -662,21 +662,35 @@ object Dedup {
     // (mtime, length) alone can collide: a corpus regenerated in place
     // within the same millisecond at the same byte length would
     // silently serve stale state (r16 advice). Fold the parquet FOOTER
-    // bytes (last ≤64 KiB — row-group metadata + column stats, which
-    // change with any content change) into a 64-bit FNV-1a; 16 hex
-    // chars still keeps the leaf name under plan-string truncation.
+    // bytes (last ≤64 KiB per file — row-group metadata + column
+    // stats, which change with any content change) into a 64-bit
+    // FNV-1a; 16 hex chars still keeps the leaf name under plan-string
+    // truncation. The corpus can be a single parquet FILE (the driver
+    // testdata) or a Spark-written DIRECTORY of part files (the
+    // scaling corpora) — the walk covers both, mixing every child's
+    // name/mtime/length so added or renamed parts also re-key.
     val fp = {
       var h = 0xcbf29ce484222325L
       def mix(b: Long): Unit = { h ^= b; h *= 0x100000001b3L }
-      mix(src.lastModified); mix(src.length)
-      val in = new java.io.RandomAccessFile(src, "r")
-      try {
-        val n = math.min(src.length, 65536L).toInt
-        in.seek(src.length - n)
-        val buf = new Array[Byte](n)
-        in.readFully(buf)
-        buf.foreach(b => mix(b & 0xffL))
-      } finally in.close()
+      def footer(f: java.io.File): Unit = {
+        val in = new java.io.RandomAccessFile(f, "r")
+        try {
+          val n = math.min(f.length, 65536L).toInt
+          in.seek(f.length - n)
+          val buf = new Array[Byte](n)
+          in.readFully(buf)
+          buf.foreach(b => mix(b & 0xffL))
+        } finally in.close()
+      }
+      def walk(f: java.io.File): Unit = {
+        f.getName.foreach(c => mix(c.toLong))
+        mix(f.lastModified); mix(f.length)
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .sortBy(_.getName).foreach(walk)
+        else if (f.getName.endsWith(".parquet") && f.length > 0) footer(f)
+      }
+      walk(src)
       f"$h%016x"
     }
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
