@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(session => new rules.AqumvRule(session))
     ext.injectOptimizerRule(session => new rules.EagerAggRule(session))
+    ext.injectOptimizerRule(_ => rules.BindExpensiveFilterRule)
     // function registration needs only the registry, not the session:
     // reuse the same builders the imperative path uses
     functions.PgFunctions.builders.foreach { case (name, builder) =>

@@ -61,6 +61,11 @@ object Tables {
       // explode input derives from non-null text/arrays.
       spark.conf.set("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // the engine-level single-binding rewrite for the OTHER face of
+      // the class — repeated expensive kernels in pushed Filter
+      // conditions (fires nowhere in the current repo, which is at
+      // zero KernelFilterSpec signatures; defends future queries)
+      graft.rules.BindExpensiveFilterRule.install(spark)
       spark.conf.set("spark.graft.configured", "true")
     }
 
