@@ -82,14 +82,32 @@ object Analytics {
         .orderBy(col("user_id"), col("event_id"))
     },
 
-    // -- ntile / percent_rank / cume_dist --
+    // -- ntile / percent_rank / cume_dist — via the scalable two-pass
+    //    rank (WindowFrames.scalableRank, r17): o_orderstatus has THREE
+    //    values, so the plain window spelling processes three fat
+    //    partitions in three tasks however many executors exist — the
+    //    canonical window anti-pattern at 100 TB (and measurably slower
+    //    than DuckDB's intra-partition-parallel WindowAgg even at
+    //    sf0.1: idle 0.951 vs 0.41 after, PROF_r17). The window ORDER
+    //    BY is total (price, orderkey), so all three functions are
+    //    pure arithmetic over (rank, n): percent_rank = (r−1)/(n−1),
+    //    cume_dist = r/n, ntile by the remainder formula --
     "q34_order_quartiles" -> { (s, dir) =>
-      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.df(s, dir, "orders")
+      WindowFrames.scalableRank(
+        Tables.df(s, dir, "orders"),
+        part = Seq("o_orderstatus"), order = Seq("o_totalprice", "o_orderkey"),
+        rankCol = "rnk", cntCol = "n")
+        .withColumn("sz", expr("n div 4"))
+        .withColumn("rem", expr("n % 4"))
         .select(col("o_orderkey"), col("o_orderstatus"),
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 9).as("pct_rank"),
-          round(cume_dist().over(w), 9).as("cdist"))
+          expr("""CAST(CASE WHEN rnk <= rem * (sz + 1)
+                    THEN (rnk + sz) div (sz + 1)
+                    ELSE rem + ((rnk - rem * (sz + 1)) + sz - 1) div sz
+                  END AS INT)""").as("quartile"),
+          round(when(col("n") > 1,
+            (col("rnk") - 1).cast("double") / (col("n") - 1).cast("double"))
+            .otherwise(lit(0.0)), 9).as("pct_rank"),
+          round(col("rnk").cast("double") / col("n").cast("double"), 9).as("cdist"))
         .orderBy(col("o_orderkey"))
     },
 

@@ -129,6 +129,54 @@ object OrderedSet {
     //    (parsenodes.h:631-658 frameOptions; q64 = CURRENT ROW, q72 =
     //    GROUP). Same two-window rewrite as q72 with the row's own value
     //    added back --
+    // -- EXCLUDE over a BOUNDED ROWS frame — the remaining cell of the
+    //    frame-exclusion matrix (parsenodes.h frameOptions: ROWS +
+    //    FRAMEOPTION_EXCLUDE_*). The subtraction rewrite is invalid for
+    //    ROWS (a ROWS frame can cut a peer group at its edge), so
+    //    WindowFrames.rowsSumExcluding builds it from running prefix
+    //    sums + lead/lag over one total order — windows only, no
+    //    self-join (property-tested vs brute force incl. ties/nulls in
+    //    WindowFramesSpec). The oracle is DuckDB's NATIVE
+    //    `ROWS ... EXCLUDE GROUP`; the window orders by the unique
+    //    o_orderkey so frame content is cross-engine deterministic
+    //    (with ties, ROWS frame content is physical-order-dependent in
+    //    every engine — PG included) --
+    "q143_rows_exclude" -> { (s, dir) =>
+      WindowFrames.rowsSumExcluding(
+        Tables.df(s, dir, "orders")
+          .filter(col("o_custkey") <= 50)
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+        out = "win", value = col("cents"),
+        part = Seq(col("o_orderstatus")), order = Seq(col("o_orderkey")),
+        peer = col("o_orderkey"), lo = -3, hi = 2,
+        exclude = WindowFrames.ExcludeGroup)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("win").cast("double") / 100.0, 2).as("others_total"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // -- EXCLUDE over a BOUNDED GROUPS frame — the composition of the
+    //    two rewrites (GROUPS ⟶ RANGE over dense_rank; EXCLUDE ⟶ peer
+    //    subtraction, exact on any whole-group frame). Deterministic
+    //    UNDER TIES — GROUPS frames contain whole peer groups, so
+    //    neither the frame nor the exclusion depends on physical row
+    //    order, which is why this query keeps the tied o_orderdate
+    //    ordering the ROWS query above must avoid. DuckDB has no GROUPS
+    //    mode ("not implemented yet"), so the oracle spells the same
+    //    dense_rank + RANGE + peer-subtraction construction in SQL --
+    "q144_groups_exclude" -> { (s, dir) =>
+      WindowFrames.groupsSumExcluding(
+        Tables.df(s, dir, "orders")
+          .filter(col("o_custkey") <= 50)
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+        out = "gwin", value = col("cents"),
+        part = Seq(col("o_orderpriority")), ord = col("o_orderdate"),
+        lo = -1, hi = 1, exclude = WindowFrames.ExcludeTies)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("gwin").cast("double") / 100.0, 2).as("near_total"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "q93_exclude_ties" -> { (s, dir) =>
       // shared EXCLUDE rewriter (WindowFrames.sumExcluding)
       Tables.df(s, dir, "orders")
@@ -259,6 +307,29 @@ object OrderedSet {
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
           EXCLUDE TIES) AS DOUBLE) / 100.0, 2) AS non_ties_total
       FROM orders WHERE o_custkey <= 50 ORDER BY o_orderkey""",
+
+    "q143_rows_exclude" -> """
+      SELECT o_orderkey, o_orderstatus,
+        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+          PARTITION BY o_orderstatus ORDER BY o_orderkey
+          ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING
+          EXCLUDE GROUP) AS DOUBLE) / 100.0, 2) AS others_total
+      FROM orders WHERE o_custkey <= 50 ORDER BY o_orderkey""",
+
+    "q144_groups_exclude" -> """
+      WITH b AS (
+        SELECT o_orderkey, o_orderpriority,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          dense_rank() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_orderdate) AS g
+        FROM orders WHERE o_custkey <= 50)
+      SELECT o_orderkey, o_orderpriority,
+        round(CAST(
+          sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY g
+                           RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+          - sum(cents) OVER (PARTITION BY o_orderpriority, g)
+          + cents AS DOUBLE) / 100.0, 2) AS near_total
+      FROM b ORDER BY o_orderkey""",
     "q57_within_group" -> """
       WITH modes AS (
         SELECT l_returnflag, min(l_quantity) AS mode_qty FROM (

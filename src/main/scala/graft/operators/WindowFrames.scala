@@ -99,4 +99,142 @@ object WindowFrames {
     }
     when(remCnt > 0, remSum).otherwise(lit(null))
   }
+
+  /** Add `out` = sum(value) OVER (PARTITION BY part ORDER BY ord
+    * GROUPS BETWEEN lo AND hi EXCLUDE exclude) — the composition of
+    * the two rewrites: a GROUPS frame is a RANGE frame over the order
+    * key's dense_rank, and on ANY RANGE frame the peer-subtraction
+    * EXCLUDE arithmetic is exact (GROUPS frames contain whole peer
+    * groups too). Deterministic under order-key ties — both the frame
+    * content and the peer terms depend only on the peer-group
+    * decomposition, never on physical row order. */
+  def groupsSumExcluding(df: DataFrame, out: String, value: Column,
+      part: Seq[Column], ord: Column, lo: Long, hi: Long,
+      exclude: FrameExclusion): DataFrame = {
+    val grp = s"__wf_grp_$out"
+    val byOrd = Window.partitionBy(part: _*).orderBy(ord)
+    df.withColumn(grp, dense_rank().over(byOrd))
+      .withColumn(out,
+        sumExcluding(value, part, col(grp), exclude, Some((lo, hi))))
+      .drop(grp)
+  }
+
+  /** Global rank + per-group row count over a TOTAL order, WITHOUT a
+    * single-task-per-group WindowExec — the scalable spelling of
+    * `row_number() OVER (PARTITION BY part ORDER BY order)` when
+    * `part` has FEW DISTINCT VALUES (q34's 3-value o_orderstatus: a
+    * plain window gives 3 tasks however many executors exist; at
+    * 100 TB one status group in one task is the canonical window
+    * anti-pattern). Classic two-pass distributed ranking:
+    *
+    *  1. range-repartition by (part ++ order) — group runs are
+    *     contiguous across range buckets and bucket b's rows precede
+    *     bucket b+1's within a group;
+    *  2. rank locally per (bucket, group) — the window key includes
+    *     the bucket id, so Spark runs ~numPartitions × |groups|
+    *     window partitions in parallel instead of |groups| tasks;
+    *  3. offset each local rank by the earlier buckets' per-group row
+    *     counts — a tiny (buckets × groups) aggregate, prefix-summed
+    *     and broadcast back.
+    *
+    * Adds `rankCol` (1-based global rank within the `part` group under
+    * `order`) and `cntCol` (group row count). percent_rank, cume_dist
+    * and ntile all derive arithmetically when `order` is total:
+    * percent_rank = (rank−1)/(n−1), cume_dist = rank/n, ntile(k) by
+    * the remainder formula. */
+  def scalableRank(df: DataFrame, part: Seq[String], order: Seq[String],
+      rankCol: String, cntCol: String): DataFrame = {
+    val b = s"__wf_bucket_$rankCol"
+    val mid = s"__wf_mid_$rankCol"
+    val keys = (part ++ order).map(col)
+    // local ranks WITHOUT a window exchange: after the range
+    // repartition + in-partition sort, monotonically_increasing_id is
+    // sequential in sort order within each partition, so the rank
+    // inside a (bucket, group) run is mid − min(mid of the run) + 1 —
+    // and min(mid) rides the SAME tiny aggregate as the counts. The
+    // fat data crosses exactly one exchange here (the range
+    // repartition; both consumers share it via exchange reuse), at
+    // full parallelism. `order` must make (part ++ order) a TOTAL
+    // order — the in-partition sort is then deterministic, so the two
+    // evaluations of mid (rank side, offsets side) agree.
+    val bucketed = df.repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn(b, spark_partition_id())
+      .withColumn(mid, monotonically_increasing_id())
+    val grpCols = (b +: part).map(col)
+    // (bucket, group) rows → exclusive prefix per group + group total.
+    // Tiny relation (numPartitions × |groups| rows): the single-task
+    // window over it is deliberate, and it broadcasts back.
+    val wOff = Window.partitionBy(part.map(col): _*).orderBy(col(b))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(part.map(col): _*)
+    val offsets = bucketed.groupBy(grpCols: _*)
+      .agg(count(lit(1)).as("__wf_n"), min(col(mid)).as("__wf_min"))
+      .select((grpCols :+
+        coalesce(sum(col("__wf_n")).over(wOff), lit(0L)).as("__wf_off") :+
+        sum(col("__wf_n")).over(wTot).as(cntCol) :+ col("__wf_min")): _*)
+    bucketed.join(broadcast(offsets), b +: part)
+      .withColumn(rankCol, col(mid) - col("__wf_min") + 1 + col("__wf_off"))
+      .drop(b, mid, "__wf_off", "__wf_min")
+  }
+
+  /** Add `out` = sum(value) OVER (PARTITION BY part ORDER BY order
+    * ROWS BETWEEN lo AND hi EXCLUDE exclude), where `order` must be a
+    * TOTAL order (append a tiebreak column) and `peer` defines the
+    * ORDER-BY peer groups (equal `peer` values — PG's frame/peer
+    * split: the frame is physical rows, the exclusion unit is the
+    * peer group). Windows-only construction, no self-join:
+    *
+    *  - the peer group is CONTIGUOUS in the total order, so the
+    *    peers-inside-the-frame span is a contiguous row range
+    *    [max(first_peer, rn+lo), min(last_peer, rn+hi)];
+    *  - its sum falls out of running prefix sums: C(upper) − C(lower−1),
+    *    with C at a relative offset read by lead/lag over the same
+    *    sort, and C at the peer-group edges read by min/max over the
+    *    peer partition (same exchange, one extra sort);
+    *  - NULL semantics ride a parallel count prefix — the result is
+    *    NULL exactly when the post-exclusion frame holds no non-null
+    *    value (PG sum-over-remaining), never 0-for-empty.
+    *
+    * A ROWS frame straddling a peer group makes per-row results
+    * depend on the physical position within the group — well-defined
+    * here because `order` is total; cross-engine determinism needs
+    * either a unique ORDER BY (each row its own peer group) or value
+    * constant per peer group, same as PG. */
+  def rowsSumExcluding(df: DataFrame, out: String, value: Column,
+      part: Seq[Column], order: Seq[Column], peer: Column,
+      lo: Long, hi: Long, exclude: FrameExclusion): DataFrame = {
+    require(lo <= 0 && hi >= 0,
+      "EXCLUDE over a ROWS frame requires the frame to contain the current row")
+    val wOrd = Window.partitionBy(part: _*).orderBy(order: _*)
+    val wFrame = wOrd.rowsBetween(lo, hi)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // peer-group aggregates WITHOUT a second exchange: same partition
+    // keys, ordered by the peer key with a peers-only RANGE frame
+    val wPeers = Window.partitionBy(part: _*).orderBy(peer).rangeBetween(0, 0)
+    val cv = coalesce(value, lit(0L))
+    val cn = when(value.isNotNull, lit(1L)).otherwise(lit(0L))
+    def terms(x: Column): (Column, Column) = {
+      // (frame sum of x, peers-in-frame sum of x) via prefix arithmetic
+      val cum = sum(x).over(wCum) // C(rn)
+      val cumPrev = cum - x       // C(rn − 1)
+      val rn = row_number().over(wOrd)
+      val firstRn = min(rn).over(wPeers)
+      val lastRn = max(rn).over(wPeers)
+      val cUpper = when(rn + lit(hi) >= lastRn, max(cum).over(wPeers))
+        .otherwise(lead(cum, hi.toInt).over(wOrd))
+      val cLower = when(rn + lit(lo) <= firstRn, min(cumPrev).over(wPeers))
+        .otherwise(lag(cumPrev, (-lo).toInt).over(wOrd))
+      (sum(x).over(wFrame), cUpper - cLower)
+    }
+    val (frameSum, peerSum) = terms(cv)
+    val (frameCnt, peerCnt) = terms(cn)
+    val (remSum, remCnt) = exclude match {
+      case ExcludeNoOthers => (frameSum, frameCnt)
+      case ExcludeCurrentRow => (frameSum - cv, frameCnt - cn)
+      case ExcludeGroup => (frameSum - peerSum, frameCnt - peerCnt)
+      case ExcludeTies => (frameSum - peerSum + cv, frameCnt - peerCnt + cn)
+    }
+    df.withColumn(out, when(remCnt > 0, remSum).otherwise(lit(null)))
+  }
 }

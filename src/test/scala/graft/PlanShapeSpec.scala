@@ -1808,6 +1808,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"f12: every exchange must be the output sort, got $exchanges vs $rangeEx:\n$p")
   }
 
+  test("q143/q144: bounded-frame EXCLUDE is windows-only — no joins, one hash exchange") {
+    // rowsSumExcluding's prefix-sum/lead-lag construction and
+    // groupsSumExcluding's dense_rank composition must never plan a
+    // self-join for the peers-in-frame term: all peer/prefix machinery
+    // rides window functions over ONE hash partitioning (plus the
+    // output sort's range exchange)
+    for (q <- Seq("q143_rows_exclude", "q144_groups_exclude")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"$q must not join:\n$p")
+      val body = p.split("== Initial Plan ==")(0)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(body).length
+      assert(hashEx == 1,
+        s"$q: peer terms must reuse the window partitioning (got $hashEx hash exchanges):\n$p")
+    }
+  }
+
   test("t21: entropy rides the explode census — codegen'd, no HOF lambdas") {
     val p = plan("t21_word_entropy")
     assert(!p.contains("Join"), s"t21 should not join:\n$p")

@@ -90,6 +90,62 @@ class WindowFramesSpec extends AnyFunSuite {
     }
   }
 
+  for (excl <- Seq(ExcludeNoOthers, ExcludeCurrentRow, ExcludeGroup, ExcludeTies);
+       (lo, hi) <- Seq((-1L, 1L), (0L, 0L), (-2L, 0L))) {
+    test(s"GROUPS frame ($lo,$hi) EXCLUDE $excl == brute-force") {
+      val got = collectOut(
+        WindowFrames.groupsSumExcluding(df, "out", col("v"),
+          Seq(col("p")), col("o"), lo, hi, excl).select(col("id"), col("out")))
+      val want = rows.groupBy(_.p).flatMap { case (_, part) =>
+        val rk = denseRank(part)
+        part.map { r =>
+          val g = rk(r.o)
+          val inFrame = part.filter(x => rk(x.o) >= g + lo && rk(x.o) <= g + hi)
+          val remaining = excl match {
+            case ExcludeNoOthers => inFrame
+            case ExcludeCurrentRow => inFrame.filterNot(_.id == r.id)
+            case ExcludeGroup => inFrame.filterNot(_.o == r.o)
+            case ExcludeTies => inFrame.filter(x => x.o != r.o || x.id == r.id)
+          }
+          r.id -> sqlSum(remaining.map(_.v))
+        }
+      }
+      assert(got == want)
+    }
+  }
+
+  for (excl <- Seq(ExcludeNoOthers, ExcludeCurrentRow, ExcludeGroup, ExcludeTies);
+       (lo, hi) <- Seq((0L, 0L), (-2L, 1L), (-3L, 2L), (-1L, 0L))) {
+    test(s"ROWS frame ($lo,$hi) EXCLUDE $excl == brute-force over the (o,id) total order") {
+      val got = collectOut(
+        WindowFrames.rowsSumExcluding(df, "out", col("v"),
+          Seq(col("p")), Seq(col("o"), col("id")), col("o"), lo, hi, excl)
+          .select(col("id"), col("out")))
+      val want = rows.groupBy(_.p).flatMap { case (_, part) =>
+        val sorted = part.sortBy(r => (r.o, r.id)).toIndexedSeq
+        sorted.zipWithIndex.map { case (r, i) =>
+          val inFrame = sorted.slice(
+            math.max(0, i + lo.toInt), math.min(sorted.length, i + hi.toInt + 1))
+          val remaining = excl match {
+            case ExcludeNoOthers => inFrame
+            case ExcludeCurrentRow => inFrame.filterNot(_.id == r.id)
+            case ExcludeGroup => inFrame.filterNot(_.o == r.o)
+            case ExcludeTies => inFrame.filter(x => x.o != r.o || x.id == r.id)
+          }
+          r.id -> sqlSum(remaining.map(_.v))
+        }
+      }
+      assert(got == want)
+    }
+  }
+
+  test("ROWS EXCLUDE rejects a frame that does not contain the current row") {
+    intercept[IllegalArgumentException] {
+      WindowFrames.rowsSumExcluding(df, "out", col("v"),
+        Seq(col("p")), Seq(col("o"), col("id")), col("o"), -3L, -1L, ExcludeGroup)
+    }
+  }
+
   test("EXCLUDE rejects a RANGE frame that does not contain the current row") {
     intercept[IllegalArgumentException] {
       WindowFrames.sumExcluding(col("v"), Seq(col("p")), col("o"),
