@@ -75,7 +75,11 @@ object Scaling {
     // the triple fact chain (chain count measured ~linear: 14/87/707
     // at sf0.001/0.01/0.1)
     "ds49_worst_return_ratios", "ds05_channel_sales_returns",
-    "ds79_store_visits", "ds97_channel_overlap", "ds17_return_repurchase")
+    "ds79_store_visits", "ds97_channel_overlap", "ds17_return_repurchase",
+    // round-17 additions: the scalable two-pass rank (the fat-partition
+    // window fix — must scale ~linearly where the 3-task window
+    // couldn't) and the windows-only ROWS+EXCLUDE construction
+    "q34_order_quartiles", "q143_rows_exclude")
 
   val MaxRatio = 13.0
 
