@@ -31,15 +31,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def adjudication_rows(name):
-    """Every PROF_r*.md table row for this query, newest file first."""
-    hits = []
+    """Every PROF_r*.md table row for this query — BOUND rows (the ones
+    carrying an accepted/exits verdict cell) first, then any other
+    measured row (an A/B or dissection table), newest file first within
+    each class. The pointer should land on the row that ADJUDICATES,
+    not merely mentions, the query."""
+    bound, other = [], []
     for path in sorted(glob.glob(os.path.join(REPO, "PROF_r*.md")),
                        reverse=True):
         with open(path) as f:
             for i, line in enumerate(f, 1):
                 if re.match(r"^\|\s*" + re.escape(name) + r"\b", line):
-                    hits.append((os.path.basename(path), i, line.strip()))
-    return hits
+                    hit = (os.path.basename(path), i, line.strip())
+                    if re.search(r"accepted|exits|structural fix|floor",
+                                 line, re.I):
+                        bound.append(hit)
+                    else:
+                        other.append(hit)
+    return bound + other
 
 
 def main():
