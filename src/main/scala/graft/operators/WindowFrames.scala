@@ -141,7 +141,11 @@ object WindowFrames {
     * `order`) and `cntCol` (group row count). percent_rank, cume_dist
     * and ntile all derive arithmetically when `order` is total:
     * percent_rank = (rank−1)/(n−1), cume_dist = rank/n, ntile(k) by
-    * the remainder formula. */
+    * the remainder formula.
+    *
+    * Contract: `order` is ASCENDING column names and (part ++ order)
+    * must be a total order (append a tiebreak column). For a DESC key,
+    * rank over a negated/derived column instead. */
   def scalableRank(df: DataFrame, part: Seq[String], order: Seq[String],
       rankCol: String, cntCol: String): DataFrame = {
     val b = s"__wf_bucket_$rankCol"

@@ -87,16 +87,25 @@ object BindExpensiveFilterRule extends Rule[LogicalPlan] with PredicateHelper {
           val conjuncts = splitConjunctivePredicates(cond)
           val (withE, others) =
             conjuncts.partition(_.exists(_.semanticEquals(e)))
-          // a single conjunct can still carry the repeat k times — bind
-          // whenever the repeat exists, whatever its conjunct spread
-          val target = withE.reduce(And)
-          val lv = NamedLambdaVariable("graft_bound", e.dataType, e.nullable)
-          val body = target.transform {
-            case x if x.semanticEquals(e) => lv
+          // a conjunct that references the repeat AND carries a
+          // subquery would put a SubqueryExpression inside the lambda
+          // body — physical planning injects subquery results at the
+          // expression site and cannot do so under a HOF; leave such
+          // filters alone (the candidate itself is already guarded,
+          // this guards its SIBLING structure)
+          if (withE.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))) f
+          else {
+            // a single conjunct can still carry the repeat k times —
+            // bind whenever the repeat exists, whatever its spread
+            val target = withE.reduce(And)
+            val lv = NamedLambdaVariable("graft_bound", e.dataType, e.nullable)
+            val body = target.transform {
+              case x if x.semanticEquals(e) => lv
+            }
+            val bound: Expression =
+              ArrayExists(CreateArray(Seq(e)), LambdaFunction(body, Seq(lv)))
+            Filter((others :+ bound).reduce(And), child)
           }
-          val bound: Expression =
-            ArrayExists(CreateArray(Seq(e)), LambdaFunction(body, Seq(lv)))
-          Filter((others :+ bound).reduce(And), child)
       }
   }
 

@@ -109,6 +109,30 @@ class BindExpensiveFilterSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).sorted sameElements Array(1L, 3L, 6L))
   }
 
+  test("a subquery conjunct referencing the repeat disables the rewrite (planning safety)") {
+    graft.Tables.configure(spark)
+    corpus.createOrReplaceTempView("bind_corpus")
+    // the third conjunct carries BOTH the inlined chain (via tf_a) and a
+    // scalar subquery — binding would trap the SubqueryExpression inside
+    // a lambda body, where physical planning cannot inject its result;
+    // the rule must leave the whole filter alone
+    val df = spark.sql(
+      """SELECT doc_id FROM (
+           SELECT doc_id,
+             size(filter(filter(split(lower(text), ' '), x -> x <> ''),
+                  x -> x = 'merge')) AS tf_a,
+             size(filter(filter(split(lower(text), ' '), x -> x <> ''),
+                  x -> x = 'vector')) AS tf_b
+           FROM bind_corpus) t
+         WHERE tf_a > 0 AND tf_b > 0
+           AND tf_a >= (SELECT min(doc_id) FROM bind_corpus)""")
+    val rows = df.collect().map(_.getLong(0)).sorted
+    assert(rows sameElements Array(1L, 6L))
+    val lines = filterLines(df)
+    assert(lines.forall(l => !l.contains("exists(")),
+      s"the rewrite must not fire next to a subquery conjunct:\n${lines.mkString("\n")}")
+  }
+
   test("two independent repeated chains bind as nested exists and stay correct") {
     graft.Tables.configure(spark)
     val df = corpus
