@@ -157,14 +157,28 @@ object WindowFrames {
     // inside a (bucket, group) run is mid − min(mid of the run) + 1 —
     // and min(mid) rides the SAME tiny aggregate as the counts. The
     // fat data crosses exactly one exchange here (the range
-    // repartition; both consumers share it via exchange reuse), at
-    // full parallelism. `order` must make (part ++ order) a TOTAL
-    // order — the in-partition sort is then deterministic, so the two
-    // evaluations of mid (rank side, offsets side) agree.
+    // repartition), at full parallelism.
+    //
+    // The eager localCheckpoint pins CORRECTNESS, not just cost: the
+    // offsets side and the join's left side both consume `bucketed`,
+    // and repartitionByRange samples its range boundaries per plan
+    // instantiation (RDD-id-seeded) — two independent instantiations
+    // can draw DIFFERENT bucket boundaries, after which the
+    // (bucket, group) join silently misaligns (the r17 advice
+    // finding). Exchange reuse usually collapses the two consumers
+    // onto one sampled exchange, but AQE's opportunistic stage reuse
+    // has a measured race on identical subtrees (the ds38/ds87
+    // plan-fingerprint flap) — tolerable when duplication only costs,
+    // not when it corrupts. Checkpointing materializes ONE bucket
+    // assignment both consumers must read; lineage is truncated, so a
+    // lost replica fails the job loudly instead of recomputing with
+    // fresh boundaries. At scale the checkpoint stores the same bytes
+    // the reused range exchange would have kept in shuffle files.
     val bucketed = df.repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn(b, spark_partition_id())
       .withColumn(mid, monotonically_increasing_id())
+      .localCheckpoint()
     val grpCols = (b +: part).map(col)
     // (bucket, group) rows → exclusive prefix per group + group total.
     // Tiny relation (numPartitions × |groups| rows): the single-task
@@ -225,9 +239,15 @@ object WindowFrames {
       val rn = row_number().over(wOrd)
       val firstRn = min(rn).over(wPeers)
       val lastRn = max(rn).over(wPeers)
-      val cUpper = when(rn + lit(hi) >= lastRn, max(cum).over(wPeers))
+      // The peer-edge prefixes C(lastRn) / C(firstRn−1) are the cum
+      // values AT the edge rows, read positionally (max_by/min_by on
+      // the unique rn) — NOT max(cum)/min(cumPrev) over the peer run,
+      // which coincide only while the running sum is monotone within
+      // the run, i.e. only for non-negative `value` (the r17 advice
+      // finding: deltas/balances would have been silently wrong)
+      val cUpper = when(rn + lit(hi) >= lastRn, max_by(cum, rn).over(wPeers))
         .otherwise(lead(cum, hi.toInt).over(wOrd))
-      val cLower = when(rn + lit(lo) <= firstRn, min(cumPrev).over(wPeers))
+      val cLower = when(rn + lit(lo) <= firstRn, min_by(cumPrev, rn).over(wPeers))
         .otherwise(lag(cumPrev, (-lo).toInt).over(wOrd))
       (sum(x).over(wFrame), cUpper - cLower)
     }
@@ -240,5 +260,93 @@ object WindowFrames {
       case ExcludeTies => (frameSum - peerSum + cv, frameCnt - peerCnt + cn)
     }
     df.withColumn(out, when(remCnt > 0, remSum).otherwise(lit(null)))
+  }
+
+  /** Add `out` = min/max(value) OVER (PARTITION BY part ORDER BY ord
+    * [RANGE frame] EXCLUDE exclude) — closing the r17 boundary: the
+    * peer-SUBTRACTION rewrite (sumExcluding) cannot express extrema
+    * (min/max don't invert), but the post-exclusion frame decomposes
+    * into CONTIGUOUS runs whose extrema Spark's native RANGE frames
+    * compute directly (nodeWindowAgg.c row_is_in_frame is
+    * aggregate-agnostic; this is the aggregate-specific construction
+    * Spark needs):
+    *
+    *  - frame minus the current PEER GROUP = the frame's sub-run
+    *    strictly before the group ∪ strictly after it — two RANGE
+    *    frames, `[lo, −1]` and `[+1, hi]` in `ord` units, combined
+    *    with least/greatest (both skip NULLs, so the result is NULL
+    *    exactly when the remaining frame holds no non-null value —
+    *    PG min/max semantics for free);
+    *  - EXCLUDE TIES adds the row's own value back into the combine;
+    *  - EXCLUDE CURRENT ROW additionally needs the PEERS-MINUS-SELF
+    *    extremum, computed within the peer group without a total
+    *    order: m1 = group extremum, c1 = how many rows attain it,
+    *    m2 = extremum over values strictly beyond m1 — the row's
+    *    exclusion changes the answer only when it is the UNIQUE
+    *    attainer (then m2), all other rows read m1. Three window
+    *    aggregates over the same (part, ord) sort: one exchange.
+    *
+    * `ord` must be INTEGER-VALUED (peer groups are whole integers, so
+    * the ±1 run edges are exact — day numbers, dense ranks, cents);
+    * for an arbitrary order key route through
+    * [[groupsExtremeExcluding]], whose dense_rank key is integer by
+    * construction. `frame` must contain the current row when given. */
+  def extremeExcluding(df: DataFrame, out: String, value: Column,
+      part: Seq[Column], ord: Column, exclude: FrameExclusion,
+      frame: Option[(Long, Long)], isMin: Boolean): DataFrame = {
+    require(frame.forall { case (lo, hi) => lo <= 0 && hi >= 0 },
+      "EXCLUDE over a RANGE frame requires the frame to contain the current row")
+    val wOrd = Window.partitionBy(part: _*).orderBy(ord)
+    def agg(c: Column): Column = if (isMin) min(c) else max(c)
+    def cmb(cs: Column*): Column = if (isMin) least(cs: _*) else greatest(cs: _*)
+    val typedNull = when(lit(false), value) // NULL of value's type
+    val (flo, fhi) = frame.getOrElse(
+      (Window.unboundedPreceding, Window.unboundedFollowing))
+    // the two contiguous frame runs flanking the current peer group
+    val left =
+      if (frame.exists(_._1 == 0L)) typedNull
+      else agg(value).over(wOrd.rangeBetween(flo, -1L))
+    val right =
+      if (frame.exists(_._2 == 0L)) typedNull
+      else agg(value).over(wOrd.rangeBetween(1L, fhi))
+    exclude match {
+      case ExcludeNoOthers =>
+        val wFrame = frame match {
+          case Some((lo, hi)) => wOrd.rangeBetween(lo, hi)
+          case None => Window.partitionBy(part: _*)
+        }
+        df.withColumn(out, agg(value).over(wFrame))
+      case ExcludeGroup => df.withColumn(out, cmb(left, right))
+      case ExcludeTies => df.withColumn(out, cmb(left, right, value))
+      case ExcludeCurrentRow =>
+        val wPeers = wOrd.rangeBetween(0, 0)
+        val m1 = s"__wf_m1_$out"
+        val c1 = s"__wf_c1_$out"
+        val m2 = s"__wf_m2_$out"
+        val beyond = if (isMin) value > col(m1) else value < col(m1)
+        val peersMinusSelf = // m2 only for the unique attainer
+          when(value <=> col(m1) && col(c1) === 1L, col(m2)).otherwise(col(m1))
+        df.withColumn(m1, agg(value).over(wPeers))
+          .withColumn(c1,
+            sum(when(value === col(m1), 1L).otherwise(0L)).over(wPeers))
+          .withColumn(m2, agg(when(beyond, value)).over(wPeers))
+          .withColumn(out, cmb(left, right, peersMinusSelf))
+          .drop(m1, c1, m2)
+    }
+  }
+
+  /** Add `out` = min/max(value) OVER (PARTITION BY part ORDER BY ord
+    * GROUPS BETWEEN lo AND hi EXCLUDE exclude) — the dense_rank
+    * composition (as groupsSumExcluding) over the extremum
+    * construction above; dense_rank's integer key satisfies
+    * extremeExcluding's integral-order contract for ANY order key. */
+  def groupsExtremeExcluding(df: DataFrame, out: String, value: Column,
+      part: Seq[Column], ord: Column, lo: Long, hi: Long,
+      exclude: FrameExclusion, isMin: Boolean): DataFrame = {
+    val grp = s"__wf_grp_$out"
+    val byOrd = Window.partitionBy(part: _*).orderBy(ord)
+    val withGrp = df.withColumn(grp, dense_rank().over(byOrd))
+    extremeExcluding(withGrp, out, value, part, col(grp), exclude,
+      Some((lo, hi)), isMin).drop(grp)
   }
 }

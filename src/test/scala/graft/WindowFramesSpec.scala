@@ -19,12 +19,16 @@ class WindowFramesSpec extends AnyFunSuite {
   import WindowFramesSpec.R
 
   /** Deterministic generated data: 3 partitions + a singleton partition,
-    * order keys 0..7 (dense ties), ~12% null values. */
+    * order keys 0..7 (dense ties), ~12% null values, and SIGNED values
+    * (r17 advice: the prefix-boundary reads in rowsSumExcluding were
+    * only correct while the running sum was monotone, i.e. for
+    * non-negative values — a generator limited to [0,100) could never
+    * catch it). */
   private lazy val rows: Seq[R] = {
     val rnd = new scala.util.Random(42)
     val bulk = (0L until 240L).map { id =>
       R(id, (rnd.nextInt(3) + 1), rnd.nextInt(8),
-        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(100).toLong))
+        if (rnd.nextInt(8) == 0) None else Some((rnd.nextInt(200) - 100).toLong))
     }
     bulk :+ R(240L, 9, 0, Some(7L)) :+ R(241L, 8, 3, None) // singletons: one non-null, one all-null
   }
@@ -63,19 +67,30 @@ class WindowFramesSpec extends AnyFunSuite {
     }
   }
 
-  private def bruteExclude(part: Seq[R], r: R, excl: FrameExclusion,
-      frame: Option[(Long, Long)]): Option[Long] = {
+  /** The post-exclusion RANGE-frame row set — shared by the sum and
+    * extremum brute forces. */
+  private def remainingRows(part: Seq[R], r: R, excl: FrameExclusion,
+      frame: Option[(Long, Long)]): Seq[R] = {
     val inFrame = frame match {
       case Some((lo, hi)) => part.filter(x => x.o >= r.o + lo && x.o <= r.o + hi)
       case None => part
     }
-    val remaining = excl match {
+    excl match {
       case ExcludeNoOthers => inFrame
       case ExcludeCurrentRow => inFrame.filterNot(_.id == r.id)
       case ExcludeGroup => inFrame.filterNot(_.o == r.o)
       case ExcludeTies => inFrame.filter(x => x.o != r.o || x.id == r.id)
     }
-    sqlSum(remaining.map(_.v))
+  }
+
+  private def bruteExclude(part: Seq[R], r: R, excl: FrameExclusion,
+      frame: Option[(Long, Long)]): Option[Long] =
+    sqlSum(remainingRows(part, r, excl, frame).map(_.v))
+
+  /** min/max of the non-null values, NULL when none — SQL semantics. */
+  private def sqlExt(vs: Seq[Option[Long]], isMin: Boolean): Option[Long] = {
+    val nn = vs.flatten
+    if (nn.isEmpty) None else Some(if (isMin) nn.min else nn.max)
   }
 
   for (excl <- Seq(ExcludeNoOthers, ExcludeCurrentRow, ExcludeGroup, ExcludeTies);
@@ -136,6 +151,56 @@ class WindowFramesSpec extends AnyFunSuite {
         }
       }
       assert(got == want)
+    }
+  }
+
+  for (excl <- Seq(ExcludeNoOthers, ExcludeCurrentRow, ExcludeGroup, ExcludeTies);
+       frame <- Seq(None, Some((0L, 0L)), Some((-2L, 1L)));
+       isMin <- Seq(true, false)) {
+    val fn = if (isMin) "min" else "max"
+    test(s"$fn EXCLUDE $excl over RANGE frame $frame == brute-force remaining-rows extremum") {
+      val got = collectOut(
+        WindowFrames.extremeExcluding(df, "out", col("v"),
+          Seq(col("p")), col("o"), excl, frame, isMin)
+          .select(col("id"), col("out")))
+      val want = rows.groupBy(_.p).flatMap { case (_, part) =>
+        part.map(r => r.id ->
+          sqlExt(remainingRows(part, r, excl, frame).map(_.v), isMin))
+      }
+      assert(got == want)
+    }
+  }
+
+  for (excl <- Seq(ExcludeNoOthers, ExcludeCurrentRow, ExcludeGroup, ExcludeTies);
+       isMin <- Seq(true, false)) {
+    val fn = if (isMin) "min" else "max"
+    test(s"GROUPS frame (-1,1) $fn EXCLUDE $excl == brute-force") {
+      val got = collectOut(
+        WindowFrames.groupsExtremeExcluding(df, "out", col("v"),
+          Seq(col("p")), col("o"), -1L, 1L, excl, isMin)
+          .select(col("id"), col("out")))
+      val want = rows.groupBy(_.p).flatMap { case (_, part) =>
+        val rk = denseRank(part)
+        part.map { r =>
+          val g = rk(r.o)
+          val inFrame = part.filter(x => rk(x.o) >= g - 1 && rk(x.o) <= g + 1)
+          val remaining = excl match {
+            case ExcludeNoOthers => inFrame
+            case ExcludeCurrentRow => inFrame.filterNot(_.id == r.id)
+            case ExcludeGroup => inFrame.filterNot(_.o == r.o)
+            case ExcludeTies => inFrame.filter(x => x.o != r.o || x.id == r.id)
+          }
+          r.id -> sqlExt(remaining.map(_.v), isMin)
+        }
+      }
+      assert(got == want)
+    }
+  }
+
+  test("extremum EXCLUDE rejects a RANGE frame that does not contain the current row") {
+    intercept[IllegalArgumentException] {
+      WindowFrames.extremeExcluding(df, "out", col("v"),
+        Seq(col("p")), col("o"), ExcludeGroup, Some((1L, 3L)), isMin = true)
     }
   }
 
