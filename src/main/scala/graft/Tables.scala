@@ -59,8 +59,17 @@ object Tables {
       // never changes results). The guard's only upside — pre-Generate
       // pruning of empty arrays — does not apply here: every audited
       // explode input derives from non-null text/arrays.
-      spark.conf.set("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // APPEND to any exclusions the session already carries (user- or
+      // test-configured) rather than clobbering them (r17 advice)
+      val inferRule =
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+      val excluded = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+        .map(_.trim).filter(_.nonEmpty) match {
+        case Some(cur) if cur.split(",").map(_.trim).contains(inferRule) => cur
+        case Some(cur) => s"$cur,$inferRule"
+        case None => inferRule
+      }
+      spark.conf.set("spark.sql.optimizer.excludedRules", excluded)
       // the engine-level single-binding rewrite for the OTHER face of
       // the class — repeated expensive kernels in pushed Filter
       // conditions (fires nowhere in the current repo, which is at

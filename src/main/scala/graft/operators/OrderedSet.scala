@@ -177,6 +177,39 @@ object OrderedSet {
         .orderBy(col("o_orderkey"))
     },
 
+    // -- frame EXCLUDE on an EXTREMUM aggregate — the r17 verdict's
+    //    named boundary (#4): peer SUBTRACTION cannot express min/max
+    //    (they don't invert), so WindowFrames.extremeExcluding builds
+    //    the post-exclusion extremum from the frame's two contiguous
+    //    flanking runs (native RANGE frames) + a null-skipping
+    //    least/greatest combine; EXCLUDE CURRENT ROW derives the
+    //    peers-minus-self extremum from (m1, count-at-m1, m2) in the
+    //    same sort. All three exclusion modes in one query, one
+    //    exchange; month-granularity peers give real ties (127 tied
+    //    (cust,month) groups at sf0.01), so GROUP vs CURRENT ROW vs
+    //    TIES genuinely differ. Partitioned by o_custkey — dim-scale
+    //    key cardinality, never the q34 few-valued-partition window
+    //    anti-pattern. Oracle: DuckDB's NATIVE RANGE ... EXCLUDE --
+    "q145_minmax_exclude" -> { (s, dir) =>
+      val base = Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .withColumn("m",
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("bigint"))
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      val part = Seq(col("o_custkey"))
+      val withLo = WindowFrames.extremeExcluding(base, "lo_o", col("cents"),
+        part, col("m"), WindowFrames.ExcludeGroup, Some((-2L, 2L)), isMin = true)
+      val withHi = WindowFrames.extremeExcluding(withLo, "hi_k", col("cents"),
+        part, col("m"), WindowFrames.ExcludeTies, Some((-2L, 2L)), isMin = false)
+      val withRest = WindowFrames.extremeExcluding(withHi, "lo_r", col("cents"),
+        part, col("m"), WindowFrames.ExcludeCurrentRow, Some((-2L, 2L)), isMin = true)
+      withRest.select(col("o_orderkey"), col("o_custkey"),
+          round(col("lo_o").cast("double") / 100.0, 2).as("lo_other"),
+          round(col("hi_k").cast("double") / 100.0, 2).as("hi_keep"),
+          round(col("lo_r").cast("double") / 100.0, 2).as("lo_rest"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "q93_exclude_ties" -> { (s, dir) =>
       // shared EXCLUDE rewriter (WindowFrames.sumExcluding)
       Tables.df(s, dir, "orders")
@@ -330,6 +363,25 @@ object OrderedSet {
           - sum(cents) OVER (PARTITION BY o_orderpriority, g)
           + cents AS DOUBLE) / 100.0, 2) AS near_total
       FROM b ORDER BY o_orderkey""",
+
+    "q145_minmax_exclude" -> """
+      WITH b AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS m,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey <= 200)
+      SELECT o_orderkey, o_custkey,
+        round(CAST(min(cents) OVER (PARTITION BY o_custkey ORDER BY m
+          RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+          EXCLUDE GROUP) AS DOUBLE) / 100.0, 2) AS lo_other,
+        round(CAST(max(cents) OVER (PARTITION BY o_custkey ORDER BY m
+          RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+          EXCLUDE TIES) AS DOUBLE) / 100.0, 2) AS hi_keep,
+        round(CAST(min(cents) OVER (PARTITION BY o_custkey ORDER BY m
+          RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+          EXCLUDE CURRENT ROW) AS DOUBLE) / 100.0, 2) AS lo_rest
+      FROM b ORDER BY o_orderkey""",
+
     "q57_within_group" -> """
       WITH modes AS (
         SELECT l_returnflag, min(l_quantity) AS mode_qty FROM (

@@ -61,6 +61,28 @@ object TextOps {
     //    per merge rank — the learned rule, its pair count, and the
     //    corpus token count after applying it (compression falls
     //    monotonically) --
+    // -- the natural-but-slow filter spelling, deliberately NOT
+    //    hand-bound: BindExpensiveFilterRule's first production user
+    //    (r17 verdict #3). `size(split(text, ' '))` is referenced
+    //    twice in the filter, so after predicate pushdown inlines the
+    //    derivation the Filter would tokenize every corpus row TWICE
+    //    (the f09 substitution class, PROF_r16); the installed
+    //    optimizer rule binds the repeated chain into
+    //    `exists(array(size(split(..))), t -> t >= 30 AND t <= 400)`
+    //    — one tokenize per row — while the cheap lang equality stays
+    //    a conjunct that reaches the scan's PushedFilters.
+    //    PlanShapeSpec pins the fired shape (exists present, one
+    //    split per filter line, lang pushed); KernelFilterSpec gates
+    //    the class for the whole t-family per `sbt test` run --
+    "t28_natural_filter" -> { (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .filter(col("lang") === "en" &&
+          size(split(col("text"), " ")) >= 30 &&
+          size(split(col("text"), " ")) <= 400)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     "t27_bpe_train_encode" -> { (s, dir) =>
       val toksOf = "filter(split(rep, chr(1)), z -> z <> '')"
       var census = Tables.df(s, dir, "documents")
@@ -864,6 +886,12 @@ object TextOps {
   }
 
   def oracle: Map[String, String] = Map(
+    "t28_natural_filter" -> """
+      SELECT doc_id, n_chars FROM documents
+      WHERE lang = 'en'
+        AND len(string_split(text, ' ')) >= 30
+        AND len(string_split(text, ' ')) <= 400
+      ORDER BY doc_id""",
     "t27_bpe_train_encode" -> t27Oracle,
     "t26_config_langid" -> t26Oracle,
     "t15_train_split" -> TrainSplitSql,

@@ -45,14 +45,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object BindExpensiveFilterRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The expensive text→array derivation kernels — the Expression-level
-    * twin of KernelFilterAudit.Derivation. */
+    * twin of KernelFilterAudit.Derivation, CLASS FOR CLASS. The r17
+    * advice flagged the previous `graft.functions.*` blanket: cheap
+    * codegen kernels (JumpHash, VecDot, ZOrder, ...) live in the same
+    * package, and binding a conjunct over one of those would wrap a
+    * scan-pushable predicate into exists() — forfeiting its
+    * PushedFilter for no per-row saving. Only the chains whose
+    * repetition IS the measured defect tag here. */
   private def isDerivationKernel(e: Expression): Boolean = e match {
     case _: StringSplit => true
     case _: Sentences => true
     case _: RegExpExtractAll => true
-    // graft's native text kernels (word_grams, winnow_fps, metaphone,
-    // porter_stem, ...) all live in this package
-    case _ => e.getClass.getName.startsWith("graft.functions.")
+    case _: graft.functions.WordGrams => true
+    case _: graft.functions.CharGrams => true
+    case _: graft.functions.WinnowFps => true
+    case _: graft.functions.MetaphoneExpr => true
+    case _: graft.functions.PorterStem => true
+    case _ => false
   }
 
   private def isExpensive(e: Expression): Boolean = e.exists(isDerivationKernel)

@@ -133,6 +133,22 @@ class BindExpensiveFilterSpec extends AnyFunSuite {
       s"the rewrite must not fire next to a subquery conjunct:\n${lines.mkString("\n")}")
   }
 
+  test("a repeated CHEAP graft kernel does not tag as a derivation (r17 advice: no blanket)") {
+    graft.Tables.configure(spark)
+    graft.functions.PgFunctions.register(spark)
+    // jump_hash is a graft.functions codegen kernel but NOT a text
+    // derivation — under the old graft.functions.* blanket this filter
+    // would have been wrapped into exists() for no per-row saving
+    val df = corpus
+      .filter(expr("jump_hash(doc_id, 8) >= 0 AND jump_hash(doc_id, 8) <= 7"))
+      .select(col("doc_id"))
+    df.collect()
+    val lines = filterLines(df)
+    assert(lines.forall(l => !l.contains("exists(")),
+      s"cheap kernels must not bind:\n${lines.mkString("\n")}")
+    assert(df.collect().length == 6)
+  }
+
   test("two independent repeated chains bind as nested exists and stay correct") {
     graft.Tables.configure(spark)
     val df = corpus

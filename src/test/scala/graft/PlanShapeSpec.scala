@@ -1825,6 +1825,59 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q34: scalable rank reads ONE materialized bucket assignment, twice") {
+    // scalableRank's offsets side and join side must consume the SAME
+    // bucket assignment — repartitionByRange samples boundaries per
+    // plan instantiation, so two independent instantiations could
+    // misalign the (bucket, group) join silently (r17 advice). The
+    // eager localCheckpoint materializes one assignment: the executed
+    // plan shows exactly two ExistingRDD reads of it, the tiny offsets
+    // broadcast back, and the only range exchange is the output sort
+    // (the fat side's range shuffle lives inside the checkpoint build)
+    val p = plan("q34_order_quartiles")
+    val body = p.split("== Initial Plan ==")(0)
+    val rdds = "Scan ExistingRDD".r.findAllIn(body).length
+    assert(rdds == 2,
+      s"q34: expected the checkpointed bucket assignment read twice, got $rdds:\n$p")
+    assert(body.contains("BroadcastHashJoin"),
+      s"q34: offsets must broadcast back to the fat side:\n$p")
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(body).length
+    assert(rangeEx == 1,
+      s"q34: only the output sort may range-partition (got $rangeEx):\n$p")
+  }
+
+  test("t28: BindExpensiveFilterRule fires on the natural spelling — one tokenize, lang pushed") {
+    // the rule's first production user (r17 verdict #3): the query is
+    // written with size(split(text,' ')) referenced TWICE and no hand
+    // binding; the plan must show (a) the exists() binding, (b) at
+    // most one split per Filter/DataFilters line (the KernelFilterSpec
+    // threshold), and (c) the cheap lang conjunct still reaching the
+    // scan's PushedFilters — binding must not forfeit pushdown
+    val p = plan("t28_natural_filter")
+    val lines = p.linesIterator
+      .filter(l => l.contains("Filter") || l.contains("DataFilters")).toSeq
+    assert(lines.exists(_.contains("exists(")),
+      s"expected the exists binding in:\n$p")
+    assert(lines.forall(l =>
+      l.split(java.util.regex.Pattern.quote("split("), -1).length - 1 <= 1),
+      s"the tokenize chain must appear at most once per filter line:\n$p")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(lang,en)"),
+      s"the cheap lang conjunct must still reach the scan:\n$p")
+  }
+
+  test("q145: extremum EXCLUDE is windows-only — no joins, one hash exchange") {
+    // extremeExcluding's flanking-run + least/greatest construction
+    // (all three exclusion modes) must ride ONE (o_custkey, m) window
+    // partitioning — never a self-join, never per-mode re-shuffles
+    val p = plan("q145_minmax_exclude")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"q145 must not join:\n$p")
+    val body = p.split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(body).length
+    assert(hashEx == 1,
+      s"q145: all exclusion modes must share the window partitioning (got $hashEx):\n$p")
+  }
+
   test("t21: entropy rides the explode census — codegen'd, no HOF lambdas") {
     val p = plan("t21_word_entropy")
     assert(!p.contains("Join"), s"t21 should not join:\n$p")
