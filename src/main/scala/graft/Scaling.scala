@@ -105,7 +105,12 @@ object Scaling {
     // r13: window fps + per-doc gaps-and-islands are linear in L
     "d14_substring_span_dedup", "d15_span_cut_rewrite",
     // r14: the incremental probe's window/census work is linear in L too
-    "i17_span_dedup_incremental", "i18_span_dedup_retract")
+    "i17_span_dedup_incremental", "i18_span_dedup_retract",
+    // r18: the natural-spelling filter relies on BindExpensiveFilterRule
+    // for its single tokenize — gate that the bound form stays
+    // length-linear (an unbound regression doubles the constant; this
+    // axis at least pins it can't go superlinear unnoticed)
+    "t28_natural_filter")
 
   /** Total chars are ~equal across the two corpora, so a linear kernel
     * lands ~1×; 2.5 allows window/partition-count second-order effects
