@@ -37,12 +37,7 @@ object EntityResolution {
         .select(lower(col("p_name")).as("name"))
         .groupBy(col("name")).agg(count(lit(1)).as("n_rows"))
         .localCheckpoint()
-      // 2. multi-key blocking over DISTINCT names
-      def blocked(key: org.apache.spark.sql.Column): DataFrame = {
-        val a = ents.select(col("name").as("a"), key.as("blk"))
-        val b = ents.select(col("name").as("b"), key.as("blk"))
-        a.join(b, Seq("blk")).filter(col("a") < col("b")).select(col("a"), col("b"))
-      }
+      // 2. multi-key blocking over DISTINCT names.
       // third blocking key (r11 verdict): metaphone of the head word —
       // phonetic blocking catches typo'd heads an exact prefix key
       // misses (e.g. a k/c-swap keeps the same phoneme). Keys only ADD
@@ -50,10 +45,25 @@ object EntityResolution {
       // are unchanged, so the oracle (prefix+suffix blocks) stays the
       // same relation as long as phonetic-only candidates fail the
       // match filter — which the compare itself proves each run.
+      // r18 (guide §2.4): the three keys used to run as three separate
+      // self-joins (one exchange pair + join each, then a 3-way union
+      // distinct). One exploded (key_id, key_value)-tagged self-join
+      // produces the identical candidate set — the key_id tag keeps
+      // prefix/suffix/phonetic blocks from cross-matching on equal
+      // values, exactly like the per-key joins did — through ONE
+      // exchange pair and ONE join. Names are non-null non-empty, so
+      // every key value is non-null (no null-key join semantics in
+      // play). Idle A/B at sf0.1 + oracle hash prove equivalence.
       graft.functions.PgFunctions.register(s)
-      val cands = blocked(expr("substring(name, 1, 2)"))
-        .unionAll(blocked(expr("right(name, 2)")))
-        .unionAll(blocked(expr("metaphone(split(name, ' ')[0], 4)")))
+      val keyed = ents.select(col("name"), explode(array(
+        struct(lit(1).as("k"), expr("substring(name, 1, 2)").as("v")),
+        struct(lit(2).as("k"), expr("right(name, 2)").as("v")),
+        struct(lit(3).as("k"), expr("metaphone(split(name, ' ')[0], 4)").as("v"))))
+        .as("blk"))
+      val cands = keyed.select(col("name").as("a"), col("blk"))
+        .join(keyed.select(col("name").as("b"), col("blk")), Seq("blk"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
         .distinct()
       // 3. fuzzy match inside blocks (banded edit distance)
       val edges = cands.filter(expr("levenshtein(a, b, 2) <> -1"))

@@ -175,10 +175,23 @@ object Partitioned {
       val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val live = s"target/derived/$tag/retention_live"
       val arch = s"target/derived/$tag/retention_archive"
-      base.filter(col("o_month") >= cutoff)
-        .write.mode("overwrite").partitionBy("o_month").parquet(live)
-      base.filter(col("o_month") < cutoff)
-        .write.mode("overwrite").partitionBy("o_month").parquet(arch)
+      // r18 (guide §2.6 — overlap independent jobs): the live and
+      // archive tiers are disjoint filters of the same materialized
+      // base writing to different roots; submitted sequentially, each
+      // write's task tail left the other's work waiting. Two driver
+      // threads let the scheduler back-fill one write's stragglers
+      // with the other's tasks; Await.result rethrows either failure.
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = Seq(
+          Future(base.filter(col("o_month") >= cutoff)
+            .write.mode("overwrite").partitionBy("o_month").parquet(live)),
+          Future(base.filter(col("o_month") < cutoff)
+            .write.mode("overwrite").partitionBy("o_month").parquet(arch)))
+        writes.foreach(Await.result(_, Duration.Inf))
+      }
       val manifest =
         s.read.parquet(live).withColumn("tier", lit("live"))
           .unionByName(s.read.parquet(arch).withColumn("tier", lit("archive")))

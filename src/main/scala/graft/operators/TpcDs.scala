@@ -355,6 +355,35 @@ object TpcDs {
       FROM base GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
       ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, c_mktsegment NULLS FIRST"""
 
+  /** ds14's Spark-side spelling: the 3-way INTERSECT of distinct
+    * l_partkey sets = one flag aggregate (see the queries() branch).
+    * Everything below cross_items is byte-identical to the oracle. */
+  private val Ds14FlagText = """
+      WITH cross_items AS (
+        SELECT l_partkey AS item FROM lineitem
+        GROUP BY l_partkey
+        HAVING max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) = 1
+           AND max(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) = 1
+           AND max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1),
+      avg_sales AS (
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               / count(*) AS average_sales
+        FROM lineitem),
+      sales AS (
+        SELECT l_returnflag AS channel, p_brand,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sales_c,
+               count(*) AS n_lines
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_partkey IN (SELECT item FROM cross_items)
+          AND year(l_shipdate) = 1997
+        GROUP BY ROLLUP(l_returnflag, p_brand)
+        HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               > (SELECT average_sales FROM avg_sales))
+      SELECT channel, p_brand, round(CAST(sales_c AS DOUBLE) / 100.0, 2) AS sales, n_lines
+      FROM sales
+      ORDER BY channel NULLS FIRST, p_brand NULLS FIRST, sales"""
+
   /** ds31's SIX-times-referenced per-(geo, quarter, channel) total —
     * the widest CTE fan-out in the battery (q31 joins its ss/ws CTEs
     * six ways across three consecutive quarters × two channels).
@@ -1566,6 +1595,16 @@ object TpcDs {
           // Spark spells integer division `div`; the oracle text has
           // DuckDB's `//` — the one divergent token (ds59 precedent)
           s.sql(ds18Text("div"))
+        } else if (name == "ds14_cross_channel") {
+          // guide §2.4 (remove shuffles outright): the spec's 3-way
+          // INTERSECT scans lineitem three times and pays two
+          // distinct+join exchanges; the same distinct item set is ONE
+          // scan + ONE map-side-combinable aggregate — an item is in
+          // all three channels iff all three returnflag classes were
+          // seen under its key. max(CASE) flags, not count(DISTINCT):
+          // no Expand, no DQA. The oracle keeps the spec INTERSECT
+          // text, so the hash compare proves the set equal.
+          s.sql(Ds14FlagText)
         } else s.sql(text)
       })
     }
