@@ -344,6 +344,13 @@ object Recursive {
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .groupBy(col("u"), col("v")).agg(lit(1))
         .select(col("u"), col("v"))
+        // spool (r18): edges feeds THREE consumers — the degree
+        // aggregate, the orientation join, and the final edge census.
+        // Within one job exchange reuse dedups them, but the census
+        // runs in the FINAL job while orientation ran in the oe
+        // checkpoint job, so the whole pair build re-derived from the
+        // scan once more there. Edge-sized spool, read three times.
+        .localCheckpoint()
       val deg = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))

@@ -149,7 +149,9 @@ object TpcDs {
       ORDER BY i1.part, i1.mon"""
 
   /** ds64's twice-referenced wide-join CTE (8 relations) — the expensive
-    * one; spooled once on the Spark side like ds04's year_total. */
+    * one; spooled once on the Spark side like ds04's year_total.
+    * This is the ORACLE text (spec spelling, count(DISTINCT)); the Spark
+    * side runs [[Ds64CrossSalesSpark]] below. */
   private val Ds64CrossSales = """
         SELECT p_partkey AS item, p_brand AS brand, year(o_orderdate) AS yr,
                count(*) AS cnt,
@@ -157,6 +159,33 @@ object TpcDs {
                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_c,
                count(DISTINCT n_name) AS n_nations,
                count(DISTINCT s_suppkey) AS n_supps
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE year(o_orderdate) IN (1996, 1997) AND l_returnflag = 'N'
+          AND l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        GROUP BY 1, 2, 3"""
+
+  /** ds64's Spark-side spool text (r18, guide §2.3 — shuffle fewer
+    * bytes): the spec's two count(DISTINCT)s plan as a multi-DQA
+    * Expand that triples the 8-relation join output through the
+    * aggregate. Both distinct sets are physically bounded per group —
+    * nations by geography (≤ 25), suppliers by the per-part supplier
+    * list (4 in the data model) — so size(collect_set(...)) computes
+    * the identical counts with ×1 rows through a map-side-combinable
+    * aggregate and bounded per-group state. The oracle keeps the spec
+    * count(DISTINCT) text; the hash compare proves the counts equal. */
+  private val Ds64CrossSalesSpark = """
+        SELECT p_partkey AS item, p_brand AS brand, year(o_orderdate) AS yr,
+               count(*) AS cnt,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sale_c,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_c,
+               CAST(size(collect_set(n_name)) AS BIGINT) AS n_nations,
+               CAST(size(collect_set(s_suppkey)) AS BIGINT) AS n_supps
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -1560,7 +1589,7 @@ object TpcDs {
         } else if (name == "ds64_wide_twoyear") {
           // the 8-relation join runs ONCE; the year-pair self-join
           // probes the spool
-          s.sql(Ds64CrossSales).localCheckpoint()
+          s.sql(Ds64CrossSalesSpark).localCheckpoint()
             .createOrReplaceTempView("cross_sales64")
           s.sql(Ds64Outer)
         } else if (name == "ds11_yoy_customer_dims") {
