@@ -382,10 +382,17 @@ object Recursive {
       val adj = oe.groupBy(col("s"))
         .agg(sort_array(collect_list(col("t"))).as("nbrs"))
         .localCheckpoint() // reused by both join sides
+      // r18 (guide §1.2 per-task work, after the shape is right):
+      // size(array_intersect) builds a hash set per row pair; both
+      // neighbor lists are sorted, so the count is a two-pointer merge
+      // (sorted_intersect_count) — same distinct-count semantics,
+      // zero allocation, whole-stage codegen. Idle A/B + oracle hash
+      // below; SortedIntersectSpec pins equivalence property-style.
+      graft.functions.PgFunctions.register(s)
       val tri = oe
         .join(adj.select(col("s").as("s"), col("nbrs").as("na")), Seq("s"))
         .join(adj.select(col("s").as("t"), col("nbrs").as("nb")), Seq("t"))
-        .agg(coalesce(sum(size(array_intersect(col("na"), col("nb")))), lit(0L))
+        .agg(coalesce(sum(expr("sorted_intersect_count(na, nb)")), lit(0L))
           .as("n_triangles"))
         .select(col("n_triangles").cast("long").as("n_triangles"))
       val counts = edges.agg(count(lit(1)).as("n_edges"))
