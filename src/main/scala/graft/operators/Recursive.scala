@@ -452,10 +452,27 @@ object Recursive {
       val prop = und
         .join(labels.select(col("node").as("u"), col("lbl").as("u_lbl")), Seq("u"))
         .groupBy(col("v").as("node")).agg(min(col("u_lbl")).as("n_lbl"))
-      val next = labels.join(prop, Seq("node"), "left")
+      val stepped = labels.join(prop, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("n_lbl"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"))
+      // pointer halving (r18, guide §1.2 — the distributed algorithm
+      // first): follow each label one hop to ITS label in the same
+      // round. Labels only copy values already inside the component
+      // (init = min(self, neighbors); every hop stays in-component),
+      // so the unique fixpoint — the component minimum everywhere —
+      // is unchanged; what changes is convergence: label chains halve
+      // per round, O(diameter) rounds → O(log diameter). At 100 TB
+      // (long chains from span/near-dup graphs) this is the difference
+      // between tens of rounds and a handful; each round costs one
+      // extra node-keyed equi-join. prev stays the round-entry label,
+      // so the convergence count sees a change from EITHER hop.
+      val next = stepped.join(
+          stepped.select(col("node").as("lbl"), col("lbl").as("ll")),
+          Seq("lbl"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"),
+          col("prev"))
         .localCheckpoint()
       changed = next.filter(col("lbl") =!= col("prev")).count()
       labels = next.select(col("node"), col("lbl"))
