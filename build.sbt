@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (r18 verdict #1): the driver invokes
+// `sbt "runMain graft.Bench"` and parses the LAST stdout line as JSON.
+// With the default LoggedOutput strategy sbt prefixes every forked-run
+// stdout line with "[info] " and then appends its own
+// "[success] Total time ..." line, so every BENCH_r*.json since round 1
+// recorded parsed:null. StdoutOutput passes the forked JVM's stdout
+// through verbatim (its stderr goes to stderr, where Spark logs already
+// live), and showSuccess:=false drops the trailing [success] line —
+// Bench's short summary JSON becomes the true last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -132,8 +132,13 @@ object Bench {
       try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
       catch { case _: Throwable => -1.0 }
     val loadEnd = loadAvg
+    // env.cpus = the REQUESTED $SPARK_GRAFT_CPUS (r18 verdict #1: the
+    // driver's 8-cpu scaling run recorded cpus:32 because this reported
+    // availableProcessors, making the artifact look like the env var was
+    // ignored — it isn't, master/local[$cpus] is built from it above).
+    // The box's processor count ships separately for auditing.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${failed.distinct.size},"timing":"min_of_2_passes","queries_pass1":$raw1,"queries_pass2":$raw2,"env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":$loadStart,"load_avg_end":$loadEnd}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_failed":${failed.distinct.size},"timing":"min_of_2_passes","queries_pass1":$raw1,"queries_pass2":$raw2,"env":{"cpus":$cpus,"available_processors":${Runtime.getRuntime.availableProcessors},"load_avg_start":$loadStart,"load_avg_end":$loadEnd}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     println(line)
     // The full line above is ~15 KB at 350+ queries; a driver that keeps
@@ -142,7 +147,7 @@ object Bench {
     // as the LAST line so any last-line / tail parser gets valid JSON,
     // with a pointer to the per-query file it should ingest instead.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.distinct.size},"timing":"min_of_2_passes","queries_file":"bench_out.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"n_failed":${failed.distinct.size},"timing":"min_of_2_passes","queries_file":"bench_out.json"}"""
     println(summary)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
