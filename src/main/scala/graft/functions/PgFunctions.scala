@@ -134,6 +134,8 @@ object PgFunctions {
     "generate_series" -> generateSeries,
     "pg_format" -> pgFormat,
     "vec_dot" -> { args => VecDot(args(0), args(1)) },
+    // PRECONDITION: both arguments ascending-sorted (e.g. via
+    // sort_array) — unsorted input returns a silently wrong count
     "sorted_intersect_count" -> { args => SortedIntersectCount(args(0), args(1)) },
     "str_hash31" -> { args => StrHash(args(0), 31L, 0L) },
     "str_hash131" -> { args => StrHash(args(0), 131L, 7L) },

@@ -42,7 +42,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<bigint> arguments, " +
+      s"$prettyName expects two ASCENDING-SORTED array<bigint> arguments " +
+        "(unsorted input returns a silently wrong count — wrap in sort_array), " +
         s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 

@@ -55,11 +55,17 @@ object EntityResolution {
       // every key value is non-null (no null-key join semantics in
       // play). Idle A/B at sf0.1 + oracle hash prove equivalence.
       graft.functions.PgFunctions.register(s)
+      // defensive null-key guard (r18 advice): struct equality treats
+      // null fields as EQUAL, so a future nullable key value would
+      // silently cross-match one giant null block — unlike the old
+      // per-key equi-joins, which dropped null keys. Free today (names
+      // are non-null non-empty, so every key value is non-null).
       val keyed = ents.select(col("name"), explode(array(
         struct(lit(1).as("k"), expr("substring(name, 1, 2)").as("v")),
         struct(lit(2).as("k"), expr("right(name, 2)").as("v")),
         struct(lit(3).as("k"), expr("metaphone(split(name, ' ')[0], 4)").as("v"))))
         .as("blk"))
+        .filter(col("blk.v").isNotNull)
       val cands = keyed.select(col("name").as("a"), col("blk"))
         .join(keyed.select(col("name").as("b"), col("blk")), Seq("blk"))
         .filter(col("a") < col("b"))

@@ -244,34 +244,49 @@ object Ml {
     },
 
     // -- ml08: recursive decision tree (depth 3) — ml07's census split
-    //    iterated per node. Spark executes the SAME per-level SQL
-    //    fragments the oracle's CTE chain is assembled from, but
-    //    MATERIALIZES each level (localCheckpoint + temp view): Spark
-    //    inlines CTEs, so running the whole unrolled chain as one
+    //    iterated per node. Spark executes weighted-CELL variants of the
+    //    per-level SQL fragments the oracle's CTE chain is assembled
+    //    from, each level MATERIALIZED (localCheckpoint + temp view):
+    //    Spark inlines CTEs, so running the whole unrolled chain as one
     //    statement re-derives every lower level at each reference —
     //    exponential re-computation in depth (measured: 9 s at sf0.1 vs
-    //    ~1 s materialized). With per-level spools the execution really
-    //    is `depth` linear scans, which is the 100 TB claim --
+    //    ~1 s materialized).
+    //    r19 (guide §1.2/§2.3 — the distributed algorithm first): both
+    //    features are STATIC per row (bins never change while growing),
+    //    and routing is a pure function of (node, price_bin, cust_bin) —
+    //    every row of a cell follows the same path. So the tree grows
+    //    from the weighted CONTINGENCY TABLE (price_bin × cust_bin ≈
+    //    a few hundred cells carrying n = count, pos = Σy): census sums
+    //    become sum(n)/sum(pos) over cells — the identical BIGINTs the
+    //    row-level census produced, hence identical Gini doubles and the
+    //    identical argmin — and the per-level scans shrink from corpus-
+    //    sized to cell-sized. ONE linear scan of orders total (the cell
+    //    rollup, map-side combined) instead of 2×depth+1; at 100 TB this
+    //    is the whole job. Oracle keeps the row-level spec text; the
+    //    hash compare proves the cell execution equal every run --
     "ml08_decision_tree" -> { (s, dir) =>
       graft.Tables.register(s, dir)
-      val bests = growTree(s, "ml08_", baseSql(None))
-      s.sql(treeReportSql("ml08_", bests.size))
+      val bests = growTree(s, "ml08_", baseCellsSql(None))
+      s.sql(treeReportCellsSql("ml08_", bests.size))
     },
 
     // -- ml09: tree INFERENCE on a held-out split — train on 9/10 of
     //    orders, route the holdout through the same best-split
     //    relations (one broadcast-sized equi-join per level), score
-    //    against the train leaves. Same per-level materialization --
+    //    against the train leaves. Same per-level materialization; the
+    //    holdout routes as (y, price_bin, cust_bin) cells too (the
+    //    confusion groups by node/pred/y, so y stays a cell key) --
     "ml09_tree_confusion" -> { (s, dir) =>
       graft.Tables.register(s, dir)
-      growTree(s, "ml09_", baseSql(Some("o_orderkey % 10 <> 3")))
-      var g = s.sql(baseSql(Some("o_orderkey % 10 = 3"))).localCheckpoint()
+      growTree(s, "ml09_", baseCellsSql(Some("o_orderkey % 10 <> 3")))
+      var g = s.sql(holdoutCellsSql("o_orderkey % 10 = 3")).localCheckpoint()
       for (k <- 0 until TreeDepth) {
         g.createOrReplaceTempView(s"ml09_g$k")
-        g = s.sql(routeSql(s"ml09_g$k", s"ml09_best$k")).localCheckpoint()
+        g = s.sql(routeCellsSql(s"ml09_g$k", s"ml09_best$k", carryY = true))
+          .localCheckpoint()
       }
       g.createOrReplaceTempView(s"ml09_g$TreeDepth")
-      s.sql(confusionSql("ml09_", TreeDepth))
+      s.sql(confusionCellsSql("ml09_", TreeDepth))
     }
   )
 
@@ -289,14 +304,126 @@ object Ml {
     var f = s.sql(base).localCheckpoint()
     val bests = (0 until TreeDepth).map { k =>
       f.createOrReplaceTempView(s"${p}f$k")
-      val best = s.sql(bestSql(s"${p}f$k")).localCheckpoint()
+      val best = s.sql(bestCellsSql(s"${p}f$k")).localCheckpoint()
       best.createOrReplaceTempView(s"${p}best$k")
-      f = s.sql(routeSql(s"${p}f$k", s"${p}best$k")).localCheckpoint()
+      f = s.sql(routeCellsSql(s"${p}f$k", s"${p}best$k", carryY = false))
+        .localCheckpoint()
       best
     }
     f.createOrReplaceTempView(s"${p}f$TreeDepth")
     bests
   }
+
+  // ---- r19 weighted-cell execution fragments (Spark side only; the
+  // oracle chain below keeps the row-level spec fragments verbatim).
+  // A "cell" is one (price_bin, cust_bin) value pair carrying
+  // n = count(*) and pos = sum(y) of its rows — sufficient statistics
+  // for every census, because routing never splits a cell. ----
+
+  /** One corpus scan → weighted cells {price_bin, cust_bin, node, n, pos}. */
+  private def baseCellsSql(where: Option[String]): String = s"""
+    SELECT price_bin, cust_bin, '' AS node,
+      CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+    FROM (${baseSql(where)}) base GROUP BY price_bin, cust_bin"""
+
+  /** Holdout cells keep y as a key: the confusion matrix groups by it. */
+  private def holdoutCellsSql(where: String): String = s"""
+    SELECT y, price_bin, cust_bin, '' AS node,
+      CAST(count(*) AS BIGINT) AS n
+    FROM (${baseSql(Some(where))}) base GROUP BY y, price_bin, cust_bin"""
+
+  /** bestSql over cells: the censuses read sum(n)/sum(pos) instead of
+    * count(*)/sum(y) — the same exact BIGINTs — and everything from
+    * `tot` on is textually identical to the row-level fragment, so the
+    * Gini doubles and the per-node argmin are bit-identical. */
+  private def bestCellsSql(src: String): String = s"""
+    WITH census AS (
+      SELECT node, 'price_bin' AS feature, price_bin AS v,
+        CAST(sum(n) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos
+      FROM $src GROUP BY node, price_bin
+      UNION ALL
+      SELECT node, 'cust_bin' AS feature, cust_bin AS v,
+        CAST(sum(n) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos
+      FROM $src GROUP BY node, cust_bin),
+    tot AS (
+      SELECT node, feature, CAST(sum(n) AS BIGINT) AS nt,
+        CAST(sum(pos) AS BIGINT) AS post
+      FROM census GROUP BY node, feature),
+    run AS (
+      SELECT node, feature, v,
+        CAST(sum(n) OVER (PARTITION BY node, feature ORDER BY v) AS BIGINT) AS nl,
+        CAST(sum(pos) OVER (PARTITION BY node, feature ORDER BY v) AS BIGINT) AS al
+      FROM census),
+    split AS (
+      SELECT r.node, r.feature, r.v AS threshold, r.nl, t.nt - r.nl AS nr,
+        r.al AS a_l, r.nl - r.al AS b_l,
+        t.post - r.al AS a_r, (t.nt - r.nl) - (t.post - r.al) AS b_r
+      FROM run r JOIN tot t ON r.node = t.node AND r.feature = t.feature
+      WHERE r.nl > 0 AND t.nt - r.nl > 0),
+    scored AS (
+      SELECT node, feature, threshold, nl, nr, a_l, a_r,
+        (CAST(nl AS DOUBLE) - CAST(a_l * a_l + b_l * b_l AS DOUBLE) / nl
+       + CAST(nr AS DOUBLE) - CAST(a_r * a_r + b_r * b_r AS DOUBLE) / nr)
+          / (nl + nr) AS gini
+      FROM split)
+    SELECT node, feature, threshold, nl, nr, a_l, a_r, gini FROM (
+      SELECT s.*, row_number() OVER (
+        PARTITION BY node ORDER BY gini, feature, threshold) AS rn
+      FROM scored s) x
+    WHERE rn = 1"""
+
+  /** routeSql over cells: same descent CASE (it reads only node + the
+    * bin keys), the weights ride along. */
+  private def routeCellsSql(src: String, best: String, carryY: Boolean): String = {
+    val weights = if (carryY) "f.y, f.n" else "f.n, f.pos"
+    s"""
+    SELECT f.price_bin, f.cust_bin, $weights,
+      CASE WHEN b.node IS NULL THEN f.node
+           ELSE f.node || CASE WHEN (CASE WHEN b.feature = 'price_bin'
+                                     THEN f.price_bin ELSE f.cust_bin END) <= b.threshold
+                          THEN 'L' ELSE 'R' END END AS node
+    FROM $src f LEFT JOIN $best b ON f.node = b.node"""
+  }
+
+  /** treeReportSql with the leaf census over cells: count(*) → sum(n),
+    * sum(y) → sum(pos); identical BIGINT/DOUBLE expression shape. */
+  private def treeReportCellsSql(p: String, d: Int): String = {
+    val internal = (0 until d).map { k =>
+      s"""SELECT $k AS depth, node, feature,
+        CAST(threshold AS BIGINT) AS threshold,
+        CAST(nl + nr AS BIGINT) AS n, CAST(a_l + a_r AS BIGINT) AS pos,
+        round(gini, 9) AS gini,
+        CASE WHEN 2 * (a_l + a_r) > (nl + nr) THEN 1 ELSE 0 END AS pred
+      FROM ${p}best$k"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH internal AS ($internal),
+    leaves AS (
+      SELECT $d AS depth, node, 'leaf' AS feature,
+        CAST(-1 AS BIGINT) AS threshold,
+        CAST(sum(n) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos,
+        round((CAST(sum(n) AS DOUBLE)
+          - CAST(sum(pos) * sum(pos) + (sum(n) - sum(pos)) * (sum(n) - sum(pos)) AS DOUBLE)
+            / sum(n)) / sum(n), 9) AS gini,
+        CASE WHEN 2 * sum(pos) > sum(n) THEN 1 ELSE 0 END AS pred
+      FROM ${p}f$d GROUP BY node)
+    SELECT depth, node, feature, threshold, n, pos, gini, pred
+    FROM (SELECT * FROM internal UNION ALL SELECT * FROM leaves) t
+    ORDER BY depth, node, feature"""
+  }
+
+  /** confusionSql over cells: count(*) → sum(n) on the holdout side,
+    * sum(y)/count(*) → sum(pos)/sum(n) in the train leaf preds. */
+  private def confusionCellsSql(p: String, d: Int): String = s"""
+    WITH leafpred AS (
+      SELECT node,
+        CASE WHEN 2 * CAST(sum(pos) AS BIGINT) > sum(n) THEN 1 ELSE 0 END AS pred
+      FROM ${p}f$d GROUP BY node)
+    SELECT g.node AS node, COALESCE(l.pred, 0) AS pred, g.y AS y,
+      CAST(sum(g.n) AS BIGINT) AS n_holdout
+    FROM ${p}g$d g LEFT JOIN leafpred l ON g.node = l.node
+    GROUP BY g.node, COALESCE(l.pred, 0), g.y
+    ORDER BY g.node, g.y"""
 
   /** ml07: decision-stump training (one-level CART — MADlib's
     * tree_train depth-1 case; the split-search census is the kernel

@@ -175,23 +175,20 @@ object Partitioned {
       val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val live = s"target/derived/$tag/retention_live"
       val arch = s"target/derived/$tag/retention_archive"
-      // r18 (guide §2.6 — overlap independent jobs): the live and
-      // archive tiers are disjoint filters of the same materialized
-      // base writing to different roots; submitted sequentially, each
-      // write's task tail left the other's work waiting. Two driver
-      // threads let the scheduler back-fill one write's stragglers
-      // with the other's tasks; Await.result rethrows either failure.
-      locally {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val writes = Seq(
-          Future(base.filter(col("o_month") >= cutoff)
-            .write.mode("overwrite").partitionBy("o_month").parquet(live)),
-          Future(base.filter(col("o_month") < cutoff)
-            .write.mode("overwrite").partitionBy("o_month").parquet(arch)))
-        writes.foreach(Await.result(_, Duration.Inf))
-      }
+      // r19: the r18 two-driver-thread overlap (guide §2.6) is REVERTED
+      // to sequential writes. A one-JVM alternating A/B (graft.AB over
+      // a temporary conf gate, 8 passes, idle box) read threaded 1.927 s
+      // vs sequential 1.974 s — a tie inside noise, confirming r18's
+      // "below noise" reading — and the threading carried a real hazard
+      // (r18 advice): Await.result rethrowing the first failure while
+      // the sibling write still ran let a bench retry's overwrite
+      // interleave with the orphaned job's commits. Two 32-task writes
+      // on local[32] have no tail to back-fill; dead concurrency is
+      // complexity without evidence (r18 verdict #3).
+      base.filter(col("o_month") >= cutoff)
+        .write.mode("overwrite").partitionBy("o_month").parquet(live)
+      base.filter(col("o_month") < cutoff)
+        .write.mode("overwrite").partitionBy("o_month").parquet(arch)
       val manifest =
         s.read.parquet(live).withColumn("tier", lit("live"))
           .unionByName(s.read.parquet(arch).withColumn("tier", lit("archive")))

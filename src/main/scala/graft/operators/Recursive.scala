@@ -507,33 +507,43 @@ object Recursive {
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
-    // ONE action per round: the endpoint rollup counts distinct nodes
-    // AND edges (count/2 — every edge contributes both endpoints) and,
-    // because the checkpoint is lazy, materializes the round's frontier
-    // in the same job.
-    def counts(e: DataFrame): (Long, Long) = {
-      val r = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
-        .agg(countDistinct(col("node")).as("nn"), count(lit(1)).as("n2")).head
-      (r.getLong(0), r.getLong(1) / 2)
+      .localCheckpoint(eager = false)
+    // r19 (guide §2.4, r18 verdict #2): the trajectory counts FOLD INTO
+    // the degree aggregate. The per-node degree relation the peel needs
+    // anyway determines both counts of its edge set exactly:
+    //   n_nodes = count(deg rows)        (a node appears iff it has an edge)
+    //   n_edges = sum(d) / 2             (every edge contributes 2 endpoints)
+    // so each round's ONE action is a 3-value rollup of deg, and the old
+    // separate counts() pass — a second endpoint union + countDistinct
+    // (its own Expand + exchange) over every round's edge set — is gone:
+    // each edge set's endpoints are now aggregated ONCE, not twice. The
+    // lazy checkpoints make that single action also materialize the
+    // round's frontier (edges + deg) in the same job.
+    def degOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .localCheckpoint(eager = false)
+    // (n_nodes, n_edges) of deg's edge set, one tiny job
+    def statsOf(deg: DataFrame): (Long, Long) = {
+      val r = deg.agg(count(lit(1)).as("nn"), sum(col("d")).as("d2")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1) / 2)
     }
+    var deg = degOf(edges)
     val traj = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-    var (nn, ne) = counts(edges)
+    var (nn, ne) = statsOf(deg)
     traj += ((0, nn, ne))
     var round = 1
     var stable = false
     while (round <= KcoreRounds) {
       if (!stable) {
-        val deg = edges.select(col("u").as("node"))
-          .unionAll(edges.select(col("v").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("d"))
         val keep = deg.filter(col("d") >= K).select(col("node"))
         edges = edges
           .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
           .select(col("u"), col("v"))
           .localCheckpoint(eager = false)
-        val (nn2, ne2) = counts(edges)
+        deg = degOf(edges)
+        val (nn2, ne2) = statsOf(deg)
         stable = ne2 == ne
         nn = nn2; ne = ne2
         // once stable, the remaining rounds repeat the fixpoint counts

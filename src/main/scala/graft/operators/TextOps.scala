@@ -101,10 +101,17 @@ object TextOps {
             "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS x, toks[i] AS y))"))
             .as("p"))
           .select(col("p.x").as("x"), col("p.y").as("y"), col("freq"))
+        // r19 (guide §5 — don't compute twice): best is consumed TWICE —
+        // broadcast into this round's census rebuild now, and again when
+        // the final unioned result executes. Unspooled, the second read
+        // re-ran the round's pairs explode+aggregate (the corpus-vocab-
+        // sized work) from the census checkpoint — 8 extra explode passes
+        // per query execution. The spool is one row.
         val best = pairs.groupBy(col("x"), col("y"))
           .agg(sum(col("freq")).cast("bigint").as("n"))
           .orderBy(col("n").desc, col("x"), col("y"))
           .limit(1)
+          .localCheckpoint()
         census = base.crossJoin(broadcast(best.select(col("x"), col("y"))))
           .withColumn("rep", expr(
             "replace(rep, concat(chr(1), x, chr(1), y, chr(1)), concat(chr(1), x, y, chr(1)))"))

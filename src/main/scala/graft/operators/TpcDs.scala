@@ -356,6 +356,69 @@ object TpcDs {
       WHERE 2 * ir.rev_c * sa.n_items < sa.total_c
       ORDER BY ir.nat, ir.part"""
 
+  /** ds65's Spark-side execution (r19, guide §2.4 — a window partitioned
+    * by the aggregation's own key needs no second pass): the spec's
+    * self-reference (per-nat totals joined back to per-(nat, part) rows)
+    * is ONE window over the aggregate — no spool job, no re-aggregate,
+    * no join. total_c/n_items per nat are the same exact BIGINTs, the
+    * below-half-average predicate is the identical integer compare.
+    * Oracle keeps the spool+join spec text; hash compare proves it. */
+  private val Ds65Window = s"""
+      WITH item_rev AS ($Ds65ItemRev),
+      w AS (
+        SELECT nat, part, rev_c,
+               CAST(sum(rev_c) OVER (PARTITION BY nat) AS BIGINT) AS total_c,
+               count(*) OVER (PARTITION BY nat) AS n_items
+        FROM item_rev)
+      SELECT nat, part,
+             round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+             round(CAST(total_c AS DOUBLE) / n_items / 100.0, 2) AS avg_item_revenue
+      FROM w
+      WHERE 2 * rev_c * n_items < total_c
+      ORDER BY nat, part"""
+
+  /** ds70's Spark-side base (r19, guide §2.4/§6 — one fact scan, not
+    * two): the spec text derives the SAME 5-relation join+aggregate
+    * twice — once to rank regions (top_regions) and once under the
+    * ROLLUP (agg). The finest (r_name, n_name) profit aggregate is
+    * sufficient for both: region totals re-aggregate from it exactly
+    * (BIGINT cent sums — associative), and the ROLLUP over it produces
+    * the identical groups and sums the ROLLUP over raw join rows did.
+    * ≤ |nations| rows after one scan; spooled, the Expand and both
+    * rank windows run census-sized. Oracle keeps the two-scan spec
+    * text — the hash compare proves equivalence every run. */
+  private val Ds70Base = """
+        SELECT r_name, n_name,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name"""
+
+  private val Ds70Outer = """
+      WITH top_regions AS (
+        SELECT r_name FROM (
+          SELECT r_name,
+                 rank() OVER (ORDER BY CAST(sum(profit_c) AS BIGINT) DESC) AS rnk
+          FROM base70 GROUP BY r_name) t
+        WHERE rnk <= 3),
+      agg AS (
+        SELECT r_name, n_name,
+               CAST(sum(profit_c) AS BIGINT) AS profit_c,
+               grouping(r_name) + grouping(n_name) AS lochierarchy,
+               grouping(n_name) AS g_n
+        FROM base70
+        WHERE r_name IN (SELECT r_name FROM top_regions)
+        GROUP BY ROLLUP(r_name, n_name))
+      SELECT lochierarchy, r_name, n_name,
+             round(CAST(profit_c AS DOUBLE) / 100.0, 2) AS profit,
+             rank() OVER (PARTITION BY lochierarchy,
+                            CASE WHEN g_n = 0 THEN r_name END
+                          ORDER BY profit_c DESC) AS rank_within
+      FROM agg
+      ORDER BY lochierarchy DESC, r_name NULLS FIRST, rank_within, n_name NULLS FIRST"""
+
   /** ds18's shared text modulo the integer-division token (Spark
     * `div`, DuckDB `//`): every average is (2·sum·u + n) div (2·n) —
     * round-half-up of sum·u/n in pure BIGINT arithmetic (all measures
@@ -1603,12 +1666,18 @@ object TpcDs {
           s.sql(Ds74YearTotal).localCheckpoint()
             .createOrReplaceTempView("year_total74")
           s.sql(Ds74Outer)
+        } else if (name == "ds70_grouping_rank") {
+          // one fact scan: the finest (region, nation) profit aggregate
+          // spools once; the region ranking and the ROLLUP both read it
+          // (see Ds70Base — the spec text computed the 5-relation join
+          // twice)
+          s.sql(Ds70Base).localCheckpoint().createOrReplaceTempView("base70")
+          s.sql(Ds70Outer)
         } else if (name == "ds65_underperforming") {
-          // the twice-referenced per-(store, item) aggregate spools once
-          // (its second reference is its OWN re-aggregation per store)
-          s.sql(Ds65ItemRev).localCheckpoint()
-            .createOrReplaceTempView("item_rev")
-          s.sql(Ds65Outer)
+          // one pass: the per-nat totals come from a window over the
+          // per-(nat, part) aggregate (see Ds65Window — the spec's
+          // spool + re-aggregate + join-back collapses)
+          s.sql(Ds65Window)
         } else if (name == "ds44_best_worst") {
           // the six-way-referenced per-item aggregate spools once
           // (two rank windows + four scalar threshold subqueries)

@@ -23,6 +23,11 @@ import graft.operators.GpDdl.FixedWidthDef
   */
 object FixedWidth {
 
+  /** Lifetime contract (r18 advice): `good` reads a per-invocation
+    * localCheckpoint spool that the entry-point hygiene (Bench/Verify)
+    * unpersists after the invoking query — consume it within that
+    * query; a caller holding `good` past the unpersist would see
+    * checkpoint-block-not-found. */
   final case class ParseResult(good: DataFrame, nGood: Long, nBad: Long)
 
   /** The substring slice for column `i` of the spec (1-based SQL pos). */
@@ -97,7 +102,13 @@ object FixedWidth {
     val nBad = nBadL
     fw.rejectLimit.foreach { case (limit, isPercent) =>
       val over = if (isPercent) nBad * 100 > nTotal * limit else nBad > limit
-      if (over) throw new CsvSreh.RejectLimitExceeded(nBad, limit)
+      if (over) {
+        // the throw path returns no ParseResult, so nothing downstream
+        // unpersists the spool — drop it here or it stays pinned for
+        // the session (r18 advice)
+        flagged.unpersist(blocking = false)
+        throw new CsvSreh.RejectLimitExceeded(nBad, limit)
+      }
     }
     val good = flagged.filter(!col("_bad"))
       .select(fields.map(f => col(f._1)): _*)
